@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over the driver-generated parquet warehouse.
+  *
+  * Mirrors the reference's "recursive directory scan" source
+  * (daas-apps `sparkcaller/.../utils/MiscUtils.java:15-38`) re-expressed as
+  * plain partitioned parquet reads: paths appear only at this edge; every
+  * operator downstream is a lazy DataFrame transform.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def events: DataFrame     = t("events")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Sessions {
+  /** Session defaults tuned for local[32] testing but scale-safe: AQE on
+    * (runtime skew/coalesce re-planning replaces the reference's hand-rolled
+    * greedy contig bin-packing, `SparkCaller.java:190-243`), shuffle
+    * partitions sized to the local core count instead of the 200 default.
+    */
+  def local(cores: Int = 32): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
