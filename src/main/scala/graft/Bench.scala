@@ -1,23 +1,43 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Protocol mirrors the reference's published method —
+  * "each data point is an average of three runs"
+  * (daas-apps `genomics/README.md:108`) — with an untimed warm-up pass at
+  * the smallest SF first so JIT/codegen compilation is not billed to
+  * whichever query happens to run first (round-1 lesson: cold-JVM noise
+  * dominated the per-query numbers). Reported value = sum over queries of
+  * the median of 3 timed runs; each run fully materializes every output
+  * row via a noop write (count() alone lets Catalyst prune the projections
+  * being measured).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val spark = Sessions.local(cpus.toInt)
+
+    def exec(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Warm-up (untimed): compile/JIT every query shape on the small SF.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).exists()) names.foreach(exec(_, warmDir))
+
+    val results = names.map { name =>
+      val times = (1 to runs).map(_ => exec(name, sfDir)).filter(_ >= 0).sorted
+      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

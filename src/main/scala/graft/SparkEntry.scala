@@ -21,7 +21,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    core ++ text.Queries.all ++ extra.Queries.all
+    core ++ text.Queries.all ++ vector.Queries.all ++ extra.Queries.all
 
   private def core: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O5/O8 hash aggregation with map-side partials (BQSRTargetGenerator's
@@ -70,7 +70,9 @@ object SparkEntry {
         lit("lib1").as("rg_lib"),
         lit("ILLUMINA").as("rg_pl"),
         upper(col("c_mktsegment")).as("segment"),
-        round(col("c_acctbal") * 1.05, 2).as("adj_bal")
+        // floor on a double is engine-exact; round(x,2) is NOT (Spark rounds
+        // the shortest decimal repr, DuckDB the binary value — r1 q04 lesson).
+        floor(col("c_acctbal") * 1.05).as("adj_bal")
       )
     }),
 
@@ -237,7 +239,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = coreOracle ++ text.Queries.oracles ++ extra.Queries.oracles
+  def oracleSql: Map[String, String] =
+    coreOracle ++ text.Queries.oracles ++ vector.Queries.oracles ++ extra.Queries.oracles
 
   private def coreOracle: Map[String, String] = Map(
     "q01_agg" ->
@@ -257,7 +260,7 @@ object SparkEntry {
     "q04_project" ->
       """SELECT c_custkey, c_name, 'RG1' AS rg_id, 'lib1' AS rg_lib,
         |  'ILLUMINA' AS rg_pl, upper(c_mktsegment) AS segment,
-        |  round(c_acctbal*1.05,2) AS adj_bal
+        |  CAST(floor(c_acctbal*1.05) AS BIGINT) AS adj_bal
         |FROM customer""".stripMargin,
     "q05_dedup_mark" ->
       """SELECT l_orderkey, l_linenumber,

@@ -1,9 +1,212 @@
 package graft.extra
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Group analytics / streaming / range-join / multimodal queries (M3). */
+import graft.Tables
+import graft.multimodal.Binary
+import graft.operators.{Analytic, Events, Pipe}
+
+/** Event-time analytics, grouping-set/pivot/json/window-function surface,
+  * typed per-group analytics, the external-pipe escape hatch, and the
+  * multimodal batch path — each with a DuckDB oracle.
+  *
+  * Determinism: all aggregates over doubles are first floored to integer
+  * milli-units (floor is engine-exact on IEEE doubles; summing longs is
+  * associative) — never `round(sum(double))`.
+  */
 object Queries {
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O7 interval-join analog, bucketed-equi-join scale path: views within
+    // 5 minutes after each error, per user.
+    "q30_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      Events.windowedMatchCount(
+        ev.filter(col("event_type") === "error"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", 300L)
+    }),
+
+    // As-of join: latest click at-or-before each purchase, per user.
+    "q31_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      Events.asOfJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id")
+    }),
+
+    // Grouping sets: CUBE over (event_type, day) — counts + exact
+    // milli-sums.
+    "q32_cube" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+          floor(col("value") * 1000).as("value_milli"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value_milli")).as("milli_sum"))
+    }),
+
+    // Pivot: per-day event counts fanned to one column per type.
+    "q33_pivot" -> ((s, dir) => {
+      val p = Tables(s, dir).events
+        .select(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", EventTypes)
+        .count()
+      p.select(col("day") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
+    // JSON functions: extract props.k, bucket and aggregate.
+    "q34_json" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+    }),
+
+    // Window-function surface: row_number / lag / lead / ntile over a total
+    // per-customer order, all on exact cents.
+    "q35_window_fns" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables(s, dir).orders
+        .withColumn("cents", floor(col("o_totalprice") * 100))
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).as("rn"),
+          lag(col("cents"), 1).over(w).as("prev_cents"),
+          lead(col("cents"), 1).over(w).as("next_cents"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
+    // Gap-based sessionization (30-minute inactivity gap) per user.
+    "q36_sessionize" -> ((s, dir) =>
+      Events.sessionize(Tables(s, dir).events, "user_id", 1800L)),
+
+    // O13 per-group analytic through the typed flatMapGroups slot.
+    "q37_longest_run" -> ((s, dir) =>
+      Analytic.longestRun(Tables(s, dir).events)(s).toDF()),
+
+    // S7/O21 external-pipe escape hatch: awk over (doc_id, n_chars) lines.
+    "q38_pipe" -> ((s, dir) =>
+      Pipe.pipeLongs(
+        Tables(s, dir).documents,
+        Seq("doc_id", "n_chars"),
+        Seq("/usr/bin/awk", "-F\t", "{print $1\"\\t\"($2*3+7)}"),
+        Seq("doc_id", "derived"))(s)),
+
+    // Exact interpolated percentiles over integer cents.
+    "q39_percentiles" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .withColumn("cents", floor(col("o_totalprice") * 100))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile(col("cents"), lit(0.5)).as("median_cents"),
+          percentile(col("cents"), lit(0.95)).as("p95_cents"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Multimodal batch path: payload bytes → stride-sampled digests via
+    // typed mapPartitions (see graft.multimodal.Binary).
+    "q40_multimodal" -> ((s, dir) =>
+      Binary.extractFeatures(
+        Binary.withPayload(Tables(s, dir).documents), 10)(s).toDF()),
+
+    // Event-time tumbling window (batch form of the streaming hourly agg).
+    "q41_event_hourly" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("hour_start_us"), col("event_type"), col("n"))
+    })
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  def oracles: Map[String, String] = Map(
+    "q30_range_join" ->
+      """SELECT e.event_id, count(v.event_id) AS n_matches
+        |FROM events e LEFT JOIN events v
+        |  ON v.user_id = e.user_id AND v.event_type = 'view'
+        |  AND v.ts > e.ts AND v.ts <= e.ts + INTERVAL 300 SECOND
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id""".stripMargin,
+    "q31_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  (SELECT max(epoch_us(c.ts)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND c.ts <= p.ts) AS asof_ts_us
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q32_cube" ->
+      """SELECT event_type, CAST(ts AS DATE)::VARCHAR AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS milli_sum
+        |FROM events GROUP BY CUBE (event_type, day)""".stripMargin,
+    "q33_pivot" ->
+      """SELECT CAST(ts AS DATE)::VARCHAR AS day,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+    "q34_json" ->
+      """WITH t AS (SELECT CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |SELECT k % 10 AS k_mod, count(*) AS n, min(k) AS k_min, max(k) AS k_max
+        |FROM t GROUP BY 1""".stripMargin,
+    "q35_window_fns" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(floor(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  lag(cents, 1) OVER w AS prev_cents,
+        |  lead(cents, 1) OVER w AS next_cents,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM t WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q36_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |g AS (SELECT user_id,
+        |  CASE WHEN ts_us - lag(ts_us) OVER w <= 1800000000 THEN 0 ELSE 1 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q37_longest_run" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+        |  FROM events),
+        |runs AS (SELECT user_id, event_type, count(*) AS run_len
+        |  FROM e GROUP BY user_id, event_type, rn - rn_t),
+        |best AS (SELECT user_id, max(run_len) AS m FROM runs GROUP BY user_id)
+        |SELECT r.user_id, CAST(r.run_len AS INT) AS run_len,
+        |  min(r.event_type) AS run_type
+        |FROM runs r JOIN best b ON r.user_id = b.user_id AND r.run_len = b.m
+        |GROUP BY r.user_id, r.run_len""".stripMargin,
+    "q38_pipe" ->
+      "SELECT doc_id, n_chars*3+7 AS derived FROM documents",
+    "q39_percentiles" ->
+      """WITH t AS (SELECT o_orderpriority,
+        |  CAST(floor(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderpriority,
+        |  quantile_cont(cents, 0.5) AS median_cents,
+        |  quantile_cont(cents, 0.95) AS p95_cents,
+        |  count(*) AS n
+        |FROM t GROUP BY 1""".stripMargin,
+    "q40_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS md5_hex,
+        |  md5(array_to_string(list_transform(
+        |    range(1, length(text)+1, 10), i -> substr(text, CAST(i AS INT), 1)), ''))
+        |    AS strided_md5
+        |FROM documents""".stripMargin,
+    "q41_event_hourly" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

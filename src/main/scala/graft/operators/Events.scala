@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-keyed operators over event streams (batch forms; streaming
+  * equivalents live in graft.streaming). These re-express the reference's
+  * interval-join stage (GATK IndelRealigner reads-vs-target-intervals,
+  * daas-apps `preprocessing/RealignIndels.java:19-49`, SURVEY.md O7) on
+  * record-level time intervals.
+  */
+object Events {
+
+  /** Interval/range join via BUCKETED EQUI-JOIN — the scale-path rewrite of
+    * the naive O(n·m) broadcast-nested-loop θ-join (SURVEY.md §7.3.2).
+    *
+    * Each opener row opens the window `(ts, ts + windowSec]`; each probe row
+    * is bucketed by `floor(ts / windowSec)`. Because the window length
+    * equals the bucket width, a window overlaps exactly buckets {b, b+1} of
+    * its opening bucket, so each opener is exploded into two probe-bucket
+    * keys and joined EQUI on (key, bucket) — a plain shuffled hash join that
+    * partitions evenly at any scale — then the exact range predicate filters
+    * within the bucket. Each probe matches through exactly one arm (its own
+    * bucket), so no dedup pass is needed.
+    *
+    * Returns per-opener match counts (openers with zero matches kept, 0).
+    */
+  def windowedMatchCount(
+      openers: DataFrame, probes: DataFrame, key: String,
+      windowSec: Long, openerId: String = "event_id"): DataFrame = {
+    val usec = windowSec * 1000000L
+    val o = openers
+      .select(col(openerId), col(key), unix_micros(col("ts")).as("o_us"))
+      .withColumn("bucket", explode(array(
+        floor(col("o_us") / usec), floor(col("o_us") / usec) + 1)))
+    val p = probes
+      .select(col(key), unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket", floor(col("p_us") / usec))
+    o.join(p,
+        Seq(key, "bucket"), "left")
+      .withColumn("hit",
+        when(col("p_us") > col("o_us") && col("p_us") <= col("o_us") + usec, 1)
+          .otherwise(0))
+      .groupBy(col(openerId))
+      .agg(sum(col("hit")).cast("long").as("n_matches"))
+  }
+
+  /** As-of join: for each `right` row, the greatest `left` timestamp ≤ its
+    * own, per key — the classic "latest state as of t" lookup, implemented
+    * as a single sort-merge-style window pass (one shuffle on key, no
+    * self-join): union both sides, order by (ts, side) with left first so
+    * equal timestamps are visible, and carry the last left ts forward.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               rightId: String = "event_id"): DataFrame = {
+    val lu = left.select(col(key), unix_micros(col("ts")).as("ts_us"),
+      lit(0).as("side"), lit(null).cast("long").as("rid"))
+    val ru = right.select(col(key), unix_micros(col("ts")).as("ts_us"),
+      lit(1).as("side"), col(rightId).cast("long").as("rid"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("ts_us").asc, col("side").asc, col("rid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lu.unionByName(ru)
+      .withColumn("asof_ts_us",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("rid").as(rightId), col(key), col("ts_us"), col("asof_ts_us"))
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same key exceeds `gapSec`. Two window passes over
+    * one shuffle on key. Returns per-key (n_sessions, n_events).
+    */
+  def sessionize(events: DataFrame, key: String, gapSec: Long): DataFrame = {
+    val usec = gapSec * 1000000L
+    val ord = Window.partitionBy(col(key)).orderBy(col("ts_us").asc, col("event_id").asc)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(key), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(ord) <= usec, 0).otherwise(1))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .groupBy(col(key))
+      .agg(max(col("sess_id")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+}

@@ -1,0 +1,167 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / deduplication column builders for large-scale training-data
+  * pipelines. Everything here is a pure Catalyst column expression — no UDFs,
+  * no driver-side loops — so whole-stage codegen applies and the operators
+  * scale linearly with executors (the reference's closest analog is the
+  * file-at-a-time MarkDuplicates stage, daas-apps
+  * `sparkcaller/.../preprocessing/DuplicateMarker.java:14-54`, re-expressed
+  * record-level; see SURVEY.md §2.4).
+  *
+  * Determinism contract: every function is a pure function of its input
+  * strings (hash domain = lowercase-hex md5 strings, compared
+  * lexicographically in ASCII, identical across engines), so results are
+  * reproducible across partitionings and match the DuckDB oracle bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. Input corpus contract: single-space separated,
+    * already lowercased (documents.text in TESTDATA.md). For arbitrary text
+    * use `splitRegex`.
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Regex tokenization for un-normalized text. */
+  def splitRegex(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles as space-joined strings. Guarded: a document with
+    * fewer than `n` words contributes itself as its only shingle (so no doc
+    * silently drops out of the dedup universe).
+    *
+    * Implementation note: built as a fold of `zip_with` over shifted slices
+    * of the words array. HOF *arguments* are evaluated once per row, so the
+    * cost is O(n·words) per row even after CollapseProject re-inlines a
+    * single-use `split(...)` alias. The naive alternative — a lambda whose
+    * BODY references the words column (`slice`/`get` inside `transform`) —
+    * re-evaluates that capture per element (interpreted HOFs don't CSE),
+    * which turned rows O(words²) and made LSH dedup ~50× slower.
+    */
+  def shingles(ws: Column, n: Int): Column = {
+    val joined = (1 until n).foldLeft(ws)((acc, k) =>
+      zip_with(acc, slice(ws, lit(k + 1), size(ws)), (a, b) => concat_ws(" ", a, b)))
+    when(size(ws) >= n, slice(joined, lit(1), size(ws) - lit(n - 1)))
+      .otherwise(array(array_join(ws, " ")))
+  }
+
+  /** Distinct shingle set (Jaccard universe). `ws` MUST be a materialized
+    * words column (a cheap reference), not an inline `split(...)` — the
+    * indexed lambda reads it O(n) times per element.
+    */
+  def shingleSet(ws: Column, n: Int): Column =
+    array_distinct(shingles(ws, n))
+
+  private val Mod32 = 4294967296L // 2^32
+
+  /** Per-shingle (h1, h2) base hashes from ONE md5 digest: the first and
+    * second 8 hex digits as 32-bit ints. All derived hash functions reuse
+    * these (Kirsch-Mitzenmacher), so signature width costs integer ops, not
+    * extra digests.
+    */
+  def shingleHashPairs(shingleSet: Column): Column =
+    transform(shingleSet, { s =>
+      val m = md5(s)
+      struct(
+        conv(substring(m, 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(m, 9, 8), 16, 10).cast("long").as("h2"))
+    })
+
+  /** MinHash signature over precomputed (h1,h2) pairs: element i is
+    * min over shingles of (h1 + i·h2) mod 2³², an exact non-negative
+    * integer (h1,h2 < 2³², i small ⇒ no overflow) — engine-portable and
+    * associative-min, so partitioning-independent. Map-only at any scale.
+    */
+  def minhashFromPairs(hashPairs: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(hashPairs, p =>
+        (p.getField("h1") + lit(i.toLong) * p.getField("h2")) % Mod32))
+    }: _*)
+
+  /** Convenience: minhash signature of a shingle-set column. Callers on a
+    * hot path should materialize `shingleHashPairs` as its own projection
+    * first and call `minhashFromPairs`, keeping one md5 per shingle.
+    */
+  def minhash(shingleSet: Column, numHashes: Int): Column =
+    minhashFromPairs(shingleHashPairs(shingleSet), numHashes)
+
+  /** LSH band keys over a minhash signature: `numBands` bands of
+    * `rowsPerBand` signature elements, each band hashed to one md5 key.
+    * Docs sharing ANY band key are near-dup candidates; with b bands of r
+    * rows the detection probability is 1-(1-j^r)^b for Jaccard j (the
+    * standard S-curve).
+    */
+  def lshBands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand)
+          .map(r => element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*))
+    }: _*)
+
+  /** Per-word 28-bit hashes (first 7 hex digits of md5, engine-portable via
+    * base-16 string conversion). Materialize this as its own projection
+    * before feeding `simhashFromHashes` — one md5 per word total.
+    */
+  def wordHashes(ws: Column): Column =
+    transform(ws, w => conv(substring(md5(w), 1, 7), 16, 10).cast("long"))
+
+  /** SimHash over precomputed word hashes, `bits` wide (≤ 28): bit j is set
+    * iff the sum of ±1 votes (bit j of each word hash) is positive. Integer
+    * votes make the result independent of evaluation order — safe under any
+    * partitioning.
+    */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
+    require(bits <= 28, "word hashes are 28-bit")
+    val bitCols = (0 until bits).map { j =>
+      val votes = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L), lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (for near-dup pairing). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact whole-document fingerprint. */
+  def docFingerprint(text: Column): Column = md5(text)
+
+  /** Content-defined fingerprint: lexicographic min md5 over the shingle
+    * set — stable under small edits at either end of the document, unlike
+    * the whole-document digest.
+    */
+  def minShingleFingerprint(shingleSet: Column): Column =
+    array_min(transform(shingleSet, s => md5(s)))
+
+  /** Count of tokens in `vocab` (language-ID / stopword scoring building
+    * block). `vocab` must be a small literal set — it is inlined into the
+    * generated code, no join.
+    */
+  def vocabHits(ws: Column, vocab: Seq[String]): Column =
+    size(filter(ws, w => w.isin(vocab.map(x => x: Any): _*)))
+
+  /** Tiny per-language stopword profiles for the heuristic language
+    * identifier. Deliberately minimal: language ID here is a deterministic
+    * scoring function, not a model.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "es" -> Seq("el", "la", "los", "que", "de"),
+    "fr" -> Seq("le", "la", "les", "et", "de"))
+
+  /** Predicted language = argmax of profile hit counts, ties broken by
+    * profile order then falling back to "und" (undetermined) when no
+    * profile scores > 0.
+    */
+  def langId(ws: Column): Column = {
+    val scored = langProfiles.map { case (lang, vocab) => (lang, vocabHits(ws, vocab)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((lang, score), elseCol) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(elseCol)
+    }
+  }
+}

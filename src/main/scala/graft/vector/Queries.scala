@@ -1,0 +1,130 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Relational
+
+/** Similarity-search queries over the `embeddings` table (ANN baseline +
+  * LSH scale path), DuckDB-oracle exact via integer quantization.
+  */
+object Queries {
+
+  private val Scale = 10000
+  private val Dims = 64
+  private val SigBits = 8
+
+  /** (vec_id, q: array<long>, n2: long) — quantized vectors with norms. */
+  private def prepared(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
+      .select(col("vec_id"), VectorOps.quantize(col("embedding"), Scale).as("q"))
+      .withColumn("n2", VectorOps.norm2Q(col("q")))
+
+  private def withSim(pairs: DataFrame): DataFrame =
+    pairs
+      .select(
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        VectorOps.dotQ(col("a.q"), col("b.q")).as("dot_q"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
+      .withColumn("sim", VectorOps.cosineQ(col("dot_q"), col("na"), col("nb")))
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force all-pairs cosine: top-20 most similar pairs. The O(n²)
+    // correctness baseline every ANN variant is judged against.
+    "q27_embed_pairs" -> ((s, dir) => {
+      val e = prepared(s, dir)
+      val pairs = withSim(
+        e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id")))
+      Relational.topK(
+        pairs.select(col("a_id"), col("b_id"), col("dot_q"), col("sim")),
+        20, col("sim").desc, col("a_id").asc, col("b_id").asc)
+    }),
+
+    // ANN top-k: 5 nearest neighbors for each query vector (vec_id < 10),
+    // brute-force scored, ranked per query with total-order tie-break.
+    "q28_ann_topk" -> ((s, dir) => {
+      val e = prepared(s, dir)
+      val qs = e.filter(col("vec_id") < 10)
+      val scored = withSim(
+        broadcast(qs.as("a")).join(e.as("b"), col("a.vec_id") =!= col("b.vec_id")))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("a_id"), col("b_id"), col("rank"), col("sim"))
+    }),
+
+    // LSH-bucketed ANN (the 100 TB scale path): 8-bit random-hyperplane
+    // signature, candidates restricted to the same bucket, best match per
+    // query. Shuffles on the signature instead of materializing n² pairs.
+    "q29_ann_lsh" -> ((s, dir) => {
+      val e = prepared(s, dir)
+        .withColumn("sig", VectorOps.hyperplaneSig(col("q"), SigBits, Dims))
+      val qs = e.filter(col("vec_id") < 50)
+      val scored = withSim(
+        qs.as("a").join(e.as("b"),
+          col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id")))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("a_id"), col("b_id"), col("sim"))
+    })
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val quantCte =
+    s"""e AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE)*$Scale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(
+       |    range(1, len(q)+1), i -> q[i]*q[i])) AS BIGINT) AS n2 FROM e)""".stripMargin
+
+  private val dotExpr =
+    "CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i])) AS BIGINT)"
+
+  private val sigExpr = (0 until SigBits).map { i =>
+    s"""(CASE WHEN list_sum(list_transform(range(1, len(q)+1),
+       |    j -> q[j] * (CASE WHEN ('0x'||substr(md5('$i:'||j),1,1))::INT % 2 = 1
+       |                 THEN 1 ELSE -1 END))) > 0
+       |  THEN ${1L << i} ELSE 0 END)""".stripMargin
+  }.mkString(" +\n  ")
+
+  def oracles: Map[String, String] = Map(
+    "q27_embed_pairs" ->
+      s"""WITH $quantCte,
+         |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+         |    a.n2 na, b.n2 nb
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, dot_q,
+         |  CAST(dot_q AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS sim
+         |FROM p ORDER BY sim DESC, a_id, b_id LIMIT 20""".stripMargin,
+    "q28_ann_topk" ->
+      s"""WITH $quantCte,
+         |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+         |    a.n2 na, b.n2 nb
+         |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id != b.vec_id),
+         |r AS (SELECT a_id, b_id,
+         |    CAST(dot_q AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS sim
+         |  FROM p)
+         |SELECT a_id, b_id,
+         |  CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS INT) AS rank,
+         |  sim
+         |FROM r QUALIFY rank <= 5""".stripMargin,
+    "q29_ann_lsh" ->
+      s"""WITH $quantCte,
+         |sigs AS (SELECT vec_id, q, n2, CAST($sigExpr AS BIGINT) AS sig FROM n),
+         |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+         |    a.n2 na, b.n2 nb
+         |  FROM sigs a JOIN sigs b
+         |  ON a.sig = b.sig AND a.vec_id < 50 AND a.vec_id != b.vec_id),
+         |r AS (SELECT a_id, b_id,
+         |    CAST(dot_q AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS sim
+         |  FROM p)
+         |SELECT a_id, b_id, sim FROM r
+         |QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) = 1""".stripMargin
+  )
+}

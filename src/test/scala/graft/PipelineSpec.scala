@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plan.{Plan, Stage}
+import graft.sources.Sources
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("config-gated plan runs exactly the enabled stages, in order") {
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "v")
+    val plan = Plan(Seq(
+      "filter" -> Stage.Filter(col("v") > 10),
+      "proj" -> Stage.Project(Map("v2" -> (col("v") * 2)))))
+    val all = plan.build(df, Map("filter" -> "", "proj" -> ""))
+    assert(all.columns.contains("v2") && all.count() === 2)
+    val onlyProj = plan.build(df, Map("proj" -> ""))
+    assert(onlyProj.count() === 3 && onlyProj.columns.contains("v2"))
+    val none = plan.build(df, Map.empty)
+    assert(none.collect().length === 3 && !none.columns.contains("v2"))
+  }
+
+  test("markDuplicates stage + broadcastApply stage compose into one lazy plan") {
+    val df = Seq((1, "k", 5.0), (2, "k", 9.0)).toDF("id", "g", "q")
+    val dim = Seq(("k", "dimval")).toDF("g", "extra")
+    val plan = Plan(Seq(
+      "dedup" -> Stage.MarkDuplicates(Seq(col("g")), col("q"), Seq(col("id"))),
+      "apply" -> Stage.BroadcastApply(dim, Seq("g"))))
+    val out = plan.build(df, Map("dedup" -> "", "apply" -> ""))
+    val rows = out.select("id", "is_dup", "extra").as[(Int, Int, String)].collect().toSet
+    assert(rows === Set((1, 1, "dimval"), (2, 0, "dimval")))
+  }
+
+  test("scanDatasets tags each subdirectory as a dataset_id") {
+    val root = java.nio.file.Files.createTempDirectory("scan").toString
+    Seq((1, "a")).toDF("id", "x").write.parquet(s"$root/ds1/part.parquet")
+    Seq((2, "b")).toDF("id", "x").write.parquet(s"$root/ds2/part.parquet")
+    val got = Sources.scanDatasets(spark, root)
+      .select("id", "dataset_id").as[(Int, String)].collect().toSet
+    // dataset_id = the directory directly containing each data file
+    assert(got.map(_._1) === Set(1, 2))
+    assert(got.forall(_._2.nonEmpty))
+  }
+
+  test("writePartitioned round-trips with partition pruning available") {
+    val out = java.nio.file.Files.createTempDirectory("sink").toString + "/t"
+    val df = Seq((1, "x", 1.0), (2, "y", 2.0)).toDF("id", "part", "v")
+    Sources.writePartitioned(df, out, Seq("part"), Seq("id"))
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("part") === "x").select("id").as[Int].collect().toSeq === Seq(1))
+  }
+}

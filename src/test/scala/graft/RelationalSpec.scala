@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("markDuplicates flags all but the best row, deterministically under permutation") {
+    val rows = Seq(
+      ("k1", 10.0, 1L), ("k1", 30.0, 2L), ("k1", 30.0, 3L), // tie on quality → min id survives
+      ("k2", 5.0, 4L))
+    val base = rows.toDF("k", "q", "id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.markDuplicates(df, Seq(col("k")), col("q"), Seq(col("id")))
+        .select("id", "is_dup").as[(Long, Int)].collect().toMap
+    val a = run(base)
+    val b = run(base.orderBy(rand(seed = 7))) // permuted input
+    assert(a === b)
+    assert(a === Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0))
+  }
+
+  test("topK plans TakeOrderedAndProject (no global sort) and is correct") {
+    val df = (1 to 100).map(i => (i, 100 - i)).toDF("a", "b")
+    val top = Relational.topK(df, 3, col("b").desc, col("a").asc)
+    assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    assert(top.select("a").as[Int].collect().toSeq === Seq(1, 2, 3))
+  }
+
+  test("broadcastJoin plans a BroadcastHashJoin") {
+    val fact = (1 to 1000).map(i => (i % 10, i)).toDF("k", "v")
+    val dim = (0 until 10).map(i => (i, s"d$i")).toDF("k", "name")
+    val j = Relational.broadcastJoin(fact, dim, Seq("k"))
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(j.count() === 1000)
+  }
+
+  test("prunedScan pushes predicate and projection to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    (1 to 100).map(i => (i, i * 2, s"s$i")).toDF("k", "v", "s")
+      .write.mode("overwrite").parquet(dir)
+    val scanned = Relational.prunedScan(
+      spark.read.parquet(dir), col("k"), 42, Seq(col("v")))
+    val formatted = scanned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters") && formatted.contains("IsNotNull(k)"))
+    assert(!formatted.contains("ReadSchema: struct<k:int,v:int,s:string>"),
+      "projection should prune column s from the scan")
+    assert(scanned.as[Int].collect().toSeq === Seq(84))
+  }
+
+  test("sortedUnion equals union-then-sort semantics") {
+    val a = Seq((3, "a"), (1, "a")).toDF("k", "t")
+    val b = Seq((2, "b")).toDF("k", "t")
+    val u = Relational.sortedUnion(Seq(a, b), col("k").asc)
+    assert(u.select("k").as[Int].collect().toSeq === Seq(1, 2, 3))
+  }
+
+  test("scatter/gather invariant: per-key agg is partitioning-independent") {
+    val df = (1 to 1000).map(i => (i % 7, i.toLong)).toDF("k", "v")
+    val expected = df.groupBy("k").agg(sum("v")).as[(Int, Long)].collect().toMap
+    for (parts <- Seq(1, 3, 13)) {
+      val got = df.repartition(parts).groupBy("k").agg(sum("v"))
+        .as[(Int, Long)].collect().toMap
+      assert(got === expected, s"partitioning $parts changed the aggregate")
+    }
+  }
+}

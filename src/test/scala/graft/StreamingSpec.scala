@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("hourlyCounts over a memory stream matches the batch window agg") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val q = Streams.toMemorySink(
+      Streams.hourlyCounts(df), "hourly_test",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    try {
+      mem.addData((ts(10), "a"), (ts(20), "a"), (ts(3700), "a"), (ts(30), "b"))
+      q.processAllAvailable()
+      val got = spark.table("hourly_test")
+        .select(unix_micros(col("hour_start")).as("h"), col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === Set((0L, "a", 2L), (3600000000L, "a", 1L), (0L, "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization accumulates across micro-batches") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streams.SessEvent]
+    val q = Streams.toMemorySink(
+      Streams.sessionizeStream(mem.toDS(), gapSec = 1800L).toDF(), "sess_test")
+    try {
+      mem.addData(Streams.SessEvent(1L, 0L), Streams.SessEvent(1L, 100L * 1000000))
+      q.processAllAvailable()
+      mem.addData(Streams.SessEvent(1L, 10000L * 1000000)) // > gap → new session
+      q.processAllAvailable()
+      val got = spark.table("sess_test")
+        .groupBy("user_id").agg(max("n_sessions").as("s"), max("n_events").as("e"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (u, s2, e) => u -> ((s2, e)) }.toMap
+      assert(got(1L) === ((2L, 3L)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{Dedup, TextOps}
+
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("shingles: indexed construction matches the naive definition") {
+    val df = docs((1L, "a b c d e")).select(
+      TextOps.shingles(TextOps.words(col("text")), 3).as("sh"))
+    assert(df.as[Seq[String]].head() === Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("shingles: short doc falls back to whole-text single shingle") {
+    val df = docs((1L, "a b")).select(
+      TextOps.shingles(TextOps.words(col("text")), 3).as("sh"))
+    assert(df.as[Seq[String]].head() === Seq("a b"))
+  }
+
+  test("minhash signature is insensitive to shingle order and has the declared width") {
+    val base = docs((1L, "x y z w v u t s"), (2L, "s t u v w z y x"))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextOps.shingleSet(col("ws"), 1).as("sh"))
+      .select(col("doc_id"), TextOps.minhash(col("sh"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // same word SET (1-shingles) in different order → identical signature
+    assert(base(1L) === base(2L))
+    assert(base(1L).size === 16)
+    assert(base(1L).forall(h => h >= 0 && h < 4294967296L))
+  }
+
+  test("near-dup pipeline finds a planted near-duplicate and only that") {
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, common + " tail one"),
+      (2L, common + " tail two"),   // near-dup of 1
+      (3L, (100 to 140).map(i => s"v$i").mkString(" ")))
+    val pairs = Dedup.nearDupPairs(d).select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("exact jaccard ints are right for a hand case") {
+    val d = docs((1L, "a b c d"), (2L, "b c d e"))
+    // 2-shingles: {ab,bc,cd} vs {bc,cd,de} → inter 2, union 4
+    val prep = Dedup.prepared(d, "doc_id", "text", shingleN = 2)
+    val sh = prep.select("doc_id", "sh").as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).toSet.intersect(sh(2L).toSet).size === 2)
+    assert(sh(1L).toSet.union(sh(2L).toSet).size === 4)
+  }
+
+  test("simhash: identical docs equal; near-identical docs near in hamming") {
+    val common = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, common), (2L, common), (3L, common + " extra trailing tokens here"),
+        (4L, (200 to 260).map(i => s"z$i").mkString(" ")))
+      .select(col("doc_id"), TextOps.wordHashes(TextOps.words(col("text"))).as("hs"))
+      .select(col("doc_id"), TextOps.simhashFromHashes(col("hs"), 16).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(d(1L) === d(2L))
+    assert(ham(d(1L), d(3L)) <= 4)
+    assert(ham(d(1L), d(4L)) >= 3)
+  }
+
+  test("langId picks the profile with most hits, und when none") {
+    val d = docs((1L, "the cat and the dog of a town"), (2L, "qqq zzz www"))
+      .select(col("doc_id"), TextOps.langId(TextOps.words(col("text"))).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(d(1L) === "en")
+    assert(d(2L) === "und")
+  }
+}
