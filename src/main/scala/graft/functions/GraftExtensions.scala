@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Engine extension point: registers graft's native Catalyst expressions
+  * into the session's function registry (usable from both the Column API
+  * via `call_function` and plain SQL).
+  *
+  * Install with `.withExtensions(new GraftExtensions)` (done by
+  * `graft.Sessions.local`) or `spark.sql.extensions=graft.functions.GraftExtensions`
+  * on spark-submit — the standard SparkSessionExtensions mechanism, so a
+  * cluster deployment needs no code changes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(n: Int, IntegerType)) => MinHashSignature(c, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: minhash_signature(array<string>, <int literal numHashes>)")
+      }))
+  }
+}

@@ -29,14 +29,14 @@ object Dedup {
                shingleN: Int = 3, numHashes: Int = 16,
                numBands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     require(numBands * rowsPerBand == numHashes, "bands × rows must cover the signature")
-    // Each step is its own projection so every lambda captures a cheap
-    // column reference (multi-use aliases are not re-inlined by
-    // CollapseProject) — one split, one md5-per-shingle per row.
+    // Signature via the native one-pass expression (identical results to
+    // TextOps.minhash — asserted in TextSpec); separate projections keep
+    // lambdas capturing cheap column references.
     docs
       .select(col(idCol).as("doc_id"), TextOps.words(col(textCol)).as("ws"))
       .select(col("doc_id"), TextOps.shingleSet(col("ws"), shingleN).as("sh"))
-      .select(col("doc_id"), col("sh"), TextOps.shingleHashPairs(col("sh")).as("hp"))
-      .select(col("doc_id"), col("sh"), TextOps.minhashFromPairs(col("hp"), numHashes).as("sig"))
+      .select(col("doc_id"), col("sh"),
+        graft.functions.MinHashSignature.of(col("sh"), numHashes).as("sig"))
       .select(col("doc_id"), col("sh"), TextOps.lshBands(col("sig"), numBands, rowsPerBand).as("bands"))
   }
 

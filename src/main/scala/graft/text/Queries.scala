@@ -93,8 +93,11 @@ object Queries {
       |  FROM documents)""".stripMargin
 
   private val sigEntries = (0 until 16)
-    .map(i =>
-      s"list_min(list_transform(hp, p -> (p.h1 + $i*p.h2) % 4294967296))")
+    .map { i =>
+      val g = i / 4
+      val off = (i % 4) * 8 + 1
+      s"list_min(list_transform(sh, s -> ('0x'||substr(md5('$g:'||s),$off,8))::BIGINT))"
+    }
     .mkString(",\n    ")
 
   private val bandKeys = (0 until 4)
@@ -104,11 +107,8 @@ object Queries {
   /** Shared CTE chain computing verified near-dup pairs (mirrors Dedup). */
   private val pairsCtes =
     s"""$docsCte,
-       |hps AS (SELECT doc_id, sh, list_transform(sh, s -> struct_pack(
-       |    h1 := ('0x'||substr(md5(s),1,8))::BIGINT,
-       |    h2 := ('0x'||substr(md5(s),9,8))::BIGINT)) AS hp FROM docs),
        |sigs AS (SELECT doc_id, sh, [
-       |    $sigEntries] AS sig FROM hps),
+       |    $sigEntries] AS sig FROM docs),
        |bands AS (SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
        |  unnest([$bandKeys]) AS band_key FROM sigs),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -53,38 +53,31 @@ object TextOps {
   def shingleSet(ws: Column, n: Int): Column =
     array_distinct(shingles(ws, n))
 
-  private val Mod32 = 4294967296L // 2^32
-
-  /** Per-shingle (h1, h2) base hashes from ONE md5 digest: the first and
-    * second 8 hex digits as 32-bit ints. All derived hash functions reuse
-    * these (Kirsch-Mitzenmacher), so signature width costs integer ops, not
-    * extra digests.
-    */
-  def shingleHashPairs(shingleSet: Column): Column =
-    transform(shingleSet, { s =>
-      val m = md5(s)
-      struct(
-        conv(substring(m, 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(m, 9, 8), 16, 10).cast("long").as("h2"))
-    })
-
-  /** MinHash signature over precomputed (h1,h2) pairs: element i is
-    * min over shingles of (h1 + i·h2) mod 2³², an exact non-negative
-    * integer (h1,h2 < 2³², i small ⇒ no overflow) — engine-portable and
-    * associative-min, so partitioning-independent. Map-only at any scale.
-    */
-  def minhashFromPairs(hashPairs: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(hashPairs, p =>
-        (p.getField("h1") + lit(i.toLong) * p.getField("h2")) % Mod32))
-    }: _*)
-
-  /** Convenience: minhash signature of a shingle-set column. Callers on a
-    * hot path should materialize `shingleHashPairs` as its own projection
-    * first and call `minhashFromPairs`, keeping one md5 per shingle.
+  /** MinHash signature: element i is the min over shingles of an
+    * INDEPENDENT 32-bit hash — the (i mod 4)-th big-endian word of
+    * md5((i div 4) ++ ":" ++ shingle). One digest yields four words, so a
+    * 16-wide signature costs 4 digests per shingle.
+    *
+    * Independence across signature elements is load-bearing: a
+    * Kirsch-Mitzenmacher scheme (h1 + i·h2) makes the per-element argmins
+    * correlated, which degrades the LSH band collision probability for
+    * unrelated docs from j^r to ≈j and explodes the candidate-pair set
+    * ~10⁴× at sf0.1 (measured; q24 went from minutes to seconds after
+    * this fix). Distinct digest words are independent; distinct digests
+    * trivially so.
+    *
+    * Engine-portable (md5 hex → base-16 int, same in DuckDB), exact
+    * integers, associative min ⇒ partitioning-independent. The hot path
+    * uses the native one-pass `graft.functions.MinHashSignature` with
+    * identical semantics; this declarative form is the reference/spec.
     */
   def minhash(shingleSet: Column, numHashes: Int): Column =
-    minhashFromPairs(shingleHashPairs(shingleSet), numHashes)
+    array((0 until numHashes).map { i =>
+      val group = i / 4
+      val off = (i % 4) * 8 + 1
+      array_min(transform(shingleSet, s =>
+        conv(substring(md5(concat(lit(s"$group:"), s)), off, 8), 16, 10).cast("long")))
+    }: _*)
 
   /** LSH band keys over a minhash signature: `numBands` bands of
     * `rowsPerBand` signature elements, each band hashed to one md5 key.

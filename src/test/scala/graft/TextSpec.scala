@@ -36,6 +36,22 @@ class TextSpec extends AnyFunSuite {
     assert(base(1L).forall(h => h >= 0 && h < 4294967296L))
   }
 
+  test("native minhash_signature expression equals the declarative formulation") {
+    val d = docs((1L, (1 to 30).map(i => s"t$i").mkString(" ")),
+        (2L, "alpha beta gamma delta epsilon zeta"))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextOps.shingleSet(col("ws"), 3).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature.of(col("sh"), 16).as("native"),
+        TextOps.minhash(col("sh"), 16).as("declarative"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    d.foreach { case (id, nat, dec) => assert(nat === dec, s"doc $id") }
+    // also resolvable from plain SQL through the registry
+    val viaSql = spark.sql("SELECT minhash_signature(array('a','b'), 4) AS s")
+      .as[Seq[Long]].head()
+    assert(viaSql.size === 4)
+  }
+
   test("near-dup pipeline finds a planted near-duplicate and only that") {
     val common = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = docs(
