@@ -25,5 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: minhash_signature(array<string>, <int literal numHashes>)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => VectorDot(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: vector_dot(array<bigint>, array<bigint>)")
+      }))
   }
 }

@@ -63,8 +63,11 @@ object Queries {
     }),
 
     // MinHash+LSH near-dup pairs, exact-Jaccard verified (j ≥ 0.7).
+    // repartition: the small test file is one split; signature work is
+    // map-heavy and should use every core (no-op on real multi-split data).
     "q24_minhash_pairs" -> ((s, dir) =>
-      Dedup.nearDupPairs(Tables(s, dir).documents)),
+      Dedup.nearDupPairs(
+        Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism))),
 
     // SimHash document signatures (16-bit, ±1 bit votes).
     "q25_simhash" -> ((s, dir) => {
@@ -76,7 +79,8 @@ object Queries {
     // Near-dup survivorship per source: docs flagged duplicate iff they have
     // a smaller-id near-dup partner (MarkDuplicates-style keep-best).
     "q26_neardup_keep" -> ((s, dir) =>
-      Dedup.survivorStats(Tables(s, dir).documents, "source"))
+      Dedup.survivorStats(
+        Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism), "source"))
   )
 
   // ---- DuckDB oracles ------------------------------------------------------

@@ -16,27 +16,40 @@ object Queries {
   private val Dims = 64
   private val SigBits = 8
 
-  /** (vec_id, q: array<long>, n2: long) — quantized vectors with norms. */
+  /** (vec_id, q: array<long>, n2: long) — quantized vectors with norms.
+    * Dot products through the native `vector_dot` expression (identical
+    * integer results to VectorOps.dotQ; ~100× faster than interpreted HOF
+    * lambdas on the n² brute-force pair joins).
+    */
   private def prepared(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
+      // small test files arrive as ONE split; spread the map-heavy
+      // signature/norm work (a real 100 TB table has many splits and
+      // would skip this)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), VectorOps.quantize(col("embedding"), Scale).as("q"))
-      .withColumn("n2", VectorOps.norm2Q(col("q")))
+      .withColumn("n2", graft.functions.VectorDot.of(col("q"), col("q")))
 
   private def withSim(pairs: DataFrame): DataFrame =
     pairs
       .select(
         col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        VectorOps.dotQ(col("a.q"), col("b.q")).as("dot_q"),
+        graft.functions.VectorDot.of(col("a.q"), col("b.q")).as("dot_q"),
         col("a.n2").as("na"), col("b.n2").as("nb"))
       .withColumn("sim", VectorOps.cosineQ(col("dot_q"), col("na"), col("nb")))
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force all-pairs cosine: top-20 most similar pairs. The O(n²)
-    // correctness baseline every ANN variant is judged against.
+    // correctness baseline every ANN variant is judged against. The
+    // streamed side is explicitly repartitioned: a small parquet file
+    // arrives as ONE split, and a broadcast nested-loop join inherits the
+    // probe side's partitioning — without the repartition all n² pairs
+    // evaluate in a single task regardless of cores.
     "q27_embed_pairs" -> ((s, dir) => {
       val e = prepared(s, dir)
       val pairs = withSim(
-        e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id")))
+        e.repartition(s.sparkContext.defaultParallelism * 2).as("a")
+          .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id")))
       Relational.topK(
         pairs.select(col("a_id"), col("b_id"), col("dot_q"), col("sim")),
         20, col("sim").desc, col("a_id").asc, col("b_id").asc)
@@ -48,7 +61,9 @@ object Queries {
       val e = prepared(s, dir)
       val qs = e.filter(col("vec_id") < 10)
       val scored = withSim(
-        broadcast(qs.as("a")).join(e.as("b"), col("a.vec_id") =!= col("b.vec_id")))
+        broadcast(qs.as("a")).join(
+          e.repartition(s.sparkContext.defaultParallelism * 2).as("b"),
+          col("a.vec_id") =!= col("b.vec_id")))
       val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id").asc)
       scored
         .withColumn("rank", row_number().over(w))

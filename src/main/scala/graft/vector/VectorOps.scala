@@ -45,20 +45,27 @@ object VectorOps {
     *
     * Hyperplane i's j-th component is the deterministic ±1 sign drawn from
     * the parity of the first hex digit of md5("i:j") — no RNG, no shipped
-    * model, identical in any engine. Signature bit i = [⟨plane_i, q⟩ > 0],
-    * an exact integer decision.
+    * model, identical in any engine (the DuckDB oracle evaluates the same
+    * md5 expression in SQL). Signature bit i = [⟨plane_i, q⟩ > 0], an exact
+    * integer decision.
+    *
+    * The sign matrix is data-independent, so it is materialized ONCE on the
+    * driver and shipped as literal arrays; each bit is then one native
+    * `vector_dot` against a constant — no per-row md5, no interpreted
+    * lambda (the expression-per-element version cost ~100 ms/row).
     */
   def hyperplaneSig(q: Column, bits: Int, dims: Int): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Long = {
+      md.reset()
+      val d = md.digest(s"$i:$j".getBytes("UTF-8"))
+      // parity of the first hex digit = bit 4 of byte 0
+      if (((d(0) >> 4) & 1) == 1) 1L else -1L
+    }
     val bitCols = (0 until bits).map { i =>
-      val proj = aggregate(
-        zip_with(q, sequence(lit(1), lit(dims)), (x, j) =>
-          x * when(
-            conv(substring(md5(concat(lit(s"$i:"), j.cast("string"))), 1, 1), 16, 10)
-              .cast("int") % 2 === 1,
-            lit(1L)).otherwise(lit(-1L))),
-        lit(0L),
-        (acc, x) => acc + x)
-      when(proj > 0, lit((1 << i).toLong)).otherwise(lit(0L))
+      val plane = typedlit((1 to dims).map(j => sign(i, j)))
+      when(graft.functions.VectorDot.of(q, plane) > 0, lit((1 << i).toLong))
+        .otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }

@@ -30,6 +30,18 @@ class VectorSpec extends AnyFunSuite {
     assert(math.abs(sim((1L, 3L))) < 1e-9) // orthogonal
   }
 
+  test("native vector_dot equals the declarative dotQ") {
+    val df = Seq(
+      (1L, Seq(3L, -4L, 5L)), (2L, Seq(10L, 20L, -30L))).toDF("id", "q")
+    val rows = df.as("a").join(df.as("b"), col("a.id") <= col("b.id"))
+      .select(
+        graft.functions.VectorDot.of(col("a.q"), col("b.q")).as("native"),
+        graft.vector.VectorOps.dotQ(col("a.q"), col("b.q")).as("decl"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, d) => assert(n === d) }
+    assert(rows.map(_._1).toSet === Set(50L, -200L, 1400L))
+  }
+
   test("hyperplane signature is deterministic and bucket-stable") {
     val df = Seq(
       (1L, Seq.fill(8)(0.25f)),
