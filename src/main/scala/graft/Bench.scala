@@ -24,7 +24,13 @@ object Bench {
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Untimed: broadcast/shuffle blocks from past queries are only
+      // released when the driver GCs their references (ContextCleaner);
+      // across 40+ queries × 4 runs the accumulation causes multi-second
+      // GC outliers billed to innocent queries.
+      System.gc()
+      elapsed
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -122,6 +122,33 @@ object Queries {
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_micros(col("w.start")).as("hour_start_us"), col("event_type"), col("n"))
+    }),
+
+    // Array-function surface: collect → sort → element access/containment
+    // (scalar outputs only; deterministic via sort_array over the multiset).
+    "q42_array_fns" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
+        .select(
+          col("l_orderkey"),
+          size(col("lns")).as("n_lines"),
+          element_at(col("lns"), 1).as("ln_first"),
+          element_at(col("lns"), -1).as("ln_last"),
+          array_contains(col("lns"), 1).cast("int").as("has_one"))
+    }),
+
+    // String-function surface: regexp_replace/translate/lpad/reverse/
+    // instr/split (patterns chosen portable across Java regex and RE2).
+    "q43_string_fns" -> ((s, dir) => {
+      Tables(s, dir).part.select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        translate(col("p_name"), "abc", "xyz").as("translated"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        reverse(col("p_type")).as("reversed"),
+        instr(col("p_name"), "a").as("a_pos"),
+        element_at(split(col("p_type"), " "), 1).as("first_word"))
     })
   )
 
@@ -207,6 +234,24 @@ object Queries {
     "q41_event_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
         |  event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q42_array_fns" ->
+      """WITH t AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |  CAST(len(lns) AS INT) AS n_lines,
+        |  lns[1] AS ln_first,
+        |  lns[-1] AS ln_last,
+        |  CASE WHEN list_contains(lns, 1) THEN 1 ELSE 0 END AS has_one
+        |FROM t""".stripMargin,
+    "q43_string_fns" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        |  translate(p_name, 'abc', 'xyz') AS translated,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  reverse(p_type) AS reversed,
+        |  CAST(strpos(p_name, 'a') AS INT) AS a_pos,
+        |  string_split(p_type, ' ')[1] AS first_word
+        |FROM part""".stripMargin
   )
 }
