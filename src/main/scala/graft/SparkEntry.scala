@@ -14,10 +14,11 @@ import graft.operators.Relational
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Multi-join + agg + top-k: the full scan→join→agg→sort vocabulary.
+    * The reference pipeline's spine (dedup-mark → keep best → anti-join
+    * known sites → aggregate → gather) composed as ONE lazy plan.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q14_multijoin_topk")(spark, "/root/testdata/sf0.001")
+    queries("q44_pipeline_spine")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -233,6 +234,29 @@ object SparkEntry {
         Tables(s, dir).lineitem,
         col("l_partkey"), 42,
         Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+    }),
+
+    // The reference pipeline's spine as ONE lazy plan (M1 minimum slice,
+    // SURVEY §7.4): duplicate-mark (O3) → keep survivors → anti-join
+    // "known sites" (O8) → hash agg (O5) → gather roll-up (O16). The
+    // reference runs these as four collect()-separated stages; here
+    // Catalyst fuses them (window → anti-join → partial/final agg).
+    "q44_pipeline_spine" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val marked = Relational.markDuplicates(
+        t.lineitem,
+        groupKeys = Seq(col("l_partkey"), col("l_suppkey")),
+        quality = col("l_extendedprice"),
+        tieBreak = Seq(col("l_orderkey"), col("l_linenumber")))
+      Relational
+        .antiJoin(
+          marked.filter(col("is_dup") === 0),
+          t.part.filter(col("p_size") >= 40).select(col("p_partkey").as("l_partkey")),
+          Seq("l_partkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(floor(col("l_extendedprice"))).as("price_floor_sum"))
     })
   )
 
@@ -343,6 +367,20 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "q19_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_partkey = 42""".stripMargin
+        |WHERE l_partkey = 42""".stripMargin,
+    "q44_pipeline_spine" ->
+      """WITH marked AS (
+        |  SELECT *, CASE WHEN row_number() OVER (
+        |      PARTITION BY l_partkey, l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) > 1
+        |    THEN 1 ELSE 0 END AS is_dup
+        |  FROM lineitem),
+        |kept AS (
+        |  SELECT * FROM marked WHERE is_dup = 0
+        |  AND NOT EXISTS (SELECT 1 FROM part
+        |    WHERE p_partkey = l_partkey AND p_size >= 40))
+        |SELECT l_returnflag, count(*) AS n_kept,
+        |  CAST(sum(floor(l_extendedprice)) AS BIGINT) AS price_floor_sum
+        |FROM kept GROUP BY 1""".stripMargin
   )
 }

@@ -59,6 +59,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(u.select("k").as[Int].collect().toSeq === Seq(1, 2, 3))
   }
 
+  test("merge associativity: sorted-union of runs is grouping-order independent") {
+    val runs = Seq(
+      Seq((1, "a"), (4, "a")), Seq((2, "b")), Seq((3, "c"), (5, "c"))).map(_.toDF("k", "t"))
+    val expected = Relational.sortedUnion(runs, col("k").asc).collect().toSeq
+    val regrouped = Relational.sortedUnion(
+      Seq(Relational.sortedUnion(runs.take(2), col("k").asc), runs(2)), col("k").asc)
+    assert(regrouped.collect().toSeq === expected)
+  }
+
+  test("sort stability on equal keys via explicit tie-break") {
+    val df = Seq((1, "z"), (1, "a"), (0, "m")).toDF("k", "t")
+    val sorted = Relational.globalSort(df, col("k").asc, col("t").asc)
+      .as[(Int, String)].collect().toSeq
+    assert(sorted === Seq((0, "m"), (1, "a"), (1, "z")))
+  }
+
   test("scatter/gather invariant: per-key agg is partitioning-independent") {
     val df = (1 to 1000).map(i => (i % 7, i.toLong)).toDF("k", "v")
     val expected = df.groupBy("k").agg(sum("v")).as[(Int, Long)].collect().toMap
