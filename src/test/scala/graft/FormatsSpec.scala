@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Formats
+
+class FormatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def write(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("fmt")
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("readSamLike parses mandatory fields and trailing attrs, skips headers") {
+    val sam = write("t.sam",
+      """@HD	VN:1.6
+        |@SQ	SN:chr1	LN:1000
+        |r1	0	chr1	100	60	4M	*	0	0	ACGT	FFFF	NM:i:0	RG:Z:rg1
+        |r2	1024	chr1	100	60	4M	*	0	0	ACGT	FFFF
+        |""".stripMargin)
+    val df = Formats.readSamLike(spark, sam)
+    val rows = df.collect()
+    assert(rows.length === 2)
+    val r1 = df.filter($"qname" === "r1").head()
+    assert(r1.getAs[String]("contig") === "chr1" && r1.getAs[Long]("pos") === 100L)
+    assert(r1.getAs[Map[String, String]]("attrs") === Map("NM" -> "0", "RG" -> "rg1"))
+    val r2 = df.filter($"qname" === "r2").head()
+    assert(r2.getAs[Int]("flag") === 1024)
+    assert(r2.getAs[Map[String, String]]("attrs") === Map.empty)
+  }
+
+  test("readVcfLike parses alt lists and info maps, skips headers") {
+    val vcf = write("t.vcf",
+      """##fileformat=VCFv4.2
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	100	rs1	A	T,C	50.0	PASS	DP=10;AF=0.5
+        |""".stripMargin)
+    val df = Formats.readVcfLike(spark, vcf)
+    val r = df.head()
+    assert(r.getAs[Seq[String]]("alt") === Seq("T", "C"))
+    assert(r.getAs[Double]("qual") === 50.0)
+    assert(r.getAs[Map[String, String]]("info") === Map("DP" -> "10", "AF" -> "0.5"))
+  }
+
+  test("readFastq stitches 4-line records") {
+    val fq = write("t.fastq",
+      """@read1
+        |ACGT
+        |+
+        |FFFF
+        |@read2
+        |GGCC
+        |+
+        |!!!!
+        |""".stripMargin)
+    val rows = Formats.readFastq(spark, fq)
+      .as[(String, String, String)].collect().toSet
+    assert(rows === Set(("read1", "ACGT", "FFFF"), ("read2", "GGCC", "!!!!")))
+  }
+}

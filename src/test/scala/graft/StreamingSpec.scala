@@ -31,6 +31,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over the real events table matches the batch hourly agg") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    // the file stream source needs a DIRECTORY of files
+    val streamDir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("part-0.parquet"))
+    val schema = spark.read.parquet(streamDir.toString).schema // ts arrives as long (nanosAsLong)
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.toMemorySink(Streams.hourlyCounts(stream), "file_hourly")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_hourly")
+        .select(unix_micros(col("hour_start")).as("h"), col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      val batch = Tables(spark, dir).events
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("h"), col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates across micro-batches") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     implicit val sq = spark.sqlContext
