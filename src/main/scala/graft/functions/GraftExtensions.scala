@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: minhash_signature(array<string>, <int literal numHashes>)")
       }))
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
