@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** FIXTURES.md §3 invariants as ScalaCheck properties over randomized
+  * micro-datasets (the scatter/gather decomposability the reference
+  * ASSUMES from GATK's docs, `sparkcaller/README.md:10-17`, here actually
+  * property-tested).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(10)
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val rowsGen: Gen[List[(Int, Long)]] =
+    Gen.listOfN(60, Gen.zip(Gen.choose(0, 5), Gen.choose(-100L, 100L)))
+
+  test("property: per-key aggregation is partitioning-independent (scatter/gather)") {
+    check("scatter-gather", Prop.forAll(rowsGen, Gen.choose(1, 8)) { (rows, parts) =>
+      val expected = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val got = rows.toDF("k", "v").repartition(parts)
+        .groupBy("k").agg(sum("v")).as[(Int, Long)].collect().toMap
+      got == expected
+    })
+  }
+
+  test("property: duplicate-mark survivors are invariant under input permutation") {
+    val gen = Gen.zip(rowsGen, Gen.choose(0L, 1000L))
+    check("dedup-determinism", Prop.forAll(gen) { case (rows, seed) =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "q", "id")
+      def survivors(d: org.apache.spark.sql.DataFrame) =
+        Relational.markDuplicates(d, Seq(col("k")), col("q"), Seq(col("id")))
+          .filter(col("is_dup") === 0).select("id").as[Long].collect().toSet
+      survivors(df) == survivors(df.orderBy(rand(seed)))
+    })
+  }
+
+  test("property: sorted-union is associative over run grouping") {
+    val runsGen = Gen.listOfN(3, Gen.listOfN(10, Gen.choose(-50, 50)))
+    check("merge-associativity", Prop.forAll(runsGen) { runs =>
+      val dfs = runs.map(_.zipWithIndex.toDF("k", "t"))
+      val flat = Relational.sortedUnion(dfs, col("k").asc, col("t").asc)
+        .as[(Int, Int)].collect().toSeq
+      val nested = Relational.sortedUnion(
+        Seq(Relational.sortedUnion(dfs.take(2), col("k").asc, col("t").asc), dfs(2)),
+        col("k").asc, col("t").asc).as[(Int, Int)].collect().toSeq
+      flat == nested
+    })
+  }
+}

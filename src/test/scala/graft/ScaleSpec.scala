@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scale
+
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedAgg equals direct groupBy on skewed data") {
+    // one hot key (90%), several cold keys
+    val df = ((1 to 900).map(_ => ("hot", 1L)) ++ (1 to 100).map(i => (s"k${i % 7}", i.toLong)))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n_rows"), sum("v").as("v_sum"))
+      .as[(String, Long, Long)].collect().toSet
+    val salted = Scale.saltedAgg(df, col("k"), salts = 8, "v_sum" -> col("v"))
+      .withColumnRenamed("__key", "k")
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted === direct)
+  }
+
+  test("observe() collects dedup metrics on the same pass") {
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L)).toDF("k", "q", "id")
+    val (marked, obs) = Scale.observedDedupMark(df, Seq(col("k")), col("q"), Seq(col("id")))
+    marked.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_records") === 3L && m("n_duplicates") === 1L)
+  }
+
+  test("bloom filter membership and count-min heavy hitters") {
+    val df = (1 to 1000).map(i => s"item$i").toDF("s")
+    val bf = Scale.bloomFilter(df, "s", 1000L, 0.01)
+    assert(bf.mightContain("item1") && bf.mightContain("item999"))
+    assert(!(1 to 2000).forall(i => bf.mightContain(s"nope$i"))) // fpp ≪ 1
+
+    val skewed = ((1 to 500).map(_ => "hh") ++ (1 to 100).map(i => s"x$i")).toDF("s")
+    val cms = Scale.countMinSketch(skewed, "s", 0.01, 0.95, 42)
+    assert(cms.estimateCount("hh") >= 500L)
+  }
+}
