@@ -71,6 +71,20 @@ object Queries {
         .select(col("a_id"), col("b_id"), col("rank"), col("sim"))
     }),
 
+    // Embedding-cosine near-dup pairs: cos ≥ 0.5 decided ENTIRELY on
+    // integers (dot > 0 ∧ 4·dot² ≥ na·nb ⟺ cos ≥ 1/2; all terms < 2⁶³ at
+    // this quantization) — the embedding leg of the dedup taxonomy, with
+    // the same keep-smallest-id survivor convention as q26.
+    "q45_embed_neardup" -> ((s, dir) => {
+      val e = prepared(s, dir)
+      withSim(
+        e.repartition(s.sparkContext.defaultParallelism * 2).as("a")
+          .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id")))
+        .filter(col("dot_q") > 0 &&
+          lit(4) * col("dot_q") * col("dot_q") >= col("na") * col("nb"))
+        .select(col("a_id"), col("b_id"), col("dot_q"), col("sim"))
+    }),
+
     // LSH-bucketed ANN (the 100 TB scale path): 8-bit random-hyperplane
     // signature, candidates restricted to the same bucket, best match per
     // query. Shuffles on the signature instead of materializing n² pairs.
@@ -129,6 +143,14 @@ object Queries {
          |  CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS INT) AS rank,
          |  sim
          |FROM r QUALIFY rank <= 5""".stripMargin,
+    "q45_embed_neardup" ->
+      s"""WITH $quantCte,
+         |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+         |    a.n2 na, b.n2 nb
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, dot_q,
+         |  CAST(dot_q AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS sim
+         |FROM p WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb""".stripMargin,
     "q29_ann_lsh" ->
       s"""WITH $quantCte,
          |sigs AS (SELECT vec_id, q, n2, CAST($sigExpr AS BIGINT) AS sig FROM n),
