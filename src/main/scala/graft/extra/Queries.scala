@@ -138,6 +138,44 @@ object Queries {
           array_contains(col("lns"), 1).cast("int").as("has_one"))
     }),
 
+    // Explicit GROUPING SETS (beyond rollup/cube) through the SQL surface,
+    // with grouping_id disambiguating aggregation levels.
+    "q46_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+          |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT) AS gid
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+          |  (o_orderpriority), ())""".stripMargin)
+    }),
+
+    // Exact second-moment statistics: variance/stddev/correlation derived
+    // from exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²) with the SAME
+    // double expression shape in both engines — deterministic, unlike
+    // built-in stddev/corr whose streaming accumulation is order-dependent.
+    "q47_exact_stats" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem.select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"), // integral by construction
+        floor(col("l_extendedprice")).as("y"))
+      val agg = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val n = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      agg.select(
+        col("l_returnflag"), col("n"),
+        ((n * d("sxx") - d("sx") * d("sx")) / (n * (n - lit(1.0)))).as("var_x"),
+        sqrt((n * d("sxx") - d("sx") * d("sx")) / (n * (n - lit(1.0)))).as("stddev_x"),
+        ((n * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(n * d("sxx") - d("sx") * d("sx")) * sqrt(n * d("syy") - d("sy") * d("sy"))))
+          .as("corr_xy"))
+    }),
+
     // String-function surface: regexp_replace/translate/lpad/reverse/
     // instr/split (patterns chosen portable across Java regex and RE2).
     "q43_string_fns" -> ((s, dir) => {
@@ -244,6 +282,33 @@ object Queries {
         |  lns[-1] AS ln_last,
         |  CASE WHEN list_contains(lns, 1) THEN 1 ELSE 0 END AS has_one
         |FROM t""".stripMargin,
+    "q46_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(CASE WHEN o_orderpriority IS NULL AND o_orderstatus IS NULL THEN 3
+        |       WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END AS INT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), ())""".stripMargin,
+    "q47_exact_stats" ->
+      """WITH t AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM t GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |    / (n::DOUBLE * (n::DOUBLE - 1.0)) AS var_x,
+        |  sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |    / (n::DOUBLE * (n::DOUBLE - 1.0))) AS stddev_x,
+        |  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |       * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) AS corr_xy
+        |FROM a""".stripMargin,
     "q43_string_fns" ->
       """SELECT p_partkey,
         |  regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
