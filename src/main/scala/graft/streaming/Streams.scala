@@ -71,6 +71,34 @@ object Streams {
       }
   }
 
+  /** Streaming exact deduplication: first occurrence of each `idCols` key
+    * wins; the watermark bounds the dedup state (keys older than the
+    * watermark are dropped from the store) — the streaming face of the
+    * engine's exact-dedup operator, and the standard exactly-once ingest
+    * guard for training-data pipelines.
+    */
+  def dedupStream(events: DataFrame, lateness: String, idCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicates(idCols)
+
+  /** Watermarked stream-stream interval join: for each left event, right
+    * events of the same key within `(l.ts, l.ts + windowSec]` — the
+    * streaming form of the batch bucketed range join (Events
+    * .windowedMatchCount). Both sides carry watermarks and the join
+    * condition time-bounds both directions, so Spark can evict join state
+    * (unbounded state is the failure mode of naive stream joins).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         windowSec: Long, lateness: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(r, expr(
+      s"""l_key = r_key AND
+         |r_ts > l_ts AND
+         |r_ts <= l_ts + interval $windowSec seconds""".stripMargin))
+  }
+
   /** Write helper: stream to an in-memory table (tests/interactive) in the
     * given output mode; production sinks swap `format`.
     */

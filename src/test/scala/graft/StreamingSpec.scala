@@ -58,6 +58,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("event_id", "ts")
+    val q = Streams.toMemorySink(
+      Streams.dedupStream(df, "1 hour", Seq("event_id")), "dedup_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      mem.addData((1L, ts(10)), (2L, ts(20)))
+      q.processAllAvailable()
+      mem.addData((1L, ts(30)), (3L, ts(40))) // 1 is a duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("watermarked stream-stream interval join matches within the window only") {
+    implicit val sq = spark.sqlContext
+    val lm = MemoryStream[(Long, Long, Timestamp)]
+    val rm = MemoryStream[(Long, Long, Timestamp)]
+    val l = lm.toDF().toDF("event_id", "user_id", "ts")
+    val r = rm.toDF().toDF("event_id", "user_id", "ts")
+    val q = Streams.toMemorySink(
+      Streams.intervalJoinStream(l, r, "user_id", 300L, "10 minutes"),
+      "sjoin", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      lm.addData((1L, 7L, ts(1000)), (2L, 8L, ts(1000)))
+      rm.addData((10L, 7L, ts(1100)), (11L, 7L, ts(1400)), (12L, 8L, ts(1200)))
+      q.processAllAvailable()
+      val pairs = spark.table("sjoin").select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 10L), (2L, 12L))) // 11 is outside (1000, 1300]
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates across micro-batches") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     implicit val sq = spark.sqlContext
