@@ -72,6 +72,47 @@ object Dedup {
       .withColumn("jaccard", col("inter_size").cast("double") / col("union_size"))
   }
 
+  /** Transitive near-dup clusters: connected components over the verified
+    * pair graph via min-label propagation — `iterations` rounds of
+    * "label(n) ← min(label(n), min over neighbors)", run as DataFrame
+    * joins. A FIXED iteration count (not a convergence loop) keeps the
+    * computation a single deterministic lazy plan mirrored exactly by the
+    * SQL oracle; near-dup components are shallow (pairs/chains of edits),
+    * so diameter ≪ default 10. At 100 TB each round is one shuffled join —
+    * persist `labels` between rounds and use the alternating small-star/
+    * large-star variant if components get deep.
+    *
+    * Returns (doc_id, cluster_id = min doc_id reachable in `iterations`
+    * hops) for every doc appearing in a near-dup pair.
+    */
+  def nearDupClusters(docs: DataFrame, iterations: Int = 10): DataFrame = {
+    val pairs = nearDupPairs(docs).select(col("doc_a"), col("doc_b"))
+    // Materialize the edge set once and truncate lineage each round —
+    // otherwise round k's plan embeds the whole LSH pipeline k times and
+    // analysis/optimization time grows superlinearly. This is the standard
+    // shape of iterative DataFrame algorithms (persist invariant inputs,
+    // checkpoint the evolving state).
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("dl")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("dl")).as("nl"))
+      labels = labels
+        .join(nbrMin.select(col("src").as("node"), col("nl")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Near-dup survivorship: keep the smallest doc_id of each near-dup
     * pair-chain's local comparisons (a doc is a duplicate iff it has ANY
     * near-dup partner with a smaller id — deterministic without computing

@@ -80,7 +80,13 @@ object Queries {
     // a smaller-id near-dup partner (MarkDuplicates-style keep-best).
     "q26_neardup_keep" -> ((s, dir) =>
       Dedup.survivorStats(
-        Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism), "source"))
+        Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism), "source")),
+
+    // Transitive near-dup clusters (connected components by min-label
+    // propagation, fixed 10 rounds mirrored exactly in the oracle).
+    "q48_neardup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism)))
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -184,7 +190,33 @@ object Queries {
          |SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash16 FROM t""".stripMargin
   ) ++ survivorOracle
 
+  /** Min-label propagation unrolled to the same fixed 10 rounds as
+    * Dedup.nearDupClusters — identical results even pre-convergence.
+    */
+  private def clustersOracle: String = {
+    // MATERIALIZED is load-bearing: each round references the previous CTE
+    // twice; DuckDB inlines plain CTEs, which would duplicate the whole
+    // minhash pipeline 2^10 times.
+    val rounds = (1 to 10).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT n.node,
+         |  least(n.label, coalesce(m.ml, n.label)) AS label
+         |  FROM l${i - 1} n LEFT JOIN (
+         |    SELECT e.s, min(l.label) AS ml
+         |    FROM edges e JOIN l${i - 1} l ON e.d = l.node GROUP BY e.s) m
+         |  ON n.node = m.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairsCtes,
+       |np AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
+       |  WHERE inter_size*10 >= union_size*7),
+       |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM np
+       |  UNION ALL SELECT doc_b, doc_a FROM np),
+       |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM edges),
+       |$rounds
+       |SELECT node AS doc_id, label AS cluster_id FROM l10""".stripMargin
+  }
+
   private def survivorOracle: Map[String, String] = Map(
+    "q48_neardup_clusters" -> clustersOracle,
     "q26_neardup_keep" ->
       s"""WITH $pairsCtes,
          |losers AS (SELECT DISTINCT doc_b AS doc_id
