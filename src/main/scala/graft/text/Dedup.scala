@@ -85,20 +85,23 @@ object Dedup {
     * Returns (doc_id, cluster_id = min doc_id reachable in `iterations`
     * hops) for every doc appearing in a near-dup pair.
     */
-  def nearDupClusters(docs: DataFrame, iterations: Int = 10): DataFrame = {
+  def nearDupClusters(docs: DataFrame, iterations: Int = 6): DataFrame = {
     val pairs = nearDupPairs(docs).select(col("doc_a"), col("doc_b"))
-    // Materialize the edge set once and truncate lineage each round —
+    // Materialize the edge set once and truncate lineage every few rounds —
     // otherwise round k's plan embeds the whole LSH pipeline k times and
     // analysis/optimization time grows superlinearly. This is the standard
     // shape of iterative DataFrame algorithms (persist invariant inputs,
-    // checkpoint the evolving state).
+    // checkpoint the evolving state). Checkpointing only every 3rd round
+    // trades bounded plan-tree duplication (2³× over a cheap materialized
+    // scan) for 3× fewer eager jobs — construction is job-overhead-bound,
+    // not data-bound.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("dl")), Seq("dst"))
         .groupBy(col("src"))
@@ -107,7 +110,7 @@ object Dedup {
         .join(nbrMin.select(col("src").as("node"), col("nl")), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      if (i % 3 == 0 || i == iterations) labels = labels.localCheckpoint(true)
     }
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))

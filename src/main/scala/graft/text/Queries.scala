@@ -196,8 +196,9 @@ object Queries {
   private def clustersOracle: String = {
     // MATERIALIZED is load-bearing: each round references the previous CTE
     // twice; DuckDB inlines plain CTEs, which would duplicate the whole
-    // minhash pipeline 2^10 times.
-    val rounds = (1 to 10).map { i =>
+    // minhash pipeline 2^rounds times. Round count MUST equal
+    // Dedup.nearDupClusters' iterations.
+    val rounds = (1 to 6).map { i =>
       s"""l$i AS MATERIALIZED (SELECT n.node,
          |  least(n.label, coalesce(m.ml, n.label)) AS label
          |  FROM l${i - 1} n LEFT JOIN (
@@ -212,7 +213,7 @@ object Queries {
        |  UNION ALL SELECT doc_b, doc_a FROM np),
        |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM edges),
        |$rounds
-       |SELECT node AS doc_id, label AS cluster_id FROM l10""".stripMargin
+       |SELECT node AS doc_id, label AS cluster_id FROM l6""".stripMargin
   }
 
   private def survivorOracle: Map[String, String] = Map(
