@@ -76,32 +76,34 @@ object Dedup {
     * pair graph via min-label propagation — `iterations` rounds of
     * "label(n) ← min(label(n), min over neighbors)", run as DataFrame
     * joins. A FIXED iteration count (not a convergence loop) keeps the
-    * computation a single deterministic lazy plan mirrored exactly by the
-    * SQL oracle; near-dup components are shallow (pairs/chains of edits),
-    * so diameter ≪ default 10. At 100 TB each round is one shuffled join —
-    * persist `labels` between rounds and use the alternating small-star/
-    * large-star variant if components get deep.
+    * computation deterministic and mirrored exactly by the SQL oracle;
+    * near-dup components are shallow (pairs/chains of edits), so diameter
+    * ≪ 6. At 100 TB each round is one shuffled join over the verified edge
+    * list (≪ corpus size); use the alternating small-star/large-star
+    * variant if components ever get deep.
+    *
+    * Iteration discipline (profiled, round 3): the cost of this query is
+    * NOT the per-round jobs (sub-second at sf0.1) but driver-side
+    * re-analysis + whole-stage-codegen of the growing plan — letting 3
+    * rounds accumulate before a checkpoint made the round-3 plan cost ~19 s
+    * of pure compilation. So: (1) the LSH pipeline is materialized ONCE via
+    * an eager localCheckpoint (also avoids computing it twice through the
+    * symmetric union), and (2) `labels` is checkpointed EVERY round, keeping
+    * plan depth — and therefore planning/codegen time — constant per round.
     *
     * Returns (doc_id, cluster_id = min doc_id reachable in `iterations`
     * hops) for every doc appearing in a near-dup pair.
     */
   def nearDupClusters(docs: DataFrame, iterations: Int = 6): DataFrame = {
-    val pairs = nearDupPairs(docs).select(col("doc_a"), col("doc_b"))
-    // Materialize the edge set once and truncate lineage every few rounds —
-    // otherwise round k's plan embeds the whole LSH pipeline k times and
-    // analysis/optimization time grows superlinearly. This is the standard
-    // shape of iterative DataFrame algorithms (persist invariant inputs,
-    // checkpoint the evolving state). Checkpointing only every 3rd round
-    // trades bounded plan-tree duplication (2³× over a cheap materialized
-    // scan) for 3× fewer eager jobs — construction is job-overhead-bound,
-    // not data-bound.
+    val pairs = nearDupPairs(docs)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    for (i <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("dl")), Seq("dst"))
         .groupBy(col("src"))
@@ -110,9 +112,8 @@ object Dedup {
         .join(nbrMin.select(col("src").as("node"), col("nl")), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-      if (i % 3 == 0 || i == iterations) labels = labels.localCheckpoint(true)
+        .localCheckpoint(true)
     }
-    edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

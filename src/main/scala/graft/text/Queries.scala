@@ -83,7 +83,8 @@ object Queries {
         Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism), "source")),
 
     // Transitive near-dup clusters (connected components by min-label
-    // propagation, fixed 10 rounds mirrored exactly in the oracle).
+    // propagation, fixed rounds — Dedup.nearDupClusters' default, mirrored
+    // exactly in the oracle).
     "q48_neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
         Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism)))
@@ -190,8 +191,9 @@ object Queries {
          |SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash16 FROM t""".stripMargin
   ) ++ survivorOracle
 
-  /** Min-label propagation unrolled to the same fixed 10 rounds as
-    * Dedup.nearDupClusters — identical results even pre-convergence.
+  /** Min-label propagation unrolled to the same fixed 6 rounds as
+    * Dedup.nearDupClusters' default — identical results even
+    * pre-convergence.
     */
   private def clustersOracle: String = {
     // MATERIALIZED is load-bearing: each round references the previous CTE
