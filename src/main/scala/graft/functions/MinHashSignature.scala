@@ -47,9 +47,17 @@ final case class MinHashSignature(child: Expression, numHashes: Int)
 
   private val numGroups = (numHashes + 3) / 4
 
+  // Per-task scratch state, hoisted out of the per-row path (JCA provider
+  // lookup + prefix re-encoding per row would dominate the loop). Expression
+  // instances are deserialized per task and evaluated single-threaded, so
+  // one digest per instance is safe; @transient because MessageDigest is not
+  // serializable (rebuilt lazily on the executor).
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  @transient private lazy val groupPrefixes: Array[Array[Byte]] =
+    Array.tabulate(numGroups)(g => s"$g:".getBytes("UTF-8"))
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val md = MessageDigest.getInstance("MD5")
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     val n = arr.numElements()
@@ -58,7 +66,7 @@ final case class MinHashSignature(child: Expression, numHashes: Int)
       var g = 0
       while (g < numGroups) {
         md.reset()
-        md.update(s"$g:".getBytes("UTF-8"))
+        md.update(groupPrefixes(g))
         md.update(sBytes)
         val d = md.digest()
         var b = 0

@@ -11,15 +11,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Bit-identical to the declarative `VectorOps.dotQ`
   * (aggregate(zip_with(a,b,*),+)) and the DuckDB oracle — exact integer
-  * math, so associativity/order don't matter. Native because Spark
-  * evaluates HOF lambdas interpretively (~2 orders of magnitude slower
-  * than this loop for 64-dim vectors), which dominates brute-force
+  * math, so associativity/order don't matter; on UNEQUAL-length inputs
+  * both forms return null (zip_with pads the shorter side with nulls,
+  * which null out the sum — mirrored here explicitly). Native because
+  * Spark evaluates HOF lambdas interpretively (~2 orders of magnitude
+  * slower than this loop for 64-dim vectors), which dominates brute-force
   * similarity joins (n² pairs × dims element-wise lambda evals).
   */
 final case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "vector_dot"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -34,7 +37,8 @@ final case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {

@@ -19,9 +19,12 @@ object Scale {
   /** Two-phase salted aggregation: count + sums per key, immune to
     * single-hot-key skew. `salts` bounds the fan-out (keys × salts partial
     * groups); result is identical to the direct groupBy (integer/algebraic
-    * merges are associative).
+    * merges are associative), including the output schema — the grouping
+    * column keeps the caller's key name (resolved the same way Spark names
+    * an unaliased select of `key`), not an internal alias.
     */
   def saltedAgg(df: DataFrame, key: Column, salts: Int, sums: (String, Column)*): DataFrame = {
+    val keyName = df.select(key).schema.head.name
     val partialAggs = count(lit(1)).as("__cnt") +:
       sums.map { case (n, c) => sum(c).as(s"__sum_$n") }
     val finalAggs = sum(col("__cnt")).as("n_rows") +:
@@ -30,7 +33,7 @@ object Scale {
       .withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
-      .groupBy(col("__key"))
+      .groupBy(col("__key").as(keyName))
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 

@@ -72,13 +72,20 @@ object Streams {
   }
 
   /** Streaming exact deduplication: first occurrence of each `idCols` key
-    * wins; the watermark bounds the dedup state (keys older than the
-    * watermark are dropped from the store) — the streaming face of the
-    * engine's exact-dedup operator, and the standard exactly-once ingest
-    * guard for training-data pipelines.
+    * wins — the streaming face of the engine's exact-dedup operator, and
+    * the standard exactly-once ingest guard for training-data pipelines.
+    *
+    * Uses `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: plain
+    * dropDuplicates only evicts state when the event-time column is part of
+    * the dedup keys, so with business keys like `event_id` its state grows
+    * without bound on a real stream. The WithinWatermark variant evicts any
+    * key once the watermark passes its event time, making state
+    * O(keys seen within `lateness`) — the contract is "duplicates arriving
+    * within the watermark delay of the first occurrence are dropped", which
+    * is exactly the at-least-once-source dedup guarantee needed here.
     */
   def dedupStream(events: DataFrame, lateness: String, idCols: Seq[String]): DataFrame =
-    events.withWatermark("ts", lateness).dropDuplicates(idCols)
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(idCols)
 
   /** Watermarked stream-stream interval join: for each left event, right
     * events of the same key within `(l.ts, l.ts + windowSec]` — the

@@ -15,9 +15,10 @@ class ScaleSpec extends AnyFunSuite {
       .toDF("k", "v")
     val direct = df.groupBy("k").agg(count(lit(1)).as("n_rows"), sum("v").as("v_sum"))
       .as[(String, Long, Long)].collect().toSet
-    val salted = Scale.saltedAgg(df, col("k"), salts = 8, "v_sum" -> col("v"))
-      .withColumnRenamed("__key", "k")
-      .as[(String, Long, Long)].collect().toSet
+    val saltedDf = Scale.saltedAgg(df, col("k"), salts = 8, "v_sum" -> col("v"))
+    // schema parity with the direct groupBy: key column keeps its name
+    assert(saltedDf.columns.toSeq === Seq("k", "n_rows", "v_sum"))
+    val salted = saltedDf.as[(String, Long, Long)].collect().toSet
     assert(salted === direct)
   }
 

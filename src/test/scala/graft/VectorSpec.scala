@@ -42,6 +42,15 @@ class VectorSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet === Set(50L, -200L, 1400L))
   }
 
+  test("native vector_dot matches dotQ on unequal-length inputs (both null)") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L))).toDF("a", "b")
+    val row = df.select(
+        graft.functions.VectorDot.of(col("a"), col("b")).as("native"),
+        graft.vector.VectorOps.dotQ(col("a"), col("b")).as("decl"))
+      .as[(Option[Long], Option[Long])].head()
+    assert(row === ((None, None)))
+  }
+
   test("hyperplane signature is deterministic and bucket-stable") {
     val df = Seq(
       (1L, Seq.fill(8)(0.25f)),
