@@ -1,54 +1,29 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
-/** Throwaway profiling harness (not part of the library surface). */
+/** Throwaway profiling harness (not part of the library surface): times the
+  * named SparkEntry queries with Bench's protocol (sf0.001 warm-up, then 3
+  * timed runs at SPARK_GRAFT_SF_DIR, median reported).
+  *
+  * Usage: sbt "runMain graft.Prof q27_embed_pairs q45_embed_neardup"
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(32)
     spark.sparkContext.setLogLevel("WARN")
-    def time[T](label: String)(f: => T): T = {
+    val names = if (args.nonEmpty) args.toSeq else Seq("q48_neardup_clusters")
+    def run(name: String, d: String): Double = {
       val t0 = System.nanoTime()
-      val r = f
-      println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
-    def docs(d: String) = graft.Tables(spark, d).documents
-      .repartition(spark.sparkContext.defaultParallelism)
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-
-    // Warm-up at sf0.001 (JIT/codegen), mirroring Bench.
-    time("warmup q48 sf0.001")(noop(graft.text.Dedup.nearDupClusters(docs("/root/testdata/sf0.001"))))
-
-    for (i <- 1 to 2) {
-      // Stage-level breakdown of q48 at target SF.
-      time(s"run$i pairs-only")(noop(graft.text.Dedup.nearDupPairs(docs(dir))))
-      time(s"run$i full q48")(noop(graft.text.Dedup.nearDupClusters(docs(dir))))
+      SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
       System.gc()
+      s
     }
-
-    // Instrumented copy of nearDupClusters to find where the time goes.
-    val d = docs(dir)
-    val pairs = time("nearDupPairs construct")(graft.text.Dedup.nearDupPairs(d).select(col("doc_a"), col("doc_b")))
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    val nEdges = time("edges materialize (count)")(edges.count())
-    println(s"[prof] n_edges = $nEdges")
-    var labels = time("labels init checkpoint")(
-      edges.select(col("src").as("node")).distinct().withColumn("label", col("node")).localCheckpoint(true))
-    for (i <- 1 to 6) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("dst"), col("label").as("dl")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("dl")).as("nl"))
-      labels = labels
-        .join(nbrMin.select(col("src").as("node"), col("nl")), Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-      if (i % 3 == 0 || i == 6) labels = time(s"round $i checkpoint")(labels.localCheckpoint(true))
+    names.foreach(run(_, "/root/testdata/sf0.001")) // warm-up
+    names.foreach { n =>
+      val ts = (1 to 3).map(_ => run(n, dir)).sorted
+      println(f"[prof] $n: median ${ts(1)}%.2f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
-    time("final write")(noop(labels))
     spark.stop()
   }
 }

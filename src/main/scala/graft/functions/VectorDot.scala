@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -15,11 +15,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * both forms return null (zip_with pads the shorter side with nulls,
   * which null out the sum — mirrored here explicitly). Native because
   * Spark evaluates HOF lambdas interpretively (~2 orders of magnitude
-  * slower than this loop for 64-dim vectors), which dominates brute-force
-  * similarity joins (n² pairs × dims element-wise lambda evals).
+  * slower than a flat loop for 64-dim vectors), which dominates
+  * brute-force similarity joins (n² pairs × dims element-wise lambda
+  * evals).
+  *
+  * Implements `doGenCode` (not CodegenFallback): the dot product is THE
+  * hot expression of the O(n²) embedding joins, and a fallback would both
+  * box two ArrayData + the result per pair and split the surrounding
+  * whole-stage-codegen span. The generated code is the same tight loop as
+  * `nullSafeEval`, inlined into the join's codegen'd consume path.
   */
 final case class VectorDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -47,6 +54,25 @@ final case class VectorDot(left: Expression, right: Expression)
     }
     acc
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDot =
