@@ -15,6 +15,7 @@ object Queries {
   private val Scale = 10000
   private val Dims = 64
   private val SigBits = 8
+  private val Centroids = 8
 
   /** (vec_id, q: array<long>, n2: long) — quantized vectors with norms.
     * Dot products through the native `vector_dot` expression (identical
@@ -85,6 +86,37 @@ object Queries {
         .select(col("a_id"), col("b_id"), col("dot_q"), col("sim"))
     }),
 
+    // IVF-style ANN (the other 100 TB scale path, alongside q29's LSH): a
+    // deterministic coarse quantizer — centroids = the K lowest-id vectors,
+    // cells assigned by argmax dot product (MIPS quantizer; exact-integer
+    // argmax, ties to the smaller centroid id) — then probing only the
+    // query's own cell (nprobe=1). At scale the cell assignment is one
+    // broadcast join + per-row argmax (map-only), and the probe join
+    // shuffles on cell id instead of materializing n² pairs; recall/cost
+    // is tuned by K and nprobe exactly as in a production IVF index.
+    "q50_ann_ivf" -> ((s, dir) => {
+      val e = prepared(s, dir)
+      val cents = e.filter(col("vec_id") < Centroids)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val assigned = e
+        .crossJoin(broadcast(cents))
+        .withColumn("cdot", graft.functions.VectorDot.of(col("q"), col("cq")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("q"), col("n2"), col("cid"))
+      val scored = withSim(
+        assigned.filter(col("vec_id") < 10).as("a")
+          .join(assigned.as("b"),
+            col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id")))
+      val wRank = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id").asc)
+      scored
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select(col("a_id"), col("b_id"), col("rank"), col("sim"))
+    }),
+
     // LSH-bucketed ANN (the 100 TB scale path): 8-bit random-hyperplane
     // signature, candidates restricted to the same bucket, best match per
     // query. Shuffles on the signature instead of materializing n² pairs.
@@ -123,6 +155,26 @@ object Queries {
   }.mkString(" +\n  ")
 
   def oracles: Map[String, String] = Map(
+    "q50_ann_ivf" ->
+      s"""WITH $quantCte,
+         |c AS (SELECT vec_id AS cid, q AS cq FROM n WHERE vec_id < $Centroids),
+         |ass AS (SELECT vec_id, q, n2, cid FROM (
+         |  SELECT v.vec_id, v.q, v.n2, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      CAST(list_sum(list_transform(range(1, len(v.q)+1),
+         |        i -> v.q[i]*c.cq[i])) AS BIGINT) DESC, c.cid) AS rn
+         |  FROM n v CROSS JOIN c) WHERE rn = 1),
+         |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+         |    a.n2 na, b.n2 nb
+         |  FROM ass a JOIN ass b
+         |  ON a.cid = b.cid AND a.vec_id < 10 AND a.vec_id != b.vec_id),
+         |r AS (SELECT a_id, b_id,
+         |    CAST(dot_q AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS sim
+         |  FROM p)
+         |SELECT a_id, b_id,
+         |  CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS INT) AS rank,
+         |  sim
+         |FROM r QUALIFY rank <= 3""".stripMargin,
     "q27_embed_pairs" ->
       s"""WITH $quantCte,
          |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
