@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression assertions: each headline query must keep the physical
+  * plan shape it was tuned to (broadcast stays broadcast, pushdown reaches
+  * the scan, top-k never becomes a global sort, the hot expression stays
+  * inside whole-stage codegen). These are the properties that decide
+  * whether the plan survives a 100×/1000× scale-up — a silent regression
+  * here (e.g. a broadcast threshold change turning a dim join into a
+  * SortMergeJoin) can be invisible at sf0.001 and fatal at 100 TB, so they
+  * are asserted, not just eyeballed in PLANS.md.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+  private def planOf(name: String): String = q(name).queryExecution.executedPlan.toString
+  private def formatted(name: String): String =
+    q(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q03_topk plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q03_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("rangepartitioning"),
+      "top-k must not range-shuffle the whole input")
+  }
+
+  test("q14_multijoin_topk keeps the top-k as TakeOrderedAndProject") {
+    assert(planOf("q14_multijoin_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q02_sort is a range-partitioned global sort") {
+    assert(planOf("q02_sort").toLowerCase.contains("rangepartitioning"))
+  }
+
+  test("q19_prune pushes predicate and projection into the parquet scan") {
+    val f = formatted("q19_prune")
+    assert(f.contains("PushedFilters") && f.contains("EqualTo(l_partkey,42)"))
+    assert(!f.contains("l_extendedprice"),
+      "column pruning must drop unreferenced lineitem columns from ReadSchema")
+  }
+
+  test("q07_join_broadcast stays a broadcast hash join") {
+    val p = planOf("q07_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q01_agg is a partial+final hash aggregate") {
+    val p = planOf("q01_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected map-side partial + final HashAggregate")
+  }
+
+  test("q24 LSH band join is an equi join, never a nested loop") {
+    assert(!planOf("q24_minhash_pairs").contains("BroadcastNestedLoop"),
+      "band-key candidate join must hash on (band_idx, band_key)")
+  }
+
+  test("q49 simhash band join is an equi join, never a nested loop") {
+    assert(!planOf("q49_simhash_pairs").contains("BroadcastNestedLoop"))
+  }
+
+  test("q27 evaluates vector_dot inside whole-stage codegen") {
+    // Codegen spans only exist in the FINAL adaptive plan — run the query
+    // through its OWN QueryExecution first (a DataFrameWriter would build a
+    // separate one and leave this plan isFinalPlan=false), then inspect.
+    val df = q("q27_embed_pairs")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val dotLines = p.linesIterator.filter(_.contains("vector_dot")).toSeq
+    assert(dotLines.nonEmpty)
+    assert(dotLines.exists(_.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("*(")),
+      s"vector_dot must run in a WholeStageCodegen span; got:\n${dotLines.mkString("\n")}")
+  }
+
+  test("q50 IVF cell assignment broadcasts the centroids") {
+    val p = planOf("q50_ann_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid cross join must broadcast the K-row centroid side")
+  }
+}
