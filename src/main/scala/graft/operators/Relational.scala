@@ -103,4 +103,25 @@ object Relational {
     */
   def prunedScan(df: DataFrame, key: Column, value: Any, projection: Seq[Column]): DataFrame =
     df.filter(key === lit(value)).select(projection: _*)
+
+  /** Per-key top-k through the engine's own physical operator
+    * ([[graft.plans.TopKPerKeyNode]]): bounded heaps map-side, then a
+    * shuffle of only the per-partition heads — the scalable form of
+    * `row_number() OVER (PARTITION BY keys ORDER BY order) <= k`, which
+    * must shuffle + fully sort every row. `order` columns may carry
+    * `.desc`/`.asc` and should form a total order within a key for
+    * deterministic output. Requires a session built with GraftExtensions.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.graftx.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    val spark = df.sparkSession
+    val sortOrders = order.map(c => Bridge.expression(spark, c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    Bridge.ofRows(spark,
+      graft.plans.TopKPerKeyNode(
+        keys.map(Bridge.expression(spark, _)), sortOrders, k, Bridge.logicalPlan(df)))
+  }
 }

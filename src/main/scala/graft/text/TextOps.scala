@@ -92,20 +92,31 @@ object TextOps {
           .map(r => element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*))
     }: _*)
 
-  /** Per-word 28-bit hashes (first 7 hex digits of md5, engine-portable via
-    * base-16 string conversion). Materialize this as its own projection
-    * before feeding `simhashFromHashes` — one md5 per word total.
+  /** Per-word `4·hexDigits`-bit hashes (first `hexDigits` hex digits of md5,
+    * engine-portable via base-16 string conversion; ≤ 15 digits so the value
+    * stays a positive long). Materialize this as its own projection before
+    * feeding a simhash — one md5 per word total.
     */
-  def wordHashes(ws: Column): Column =
-    transform(ws, w => conv(substring(md5(w), 1, 7), 16, 10).cast("long"))
+  def wordHashesHex(ws: Column, hexDigits: Int): Column = {
+    require(hexDigits >= 1 && hexDigits <= 15, "1-15 hex digits fit a positive long")
+    transform(ws, w => conv(substring(md5(w), 1, hexDigits), 16, 10).cast("long"))
+  }
 
-  /** SimHash over precomputed word hashes, `bits` wide (≤ 28): bit j is set
-    * iff the sum of ±1 votes (bit j of each word hash) is positive. Integer
-    * votes make the result independent of evaluation order — safe under any
-    * partitioning.
+  /** Per-word 28-bit hashes (historical default width). */
+  def wordHashes(ws: Column): Column = wordHashesHex(ws, 7)
+
+  /** SimHash over precomputed word hashes, `bits` wide (≤ hash width): bit j
+    * is set iff the sum of ±1 votes (bit j of each word hash) is positive.
+    * Integer votes make the result independent of evaluation order — safe
+    * under any partitioning.
+    *
+    * This declarative form is the reference/spec; the hot path uses the
+    * native one-pass `graft.functions.SimHashBits` with identical semantics
+    * (parity asserted in TextSpec) — the HOF form costs one interpreted
+    * `aggregate` pass per output bit.
     */
   def simhashFromHashes(hashes: Column, bits: Int): Column = {
-    require(bits <= 28, "word hashes are 28-bit")
+    require(bits <= 60, "bits must fit a positive long (and the hash width)")
     val bitCols = (0 until bits).map { j =>
       val votes = aggregate(
         hashes,

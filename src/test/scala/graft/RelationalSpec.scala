@@ -30,6 +30,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(top.select("a").as[Int].collect().toSeq === Seq(1, 2, 3))
   }
 
+  test("topKPerKey equals the window row_number formulation and plans the custom exec") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i % 23, i, (i * 37) % 101)).toDF("k", "id", "v")
+    val ours = Relational.topKPerKey(
+      df, keys = Seq(col("k")), order = Seq(col("v").desc, col("id")), k = 4)
+    // the physical plan is the engine's own partial/final operator pair
+    val plan = ours.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"))
+    assert(!plan.toLowerCase.contains("sort "), s"no sort expected:\n$plan")
+    val windowed = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") <= 4).drop("rn")
+    val a = ours.as[(Int, Int, Int)].collect().toSet
+    val b = windowed.as[(Int, Int, Int)].collect().toSet
+    assert(a === b)
+    assert(a.size === 23 * 4)
+  }
+
+  test("topKPerKey: k larger than group size emits whole groups; empty keys = global top-k") {
+    val df = Seq((1, 10), (1, 20), (2, 30)).toDF("k", "v")
+    val all = Relational.topKPerKey(df, Seq(col("k")), Seq(col("v")), k = 5)
+    assert(all.count() === 3)
+    val global = Relational.topKPerKey(df, Seq.empty, Seq(col("v").desc), k = 2)
+    assert(global.select("v").as[Int].collect().toSet === Set(30, 20))
+  }
+
   test("broadcastJoin plans a BroadcastHashJoin") {
     val fact = (1 to 1000).map(i => (i % 10, i)).toDF("k", "v")
     val dim = (0 until 10).map(i => (i, s"d$i")).toDF("k", "name")

@@ -84,6 +84,30 @@ class TextSpec extends AnyFunSuite {
     assert(ham(d(1L), d(4L)) >= 3)
   }
 
+  test("native simhash_bits equals the declarative formulation (16 and 56 bit)") {
+    val d = docs(
+        (1L, (1 to 45).map(i => s"w$i").mkString(" ")),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3L, "solo"))
+      .select(col("doc_id"),
+        TextOps.wordHashes(TextOps.words(col("text"))).as("h28"),
+        TextOps.wordHashesHex(TextOps.words(col("text")), 14).as("h56"))
+      .select(col("doc_id"),
+        graft.functions.SimHashBits.of(col("h28"), 16).as("n16"),
+        TextOps.simhashFromHashes(col("h28"), 16).as("d16"),
+        graft.functions.SimHashBits.of(col("h56"), 56).as("n56"),
+        TextOps.simhashFromHashes(col("h56"), 56).as("d56"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    d.foreach { case (id, n16, d16, n56, d56) =>
+      assert(n16 === d16, s"doc $id 16-bit")
+      assert(n56 === d56, s"doc $id 56-bit")
+    }
+    // also resolvable from plain SQL through the registry
+    val viaSql = spark.sql("SELECT simhash_bits(array(7L, 7L, 1L), 3) AS s")
+      .as[Long].head()
+    assert(viaSql === 7L) // bits 0: 3/3 set; 1,2: 2/3 set → majority everywhere
+  }
+
   test("langId picks the profile with most hits, und when none") {
     val d = docs((1L, "the cat and the dog of a town"), (2L, "qqq zzz www"))
       .select(col("doc_id"), TextOps.langId(TextOps.words(col("text"))).as("lang"))
