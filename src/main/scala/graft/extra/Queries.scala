@@ -192,6 +192,35 @@ object Queries {
         k = 3)
     }),
 
+    // Nested-type + conditional function surface: struct build/extract, map
+    // build/lookup/size, nullif/coalesce, greatest/least. Output stays
+    // scalar (the nested values are built and immediately consumed) so the
+    // oracle compare is on plain columns.
+    "q52_nested_fns" -> ((s, dir) => {
+      val st = struct(col("p_brand").as("b"), col("p_size").as("s"))
+      val mp = map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))
+      Tables(s, dir).part.select(
+        col("p_partkey"),
+        st.getField("b").as("sb"),
+        (st.getField("s") + 1).as("s1"),
+        element_at(mp, "type").as("mtype"),
+        size(mp).as("msize"),
+        coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("OTHER")).as("brand_or_other"),
+        greatest(col("p_size"), lit(25)).as("gsize"),
+        least(col("p_size"), lit(25)).as("lsize"))
+    }),
+
+    // Regex surface beyond q43's replace: group extraction, match flag,
+    // match count (patterns portable across Java regex and DuckDB's RE2).
+    "q53_regex_fns" -> ((s, dir) => {
+      Tables(s, dir).part.select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_tok"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_tok"),
+        col("p_name").rlike("re").cast("int").as("has_re"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0))).as("n_vowel_runs"))
+    }),
+
     // String-function surface: regexp_replace/translate/lpad/reverse/
     // instr/split (patterns chosen portable across Java regex and RE2).
     "q43_string_fns" -> ((s, dir) => {
@@ -209,6 +238,23 @@ object Queries {
   // ---- DuckDB oracles ------------------------------------------------------
 
   def oracles: Map[String, String] = Map(
+    "q52_nested_fns" ->
+      """SELECT p_partkey,
+        |  (struct_pack(b := p_brand, s := p_size)).b AS sb,
+        |  CAST((struct_pack(b := p_brand, s := p_size)).s + 1 AS INT) AS s1,
+        |  map(['brand','type'], [p_brand, p_type])['type'][1] AS mtype,
+        |  CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS INT) AS msize,
+        |  coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other,
+        |  CAST(greatest(p_size, 25) AS INT) AS gsize,
+        |  CAST(least(p_size, 25) AS INT) AS lsize
+        |FROM part""".stripMargin,
+    "q53_regex_fns" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_tok,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_tok,
+        |  CAST(CASE WHEN regexp_matches(p_name, 're') THEN 1 ELSE 0 END AS INT) AS has_re,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INT) AS n_vowel_runs
+        |FROM part""".stripMargin,
     "q51_topk_per_key" ->
       """SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice
         |FROM (SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,

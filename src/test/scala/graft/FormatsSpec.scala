@@ -35,6 +35,34 @@ class FormatsSpec extends AnyFunSuite {
     assert(r2.getAs[Map[String, String]]("attrs") === Map.empty)
   }
 
+  test("graft-sam DataSourceV2: row parity with readSamLike, split-stable, prunes and pushes") {
+    // 200 records so several 256-byte splits land mid-line.
+    val body = (1 to 200).map { i =>
+      s"r$i\t${i % 2}\tchr${i % 3}\t${i * 10}\t60\t4M\t*\t0\t0\tACGT\tFFFF\tNM:i:$i"
+    }.mkString("\n")
+    val sam = write("big.sam", "@HD\tVN:1.6\n" + body + "\n")
+
+    val v2 = spark.read.format("graft-sam")
+      .option("maxPartitionBytes", "256").load(sam)
+    val v1 = Formats.readSamLike(spark, sam)
+    assert(v2.rdd.getNumPartitions > 1, "byte-range splitting must yield multiple partitions")
+    assert(v2.count() === 200)
+    val a = v2.select($"qname", $"flag", $"pos", $"attrs"("NM").as("nm"))
+      .as[(String, Int, Long, String)].collect().toSet
+    val b = v1.select($"qname", $"flag", $"pos", $"attrs"("NM").as("nm"))
+      .as[(String, Int, Long, String)].collect().toSet
+    assert(a === b)
+
+    // pruning + contig pushdown visible in the v2 scan, and correct
+    val pruned = spark.read.format("graft-sam").load(sam)
+      .filter($"contig" === "chr1").select("pos")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(contig,chr1)"), s"pushed filter missing:\n$plan")
+    assert(plan.contains("ReadSchema: struct<pos:bigint>"), s"pruned schema missing:\n$plan")
+    assert(pruned.as[Long].collect().toSet ===
+      (1 to 200).filter(_ % 3 == 1).map(_ * 10L).toSet)
+  }
+
   test("readVcfLike parses alt lists and info maps, skips headers") {
     val vcf = write("t.vcf",
       """##fileformat=VCFv4.2

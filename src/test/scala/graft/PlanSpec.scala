@@ -83,4 +83,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "centroid cross join must broadcast the K-row centroid side")
   }
+
+  test("q51 per-key top-k is the custom partial/final heap operator, no sort, one exchange") {
+    val p = planOf("q51_topk_per_key")
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"))
+    assert(!p.contains("Sort "), "bounded-heap top-k must not sort")
+    assert(!p.contains("Window"), "must not fall back to the window formulation")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      "exactly one exchange: the heap-head shuffle inserted by EnsureRequirements")
+  }
 }
