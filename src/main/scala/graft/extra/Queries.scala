@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.multimodal.Binary
-import graft.operators.{Analytic, Events, Pipe, Relational}
+import graft.operators.{Analytic, Events, Pipe, Relational, Scale}
 
 /** Event-time analytics, grouping-set/pivot/json/window-function surface,
   * typed per-group analytics, the external-pipe escape hatch, and the
@@ -192,6 +192,29 @@ object Queries {
         k = 3)
     }),
 
+    // Bloom-prefiltered semi join (Scale.bloomSemiJoin): membership sketch
+    // broadcast, fact rows dropped before the shuffle, exact semi join on
+    // survivors. False-positives-only ⇒ result identical to the plain semi
+    // join the oracle runs.
+    "q54_bloom_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Scale.bloomSemiJoin(
+          t.lineitem, "l_partkey",
+          t.part.filter(col("p_size") >= 40).select(col("p_partkey")), "p_partkey",
+          expectedItems = 2000L, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    }),
+
+    // Salted two-phase aggregation (Scale.saltedAgg): identical result and
+    // schema to the direct groupBy the oracle runs, immune to single-hot-key
+    // skew (the partial phase groups on (key, salt)).
+    "q55_salted_agg" -> ((s, dir) => {
+      Scale.saltedAgg(
+        Tables(s, dir).lineitem, col("l_returnflag"), salts = 8,
+        "qty_sum" -> col("l_quantity").cast("long"),
+        "price_floor_sum" -> floor(col("l_extendedprice")))
+    }),
+
     // Nested-type + conditional function surface: struct build/extract, map
     // build/lookup/size, nullif/coalesce, greatest/least. Output stays
     // scalar (the nested values are built and immediately consumed) so the
@@ -238,6 +261,15 @@ object Queries {
   // ---- DuckDB oracles ------------------------------------------------------
 
   def oracles: Map[String, String] = Map(
+    "q54_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM part
+        |              WHERE p_partkey = l_partkey AND p_size >= 40)""".stripMargin,
+    "q55_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |  CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_floor_sum
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q52_nested_fns" ->
       """SELECT p_partkey,
         |  (struct_pack(b := p_brand, s := p_size)).b AS sb,

@@ -64,4 +64,28 @@ object Scale {
 
   def countMinSketch(df: DataFrame, colName: String, eps: Double, confidence: Double, seed: Int) =
     df.stat.countMinSketch(colName, eps, confidence, seed)
+
+  /** Bloom-prefiltered semi join — THE 100 TB shape for "keep fact rows
+    * whose key exists in a large-ish dim": build a Bloom filter over the
+    * dim keys (one pass, mergeable partials), broadcast the bits (MBs even
+    * for 10⁸ keys — far under broadcast-join thresholds), drop
+    * non-matching fact rows BEFORE the shuffle, then run the exact semi
+    * join on the survivors. False positives only ⇒ the exact join makes
+    * the result identical to a plain semi join (oracle-checkable), but the
+    * shuffle moves only ~|matches| + fpp·|fact| rows instead of |fact|.
+    * Spark's runtime row-level filtering does this automatically for some
+    * shuffle joins; this is the explicit, always-on form. The membership
+    * probe is a scala UDF by necessity (mightContain has no public builtin
+    * expression) — it guards the prefilter only, never the semantics.
+    */
+  def bloomSemiJoin(
+      fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
+      expectedItems: Long, fpp: Double): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bc.value.mightContainLong(k))
+    fact
+      .filter(might(col(factKey)))
+      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
+  }
 }

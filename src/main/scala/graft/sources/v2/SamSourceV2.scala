@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
@@ -67,13 +68,21 @@ object SamSourceV2 {
     StructField("attrs", MapType(StringType, StringType))))
 }
 
-final class SamTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+final class SamTable(options: CaseInsensitiveStringMap) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-sam(${options.get("path")})"
   override def schema(): StructType = SamSourceV2.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new SamScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SamWriteBuilder(
+      Option(options.get("path"))
+        .orElse(Option(info.options.get("path")))
+        .getOrElse(throw new IllegalArgumentException("graft-sam write needs a path")),
+      info)
 }
 
 final class SamScanBuilder(options: CaseInsensitiveStringMap)

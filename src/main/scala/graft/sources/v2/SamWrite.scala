@@ -1,0 +1,158 @@
+package graft.sources.v2
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.MapData
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+
+/** Batch write side of the `graft-sam` connector: each task streams its
+  * partition to a temp file (`_tmp-<uuid>-part-<pid>.sam`) and the driver
+  * commit renames temps to final `part-<pid>.sam` names — the classic
+  * two-phase output commit (task output is invisible until the driver
+  * rename), so failed/speculative tasks leave no partial output behind.
+  * Scale shape: one sequential stream per task, no driver data movement —
+  * the gather the reference does by driver-side BAM merging
+  * (`utils/BAMMerger.java:19-47`) is here a directory of per-partition
+  * files, mergeable lazily by any downstream scan.
+  *
+  * Serialization conventions (documented loss vs. a real SAM writer): null
+  * strings → `*`, null numerics → 0, attrs written as `KEY:Z:value` (the
+  * read path drops the original type code, so round-trips preserve the
+  * key→value map, not the type letter).
+  */
+final class SamWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new SamWrite(path, info.schema(), doTruncate)
+}
+
+final class SamWrite(path: String, schema: StructType, truncate: Boolean) extends Write {
+  override def toBatch: BatchWrite = new SamBatchWrite(path, schema, truncate)
+}
+
+final class SamBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+
+  // Job-scoped id in final file names: appends never collide with earlier
+  // jobs' output, and truncate = "delete part files not carrying this id".
+  private val jobId = UUID.randomUUID().toString.take(8)
+
+  private def confMap: Map[String, String] = {
+    val it = SparkSession.active.sparkContext.hadoopConfiguration.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    SamDataWriterFactory(path, schema.fieldNames, jobId, confMap)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncate && fs.exists(dir)) {
+      fs.listStatus(dir)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("part-") && n.endsWith(".sam") && !n.contains(jobId)
+        }
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+    messages.foreach {
+      case SamCommit(tmp, fin) =>
+        val t = new Path(tmp)
+        if (fs.exists(t) && !fs.rename(t, new Path(fin)))
+          throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+      case other => throw new IllegalStateException(s"unexpected commit $other")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    messages.foreach {
+      case SamCommit(tmp, _) => fs.delete(new Path(tmp), false)
+      case _ =>
+    }
+  }
+}
+
+final case class SamCommit(tmpPath: String, finalPath: String) extends WriterCommitMessage
+
+final case class SamDataWriterFactory(
+    path: String, fields: Array[String], jobId: String, confMap: Map[String, String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    new SamDataWriter(path, fields, jobId, partitionId, conf)
+  }
+}
+
+final class SamDataWriter(
+    dir: String, fields: Array[String], jobId: String, partitionId: Int, conf: Configuration)
+    extends DataWriter[InternalRow] {
+
+  private val base = new Path(dir)
+  private val fs = base.getFileSystem(conf)
+  private val tmp = new Path(base, s"_tmp-${UUID.randomUUID()}-part-$partitionId.sam")
+  private val fin = new Path(base, f"part-$partitionId%05d-$jobId.sam")
+  private lazy val out: BufferedWriter = {
+    fs.mkdirs(base)
+    new BufferedWriter(new OutputStreamWriter(fs.create(tmp, true), StandardCharsets.UTF_8))
+  }
+
+  // Canonical SAM column order; written independent of input field order.
+  private val order = Seq(
+    "qname", "flag", "contig", "pos", "mapq", "cigar",
+    "rnext", "pnext", "tlen", "seq", "qual")
+  private val idx: Map[String, Int] = fields.zipWithIndex.toMap
+
+  private def str(row: InternalRow, f: String): String = idx.get(f) match {
+    case Some(i) if !row.isNullAt(i) =>
+      f match {
+        case "flag" | "mapq" | "tlen" => row.getInt(i).toString
+        case "pos" | "pnext" => row.getLong(i).toString
+        case _ => row.getUTF8String(i).toString
+      }
+    case _ => f match {
+      case "flag" | "mapq" | "tlen" | "pos" | "pnext" => "0"
+      case _ => "*"
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder()
+    order.foreach { f => sb.append(str(row, f)).append('\t') }
+    sb.setLength(sb.length - 1)
+    idx.get("attrs").foreach { i =>
+      if (!row.isNullAt(i)) {
+        val m: MapData = row.getMap(i)
+        val keys = m.keyArray(); val vals = m.valueArray()
+        var j = 0
+        while (j < m.numElements()) {
+          sb.append('\t').append(keys.getUTF8String(j).toString)
+            .append(":Z:").append(vals.getUTF8String(j).toString)
+          j += 1
+        }
+      }
+    }
+    out.write(sb.toString()); out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    SamCommit(tmp.toString, fin.toString)
+  }
+  override def abort(): Unit = { try out.close() catch { case _: Exception => } ; fs.delete(tmp, false) }
+  override def close(): Unit = ()
+}

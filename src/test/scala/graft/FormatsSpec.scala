@@ -63,6 +63,27 @@ class FormatsSpec extends AnyFunSuite {
       (1 to 200).filter(_ % 3 == 1).map(_ * 10L).toSet)
   }
 
+  test("graft-sam write: round-trips records, overwrite truncates, append adds") {
+    val src = write("rt.sam",
+      (1 to 50).map(i => s"r$i\t0\tchr${i % 2}\t$i\t60\t4M\t*\t0\t0\tACGT\tFFFF\tNM:i:$i")
+        .mkString("", "\n", "\n"))
+    val outDir = Files.createTempDirectory("samout").toString
+    val df = spark.read.format("graft-sam").load(src)
+
+    df.write.format("graft-sam").mode("overwrite").save(outDir)
+    val back = spark.read.format("graft-sam").load(outDir)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select($"qname", $"flag", $"contig", $"pos", $"attrs"("NM").as("nm"))
+        .as[(String, Int, String, Long, String)].collect().toSet
+    assert(key(back) === key(df))
+
+    df.write.format("graft-sam").mode("append").save(outDir)
+    assert(spark.read.format("graft-sam").load(outDir).count() === 100)
+
+    df.write.format("graft-sam").mode("overwrite").save(outDir)
+    assert(spark.read.format("graft-sam").load(outDir).count() === 50)
+  }
+
   test("readVcfLike parses alt lists and info maps, skips headers") {
     val vcf = write("t.vcf",
       """##fileformat=VCFv4.2
