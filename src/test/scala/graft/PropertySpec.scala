@@ -46,6 +46,23 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: topKPerKey equals the window formulation for random data/k/partitioning") {
+    val gen = Gen.zip(rowsGen, Gen.choose(1, 6), Gen.choose(1, 8))
+    check("topk-per-key", Prop.forAll(gen) { case (rows, k, parts) =>
+      val df = rows.zipWithIndex.map { case ((key, v), i) => (key, v, i.toLong) }
+        .toDF("k", "v", "id").repartition(parts)
+      val ours = Relational.topKPerKey(
+          df, Seq(col("k")), Seq(col("v").desc, col("id")), k)
+        .as[(Int, Long, Long)].collect().toSet
+      val expected = rows.zipWithIndex
+        .map { case ((key, v), i) => (key, v, i.toLong) }
+        .groupBy(_._1).values
+        .flatMap(_.sortBy(t => (-t._2, t._3)).take(k))
+        .toSet
+      ours == expected
+    })
+  }
+
   test("property: sorted-union is associative over run grouping") {
     val runsGen = Gen.listOfN(3, Gen.listOfN(10, Gen.choose(-50, 50)))
     check("merge-associativity", Prop.forAll(runsGen) { runs =>

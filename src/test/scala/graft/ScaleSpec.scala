@@ -40,4 +40,15 @@ class ScaleSpec extends AnyFunSuite {
     val cms = Scale.countMinSketch(skewed, "s", 0.01, 0.95, 42)
     assert(cms.estimateCount("hh") >= 500L)
   }
+
+  test("bloomSemiJoin result is identical to a plain semi join") {
+    val fact = (1 to 2000).map(i => (i.toLong % 97, i)).toDF("k", "v")
+    val dim = (0 to 96 by 3).map(_.toLong).toDF("k")
+    val bloomed = Scale.bloomSemiJoin(fact, "k", dim, "k", 100L, 0.03)
+      .as[(Long, Int)].collect().toSet
+    val plain = fact.join(dim, Seq("k"), "left_semi")
+      .as[(Long, Int)].collect().toSet
+    assert(bloomed === plain)
+    assert(bloomed.nonEmpty && bloomed.size < 2000)
+  }
 }
