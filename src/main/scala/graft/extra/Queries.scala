@@ -192,6 +192,20 @@ object Queries {
         k = 3)
     }),
 
+    // RANGE window frame (value-based, vs q10's ROWS frame): running sums
+    // over a sliding VALUE interval. Deterministic because a range frame
+    // includes ALL peers of the boundary values, and the summed column is
+    // integer (sum order can't matter).
+    "q56_range_frame" -> ((s, dir) => {
+      val qd = col("l_quantity").cast("long")
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(qd).rangeBetween(-2, 0)
+      Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+        sum(qd).over(w).as("range_sum"),
+        count(lit(1)).over(w).as("range_cnt"),
+        first(qd).over(w).as("range_min_qty"))
+    }),
+
     // Bloom-prefiltered semi join (Scale.bloomSemiJoin): membership sketch
     // broadcast, fact rows dropped before the shuffle, exact semi join on
     // survivors. False-positives-only ⇒ result identical to the plain semi
@@ -261,6 +275,14 @@ object Queries {
   // ---- DuckDB oracles ------------------------------------------------------
 
   def oracles: Map[String, String] = Map(
+    "q56_range_frame" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS range_sum,
+        |  count(*) OVER w AS range_cnt,
+        |  CAST(first_value(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS range_min_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
+        |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q54_bloom_join" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM part

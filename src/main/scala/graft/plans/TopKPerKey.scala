@@ -57,6 +57,15 @@ final case class TopKPerKeyNode(
 /** Physical per-key bounded-heap top-k; `partial` selects map-side (any
   * distribution) vs final (clustered on `keys`) role — the same partial +
   * exchange + final shape Spark plans for hash aggregation.
+  *
+  * Memory bound: the partial phase tracks at most `maxPartialKeys` keys
+  * (`spark.graft.topk.maxPartialKeys`, default 2¹⁶) × k rows; rows of keys
+  * beyond the cap stream through unreduced (graceful degradation toward
+  * the window plan's shuffle volume instead of an OOM — the same reason
+  * hash aggregation spills rather than growing unboundedly). The final
+  * phase is never capped: after the hash exchange each task owns complete
+  * key groups, so its live set is one heap per key actually present, and
+  * capping there would break correctness.
   */
 final case class TopKPerKeyExec(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int, partial: Boolean,
@@ -78,23 +87,37 @@ final case class TopKPerKeyExec(
     val keyExprs = keys
     val orderExprs = order
     val limit = k
+    val maxKeys =
+      if (partial) conf.getConfString("spark.graft.topk.maxPartialKeys", "65536").toInt
+      else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, inputAttrs)
-      implicit val rowOrd: Ordering[InternalRow] =
+      val rowOrd: Ordering[InternalRow] =
         new LazilyGeneratedOrdering(orderExprs, inputAttrs)
       // Max-heap per key: head = worst kept row; a new row displaces it
-      // when strictly better. Rows/keys are copied — Spark reuses the
-      // underlying UnsafeRow buffer across iterator steps.
+      // when strictly better. Rows/keys are copied into heaps — Spark
+      // reuses the underlying UnsafeRow buffer across iterator steps.
+      // Keys past the cap stream through uncopied and unreduced (see
+      // class doc); `++`'s by-name argument makes the heap drain run only
+      // after the input (and thus every heap update) is exhausted.
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(), mutable.PriorityQueue.empty[InternalRow])
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (rowOrd.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+      val passThrough = iter.flatMap { row =>
+        heaps.get(keyProj(row)) match {
+          case Some(heap) =>
+            if (heap.size < limit) heap.enqueue(row.copy())
+            else if (rowOrd.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+            Iterator.empty
+          case None if heaps.size < maxKeys =>
+            val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+            h.enqueue(row.copy())
+            heaps.put(keyProj(row).copy(), h)
+            Iterator.empty
+          case None => Iterator.single(row)
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      passThrough ++ heaps.valuesIterator.flatMap(_.iterator)
     }, preservesPartitioning = true)
   }
 

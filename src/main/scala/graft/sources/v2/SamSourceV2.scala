@@ -53,6 +53,25 @@ class SamDataSource extends TableProvider with DataSourceRegister {
 }
 
 object SamSourceV2 {
+  /** Glob/dir-expanded, hidden-file-filtered listing shared by the batch
+    * scan and the micro-batch stream.
+    */
+  def listFiles(raw: String, conf: Configuration): Array[org.apache.hadoop.fs.FileStatus] = {
+    val globbed = new Path(raw)
+    val fs = globbed.getFileSystem(conf)
+    Option(fs.globStatus(globbed)).getOrElse(Array.empty).flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filterNot(_.isDirectory) else Array(st)
+    }.filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+  }
+
+  /** Hadoop conf as a serializable map (rebuilt executor-side). */
+  def confMap(conf: Configuration): Map[String, String] = {
+    val it = conf.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("qname", StringType),
     StructField("flag", IntegerType),
@@ -73,7 +92,7 @@ final class SamTable(options: CaseInsensitiveStringMap) extends Table
   override def name(): String = s"graft-sam(${options.get("path")})"
   override def schema(): StructType = SamSourceV2.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new SamScanBuilder(options)
@@ -133,23 +152,23 @@ final class SamScan(
     s"graft-sam ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def rawPath: String = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("graft-sam needs a path option"))
+
+  private def maxBytes: Long = {
     val spark = SparkSession.active
-    val conf = spark.sparkContext.hadoopConfiguration
-    val maxBytes = Option(options.get("maxPartitionBytes")).map(_.toLong)
+    Option(options.get("maxPartitionBytes")).map(_.toLong)
       .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
-    val raw = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft-sam needs a path option"))
-    val globbed = new Path(raw)
-    val fs = globbed.getFileSystem(conf)
-    val statuses = Option(fs.globStatus(globbed)).getOrElse(Array.empty).flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filterNot(_.isDirectory) else Array(st)
-    }.filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
-    statuses.flatMap { st =>
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val max = maxBytes
+    SamSourceV2.listFiles(rawPath, conf).flatMap { st =>
       val len = st.getLen
       if (len == 0) Nil
-      else (0L until len by maxBytes).map { off =>
-        SamInputPartition(st.getPath.toString, off, math.min(maxBytes, len - off))
+      else (0L until len by max).map { off =>
+        SamInputPartition(st.getPath.toString, off, math.min(max, len - off))
       }
     }.toArray
   }
@@ -157,15 +176,16 @@ final class SamScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     // Ship the Hadoop conf entries needed to reopen the file on executors
     // (Configuration itself is not java-serializable).
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val confMap: Map[String, String] = {
-      val it = conf.iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
+    val confMap =
+      SamSourceV2.confMap(SparkSession.active.sparkContext.hadoopConfiguration)
     SamPartitionReaderFactory(required.fieldNames, contigEq, contigNotNull, confMap)
   }
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SamMicroBatchStream(
+      rawPath, maxBytes, required, pushed,
+      SamSourceV2.confMap(SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 final case class SamPartitionReaderFactory(

@@ -84,6 +84,28 @@ class FormatsSpec extends AnyFunSuite {
     assert(spark.read.format("graft-sam").load(outDir).count() === 50)
   }
 
+  test("graft-sam micro-batch stream picks up new files exactly once") {
+    val dir = Files.createTempDirectory("samstream")
+    def writeFile(name: String, n: Int, off: Int): Unit =
+      Files.writeString(dir.resolve(name),
+        (1 to n).map(i => s"r${off + i}\t0\tchr1\t${off + i}\t60\t4M\t*\t0\t0\tACGT\tFFFF")
+          .mkString("", "\n", "\n"))
+    writeFile("a.sam", 10, 0)
+    val ckpt = Files.createTempDirectory("samckpt").toString
+    val q = spark.readStream.format("graft-sam").load(dir.toString)
+      .select($"qname", $"pos")
+      .writeStream.format("memory").queryName("sam_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sam_stream").count() === 10)
+      writeFile("b.sam", 7, 100)
+      q.processAllAvailable()
+      assert(spark.table("sam_stream").count() === 17)
+      assert(spark.table("sam_stream").select("qname").distinct().count() === 17)
+    } finally q.stop()
+  }
+
   test("readVcfLike parses alt lists and info maps, skips headers") {
     val vcf = write("t.vcf",
       """##fileformat=VCFv4.2

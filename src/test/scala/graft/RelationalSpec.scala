@@ -49,6 +49,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.size === 23 * 4)
   }
 
+  test("topKPerKey stays correct when the partial-phase key cap forces pass-through") {
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "2")
+    try {
+      val df = (1 to 300).map(i => (i % 29, i)).toDF("k", "v").repartition(4)
+      val got = Relational.topKPerKey(df, Seq(col("k")), Seq(col("v").desc), k = 2)
+        .as[(Int, Int)].collect().toSet
+      val expected = (1 to 300).map(i => (i % 29, i))
+        .groupBy(_._1).values.flatMap(_.sortBy(-_._2).take(2)).toSet
+      assert(got === expected)
+    } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
+  }
+
   test("topKPerKey: k larger than group size emits whole groups; empty keys = global top-k") {
     val df = Seq((1, 10), (1, 20), (2, 30)).toDF("k", "v")
     val all = Relational.topKPerKey(df, Seq(col("k")), Seq(col("v")), k = 5)
