@@ -27,17 +27,24 @@ object SparkEntry {
   private def core: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O5/O8 hash aggregation with map-side partials (BQSRTargetGenerator's
     // covariate group-by re-expressed record-level).
+    // Determinism: all money/quantity aggregates on exact integers (cents /
+    // unit counts) — summing doubles is partitioning-order-dependent, and
+    // round(x, 2) disagrees across engines on ties. floor(x*100) is
+    // engine-exact (same IEEE ops in the same order on identical input
+    // doubles), sum(long) is associative, and avg is a single exact-int
+    // division (correctly rounded, identical in both engines).
     "q01_agg" -> ((s, dir) => {
       val li = Tables(s, dir).lineitem
       Relational.hashAgg(
         li,
         Seq(col("l_returnflag"), col("l_linestatus")),
         Seq(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * lit(100))).as("price_cents"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(100)))
+            .as("disc_price_cents"),
+          (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1)))
+            .as("avg_qty"),
           count(lit(1)).as("n_rows")
         )
       )
@@ -105,8 +112,8 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(
           count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(100)))
+            .as("revenue_cents"))
     }),
 
     // O8 known-sites exclusion: broadcast LEFT ANTI join.
@@ -143,7 +150,7 @@ object SparkEntry {
       o.select(
         col("o_custkey"),
         col("o_orderkey"),
-        round(sum(col("o_totalprice")).over(w), 2).as("run_total"))
+        sum(floor(col("o_totalprice") * lit(100))).over(w).as("run_total_cents"))
     }),
 
     // Grouping sets: ROLLUP over region→nation customer counts.
@@ -153,7 +160,8 @@ object SparkEntry {
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(floor(col("c_acctbal") * lit(100))).as("bal_cents"))
     }),
 
     // O14/O15 gather: sorted union of per-slice results (BAMMerger/VCFMerger
@@ -187,9 +195,9 @@ object SparkEntry {
         .filter(to_date(col("o_orderdate")) < lit("1998-01-01") &&
           to_date(col("l_shipdate")) > lit("1998-01-01"))
         .groupBy(col("o_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
-      Relational.topK(rev, 20, col("revenue").desc, col("o_orderkey").asc)
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(100)))
+          .as("revenue_cents"))
+      Relational.topK(rev, 20, col("revenue_cents").desc, col("o_orderkey").asc)
     }),
 
     // Set ops: INTERSECT (distinct semantics in both engines).
@@ -269,10 +277,11 @@ object SparkEntry {
   private def coreOracle: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity),2) AS sum_qty,
-        |  round(sum(l_extendedprice),2) AS sum_price,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |  round(avg(l_quantity),4) AS avg_qty,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |    AS disc_price_cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)/count(*) AS avg_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1,2""".stripMargin,
     "q02_sort" ->
@@ -297,7 +306,8 @@ object SparkEntry {
       "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
     "q07_join_broadcast" ->
       """SELECT p_brand, count(*) AS n_items,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
     "q08_anti_join" ->
@@ -309,13 +319,14 @@ object SparkEntry {
         |              WHERE l_partkey = p_partkey AND l_quantity >= 49)""".stripMargin,
     "q10_window_frame" ->
       """SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER (
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS run_total_cents
         |FROM orders""".stripMargin,
     "q11_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |  round(sum(c_acctbal),2) AS bal
+        |  CAST(sum(CAST(floor(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -334,14 +345,15 @@ object SparkEntry {
         |FROM documents GROUP BY source""".stripMargin,
     "q14_multijoin_topk" ->
       """SELECT o_orderkey,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
         |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
         |GROUP BY o_orderkey
-        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 20""".stripMargin,
     "q15_intersect" ->
       """SELECT l_partkey AS pk FROM lineitem WHERE l_quantity >= 49
         |INTERSECT
