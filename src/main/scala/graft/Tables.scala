@@ -45,9 +45,14 @@ object Sessions {
     * partitions sized to the local core count instead of the 200 default.
     */
   def local(cores: Int = 32): SparkSession = {
+    // local[n, 2]: allow ONE task retry, like a real cluster (default
+    // local[n] makes any task failure fatal, which both diverges from the
+    // deployment the engine targets and turns transient local hiccups into
+    // whole-run failures). Operators must stay retry-safe — asserted by
+    // FunctionsSpec's injected-failure test.
     val s = SparkSession
       .builder()
-      .master(s"local[$cores]")
+      .master(s"local[$cores,2]")
       .appName("graft")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)

@@ -192,6 +192,20 @@ object Queries {
         k = 3)
     }),
 
+    // Native bounded-heap aggregate (functions.TopKValues,
+    // TypedImperativeAggregate): k largest values per group in O(k) buffer
+    // memory — the collect_list-free form of "top values per key". Output
+    // joined to a string (the compare harness needs scalar columns).
+    "q57_topk_agg" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(call_function("topk_values",
+          floor(col("l_extendedprice") * lit(100)), lit(5)).as("arr"))
+        .select(
+          col("l_returnflag"),
+          concat_ws(",", transform(col("arr"), v => v.cast("string"))).as("top5_cents"))
+    }),
+
     // RANGE window frame (value-based, vs q10's ROWS frame): running sums
     // over a sliding VALUE interval. Deterministic because a range frame
     // includes ALL peers of the boundary values, and the summed column is
@@ -275,6 +289,12 @@ object Queries {
   // ---- DuckDB oracles ------------------------------------------------------
 
   def oracles: Map[String, String] = Map(
+    "q57_topk_agg" ->
+      """SELECT l_returnflag,
+        |  array_to_string(
+        |    (list_sort(list(CAST(floor(l_extendedprice*100) AS BIGINT)), 'DESC'))[1:5],
+        |    ',') AS top5_cents
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q56_range_frame" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS range_sum,

@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: simhash_bits(array<bigint>, <int literal bits>)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_values"),
+      new ExpressionInfo(classOf[TopKValues].getName, "topk_values"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(n: Int, IntegerType)) => TopKValues(c, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: topk_values(<bigint col>, <int literal k>)")
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
