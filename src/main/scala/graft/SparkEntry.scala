@@ -39,11 +39,14 @@ object SparkEntry {
         li,
         Seq(col("l_returnflag"), col("l_linestatus")),
         Seq(
-          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          // floor, NOT cast: Spark's double→long cast truncates while
+          // DuckDB's CAST AS BIGINT rounds half-to-even — floor is the one
+          // integerization both engines agree on for any input.
+          sum(floor(col("l_quantity"))).as("sum_qty"),
           sum(floor(col("l_extendedprice") * lit(100))).as("price_cents"),
           sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(100)))
             .as("disc_price_cents"),
-          (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1)))
+          (sum(floor(col("l_quantity"))).cast("double") / count(lit(1)))
             .as("avg_qty"),
           count(lit(1)).as("n_rows")
         )
@@ -277,11 +280,11 @@ object SparkEntry {
   private def coreOracle: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
         |  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
         |    AS disc_price_cents,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)/count(*) AS avg_qty,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE)/count(*) AS avg_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1,2""".stripMargin,
     "q02_sort" ->

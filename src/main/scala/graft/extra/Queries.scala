@@ -211,7 +211,7 @@ object Queries {
     // includes ALL peers of the boundary values, and the summed column is
     // integer (sum order can't matter).
     "q56_range_frame" -> ((s, dir) => {
-      val qd = col("l_quantity").cast("long")
+      val qd = floor(col("l_quantity")) // floor not cast: cast rounds in DuckDB
       val w = Window.partitionBy(col("l_returnflag")).orderBy(qd).rangeBetween(-2, 0)
       Tables(s, dir).lineitem.select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
@@ -239,7 +239,7 @@ object Queries {
     "q55_salted_agg" -> ((s, dir) => {
       Scale.saltedAgg(
         Tables(s, dir).lineitem, col("l_returnflag"), salts = 8,
-        "qty_sum" -> col("l_quantity").cast("long"),
+        "qty_sum" -> floor(col("l_quantity")), // floor not cast: cast rounds in DuckDB
         "price_floor_sum" -> floor(col("l_extendedprice")))
     }),
 
@@ -297,11 +297,12 @@ object Queries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q56_range_frame" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS range_sum,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) OVER w AS BIGINT) AS range_sum,
         |  count(*) OVER w AS range_cnt,
-        |  CAST(first_value(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS range_min_qty
+        |  CAST(first_value(CAST(floor(l_quantity) AS BIGINT)) OVER w AS BIGINT)
+        |    AS range_min_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY CAST(floor(l_quantity) AS BIGINT)
         |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q54_bloom_join" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
@@ -309,7 +310,7 @@ object Queries {
         |              WHERE p_partkey = l_partkey AND p_size >= 40)""".stripMargin,
     "q55_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum,
         |  CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_floor_sum
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q52_nested_fns" ->

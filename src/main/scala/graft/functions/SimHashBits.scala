@@ -53,6 +53,10 @@ final case class SimHashBits(child: Expression, bits: Int)
     val setCounts = new Array[Int](bits)
     var i = 0
     while (i < n) {
+      // Parity with the declarative form on null ELEMENTS too: a null hash
+      // nulls the aggregate()'d vote sum there, so every `votes > 0` CASE
+      // falls through to 0 — i.e. the whole signature is 0.
+      if (arr.isNullAt(i)) return 0L
       val h = arr.getLong(i)
       var j = 0
       while (j < bits) {

@@ -82,8 +82,11 @@ object Scale {
       fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double): DataFrame = {
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: Long) => bc.value.mightContainLong(k))
+    // The filter rides in the UDF closure → shipped once per stage via the
+    // task binary and garbage-collected with the query plan. An explicit
+    // sparkContext.broadcast would pin the bits on every executor for the
+    // session lifetime (nothing here could ever destroy() it).
+    val might = udf((k: Long) => bf.mightContainLong(k))
     fact
       .filter(might(col(factKey)))
       .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")

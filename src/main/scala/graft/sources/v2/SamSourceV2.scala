@@ -130,11 +130,16 @@ final class SamScanBuilder(options: CaseInsensitiveStringMap)
   override def build(): Scan = new SamScan(options, required, pushed)
 }
 
-/** One byte range of one file; `start > 0` ranges begin at the first full
-  * line after `start`, and every range reads through the line crossing its
-  * end — the standard text-split contract, delegated to LineRecordReader.
+/** One byte range of one file; every range reads through the line crossing
+  * its end (standard text-split contract, delegated to LineRecordReader).
+  * `skipFirstLine` controls the start boundary: true = the usual split rule
+  * (the first partial line belongs to the previous range); false = `start`
+  * IS a line boundary (a streamed append at the previously committed
+  * length), so the first line must NOT be discarded — the reader anchors
+  * at `start-1` so LineRecordReader consumes exactly the boundary newline.
   */
-final case class SamInputPartition(path: String, start: Long, length: Long)
+final case class SamInputPartition(
+    path: String, start: Long, length: Long, skipFirstLine: Boolean = true)
     extends InputPartition
 
 final class SamScan(
@@ -182,10 +187,14 @@ final class SamScan(
   }
 
   override def toMicroBatchStream(
-      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val confMap =
+      SamSourceV2.confMap(SparkSession.active.sparkContext.hadoopConfiguration)
     new SamMicroBatchStream(
-      rawPath, maxBytes, required, pushed,
-      SamSourceV2.confMap(SparkSession.active.sparkContext.hadoopConfiguration))
+      rawPath, maxBytes,
+      SamPartitionReaderFactory(required.fieldNames, contigEq, contigNotNull, confMap),
+      confMap)
+  }
 }
 
 final case class SamPartitionReaderFactory(
@@ -212,7 +221,14 @@ final class SamPartitionReader(
 
   private val reader = {
     val r = new LineRecordReader()
-    val split = new FileSplit(new Path(part.path), part.start, part.length, Array.empty[String])
+    // LineRecordReader discards everything up to the first newline whenever
+    // start != 0. When `start` is itself a line boundary (streamed append),
+    // anchor one byte earlier: the discarded prefix is then exactly the
+    // boundary newline and the first appended line survives.
+    val (s, l) =
+      if (part.skipFirstLine || part.start == 0) (part.start, part.length)
+      else (part.start - 1, part.length + 1)
+    val split = new FileSplit(new Path(part.path), s, l, Array.empty[String])
     r.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
     r
   }

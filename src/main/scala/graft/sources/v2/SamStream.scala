@@ -4,8 +4,6 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
 import org.json4s.{DefaultFormats, Formats, JLong, JObject}
 import org.json4s.jackson.JsonMethods.{compact, parse, render}
 
@@ -33,11 +31,11 @@ object SamStreamOffset {
   * edge is "new FASTQ/SAM files appear on the shared filesystem",
   * `MiscUtils.java:15-38`; here that becomes a Structured Streaming source
   * with exactly-once file-range accounting via the offset log). Reuses the
-  * batch reader stack end-to-end: same splits, same pruning, same pushed
-  * filters.
+  * batch reader stack end-to-end — `readerFactory` is built by SamScan, so
+  * pruning and pushed filters are shared by construction, not re-derived.
   */
 final class SamMicroBatchStream(
-    rawPath: String, maxBytes: Long, required: StructType, pushed: Array[Filter],
+    rawPath: String, maxBytes: Long, readerFactory: PartitionReaderFactory,
     confMap: Map[String, String])
     extends MicroBatchStream {
 
@@ -63,19 +61,16 @@ final class SamMicroBatchStream(
       val from = done.getOrElse(path, 0L)
       if (len > from)
         (from until len by maxBytes).map { off =>
-          SamInputPartition(path, off, math.min(maxBytes, len - off))
+          // The first range of a grown file starts AT the committed length —
+          // a line boundary per the append contract, so its first line is
+          // data, not a continuation (skipFirstLine=false). Later ranges of
+          // the same region follow the normal split rule.
+          SamInputPartition(path, off, math.min(maxBytes, len - off),
+            skipFirstLine = off != from)
         }
       else Nil
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val contigEq = pushed.collectFirst {
-      case org.apache.spark.sql.sources.EqualTo("contig", v: String) => v
-    }
-    val contigNotNull = pushed.exists {
-      case org.apache.spark.sql.sources.IsNotNull("contig") => true; case _ => false
-    }
-    SamPartitionReaderFactory(required.fieldNames, contigEq, contigNotNull, confMap)
-  }
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 }

@@ -45,15 +45,9 @@ final class SamBatchWrite(path: String, schema: StructType, truncate: Boolean)
   // jobs' output, and truncate = "delete part files not carrying this id".
   private val jobId = UUID.randomUUID().toString.take(8)
 
-  private def confMap: Map[String, String] = {
-    val it = SparkSession.active.sparkContext.hadoopConfiguration.iterator()
-    val b = Map.newBuilder[String, String]
-    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-    b.result()
-  }
-
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    SamDataWriterFactory(path, schema.fieldNames, jobId, confMap)
+    SamDataWriterFactory(path, schema.fieldNames, jobId,
+      SamSourceV2.confMap(SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -70,8 +64,15 @@ final class SamBatchWrite(path: String, schema: StructType, truncate: Boolean)
     messages.foreach {
       case SamCommit(tmp, fin) =>
         val t = new Path(tmp)
-        if (fs.exists(t) && !fs.rename(t, new Path(fin)))
-          throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+        if (fs.exists(t)) {
+          if (!fs.rename(t, new Path(fin)))
+            throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+        } else if (!fs.exists(new Path(fin))) {
+          // A missing temp is only legal if a previous commit attempt
+          // already renamed it — otherwise the partition's output is LOST
+          // and the job must fail, not silently succeed.
+          throw new java.io.IOException(s"commit lost task output: $tmp missing and $fin absent")
+        }
       case other => throw new IllegalStateException(s"unexpected commit $other")
     }
   }

@@ -102,7 +102,16 @@ class FormatsSpec extends AnyFunSuite {
       writeFile("b.sam", 7, 100)
       q.processAllAvailable()
       assert(spark.table("sam_stream").count() === 17)
-      assert(spark.table("sam_stream").select("qname").distinct().count() === 17)
+      // append to an EXISTING file (at a line boundary, per the contract):
+      // the first appended line must not be swallowed by split semantics
+      val appended = (1 to 5)
+        .map(i => s"r${200 + i}\t0\tchr1\t${200 + i}\t60\t4M\t*\t0\t0\tACGT\tFFFF")
+        .mkString("", "\n", "\n")
+      Files.writeString(dir.resolve("a.sam"),
+        Files.readString(dir.resolve("a.sam")) + appended)
+      q.processAllAvailable()
+      assert(spark.table("sam_stream").count() === 22)
+      assert(spark.table("sam_stream").select("qname").distinct().count() === 22)
     } finally q.stop()
   }
 

@@ -106,6 +106,11 @@ class TextSpec extends AnyFunSuite {
     val viaSql = spark.sql("SELECT simhash_bits(array(7L, 7L, 1L), 3) AS s")
       .as[Long].head()
     assert(viaSql === 7L) // bits 0: 3/3 set; 1,2: 2/3 set → majority everywhere
+    // null ELEMENT parity: declarative nulls the vote sum → all-zero result
+    val withNull = spark.sql(
+      "SELECT simhash_bits(array(7L, CAST(NULL AS BIGINT)), 3) AS s")
+      .as[Long].head()
+    assert(withNull === 0L)
   }
 
   test("langId picks the profile with most hits, und when none") {
