@@ -192,6 +192,29 @@ object Queries {
         k = 3)
     }),
 
+    // Six-table join graph (TPC-H Q5 shape): the optimizer's join-reorder /
+    // broadcast-selection showcase — two dim tables broadcast, the
+    // customer-supplier nation equality closes the cycle, revenue in exact
+    // cents. At 100 TB the plan property that matters is that region/nation
+    // stay broadcasts and the filter reaches the region scan.
+    "q58_multijoin_reorder" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(t.supplier,
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(100)))
+            .as("revenue_cents"))
+    }),
+
     // Native bounded-heap aggregate (functions.TopKValues,
     // TypedImperativeAggregate): k largest values per group in O(k) buffer
     // memory — the collect_list-free form of "top values per key". Output
@@ -289,6 +312,18 @@ object Queries {
   // ---- DuckDB oracles ------------------------------------------------------
 
   def oracles: Map[String, String] = Map(
+    "q58_multijoin_reorder" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
     "q57_topk_agg" ->
       """SELECT l_returnflag,
         |  array_to_string(

@@ -93,7 +93,8 @@ final class SamTable(options: CaseInsensitiveStringMap) extends Table
   override def schema(): StructType = SamSourceV2.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new SamScanBuilder(options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

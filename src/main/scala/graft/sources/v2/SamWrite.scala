@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.MapData
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 
 /** Batch write side of the `graft-sam` connector: each task streams its
@@ -36,6 +37,61 @@ final class SamWriteBuilder(path: String, info: LogicalWriteInfo)
 
 final class SamWrite(path: String, schema: StructType, truncate: Boolean) extends Write {
   override def toBatch: BatchWrite = new SamBatchWrite(path, schema, truncate)
+  override def toStreaming: StreamingWrite = new SamStreamingWrite(path, schema)
+}
+
+/** Streaming sink face: same per-task temp + driver-rename protocol, with
+  * the epoch id baked into the final file names (`part-<pid>-e<epoch>-
+  * <jobId>.sam`), so a replayed epoch (failure between task success and
+  * offset-log commit) overwrites its own files instead of duplicating
+  * rows — idempotent re-execution, which is what upgrades the source's
+  * exactly-once accounting into end-to-end exactly-once.
+  */
+final class SamStreamingWrite(path: String, schema: StructType) extends StreamingWrite {
+  private val jobId = UUID.randomUUID().toString.take(8)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    SamStreamingDataWriterFactory(path, schema.fieldNames, jobId,
+      SamSourceV2.confMap(SparkSession.active.sparkContext.hadoopConfiguration))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    messages.foreach {
+      case SamCommit(tmp, fin) =>
+        val t = new Path(tmp)
+        val f = new Path(fin)
+        if (fs.exists(t)) {
+          if (fs.exists(f)) fs.delete(f, false) // replayed epoch: replace
+          if (!fs.rename(t, f))
+            throw new java.io.IOException(s"epoch $epochId commit rename failed: $tmp -> $fin")
+        } else if (!fs.exists(f)) {
+          throw new java.io.IOException(
+            s"epoch $epochId lost task output: $tmp missing and $fin absent")
+        }
+      case other => throw new IllegalStateException(s"unexpected commit $other")
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    messages.foreach {
+      case SamCommit(tmp, _) => fs.delete(new Path(tmp), false)
+      case _ =>
+    }
+  }
+}
+
+final case class SamStreamingDataWriterFactory(
+    path: String, fields: Array[String], jobId: String, confMap: Map[String, String])
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    new SamDataWriter(path, fields, s"e$epochId-$jobId", partitionId, conf)
+  }
 }
 
 final class SamBatchWrite(path: String, schema: StructType, truncate: Boolean)

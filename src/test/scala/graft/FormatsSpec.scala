@@ -115,6 +115,25 @@ class FormatsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("graft-sam end-to-end streaming: source directory tailed into a sink directory") {
+    val in = Files.createTempDirectory("samsin")
+    val out = Files.createTempDirectory("samsout").toString
+    def rec(i: Int) = s"r$i\t0\tchr1\t$i\t60\t4M\t*\t0\t0\tACGT\tFFFF"
+    Files.writeString(in.resolve("a.sam"), (1 to 10).map(rec).mkString("", "\n", "\n"))
+    val ckpt = Files.createTempDirectory("samsck").toString
+    val q = spark.readStream.format("graft-sam").load(in.toString)
+      .writeStream.format("graft-sam").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(in.resolve("b.sam"), (11 to 17).map(rec).mkString("", "\n", "\n"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val result = spark.read.format("graft-sam").load(out)
+    assert(result.count() === 17)
+    assert(result.select($"pos").as[Long].collect().toSet === (1L to 17L).toSet)
+  }
+
   test("readVcfLike parses alt lists and info maps, skips headers") {
     val vcf = write("t.vcf",
       """##fileformat=VCFv4.2

@@ -84,6 +84,14 @@ class PlanSpec extends AnyFunSuite {
       "centroid cross join must broadcast the K-row centroid side")
   }
 
+  test("q58 six-table join keeps region/nation broadcast and pushes the region filter") {
+    val f = formatted("q58_multijoin_reorder")
+    assert("BroadcastHashJoin".r.findAllIn(f).size >= 2,
+      "nation and region must stay broadcast joins")
+    assert(f.contains("EqualTo(r_name,ASIA)"), "region filter must reach the scan")
+    assert(!f.contains("CartesianProduct") && !f.contains("BroadcastNestedLoop"))
+  }
+
   test("q51 per-key top-k is the custom partial/final heap operator, no sort, one exchange") {
     val p = planOf("q51_topk_per_key")
     assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"))
