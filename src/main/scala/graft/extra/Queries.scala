@@ -192,6 +192,23 @@ object Queries {
         k = 3)
     }),
 
+    // Generator/UDTF surface: posexplode fan-out (one row per token with
+    // its position) followed by a re-aggregation — the lateral-view shape
+    // (and the record-level form of the reference's per-chromosome
+    // scatter). Generate is pipelined inside codegen: no shuffle until the
+    // groupBy.
+    "q59_explode" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          posexplode(graft.text.TextOps.words(col("text"))).as(Seq("pos", "word")))
+        .groupBy(col("word"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("doc_id")).as("first_doc"),
+          min(col("pos")).as("min_pos"))
+        .filter(col("n") >= 50)
+    }),
+
     // Six-table join graph (TPC-H Q5 shape): the optimizer's join-reorder /
     // broadcast-selection showcase — two dim tables broadcast, the
     // customer-supplier nation equality closes the cycle, revenue in exact
@@ -312,6 +329,14 @@ object Queries {
   // ---- DuckDB oracles ------------------------------------------------------
 
   def oracles: Map[String, String] = Map(
+    "q59_explode" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split(text,' ')) AS word,
+        |  unnest(range(len(string_split(text,' ')))) AS pos
+        |  FROM documents)
+        |SELECT word, count(*) AS n, min(doc_id) AS first_doc,
+        |  CAST(min(pos) AS INT) AS min_pos
+        |FROM t GROUP BY word HAVING count(*) >= 50""".stripMargin,
     "q58_multijoin_reorder" ->
       """SELECT n_name, count(*) AS n_items,
         |  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
