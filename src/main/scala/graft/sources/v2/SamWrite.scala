@@ -32,66 +32,45 @@ final class SamWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new SamWrite(path, info.schema(), doTruncate)
+  override def build(): Write = new SamWrite(path, info.schema(), doTruncate, info.queryId())
 }
 
-final class SamWrite(path: String, schema: StructType, truncate: Boolean) extends Write {
+final class SamWrite(path: String, schema: StructType, truncate: Boolean, queryId: String)
+    extends Write {
   override def toBatch: BatchWrite = new SamBatchWrite(path, schema, truncate)
-  override def toStreaming: StreamingWrite = new SamStreamingWrite(path, schema)
+  override def toStreaming: StreamingWrite = {
+    // Complete-mode truncation is not implemented for this sink; accepting
+    // it (SupportsTruncate is advertised for BATCH overwrite) and then
+    // ignoring it would accumulate every epoch's full snapshot. Fail fast.
+    if (truncate) throw new UnsupportedOperationException(
+      "graft-sam streaming sink supports append output mode only")
+    new SamStreamingWrite(path, schema, queryId)
+  }
 }
 
 /** Streaming sink face: same per-task temp + driver-rename protocol, with
-  * the epoch id baked into the final file names (`part-<pid>-e<epoch>-
-  * <jobId>.sam`), so a replayed epoch (failure between task success and
-  * offset-log commit) overwrites its own files instead of duplicating
-  * rows — idempotent re-execution, which is what upgrades the source's
-  * exactly-once accounting into end-to-end exactly-once.
+  * the epoch id baked into the final file names
+  * (`part-<pid>-e<epoch>-q<queryId>.sam`), so a replayed epoch (failure
+  * between task success and offset-log commit — including a QUERY RESTART
+  * from the checkpoint) overwrites its own files instead of duplicating
+  * rows. The suffix derives from the STABLE streaming queryId, never a
+  * per-run random id: a restarted run must regenerate the same names for
+  * the replayed epoch or idempotency is lost.
   */
-final class SamStreamingWrite(path: String, schema: StructType) extends StreamingWrite {
-  private val jobId = UUID.randomUUID().toString.take(8)
+final class SamStreamingWrite(path: String, schema: StructType, queryId: String)
+    extends StreamingWrite {
+  private val sinkId = s"q${queryId.replace("-", "").take(8)}"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    SamStreamingDataWriterFactory(path, schema.fieldNames, jobId,
+    SamDataWriterFactory(path, schema.fieldNames, sinkId,
       SamSourceV2.confMap(SparkSession.active.sparkContext.hadoopConfiguration))
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val fs = new Path(path).getFileSystem(conf)
-    messages.foreach {
-      case SamCommit(tmp, fin) =>
-        val t = new Path(tmp)
-        val f = new Path(fin)
-        if (fs.exists(t)) {
-          if (fs.exists(f)) fs.delete(f, false) // replayed epoch: replace
-          if (!fs.rename(t, f))
-            throw new java.io.IOException(s"epoch $epochId commit rename failed: $tmp -> $fin")
-        } else if (!fs.exists(f)) {
-          throw new java.io.IOException(
-            s"epoch $epochId lost task output: $tmp missing and $fin absent")
-        }
-      case other => throw new IllegalStateException(s"unexpected commit $other")
-    }
-  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    SamWriteCommit.renameAll(path, messages, replaceExisting = true,
+      context = s"epoch $epochId")
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val fs = new Path(path).getFileSystem(conf)
-    messages.foreach {
-      case SamCommit(tmp, _) => fs.delete(new Path(tmp), false)
-      case _ =>
-    }
-  }
-}
-
-final case class SamStreamingDataWriterFactory(
-    path: String, fields: Array[String], jobId: String, confMap: Map[String, String])
-    extends StreamingDataWriterFactory {
-  override def createWriter(
-      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
-    val conf = new Configuration(false)
-    confMap.foreach { case (k, v) => conf.set(k, v) }
-    new SamDataWriter(path, fields, s"e$epochId-$jobId", partitionId, conf)
-  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    SamWriteCommit.deleteTemps(path, messages)
 }
 
 final class SamBatchWrite(path: String, schema: StructType, truncate: Boolean)
@@ -117,25 +96,44 @@ final class SamBatchWrite(path: String, schema: StructType, truncate: Boolean)
         }
         .foreach(st => fs.delete(st.getPath, false))
     }
+    SamWriteCommit.renameAll(path, messages, replaceExisting = false, context = "batch")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SamWriteCommit.deleteTemps(path, messages)
+}
+
+/** Shared driver-side commit/abort mechanics for the batch and streaming
+  * sink faces.
+  */
+private[v2] object SamWriteCommit {
+  private def fileSystem(path: String) =
+    new Path(path).getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+
+  def renameAll(path: String, messages: Array[WriterCommitMessage],
+                replaceExisting: Boolean, context: String): Unit = {
+    val fs = fileSystem(path)
     messages.foreach {
       case SamCommit(tmp, fin) =>
         val t = new Path(tmp)
+        val f = new Path(fin)
         if (fs.exists(t)) {
-          if (!fs.rename(t, new Path(fin)))
-            throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
-        } else if (!fs.exists(new Path(fin))) {
+          if (replaceExisting && fs.exists(f)) fs.delete(f, false) // replayed epoch
+          if (!fs.rename(t, f))
+            throw new java.io.IOException(s"$context commit rename failed: $tmp -> $fin")
+        } else if (!fs.exists(f)) {
           // A missing temp is only legal if a previous commit attempt
           // already renamed it — otherwise the partition's output is LOST
           // and the job must fail, not silently succeed.
-          throw new java.io.IOException(s"commit lost task output: $tmp missing and $fin absent")
+          throw new java.io.IOException(
+            s"$context commit lost task output: $tmp missing and $fin absent")
         }
       case other => throw new IllegalStateException(s"unexpected commit $other")
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val fs = new Path(path).getFileSystem(conf)
+  def deleteTemps(path: String, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = fileSystem(path)
     messages.foreach {
       case SamCommit(tmp, _) => fs.delete(new Path(tmp), false)
       case _ =>
@@ -145,14 +143,23 @@ final class SamBatchWrite(path: String, schema: StructType, truncate: Boolean)
 
 final case class SamCommit(tmpPath: String, finalPath: String) extends WriterCommitMessage
 
+/** Task-side writer factory for both the batch and streaming faces; the
+  * streaming path bakes the epoch into the per-writer id so replayed
+  * epochs regenerate identical final names.
+  */
 final case class SamDataWriterFactory(
     path: String, fields: Array[String], jobId: String, confMap: Map[String, String])
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val conf = new Configuration(false)
-    confMap.foreach { case (k, v) => conf.set(k, v) }
-    new SamDataWriter(path, fields, jobId, partitionId, conf)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  private def conf(): Configuration = {
+    val c = new Configuration(false)
+    confMap.foreach { case (k, v) => c.set(k, v) }
+    c
   }
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SamDataWriter(path, fields, jobId, partitionId, conf())
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new SamDataWriter(path, fields, s"e$epochId-$jobId", partitionId, conf())
 }
 
 final class SamDataWriter(
