@@ -134,6 +134,30 @@ class FormatsSpec extends AnyFunSuite {
     assert(result.select($"pos").as[Long].collect().toSet === (1L to 17L).toSet)
   }
 
+  test("graft-sam streaming sink survives a query restart without duplicating rows") {
+    val in = Files.createTempDirectory("samrin")
+    val out = Files.createTempDirectory("samrout").toString
+    val ckpt = Files.createTempDirectory("samrck").toString
+    def rec(i: Int) = s"r$i\t0\tchr1\t$i\t60\t4M\t*\t0\t0\tACGT\tFFFF"
+    def startQuery() = spark.readStream.format("graft-sam").load(in.toString)
+      .writeStream.format("graft-sam").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+
+    Files.writeString(in.resolve("a.sam"), (1 to 8).map(rec).mkString("", "\n", "\n"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart from the same checkpoint; new data plus (possibly) replayed
+    // epochs must not duplicate anything
+    Files.writeString(in.resolve("b.sam"), (9 to 12).map(rec).mkString("", "\n", "\n"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val result = spark.read.format("graft-sam").load(out)
+    assert(result.count() === 12)
+    assert(result.select($"pos").as[Long].collect().toSet === (1L to 12L).toSet)
+  }
+
   test("readVcfLike parses alt lists and info maps, skips headers") {
     val vcf = write("t.vcf",
       """##fileformat=VCFv4.2
