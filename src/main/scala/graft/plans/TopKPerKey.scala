@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator extension (prompt preference order c): per-key top-k as a
   * first-class logical + physical operator, registered through
@@ -82,6 +83,12 @@ final case class TopKPerKeyExec(
     else if (keys.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(keys))
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numKeys" -> SQLMetrics.createMetric(sparkContext, "tracked keys"),
+    "passThroughRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows passed through unreduced (partial key cap)"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val inputAttrs = child.output
     val keyExprs = keys
@@ -90,6 +97,9 @@ final case class TopKPerKeyExec(
     val maxKeys =
       if (partial) conf.getConfString("spark.graft.topk.maxPartialKeys", "65536").toInt
       else Int.MaxValue
+    val outRows = longMetric("numOutputRows")
+    val keyCount = longMetric("numKeys")
+    val passRows = longMetric("passThroughRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, inputAttrs)
       val rowOrd: Ordering[InternalRow] =
@@ -114,10 +124,15 @@ final case class TopKPerKeyExec(
             h.enqueue(row.copy())
             heaps.put(keyProj(row).copy(), h)
             Iterator.empty
-          case None => Iterator.single(row)
+          case None =>
+            passRows += 1
+            Iterator.single(row)
         }
       }
-      passThrough ++ heaps.valuesIterator.flatMap(_.iterator)
+      (passThrough ++ {
+        keyCount += heaps.size
+        heaps.valuesIterator.flatMap(_.iterator)
+      }).map { r => outRows += 1; r }
     }, preservesPartitioning = true)
   }
 
