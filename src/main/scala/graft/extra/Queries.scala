@@ -192,6 +192,20 @@ object Queries {
         k = 3)
     }),
 
+    // Salted skew join (Scale.saltedJoin): fact rows salted, dim replicated
+    // per salt, join on (key, salt) — row-identical to the plain join the
+    // oracle runs, but a hot key spreads over `salts` reducers. sort_array
+    // on the dim's small payload keeps nothing order-dependent.
+    "q60_salted_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Scale.saltedJoin(
+          t.lineitem.withColumnRenamed("l_partkey", "p_partkey"),
+          t.part.select(col("p_partkey"), col("p_brand")), "p_partkey", salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice"))).as("price_floor_sum"))
+    }),
+
     // Generator/UDTF surface: posexplode fan-out (one row per token with
     // its position) followed by a re-aggregation — the lateral-view shape
     // (and the record-level form of the reference's per-chromosome
@@ -329,6 +343,11 @@ object Queries {
   // ---- DuckDB oracles ------------------------------------------------------
 
   def oracles: Map[String, String] = Map(
+    "q60_salted_join" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_floor_sum
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
     "q59_explode" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(string_split(text,' ')) AS word,

@@ -65,6 +65,25 @@ object Scale {
   def countMinSketch(df: DataFrame, colName: String, eps: Double, confidence: Double, seed: Int) =
     df.stat.countMinSketch(colName, eps, confidence, seed)
 
+  /** Salted equi-join for EXTREME key skew: the fact side gets a
+    * deterministic-per-row salt in [0, salts), the dim side is replicated
+    * once per salt value, and the join key becomes (key, salt) — a single
+    * hot key's rows now spread over `salts` reducers instead of one. Row
+    * set is identical to the plain join (every fact row meets every dim
+    * row of its key exactly once, whatever its salt). This is the explicit
+    * form of what AQE's skew-join split does at runtime; use it when the
+    * skew is known ahead of time or AQE's thresholds don't trigger (e.g.
+    * one key is 90% of a 100 TB fact table). Cost: dim side ×salts.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val salted = fact.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val dimExp = dim.withColumn("__salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    salted.join(dimExp, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Bloom-prefiltered semi join — THE 100 TB shape for "keep fact rows
     * whose key exists in a large-ish dim": build a Bloom filter over the
     * dim keys (one pass, mergeable partials), broadcast the bits (MBs even

@@ -41,6 +41,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(cms.estimateCount("hh") >= 500L)
   }
 
+  test("saltedJoin is row-identical to the plain join on skewed data") {
+    // one hot key carrying 90% of the fact side
+    val fact = ((1 to 900).map(_ => (7, "hot")) ++ (1 to 100).map(i => (i % 5, s"x$i")))
+      .toDF("k", "payload")
+    val dim = (0 to 9).map(i => (i, s"d$i")).toDF("k", "name")
+    val salted = Scale.saltedJoin(fact, dim, "k", salts = 4)
+      .select("k", "payload", "name").as[(Int, String, String)].collect()
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "payload", "name").as[(Int, String, String)].collect()
+    assert(salted.sorted.toSeq === plain.sorted.toSeq) // multiset equality
+  }
+
   test("bloomSemiJoin result is identical to a plain semi join") {
     val fact = (1 to 2000).map(i => (i.toLong % 97, i)).toDF("k", "v")
     val dim = (0 to 96 by 3).map(_.toLong).toDF("k")
