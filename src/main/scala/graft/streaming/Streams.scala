@@ -34,40 +34,65 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
 
-  final case class SessEvent(user_id: Long, ts_us: Long)
-  final case class SessState(sessions: Long, events: Long, lastTsUs: Long)
-  final case class SessUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessState(sessions: Long, events: Long, lastTsMs: Long)
+  final case class SessUpdate(user_id: Long, n_sessions: Long, n_events: Long, closed: Boolean)
 
   /** Stateful gap sessionization (batch-equivalent: q36_sessionize /
     * Events.sessionize): per-user session counting with a `gapSec`
     * inactivity gap, state kept per key in the state store and emitted on
     * every update (Update output mode).
     *
-    * State is O(1) per user (three longs) — the mapGroupsWithState
-    * contract that keeps this viable with hundreds of millions of keys.
+    * State is O(1) per user (three longs) AND the key set is bounded: the
+    * stream is watermarked and the state uses `EventTimeTimeout` with the
+    * timeout set to `lastSeen + gap`, so once the watermark passes an
+    * inactive user's gap the key fires a final `closed = true` update and
+    * its state is REMOVED from the store. Without eviction (the
+    * `NoTimeout` formulation) per-key state lives forever and a
+    * long-running stream with an unbounded user population OOMs the state
+    * store — eviction is what makes this viable at 100 TB/day event
+    * volumes, the same watermark contract that bounds the windowed aggs
+    * above.
     */
-  def sessionizeStream(events: Dataset[SessEvent], gapSec: Long)(
+  def sessionizeStream(events: Dataset[SessEvent], gapSec: Long,
+                       lateness: String = "10 minutes")(
       implicit s: SparkSession): Dataset[SessUpdate] = {
     import s.implicits._
-    val gapUs = gapSec * 1000000L
+    val gapMs = gapSec * 1000L
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessState, SessUpdate](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessState, SessUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid, batch, state: GroupState[SessState]) =>
-          // Within a micro-batch, order by event time (cross-batch disorder
-          // beyond the gap is an accepted approximation of true streaming
-          // sessionization; exact semantics need event-time timeouts).
-          val evs = batch.toArray.sortBy(_.ts_us)
-          var st = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue))
-          evs.foreach { e =>
-            val newSession = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
-            st = SessState(
-              st.sessions + (if (newSession) 1 else 0),
-              st.events + 1,
-              math.max(st.lastTsUs, e.ts_us))
+          if (state.hasTimedOut) {
+            // Watermark passed lastSeen + gap: the session can never be
+            // extended (later events would be dropped as late) — emit the
+            // final summary and evict the key.
+            val st = state.get
+            state.remove()
+            Iterator.single(SessUpdate(uid, st.sessions, st.events, closed = true))
+          } else {
+            // Within a micro-batch, order by event time (cross-batch
+            // disorder inside the lateness bound is handled by the
+            // watermark holding the timeout open).
+            val evs = batch.toArray.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue))
+            evs.foreach { e =>
+              val tsMs = e.ts.getTime
+              val newSession = st.lastTsMs == Long.MinValue || tsMs - st.lastTsMs > gapMs
+              st = SessState(
+                st.sessions + (if (newSession) 1 else 0),
+                st.events + 1,
+                math.max(st.lastTsMs, tsMs))
+            }
+            state.update(st)
+            // Timeout must be strictly beyond the current watermark or
+            // Spark rejects it (the key would time out immediately anyway).
+            state.setTimeoutTimestamp(
+              math.max(st.lastTsMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(SessUpdate(uid, st.sessions, st.events, closed = false))
           }
-          state.update(st)
-          SessUpdate(uid, st.sessions, st.events)
       }
   }
 

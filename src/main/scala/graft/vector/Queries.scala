@@ -16,6 +16,16 @@ object Queries {
   private val Dims = 64
   private val SigBits = 8
   private val Centroids = 8
+  // q61 banding: 8 bands × 6 bits = 48 hyperplanes. Noise: a random pair
+  // (cos≈0) collides in a band with (1/2)⁶ ≈ 1.6%, so candidates ≈ 12.5%
+  // of all pairs at this weak τ=0.5 threshold (measured 12.7% on the test
+  // embeddings); at a production near-dup threshold (cos ≥ 0.9, per-bit
+  // agreement p = 1-arccos(0.9)/π ≈ 0.86) the same parameters give
+  // 1-(1-0.86⁶)⁸ ≈ 0.98 recall with the same 1.6%/band noise — the knobs
+  // (bands, rowBits) trade recall for candidate volume exactly as in
+  // MinHash LSH (text/Dedup.scala banding math).
+  private val Bands = 8
+  private val RowBits = 6
 
   /** (vec_id, q: array<long>, n2: long) — quantized vectors with norms.
     * Dot products through the native `vector_dot` expression (identical
@@ -72,10 +82,12 @@ object Queries {
         .select(col("a_id"), col("b_id"), col("rank"), col("sim"))
     }),
 
-    // Embedding-cosine near-dup pairs: cos ≥ 0.5 decided ENTIRELY on
-    // integers (dot > 0 ∧ 4·dot² ≥ na·nb ⟺ cos ≥ 1/2; all terms < 2⁶³ at
-    // this quantization) — the embedding leg of the dedup taxonomy, with
-    // the same keep-smallest-id survivor convention as q26.
+    // Embedding-cosine near-dup pairs, EXACT brute-force baseline: cos ≥ 0.5
+    // decided ENTIRELY on integers (dot > 0 ∧ 4·dot² ≥ na·nb ⟺ cos ≥ 1/2;
+    // all terms < 2⁶³ at this quantization). Like q27 this is the O(n²)
+    // correctness reference the bucketed path is judged against — the
+    // PRODUCTION embedding leg of the dedup taxonomy is q61 (LSH-banded,
+    // equi-join, never all-pairs).
     "q45_embed_neardup" -> ((s, dir) => {
       val e = prepared(s, dir)
       withSim(
@@ -117,6 +129,43 @@ object Queries {
         .select(col("a_id"), col("b_id"), col("rank"), col("sim"))
     }),
 
+    // Bucketed embedding near-dup — the 100 TB production path (q45's
+    // semantics without the all-pairs join). Shape mirrors the MinHash text
+    // dedup (q24): map-only 48-bit hyperplane signature → band explode →
+    // band-key equi self-join (the ONLY shuffle that grows with n; keys are
+    // 8 bands × 64 buckets, hash-partitioned) → distinct candidates → exact
+    // integer-cosine verify on candidates only. No broadcast of the table,
+    // no nested loop — plan-asserted in PlanSpec. False positives die in
+    // the verify; false negatives are governed by the (Bands, RowBits)
+    // recall math above and mirrored bit-for-bit by the DuckDB oracle (the
+    // md5-derived hyperplanes are engine-identical), so the oracle checks
+    // the banded result exactly.
+    "q61_embed_lsh_neardup" -> ((s, dir) => {
+      val e = prepared(s, dir)
+        .withColumn("sig", VectorOps.hyperplaneSig(col("q"), Bands * RowBits, Dims))
+      val mask = lit(((1 << RowBits) - 1).toLong)
+      val banded = e.select(
+        col("vec_id"),
+        posexplode(array((0 until Bands).map(b =>
+          shiftright(col("sig"), b * RowBits).bitwiseAND(mask)): _*))
+          .as(Seq("band_idx", "band_key")))
+      val cand = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_vid"), col("y.vec_id").as("b_vid"))
+        .distinct()
+      val side = e.select(col("vec_id"), col("q"), col("n2"))
+      withSim(
+        cand
+          .join(side.as("a"), col("a_vid") === col("a.vec_id"))
+          .join(side.as("b"), col("b_vid") === col("b.vec_id")))
+        .filter(col("dot_q") > 0 &&
+          lit(4) * col("dot_q") * col("dot_q") >= col("na") * col("nb"))
+        .select(col("a_id"), col("b_id"), col("dot_q"), col("sim"))
+    }),
+
     // LSH-bucketed ANN (the 100 TB scale path): 8-bit random-hyperplane
     // signature, candidates restricted to the same bucket, best match per
     // query. Shuffles on the signature instead of materializing n² pairs.
@@ -147,12 +196,14 @@ object Queries {
   private val dotExpr =
     "CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i])) AS BIGINT)"
 
-  private val sigExpr = (0 until SigBits).map { i =>
+  private def sigExprOf(bits: Int): String = (0 until bits).map { i =>
     s"""(CASE WHEN list_sum(list_transform(range(1, len(q)+1),
        |    j -> q[j] * (CASE WHEN ('0x'||substr(md5('$i:'||j),1,1))::INT % 2 = 1
        |                 THEN 1 ELSE -1 END))) > 0
        |  THEN ${1L << i} ELSE 0 END)""".stripMargin
   }.mkString(" +\n  ")
+
+  private val sigExpr = sigExprOf(SigBits)
 
   def oracles: Map[String, String] = Map(
     "q50_ann_ivf" ->
@@ -200,6 +251,23 @@ object Queries {
          |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
          |    a.n2 na, b.n2 nb
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, dot_q,
+         |  CAST(dot_q AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS sim
+         |FROM p WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb""".stripMargin,
+    "q61_embed_lsh_neardup" ->
+      s"""WITH $quantCte,
+         |sigs AS (SELECT vec_id, q, n2, CAST(${sigExprOf(Bands * RowBits)} AS BIGINT) AS sig
+         |  FROM n),
+         |banded AS (SELECT vec_id, b.band_idx,
+         |    (sig >> (b.band_idx * $RowBits)) & ${(1 << RowBits) - 1} AS band_key
+         |  FROM sigs, (SELECT unnest(range($Bands)) AS band_idx) b),
+         |cand AS (SELECT DISTINCT x.vec_id AS a_vid, y.vec_id AS b_vid
+         |  FROM banded x JOIN banded y
+         |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         |    AND x.vec_id < y.vec_id),
+         |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+         |    a.n2 na, b.n2 nb
+         |  FROM cand JOIN sigs a ON a_vid = a.vec_id JOIN sigs b ON b_vid = b.vec_id)
          |SELECT a_id, b_id, dot_q,
          |  CAST(dot_q AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS sim
          |FROM p WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb""".stripMargin,

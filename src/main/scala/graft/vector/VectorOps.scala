@@ -64,7 +64,7 @@ object VectorOps {
     }
     val bitCols = (0 until bits).map { i =>
       val plane = typedlit((1 to dims).map(j => sign(i, j)))
-      when(graft.functions.VectorDot.of(q, plane) > 0, lit((1 << i).toLong))
+      when(graft.functions.VectorDot.of(q, plane) > 0, lit(1L << i))
         .otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)

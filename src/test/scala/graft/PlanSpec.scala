@@ -65,6 +65,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!planOf("q49_simhash_pairs").contains("BroadcastNestedLoop"))
   }
 
+  test("q61 embedding LSH candidate join is an equi join, never all-pairs") {
+    val p = planOf("q61_embed_lsh_neardup")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "banded candidate join must hash on (band_idx, band_key), not evaluate n² pairs")
+  }
+
   test("q27 evaluates vector_dot inside whole-stage codegen") {
     // Codegen spans only exist in the FINAL adaptive plan — run the query
     // through its OWN QueryExecution first (a DataFrameWriter would build a

@@ -100,15 +100,47 @@ class StreamingSpec extends AnyFunSuite {
     val q = Streams.toMemorySink(
       Streams.sessionizeStream(mem.toDS(), gapSec = 1800L).toDF(), "sess_test")
     try {
-      mem.addData(Streams.SessEvent(1L, 0L), Streams.SessEvent(1L, 100L * 1000000))
+      // Start above t=0: the initial watermark is 0 and the stateful op's
+      // late-data filter drops rows with ts <= watermark (boundary inclusive).
+      mem.addData(Streams.SessEvent(1L, ts(10)), Streams.SessEvent(1L, ts(100)))
       q.processAllAvailable()
-      mem.addData(Streams.SessEvent(1L, 10000L * 1000000)) // > gap → new session
+      mem.addData(Streams.SessEvent(1L, ts(10000))) // > gap → new session
       q.processAllAvailable()
       val got = spark.table("sess_test")
         .groupBy("user_id").agg(max("n_sessions").as("s"), max("n_events").as("e"))
         .as[(Long, Long, Long)].collect()
         .map { case (u, s2, e) => u -> ((s2, e)) }.toMap
       assert(got(1L) === ((2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("sessionization evicts inactive keys once the watermark passes their gap") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streams.SessEvent]
+    val q = Streams.toMemorySink(
+      Streams.sessionizeStream(mem.toDS(), gapSec = 600L, lateness = "1 minute").toDF(),
+      "sess_evict")
+    try {
+      // ts > 0: rows with ts <= the initial watermark (0) are dropped late.
+      mem.addData(Streams.SessEvent(1L, ts(5)), Streams.SessEvent(2L, ts(10)))
+      q.processAllAvailable() // both keys live; watermark ≈ 0
+      def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows === 2L)
+      // user 2 keeps going far in the future → watermark passes user 1's
+      // timeout (5 + 600 s) after this batch commits...
+      mem.addData(Streams.SessEvent(2L, ts(100000)))
+      q.processAllAvailable()
+      // ...and the NEXT batch fires the timeout: user 1 is emitted closed
+      // and evicted from the store.
+      mem.addData(Streams.SessEvent(2L, ts(100010)))
+      q.processAllAvailable()
+      assert(stateRows === 1L, "inactive key must be evicted from the state store")
+      val closed = spark.table("sess_evict")
+        .filter(col("closed"))
+        .select("user_id", "n_sessions", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(closed === Set((1L, 1L, 1L)), "evicted key emits one final closed summary")
     } finally q.stop()
   }
 }

@@ -51,6 +51,20 @@ class VectorSpec extends AnyFunSuite {
     assert(row === ((None, None)))
   }
 
+  test("q61 banded near-dup pairs are a subset of the exact q45 pairs") {
+    // sf0.01, not sf0.001: the smallest scale has ZERO exact cos>=0.5 pairs,
+    // so only sf0.01 exercises the recall side of the subset relation.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    def pairs(q: String) = SparkEntry.queries(q)(spark, dir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val banded = pairs("q61_embed_lsh_neardup")
+    val exact = pairs("q45_embed_neardup")
+    assert(banded.subsetOf(exact),
+      "LSH banding may drop pairs (false negatives) but must never invent one")
+    assert(banded.nonEmpty, "test data has at least one banded cos>=0.5 pair")
+  }
+
   test("hyperplane signature is deterministic and bucket-stable") {
     val df = Seq(
       (1L, Seq.fill(8)(0.25f)),
