@@ -65,6 +65,35 @@ class VectorSpec extends AnyFunSuite {
     assert(banded.nonEmpty, "test data has at least one banded cos>=0.5 pair")
   }
 
+  test("ANN recall@k rises monotonically with the probe knobs") {
+    // Recall is DETERMINISTIC here: hyperplanes are md5-derived, centroids
+    // are the lowest-id vectors, ties break on id — so floors can sit just
+    // under the measured values (sf0.01, 50 queries, k=10: IVF nprobe
+    // 1/2/4 → 0.328/0.498/0.744; LSH radius 0→1 → 0.026/0.110. The
+    // absolute levels are a property of the near-random test embeddings —
+    // top-10 "neighbors" of a random vector are barely more similar than
+    // the bulk, the hardest regime for LSH — what the harness pins is the
+    // SHAPE: more probes, more recall, approaching 1.0 as probes → cells).
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val nq = 50; val k = 10
+    val exact = graft.vector.Ann.exactTopK(spark, dir, nq, k).cache()
+    try {
+      def r(df: org.apache.spark.sql.DataFrame): Double =
+        graft.vector.Ann.recallAtK(df, exact)
+      val np1 = r(graft.vector.Ann.ivfTopK(spark, dir, nq, k, nCentroids = 8, nprobe = 1))
+      val np2 = r(graft.vector.Ann.ivfTopK(spark, dir, nq, k, nCentroids = 8, nprobe = 2))
+      val np4 = r(graft.vector.Ann.ivfTopK(spark, dir, nq, k, nCentroids = 8, nprobe = 4))
+      assert(np1 >= 0.30, s"IVF nprobe=1 recall $np1")
+      assert(np2 >= np1 && np4 >= np2, s"IVF recall must not drop with nprobe: $np1 $np2 $np4")
+      assert(np4 >= 0.70, s"IVF nprobe=4 recall $np4")
+      val r0 = r(graft.vector.Ann.lshTopK(spark, dir, nq, k, bits = 8, probeRadius = 0))
+      val r1 = r(graft.vector.Ann.lshTopK(spark, dir, nq, k, bits = 8, probeRadius = 1))
+      assert(r1 >= r0, s"multi-probe must not lose recall: $r0 -> $r1")
+      assert(r1 >= 0.10, s"LSH radius-1 recall $r1")
+    } finally exact.unpersist()
+  }
+
   test("hyperplane signature is deterministic and bucket-stable") {
     val df = Seq(
       (1L, Seq.fill(8)(0.25f)),
