@@ -87,35 +87,50 @@ object Dedup {
     * re-analysis + whole-stage-codegen of the growing plan — letting 3
     * rounds accumulate before a checkpoint made the round-3 plan cost ~19 s
     * of pure compilation. So: (1) the LSH pipeline is materialized ONCE via
-    * an eager localCheckpoint (also avoids computing it twice through the
+    * an eager checkpoint (also avoids computing it twice through the
     * symmetric union), and (2) `labels` is checkpointed EVERY round, keeping
     * plan depth — and therefore planning/codegen time — constant per round.
+    *
+    * Durability: if the session has a checkpoint dir configured
+    * (`sc.setCheckpointDir`, i.e. a reliable store — HDFS/S3 on a real
+    * cluster), every materialization is a RELIABLE `checkpoint()`: a
+    * multi-round job survives executor loss, which localCheckpoint does
+    * not (executor-local blocks die with the executor, and the truncated
+    * lineage makes recompute impossible — the whole job fails). Without a
+    * checkpoint dir it falls back to `localCheckpoint` (the right default
+    * for single-JVM/test runs where replication is meaningless). Set the
+    * dir in production.
     *
     * Returns (doc_id, cluster_id = min doc_id reachable in `iterations`
     * hops) for every doc appearing in a near-dup pair.
     */
   def nearDupClusters(docs: DataFrame, iterations: Int = 6): DataFrame = {
-    val pairs = nearDupPairs(docs)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
+    val pairs = materialize(nearDupPairs(docs)
+      .select(col("doc_a"), col("doc_b")))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var labels = materialize(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     for (_ <- 1 to iterations) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("dl")), Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("dl")).as("nl"))
-      labels = labels
+      labels = materialize(labels
         .join(nbrMin.select(col("src").as("node"), col("nl")), Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Eager lineage cut, reliable when the session can be: `checkpoint()`
+    * to the configured checkpoint dir (survives executor loss), else
+    * `localCheckpoint` (executor-local, test/single-JVM fallback).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   /** Near-dup survivorship: keep the smallest doc_id of each near-dup
     * pair-chain's local comparisons (a doc is a duplicate iff it has ANY

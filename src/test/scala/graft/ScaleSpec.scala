@@ -53,6 +53,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.sorted.toSeq === plain.sorted.toSeq) // multiset equality
   }
 
+  test("AQE skew-join splits the hot partition on the default (unsalted) path") {
+    // COVERAGE O10-O12 says "AQE first, salting second" — this is the
+    // evidence for the FIRST line: a plain equi join over a hot key, no
+    // salting, and OptimizeSkewedJoin splits the oversized partition at
+    // runtime. Thresholds are lowered to make a unit-test-sized hot
+    // partition (≈4 MB vs ≈20 KB siblings) cross the same relative bars a
+    // 100 TB hot partition crosses in production (factor × median AND
+    // absolute threshold), then the final adaptive plan must carry the
+    // skew=true marker on the join.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    // Option(...) : conf.get returns a literal null for confs whose
+    // default defers to another conf (adaptive.autoBroadcastJoinThreshold)
+    val saved = keys.map(k => k -> scala.util.Try(Option(conf.get(k))).toOption.flatten).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      val pad = "x" * 64
+      val left = spark.range(0, 60000).select(
+        when(col("id") < 50000, lit(0L)).otherwise(col("id") % 64).as("k"),
+        concat(lit(pad), col("id").cast("string")).as("payload"))
+      val right = spark.range(0, 64).select(col("id").as("k"), (col("id") * 2).as("rv"))
+      val joined = left.join(right, "k")
+      // execute THIS DataFrame's QueryExecution (a DataFrameWriter builds
+      // its own) so its AdaptiveSparkPlan finalizes in place
+      assert(joined.collect().length === 60000) // row fidelity through the split
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"final adaptive plan must show the skew-split join, got:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("bloomSemiJoin result is identical to a plain semi join") {
     val fact = (1 to 2000).map(i => (i.toLong % 97, i)).toDF("k", "v")
     val dim = (0 to 96 by 3).map(_.toLong).toDF("k")

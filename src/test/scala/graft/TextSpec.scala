@@ -113,6 +113,44 @@ class TextSpec extends AnyFunSuite {
     assert(withNull === 0L)
   }
 
+  test("nearDupClusters uses reliable checkpoints when a checkpoint dir is set") {
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, common + " tail one"),
+      (2L, common + " tail two"),  // near-dup of 1
+      (3L, common + " tail three"), // near-dup of 1 and 2 → one cluster {1,2,3}
+      (4L, (100 to 140).map(i => s"v$i").mkString(" ")))
+    val expected = Set((1L, 1L), (2L, 1L), (3L, 1L))
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite assumes no global checkpoint dir")
+    // Fallback path (no dir): localCheckpoint.
+    val viaLocal = Dedup.nearDupClusters(d).as[(Long, Long)].collect().toSet
+    assert(viaLocal === expected)
+    // Reliable path: with a dir set, the same computation must (a) be
+    // byte-identical in its result and (b) actually write RDD checkpoint
+    // files to the dir (the durability evidence).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    sc.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val viaReliable = Dedup.nearDupClusters(d).as[(Long, Long)].collect().toSet
+      assert(viaReliable === expected)
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(dir).nonEmpty, "reliable checkpoint must persist RDD blocks to the dir")
+    } finally {
+      // restore the no-dir default for the rest of the (shared-session) suite
+      val f = classOf[org.apache.spark.SparkContext].getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("langId picks the profile with most hits, und when none") {
     val d = docs((1L, "the cat and the dog of a town"), (2L, "qqq zzz www"))
       .select(col("doc_id"), TextOps.langId(TextOps.words(col("text"))).as("lang"))
