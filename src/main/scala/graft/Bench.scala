@@ -36,9 +36,14 @@ object Bench {
       elapsed
     }
 
+    // Optional subset (comma-separated names) for scaling runs — absent in
+    // the driver's per-round invocation, so the contract is unchanged.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => subset.forall(_.contains(n)))
     // Warm-up (untimed): compile/JIT every query shape on the small SF.
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).exists()) names.foreach(exec(_, warmDir))
 
     val results = names.map { name =>

@@ -41,6 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: topk_values(<bigint col>, <int literal k>)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(b: Int, IntegerType), Literal(d: Int, IntegerType)) =>
+          HyperplaneSig(c, b, d)
+        case _ => throw new IllegalArgumentException(
+          "usage: hyperplane_sig(array<bigint>, <int literal bits>, <int literal dims>)")
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((

@@ -140,31 +140,7 @@ object Queries {
     // recall math above and mirrored bit-for-bit by the DuckDB oracle (the
     // md5-derived hyperplanes are engine-identical), so the oracle checks
     // the banded result exactly.
-    "q61_embed_lsh_neardup" -> ((s, dir) => {
-      val e = prepared(s, dir)
-        .withColumn("sig", VectorOps.hyperplaneSig(col("q"), Bands * RowBits, Dims))
-      val mask = lit(((1 << RowBits) - 1).toLong)
-      val banded = e.select(
-        col("vec_id"),
-        posexplode(array((0 until Bands).map(b =>
-          shiftright(col("sig"), b * RowBits).bitwiseAND(mask)): _*))
-          .as(Seq("band_idx", "band_key")))
-      val cand = banded.as("x")
-        .join(banded.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a_vid"), col("y.vec_id").as("b_vid"))
-        .distinct()
-      val side = e.select(col("vec_id"), col("q"), col("n2"))
-      withSim(
-        cand
-          .join(side.as("a"), col("a_vid") === col("a.vec_id"))
-          .join(side.as("b"), col("b_vid") === col("b.vec_id")))
-        .filter(col("dot_q") > 0 &&
-          lit(4) * col("dot_q") * col("dot_q") >= col("na") * col("nb"))
-        .select(col("a_id"), col("b_id"), col("dot_q"), col("sim"))
-    }),
+    "q61_embed_lsh_neardup" -> ((s, dir) => bandedNearDup(s, dir, Bands, RowBits)),
 
     // LSH-bucketed ANN (the 100 TB scale path): 8-bit random-hyperplane
     // signature, candidates restricted to the same bucket, best match per
@@ -183,6 +159,45 @@ object Queries {
         .select(col("a_id"), col("b_id"), col("sim"))
     })
   )
+
+  /** Parameterized banded embedding near-dup (cos ≥ 0.5 pairs; the body
+    * behind q61). `rowBits` is THE scale knob: buckets per band =
+    * 2^rowBits, so per-band candidate volume is ~n²/2^(rowBits+1) —
+    * size it as rowBits ≈ log₂(n / targetBucketSize) so bucket occupancy
+    * (and with it the only super-linear term) stays constant as n grows.
+    * `bands` then buys recall: 1-(1-p^rowBits)^bands with p = 1-θ/π the
+    * per-hyperplane agreement at the target similarity. bands·rowBits ≤ 63
+    * (single-long signature; the DuckDB oracle mirrors any such setting).
+    * The q61 defaults (8×6) size 64 buckets/band to the THOUSANDS-of-rows
+    * test tables; at 10⁹ rows the same recall/noise point wants e.g.
+    * rowBits ≈ 24 at a production (high-τ, p→1) threshold.
+    */
+  def bandedNearDup(s: SparkSession, dir: String, bands: Int, rowBits: Int): DataFrame = {
+    require(bands * rowBits <= 63, "signature must fit one long")
+    val e = prepared(s, dir)
+      .withColumn("sig", VectorOps.hyperplaneSig(col("q"), bands * rowBits, Dims))
+    val mask = lit(((1L << rowBits) - 1))
+    val banded = e.select(
+      col("vec_id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rowBits).bitwiseAND(mask)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_vid"), col("y.vec_id").as("b_vid"))
+      .distinct()
+    val side = e.select(col("vec_id"), col("q"), col("n2"))
+    withSim(
+      cand
+        .join(side.as("a"), col("a_vid") === col("a.vec_id"))
+        .join(side.as("b"), col("b_vid") === col("b.vec_id")))
+      .filter(col("dot_q") > 0 &&
+        lit(4) * col("dot_q") * col("dot_q") >= col("na") * col("nb"))
+      .select(col("a_id"), col("b_id"), col("dot_q"), col("sim"))
+  }
 
   // ---- DuckDB oracles ------------------------------------------------------
 

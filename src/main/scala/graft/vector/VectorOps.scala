@@ -49,12 +49,23 @@ object VectorOps {
     * md5 expression in SQL). Signature bit i = [⟨plane_i, q⟩ > 0], an exact
     * integer decision.
     *
-    * The sign matrix is data-independent, so it is materialized ONCE on the
-    * driver and shipped as literal arrays; each bit is then one native
-    * `vector_dot` against a constant — no per-row md5, no interpreted
-    * lambda (the expression-per-element version cost ~100 ms/row).
+    * Computed by the native one-pass [[graft.functions.HyperplaneSig]]
+    * expression (sign matrix materialized once per task, bits×dims fused
+    * multiply-adds per row) — bit-identical to
+    * [[hyperplaneSigDeclarative]], which is kept as the executable spec:
+    * at 48+ bits the declarative sum-of-vector_dots is a multi-hundred-KB
+    * codegen unit that falls out of whole-stage codegen and evaluates as
+    * an interpreted tree (~18× slower, measured at 48 bits × 200k rows).
     */
-  def hyperplaneSig(q: Column, bits: Int, dims: Int): Column = {
+  def hyperplaneSig(q: Column, bits: Int, dims: Int): Column =
+    graft.functions.HyperplaneSig.of(q, bits, dims)
+
+  /** Declarative formulation of [[hyperplaneSig]] (executable spec for the
+    * parity test): the sign matrix is materialized on the driver and
+    * shipped as literal arrays; each bit is one `vector_dot` against a
+    * constant.
+    */
+  def hyperplaneSigDeclarative(q: Column, bits: Int, dims: Int): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(i: Int, j: Int): Long = {
       md.reset()

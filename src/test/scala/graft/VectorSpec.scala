@@ -94,6 +94,31 @@ class VectorSpec extends AnyFunSuite {
     } finally exact.unpersist()
   }
 
+  test("native hyperplane_sig equals the declarative formulation (8, 48 and 63 bit)") {
+    val dims = 16
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 40L).map(i => (i, Seq.fill(dims)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
+    for (bits <- Seq(8, 48, 63)) {
+      val got = df.select(col("vec_id"),
+          VectorOps.hyperplaneSig(col("q"), bits, dims).as("native"),
+          VectorOps.hyperplaneSigDeclarative(col("q"), bits, dims).as("declarative"))
+        .as[(Long, Long, Long)].collect()
+      got.foreach { case (id, n, d) => assert(n === d, s"vec $id at $bits bits") }
+    }
+    // declarative-parity on a length-mismatched vector: both yield 0
+    val short = Seq((1L, Seq(1000L, -2000L))).toDF("vec_id", "q")
+      .select(
+        VectorOps.hyperplaneSig(col("q"), 8, dims).as("n"),
+        VectorOps.hyperplaneSigDeclarative(col("q"), 8, dims).as("d"))
+      .as[(Long, Long)].head()
+    assert(short === ((0L, 0L)))
+    // resolvable from plain SQL through the registry
+    val viaSql = spark.sql("SELECT hyperplane_sig(array(5L, -3L), 4, 2) AS s").as[Long].head()
+    assert(viaSql >= 0L && viaSql < 16L)
+  }
+
   test("hyperplane signature is deterministic and bucket-stable") {
     val df = Seq(
       (1L, Seq.fill(8)(0.25f)),
