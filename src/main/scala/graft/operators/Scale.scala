@@ -94,20 +94,30 @@ object Scale {
     * shuffle moves only ~|matches| + fpp·|fact| rows instead of |fact|.
     * Spark's runtime row-level filtering does this automatically for some
     * shuffle joins; this is the explicit, always-on form. The membership
-    * probe is a scala UDF by necessity (mightContain has no public builtin
-    * expression) — it guards the prefilter only, never the semantics.
+    * probe is Spark's own codegen'd [[org.apache.spark.sql.catalyst
+    * .expressions.BloomFilterMightContain]] — the expression the optimizer
+    * plans for its automatic runtime filters, reused here directly (via
+    * graftx.Bridge) with the serialized filter as a binary literal, so the
+    * probe stays inside whole-stage codegen instead of falling out to a
+    * ScalaUDF call per row.
     */
   def bloomSemiJoin(
       fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftx.Bridge
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    // The filter rides in the UDF closure → shipped once per stage via the
-    // task binary and garbage-collected with the query plan. An explicit
-    // sparkContext.broadcast would pin the bits on every executor for the
-    // session lifetime (nothing here could ever destroy() it).
-    val might = udf((k: Long) => bf.mightContainLong(k))
+    // The serialized bits ride in the plan as a literal → shipped once per
+    // stage via the task binary and garbage-collected with the query plan.
+    // An explicit sparkContext.broadcast would pin them on every executor
+    // for the session lifetime (nothing here could ever destroy() it).
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val might = Bridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray),
+      Bridge.expression(fact.sparkSession, col(factKey).cast("long"))))
     fact
-      .filter(might(col(factKey)))
+      .filter(might)
       .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
   }
 }

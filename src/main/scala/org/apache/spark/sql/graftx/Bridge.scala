@@ -34,4 +34,13 @@ object Bridge {
     */
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDataset[_]].queryExecution.analyzed
+
+  /** Public Column over a raw Catalyst expression — the inverse of
+    * [[expression]]. Needed to use internal codegen'd expressions Spark
+    * ships but doesn't expose as functions (e.g.
+    * `BloomFilterMightContain`, which otherwise exists only inside the
+    * optimizer's runtime-filter rewrite).
+    */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -99,11 +99,24 @@ class ScaleSpec extends AnyFunSuite {
   test("bloomSemiJoin result is identical to a plain semi join") {
     val fact = (1 to 2000).map(i => (i.toLong % 97, i)).toDF("k", "v")
     val dim = (0 to 96 by 3).map(_.toLong).toDF("k")
-    val bloomed = Scale.bloomSemiJoin(fact, "k", dim, "k", 100L, 0.03)
-      .as[(Long, Int)].collect().toSet
+    val q = Scale.bloomSemiJoin(fact, "k", dim, "k", 100L, 0.03)
+    val bloomed = q.as[(Long, Int)].collect().toSet
     val plain = fact.join(dim, Seq("k"), "left_semi")
       .as[(Long, Int)].collect().toSet
     assert(bloomed === plain)
     assert(bloomed.nonEmpty && bloomed.size < 2000)
+  }
+
+  test("bloomSemiJoin probe is the native codegen'd expression, not a UDF") {
+    // Range source (not a LocalRelation) so ConvertToLocalRelation can't
+    // fold the probe away — over a real source the filter stays in the plan.
+    val fact = spark.range(1, 201).select((col("id") % 97).as("k"), col("id").as("v"))
+    val dim = (0 to 96 by 3).map(_.toLong).toDF("k")
+    val plan = Scale.bloomSemiJoin(fact, "k", dim, "k", 100L, 0.03)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"prefilter must plan BloomFilterMightContain, got:\n$plan")
+    assert(!plan.contains("UDF"),
+      s"no ScalaUDF may survive in the bloom probe path, got:\n$plan")
   }
 }
