@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Everything here hashes a stable row key instead of drawing random
+  * numbers, which is THE sampling design at 100 TB:
+  *   - **reproducible** — re-running the pipeline (or re-reading after a
+  *     task retry) selects exactly the same rows; `df.sample()` draws from
+  *     a per-partition RNG, so its output changes whenever partitioning,
+  *     task retries, or Spark versions do;
+  *   - **join-stable** — sampling two tables by the same key keeps them
+  *     consistent (a sampled doc keeps its sampled embedding);
+  *   - **engine-exact** — the hash domain is md5 hex (identical across
+  *     Spark/DuckDB/any engine), so sampled sets are oracle-checkable and
+  *     survive engine migrations;
+  *   - **map-only** — a codegen'd filter; no shuffle, no driver state.
+  *
+  * The reference has no sampling stage (its unit of work is a whole exome);
+  * this is part of the LLM-pipeline surface the brief adds on top.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) for a row key: the first 7 hex digits
+    * (28 bits, non-negative) of md5(seed ":" key), mod buckets. Different
+    * `seed`s give independent assignments — use one seed per decision
+    * (sampling, sharding, train/val split) so the splits don't correlate.
+    * Doubles as the shard assigner for training-shard writes
+    * (`writePartitioned(df.withColumn("shard", hashBucket(...)), "shard")`).
+    */
+  def hashBucket(key: Column, buckets: Int, seed: String = ""): Column =
+    (conv(substring(md5(concat(lit(seed), lit(":"), key.cast("string"))), 1, 7), 16, 10)
+      .cast("long") % buckets).cast("int")
+
+  /** Keep rows whose bucket falls below `perMille` (rate = perMille/1000).
+    * Rate is exact in expectation and deterministic per key.
+    */
+  def deterministicSample(df: DataFrame, key: Column, perMille: Int,
+                          seed: String = ""): DataFrame = {
+    require(perMille >= 0 && perMille <= 1000, "perMille must be in [0, 1000]")
+    df.filter(hashBucket(key, 1000, seed) < perMille)
+  }
+
+  /** Stratified mixture sampling: per-stratum keep rates, the way a
+    * training mixture downweights over-represented sources/languages.
+    * Strata absent from `ratesPerMille` get `defaultPerMille`. Same
+    * hash-bucket decision as [[deterministicSample]], so a stratum's
+    * sample at rate r is a SUBSET of its sample at rate r' > r (nested
+    * samples — raising a mixture weight only adds rows, never churns
+    * the ones already selected).
+    */
+  def mixtureSample(df: DataFrame, key: Column, stratum: Column,
+                    ratesPerMille: Map[String, Int], defaultPerMille: Int = 1000,
+                    seed: String = ""): DataFrame = {
+    require((defaultPerMille +: ratesPerMille.values.toSeq).forall(r => r >= 0 && r <= 1000),
+      "rates must be in [0, 1000]")
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille): Column) {
+      case (acc, (s, r)) => when(stratum === lit(s), lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, 1000, seed) < rate)
+  }
+}

@@ -56,6 +56,10 @@ object Dedup {
   /** Exact-Jaccard verified near-dup pairs.
     * Threshold is applied on integers (10·|∩| ≥ thresholdTenths·|∪|) so the
     * decision is engine-exact; the `jaccard` column is derived afterwards.
+    * Union size is computed as |a|+|b|−|∩| (exact — shingle sets are
+    * distinct), so the verify stage builds ONE hash set per pair
+    * (array_intersect) instead of two (the array_union it replaced
+    * materialized an (|a|+|b|)-element set per candidate just to count it).
     */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    thresholdTenths: Int = 7): DataFrame = {
@@ -67,7 +71,9 @@ object Dedup {
       .select(
         col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa.sh"), col("sb.sh"))).as("inter_size"),
-        size(array_union(col("sa.sh"), col("sb.sh"))).as("union_size"))
+        (size(col("sa.sh")) + size(col("sb.sh"))).as("__size_sum"))
+      .withColumn("union_size", col("__size_sum") - col("inter_size"))
+      .drop("__size_sum")
       .filter(col("inter_size") * 10 >= col("union_size") * lit(thresholdTenths))
       .withColumn("jaccard", col("inter_size").cast("double") / col("union_size"))
   }
@@ -131,6 +137,32 @@ object Dedup {
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** Benchmark decontamination: drop corpus docs sharing ANY word n-gram
+    * with an eval/benchmark set — the standard guard against test-set
+    * leakage into training data.
+    *
+    * Scale shape: the benchmark is small (eval suites are MBs against a
+    * 100 TB corpus), so its distinct shingles BROADCAST; the corpus-side
+    * probe is then a map-only broadcast semi join over exploded shingles —
+    * no corpus shuffle. Only the matched (contaminated) doc ids — a tiny
+    * set — are shuffled for the distinct, then broadcast back for the
+    * anti join. If contamination were ever corpus-sized, drop the second
+    * `broadcast` hint and let the anti join shuffle.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleN: Int = 3): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col(idCol), TextOps.words(col(textCol)).as("ws"))
+      .select(col(idCol), explode(TextOps.shingleSet(col("ws"), shingleN)).as("s"))
+    val benchShingles = shingled(benchmark).select(col("s")).distinct()
+    val contaminated = shingled(corpus)
+      .join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
 
   /** Near-dup survivorship: keep the smallest doc_id of each near-dup
     * pair-chain's local comparisons (a doc is a duplicate iff it has ANY

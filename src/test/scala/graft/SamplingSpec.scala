@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids(n: Int) = (1 to n).map(_.toLong).toDF("id")
+
+  test("deterministicSample: reproducible, rate-accurate, partition-invariant") {
+    val df = ids(5000)
+    val a = Sampling.deterministicSample(df, col("id"), 100).as[Long].collect().toSet
+    val b = Sampling.deterministicSample(df.repartition(7), col("id"), 100)
+      .as[Long].collect().toSet
+    assert(a === b, "same keys must be selected regardless of partitioning")
+    // 10% of 5000 = 500 expected; md5 buckets are uniform (±4σ ≈ ±85)
+    assert(a.size > 400 && a.size < 600, s"rate off: ${a.size}/5000")
+  }
+
+  test("deterministicSample: nested — sample(r) is a subset of sample(r') for r < r'") {
+    val df = ids(2000)
+    val small = Sampling.deterministicSample(df, col("id"), 50).as[Long].collect().toSet
+    val big = Sampling.deterministicSample(df, col("id"), 200).as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("different seeds give independent samples") {
+    val df = ids(2000)
+    val s1 = Sampling.deterministicSample(df, col("id"), 500, seed = "a").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(df, col("id"), 500, seed = "b").as[Long].collect().toSet
+    assert(s1 !== s2)
+    // independence: |overlap| ≈ 0.25·n = 500 (±4σ ≈ ±90)
+    val overlap = (s1 & s2).size
+    assert(overlap > 380 && overlap < 620, s"seeds look correlated: overlap $overlap")
+  }
+
+  test("mixtureSample: per-stratum rates, nested in the per-stratum rate") {
+    val df = (1 to 3000).map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.mixtureSample(df, col("id"), col("lang"),
+      Map("en" -> 800, "de" -> 100), defaultPerMille = 0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en: 1000 docs @80% = 800 expected; de: 2000 @10% = 200 expected
+    assert(out("en") > 720 && out("en") < 880, s"en rate off: ${out("en")}")
+    assert(out("de") > 140 && out("de") < 260, s"de rate off: ${out("de")}")
+    // nested: the mixture's en-rows are exactly deterministicSample(800) ∩ en
+    val mixEn = Sampling.mixtureSample(df, col("id"), col("lang"),
+      Map("en" -> 800), defaultPerMille = 0).as[(Long, String)].collect().toSet
+    val plain = Sampling.deterministicSample(df.filter(col("lang") === "en"), col("id"), 800)
+      .as[(Long, String)].collect().toSet
+    assert(mixEn === plain)
+  }
+
+  test("hashBucket: stable shard assignment covers all buckets") {
+    val buckets = ids(1000)
+      .select(Sampling.hashBucket(col("id"), 8).as("b")).as[Int].collect()
+    assert(buckets.forall(b => b >= 0 && b < 8))
+    assert(buckets.distinct.sorted.toSeq === (0 until 8))
+  }
+}

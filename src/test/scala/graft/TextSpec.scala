@@ -62,6 +62,29 @@ class TextSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("nearDupPairs reports exact inter/union sizes (|a|+|b|-|∩| identity)") {
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, common + " tail one"), (2L, common + " tail two"))
+    val row = Dedup.nearDupPairs(d)
+      .select("inter_size", "union_size").as[(Int, Int)].head()
+    val sh = Dedup.prepared(d, "doc_id", "text")
+      .select("doc_id", "sh").as[(Long, Seq[String])].collect().toMap
+    val inter = sh(1L).toSet.intersect(sh(2L).toSet).size
+    val union = sh(1L).toSet.union(sh(2L).toSet).size
+    assert(row === ((inter, union)))
+  }
+
+  test("decontaminate drops exactly the corpus docs sharing a 3-gram with the benchmark") {
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains "quick brown fox"
+      (2L, "completely unrelated text about spark engines and scale"),
+      (3L, "another clean document with its own fresh words here"))
+    val bench = docs((100L, "benchmark asks about the quick brown fox riddle"))
+    val kept = Dedup.decontaminate(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("exact jaccard ints are right for a hand case") {
     val d = docs((1L, "a b c d"), (2L, "b c d e"))
     // 2-shingles: {ab,bc,cd} vs {bc,cd,de} → inter 2, union 4
