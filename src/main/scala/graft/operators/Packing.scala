@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: lay tokenized documents out into fixed-length training
+  * sequences — the step between a deduped corpus and a pretraining data
+  * loader.
+  *
+  * Both packers shard the corpus by a stable hash of the doc id
+  * ([[Sampling.hashBucket]]) and pack each shard independently in doc-id
+  * order, so the layout is fully deterministic: independent of input
+  * partitioning, task scheduling, and retries — re-running the pipeline
+  * reproduces byte-identical shards, which is what makes training runs
+  * resumable and ablations comparable. Shards are the unit of parallelism;
+  * size `shards` so one shard's METADATA (id + token count, ~16 bytes/doc)
+  * fits an executor — the text itself never flows through the packer, it
+  * is joined back by doc_id afterwards.
+  *
+  * [[concatChunkPack]] is the GPT-style pretraining layout (concatenate
+  * everything, cut every `maxTokens`, documents may span cuts): pure
+  * window arithmetic — one shuffle on shard, codegen'd, SQL-expressible
+  * (oracle-checked as q65). [[greedyPack]] is the no-split layout used for
+  * SFT/packing-aware training (a doc never crosses a sequence boundary):
+  * greedy sequential fill, inherently a scan with reset, so it runs as
+  * `groupByKey(shard).flatMapGroups` — the documented escape hatch for
+  * genuinely sequential per-group logic.
+  */
+object Packing {
+
+  /** Concatenate-then-chunk layout. Returns one row per doc:
+    * (idCol, shard, tok_start — offset of the doc's first token in its
+    * shard's token stream, first_seq/last_seq — the [maxTokens]-sized
+    * chunks the doc touches). Token counts must be ≥ 1.
+    */
+  def concatChunkPack(df: DataFrame, idCol: String, nTokensCol: String,
+                      maxTokens: Int, shards: Int): DataFrame = {
+    require(maxTokens > 0 && shards > 0, "maxTokens and shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol),
+        Sampling.hashBucket(col(idCol), shards).as("shard"),
+        col(nTokensCol).cast("long").as("__n"))
+      .withColumn("__tok_end", sum(col("__n")).over(w))
+      .select(col(idCol), col("shard"),
+        (col("__tok_end") - col("__n")).as("tok_start"),
+        floor((col("__tok_end") - col("__n")) / maxTokens).as("first_seq"),
+        floor((col("__tok_end") - 1) / maxTokens).as("last_seq"))
+  }
+
+  /** Greedy no-split packing: docs fill a sequence in id order until the
+    * next doc would overflow `maxTokens`, then a new sequence starts. A
+    * doc longer than `maxTokens` gets a sequence of its own (callers
+    * truncate or segment oversize docs upstream). Returns one row per doc:
+    * (doc_id, shard, seq_id — per-shard counter, tok_offset — position
+    * inside the sequence).
+    */
+  def greedyPack(df: DataFrame, idCol: String, nTokensCol: String,
+                 maxTokens: Int, shards: Int): DataFrame = {
+    require(maxTokens > 0 && shards > 0, "maxTokens and shards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        Sampling.hashBucket(col(idCol), shards).as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(nTokensCol).cast("long").as("n"))
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val docs = it.map { case (_, id, n) => (id, n) }.toArray
+        java.util.Arrays.sort(docs, Ordering.by((d: (Long, Long)) => d._1))
+        val out = Array.newBuilder[(Long, Int, Long, Long)]
+        var seq = 0L
+        var used = 0L
+        for ((id, n) <- docs) {
+          if (used > 0 && used + n > maxTokens) { seq += 1; used = 0 }
+          out += ((id, shard, seq, used))
+          used += n
+        }
+        out.result().iterator
+      }
+      .toDF("doc_id", "shard", "seq_id", "tok_offset")
+  }
+}

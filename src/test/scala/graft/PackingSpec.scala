@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (1 to n).map(i => (i.toLong, 1L + (i * 37) % 100)).toDF("doc_id", "n_tokens")
+
+  test("greedyPack: every doc exactly once, no sequence overflows, offsets dense") {
+    val df = corpus(500)
+    val packed = Packing.greedyPack(df, "doc_id", "n_tokens", maxTokens = 128, shards = 4)
+      .join(df, "doc_id")
+    assert(packed.count() === 500)
+    assert(packed.select(countDistinct("doc_id")).as[Long].head() === 500)
+    // no sequence exceeds maxTokens (no doc here is oversize)
+    val seqTotals = packed.groupBy("shard", "seq_id")
+      .agg(sum("n_tokens").as("total"), min("tok_offset").as("min_off"))
+    assert(seqTotals.filter(col("total") > 128).count() === 0)
+    // every sequence starts at offset 0
+    assert(seqTotals.filter(col("min_off") =!= 0).count() === 0)
+    // offsets are the running sum of earlier docs in the same sequence
+    val bad = packed.as[(Long, Int, Long, Long, Long)].collect()
+      .groupBy(r => (r._2, r._3)).values.exists { seq =>
+        val sorted = seq.sortBy(_._1)
+        sorted.scanLeft(0L)(_ + _._5).zip(sorted.map(_._4)).exists { case (exp, got) => exp != got }
+      }
+    assert(!bad, "tok_offset must equal the sum of preceding doc lengths in its sequence")
+  }
+
+  test("greedyPack: deterministic under repartitioning") {
+    val df = corpus(300)
+    val a = Packing.greedyPack(df, "doc_id", "n_tokens", 128, 4)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val b = Packing.greedyPack(df.repartition(13), "doc_id", "n_tokens", 128, 4)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("greedyPack: oversize doc gets its own sequence, stream continues") {
+    val df = Seq((1L, 50L), (2L, 300L), (3L, 60L), (4L, 60L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.greedyPack(df, "doc_id", "n_tokens", maxTokens = 128, shards = 1)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._3, r._4)).toSeq ===
+      Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 2L, 0L), (4L, 2L, 60L)))
+  }
+
+  test("concatChunkPack: offsets are contiguous per shard and chunk ids consistent") {
+    val df = corpus(400)
+    val out = Packing.concatChunkPack(df, "doc_id", "n_tokens", maxTokens = 256, shards = 4)
+      .join(df, "doc_id")
+    // per shard: tok_start of the id-ordered docs is the exclusive cumsum
+    val rows = out.select("doc_id", "shard", "tok_start", "n_tokens")
+      .as[(Long, Int, Long, Long)].collect()
+    rows.groupBy(_._2).values.foreach { shard =>
+      val sorted = shard.sortBy(_._1)
+      val expected = sorted.scanLeft(0L)(_ + _._4)
+      sorted.map(_._3).zip(expected).foreach { case (got, exp) => assert(got === exp) }
+    }
+    // first/last chunk ids follow from tok_start and length
+    val bad = out.filter(
+      col("first_seq") =!= floor(col("tok_start") / 256) ||
+      col("last_seq") =!= floor((col("tok_start") + col("n_tokens") - 1) / 256))
+    assert(bad.count() === 0)
+  }
+}
