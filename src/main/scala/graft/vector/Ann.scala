@@ -34,23 +34,105 @@ object Ann {
         col("a.vec_id") =!= col("b.vec_id"))), k)
   }
 
+  /** Lloyd k-means over the quantized vectors — trains the IVF coarse
+    * quantizer instead of using raw lowest-id vectors as cells. Proper
+    * Lloyd (argmin quantized L2 assignment, per-cell mean update), so the
+    * L2 objective is non-increasing (up to integer-grid rounding — tested).
+    * Fully deterministic: lowest-id init, per-dimension sums are exact
+    * integer arithmetic, means are floor-divided back to the integer
+    * grid — so the model is independent of partitioning and task order (a
+    * float mean would not be: fp addition isn't associative across an
+    * unordered shuffle). Per iteration: one broadcast-centroid argmin
+    * assignment (map-only) + one (cell, dim) aggregation; only the k×dims
+    * centroid matrix is collected — the model is driver-sized by
+    * definition, the data never is. Empty cells keep their previous
+    * centroid.
+    */
+  def trainCentroids(s: SparkSession, dir: String, k: Int,
+                     iters: Int): Seq[(Long, Seq[Long])] = {
+    val e = Queries.prepared(s, dir).select(col("vec_id"), col("q"), col("n2"))
+    var model: Seq[(Long, Seq[Long])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("q")).as[(Long, Seq[Long])](
+        org.apache.spark.sql.Encoders.product[(Long, Seq[Long])])
+      .collect().toSeq.sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val updated = assignCells(e, centroidsDF(s, model))
+        .select(col("cid"), posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cid"), col("d"), floor(col("sv") / col("n")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      model = model.map { case (cid, prev) => cid -> updated.getOrElse(cid, prev) }
+    }
+    model
+  }
+
+  /** (cid, cq) frame over a driver-side centroid model. */
+  def centroidsDF(s: SparkSession, model: Seq[(Long, Seq[Long])]): DataFrame = {
+    import s.implicits._
+    model.toDF("cid", "cq")
+  }
+
+  /** Argmin-L2 cell assignment (ties to the smaller cell id): broadcast
+    * centroids, exact-integer d² = |x|² − 2⟨x,c⟩ + |c|², one row per
+    * vector. Map-only up to the per-vector argmin window.
+    */
+  def assignCells(prepared: DataFrame, cents: DataFrame): DataFrame = {
+    val withNorm = cents.withColumn("cn2",
+      graft.functions.VectorDot.of(col("cq"), col("cq")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    prepared.crossJoin(broadcast(withNorm))
+      .withColumn("d2",
+        col("n2") - lit(2) * graft.functions.VectorDot.of(col("q"), col("cq")) + col("cn2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "cq", "cn2")
+  }
+
+  /** Sum of squared distance to the assigned centroid — the k-means
+    * objective [[trainCentroids]] descends; exposed for tests/tuning.
+    */
+  def kmeansCost(s: SparkSession, dir: String, model: Seq[(Long, Seq[Long])]): Long =
+    assignCells(Queries.prepared(s, dir), centroidsDF(s, model))
+      .agg(sum(col("d2"))).head().getLong(0)
+
   /** IVF top-k with `nprobe` probed cells: every vector is assigned to its
     * argmax-dot centroid cell (map-only after a broadcast of `nCentroids`
     * centroid vectors); query vectors additionally keep their `nprobe`
     * best cells and candidates come from an equi join on cell id. Shuffle
     * volume scales with nprobe/nCentroids (the cost knob), never n².
+    * `trainIters` > 0 replaces the raw lowest-id centroids with a Lloyd
+    * k-means model ([[trainCentroids]]) — balanced cells put the same
+    * recall at a lower nprobe.
     */
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
-              nCentroids: Int = 8, nprobe: Int = 1): DataFrame = {
+              nCentroids: Int = 8, nprobe: Int = 1, trainIters: Int = 0): DataFrame = {
     val e = Queries.prepared(s, dir)
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("q").as("cq"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cid").asc)
-    val ranked = e
-      .crossJoin(broadcast(cents))
-      .withColumn("cdot", graft.functions.VectorDot.of(col("q"), col("cq")))
-      .withColumn("rn", row_number().over(wAssign))
+    val ranked =
+      if (trainIters > 0) {
+        // trained quantizer → rank cells by the SAME metric training used
+        // (argmin L2), or the cells probed wouldn't be the cells built
+        val cents = centroidsDF(s, trainCentroids(s, dir, nCentroids, trainIters))
+          .withColumn("cn2", graft.functions.VectorDot.of(col("cq"), col("cq")))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("cid").asc)
+        e.crossJoin(broadcast(cents))
+          .withColumn("d2", col("n2") -
+            lit(2) * graft.functions.VectorDot.of(col("q"), col("cq")) + col("cn2"))
+          .withColumn("rn", row_number().over(wAssign))
+      } else {
+        val cents = e.filter(col("vec_id") < nCentroids)
+          .select(col("vec_id").as("cid"), col("q").as("cq"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cdot").desc, col("cid").asc)
+        e.crossJoin(broadcast(cents))
+          .withColumn("cdot", graft.functions.VectorDot.of(col("q"), col("cq")))
+          .withColumn("rn", row_number().over(wAssign))
+      }
     // Base side: each vector lives in exactly ONE cell (rn=1), so a query
     // probing distinct cells never sees a candidate twice — no distinct
     // needed on the pair stream.

@@ -94,6 +94,40 @@ class VectorSpec extends AnyFunSuite {
     } finally exact.unpersist()
   }
 
+  test("k-means centroid training: deterministic, cost descends, cells partition the data") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val m1 = graft.vector.Ann.trainCentroids(spark, dir, k = 8, iters = 2)
+    val m2 = graft.vector.Ann.trainCentroids(spark, dir, k = 8, iters = 2)
+    assert(m1 === m2, "training must be run-to-run deterministic")
+    assert(m1.map(_._1).sorted === (0L until 8L), "every cell id present")
+    assert(m1.forall(_._2.length === m1.head._2.length), "all centroids same dims")
+    // Lloyd's step never increases the k-means objective (the floor
+    // rounding's slack is far below the objective's scale)
+    val init = graft.vector.Ann.trainCentroids(spark, dir, k = 8, iters = 0)
+    val c0 = graft.vector.Ann.kmeansCost(spark, dir, init)
+    val c1 = graft.vector.Ann.kmeansCost(spark, dir,
+      graft.vector.Ann.trainCentroids(spark, dir, k = 8, iters = 1))
+    val c2 = graft.vector.Ann.kmeansCost(spark, dir, m1)
+    assert(c1 <= c0 && c2 <= c1, s"objective must descend: $c0 -> $c1 -> $c2")
+  }
+
+  test("trained IVF centroids do not lose recall at nprobe=2") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val nq = 50; val k = 10
+    val exact = graft.vector.Ann.exactTopK(spark, dir, nq, k).cache()
+    try {
+      val raw = graft.vector.Ann.recallAtK(
+        graft.vector.Ann.ivfTopK(spark, dir, nq, k, nCentroids = 8, nprobe = 2), exact)
+      val trained = graft.vector.Ann.recallAtK(
+        graft.vector.Ann.ivfTopK(spark, dir, nq, k, nCentroids = 8, nprobe = 2,
+          trainIters = 3), exact)
+      assert(trained >= raw - 0.02,
+        s"k-means cells should match or beat raw lowest-id cells: $raw -> $trained")
+    } finally exact.unpersist()
+  }
+
   test("native hyperplane_sig equals the declarative formulation (8, 48 and 63 bit)") {
     val dims = 16
     val rnd = new scala.util.Random(7)
