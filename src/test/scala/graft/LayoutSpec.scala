@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mortonInterleave spreads and interleaves bits correctly") {
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Sources.mortonInterleave(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    // by hand: z(1,0)=1, z(0,1)=2, z(3,5) = interleave(011, 101) = 100111 = 39
+    assert(out === Seq(0L, 1L, 2L, 39L, (1L << 32) - 1))
+  }
+
+  test("writeZOrdered clusters BOTH dimensions into tight per-file ranges") {
+    val n = 40000
+    // two independent uniform dims — a single-column sort would leave the
+    // other dim spanning the full range in every file
+    val df = (0 until n).map { i =>
+      (((i * 2654435761L) % 10000).toInt, ((i * 40503L + 7) % 10000).toInt)
+    }.toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Sources.writeZOrdered(df, dir, "x", "y", files = 16)
+
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"),
+        count(lit(1)).as("rows"))
+      .select(avg("sx"), avg("sy"), sum("rows"))
+      .head()
+    val (avgSx, avgSy, total) = (spans.getDouble(0), spans.getDouble(1), spans.getLong(2))
+    assert(total === n, "no rows lost in the layout write")
+    // 16 z-range files over a 10000×10000 space → each file covers ~1/16 of
+    // the curve ≈ a quarter of each dim; a sort on x alone would give
+    // avg(sy) ≈ 10000. Assert well under half the span for BOTH dims.
+    assert(avgSx < 5000, s"x not clustered: avg span $avgSx")
+    assert(avgSy < 5000, s"y not clustered: avg span $avgSy")
+  }
+
+  test("z-ordered layout prunes files for a 2-D box predicate") {
+    val n = 40000
+    val df = (0 until n).map { i =>
+      (((i * 2654435761L) % 10000).toInt, ((i * 40503L + 7) % 10000).toInt)
+    }.toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder2").toString
+    Sources.writeZOrdered(df, dir, "x", "y", files = 16)
+    val read = spark.read.parquet(dir)
+      .filter(col("x").between(100, 600) && col("y").between(100, 600))
+    // the box touches ~1/16 of the files' (x,y) rectangles; count the files
+    // whose rows survive — with footer stats those are the only ones read
+    val filesTouched = read.select(input_file_name()).distinct().count()
+    assert(filesTouched <= 4, s"2-D box should live in few z-files, touched $filesTouched")
+    // and the result is still exactly right
+    val expected = df.filter(col("x").between(100, 600) && col("y").between(100, 600)).count()
+    assert(read.count() === expected)
+  }
+}
