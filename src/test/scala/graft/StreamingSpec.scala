@@ -75,6 +75,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("deterministic sampling composes with a stream (stateless, same keys as batch)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("event_id", "ts")
+    val q = graft.operators.Sampling
+      .deterministicSample(df, col("event_id"), 300)
+      .writeStream.format("memory").queryName("sampled_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L to 200L).map(i => (i, ts(10))): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sampled_stream")
+        .select("event_id").as[Long].collect().toSet
+      val batch = graft.operators.Sampling
+        .deterministicSample(
+          (1L to 200L).toDF("event_id"), col("event_id"), 300)
+        .as[Long].collect().toSet
+      assert(streamed === batch,
+        "the stream must sample exactly the keys the batch pipeline samples")
+    } finally q.stop()
+  }
+
   test("watermarked stream-stream interval join matches within the window only") {
     implicit val sq = spark.sqlContext
     val lm = MemoryStream[(Long, Long, Timestamp)]

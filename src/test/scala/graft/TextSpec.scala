@@ -85,6 +85,14 @@ class TextSpec extends AnyFunSuite {
     assert(kept === Set(2L, 3L))
   }
 
+  test("decontaminate with an empty benchmark keeps the whole corpus") {
+    val corpus = docs((1L, "a b c d e"), (2L, "f g h i j"))
+    val bench = docs((1L, "a b c d e")).filter(col("doc_id") < 0)
+    val kept = Dedup.decontaminate(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
+
   test("exact jaccard ints are right for a hand case") {
     val d = docs((1L, "a b c d"), (2L, "b c d e"))
     // 2-shingles: {ab,bc,cd} vs {bc,cd,de} → inter 2, union 4
