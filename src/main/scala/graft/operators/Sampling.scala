@@ -29,6 +29,9 @@ object Sampling {
     * (sampling, sharding, train/val split) so the splits don't correlate.
     * Doubles as the shard assigner for training-shard writes
     * (`writePartitioned(df.withColumn("shard", hashBucket(...)), "shard")`).
+    * A NULL key yields a NULL bucket — the sample filters drop such rows
+    * (no bucket is "theirs"); coalesce the key upstream if null must
+    * participate.
     */
   def hashBucket(key: Column, buckets: Int, seed: String = ""): Column =
     (conv(substring(md5(concat(lit(seed), lit(":"), key.cast("string"))), 1, 7), 16, 10)

@@ -107,11 +107,21 @@ object Sources {
       .agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
            min(col(colB)).cast("double"), max(col(colB)).cast("double"))
       .head().toSeq.map(_.asInstanceOf[Double]).toArray
-    def bucket(c: String, lo: Double, hi: Double): Column =
-      if (hi <= lo) lit(0L)
-      else least(floor((col(c).cast("double") - lo) / (hi - lo) * 65535), lit(65535L))
+    writeZOrdered(df, outDir, colA, colB, files, (aMin, aMax), (bMin, bMax))
+  }
+
+  /** [[writeZOrdered]] with caller-supplied dim bounds — skips the stats
+    * pass (one full scan saved; at 100 TB pass the bounds you already
+    * know, e.g. from table stats or the natural domain).
+    */
+  def writeZOrdered(df: DataFrame, outDir: String, colA: String, colB: String,
+                    files: Int, aRange: (Double, Double), bRange: (Double, Double)): Unit = {
+    def bucket(c: String, r: (Double, Double)): Column =
+      if (r._2 <= r._1) lit(0L)
+      else least(greatest(
+        floor((col(c).cast("double") - r._1) / (r._2 - r._1) * 65535), lit(0L)), lit(65535L))
     df.withColumn("__z",
-        mortonInterleave(bucket(colA, aMin, aMax), bucket(colB, bMin, bMax)))
+        mortonInterleave(bucket(colA, aRange), bucket(colB, bRange)))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -50,25 +50,29 @@ object Ann {
     */
   def trainCentroids(s: SparkSession, dir: String, k: Int,
                      iters: Int): Seq[(Long, Seq[Long])] = {
-    val e = Queries.prepared(s, dir).select(col("vec_id"), col("q"), col("n2"))
-    var model: Seq[(Long, Seq[Long])] = e.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("q")).as[(Long, Seq[Long])](
-        org.apache.spark.sql.Encoders.product[(Long, Seq[Long])])
-      .collect().toSeq.sortBy(_._1)
-    for (_ <- 1 to iters) {
-      val updated = assignCells(e, centroidsDF(s, model))
-        .select(col("cid"), posexplode(col("q")).as(Seq("d", "v")))
-        .groupBy(col("cid"), col("d"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .select(col("cid"), col("d"), floor(col("sv") / col("n")).as("m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
-        }
-      model = model.map { case (cid, prev) => cid -> updated.getOrElse(cid, prev) }
-    }
-    model
+    // cache: every iteration re-reads the training set; without this the
+    // scan+quantize work would repeat `iters` times
+    val e = Queries.prepared(s, dir).select(col("vec_id"), col("q"), col("n2")).cache()
+    try {
+      var model: Seq[(Long, Seq[Long])] = e.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("q")).as[(Long, Seq[Long])](
+          org.apache.spark.sql.Encoders.product[(Long, Seq[Long])])
+        .collect().toSeq.sortBy(_._1)
+      for (_ <- 1 to iters) {
+        val updated = assignCells(e, centroidsDF(s, model))
+          .select(col("cid"), posexplode(col("q")).as(Seq("d", "v")))
+          .groupBy(col("cid"), col("d"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .select(col("cid"), col("d"), floor(col("sv") / col("n")).as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+          }
+        model = model.map { case (cid, prev) => cid -> updated.getOrElse(cid, prev) }
+      }
+      model
+    } finally e.unpersist()
   }
 
   /** (cid, cq) frame over a driver-side centroid model. */
