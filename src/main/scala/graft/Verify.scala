@@ -8,6 +8,8 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing args: run only these queries (fast iteration)
     val subset = args.drop(2).toSet
+    val unknown = subset -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = Sessions.local(cpus.toInt)
     new java.io.File(outDir).mkdirs()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,14 +34,26 @@ object Packing {
     * shard's token stream, first_seq/last_seq — the [maxTokens]-sized
     * chunks the doc touches). Token counts must be ≥ 1.
     */
+  /** Token-count column guarded in the same pass (no extra scan): a null
+    * or < 1 count would silently poison the running cumsum / invert a
+    * doc's chunk range, so it fails the task with a clear message instead.
+    */
+  private def checkedTokens(nTokensCol: String): Column = {
+    val n = col(nTokensCol).cast("long")
+    when(n.isNull || n < 1,
+      raise_error(concat(lit(s"$nTokensCol must be >= 1, got "),
+        coalesce(n.cast("string"), lit("null")))))
+      .otherwise(n)
+  }
+
   def concatChunkPack(df: DataFrame, idCol: String, nTokensCol: String,
                       maxTokens: Int, shards: Int): DataFrame = {
     require(maxTokens > 0 && shards > 0, "maxTokens and shards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol),
-        Sampling.hashBucket(col(idCol), shards).as("shard"),
-        col(nTokensCol).cast("long").as("__n"))
+        Sampling.hashBucket(col(idCol), shards, seed = "pack").as("shard"),
+        checkedTokens(nTokensCol).as("__n"))
       .withColumn("__tok_end", sum(col("__n")).over(w))
       .select(col(idCol), col("shard"),
         (col("__tok_end") - col("__n")).as("tok_start"),
@@ -59,12 +71,21 @@ object Packing {
   def greedyPack(df: DataFrame, idCol: String, nTokensCol: String,
                  maxTokens: Int, shards: Int): DataFrame = {
     require(maxTokens > 0 && shards > 0, "maxTokens and shards must be positive")
+    // explicit contract, checked up front: a silent cast("long") on string
+    // ids (UUIDs, URL hashes) would null every id instead of erroring
+    val idType = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+        .contains(idType),
+      s"greedyPack needs an integral $idCol (got ${idType.simpleString}); " +
+        "map string ids to longs first (e.g. a dense id join)")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(
-        Sampling.hashBucket(col(idCol), shards).as("shard"),
+        Sampling.hashBucket(col(idCol), shards, seed = "pack").as("shard"),
         col(idCol).cast("long").as("id"),
-        col(nTokensCol).cast("long").as("n"))
+        checkedTokens(nTokensCol).as("n"))
       .as[(Int, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (shard, it) =>

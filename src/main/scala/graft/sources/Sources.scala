@@ -103,11 +103,16 @@ object Sources {
     */
   def writeZOrdered(df: DataFrame, outDir: String, colA: String, colB: String,
                     files: Int): Unit = {
-    val Array(aMin, aMax, bMin, bMax) = df
+    val stats = df
       .agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
            min(col(colB)).cast("double"), max(col(colB)).cast("double"))
-      .head().toSeq.map(_.asInstanceOf[Double]).toArray
-    writeZOrdered(df, outDir, colA, colB, files, (aMin, aMax), (bMin, bMax))
+      .head()
+    // an all-null/empty dim would otherwise unbox to 0.0 and silently
+    // degenerate to a single z-bucket — no pruning, no signal
+    require((0 until 4).forall(!stats.isNullAt(_)),
+      s"writeZOrdered: $colA/$colB must have non-null min/max (empty or all-null column?)")
+    writeZOrdered(df, outDir, colA, colB, files,
+      (stats.getDouble(0), stats.getDouble(1)), (stats.getDouble(2), stats.getDouble(3)))
   }
 
   /** [[writeZOrdered]] with caller-supplied dim bounds — skips the stats

@@ -133,6 +133,13 @@ object Dedup {
   /** Eager lineage cut, reliable when the session can be: `checkpoint()`
     * to the configured checkpoint dir (survives executor loss), else
     * `localCheckpoint` (executor-local, test/single-JVM fallback).
+    *
+    * Retention: Spark does NOT delete reliable checkpoint files by default
+    * — a recurring clustering job accumulates ~2+rounds directories per
+    * run. Set `spark.cleaner.referenceTracking.cleanCheckpoints=true` (the
+    * ContextCleaner then removes them as the RDDs are GC'd) or point the
+    * checkpoint dir at a per-run path and delete it once the result is
+    * consumed.
     */
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)

@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
   *     dedup bench would measure an artifact. n_chars is recomputed.
   *   - **embeddings.embedding**: each copy's vectors are dimension-rotated
   *     by `7·copy mod 64`. Rotation is orthogonal, so every within-copy
-  *     inner product — and therefore the entire similarity/banding
-  *     structure the ANN queries run on — is preserved bit-for-bit, while
-  *     cross-copy cosines are those of unrelated near-random vectors.
+  *     inner product (cosine/threshold/top-k structure) is preserved
+  *     exactly, while cross-copy cosines are those of unrelated
+  *     near-random vectors. NOTE: hyperplane SIGNATURES are computed
+  *     against fixed md5-derived planes, so a rotated copy lands in
+  *     different LSH buckets than copy 0 — banding behavior is preserved
+  *     statistically (same similarity distribution), not bit-for-bit;
+  *     per-copy candidate volume/recall varies around copy 0's.
   *     Verbatim copies would instead pair every vector with 9 exact
   *     duplicates (cos=1) and explode the near-dup output quadratically.
   *   - **events.ts** is left unchanged: event-time density scales 10×

@@ -81,11 +81,13 @@ object Ann {
     model.toDF("cid", "cq")
   }
 
-  /** Argmin-L2 cell assignment (ties to the smaller cell id): broadcast
-    * centroids, exact-integer d² = |x|² − 2⟨x,c⟩ + |c|², one row per
-    * vector. Map-only up to the per-vector argmin window.
+  /** Cells ranked per vector by exact-integer d² = |x|² − 2⟨x,c⟩ + |c|²
+    * (ties to the smaller cell id), `rn` = 1 being the home cell. The ONE
+    * definition of "which cell" both training and trained-index probing
+    * use — a divergence between them would probe cells that were never
+    * built.
     */
-  def assignCells(prepared: DataFrame, cents: DataFrame): DataFrame = {
+  def rankCells(prepared: DataFrame, cents: DataFrame): DataFrame = {
     val withNorm = cents.withColumn("cn2",
       graft.functions.VectorDot.of(col("cq"), col("cq")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
@@ -93,9 +95,15 @@ object Ann {
       .withColumn("d2",
         col("n2") - lit(2) * graft.functions.VectorDot.of(col("q"), col("cq")) + col("cn2"))
       .withColumn("rn", row_number().over(w))
+  }
+
+  /** Argmin-L2 cell assignment: [[rankCells]] kept at rn = 1 — one row
+    * per vector. Map-only up to the per-vector argmin window.
+    */
+  def assignCells(prepared: DataFrame, cents: DataFrame): DataFrame =
+    rankCells(prepared, cents)
       .filter(col("rn") === 1)
       .drop("rn", "cq", "cn2")
-  }
 
   /** Sum of squared distance to the assigned centroid — the k-means
     * objective [[trainCentroids]] descends; exposed for tests/tuning.
@@ -119,15 +127,8 @@ object Ann {
     val ranked =
       if (trainIters > 0) {
         // trained quantizer → rank cells by the SAME metric training used
-        // (argmin L2), or the cells probed wouldn't be the cells built
-        val cents = centroidsDF(s, trainCentroids(s, dir, nCentroids, trainIters))
-          .withColumn("cn2", graft.functions.VectorDot.of(col("cq"), col("cq")))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2").asc, col("cid").asc)
-        e.crossJoin(broadcast(cents))
-          .withColumn("d2", col("n2") -
-            lit(2) * graft.functions.VectorDot.of(col("q"), col("cq")) + col("cn2"))
-          .withColumn("rn", row_number().over(wAssign))
+        // (rankCells is shared with trainCentroids for exactly this reason)
+        rankCells(e, centroidsDF(s, trainCentroids(s, dir, nCentroids, trainIters)))
       } else {
         val cents = e.filter(col("vec_id") < nCentroids)
           .select(col("vec_id").as("cid"), col("q").as("cq"))

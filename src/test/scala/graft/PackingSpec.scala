@@ -51,6 +51,35 @@ class PackingSpec extends AnyFunSuite {
       Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 2L, 0L), (4L, 2L, 60L)))
   }
 
+  test("packing shards are decorrelated from sampling decisions (own hash seed)") {
+    // with a shared seed, a perMille=4 sample keeps keys with H%1000 < 4,
+    // and since 8 | 1000 those keys can only land in shards 0-3 — half the
+    // shards would be empty. The packers' own "pack" seed breaks the link.
+    val df = corpus(20000)
+    val sampled = graft.operators.Sampling.deterministicSample(df, col("doc_id"), 4)
+    val shards = Packing.greedyPack(sampled, "doc_id", "n_tokens", 128, 8)
+      .select("shard").distinct().as[Int].collect().toSet
+    assert(shards === (0 until 8).toSet,
+      s"a thin sample must still spread over every shard, got $shards")
+  }
+
+  test("greedyPack rejects non-integral id columns instead of nulling them") {
+    val df = Seq(("doc-a", 10L), ("doc-b", 20L)).toDF("doc_id", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Packing.greedyPack(df, "doc_id", "n_tokens", 128, 2)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("packers fail loudly on null or non-positive token counts") {
+    val df = Seq((1L, 10L), (2L, 0L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Packing.concatChunkPack(df, "doc_id", "n_tokens", 128, 2).collect()
+    }
+    assert(e.getMessage.contains("must be >= 1") ||
+      e.getCause != null && e.getCause.getMessage.contains("must be >= 1"))
+  }
+
   test("concatChunkPack: offsets are contiguous per shard and chunk ids consistent") {
     val df = corpus(400)
     val out = Packing.concatChunkPack(df, "doc_id", "n_tokens", maxTokens = 256, shards = 4)
