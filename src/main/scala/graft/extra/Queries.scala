@@ -116,6 +116,15 @@ object Queries {
       Binary.extractFeatures(
         Binary.withPayload(Tables(s, dir).documents), 10)(s).toDF()),
 
+    // Exact blob-level dedup over binary payloads: content digest →
+    // hash-groupBy → copies + survivor per digest. The first-line media
+    // dedup at 100 TB (identical bytes regardless of metadata); one
+    // shuffle on the digest, near-dup variants live in the vector path.
+    "q67_blob_dedup" -> ((s, dir) =>
+      Binary.withPayload(Tables(s, dir).documents)
+        .groupBy(md5(col("payload")).as("content_md5"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))),
+
     // Event-time tumbling window (batch form of the streaming hourly agg).
     "q41_event_hourly" -> ((s, dir) => {
       Tables(s, dir).events
@@ -492,6 +501,10 @@ object Queries {
         |    range(1, length(text)+1, 10), i -> substr(text, CAST(i AS INT), 1)), ''))
         |    AS strided_md5
         |FROM documents""".stripMargin,
+    "q67_blob_dedup" ->
+      """SELECT md5(text) AS content_md5, count(*) AS n_copies,
+        |  min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1""".stripMargin,
     "q41_event_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
         |  event_type, count(*) AS n

@@ -75,6 +75,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = events.join(broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enriched_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(10)), (2L, ts(20)), (3L, ts(30)))
+      q.processAllAvailable()
+      val out = spark.table("enriched_stream")
+        .select("user_id", "tier").as[(Long, Option[String])].collect().toMap
+      assert(out === Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("deterministic sampling composes with a stream (stateless, same keys as batch)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
