@@ -7,6 +7,43 @@ import org.scalatest.funsuite.AnyFunSuite
 class CliSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("Corpus CLI end-to-end: filter -> decontaminate -> dedup -> pack -> sharded write") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus")
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, common + " tail one"),                                  // near-dup pair with 2
+      (2L, common + " tail two"),
+      (3L, (100 to 160).map(i => s"v$i").mkString(" ")),           // clean
+      (4L, "leaky contains the secret eval trigram here plus filler " +
+        (200 to 240).map(i => s"u$i").mkString(" ")),              // contaminated
+      (5L, "too short"))                                           // fails min-tokens
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark with the secret eval trigram inside"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/corpus")
+    bench.write.parquet(s"$dir/bench")
+
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out",
+      "--benchmark", s"$dir/bench", "--dedup",
+      "--min-tokens", "5", "--pack", "64", "--shards", "2"))
+
+    val out = spark.read.parquet(s"$dir/out")
+    // 5 dropped (short), 4 dropped (contaminated), 2 dropped (near-dup of 1)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    assert(out.columns.contains("seq_id") && out.columns.contains("shard"))
+    // deterministic: a second run over the same input is identical
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out2",
+      "--benchmark", s"$dir/bench", "--dedup",
+      "--min-tokens", "5", "--pack", "64", "--shards", "2"))
+    val a = out.orderBy("doc_id").collect().toSeq
+    val b = spark.read.parquet(s"$dir/out2").orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("CLI end-to-end: SAM-like text + properties config -> parquet outputs") {
     val dir = Files.createTempDirectory("cli")
     val sam = dir.resolve("in.sam")
