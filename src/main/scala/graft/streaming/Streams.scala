@@ -112,6 +112,31 @@ object Streams {
   def dedupStream(events: DataFrame, lateness: String, idCols: Seq[String]): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming NEAR-dup deduplication: first document per MinHash
+    * signature wins. The signature (map-only, codegen'd — the same
+    * `minhash_signature` expression the batch LSH dedup uses) collapses
+    * near-identical texts to one state key, so re-crawls/boilerplate
+    * near-copies arriving within the watermark are dropped at ingest —
+    * the streaming front door of the dedup taxonomy (full banded LSH with
+    * exact verify stays a batch job over the deduped landing table).
+    * Signature equality ≈ Jaccard near 1 (P[sig match] = j^numHashes);
+    * the key is the md5 of the signature so state is one string per
+    * distinct signature within `lateness`, evicted by the watermark.
+    */
+  def nearDupDedupStream(docs: DataFrame, lateness: String,
+                         textCol: String = "text",
+                         numHashes: Int = 8): DataFrame = {
+    import graft.text.TextOps
+    val sig = graft.functions.MinHashSignature.of(
+      TextOps.shingleSet(TextOps.words(col(textCol)), 3), numHashes)
+    docs
+      .withColumn("__sig_key",
+        md5(concat_ws("|", transform(sig, x => x.cast("string")))))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("__sig_key"))
+      .drop("__sig_key")
+  }
+
   /** Watermarked stream-stream interval join: for each left event, right
     * events of the same key within `(l.ts, l.ts + windowSec]` — the
     * streaming form of the batch bucketed range join (Events

@@ -75,6 +75,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup drops signature-identical texts within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.nearDupDedupStream(docs, "1 hour")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    try {
+      mem.addData((1L, common, ts(10)), (2L, "totally different words here now", ts(20)))
+      q.processAllAvailable()
+      // identical text, later micro-batch → same signature → dropped
+      mem.addData((3L, common, ts(30)))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_stream").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+      // signature key is internal — the output schema is the input's
+      assert(spark.table("neardup_stream").columns.toSet === Set("doc_id", "text", "ts"))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
