@@ -24,6 +24,12 @@ object AnnRecall {
     for (np <- Seq(1, 2, 4))
       m(s"ivf kmeans(3) nprobe=$np")(Ann.ivfTopK(spark, dir, nq, k, 8, np, trainIters = 3))
     for (r <- Seq(0, 1)) m(s"lsh radius=$r")(Ann.lshTopK(spark, dir, nq, k, 8, r))
+    val pq4 = graft.vector.Pq.train(spark, dir, m = 4, k = 16, iters = 2)
+    val pq8 = graft.vector.Pq.train(spark, dir, m = 8, k = 16, iters = 2)
+    m("pq m=4 adc only")(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq4))
+    m("pq m=8 adc only")(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8))
+    m("pq m=8 adc+rerank50")(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8, rerank = 50))
+    m("pq m=8 adc+rerank200")(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8, rerank = 200))
     spark.stop()
   }
 }

@@ -53,26 +53,34 @@ object Ann {
     // cache: every iteration re-reads the training set; without this the
     // scan+quantize work would repeat `iters` times
     val e = Queries.prepared(s, dir).select(col("vec_id"), col("q"), col("n2")).cache()
-    try {
-      var model: Seq[(Long, Seq[Long])] = e.filter(col("vec_id") < k)
-        .select(col("vec_id"), col("q")).as[(Long, Seq[Long])](
-          org.apache.spark.sql.Encoders.product[(Long, Seq[Long])])
-        .collect().toSeq.sortBy(_._1)
-      for (_ <- 1 to iters) {
-        val updated = assignCells(e, centroidsDF(s, model))
-          .select(col("cid"), posexplode(col("q")).as(Seq("d", "v")))
-          .groupBy(col("cid"), col("d"))
-          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-          .select(col("cid"), col("d"), floor(col("sv") / col("n")).as("m"))
-          .collect()
-          .groupBy(_.getLong(0))
-          .map { case (cid, rows) =>
-            cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
-          }
-        model = model.map { case (cid, prev) => cid -> updated.getOrElse(cid, prev) }
-      }
-      model
-    } finally e.unpersist()
+    try lloyd(s, e, k, iters) finally e.unpersist()
+  }
+
+  /** The Lloyd loop over ANY (vec_id, q, n2) frame — shared by the IVF
+    * coarse quantizer ([[trainCentroids]]) and the per-subspace PQ
+    * codebooks ([[Pq.train]]). Callers cache `data` (each iteration
+    * re-reads it).
+    */
+  private[vector] def lloyd(s: SparkSession, data: DataFrame, k: Int,
+                            iters: Int): Seq[(Long, Seq[Long])] = {
+    var model: Seq[(Long, Seq[Long])] = data.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("q")).as[(Long, Seq[Long])](
+        org.apache.spark.sql.Encoders.product[(Long, Seq[Long])])
+      .collect().toSeq.sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val updated = assignCells(data, centroidsDF(s, model))
+        .select(col("cid"), posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cid"), col("d"), floor(col("sv") / col("n")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      model = model.map { case (cid, prev) => cid -> updated.getOrElse(cid, prev) }
+    }
+    model
   }
 
   /** (cid, cq) frame over a driver-side centroid model. */

@@ -1,0 +1,155 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization: compress each vector to `m` small codes (one
+  * argmin-L2 codebook entry per subspace) and score queries against the
+  * CODES via ADC (asymmetric distance computation) lookup tables — never
+  * against the raw vectors.
+  *
+  * This is the 100 TB memory lever of the modern ANN stack (IVF-PQ): the
+  * candidate scan touches m bytes per vector instead of dims×4, so a
+  * billion-vector index fits where raw vectors can't, and the scan is a
+  * table lookup per subspace instead of a dims-long dot product. Recall is
+  * bounded by quantization error — tuned by m (subspaces) and k (codes per
+  * book) — and production systems re-rank the ADC top-R with exact
+  * distances, which is exactly what [[pqTopK]]'s `rerank` flag does here.
+  *
+  * Everything is deterministic and integer-exact end to end: codebooks are
+  * integer-grid Lloyd (Ann.lloyd — lowest-id init, floor-div means), code
+  * assignment and ADC tables are exact integer d², ties break to the
+  * smaller code/id. The model (m × k × dsub longs) is driver-sized by
+  * definition; training and encoding only ever shuffle (cell, dim) sums
+  * and per-vector codes.
+  */
+object Pq {
+
+  /** codebooks(j) = the k centroids of subspace j, index = code. */
+  final case class Model(m: Int, dsub: Int, codebooks: Seq[Seq[Seq[Long]]])
+
+  /** (j, code, cq) rows over the codebooks, for broadcast joins. */
+  private def codebookDF(s: SparkSession, model: Model): DataFrame = {
+    import s.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cq, code) => (j, code, cq) }
+    }.toDF("j", "code", "cq")
+  }
+
+  /** Per-subspace slice of the full quantized vector (1-based slice). */
+  private def subvec(q: org.apache.spark.sql.Column, j: Int, dsub: Int) =
+    slice(q, j * dsub + 1, dsub)
+
+  /** Train m codebooks of k codes each: independent integer Lloyd per
+    * subspace over the sliced vectors.
+    */
+  def train(s: SparkSession, dir: String, m: Int = 4, k: Int = 16,
+            iters: Int = 3): Model = {
+    val e = Queries.prepared(s, dir).select(col("vec_id"), col("q")).cache()
+    try {
+      val dims = e.select(size(col("q"))).head().getInt(0)
+      require(dims % m == 0, s"m=$m must divide dims=$dims")
+      val dsub = dims / m
+      val books = (0 until m).map { j =>
+        val sub = e.select(col("vec_id"), subvec(col("q"), j, dsub).as("q"))
+          .withColumn("n2", graft.functions.VectorDot.of(col("q"), col("q")))
+          .cache()
+        try {
+          val model = Ann.lloyd(s, sub, k, iters)
+          model.sortBy(_._1).map(_._2) // code = position (init ids are 0..k-1)
+        } finally sub.unpersist()
+      }
+      Model(m, dsub, books)
+    } finally e.unpersist()
+  }
+
+  /** Encode every vector to its m codes: one broadcast crossJoin with the
+    * m×k codebook rows, per-(vector, subspace) argmin-L2, codes gathered
+    * in subspace order. Map-only up to the per-vector argmin windows.
+    * Returns (vec_id, codes: array<int>).
+    */
+  def encode(s: SparkSession, prepared: DataFrame, model: Model): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2").asc, col("code").asc)
+    prepared.select(col("vec_id"), col("q"))
+      .crossJoin(broadcast(codebookDF(s, model)))
+      .withColumn("subq", slice(col("q"), col("j") * model.dsub + 1, lit(model.dsub)))
+      .withColumn("d2",
+        graft.functions.VectorDot.of(col("subq"), col("subq"))
+          - lit(2) * graft.functions.VectorDot.of(col("subq"), col("cq"))
+          + graft.functions.VectorDot.of(col("cq"), col("cq")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        e => e.getField("code")).as("codes"))
+  }
+
+  /** ADC top-k: query vectors get an m×k lookup table of exact integer
+    * sub-distances (tiny — one broadcast join against the codebooks), and
+    * every encoded vector is scored by m TABLE LOOKUPS (sum over
+    * subspaces of lut[j·k + code_j]) — the raw vectors never flow through
+    * the scan. With `rerank` ≥ k, the ADC top-`rerank` per query is
+    * re-scored with exact integer cosine and re-ranked — the standard
+    * two-stage shape (cheap approximate scan → exact re-rank of a small
+    * candidate set).
+    */
+  def pqTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
+             model: Model, rerank: Int = 0): DataFrame = {
+    val e = Queries.prepared(s, dir)
+    val kCodes = model.codebooks.head.size
+    // the scan side holds ONLY (id, codes) — m small ints per vector
+    val baseCodes = encode(s, e, model)
+      .select(col("vec_id").as("b_id"), col("codes"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("a_id"), col("q").as("aq"), col("n2").as("na"))
+
+    // per-query LUT: lut[j·k + code + 1] = d²(subq_j(query), codebook_j[code])
+    val luts = queries
+      .crossJoin(broadcast(codebookDF(s, model)))
+      .withColumn("subq", slice(col("aq"), col("j") * model.dsub + 1, lit(model.dsub)))
+      .withColumn("d2",
+        graft.functions.VectorDot.of(col("subq"), col("subq"))
+          - lit(2) * graft.functions.VectorDot.of(col("subq"), col("cq"))
+          + graft.functions.VectorDot.of(col("cq"), col("cq")))
+      .groupBy(col("a_id"))
+      .agg(transform(array_sort(collect_list(struct(
+        (col("j") * kCodes + col("code")).as("idx"), col("d2")))),
+        x => x.getField("d2")).as("lut"))
+
+    // ADC scan: m table lookups per (query, vector) pair — raw vectors
+    // never flow through this join
+    val scored = baseCodes
+      .join(broadcast(queries.select(col("a_id")).join(luts, "a_id")),
+        col("a_id") =!= col("b_id"))
+      .withColumn("adc",
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+            (c, j) => element_at(col("lut"), (j * kCodes + c + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x))
+    val wAdc = Window.partitionBy(col("a_id")).orderBy(col("adc").asc, col("b_id").asc)
+
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(wAdc))
+        .filter(col("rank") <= k)
+        .select(col("a_id"), col("b_id"), col("rank"), col("adc"))
+    } else {
+      // two-stage: ADC top-R candidates fetch their raw vectors (a per-id
+      // join, NOT a scan) and re-rank by exact integer cosine
+      val r = math.max(rerank, k)
+      val cand = scored.withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= r)
+        .select(col("a_id"), col("b_id"))
+      val wSim = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id").asc)
+      cand
+        .join(e.select(col("vec_id").as("b_id"), col("q").as("bq"), col("n2").as("nb")), "b_id")
+        .join(broadcast(queries), "a_id")
+        .withColumn("dot_q", graft.functions.VectorDot.of(col("aq"), col("bq")))
+        .withColumn("sim", VectorOps.cosineQ(col("dot_q"), col("na"), col("nb")))
+        .withColumn("rank", row_number().over(wSim))
+        .filter(col("rank") <= k)
+        .select(col("a_id"), col("b_id"), col("rank"), col("sim"))
+    }
+  }
+}

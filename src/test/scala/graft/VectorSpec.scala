@@ -128,6 +128,40 @@ class VectorSpec extends AnyFunSuite {
     } finally exact.unpersist()
   }
 
+  test("PQ: codes well-formed, encode deterministic, ADC recall rises with m and rerank") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    import org.apache.spark.sql.functions._
+    val nq = 50; val k = 10
+    val m4 = graft.vector.Pq.train(spark, dir, m = 4, k = 16, iters = 2)
+    val m8 = graft.vector.Pq.train(spark, dir, m = 8, k = 16, iters = 2)
+    assert(m8.codebooks.length === 8 && m8.codebooks.forall(_.size === 16))
+
+    // every vector encoded, all codes in [0, 16)
+    val docs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val codes = graft.vector.Pq.encode(spark,
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), graft.vector.VectorOps.quantize(col("embedding"), 10000).as("q")),
+      m8)
+    assert(codes.count() === docs)
+    assert(codes.filter(exists(col("codes"), c => c < 0 || c >= 16)).count() === 0)
+
+    // recall shape + floors (measured sf0.01: 0.188 / 0.278 / 0.662 / 0.954)
+    val exact = graft.vector.Ann.exactTopK(spark, dir, nq, k).cache()
+    try {
+      def r(df: org.apache.spark.sql.DataFrame) = graft.vector.Ann.recallAtK(df, exact)
+      val adc4 = r(graft.vector.Pq.pqTopK(spark, dir, nq, k, m4))
+      val adc8 = r(graft.vector.Pq.pqTopK(spark, dir, nq, k, m8))
+      val rr50 = r(graft.vector.Pq.pqTopK(spark, dir, nq, k, m8, rerank = 50))
+      val rr200 = r(graft.vector.Pq.pqTopK(spark, dir, nq, k, m8, rerank = 200))
+      assert(adc8 >= adc4, s"finer quantization must not lose recall: $adc4 -> $adc8")
+      assert(rr50 >= adc8 && rr200 >= rr50,
+        s"exact re-rank must not lose recall: $adc8 -> $rr50 -> $rr200")
+      assert(adc8 >= 0.20, s"ADC m=8 recall $adc8")
+      assert(rr200 >= 0.90, s"rerank-200 recall $rr200")
+    } finally exact.unpersist()
+  }
+
   test("native hyperplane_sig equals the declarative formulation (8, 48 and 63 bit)") {
     val dims = 16
     val rnd = new scala.util.Random(7)
