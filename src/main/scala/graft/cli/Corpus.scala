@@ -55,6 +55,7 @@ object Corpus {
     * (plus packing columns when --pack is set).
     */
   def pipeline(spark: SparkSession, a: Args): DataFrame = {
+    require(a.shards > 0, "--shards must be positive")
     var corpus = spark.read.parquet(a.input)
       .withColumn("__n_tokens", size(TextOps.words(col("text"))))
       .filter(col("__n_tokens") >= a.minTokens && col("__n_tokens") <= a.maxTokens)
@@ -63,6 +64,10 @@ object Corpus {
       corpus = Dedup.decontaminate(corpus, spark.read.parquet(b))
     }
     if (a.dedup) {
+      // the corpus subtree feeds BOTH the LSH pair mining and the anti
+      // join (and later the pack/join pair) — persist it or the scan +
+      // filter + decontaminate chain recomputes once per reference
+      corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // no broadcast hint: losers can be corpus-scale on duplicate-heavy
       // crawls; AQE picks broadcast when they happen to be small
       val losers = Dedup.nearDupPairs(corpus)
@@ -74,6 +79,8 @@ object Corpus {
     }
     val out = a.packTokens match {
       case Some(max) =>
+        // corpus feeds both the packer and the join-back — persist here too
+        corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val packed = Packing.greedyPack(
           corpus.select(col("doc_id"), col("__n_tokens")),
           "doc_id", "__n_tokens", max, a.shards)

@@ -26,10 +26,15 @@ object AnnRecall {
     for (r <- Seq(0, 1)) m(s"lsh radius=$r")(Ann.lshTopK(spark, dir, nq, k, 8, r))
     val pq4 = graft.vector.Pq.train(spark, dir, m = 4, k = 16, iters = 2)
     val pq8 = graft.vector.Pq.train(spark, dir, m = 8, k = 16, iters = 2)
+    // index built once, scanned many times — the PQ usage pattern
+    val codes8 = Some(graft.vector.Pq.encodeFromDir(spark, dir, pq8).cache())
     m("pq m=4 adc only")(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq4))
-    m("pq m=8 adc only")(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8))
-    m("pq m=8 adc+rerank50")(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8, rerank = 50))
-    m("pq m=8 adc+rerank200")(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8, rerank = 200))
+    m("pq m=8 adc only")(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8,
+      precomputedCodes = codes8))
+    m("pq m=8 adc+rerank50")(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8, rerank = 50,
+      precomputedCodes = codes8))
+    m("pq m=8 adc+rerank200")(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8, rerank = 200,
+      precomputedCodes = codes8))
     spark.stop()
   }
 }

@@ -86,6 +86,13 @@ object Pq {
         e => e.getField("code")).as("codes"))
   }
 
+  /** [[encode]] straight from a testdata dir (the quantized read used by
+    * every vector query) — the index-build step callers persist/write
+    * once and hand to [[pqTopK]] many times.
+    */
+  def encodeFromDir(s: SparkSession, dir: String, model: Model): DataFrame =
+    encode(s, Queries.prepared(s, dir), model)
+
   /** ADC top-k: query vectors get an m×k lookup table of exact integer
     * sub-distances (tiny — one broadcast join against the codebooks), and
     * every encoded vector is scored by m TABLE LOOKUPS (sum over
@@ -96,11 +103,15 @@ object Pq {
     * candidate set).
     */
   def pqTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
-             model: Model, rerank: Int = 0): DataFrame = {
+             model: Model, rerank: Int = 0,
+             precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val e = Queries.prepared(s, dir)
     val kCodes = model.codebooks.head.size
-    // the scan side holds ONLY (id, codes) — m small ints per vector
-    val baseCodes = encode(s, e, model)
+    // the scan side holds ONLY (id, codes) — m small ints per vector.
+    // Pass `precomputedCodes` (an encode() output, typically persisted or
+    // written as the index table) to skip re-encoding the base — encoding
+    // once at build time and scanning codes many times IS the PQ deal.
+    val baseCodes = precomputedCodes.getOrElse(encode(s, e, model))
       .select(col("vec_id").as("b_id"), col("codes"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("a_id"), col("q").as("aq"), col("n2").as("na"))
@@ -120,9 +131,9 @@ object Pq {
 
     // ADC scan: m table lookups per (query, vector) pair — raw vectors
     // never flow through this join
+    // luts already carries exactly one row per query a_id
     val scored = baseCodes
-      .join(broadcast(queries.select(col("a_id")).join(luts, "a_id")),
-        col("a_id") =!= col("b_id"))
+      .join(broadcast(luts), col("a_id") =!= col("b_id"))
       .withColumn("adc",
         aggregate(
           zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
