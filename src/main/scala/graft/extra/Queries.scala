@@ -159,6 +159,34 @@ object Queries {
           |  (o_orderpriority), ())""".stripMargin)
     }),
 
+    // Correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
+    // rewrites both to broadcast semi/anti joins (no per-row subquery
+    // execution, the plan a 100 TB engine must produce).
+    "q68_exists" -> ((s, dir) => {
+      Tables(s, dir).customer.createOrReplaceTempView("customer_v")
+      Tables(s, dir).orders.createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_v c
+          |WHERE EXISTS (SELECT 1 FROM orders_v o
+          |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_v o2
+          |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin)
+    }),
+
+    // Scalar + correlated scalar subqueries: global average (one broadcast
+    // scalar) and per-customer order count (rewritten to an aggregated
+    // left join); decisions on integers/floor for engine parity.
+    "q69_scalar_subquery" -> ((s, dir) => {
+      Tables(s, dir).customer.createOrReplaceTempView("customer_v")
+      Tables(s, dir).orders.createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey)
+          |    AS n_orders
+          |FROM customer_v c
+          |WHERE c_acctbal > (SELECT floor(avg(c_acctbal)) FROM customer_v)""".stripMargin)
+    }),
+
     // Exact second-moment statistics: variance/stddev/correlation derived
     // from exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²) with the SAME
     // double expression shape in both engines — deterministic, unlike
@@ -525,6 +553,18 @@ object Queries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
         |  (o_orderpriority), ())""".stripMargin,
+    "q68_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin,
+    "q69_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |    AS n_orders
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT floor(avg(c_acctbal)) FROM customer)""".stripMargin,
     "q47_exact_stats" ->
       """WITH t AS (SELECT l_returnflag,
         |    CAST(l_quantity AS BIGINT) AS x,

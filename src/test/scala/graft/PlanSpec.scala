@@ -65,6 +65,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!planOf("q49_simhash_pairs").contains("BroadcastNestedLoop"))
   }
 
+  test("q68 correlated EXISTS/NOT EXISTS rewrite to semi/anti joins") {
+    val p = planOf("q68_exists")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"EXISTS must decorrelate to joins, got:\n$p")
+  }
+
   test("q61 embedding LSH candidate join is an equi join, never all-pairs") {
     val p = planOf("q61_embed_lsh_neardup")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
