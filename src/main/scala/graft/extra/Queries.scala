@@ -159,6 +159,31 @@ object Queries {
           |  (o_orderpriority), ())""".stripMargin)
     }),
 
+    // Time-series resample: per-type hourly grid over each type's own
+    // span (sequence + explode generates ONLY missing rows, never a
+    // cross join), zero-filled counts and a forward-filled last-observed
+    // sum (`last(..., ignoreNulls)` window) — the gap-filling shape every
+    // metrics/feature pipeline needs. Integer sums (floor) for parity.
+    "q70_resample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir).events.select(
+        col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        floor(col("value")).as("v"))
+      val agg = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val grid = agg.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg, Seq("event_type", "h"), "left")
+        .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sv"), lit(0L)).as("sv"),
+          coalesce(last(col("sv"), ignoreNulls = true).over(w), lit(0L)).as("sv_ffill"))
+    }),
+
     // Correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
     // rewrites both to broadcast semi/anti joins (no per-row subquery
     // execution, the plan a 100 TB engine must produce).
@@ -553,6 +578,20 @@ object Queries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
         |  (o_orderpriority), ())""".stripMargin,
+    "q70_resample" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(floor(value) AS BIGINT) AS v FROM events),
+        |agg AS (SELECT event_type, h, count(*) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv FROM ev GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM agg GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM spans)
+        |SELECT g.event_type, epoch_us(g.h) AS hour_us,
+        |  coalesce(a.n, 0) AS n, coalesce(a.sv, 0) AS sv,
+        |  coalesce(last_value(a.sv IGNORE NULLS) OVER (PARTITION BY g.event_type
+        |    ORDER BY g.h ROWS UNBOUNDED PRECEDING), 0) AS sv_ffill
+        |FROM grid g LEFT JOIN agg a
+        |  ON g.event_type = a.event_type AND g.h = a.h""".stripMargin,
     "q68_exists" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
