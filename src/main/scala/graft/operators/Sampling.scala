@@ -46,6 +46,24 @@ object Sampling {
     df.filter(hashBucket(key, 1000, seed) < perMille)
   }
 
+  /** Exactly-k-per-stratum sampling: the deterministic way to build a
+    * balanced eval/calibration set ("5 docs per language"). Rows are
+    * ranked inside each stratum by md5(seed ":" key) — a uniform, stable
+    * shuffle order — and the first k win. One window per stratum; ties
+    * are impossible (md5 of distinct keys) so the pick is total and
+    * reproducible across runs, partitionings, and engines.
+    */
+  def stratifiedK(df: DataFrame, key: Column, stratum: Column, k: Int,
+                  seed: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(md5(concat(lit(seed), lit(":"), key.cast("string"))).asc, key.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Stratified mixture sampling: per-stratum keep rates, the way a
     * training mixture downweights over-represented sources/languages.
     * Strata absent from `ratesPerMille` get `defaultPerMille`. Same

@@ -55,6 +55,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(mixEn === plain)
   }
 
+  test("stratifiedK: exactly k per stratum (all rows when stratum smaller), deterministic") {
+    val df = (1 to 300).map(i => (i.toLong, if (i <= 3) "tiny" else s"s${i % 4}"))
+      .toDF("id", "g")
+    val out = Sampling.stratifiedK(df, col("id"), col("g"), 10)
+    val byG = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG("tiny") === 3, "stratum smaller than k keeps all rows")
+    assert(Seq("s0", "s1", "s2", "s3").forall(byG(_) === 10))
+    val again = Sampling.stratifiedK(df.repartition(11), col("id"), col("g"), 10)
+      .as[(Long, String)].collect().toSet
+    assert(again === out.as[(Long, String)].collect().toSet,
+      "pick must be partition-invariant")
+  }
+
   test("hashBucket: stable shard assignment covers all buckets") {
     val buckets = ids(1000)
       .select(Sampling.hashBucket(col("id"), 8).as("b")).as[Int].collect()
