@@ -169,8 +169,12 @@ object Queries {
       val ev = Tables(s, dir).events.select(
         col("event_type"), date_trunc("hour", col("ts")).as("h"),
         floor(col("value")).as("v"))
+      // the hourly aggregate feeds BOTH the span grid and the join probe;
+      // localCheckpoint materializes it once (types × hours rows — tiny)
+      // instead of scanning + aggregating the events table twice
       val agg = ev.groupBy(col("event_type"), col("h"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .localCheckpoint(true)
       val grid = agg.groupBy(col("event_type"))
         .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(col("event_type"),
@@ -200,7 +204,11 @@ object Queries {
 
     // Scalar + correlated scalar subqueries: global average (one broadcast
     // scalar) and per-customer order count (rewritten to an aggregated
-    // left join); decisions on integers/floor for engine parity.
+    // left join). Parity: the threshold is computed on integer CENTS
+    // (floor(x*100) per row, exact long sum, one double division) — a
+    // floor(avg(double)) would be partition-order-dependent and could
+    // flip the gate when the true average sits within an ulp of an
+    // integer (the q47 cents discipline).
     "q69_scalar_subquery" -> ((s, dir) => {
       Tables(s, dir).customer.createOrReplaceTempView("customer_v")
       Tables(s, dir).orders.createOrReplaceTempView("orders_v")
@@ -209,7 +217,9 @@ object Queries {
           |  (SELECT count(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey)
           |    AS n_orders
           |FROM customer_v c
-          |WHERE c_acctbal > (SELECT floor(avg(c_acctbal)) FROM customer_v)""".stripMargin)
+          |WHERE CAST(floor(c_acctbal*100) AS BIGINT) >
+          |  (SELECT CAST(floor(CAST(sum(CAST(floor(c_acctbal*100) AS BIGINT)) AS BIGINT)
+          |    / count(*)) AS BIGINT) FROM customer_v)""".stripMargin)
     }),
 
     // Exact second-moment statistics: variance/stddev/correlation derived
@@ -603,7 +613,9 @@ object Queries {
         |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
         |    AS n_orders
         |FROM customer c
-        |WHERE c_acctbal > (SELECT floor(avg(c_acctbal)) FROM customer)""".stripMargin,
+        |WHERE CAST(floor(c_acctbal*100) AS BIGINT) >
+        |  (SELECT CAST(floor(CAST(sum(CAST(floor(c_acctbal*100) AS BIGINT)) AS BIGINT)
+        |    / count(*)) AS BIGINT) FROM customer)""".stripMargin,
     "q47_exact_stats" ->
       """WITH t AS (SELECT l_returnflag,
         |    CAST(l_quantity AS BIGINT) AS x,

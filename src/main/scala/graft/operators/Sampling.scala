@@ -49,19 +49,25 @@ object Sampling {
   /** Exactly-k-per-stratum sampling: the deterministic way to build a
     * balanced eval/calibration set ("5 docs per language"). Rows are
     * ranked inside each stratum by md5(seed ":" key) — a uniform, stable
-    * shuffle order — and the first k win. One window per stratum; ties
-    * are impossible (md5 of distinct keys) so the pick is total and
-    * reproducible across runs, partitionings, and engines.
+    * shuffle order — and the first k win.
+    *
+    * Contract: `key` must be UNIQUE and NON-NULL (it is the row identity,
+    * like every hash decision here) — duplicate keys tie on both sort
+    * columns (the pick among them would be partition-order-dependent) and
+    * null keys order differently across engines (Spark NULLS FIRST,
+    * DuckDB NULLS LAST).
+    *
+    * Runs through the engine's own `TopKPerKey` operator (bounded
+    * map-side heaps, only heap heads shuffle) rather than a
+    * row_number window, which would shuffle + fully sort every stratum
+    * to keep k rows — the difference between O(k·partitions) and
+    * O(stratum) state at 100 TB.
     */
   def stratifiedK(df: DataFrame, key: Column, stratum: Column, k: Int,
                   seed: String = ""): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum)
-      .orderBy(md5(concat(lit(seed), lit(":"), key.cast("string"))).asc, key.asc)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+    graft.operators.Relational.topKPerKey(df, Seq(stratum),
+      Seq(md5(concat(lit(seed), lit(":"), key.cast("string"))).asc, key.asc), k)
   }
 
   /** Stratified mixture sampling: per-stratum keep rates, the way a

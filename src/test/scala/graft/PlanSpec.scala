@@ -65,6 +65,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!planOf("q49_simhash_pairs").contains("BroadcastNestedLoop"))
   }
 
+  test("q71 stratified-k runs through the bounded-heap TopKPerKey operator, no window sort") {
+    val p = planOf("q71_stratified_k")
+    assert(p.contains("TopKPerKey"), s"expected the custom operator, got:\n$p")
+    assert(!p.contains("Window"), s"must not fall back to a row_number window:\n$p")
+  }
+
   test("q68 correlated EXISTS/NOT EXISTS rewrite to semi/anti joins") {
     val p = planOf("q68_exists")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
