@@ -75,4 +75,34 @@ class PropertySpec extends AnyFunSuite {
       flat == nested
     })
   }
+
+  test("property: greedy packing never overflows and packs every doc exactly once") {
+    val docsGen = Gen.listOfN(40, Gen.choose(1L, 50L))
+    check("pack-invariants", Prop.forAll(docsGen, Gen.choose(50, 120)) { (lens, maxTok) =>
+      val df = lens.zipWithIndex.map { case (n, i) => (i.toLong + 1, n) }
+        .toDF("doc_id", "n_tokens")
+      val out = graft.operators.Packing
+        .greedyPack(df, "doc_id", "n_tokens", maxTok, shards = 3)
+        .join(df, "doc_id")
+        .as[(Long, Int, Long, Long, Long)].collect()
+      val once = out.map(_._1).distinct.length == lens.length
+      val noOverflow = out.groupBy(r => (r._2, r._3)).values
+        .forall(seq => seq.map(_._5).sum <= maxTok || seq.length == 1)
+      once && noOverflow
+    })
+  }
+
+  test("property: deterministic samples nest across any pair of rates") {
+    val idsGen = Gen.listOfN(80, Gen.choose(1L, 100000L)).map(_.distinct)
+    check("sample-nesting", Prop.forAll(idsGen, Gen.choose(0, 1000), Gen.choose(0, 1000)) {
+      (ids, r1, r2) =>
+        val df = ids.toDF("id")
+        val lo = math.min(r1, r2); val hi = math.max(r1, r2)
+        val small = graft.operators.Sampling.deterministicSample(df, col("id"), lo)
+          .as[Long].collect().toSet
+        val big = graft.operators.Sampling.deterministicSample(df, col("id"), hi)
+          .as[Long].collect().toSet
+        small.subsetOf(big)
+    })
+  }
 }
