@@ -35,6 +35,10 @@ object AnnRecall {
       precomputedCodes = codes8))
     m("pq m=8 adc+rerank200")(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8, rerank = 200,
       precomputedCodes = codes8))
+    val coarse = graft.vector.Ann.trainCentroids(spark, dir, k = 8, iters = 2)
+    for (np <- Seq(1, 2, 4))
+      m(s"ivfpq nprobe=$np rerank=200")(graft.vector.Pq.ivfPqTopK(
+        spark, dir, nq, k, pq8, coarse, np, rerank = 200, precomputedCodes = codes8))
     spark.stop()
   }
 }

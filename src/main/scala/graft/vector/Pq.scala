@@ -106,7 +106,6 @@ object Pq {
              model: Model, rerank: Int = 0,
              precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val e = Queries.prepared(s, dir)
-    val kCodes = model.codebooks.head.size
     // the scan side holds ONLY (id, codes) — m small ints per vector.
     // Pass `precomputedCodes` (an encode() output, typically persisted or
     // written as the index table) to skip re-encoding the base — encoding
@@ -115,9 +114,48 @@ object Pq {
       .select(col("vec_id").as("b_id"), col("codes"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("a_id"), col("q").as("aq"), col("n2").as("na"))
+    // exhaustive ADC: every (query, vector) pair is a candidate
+    val candidates = baseCodes.join(broadcast(lutsFor(s, queries, model)),
+      col("a_id") =!= col("b_id"))
+    finishTopK(adcScore(candidates, model), e, queries, k, rerank)
+  }
 
-    // per-query LUT: lut[j·k + code + 1] = d²(subq_j(query), codebook_j[code])
-    val luts = queries
+  /** IVF-PQ proper: candidates restricted to the query's `nprobe` nearest
+    * coarse cells (Ann.rankCells — the same L2 ranking the coarse
+    * quantizer trains with), then ADC-scored and optionally exact
+    * re-ranked. The full modern ANN index: coarse cells cut the scan to
+    * ~nprobe/cells of the corpus, PQ codes cut the bytes per scanned
+    * vector to m, and the re-rank restores recall — three independent
+    * knobs (nprobe, m, rerank).
+    */
+  def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
+                model: Model, coarse: Seq[(Long, Seq[Long])], nprobe: Int = 1,
+                rerank: Int = 0,
+                precomputedCodes: Option[DataFrame] = None): DataFrame = {
+    val e = Queries.prepared(s, dir)
+    val ranked = Ann.rankCells(e, Ann.centroidsDF(s, coarse))
+    val home = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("b_id"), col("cid"))
+    val probes = ranked.filter(col("vec_id") < nQueries && col("rn") <= nprobe)
+      .select(col("vec_id").as("a_id"), col("cid"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("a_id"), col("q").as("aq"), col("n2").as("na"))
+    val baseCodes = precomputedCodes.getOrElse(encode(s, e, model))
+      .select(col("vec_id").as("b_id"), col("codes"))
+    // cell-pruned candidates: equi join on cid (each base vector lives in
+    // exactly ONE home cell, so probing distinct cells never duplicates)
+    val candidates = probes
+      .join(home, Seq("cid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .join(baseCodes, "b_id")
+      .join(broadcast(lutsFor(s, queries, model)), "a_id")
+    finishTopK(adcScore(candidates, model), e, queries, k, rerank)
+  }
+
+  /** Per-query LUT: lut[j·k + code + 1] = d²(subq_j(query), codebook_j[code]). */
+  private def lutsFor(s: SparkSession, queries: DataFrame, model: Model): DataFrame = {
+    val kCodes = model.codebooks.head.size
+    queries
       .crossJoin(broadcast(codebookDF(s, model)))
       .withColumn("subq", slice(col("aq"), col("j") * model.dsub + 1, lit(model.dsub)))
       .withColumn("d2",
@@ -128,26 +166,32 @@ object Pq {
       .agg(transform(array_sort(collect_list(struct(
         (col("j") * kCodes + col("code")).as("idx"), col("d2")))),
         x => x.getField("d2")).as("lut"))
+  }
 
-    // ADC scan: m table lookups per (query, vector) pair — raw vectors
-    // never flow through this join
-    // luts already carries exactly one row per query a_id
-    val scored = baseCodes
-      .join(broadcast(luts), col("a_id") =!= col("b_id"))
-      .withColumn("adc",
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
-            (c, j) => element_at(col("lut"), (j * kCodes + c + 1).cast("int"))),
-          lit(0L), (acc, x) => acc + x))
+  /** ADC scan: m table lookups per candidate — raw vectors never flow
+    * through this join.
+    */
+  private def adcScore(candidates: DataFrame, model: Model): DataFrame = {
+    val kCodes = model.codebooks.head.size
+    candidates.withColumn("adc",
+      aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+          (c, j) => element_at(col("lut"), (j * kCodes + c + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x))
+  }
+
+  /** ADC top-k, or two-stage top-k when `rerank` > 0: the ADC top-R
+    * candidates fetch their raw vectors (a per-id join, NOT a scan) and
+    * re-rank by exact integer cosine.
+    */
+  private def finishTopK(scored: DataFrame, e: DataFrame, queries: DataFrame,
+                         k: Int, rerank: Int): DataFrame = {
     val wAdc = Window.partitionBy(col("a_id")).orderBy(col("adc").asc, col("b_id").asc)
-
     if (rerank <= 0) {
       scored.withColumn("rank", row_number().over(wAdc))
         .filter(col("rank") <= k)
         .select(col("a_id"), col("b_id"), col("rank"), col("adc"))
     } else {
-      // two-stage: ADC top-R candidates fetch their raw vectors (a per-id
-      // join, NOT a scan) and re-rank by exact integer cosine
       val r = math.max(rerank, k)
       val cand = scored.withColumn("rn", row_number().over(wAdc))
         .filter(col("rn") <= r)

@@ -162,6 +162,30 @@ class VectorSpec extends AnyFunSuite {
     } finally exact.unpersist()
   }
 
+  test("IVF-PQ: probing all cells equals exhaustive ADC; recall monotone in nprobe") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val nq = 50; val k = 10
+    val pq8 = graft.vector.Pq.train(spark, dir, m = 8, k = 16, iters = 2)
+    val coarse = graft.vector.Ann.trainCentroids(spark, dir, k = 8, iters = 2)
+    val exact = graft.vector.Ann.exactTopK(spark, dir, nq, k).cache()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("a_id", "b_id", "rank").as[(Long, Long, Int)].collect().toSet
+      // nprobe = all cells ⟹ every vector is a candidate exactly once ⟹
+      // identical to the exhaustive ADC scan
+      val all = rows(graft.vector.Pq.ivfPqTopK(spark, dir, nq, k, pq8, coarse, nprobe = 8))
+      val exhaustive = rows(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8))
+      assert(all === exhaustive)
+      def r(df: org.apache.spark.sql.DataFrame) = graft.vector.Ann.recallAtK(df, exact)
+      val r1 = r(graft.vector.Pq.ivfPqTopK(spark, dir, nq, k, pq8, coarse, 1, rerank = 50))
+      val r2 = r(graft.vector.Pq.ivfPqTopK(spark, dir, nq, k, pq8, coarse, 2, rerank = 50))
+      val r4 = r(graft.vector.Pq.ivfPqTopK(spark, dir, nq, k, pq8, coarse, 4, rerank = 50))
+      assert(r1 <= r2 && r2 <= r4, s"recall must rise with nprobe: $r1 $r2 $r4")
+      assert(r4 > 0.2, s"IVF-PQ nprobe=4 rerank=50 recall $r4")
+    } finally exact.unpersist()
+  }
+
   test("native hyperplane_sig equals the declarative formulation (8, 48 and 63 bit)") {
     val dims = 16
     val rnd = new scala.util.Random(7)
