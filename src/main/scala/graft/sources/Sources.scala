@@ -115,6 +115,54 @@ object Sources {
       (stats.getDouble(0), stats.getDouble(1)), (stats.getDouble(2), stats.getDouble(3)))
   }
 
+  /** [[writeZOrdered]] for SKEWED dimensions: buckets each dim by its
+    * approximate QUANTILES (one approxQuantile pass, driver-sized
+    * boundary array, binary-searched per row by `ml.feature.Bucketizer`)
+    * instead of linearly. Linear bucketing wastes almost the whole 16-bit
+    * range on a heavy-tailed dim — a zipfian column with 90% of rows
+    * under 100 and a tail to 10⁶ gets ~7 distinct linear buckets for the
+    * dense region, so files can't separate values where the data actually
+    * lives; quantile buckets are equal-occupancy by construction, making
+    * per-file ranges tight exactly where the rows are (LayoutSpec shows a
+    * dense-region box touching far fewer files than the linear layout).
+    */
+  def writeZOrderedByQuantile(df: DataFrame, outDir: String, colA: String,
+                              colB: String, files: Int,
+                              buckets: Int = 4096): Unit = {
+    require(buckets > 1 && buckets <= 65536, "buckets must be in (1, 65536]")
+    import org.apache.spark.ml.feature.Bucketizer
+    val probs = (0 to buckets).map(_.toDouble / buckets).toArray
+    def splitsFor(c: String): Array[Double] = {
+      val qs = df.stat.approxQuantile(c, probs, 0.001)
+      val inner = qs.slice(1, qs.length - 1).distinct.sorted
+      Array(Double.NegativeInfinity) ++ inner ++ Array(Double.PositiveInfinity)
+    }
+    val withDoubles = df
+      .withColumn("__da", col(colA).cast("double"))
+      .withColumn("__db", col(colB).cast("double"))
+    val (splitsA, splitsB) = (splitsFor(colA), splitsFor(colB))
+    val bucketed = new Bucketizer()
+      .setInputCols(Array("__da", "__db"))
+      .setOutputCols(Array("__ba", "__bb"))
+      .setSplitsArray(Array(splitsA, splitsB))
+      .transform(withDoubles)
+    // bucket indices must be RESCALED onto the full 16-bit Morton grid:
+    // low-cardinality dims collapse to few distinct splits, and un-scaled
+    // indices would occupy only the lowest z-tiles (one tile = no
+    // within-dim locality — exactly the failure quantiles exist to fix)
+    def gridded(c: org.apache.spark.sql.Column, nBuckets: Int) =
+      if (nBuckets <= 1) lit(0L)
+      else floor(c * 65535.0 / (nBuckets - 1)).cast("long")
+    bucketed
+      .withColumn("__z", mortonInterleave(
+        gridded(col("__ba"), splitsA.length - 1),
+        gridded(col("__bb"), splitsB.length - 1)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "__da", "__db", "__ba", "__bb")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
   /** [[writeZOrdered]] with caller-supplied dim bounds — skips the stats
     * pass (one full scan saved; at 100 TB pass the bounds you already
     * know, e.g. from table stats or the natural domain).

@@ -43,6 +43,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(avgSy < 5000, s"y not clustered: avg span $avgSy")
   }
 
+  test("quantile z-order beats linear z-order on a skewed dimension") {
+    val n = 40000
+    // x zipf-ish: 90% of rows in [0, 100), tail out to 1e6; y uniform
+    val df = (0 until n).map { i =>
+      val x = if (i % 10 != 0) (i * 2654435761L % 100).toInt
+              else (1000 + (i * 40503L % 999000)).toInt
+      (x, ((i * 48271L + 11) % 10000).toInt)
+    }.toDF("x", "y")
+    val linDir = java.nio.file.Files.createTempDirectory("zlin").toString
+    val qDir = java.nio.file.Files.createTempDirectory("zq").toString
+    Sources.writeZOrdered(df, linDir, "x", "y", files = 64)
+    Sources.writeZOrderedByQuantile(df, qDir, "x", "y", files = 64, buckets = 1024)
+
+    // Inside the DENSE region (90% of rows, x < 100) linear bucketing
+    // collapses x to ~6 of 65536 buckets — files cannot subdivide x where
+    // the data lives, so each file's dense-x span stays ≈ the whole dense
+    // range. Quantile buckets spend their resolution on occupancy and cut
+    // per-file dense-x spans by an order of magnitude.
+    def denseSpan(dir: String): Double = spark.read.parquet(dir)
+      .filter(col("x") < 100)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("span"), count(lit(1)).as("rows"))
+      .filter(col("rows") > 100) // files with real dense mass
+      .select(avg("span")).head().getDouble(0)
+    val (lin, q) = (denseSpan(linDir), denseSpan(qDir))
+    assert(q < lin / 2,
+      s"quantile layout must resolve the dense region: linear=$lin quantile=$q")
+    // content identical either way
+    assert(spark.read.parquet(qDir).count() === n)
+  }
+
   test("z-ordered layout prunes files for a 2-D box predicate") {
     val n = 40000
     val df = (0 until n).map { i =>
