@@ -132,20 +132,27 @@ object Sources {
     require(buckets > 1 && buckets <= 65536, "buckets must be in (1, 65536]")
     import org.apache.spark.ml.feature.Bucketizer
     val probs = (0 to buckets).map(_.toDouble / buckets).toArray
-    def splitsFor(c: String): Array[Double] = {
-      val qs = df.stat.approxQuantile(c, probs, 0.001)
+    // ONE quantile pass for both dims; sketch error must out-resolve the
+    // requested bucket spacing or adjacent boundaries collapse silently
+    val all = df.stat.approxQuantile(
+      Array(colA, colB), probs, 1.0 / (2.0 * buckets))
+    def splitsOf(qs: Array[Double]): Array[Double] = {
       val inner = qs.slice(1, qs.length - 1).distinct.sorted
       Array(Double.NegativeInfinity) ++ inner ++ Array(Double.PositiveInfinity)
     }
+    val (splitsA, splitsB) = (splitsOf(all(0)), splitsOf(all(1)))
     val withDoubles = df
       .withColumn("__da", col(colA).cast("double"))
       .withColumn("__db", col(colB).cast("double"))
-    val (splitsA, splitsB) = (splitsFor(colA), splitsFor(colB))
-    val bucketed = new Bucketizer()
-      .setInputCols(Array("__da", "__db"))
-      .setOutputCols(Array("__ba", "__bb"))
-      .setSplitsArray(Array(splitsA, splitsB))
-      .transform(withDoubles)
+    // a constant/all-null/empty dim yields no inner boundaries — it
+    // carries no locality, so it degrades to a single bucket instead of
+    // tripping Bucketizer's >=3-splits validation
+    def bucketCol(in: String, out: String, splits: Array[Double])(d: DataFrame) =
+      if (splits.length < 3) d.withColumn(out, lit(0.0))
+      else new Bucketizer().setInputCol(in).setOutputCol(out)
+        .setSplits(splits).transform(d)
+    val bucketed = bucketCol("__db", "__bb", splitsB)(
+      bucketCol("__da", "__ba", splitsA)(withDoubles))
     // bucket indices must be RESCALED onto the full 16-bit Morton grid:
     // low-cardinality dims collapse to few distinct splits, and un-scaled
     // indices would occupy only the lowest z-tiles (one tile = no
@@ -153,15 +160,22 @@ object Sources {
     def gridded(c: org.apache.spark.sql.Column, nBuckets: Int) =
       if (nBuckets <= 1) lit(0L)
       else floor(c * 65535.0 / (nBuckets - 1)).cast("long")
-    bucketed
-      .withColumn("__z", mortonInterleave(
+    writeByZ(
+      bucketed.withColumn("__z", mortonInterleave(
         gridded(col("__ba"), splitsA.length - 1),
-        gridded(col("__bb"), splitsB.length - 1)))
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z", "__da", "__db", "__ba", "__bb")
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
+        gridded(col("__bb"), splitsB.length - 1))),
+      outDir, files, Seq("__z", "__da", "__db", "__ba", "__bb"))
   }
+
+  /** Shared layout-write tail: range-partition + sort by the z column,
+    * drop the scratch columns, overwrite parquet.
+    */
+  private def writeByZ(df: DataFrame, outDir: String, files: Int,
+                       scratch: Seq[String]): Unit =
+    df.repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop(scratch: _*)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
 
   /** [[writeZOrdered]] with caller-supplied dim bounds — skips the stats
     * pass (one full scan saved; at 100 TB pass the bounds you already
@@ -173,11 +187,9 @@ object Sources {
       if (r._2 <= r._1) lit(0L)
       else least(greatest(
         floor((col(c).cast("double") - r._1) / (r._2 - r._1) * 65535), lit(0L)), lit(65535L))
-    df.withColumn("__z",
-        mortonInterleave(bucket(colA, aRange), bucket(colB, bRange)))
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    writeByZ(
+      df.withColumn("__z",
+        mortonInterleave(bucket(colA, aRange), bucket(colB, bRange))),
+      outDir, files, Seq("__z"))
   }
 }

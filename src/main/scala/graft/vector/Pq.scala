@@ -133,10 +133,14 @@ object Pq {
                 rerank: Int = 0,
                 precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val e = Queries.prepared(s, dir)
-    val ranked = Ann.rankCells(e, Ann.centroidsDF(s, coarse))
-    val home = ranked.filter(col("rn") === 1)
+    val cents = Ann.centroidsDF(s, coarse)
+    // rank the FULL corpus only once (home cells); probe cells are ranked
+    // over just the nQueries query vectors — deriving both from one
+    // `ranked` frame would execute the corpus-wide crossJoin+window twice
+    val home = Ann.assignCells(e, cents)
       .select(col("vec_id").as("b_id"), col("cid"))
-    val probes = ranked.filter(col("vec_id") < nQueries && col("rn") <= nprobe)
+    val probes = Ann.rankCells(e.filter(col("vec_id") < nQueries), cents)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("a_id"), col("cid"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("a_id"), col("q").as("aq"), col("n2").as("na"))

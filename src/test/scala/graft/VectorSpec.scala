@@ -168,20 +168,28 @@ class VectorSpec extends AnyFunSuite {
     val nq = 50; val k = 10
     val pq8 = graft.vector.Pq.train(spark, dir, m = 8, k = 16, iters = 2)
     val coarse = graft.vector.Ann.trainCentroids(spark, dir, k = 8, iters = 2)
+    // encode once — the index-build-once / scan-many usage pattern
+    val codes = Some(graft.vector.Pq.encodeFromDir(spark, dir, pq8).cache())
     val exact = graft.vector.Ann.exactTopK(spark, dir, nq, k).cache()
     try {
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select("a_id", "b_id", "rank").as[(Long, Long, Int)].collect().toSet
       // nprobe = all cells ⟹ every vector is a candidate exactly once ⟹
-      // identical to the exhaustive ADC scan
-      val all = rows(graft.vector.Pq.ivfPqTopK(spark, dir, nq, k, pq8, coarse, nprobe = 8))
-      val exhaustive = rows(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8))
+      // identical to the exhaustive ADC scan (a true identity)
+      val all = rows(graft.vector.Pq.ivfPqTopK(spark, dir, nq, k, pq8, coarse,
+        nprobe = 8, precomputedCodes = codes))
+      val exhaustive = rows(graft.vector.Pq.pqTopK(spark, dir, nq, k, pq8,
+        precomputedCodes = codes))
       assert(all === exhaustive)
+      // recall vs nprobe: NOT a strict invariant at fixed rerank (a wider
+      // candidate pool can evict a true neighbor from the ADC top-R), so
+      // assert the trend with slack plus an absolute floor
       def r(df: org.apache.spark.sql.DataFrame) = graft.vector.Ann.recallAtK(df, exact)
-      val r1 = r(graft.vector.Pq.ivfPqTopK(spark, dir, nq, k, pq8, coarse, 1, rerank = 50))
-      val r2 = r(graft.vector.Pq.ivfPqTopK(spark, dir, nq, k, pq8, coarse, 2, rerank = 50))
-      val r4 = r(graft.vector.Pq.ivfPqTopK(spark, dir, nq, k, pq8, coarse, 4, rerank = 50))
-      assert(r1 <= r2 && r2 <= r4, s"recall must rise with nprobe: $r1 $r2 $r4")
+      val r1 = r(graft.vector.Pq.ivfPqTopK(spark, dir, nq, k, pq8, coarse, 1,
+        rerank = 50, precomputedCodes = codes))
+      val r4 = r(graft.vector.Pq.ivfPqTopK(spark, dir, nq, k, pq8, coarse, 4,
+        rerank = 50, precomputedCodes = codes))
+      assert(r4 >= r1 - 0.05, s"nprobe=4 should not lose materially vs nprobe=1: $r1 -> $r4")
       assert(r4 > 0.2, s"IVF-PQ nprobe=4 rerank=50 recall $r4")
     } finally exact.unpersist()
   }
