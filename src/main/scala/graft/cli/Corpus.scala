@@ -52,10 +52,20 @@ object Corpus {
   }
 
   /** The composed pipeline, exposed for tests: returns the final corpus
-    * (plus packing columns when --pack is set).
+    * (plus packing columns when --pack is set). Frames persisted along the
+    * way are returned by [[pipelineWithHandles]] so [[run]] can unpersist
+    * them after the write — callers of this convenience form in a
+    * long-lived session should prefer that variant.
     */
-  def pipeline(spark: SparkSession, a: Args): DataFrame = {
+  def pipeline(spark: SparkSession, a: Args): DataFrame =
+    pipelineWithHandles(spark, a)._1
+
+  /** [[pipeline]] plus the frames it persisted (unpersist after the final
+    * action or the cached corpus copies outlive the run).
+    */
+  def pipelineWithHandles(spark: SparkSession, a: Args): (DataFrame, Seq[DataFrame]) = {
     require(a.shards > 0, "--shards must be positive")
+    val cached = Seq.newBuilder[DataFrame]
     var corpus = spark.read.parquet(a.input)
       .withColumn("__n_tokens", size(TextOps.words(col("text"))))
       .filter(col("__n_tokens") >= a.minTokens && col("__n_tokens") <= a.maxTokens)
@@ -68,6 +78,7 @@ object Corpus {
       // join (and later the pack/join pair) — persist it or the scan +
       // filter + decontaminate chain recomputes once per reference
       corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += corpus
       // no broadcast hint: losers can be corpus-scale on duplicate-heavy
       // crawls; AQE picks broadcast when they happen to be small
       val losers = Dedup.nearDupPairs(corpus)
@@ -81,6 +92,7 @@ object Corpus {
       case Some(max) =>
         // corpus feeds both the packer and the join-back — persist here too
         corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached += corpus
         val packed = Packing.greedyPack(
           corpus.select(col("doc_id"), col("__n_tokens")),
           "doc_id", "__n_tokens", max, a.shards)
@@ -89,7 +101,7 @@ object Corpus {
         corpus.withColumn("shard",
           Sampling.hashBucket(col("doc_id"), a.shards, seed = "pack"))
     }
-    out.drop("__n_tokens")
+    (out.drop("__n_tokens"), cached.result())
   }
 
   def run(spark: SparkSession, argv: Array[String]): Unit = {
@@ -97,7 +109,9 @@ object Corpus {
     require(a.input.nonEmpty && a.out.nonEmpty,
       "usage: -I <corpus.parquet> -O <out> [--benchmark p] [--dedup] " +
         "[--min-tokens n] [--max-tokens n] [--sample perMille] [--pack maxTokens] [--shards n]")
-    Sources.writePartitioned(pipeline(spark, a), a.out, Seq("shard"), Seq("doc_id"))
+    val (out, cached) = pipelineWithHandles(spark, a)
+    try Sources.writePartitioned(out, a.out, Seq("shard"), Seq("doc_id"))
+    finally cached.foreach(_.unpersist())
   }
 
   def main(argv: Array[String]): Unit = {

@@ -27,16 +27,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * instance, not per row, and the whole signature is bits×dims fused
   * multiply-adds in one JVM loop.
   *
-  * Parity edge: on an input whose length ≠ `dims` the declarative form
-  * yields 0 (each vector_dot nulls, each CASE falls through) — mirrored
-  * here explicitly.
+  * Parity edges: on an input whose length ≠ `dims` — AND on a NULL
+  * input — the declarative form (and the DuckDB oracle) yields 0 (each
+  * vector_dot nulls, each CASE falls through), mirrored here explicitly:
+  * eval handles null itself instead of inheriting null-intolerant
+  * propagation, so a null embedding lands in band 0 in both engines
+  * rather than silently vanishing from the Spark-side LSH joins only.
   */
 final case class HyperplaneSig(child: Expression, bits: Int, dims: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = false
   override def prettyName: String = "hyperplane_sig"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else nullSafeEval(v)
+  }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

@@ -29,11 +29,6 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Concatenate-then-chunk layout. Returns one row per doc:
-    * (idCol, shard, tok_start — offset of the doc's first token in its
-    * shard's token stream, first_seq/last_seq — the [maxTokens]-sized
-    * chunks the doc touches). Token counts must be ≥ 1.
-    */
   /** Token-count column guarded in the same pass (no extra scan): a null
     * or < 1 count would silently poison the running cumsum / invert a
     * doc's chunk range, so it fails the task with a clear message instead.
@@ -46,6 +41,11 @@ object Packing {
       .otherwise(n)
   }
 
+  /** Concatenate-then-chunk layout. Returns one row per doc:
+    * (idCol, shard, tok_start — offset of the doc's first token in its
+    * shard's token stream, first_seq/last_seq — the [maxTokens]-sized
+    * chunks the doc touches). Token counts must be ≥ 1.
+    */
   def concatChunkPack(df: DataFrame, idCol: String, nTokensCol: String,
                       maxTokens: Int, shards: Int): DataFrame = {
     require(maxTokens > 0 && shards > 0, "maxTokens and shards must be positive")

@@ -132,26 +132,35 @@ object Ann {
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
               nCentroids: Int = 8, nprobe: Int = 1, trainIters: Int = 0): DataFrame = {
     val e = Queries.prepared(s, dir)
-    val ranked =
+    // One ranking pass over the FULL corpus (home cells) and a second over
+    // only the nQueries query vectors (probe cells) — deriving both from a
+    // single corpus-wide ranked frame would execute the corpus-wide
+    // crossJoin+window twice (the shape Pq.ivfPqTopK documents and avoids).
+    // centroids computed ONCE (training is collect-driven — it must not
+    // re-run per ranking pass)
+    val cents: DataFrame =
+      if (trainIters > 0) centroidsDF(s, trainCentroids(s, dir, nCentroids, trainIters))
+      else e.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+    def rank(in: DataFrame): DataFrame =
       if (trainIters > 0) {
         // trained quantizer → rank cells by the SAME metric training used
         // (rankCells is shared with trainCentroids for exactly this reason)
-        rankCells(e, centroidsDF(s, trainCentroids(s, dir, nCentroids, trainIters)))
+        rankCells(in, cents)
       } else {
-        val cents = e.filter(col("vec_id") < nCentroids)
-          .select(col("vec_id").as("cid"), col("q").as("cq"))
         val wAssign = Window.partitionBy(col("vec_id"))
           .orderBy(col("cdot").desc, col("cid").asc)
-        e.crossJoin(broadcast(cents))
+        in.crossJoin(broadcast(cents))
           .withColumn("cdot", graft.functions.VectorDot.of(col("q"), col("cq")))
           .withColumn("rn", row_number().over(wAssign))
       }
     // Base side: each vector lives in exactly ONE cell (rn=1), so a query
     // probing distinct cells never sees a candidate twice — no distinct
     // needed on the pair stream.
-    val base = ranked.filter(col("rn") === 1)
+    val base = rank(e).filter(col("rn") === 1)
       .select(col("vec_id"), col("q"), col("n2"), col("cid"))
-    val probes = ranked.filter(col("vec_id") < nQueries && col("rn") <= nprobe)
+    val probes = rank(e.filter(col("vec_id") < nQueries))
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("q"), col("n2"), col("cid"))
     rankTopK(withSim(
       probes.as("a").join(base.as("b"),

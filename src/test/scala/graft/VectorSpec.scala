@@ -214,6 +214,14 @@ class VectorSpec extends AnyFunSuite {
         VectorOps.hyperplaneSigDeclarative(col("q"), 8, dims).as("d"))
       .as[(Long, Long)].head()
     assert(short === ((0L, 0L)))
+    // declarative-parity on a NULL vector: both yield 0 (a null embedding
+    // must land in band 0, not vanish from the Spark-side joins only)
+    val nul = Seq(Tuple1(1L)).toDF("vec_id")
+      .select(
+        VectorOps.hyperplaneSig(lit(null).cast("array<bigint>"), 8, dims).as("n"),
+        VectorOps.hyperplaneSigDeclarative(lit(null).cast("array<bigint>"), 8, dims).as("d"))
+      .as[(Long, Long)].head()
+    assert(nul === ((0L, 0L)))
     // resolvable from plain SQL through the registry
     val viaSql = spark.sql("SELECT hyperplane_sig(array(5L, -3L), 4, 2) AS s").as[Long].head()
     assert(viaSql >= 0L && viaSql < 16L)
