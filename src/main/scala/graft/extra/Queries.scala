@@ -222,6 +222,21 @@ object Queries {
           |    / count(*)) AS BIGINT) FROM customer_v)""".stripMargin)
     }),
 
+    // Correlated LATERAL subquery (top-2 orders per customer): Catalyst
+    // decorrelates the per-row ORDER BY/LIMIT into a ranked join — no
+    // per-customer subquery execution. Total order (price desc, key asc)
+    // for engine parity.
+    "q73_lateral" -> ((s, dir) => {
+      Tables(s, dir).customer.createOrReplaceTempView("customer_v")
+      Tables(s, dir).orders.createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer_v c JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_v
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o""".stripMargin)
+    }),
+
     // Exact second-moment statistics: variance/stddev/correlation derived
     // from exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²) with the SAME
     // double expression shape in both engines — deterministic, unlike
@@ -616,6 +631,12 @@ object Queries {
         |WHERE CAST(floor(c_acctbal*100) AS BIGINT) >
         |  (SELECT CAST(floor(CAST(sum(CAST(floor(c_acctbal*100) AS BIGINT)) AS BIGINT)
         |    / count(*)) AS BIGINT) FROM customer)""".stripMargin,
+    "q73_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o ON true""".stripMargin,
     "q47_exact_stats" ->
       """WITH t AS (SELECT l_returnflag,
         |    CAST(l_quantity AS BIGINT) AS x,
