@@ -71,6 +71,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"must not fall back to a row_number window:\n$p")
   }
 
+  test("q73 correlated LATERAL decorrelates to a ranked join, never a per-row loop") {
+    val p = planOf("q73_lateral")
+    assert(p.contains("Window"), s"expected rank-based decorrelation, got:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"), s"must not nested-loop per customer:\n$p")
+  }
+
   test("q68 correlated EXISTS/NOT EXISTS rewrite to semi/anti joins") {
     val p = planOf("q68_exists")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
