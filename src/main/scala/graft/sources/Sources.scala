@@ -43,20 +43,27 @@ object Sources {
     schemaDdl.fold(r)(d => r.schema(d)).json(path)
   }
 
+  /** ORC source — same columnar pushdown/pruning properties as parquet
+    * (footer stats, predicate pushdown, column pruning all apply).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S5/O14 analog sink: partitioned, sorted parquet write. Spark's commit
     * protocol replaces the reference's manual rename-into-place; the
     * "merge of sorted runs" becomes sortWithinPartitions + one writer per
     * partition directory — no driver-side k-way merge.
     */
   def writePartitioned(df: DataFrame, outDir: String, partitionCols: Seq[String],
-                       sortCols: Seq[String] = Nil): Unit = {
+                       sortCols: Seq[String] = Nil, format: String = "parquet"): Unit = {
     val sorted =
       if (sortCols.isEmpty) df
       else df.sortWithinPartitions(sortCols.map(col): _*)
     sorted.write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
-      .parquet(outDir)
+      .format(format)
+      .save(outDir)
   }
 
   /** Bucketed table sink: co-locates future equi-joins/aggregations on

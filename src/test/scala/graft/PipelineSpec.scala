@@ -52,4 +52,15 @@ class PipelineSpec extends AnyFunSuite {
     val back = spark.read.parquet(out)
     assert(back.filter(col("part") === "x").select("id").as[Int].collect().toSeq === Seq(1))
   }
+
+  test("ORC source/sink round-trip with predicate pushdown") {
+    val out = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
+    val df = (1 to 100).map(i => (i, s"s$i")).toDF("id", "s")
+    Sources.writePartitioned(df, out, Seq.empty, Seq("id"), format = "orc")
+    val back = Sources.orc(spark, out).filter(col("id") > 90)
+    assert(back.count() === 10)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      s"ORC scan must receive the pushed predicate, got:\n$scan")
+  }
 }
