@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: the query/oracle maps SparkEntry merges
+  * from four modules must compose without silent shadowing (`++` keeps
+  * the right-hand entry on a duplicate key — a collision would quietly
+  * replace one query with another and the correctness gate would test
+  * the wrong code).
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("query keys are collision-free across the merged modules") {
+    val parts = Seq(
+      "text" -> graft.text.Queries.all.keySet,
+      "vector" -> graft.vector.Queries.all.keySet,
+      "extra" -> graft.extra.Queries.all.keySet)
+    val coreKeys = SparkEntry.queries.keySet --
+      parts.map(_._2).reduce(_ ++ _)
+    val all = ("core" -> coreKeys) +: parts
+    for {
+      (an, as) <- all; (bn, bs) <- all if an < bn
+    } assert((as & bs).isEmpty, s"$an and $bn both define: ${(as & bs).mkString(", ")}")
+    assert(SparkEntry.queries.size ===
+      all.map(_._2.size).sum, "merged size must equal the sum of parts")
+  }
+
+  test("every oracle references an existing query; only q66 is rows-only") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty, s"oracles without queries: ${(os -- qs).mkString(", ")}")
+    assert((qs -- os) === Set("q66_pack_greedy"),
+      s"rows-only queries changed: ${(qs -- os).mkString(", ")}")
+  }
+
+  test("every query name follows the qNN_ naming scheme and is unique by number") {
+    val names = SparkEntry.queries.keySet.toSeq
+    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), "naming scheme")
+    val nums = names.map(_.substring(1, 3))
+    assert(nums.distinct.size === nums.size, "duplicate query numbers")
+  }
+}
