@@ -170,11 +170,14 @@ object Queries {
         col("event_type"), date_trunc("hour", col("ts")).as("h"),
         floor(col("value")).as("v"))
       // the hourly aggregate feeds BOTH the span grid and the join probe;
-      // localCheckpoint materializes it once (types × hours rows — tiny)
-      // instead of scanning + aggregating the events table twice
-      val agg = ev.groupBy(col("event_type"), col("h"))
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
-        .localCheckpoint(true)
+      // materialize() computes it once (types × hours rows — tiny) instead
+      // of scanning + aggregating the events table twice. The shared helper
+      // picks a RELIABLE checkpoint when a checkpoint dir is configured —
+      // a bare localCheckpoint would die with any lost executor on a real
+      // cluster (truncated lineage + executor-local blocks).
+      val agg = graft.text.Dedup.materialize(
+        ev.groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")))
       val grid = agg.groupBy(col("event_type"))
         .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(col("event_type"),

@@ -55,10 +55,54 @@ object Packing {
         Sampling.hashBucket(col(idCol), shards, seed = "pack").as("shard"),
         checkedTokens(nTokensCol).as("__n"))
       .withColumn("__tok_end", sum(col("__n")).over(w))
+      .withColumn("__tok_start", col("__tok_end") - col("__n"))
+      // `div` (integral divide on longs), not floor(a / b): the latter
+      // round-trips through double and loses exactness past 2^53 — a real
+      // risk for cumulative token offsets at corpus scale.
       .select(col(idCol), col("shard"),
-        (col("__tok_end") - col("__n")).as("tok_start"),
-        floor((col("__tok_end") - col("__n")) / maxTokens).as("first_seq"),
-        floor((col("__tok_end") - 1) / maxTokens).as("last_seq"))
+        col("__tok_start").as("tok_start"),
+        expr(s"__tok_start div ${maxTokens}L").as("first_seq"),
+        expr(s"(__tok_end - 1L) div ${maxTokens}L").as("last_seq"))
+  }
+
+  /** Deterministic dense-id assignment for string-keyed corpora (UUIDs,
+    * URL hashes): every row gets a unique `outCol` long in 0..n-1, ordered
+    * by (md5 of the id, id) — a data-deterministic total order, so the
+    * mapping is reproducible across runs, partitionings, and retries,
+    * which is what [[greedyPack]] and any id-ordered layout needs.
+    *
+    * Scale shape — NO global sort and NO driver collect of data: rows are
+    * bucketed by the first `prefixChars` hex chars of the md5 key (the
+    * bucket is a PREFIX, so bucket order == key order); each bucket ranks
+    * independently (one hash-shuffle window over 16^prefixChars ~4096
+    * groups); bucket offsets are an exclusive cumsum over the tiny
+    * per-bucket count frame (≤4096 rows — broadcast back). Two shuffles
+    * of metadata-width rows total, all buckets in parallel — the same
+    * zipWithIndex shape, expressed declaratively so Catalyst keeps it
+    * codegen'd.
+    *
+    * `idCol` values must be unique (duplicate keys would get arbitrary
+    * relative order within their tie — the id→dense mapping wouldn't be a
+    * function).
+    */
+  def withDenseId(df: DataFrame, idCol: String, outCol: String = "dense_id",
+                  prefixChars: Int = 3): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 8, "prefixChars must be in [1, 8]")
+    require(!df.columns.contains(outCol),
+      s"input already has a column named $outCol")
+    val keyed = df
+      .withColumn("__dk", md5(concat(lit("dense:"), col(idCol).cast("string"))))
+      .withColumn("__db", substring(col("__dk"), 1, prefixChars))
+    val w = Window.partitionBy(col("__db")).orderBy(col("__dk"), col(idCol))
+    val local = keyed.withColumn("__dr", row_number().over(w))
+    val offsets = keyed.groupBy(col("__db")).agg(count(lit(1)).as("__dn"))
+      .withColumn("__off",
+        coalesce(sum(col("__dn")).over(Window.orderBy(col("__db"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__db"), col("__off"))
+    local.join(broadcast(offsets), "__db")
+      .withColumn(outCol, col("__off") + col("__dr") - 1)
+      .drop("__dk", "__db", "__dr", "__off")
   }
 
   /** Greedy no-split packing: docs fill a sequence in id order until the

@@ -125,13 +125,52 @@ object Streams {
     */
   def nearDupDedupStream(docs: DataFrame, lateness: String,
                          textCol: String = "text",
+                         idCol: String = "doc_id",
                          numHashes: Int = 8): DataFrame = {
-    import graft.text.TextOps
-    val sig = graft.functions.MinHashSignature.of(
-      TextOps.shingleSet(TextOps.words(col(textCol)), 3), numHashes)
     docs
-      .withColumn("__sig_key",
-        md5(concat_ws("|", transform(sig, x => x.cast("string")))))
+      .withColumn("__sig_key", sigKey(textCol, idCol, numHashes))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("__sig_key"))
+      .drop("__sig_key")
+  }
+
+  /** Near-dup state key: MinHash signature md5 for real text; docs too
+    * short to shingle (null/empty/< 3 words) get a PER-DOC key instead —
+    * a constant signature there would silently collapse every unrelated
+    * empty doc into one "near-dup" group and drop all but the first.
+    */
+  private def sigKey(textCol: String, idCol: String, numHashes: Int) = {
+    import graft.text.TextOps
+    val ws = TextOps.words(col(textCol))
+    val sig = graft.functions.MinHashSignature.of(TextOps.shingleSet(ws, 3), numHashes)
+    when(coalesce(size(ws), lit(0)) < 3,
+      concat(lit("raw:"), col(idCol).cast("string")))
+      .otherwise(md5(concat_ws("|", transform(sig, x => x.cast("string")))))
+  }
+
+  /** Streaming near-dup ingest against a STATIC seen-corpus: drop incoming
+    * docs whose MinHash signature already exists in `corpus` (e.g. the
+    * 100 TB landing table), THEN dedup within the stream itself — new
+    * near-copies of old corpus content never land twice.
+    *
+    * Scale shape: the static side reduces to its DISTINCT signature keys
+    * (one short string per corpus doc) before the join; the stream-static
+    * left_anti is a per-micro-batch join against that static frame — no
+    * streaming state for the corpus side at all (Spark re-plans the static
+    * side per batch; persist the corpus keys for a long-running query).
+    * Short/null docs pass through untouched (per-doc keys never match).
+    */
+  def nearDupVsCorpusStream(docs: DataFrame, corpus: DataFrame, lateness: String,
+                            textCol: String = "text",
+                            idCol: String = "doc_id",
+                            numHashes: Int = 8): DataFrame = {
+    val seen = corpus
+      .select(sigKey(textCol, idCol, numHashes).as("__sig_key"))
+      .filter(!col("__sig_key").startsWith("raw:"))
+      .distinct()
+    docs
+      .withColumn("__sig_key", sigKey(textCol, idCol, numHashes))
+      .join(seen, Seq("__sig_key"), "left_anti")
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("__sig_key"))
       .drop("__sig_key")

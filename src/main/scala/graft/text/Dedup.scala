@@ -141,7 +141,7 @@ object Dedup {
     * checkpoint dir at a per-run path and delete it once the result is
     * consumed.
     */
-  private def materialize(df: DataFrame): DataFrame =
+  private[graft] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 

@@ -63,16 +63,23 @@ object Ann {
     */
   private[vector] def lloyd(s: SparkSession, data: DataFrame, k: Int,
                             iters: Int): Seq[(Long, Seq[Long])] = {
-    var model: Seq[(Long, Seq[Long])] = data.filter(col("vec_id") < k)
+    // init from the k SMALLEST ids, not filter(id < k): after sampling or
+    // dedup ids are sparse/offset, and a < k filter would silently train
+    // fewer than k cells (shrinking every downstream IVF/PQ index)
+    var model: Seq[(Long, Seq[Long])] = data.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("q")).as[(Long, Seq[Long])](
         org.apache.spark.sql.Encoders.product[(Long, Seq[Long])])
       .collect().toSeq.sortBy(_._1)
+    require(model.size == k,
+      s"k-means needs >= $k training vectors, found ${model.size}")
     for (_ <- 1 to iters) {
       val updated = assignCells(data, centroidsDF(s, model))
         .select(col("cid"), posexplode(col("q")).as(Seq("d", "v")))
         .groupBy(col("cid"), col("d"))
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .select(col("cid"), col("d"), floor(col("sv") / col("n")).as("m"))
+        // exact integer floor-div (sums can be negative, so clear the
+        // pmod remainder first); floor(sv/n) on doubles drifts past 2^53
+        .select(col("cid"), col("d"), expr("(sv - pmod(sv, n)) div n").as("m"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cid, rows) =>
@@ -117,8 +124,9 @@ object Ann {
     * objective [[trainCentroids]] descends; exposed for tests/tuning.
     */
   def kmeansCost(s: SparkSession, dir: String, model: Seq[(Long, Seq[Long])]): Long =
+    // coalesce: sum over an empty frame is null — surface cost 0, not NPE
     assignCells(Queries.prepared(s, dir), centroidsDF(s, model))
-      .agg(sum(col("d2"))).head().getLong(0)
+      .agg(coalesce(sum(col("d2")), lit(0L))).head().getLong(0)
 
   /** IVF top-k with `nprobe` probed cells: every vector is assigned to its
     * argmax-dot centroid cell (map-only after a broadcast of `nCentroids`

@@ -48,7 +48,9 @@ object Pq {
             iters: Int = 3): Model = {
     val e = Queries.prepared(s, dir).select(col("vec_id"), col("q")).cache()
     try {
-      val dims = e.select(size(col("q"))).head().getInt(0)
+      val dimsRow = e.select(size(col("q"))).limit(1).collect()
+      require(dimsRow.nonEmpty, s"PQ training needs a non-empty embeddings table ($dir)")
+      val dims = dimsRow(0).getInt(0)
       require(dims % m == 0, s"m=$m must divide dims=$dims")
       val dsub = dims / m
       val books = (0 until m).map { j =>

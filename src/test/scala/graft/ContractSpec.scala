@@ -25,12 +25,14 @@ class ContractSpec extends AnyFunSuite {
       all.map(_._2.size).sum, "merged size must equal the sum of parts")
   }
 
-  test("every oracle references an existing query; only q66 is rows-only") {
+  test("every oracle references an existing query; every query is oracle-gated") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty, s"oracles without queries: ${(os -- qs).mkString(", ")}")
-    assert((qs -- os) === Set("q66_pack_greedy"),
-      s"rows-only queries changed: ${(qs -- os).mkString(", ")}")
+    // since r6 (q66's recursive-CTE oracle) the contract is total: a new
+    // query without an oracle is a red row in the driver gate, fail here
+    assert((qs -- os).isEmpty,
+      s"queries without an oracle: ${(qs -- os).mkString(", ")}")
   }
 
   test("every query name follows the qNN_ naming scheme and is unique by number") {

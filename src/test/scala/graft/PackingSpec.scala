@@ -71,6 +71,41 @@ class PackingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("withDenseId: dense 0..n-1, deterministic, partitioning-invariant") {
+    val df = (1 to 700).map(i => (s"url-$i", i.toLong)).toDF("doc_key", "n_tokens")
+    val a = Packing.withDenseId(df, "doc_key")
+      .select("doc_key", "dense_id").as[(String, Long)].collect()
+    // a bijection onto 0..n-1
+    assert(a.map(_._2).sorted.toSeq === (0L until 700L))
+    // invariant to input partitioning AND bucket width
+    val b = Packing.withDenseId(df.repartition(17), "doc_key")
+      .select("doc_key", "dense_id").as[(String, Long)].collect()
+    assert(a.toSet === b.toSet)
+    val c = Packing.withDenseId(df, "doc_key", prefixChars = 1)
+      .select("doc_key", "dense_id").as[(String, Long)].collect()
+    assert(a.toSet === c.toSet,
+      "bucket prefix width must not change the assignment (prefix order == key order)")
+  }
+
+  test("withDenseId feeds greedyPack: string-keyed corpus packs end-to-end") {
+    val df = (1 to 300).map(i => (s"uuid-${i * 7}", 1L + (i * 37) % 100))
+      .toDF("doc_key", "n_tokens")
+    val withIds = Packing.withDenseId(df, "doc_key")
+    val packed = Packing.greedyPack(withIds, "dense_id", "n_tokens", 128, 4)
+    assert(packed.count() === 300)
+    // join back to the string keys: exactly one packed row per input doc
+    val joined = packed.join(withIds, packed("doc_id") === withIds("dense_id"))
+    assert(joined.select(countDistinct("doc_key")).as[Long].head() === 300)
+  }
+
+  test("withDenseId rejects a pre-existing output column") {
+    val df = Seq(("a", 1L)).toDF("doc_key", "dense_id")
+    val e = intercept[IllegalArgumentException] {
+      Packing.withDenseId(df, "doc_key")
+    }
+    assert(e.getMessage.contains("dense_id"))
+  }
+
   test("packers fail loudly on null or non-positive token counts") {
     val df = Seq((1L, 10L), (2L, 0L)).toDF("doc_id", "n_tokens")
     val e = intercept[Exception] {
