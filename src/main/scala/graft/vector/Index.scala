@@ -1,0 +1,96 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN index lifecycle: train once, serve many.
+  *
+  * [[build]] trains the IVF coarse quantizer and the PQ codebooks, encodes
+  * the corpus, and persists the whole index as three parquet tables under
+  * `indexDir`:
+  *
+  *   - `centroids` (cid, cq) — the coarse cells (driver-sized: nCells rows)
+  *   - `codebooks` (j, code, cq) — the PQ model (driver-sized: m×k rows)
+  *   - `codes` (vec_id, cid, codes) — the big table: home cell + m small
+  *     codes per corpus vector. This is the ONLY table that scales with
+  *     the corpus, and it is the m-bytes-per-vector scan the PQ deal is
+  *     about — queries never touch the raw vectors except in the exact
+  *     re-rank of a top-R candidate set.
+  *
+  * [[ivfPqTopK]] answers queries from the stored index: the two model
+  * tables are collected (driver-sized by construction), the codes table is
+  * scanned as-is, and only the QUERY vectors (nQueries rows) do any
+  * ranking work — no training, no corpus-wide cell assignment, no
+  * re-encoding. That turns the per-call cost from O(corpus × iters) into
+  * O(queries × cells + candidates), which is the difference between an
+  * index and a cache.
+  *
+  * Everything stored is exact integers (the quantized grid of VectorOps),
+  * so a loaded index reproduces the fresh-trained results BIT-identically
+  * (VectorSpec pins this), and re-running [[build]] on the same corpus
+  * rewrites byte-identical tables — safe to re-entrantly rebuild.
+  */
+object Index {
+
+  /** Train + encode + persist. Returns nothing: the index IS the three
+    * parquet tables. Deterministic end to end (integer Lloyd, lowest-id
+    * init, argmin ties to the smaller id).
+    */
+  def build(s: SparkSession, dir: String, indexDir: String,
+            nCells: Int = 8, coarseIters: Int = 2,
+            m: Int = 4, k: Int = 16, pqIters: Int = 3): Unit = {
+    val coarse = Ann.trainCentroids(s, dir, nCells, coarseIters)
+    val model = Pq.train(s, dir, m, k, pqIters)
+    Ann.centroidsDF(s, coarse)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    Pq.codebookDF(s, model)
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    // one corpus pass each for home cells and codes, joined on vec_id —
+    // both are metadata-width (id + small ints), the raw vectors stay in
+    // the source table
+    val e = Queries.prepared(s, dir)
+    val home = Ann.assignCells(e, Ann.centroidsDF(s, coarse))
+      .select(col("vec_id"), col("cid"))
+    Pq.encode(s, e, model)
+      .join(home, "vec_id")
+      .select(col("vec_id"), col("cid"), col("codes"))
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** The stored coarse model, sorted by cell id. */
+  def loadCoarse(s: SparkSession, indexDir: String): Seq[(Long, Seq[Long])] =
+    s.read.parquet(s"$indexDir/centroids")
+      .select(col("cid"), col("cq"))
+      .as[(Long, Seq[Long])](org.apache.spark.sql.Encoders.product[(Long, Seq[Long])])
+      .collect().toSeq.sortBy(_._1)
+
+  /** The stored PQ model; m and dsub are recovered from the table shape. */
+  def loadModel(s: SparkSession, indexDir: String): Pq.Model = {
+    val rows = s.read.parquet(s"$indexDir/codebooks")
+      .select(col("j"), col("code"), col("cq"))
+      .as[(Int, Int, Seq[Long])](org.apache.spark.sql.Encoders.product[(Int, Int, Seq[Long])])
+      .collect()
+    require(rows.nonEmpty, s"no codebooks found under $indexDir")
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, b) =>
+      b.sortBy(_._2).map(_._3).toSeq
+    }
+    val kCodes = books.head.size
+    require(books.forall(_.size == kCodes),
+      s"codebooks table is ragged (expected $kCodes codes per subspace)")
+    Pq.Model(books.size, books.head.head.size, books)
+  }
+
+  /** IVF-PQ top-k served from the stored index — same semantics and
+    * bit-identical results as a fresh `Pq.ivfPqTopK` with the same
+    * (nCells, m, k, iters) training, without retraining or re-encoding.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String, indexDir: String,
+                nQueries: Int, k: Int, nprobe: Int = 1,
+                rerank: Int = 0): DataFrame = {
+    val codes = s.read.parquet(s"$indexDir/codes")
+    Pq.ivfPqTopK(s, dir, nQueries, k,
+      loadModel(s, indexDir), loadCoarse(s, indexDir), nprobe, rerank,
+      precomputedCodes = Some(codes.select(col("vec_id"), col("codes"))),
+      precomputedHome = Some(codes.select(col("vec_id"), col("cid"))))
+  }
+}

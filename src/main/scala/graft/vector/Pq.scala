@@ -30,7 +30,7 @@ object Pq {
   final case class Model(m: Int, dsub: Int, codebooks: Seq[Seq[Seq[Long]]])
 
   /** (j, code, cq) rows over the codebooks, for broadcast joins. */
-  private def codebookDF(s: SparkSession, model: Model): DataFrame = {
+  private[vector] def codebookDF(s: SparkSession, model: Model): DataFrame = {
     import s.implicits._
     model.codebooks.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (cq, code) => (j, code, cq) }
@@ -133,13 +133,17 @@ object Pq {
   def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
                 model: Model, coarse: Seq[(Long, Seq[Long])], nprobe: Int = 1,
                 rerank: Int = 0,
-                precomputedCodes: Option[DataFrame] = None): DataFrame = {
+                precomputedCodes: Option[DataFrame] = None,
+                precomputedHome: Option[DataFrame] = None): DataFrame = {
     val e = Queries.prepared(s, dir)
     val cents = Ann.centroidsDF(s, coarse)
     // rank the FULL corpus only once (home cells); probe cells are ranked
     // over just the nQueries query vectors — deriving both from one
-    // `ranked` frame would execute the corpus-wide crossJoin+window twice
-    val home = Ann.assignCells(e, cents)
+    // `ranked` frame would execute the corpus-wide crossJoin+window twice.
+    // A stored index passes `precomputedHome` (build-time assignments) and
+    // skips even that one corpus-wide ranking pass.
+    val home = precomputedHome.getOrElse(
+      Ann.assignCells(e, cents).select(col("vec_id"), col("cid")))
       .select(col("vec_id").as("b_id"), col("cid"))
     val probes = Ann.rankCells(e.filter(col("vec_id") < nQueries), cents)
       .filter(col("rn") <= nprobe)

@@ -194,6 +194,37 @@ class VectorSpec extends AnyFunSuite {
     } finally exact.unpersist()
   }
 
+  test("stored IVF-PQ index round-trips: loaded model == trained, served == fresh (bit-identical)") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+    val nq = 40; val k = 10
+    graft.vector.Index.build(spark, dir, idx,
+      nCells = 8, coarseIters = 2, m = 4, k = 16, pqIters = 2)
+    // model round-trip: stored tables reload to the exact trained model
+    assert(graft.vector.Index.loadCoarse(spark, idx) ===
+      graft.vector.Ann.trainCentroids(spark, dir, k = 8, iters = 2))
+    val fresh = graft.vector.Pq.train(spark, dir, m = 4, k = 16, iters = 2)
+    assert(graft.vector.Index.loadModel(spark, idx) === fresh)
+    // served results: stored index == fresh train+encode, bit-identical,
+    // with and without the exact re-rank stage
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    for (rerank <- Seq(0, 50)) {
+      val stored = rows(graft.vector.Index.ivfPqTopK(spark, dir, idx, nq, k,
+        nprobe = 2, rerank = rerank))
+      val coarse = graft.vector.Ann.trainCentroids(spark, dir, k = 8, iters = 2)
+      val direct = rows(graft.vector.Pq.ivfPqTopK(spark, dir, nq, k, fresh, coarse,
+        nprobe = 2, rerank = rerank))
+      assert(stored === direct, s"stored != fresh at rerank=$rerank")
+    }
+    // rebuild is byte-stable at the result level: build again, same answers
+    graft.vector.Index.build(spark, dir, idx,
+      nCells = 8, coarseIters = 2, m = 4, k = 16, pqIters = 2)
+    assert(rows(graft.vector.Index.ivfPqTopK(spark, dir, idx, nq, k, 2, 50)) ===
+      rows(graft.vector.Index.ivfPqTopK(spark, dir, idx, nq, k, 2, 50)))
+  }
+
   test("native hyperplane_sig equals the declarative formulation (8, 48 and 63 bit)") {
     val dims = 16
     val rnd = new scala.util.Random(7)
