@@ -10,9 +10,9 @@ import graft.text.{Dedup, TextOps}
 
 /** Corpus-pipeline CLI: the training-data counterpart of [[Main]] — one
   * spark-submit surface running the LLM-pipeline stages (quality filter →
-  * decontaminate → near-dup dedup → sample → pack → sharded write) as ONE
-  * lazy plan per stage chain, over a parquet corpus with (doc_id, text,
-  * ...) columns.
+  * decontaminate → near-dup dedup → eval carve-out → mixture/sample →
+  * pack → sharded write) as ONE lazy plan per stage chain, over a parquet
+  * corpus with (doc_id, text, ...) columns.
   *
   * Usage:
   *   spark-submit --class graft.cli.Corpus graft.jar \
@@ -20,22 +20,44 @@ import graft.text.{Dedup, TextOps}
   *     [--benchmark /data/eval.parquet]   drop docs sharing a 3-gram with it
   *     [--dedup]                          MinHash-LSH near-dup removal (keep smallest id)
   *     [--min-tokens n] [--max-tokens n]  quality bounds (default 1/2^31)
-  *     [--sample perMille]                deterministic hash sample
+  *     [--eval-k n] [--eval-by col]       carve out exactly n docs per stratum
+  *                                        (default col: source) to OUT/_eval,
+  *                                        excluded from the training output
+  *     [--mixture s1=pm,s2=pm,...]        per-stratum keep rates in per-mille
+  *     [--mixture-default pm]             rate for unlisted strata (default 1000)
+  *     [--mixture-by col]                 mixture stratum column (default source)
+  *     [--sample perMille]                deterministic hash sample (whole corpus)
   *     [--pack maxTokens]                 greedy no-split packing annotation
+  *                                        (string doc ids get a dense id first)
   *     [--shards n]                       output shards (default 16)
   *
   * Every decision is deterministic (md5 hash buckets, integer thresholds,
-  * smallest-id survivorship), so re-runs produce identical corpora —
-  * the property that makes training data auditable. Stages compose
-  * lazily; nothing is collected at the driver.
+  * smallest-id survivorship, md5-order eval picks), so re-runs produce
+  * identical corpora — the property that makes training data auditable.
+  * Stages compose lazily; nothing is collected at the driver. The eval
+  * carve-out lands under `OUT/_eval`: the underscore prefix makes parquet
+  * readers of OUT skip it, so the training shards stay cleanly readable
+  * while the eval set rides along in the same output tree.
   */
 object Corpus {
 
   final case class Args(
       input: String = "", out: String = "", benchmark: Option[String] = None,
       dedup: Boolean = false, minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
-      samplePerMille: Option[Int] = None, packTokens: Option[Int] = None,
-      shards: Int = 16)
+      samplePerMille: Option[Int] = None,
+      mixture: Map[String, Int] = Map.empty, mixtureDefault: Int = 1000,
+      mixtureBy: String = "source",
+      evalK: Option[Int] = None, evalBy: String = "source",
+      packTokens: Option[Int] = None, shards: Int = 16)
+
+  private def parseMixture(v: String): Map[String, Int] =
+    v.split(",").iterator.map { part =>
+      part.split("=", 2) match {
+        case Array(s, pm) if s.nonEmpty => s -> pm.toInt
+        case _ => throw new IllegalArgumentException(
+          s"--mixture expects s1=perMille,s2=perMille,... got: $v")
+      }
+    }.toMap
 
   private def parse(argv: List[String], acc: Args = Args()): Args = argv match {
     case "-I" :: v :: rest            => parse(rest, acc.copy(input = v))
@@ -45,11 +67,22 @@ object Corpus {
     case "--min-tokens" :: v :: rest  => parse(rest, acc.copy(minTokens = v.toInt))
     case "--max-tokens" :: v :: rest  => parse(rest, acc.copy(maxTokens = v.toInt))
     case "--sample" :: v :: rest      => parse(rest, acc.copy(samplePerMille = Some(v.toInt)))
+    case "--mixture" :: v :: rest     => parse(rest, acc.copy(mixture = parseMixture(v)))
+    case "--mixture-default" :: v :: rest => parse(rest, acc.copy(mixtureDefault = v.toInt))
+    case "--mixture-by" :: v :: rest  => parse(rest, acc.copy(mixtureBy = v))
+    case "--eval-k" :: v :: rest      => parse(rest, acc.copy(evalK = Some(v.toInt)))
+    case "--eval-by" :: v :: rest     => parse(rest, acc.copy(evalBy = v))
     case "--pack" :: v :: rest        => parse(rest, acc.copy(packTokens = Some(v.toInt)))
     case "--shards" :: v :: rest      => parse(rest, acc.copy(shards = v.toInt))
     case Nil                          => acc
     case other => throw new IllegalArgumentException(s"unknown args: $other")
   }
+
+  /** Columns the pipeline writes; an input corpus already carrying one
+    * would be silently overwritten or collide in the pack join — refuse
+    * loudly instead of losing user data.
+    */
+  private val ReservedCols = Seq("shard", "seq_id", "tok_offset", "__n_tokens", "__dense_id")
 
   /** The composed pipeline, exposed for tests: returns the final corpus
     * (plus packing columns when --pack is set). Frames persisted along the
@@ -64,9 +97,27 @@ object Corpus {
     * action or the cached corpus copies outlive the run).
     */
   def pipelineWithHandles(spark: SparkSession, a: Args): (DataFrame, Seq[DataFrame]) = {
+    val (train, _, cached) = pipelineFull(spark, a)
+    (train, cached)
+  }
+
+  /** Full pipeline: (training corpus, optional eval carve-out, persisted
+    * frames). The eval set is exactly `--eval-k` docs per `--eval-by`
+    * stratum, picked in md5 order AFTER filtering/decontamination/dedup
+    * (an eval doc must survive the same hygiene as training data) and
+    * anti-joined out of the training corpus — train and eval are disjoint
+    * by construction.
+    */
+  def pipelineFull(spark: SparkSession,
+                   a: Args): (DataFrame, Option[DataFrame], Seq[DataFrame]) = {
     require(a.shards > 0, "--shards must be positive")
     val cached = Seq.newBuilder[DataFrame]
-    var corpus = spark.read.parquet(a.input)
+    val input = spark.read.parquet(a.input)
+    val clash = input.columns.toSet.intersect(ReservedCols.toSet)
+    require(clash.isEmpty,
+      s"input corpus already has reserved pipeline column(s): ${clash.mkString(", ")} — " +
+        "rename them upstream (the pipeline writes these)")
+    var corpus = input
       .withColumn("__n_tokens", size(TextOps.words(col("text"))))
       .filter(col("__n_tokens") >= a.minTokens && col("__n_tokens") <= a.maxTokens)
 
@@ -85,6 +136,26 @@ object Corpus {
         .select(col("doc_b").as("doc_id")).distinct()
       corpus = corpus.join(losers, Seq("doc_id"), "left_anti")
     }
+    val eval = a.evalK.map { k =>
+      require(corpus.columns.contains(a.evalBy),
+        s"--eval-by column '${a.evalBy}' not in the corpus")
+      // the clean corpus feeds both the carve-out and the anti join below
+      corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += corpus
+      Sampling.stratifiedK(corpus, col("doc_id"), col(a.evalBy), k, seed = "eval")
+        .drop("__n_tokens")
+    }
+    eval.foreach { ev =>
+      corpus = corpus.join(ev.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    if (a.mixture.nonEmpty || a.mixtureDefault != 1000) {
+      require(corpus.columns.contains(a.mixtureBy),
+        s"--mixture-by column '${a.mixtureBy}' not in the corpus")
+      // own seed: mixture decisions must not correlate with --sample's
+      // buckets (a shared seed would make the combined rate min, not product)
+      corpus = Sampling.mixtureSample(corpus, col("doc_id"), col(a.mixtureBy),
+        a.mixture, a.mixtureDefault, seed = "mix")
+    }
     a.samplePerMille.foreach { pm =>
       corpus = Sampling.deterministicSample(corpus, col("doc_id"), pm)
     }
@@ -93,25 +164,52 @@ object Corpus {
         // corpus feeds both the packer and the join-back — persist here too
         corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cached += corpus
-        val packed = Packing.greedyPack(
-          corpus.select(col("doc_id"), col("__n_tokens")),
-          "doc_id", "__n_tokens", max, a.shards)
-        corpus.join(packed, "doc_id")
+        val integralId = Set[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+          .contains(corpus.schema("doc_id").dataType)
+        if (integralId) {
+          val packed = Packing.greedyPack(
+            corpus.select(col("doc_id"), col("__n_tokens")),
+            "doc_id", "__n_tokens", max, a.shards)
+          corpus.join(packed, "doc_id")
+        } else {
+          // string-keyed corpora (UUIDs, URL hashes): assign deterministic
+          // dense longs first — greedyPack's id-ordered layout needs an
+          // integral total order, and md5-order dense ids double as the
+          // doc shuffle that decorrelates packing from crawl order
+          val withIds = Packing.withDenseId(
+            corpus.select(col("doc_id"), col("__n_tokens")), "doc_id", "__dense_id")
+          val packed = Packing.greedyPack(withIds.select(col("__dense_id"), col("__n_tokens")),
+              "__dense_id", "__n_tokens", max, a.shards)
+            .withColumnRenamed("doc_id", "__dense_id")
+          corpus
+            .join(withIds.select(col("doc_id"), col("__dense_id")), "doc_id")
+            .join(packed, "__dense_id")
+            .drop("__dense_id")
+        }
       case None =>
         corpus.withColumn("shard",
           Sampling.hashBucket(col("doc_id"), a.shards, seed = "pack"))
     }
-    (out.drop("__n_tokens"), cached.result())
+    (out.drop("__n_tokens"), eval, cached.result())
   }
 
   def run(spark: SparkSession, argv: Array[String]): Unit = {
     val a = parse(argv.toList)
     require(a.input.nonEmpty && a.out.nonEmpty,
       "usage: -I <corpus.parquet> -O <out> [--benchmark p] [--dedup] " +
-        "[--min-tokens n] [--max-tokens n] [--sample perMille] [--pack maxTokens] [--shards n]")
-    val (out, cached) = pipelineWithHandles(spark, a)
-    try Sources.writePartitioned(out, a.out, Seq("shard"), Seq("doc_id"))
-    finally cached.foreach(_.unpersist())
+        "[--min-tokens n] [--max-tokens n] [--eval-k n] [--eval-by col] " +
+        "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
+        "[--sample perMille] [--pack maxTokens] [--shards n]")
+    val (out, eval, cached) = pipelineFull(spark, a)
+    try {
+      Sources.writePartitioned(out, a.out, Seq("shard"), Seq("doc_id"))
+      // after the main write: _eval is skipped by readers of a.out, and
+      // writing second means a failed train write never leaves a dangling
+      // eval set behind
+      eval.foreach(_.write.mode("overwrite").parquet(s"${a.out}/_eval"))
+    } finally cached.foreach(_.unpersist())
   }
 
   def main(argv: Array[String]): Unit = {

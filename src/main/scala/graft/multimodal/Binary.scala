@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * batch processing: one iterator of rows per partition, decode amortized
   * across the batch, output schema declared up front).
   *
-  * The actual media decode is STUBBED deterministically (this container has
-  * no image/audio codecs): `decodeStub` treats the payload bytes themselves
-  * as the "decoded" sample stream. Everything around it — binary schema,
+  * IMAGE decode is REAL: [[decodeImage]] uses `javax.imageio` (PNG / BMP /
+  * GIF / JPEG readers ship with the JDK — zero extra dependencies) and
+  * [[extractImageFeatures]] runs it partition-parallel with typed output
+  * (dimensions, integer mean luma, pixel digest). Audio/video payloads
+  * still go through the deterministic `decodeStub` identity (no such
+  * codecs in the JDK); everything around it — binary schema,
   * partition-parallel batch shape, stride sampling ("frame sampling"),
-  * digesting — is real and scale-true: map-only, no shuffle, no driver
-  * involvement, output size independent of payload size.
+  * digesting — is the same scale-true path: map-only, no shuffle, no
+  * driver involvement, output size independent of payload size.
   */
 object Binary {
 
@@ -48,6 +51,74 @@ object Binary {
     */
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  final case class ImageFeature(doc_id: Long, is_image: Boolean, width: Int,
+      height: Int, mean_luma: Long, pixel_md5: String)
+
+  /** Real image decode via the JDK's own readers (PNG/BMP/GIF/JPEG).
+    * Returns None for payloads no installed reader accepts — callers fall
+    * back to the opaque-bytes path instead of failing the task on a
+    * corrupt or non-image payload (at corpus scale some always are).
+    */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch {
+      // ImageIO readers throw on truncated/corrupt streams (IOException,
+      // and some readers unchecked variants) — treat all as "not an image"
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Row-major 8-bit luma plane of a decoded image: integer BT.601
+    * (r·299 + g·587 + b·114) / 1000 per pixel — deterministic, no float
+    * rounding ambiguity across platforms.
+    */
+  def lumaPlane(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        out(y * w + x) = luma.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Image feature extraction over (doc_id, payload) partitions: decode
+    * (real, JDK ImageIO), dimensions, integer mean luma, and the md5 of
+    * the luma plane. Non-decodable payloads come through with
+    * `is_image = false` and the digest of the RAW bytes — the row is
+    * never dropped, so joins against the media table stay total.
+    */
+  def extractImageFeatures(media: DataFrame)(implicit s: SparkSession): Dataset[ImageFeature] = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { batch =>
+        // no executor-disk cache files for the stream decode, and one
+        // digest per partition — the batch amortizations this path is for
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = MessageDigest.getInstance("MD5")
+        batch.map { row =>
+          decodeImage(row.payload) match {
+            case Some(img) =>
+              val luma = lumaPlane(img)
+              val mean = if (luma.isEmpty) 0L
+                else luma.foldLeft(0L)((a, b) => a + (b & 0xff)) / luma.length
+              ImageFeature(row.doc_id, is_image = true, img.getWidth, img.getHeight,
+                mean, md5hex(md, luma))
+            case None =>
+              ImageFeature(row.doc_id, is_image = false, -1, -1, -1L,
+                md5hex(md, row.payload))
+          }
+        }
+      }
+  }
 
   /** Batch feature extraction over (doc_id, payload) partitions. */
   def extractFeatures(media: DataFrame, stride: Int)(implicit s: SparkSession): Dataset[MediaFeature] = {

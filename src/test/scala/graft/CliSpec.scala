@@ -44,6 +44,78 @@ class CliSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("Corpus CLI: eval carve-out + mixture weights are disjoint, exact, deterministic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-mix")
+    val docs = (1 to 60).map { i =>
+      val src = if (i % 2 == 0) "web" else "books"
+      (i.toLong, src, (1 to 30).map(j => s"t$i-$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    docs.write.parquet(s"$dir/corpus")
+
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out",
+      "--eval-k", "3", "--eval-by", "source",
+      "--mixture", "web=1000,books=0"))
+
+    val eval = spark.read.parquet(s"$dir/out/_eval")
+    val train = spark.read.parquet(s"$dir/out")
+    // exactly 3 eval docs per stratum, both strata present
+    assert(eval.groupBy("source").count().as[(String, Long)].collect().toSet ===
+      Set(("web", 3L), ("books", 3L)))
+    // train and eval are disjoint; _eval did not leak into the train read
+    val evalIds = eval.select("doc_id").as[Long].collect().toSet
+    val trainIds = train.select("doc_id").as[Long].collect().toSet
+    assert((trainIds & evalIds).isEmpty)
+    // mixture: every remaining books doc dropped, all remaining web kept
+    assert(train.filter(col("source") === "books").count() === 0)
+    assert(trainIds === (2L to 60L by 2).toSet -- evalIds)
+    // deterministic: the carve-out repeats identically
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out2",
+      "--eval-k", "3", "--eval-by", "source",
+      "--mixture", "web=1000,books=0"))
+    assert(spark.read.parquet(s"$dir/out2/_eval").select("doc_id").as[Long]
+      .collect().toSet === evalIds)
+  }
+
+  test("Corpus CLI: string-keyed corpus packs end-to-end via dense ids") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-str")
+    val docs = (1 to 50).map { i =>
+      (s"url-${i * 13}", (1 to (10 + i % 40)).map(j => s"w$i-$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/corpus")
+
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out", "--pack", "64", "--shards", "2"))
+
+    val out = spark.read.parquet(s"$dir/out")
+    // every doc packed exactly once, original string keys preserved
+    assert(out.count() === 50)
+    assert(out.select("doc_id").as[String].collect().toSet ===
+      docs.select("doc_id").as[String].collect().toSet)
+    assert(Seq("shard", "seq_id", "tok_offset").forall(out.columns.contains))
+    // no sequence overflows its budget
+    val joined = out.join(
+      docs.withColumn("n", size(split(col("text"), " "))).select("doc_id", "n"), "doc_id")
+    assert(joined.groupBy("shard", "seq_id").agg(sum("n").as("t"))
+      .filter(col("t") > 64).count() === 0)
+  }
+
+  test("Corpus CLI refuses an input that already has reserved pipeline columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-resv")
+    Seq((1L, "some text here", 9)).toDF("doc_id", "text", "shard")
+      .write.parquet(s"$dir/corpus")
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Corpus.run(spark, Array("-I", s"$dir/corpus", "-O", s"$dir/out"))
+    }
+    assert(e.getMessage.contains("shard"))
+  }
+
   test("CLI end-to-end: SAM-like text + properties config -> parquet outputs") {
     val dir = Files.createTempDirectory("cli")
     val sam = dir.resolve("in.sam")

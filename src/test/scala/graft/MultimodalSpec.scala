@@ -13,6 +13,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(Binary.strideSample(bytes, 5), "UTF-8") === "afk")
   }
 
+  test("extractImageFeatures decodes a real PNG: dims, mean luma, luma digest") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // 4x2 image: left half pure red, right half pure white
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val media = Seq(
+      (1L, png),
+      (2L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val feats = Binary.extractImageFeatures(media).collect().map(f => f.doc_id -> f).toMap
+
+    val f1 = feats(1L)
+    assert(f1.is_image && f1.width === 4 && f1.height === 2)
+    // red luma = 299*255/1000 = 76, white = 255 → mean = (4*76 + 4*255)/8
+    assert(f1.mean_luma === (4 * 76 + 4 * 255) / 8)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectedLuma = Array.tabulate(8)(i => if (i % 4 < 2) 76.toByte else 255.toByte)
+    assert(f1.pixel_md5 === md.digest(expectedLuma).map(x => f"$x%02x").mkString)
+
+    // non-image payload: kept, flagged, digest of the raw bytes
+    val f2 = feats(2L)
+    md.reset()
+    assert(!f2.is_image && f2.width === -1)
+    assert(f2.pixel_md5 ===
+      md.digest("definitely not an image".getBytes("UTF-8")).map(x => f"$x%02x").mkString)
+  }
+
+  test("extractImageFeatures decodes BMP too (second JDK reader)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val img = new java.awt.image.BufferedImage(3, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 3) img.setRGB(x, y, 0x000000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    val media = Seq((7L, baos.toByteArray)).toDF("doc_id", "payload")
+    val f = Binary.extractImageFeatures(media).collect().head
+    assert(f.is_image && f.width === 3 && f.height === 3 && f.mean_luma === 0L)
+  }
+
   test("extractFeatures digests match MessageDigest ground truth") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")

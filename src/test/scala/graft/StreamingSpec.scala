@@ -96,6 +96,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup passes short/empty docs through untouched") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.nearDupDedupStream(docs, "1 hour")
+      .writeStream.format("memory").queryName("neardup_short_stream")
+      .outputMode("append").start()
+    try {
+      // three unshingleable docs (empty / null-ish blank / two words):
+      // a constant-signature key would collapse them to one survivor
+      mem.addData((1L, "", ts(10)), (2L, "   ", ts(20)), (3L, "two words", ts(30)))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_short_stream")
+        .select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L),
+        "unrelated short docs must not near-dup-collapse onto one signature")
+    } finally q.stop()
+  }
+
+  test("stream-static near-dup: docs already in the seen-corpus are dropped at ingest") {
+    implicit val sq = spark.sqlContext
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    val fresh = (100 to 140).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((900L, common, ts(0)), (901L, "other corpus doc entirely", ts(0)))
+      .toDF("doc_id", "text", "ts")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.nearDupVsCorpusStream(docs, corpus, "1 hour")
+      .writeStream.format("memory").queryName("neardup_corpus_stream")
+      .outputMode("append").start()
+    try {
+      // 1 = signature match with corpus doc 900 → dropped; 2 = new → kept;
+      // short doc 3 must pass (per-doc key never matches the corpus)
+      mem.addData((1L, common, ts(10)), (2L, fresh, ts(20)), (3L, "hi", ts(25)))
+      q.processAllAvailable()
+      // 4 repeats 2 within the stream → dropped by the in-stream stage
+      mem.addData((4L, fresh, ts(30)))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_corpus_stream")
+        .select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(2L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
