@@ -1,0 +1,48 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+  * the MOSS algorithm): hash every k-gram, then keep the MINIMUM hash of
+  * each sliding window of `w` consecutive k-grams. The selected
+  * fingerprints are guaranteed to detect any shared substring of length
+  * ≥ k + w - 1 words between two documents, while storing only
+  * ~2/(w+1) of the k-gram hashes — the local, position-robust middle
+  * ground between one whole-doc digest (breaks on any edit) and all
+  * shingles (k× blowup).
+  *
+  * Scale shape: one shuffle on doc_id for the per-doc window (partitioned
+  * by doc — no global sort), then a distinct on (doc_id, fp); both shuffle
+  * metadata-width rows. Hashes are md5-derived positive longs
+  * (engine-exact, same domain as [[TextOps.wordHashesHex]]), so the
+  * fingerprint sets are oracle-checkable bit-for-bit.
+  */
+object Winnow {
+
+  /** Distinct winnowing fingerprints per document: (idCol, fp) rows.
+    * Documents with fewer than k + w - 1 words yield no fingerprints
+    * (no full window exists) — filter such docs upstream if every doc
+    * must fingerprint (the near-dup taxonomy's short-doc guard).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val base = docs.select(col(idCol), TextOps.words(col(textCol)).as("ws"))
+      .withColumn("hs",
+        transform(TextOps.shingles(col("ws"), k),
+          s => conv(substring(md5(s), 1, 14), 16, 10).cast("long")))
+      // guard BEFORE windowing: shingles()'s short-doc fallback (the doc
+      // itself as one shingle) must not masquerade as a k-gram here
+      .filter(size(col("ws")) >= k + w - 1)
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    base
+      .select(col(idCol), size(col("hs")).as("n"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= col("n") - w) // only full windows select
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+}

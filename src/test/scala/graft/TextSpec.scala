@@ -182,6 +182,68 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing guarantee: docs sharing >= k+w-1 consecutive words share a fingerprint") {
+    import graft.text.Winnow
+    // two docs sharing a 6-word run (k=3, w=4 -> k+w-1=6) amid distinct text
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"red green blue $shared yellow purple orange pink"),
+      (3L, "entirely different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "a shared 6-word substring must produce at least one common fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "unrelated docs share no fingerprints")
+    // compression: far fewer fingerprints than k-grams
+    val nGrams = 14 - 3 + 1
+    assert(fps(1L).size < nGrams)
+  }
+
+  test("winnowing is deterministic and skips docs shorter than k+w-1 words") {
+    import graft.text.Winnow
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val a = Winnow.fingerprints(docs, "doc_id", "text").as[(Long, Long)].collect().toSet
+    val b = Winnow.fingerprints(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(a === b)
+    assert(!a.exists(_._1 == 1L), "a 5-word doc has no full window at k=3, w=4")
+    assert(a.exists(_._1 == 2L))
+  }
+
+  test("Pii.scrub redacts emails, phones and IPv4 with per-kind tags") {
+    import graft.text.Pii
+    val docs = Seq(
+      (1L, "mail me at some.user+tag@example.co.uk or call +1 415-555-2671 " +
+        "from host 192.168.0.1 thanks"),
+      (2L, "no pii in this row at all"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), Pii.scrub(col("text")).as("clean"),
+        Pii.countMatches(col("text"), Pii.EmailPattern).as("ne"),
+        Pii.countMatches(col("text"), Pii.PhonePattern).as("np"),
+        Pii.countMatches(col("text"), Pii.Ipv4Pattern).as("ni"))
+      .as[(Long, String, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    val r1 = out(1L)
+    assert(r1._2 === "mail me at <EMAIL> or call <PHONE> from host <IP> thanks")
+    assert((r1._3, r1._4, r1._5) === ((1, 1, 1)))
+    val r2 = out(2L)
+    assert(r2._2 === "no pii in this row at all" && (r2._3, r2._4, r2._5) === ((0, 0, 0)))
+  }
+
+  test("repetitionStats counts the most-repeated word and bigram exactly") {
+    val docs = Seq(
+      (1L, "spam spam spam ham eggs"),            // top word spam=3; top bigram "spam spam"=2
+      (2L, "a b a b a"))                          // top word a=3; "a b"=2, "b a"=2
+      .toDF("doc_id", "text")
+    val r = graft.text.Queries.repetitionStats(docs)
+      .select("doc_id", "n_words", "n_distinct", "top_word_n", "top_bigram_n")
+      .as[(Long, Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 5L, 3L, 3L, 2L)))
+    assert(r(2L) === ((2L, 5L, 2L, 3L, 2L)))
+  }
+
   test("langId picks the profile with most hits, und when none") {
     val d = docs((1L, "the cat and the dog of a town"), (2L, "qqq zzz www"))
       .select(col("doc_id"), TextOps.langId(TextOps.words(col("text"))).as("lang"))
