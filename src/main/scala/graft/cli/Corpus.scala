@@ -17,6 +17,10 @@ import graft.text.{Dedup, TextOps}
   * Usage:
   *   spark-submit --class graft.cli.Corpus graft.jar \
   *     -I /data/corpus.parquet -O /out \
+  *     [--format parquet|orc|json|csv]    input format (default parquet; json
+  *                                        reads JSONL, csv expects a header)
+  *     [--scrub-pii]                      redact emails/phones/IPv4 in `text`
+  *                                        (graft.text.Pii.scrub, map-only)
   *     [--benchmark /data/eval.parquet]   drop docs sharing a 3-gram with it
   *     [--dedup]                          MinHash-LSH near-dup removal (keep smallest id)
   *     [--min-tokens n] [--max-tokens n]  quality bounds (default 1/2^31)
@@ -42,7 +46,8 @@ import graft.text.{Dedup, TextOps}
 object Corpus {
 
   final case class Args(
-      input: String = "", out: String = "", benchmark: Option[String] = None,
+      input: String = "", out: String = "", format: String = "parquet",
+      scrubPii: Boolean = false, benchmark: Option[String] = None,
       dedup: Boolean = false, minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
       samplePerMille: Option[Int] = None,
       mixture: Map[String, Int] = Map.empty, mixtureDefault: Int = 1000,
@@ -62,6 +67,8 @@ object Corpus {
   private def parse(argv: List[String], acc: Args = Args()): Args = argv match {
     case "-I" :: v :: rest            => parse(rest, acc.copy(input = v))
     case "-O" :: v :: rest            => parse(rest, acc.copy(out = v))
+    case "--format" :: v :: rest      => parse(rest, acc.copy(format = v))
+    case "--scrub-pii" :: rest        => parse(rest, acc.copy(scrubPii = true))
     case "--benchmark" :: v :: rest   => parse(rest, acc.copy(benchmark = Some(v)))
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
     case "--min-tokens" :: v :: rest  => parse(rest, acc.copy(minTokens = v.toInt))
@@ -112,12 +119,24 @@ object Corpus {
                    a: Args): (DataFrame, Option[DataFrame], Seq[DataFrame]) = {
     require(a.shards > 0, "--shards must be positive")
     val cached = Seq.newBuilder[DataFrame]
-    val input = spark.read.parquet(a.input)
+    val input = a.format match {
+      case "parquet" => spark.read.parquet(a.input)
+      case "orc"     => spark.read.orc(a.input)
+      case "json"    => spark.read.json(a.input) // JSONL, schema inferred
+      case "csv"     => spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(a.input)
+      case other => throw new IllegalArgumentException(
+        s"--format must be parquet|orc|json|csv, got: $other")
+    }
     val clash = input.columns.toSet.intersect(ReservedCols.toSet)
     require(clash.isEmpty,
       s"input corpus already has reserved pipeline column(s): ${clash.mkString(", ")} — " +
         "rename them upstream (the pipeline writes these)")
-    var corpus = input
+    // scrub FIRST: token counts, decontamination shingles, and dedup
+    // signatures all see the redacted text — so a PII span can never be
+    // the thing that makes two docs "different" or leaks into shingles
+    var corpus = (if (a.scrubPii)
+      input.withColumn("text", graft.text.Pii.scrub(col("text"))) else input)
       .withColumn("__n_tokens", size(TextOps.words(col("text"))))
       .filter(col("__n_tokens") >= a.minTokens && col("__n_tokens") <= a.maxTokens)
 
@@ -198,7 +217,8 @@ object Corpus {
   def run(spark: SparkSession, argv: Array[String]): Unit = {
     val a = parse(argv.toList)
     require(a.input.nonEmpty && a.out.nonEmpty,
-      "usage: -I <corpus.parquet> -O <out> [--benchmark p] [--dedup] " +
+      "usage: -I <corpus.parquet> -O <out> [--format parquet|orc|json|csv] " +
+        "[--scrub-pii] [--benchmark p] [--dedup] " +
         "[--min-tokens n] [--max-tokens n] [--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n]")

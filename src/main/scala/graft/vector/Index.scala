@@ -47,14 +47,16 @@ object Index {
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
     // one corpus pass each for home cells and codes, joined on vec_id —
     // both are metadata-width (id + small ints), the raw vectors stay in
-    // the source table
-    val e = Queries.prepared(s, dir)
-    val home = Ann.assignCells(e, Ann.centroidsDF(s, coarse))
-      .select(col("vec_id"), col("cid"))
-    Pq.encode(s, e, model)
-      .join(home, "vec_id")
-      .select(col("vec_id"), col("cid"), col("codes"))
-      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    // the source table. Cached: the quantize projection feeds both passes.
+    val e = Queries.prepared(s, dir).cache()
+    try {
+      val home = Ann.assignCells(e, Ann.centroidsDF(s, coarse))
+        .select(col("vec_id"), col("cid"))
+      Pq.encode(s, e, model)
+        .join(home, "vec_id")
+        .select(col("vec_id"), col("cid"), col("codes"))
+        .write.mode("overwrite").parquet(s"$indexDir/codes")
+    } finally e.unpersist()
   }
 
   /** The stored coarse model, sorted by cell id. */

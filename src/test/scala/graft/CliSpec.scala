@@ -105,6 +105,27 @@ class CliSpec extends AnyFunSuite {
       .filter(col("t") > 64).count() === 0)
   }
 
+  test("Corpus CLI: JSONL input + --scrub-pii redacts before tokenizing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-jsonl")
+    Seq(
+      (1L, "please write to someone@example.com for help with the cluster setup"),
+      (2L, "clean document with no contact information at all in it"))
+      .toDF("doc_id", "text")
+      .write.json(s"$dir/corpus")
+
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out",
+      "--format", "json", "--scrub-pii"))
+
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() === 2)
+    val t1 = out.filter(col("doc_id") === 1L).select("text").as[String].head()
+    assert(t1.contains("<EMAIL>") && !t1.contains("@"),
+      s"email must be redacted in the written corpus, got: $t1")
+  }
+
   test("Corpus CLI refuses an input that already has reserved pipeline columns") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-resv")

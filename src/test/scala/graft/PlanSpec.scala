@@ -124,4 +124,38 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size === 1,
       "exactly one exchange: the heap-head shuffle inserted by EnsureRequirements")
   }
+
+  test("q74 dense-id ranks inside md5-prefix buckets: no global range sort of the data") {
+    val p = planOf("q74_dense_id")
+    // the data side must hash-shuffle by bucket for the rank window; a
+    // global ordering would show as rangepartitioning over the doc rows
+    assert(p.toLowerCase.contains("hashpartitioning"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "bucket offsets must broadcast back, not shuffle the data side again")
+    // the only rangepartitioning allowed is the tiny (<=16^prefix rows)
+    // offsets cumsum — assert the data-side window is the bucketed one
+    assert(p.contains("windowspecdefinition(__db"),
+      "the rank window must partition by the md5-prefix bucket")
+  }
+
+  test("q77 winnowing window is per-doc partitioned (no single-partition window)") {
+    val p = planOf("q77_winnow")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "the min-hash window must partition by doc_id")
+    assert(!p.contains("windowspecdefinition(ORDER"),
+      "no partitionless (single-task) window in the fingerprint path")
+  }
+
+  test("q75 repetition stats are partial+final hash aggregates, no window, no sort") {
+    val p = planOf("q75_repetition")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Window"), "repetition stats must not use windows")
+    assert(p.contains("partial_"), "word/bigram counts must map-side combine")
+  }
+
+  test("q76 redaction is map-only over the scan: no exchange at all") {
+    val p = planOf("q76_redact")
+    assert(!p.contains("Exchange"),
+      "regex scrub must stay a projection over the scan - zero shuffles")
+  }
 }
