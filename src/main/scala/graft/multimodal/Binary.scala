@@ -90,13 +90,37 @@ object Binary {
     out
   }
 
+  /** Deterministic nearest-neighbor resize: out(x, y) = src(⌊x·sw/w⌋,
+    * ⌊y·sh/h⌋). A hand-rolled pixel loop, NOT Graphics2D rendering —
+    * AWT's scaling goes through a platform rendering pipeline whose
+    * interpolation can differ across JDK builds; integer index math is
+    * bit-reproducible everywhere, which the feature digests require.
+    */
+  def resizeImage(img: java.awt.image.BufferedImage, w: Int,
+                  h: Int): java.awt.image.BufferedImage = {
+    require(w > 0 && h > 0, "resize dims must be positive")
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * sw / w, y * sh / h))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Image feature extraction over (doc_id, payload) partitions: decode
     * (real, JDK ImageIO), dimensions, integer mean luma, and the md5 of
     * the luma plane. Non-decodable payloads come through with
     * `is_image = false` and the digest of the RAW bytes — the row is
     * never dropped, so joins against the media table stay total.
     */
-  def extractImageFeatures(media: DataFrame)(implicit s: SparkSession): Dataset[ImageFeature] = {
+  def extractImageFeatures(media: DataFrame, resizeTo: Option[(Int, Int)] = None)(
+      implicit s: SparkSession): Dataset[ImageFeature] = {
     import s.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions { batch =>
@@ -106,7 +130,11 @@ object Binary {
         val md = MessageDigest.getInstance("MD5")
         batch.map { row =>
           decodeImage(row.payload) match {
-            case Some(img) =>
+            case Some(decoded) =>
+              // resize-at-extract normalizes every image to the model's
+              // input grid (the standard vision-pipeline shape); width/
+              // height report the POST-resize dims the features describe
+              val img = resizeTo.fold(decoded) { case (w, h) => resizeImage(decoded, w, h) }
               val luma = lumaPlane(img)
               val mean = if (luma.isEmpty) 0L
                 else luma.foldLeft(0L)((a, b) => a + (b & 0xff)) / luma.length

@@ -59,6 +59,39 @@ object Index {
     } finally e.unpersist()
   }
 
+  /** Incrementally index vectors not yet in the stored codes table,
+    * using the STORED models (no retraining — the coarse cells and
+    * codebooks stay frozen, which is how production ANN indexes grow:
+    * re-train is a scheduled rebuild, not an ingest step). Encodes and
+    * cell-assigns only the new vectors (anti-join against stored ids)
+    * and appends them to `codes`; the result is bit-identical to having
+    * built with those vectors present, given the same models.
+    *
+    * Returns the number of vectors appended. The fresh frame is
+    * materialized BEFORE the append write so the job never scans the
+    * directory it is appending to mid-write.
+    */
+  def append(s: SparkSession, dir: String, indexDir: String): Long = {
+    val model = loadModel(s, indexDir)
+    val coarse = loadCoarse(s, indexDir)
+    val existing = s.read.parquet(s"$indexDir/codes").select(col("vec_id"))
+    val fresh = Queries.prepared(s, dir)
+      .join(existing, Seq("vec_id"), "left_anti")
+      .cache()
+    val n = fresh.count() // materializes the cache: the append below reads
+                          // the InMemoryRelation, not the codes dir again
+    if (n > 0) {
+      val home = Ann.assignCells(fresh, Ann.centroidsDF(s, coarse))
+        .select(col("vec_id"), col("cid"))
+      Pq.encode(s, fresh, model)
+        .join(home, "vec_id")
+        .select(col("vec_id"), col("cid"), col("codes"))
+        .write.mode("append").parquet(s"$indexDir/codes")
+    }
+    fresh.unpersist()
+    n
+  }
+
   /** The stored coarse model, sorted by cell id. */
   def loadCoarse(s: SparkSession, indexDir: String): Seq[(Long, Seq[Long])] =
     s.read.parquet(s"$indexDir/centroids")

@@ -56,6 +56,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.is_image && f.width === 3 && f.height === 3 && f.mean_luma === 0L)
   }
 
+  test("resizeImage is exact nearest-neighbor; resize-at-extract reports post-resize dims") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0xffffff)
+    // nearest-neighbor 4x2 -> 2x2: src col = x*4/2 = {0, 2} -> red, white
+    val small = Binary.resizeImage(img, 2, 2)
+    assert((small.getRGB(0, 0) & 0xffffff) === 0xff0000)
+    assert((small.getRGB(1, 0) & 0xffffff) === 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = Seq((1L, baos.toByteArray)).toDF("doc_id", "payload")
+    val f = Binary.extractImageFeatures(media, resizeTo = Some((2, 2))).collect().head
+    assert(f.width === 2 && f.height === 2)
+    assert(f.mean_luma === (2 * 76 + 2 * 255) / 4) // red luma 76, white 255
+  }
+
   test("extractFeatures digests match MessageDigest ground truth") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")

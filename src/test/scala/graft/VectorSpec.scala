@@ -225,6 +225,29 @@ class VectorSpec extends AnyFunSuite {
       rows(graft.vector.Index.ivfPqTopK(spark, dir, idx, nq, k, 2, 50)))
   }
 
+  test("Index.append grows the stored codes incrementally, bit-identical to a full build") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-append").toString
+    graft.vector.Index.build(spark, dir, idx,
+      nCells = 8, coarseIters = 1, m = 4, k = 16, pqIters = 1)
+    val full = spark.read.parquet(s"$idx/codes").collect().map(_.toSeq).toSet
+    // shrink the stored codes to a prefix, then append the rest back
+    val subset = spark.read.parquet(s"$idx/codes")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 100).collect()
+    val schema = spark.read.parquet(s"$idx/codes").schema
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(subset: _*)),
+        schema)
+      .write.mode("overwrite").parquet(s"$idx/codes")
+    val appended = graft.vector.Index.append(spark, dir, idx)
+    assert(appended === full.size - subset.length)
+    assert(spark.read.parquet(s"$idx/codes").collect().map(_.toSeq).toSet === full,
+      "append with the stored model must reproduce the full build's codes exactly")
+    // idempotent: nothing new on a second call
+    assert(graft.vector.Index.append(spark, dir, idx) === 0L)
+  }
+
   test("native hyperplane_sig equals the declarative formulation (8, 48 and 63 bit)") {
     val dims = 16
     val rnd = new scala.util.Random(7)
