@@ -11,15 +11,18 @@ import org.apache.spark.sql.functions._
   * batch processing: one iterator of rows per partition, decode amortized
   * across the batch, output schema declared up front).
   *
-  * IMAGE decode is REAL: [[decodeImage]] uses `javax.imageio` (PNG / BMP /
-  * GIF / JPEG readers ship with the JDK — zero extra dependencies) and
-  * [[extractImageFeatures]] runs it partition-parallel with typed output
-  * (dimensions, integer mean luma, pixel digest). Audio/video payloads
-  * still go through the deterministic `decodeStub` identity (no such
-  * codecs in the JDK); everything around it — binary schema,
-  * partition-parallel batch shape, stride sampling ("frame sampling"),
-  * digesting — is the same scale-true path: map-only, no shuffle, no
-  * driver involvement, output size independent of payload size.
+  * IMAGE and AUDIO decode are REAL: [[decodeImage]] uses `javax.imageio`
+  * (PNG / BMP / GIF / JPEG readers ship with the JDK) and [[decodeAudio]]
+  * uses `javax.sound.sampled` (WAV / AIFF / AU PCM containers) — zero
+  * extra dependencies. [[extractImageFeatures]] / [[extractAudioFeatures]]
+  * run them partition-parallel with typed output (dims + integer mean
+  * luma + pixel digest; rate/channels/frames + PCM digest). Only
+  * compressed codecs with no JDK reader (MP3, video) go through the
+  * deterministic `decodeStub` identity; everything around it — binary
+  * schema, partition-parallel batch shape, stride sampling ("frame
+  * sampling"), digesting — is the same scale-true path: map-only, no
+  * shuffle, no driver involvement, output size independent of payload
+  * size.
   */
 object Binary {
 
@@ -54,6 +57,48 @@ object Binary {
 
   final case class ImageFeature(doc_id: Long, is_image: Boolean, width: Int,
       height: Int, mean_luma: Long, pixel_md5: String)
+
+  final case class AudioFeature(doc_id: Long, is_audio: Boolean,
+      sample_rate: Int, channels: Int, n_frames: Long, pcm_md5: String)
+
+  /** Real audio decode for WAV/AIFF/AU via the JDK's own
+    * `javax.sound.sampled` readers (PCM containers — compressed codecs
+    * like MP3/AAC have no JDK reader and still fall back to the opaque
+    * path). Returns None for payloads no installed reader accepts.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] =
+    try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio feature extraction over (doc_id, payload) partitions: decode
+    * (real, JDK sampled-audio), container metadata (rate/channels/frames)
+    * and the digest of the raw PCM stream. Non-decodable payloads come
+    * through flagged with the digest of the raw bytes — rows are never
+    * dropped.
+    */
+  def extractAudioFeatures(media: DataFrame)(implicit s: SparkSession): Dataset[AudioFeature] = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { batch =>
+        val md = MessageDigest.getInstance("MD5")
+        batch.map { row =>
+          decodeAudio(row.payload) match {
+            case Some(ais) =>
+              try {
+                val fmt = ais.getFormat
+                val pcm = ais.readAllBytes()
+                AudioFeature(row.doc_id, is_audio = true,
+                  fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength,
+                  md5hex(md, pcm))
+              } finally ais.close()
+            case None =>
+              AudioFeature(row.doc_id, is_audio = false, -1, -1, -1L,
+                md5hex(md, row.payload))
+          }
+        }
+      }
+  }
 
   /** Real image decode via the JDK's own readers (PNG/BMP/GIF/JPEG).
     * Returns None for payloads no installed reader accepts — callers fall

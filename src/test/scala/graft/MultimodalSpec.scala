@@ -73,6 +73,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.mean_luma === (2 * 76 + 2 * 255) / 4) // red luma 76, white 255
   }
 
+  test("extractAudioFeatures decodes a real WAV: rate, channels, frames, PCM digest") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import javax.sound.sampled._
+    // 100 frames of 16-bit mono PCM at 8 kHz: a deterministic ramp
+    val pcm = Array.tabulate[Byte](200)(i => ((i * 13) % 251).toByte)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 100),
+      AudioFileFormat.Type.WAVE, baos)
+    val media = Seq(
+      (1L, baos.toByteArray),
+      (2L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val feats = Binary.extractAudioFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    val a = feats(1L)
+    assert(a.is_audio && a.sample_rate === 8000 && a.channels === 1 && a.n_frames === 100L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(a.pcm_md5 === md.digest(pcm).map(x => f"$x%02x").mkString,
+      "decoded PCM must be byte-identical to the source samples")
+    assert(!feats(2L).is_audio && feats(2L).sample_rate === -1)
+  }
+
   test("extractFeatures digests match MessageDigest ground truth") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
