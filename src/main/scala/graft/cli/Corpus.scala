@@ -167,13 +167,19 @@ object Corpus {
     eval.foreach { ev =>
       corpus = corpus.join(ev.select(col("doc_id")), Seq("doc_id"), "left_anti")
     }
-    if (a.mixture.nonEmpty || a.mixtureDefault != 1000) {
+    if (a.mixture.nonEmpty) {
       require(corpus.columns.contains(a.mixtureBy),
         s"--mixture-by column '${a.mixtureBy}' not in the corpus")
       // own seed: mixture decisions must not correlate with --sample's
       // buckets (a shared seed would make the combined rate min, not product)
       corpus = Sampling.mixtureSample(corpus, col("doc_id"), col(a.mixtureBy),
         a.mixture, a.mixtureDefault, seed = "mix")
+    } else if (a.mixtureDefault != 1000) {
+      // flat non-default rate with no per-stratum entries: same hash-bucket
+      // decision, no stratum column needed (corpora without a source
+      // column can still downsample via --mixture-default)
+      corpus = Sampling.deterministicSample(corpus, col("doc_id"),
+        a.mixtureDefault, seed = "mix")
     }
     a.samplePerMille.foreach { pm =>
       corpus = Sampling.deterministicSample(corpus, col("doc_id"), pm)

@@ -83,15 +83,19 @@ object Packing {
     *
     * `idCol` values must be unique (duplicate keys would get arbitrary
     * relative order within their tie — the id→dense mapping wouldn't be a
-    * function).
+    * function) and NON-NULL (checked in the same pass: a null key has a
+    * null bucket, which would silently drop the row at the offsets join).
     */
   def withDenseId(df: DataFrame, idCol: String, outCol: String = "dense_id",
                   prefixChars: Int = 3): DataFrame = {
     require(prefixChars >= 1 && prefixChars <= 8, "prefixChars must be in [1, 8]")
     require(!df.columns.contains(outCol),
       s"input already has a column named $outCol")
+    val checkedId = when(col(idCol).isNull,
+      raise_error(lit(s"withDenseId: $idCol must be non-null")))
+      .otherwise(col(idCol).cast("string"))
     val keyed = df
-      .withColumn("__dk", md5(concat(lit("dense:"), col(idCol).cast("string"))))
+      .withColumn("__dk", md5(concat(lit("dense:"), checkedId)))
       .withColumn("__db", substring(col("__dk"), 1, prefixChars))
     val w = Window.partitionBy(col("__db")).orderBy(col("__dk"), col(idCol))
     val local = keyed.withColumn("__dr", row_number().over(w))

@@ -106,6 +106,16 @@ class PackingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dense_id"))
   }
 
+  test("withDenseId fails loudly on null ids instead of dropping the row") {
+    val df = Seq(Some("a"), None, Some("c")).toDF("doc_key")
+    val e = intercept[Exception] {
+      Packing.withDenseId(df, "doc_key").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-null")))
+  }
+
   test("packers fail loudly on null or non-positive token counts") {
     val df = Seq((1L, 10L), (2L, 0L)).toDF("doc_id", "n_tokens")
     val e = intercept[Exception] {
