@@ -78,6 +78,37 @@ object Dedup {
       .withColumn("jaccard", col("inter_size").cast("double") / col("union_size"))
   }
 
+  /** Containment-verified candidate pairs: asymmetric Jaccard
+    * |A∩B| / min(|A|, |B|) ≥ thresholdTenths/10 — catches PARTIAL copies
+    * (a doc quoted or embedded inside a larger one) that symmetric
+    * Jaccard misses because the larger doc dilutes the union.
+    *
+    * Honest scale caveat: candidates still come from the MinHash band
+    * join, whose collision probability tracks SYMMETRIC Jaccard — a tiny
+    * doc fully contained in a huge one can evade the bands (the known
+    * limitation; full containment search needs prefix filtering or an
+    * LSH-Ensemble-style index). Within the candidate set the decision is
+    * exact and engine-portable (integer threshold, one derived double).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       thresholdTenths: Int = 8): DataFrame = {
+    val prep = prepared(docs, idCol, textCol)
+    val sh = prep.select(col("doc_id"), col("sh"))
+    candidatePairs(prep)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).as("inter_size"),
+        size(col("sa.sh")).as("size_a"),
+        size(col("sb.sh")).as("size_b"))
+      .filter(col("inter_size") * 10 >=
+        least(col("size_a"), col("size_b")) * lit(thresholdTenths))
+      .withColumn("containment",
+        col("inter_size").cast("double") / least(col("size_a"), col("size_b")))
+  }
+
   /** Transitive near-dup clusters: connected components over the verified
     * pair graph via min-label propagation — `iterations` rounds of
     * "label(n) ← min(label(n), min over neighbors)", run as DataFrame

@@ -182,6 +182,29 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs flags a partial copy that symmetric Jaccard misses") {
+    import graft.text.Dedup
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val extra = (100 to 114).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, a),                 // the original
+      (2L, s"$a $extra"),      // original embedded in a longer doc
+      (3L, (200 to 240).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    // doc1's shingles are a strict subset of doc2's -> containment 1.0
+    assert(cont.exists(p => p._1 == 1L && p._2 == 2L && p._3 === 1.0),
+      s"expected the (1,2) partial copy, got ${cont.toSeq}")
+    // while symmetric Jaccard (18/33 = 0.55) stays below the 0.7 near-dup bar
+    val sym = Dedup.nearDupPairs(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(!sym.contains((1L, 2L)),
+      "the same pair must NOT pass the symmetric near-dup threshold")
+    assert(!cont.exists(p => p._2 == 3L), "unrelated doc stays clean")
+  }
+
   test("winnowing guarantee: docs sharing >= k+w-1 consecutive words share a fingerprint") {
     import graft.text.Winnow
     // two docs sharing a 6-word run (k=3, w=4 -> k+w-1=6) amid distinct text
