@@ -141,7 +141,14 @@ object Corpus {
       .filter(col("__n_tokens") >= a.minTokens && col("__n_tokens") <= a.maxTokens)
 
     a.benchmark.foreach { b =>
-      corpus = Dedup.decontaminate(corpus, spark.read.parquet(b))
+      val bench = spark.read.parquet(b)
+      // scrub the benchmark with the SAME redaction as the corpus:
+      // otherwise a shared span crossing a PII token no longer matches
+      // after the corpus side is redacted, and the contaminated doc
+      // evades the carve-out (eval content leaks into training shards)
+      corpus = Dedup.decontaminate(corpus,
+        if (a.scrubPii) bench.withColumn("text", graft.text.Pii.scrub(col("text")))
+        else bench)
     }
     if (a.dedup) {
       // the corpus subtree feeds BOTH the LSH pair mining and the anti
@@ -189,11 +196,7 @@ object Corpus {
         // corpus feeds both the packer and the join-back — persist here too
         corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cached += corpus
-        val integralId = Set[org.apache.spark.sql.types.DataType](
-          org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
-          org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
-          .contains(corpus.schema("doc_id").dataType)
-        if (integralId) {
+        if (Packing.isIntegralId(corpus, "doc_id")) {
           val packed = Packing.greedyPack(
             corpus.select(col("doc_id"), col("__n_tokens")),
             "doc_id", "__n_tokens", max, a.shards)

@@ -109,6 +109,17 @@ object Packing {
       .drop("__dk", "__db", "__dr", "__off")
   }
 
+  /** Whether `idCol` has an integral type the packers can order on
+    * directly; non-integral (string UUID/URL) keys go through
+    * [[withDenseId]] first. Shared by the greedyPack precondition and the
+    * CLI's routing so the two can't drift.
+    */
+  def isIntegralId(df: DataFrame, idCol: String): Boolean =
+    Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+      .contains(df.schema(idCol).dataType)
+
   /** Greedy no-split packing: docs fill a sequence in id order until the
     * next doc would overflow `maxTokens`, then a new sequence starts. A
     * doc longer than `maxTokens` gets a sequence of its own (callers
@@ -121,13 +132,9 @@ object Packing {
     require(maxTokens > 0 && shards > 0, "maxTokens and shards must be positive")
     // explicit contract, checked up front: a silent cast("long") on string
     // ids (UUIDs, URL hashes) would null every id instead of erroring
-    val idType = df.schema(idCol).dataType
-    require(Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
-        .contains(idType),
-      s"greedyPack needs an integral $idCol (got ${idType.simpleString}); " +
-        "map string ids to longs first (e.g. a dense id join)")
+    require(isIntegralId(df, idCol),
+      s"greedyPack needs an integral $idCol (got ${df.schema(idCol).dataType.simpleString}); " +
+        "map string ids to longs first (e.g. withDenseId)")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(

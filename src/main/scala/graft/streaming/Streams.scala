@@ -134,17 +134,20 @@ object Streams {
       .drop("__sig_key")
   }
 
-  /** Near-dup state key: MinHash signature md5 for real text; docs too
-    * short to shingle (null/empty/< 3 words) get a PER-DOC key instead —
-    * a constant signature there would silently collapse every unrelated
-    * empty doc into one "near-dup" group and drop all but the first.
+  /** Near-dup state key: MinHash signature md5 for shingleable text;
+    * short-but-real text (1-2 words) keys on the EXACT text digest, so
+    * byte-identical short spam ("click here" twice) still dedups; only
+    * null/blank docs get a PER-DOC key — a constant key there would
+    * collapse every unrelated empty doc into one "near-dup" group and
+    * drop all but the first (they carry no content to match on).
     */
   private def sigKey(textCol: String, idCol: String, numHashes: Int) = {
     import graft.text.TextOps
     val ws = TextOps.words(col(textCol))
     val sig = graft.functions.MinHashSignature.of(TextOps.shingleSet(ws, 3), numHashes)
-    when(coalesce(size(ws), lit(0)) < 3,
+    when(col(textCol).isNull || trim(col(textCol)) === "",
       concat(lit("raw:"), col(idCol).cast("string")))
+      .when(size(ws) < 3, concat(lit("txt:"), md5(col(textCol))))
       .otherwise(md5(concat_ws("|", transform(sig, x => x.cast("string")))))
   }
 
@@ -158,7 +161,8 @@ object Streams {
     * left_anti is a per-micro-batch join against that static frame — no
     * streaming state for the corpus side at all (Spark re-plans the static
     * side per batch; persist the corpus keys for a long-running query).
-    * Short/null docs pass through untouched (per-doc keys never match).
+    * Short docs match on their exact text digest; null/blank docs pass
+    * through untouched (per-doc keys never match).
     */
   def nearDupVsCorpusStream(docs: DataFrame, corpus: DataFrame, lateness: String,
                             textCol: String = "text",

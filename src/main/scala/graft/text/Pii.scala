@@ -23,9 +23,13 @@ object Pii {
   val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 
   /** North-American-style phone numbers: optional +1, separators
-    * space/dot/dash, 3-3-4 digits.
+    * space/dot/dash, 3-3-4 digits. Word boundaries on the digit run (the
+    * `\b` sits inside the optional `+1`/`(` prefix, where it is always
+    * between a non-word char and a digit) keep digit runs embedded in
+    * longer identifiers ("ticket 91234-567-89016") from being partially
+    * redacted mid-token.
     */
-  val PhonePattern = "(\\+1[ .-]?)?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}"
+  val PhonePattern = "(\\+1[ .-]?)?\\(?\\b[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b"
 
   /** IPv4 literals (syntactic: 1-3 digit octets). */
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

@@ -41,8 +41,10 @@ object IndexBench {
       Index.ivfPqTopK(spark, dir, idx, nq, k, nprobe = 2, rerank = 50)
         .write.format("noop").mode("overwrite").save()
     }
-    println(f"[index] stored serve is ${tFresh / tStored}%.1fx faster than fresh; " +
-      f"build amortizes after ${math.ceil(tBuild / (tFresh - tStored)).toLong} queries")
+    val amortizes =
+      if (tFresh > tStored) f"build amortizes after ${math.ceil(tBuild / (tFresh - tStored)).toLong} queries"
+      else "stored serve not faster at this scale - build does not amortize"
+    println(f"[index] stored serve is ${tFresh / tStored}%.1fx faster than fresh; $amortizes")
     spark.stop()
   }
 }

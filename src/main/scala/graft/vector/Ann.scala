@@ -56,6 +56,15 @@ object Ann {
     try lloyd(s, e, k, iters) finally e.unpersist()
   }
 
+  /** [[trainCentroids]] over an ALREADY-prepared (and ideally cached)
+    * frame — for callers like `Index.build` that share one prepared scan
+    * across training, encoding, and cell assignment instead of paying a
+    * parquet scan + quantize pass per stage.
+    */
+  def trainCentroidsFrom(s: SparkSession, prepared: DataFrame, k: Int,
+                         iters: Int): Seq[(Long, Seq[Long])] =
+    lloyd(s, prepared.select(col("vec_id"), col("q"), col("n2")), k, iters)
+
   /** The Lloyd loop over ANY (vec_id, q, n2) frame — shared by the IVF
     * coarse quantizer ([[trainCentroids]]) and the per-subspace PQ
     * codebooks ([[Pq.train]]). Callers cache `data` (each iteration

@@ -39,17 +39,21 @@ object Index {
   def build(s: SparkSession, dir: String, indexDir: String,
             nCells: Int = 8, coarseIters: Int = 2,
             m: Int = 4, k: Int = 16, pqIters: Int = 3): Unit = {
-    val coarse = Ann.trainCentroids(s, dir, nCells, coarseIters)
-    val model = Pq.train(s, dir, m, k, pqIters)
-    Ann.centroidsDF(s, coarse)
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    Pq.codebookDF(s, model)
-      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    // one corpus pass each for home cells and codes, joined on vec_id —
-    // both are metadata-width (id + small ints), the raw vectors stay in
-    // the source table. Cached: the quantize projection feeds both passes.
+    // ONE cached prepared scan shared by all four stages (coarse train,
+    // PQ train, cell assignment, encode) — the dir-based trainCentroids /
+    // Pq.train entry points each cache their own copy, which on a large
+    // corpus means paying the parquet scan + quantize pass per stage
     val e = Queries.prepared(s, dir).cache()
     try {
+      val coarse = Ann.trainCentroidsFrom(s, e, nCells, coarseIters)
+      val model = Pq.trainFrom(s, e, m, k, pqIters)
+      Ann.centroidsDF(s, coarse)
+        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+      Pq.codebookDF(s, model)
+        .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+      // one pass each for home cells and codes, joined on vec_id — both
+      // are metadata-width (id + small ints), the raw vectors stay in the
+      // source table
       val home = Ann.assignCells(e, Ann.centroidsDF(s, coarse))
         .select(col("vec_id"), col("cid"))
       Pq.encode(s, e, model)
@@ -78,18 +82,19 @@ object Index {
     val fresh = Queries.prepared(s, dir)
       .join(existing, Seq("vec_id"), "left_anti")
       .cache()
-    val n = fresh.count() // materializes the cache: the append below reads
-                          // the InMemoryRelation, not the codes dir again
-    if (n > 0) {
-      val home = Ann.assignCells(fresh, Ann.centroidsDF(s, coarse))
-        .select(col("vec_id"), col("cid"))
-      Pq.encode(s, fresh, model)
-        .join(home, "vec_id")
-        .select(col("vec_id"), col("cid"), col("codes"))
-        .write.mode("append").parquet(s"$indexDir/codes")
-    }
-    fresh.unpersist()
-    n
+    try {
+      val n = fresh.count() // materializes the cache: the append below reads
+                            // the InMemoryRelation, not the codes dir again
+      if (n > 0) {
+        val home = Ann.assignCells(fresh, Ann.centroidsDF(s, coarse))
+          .select(col("vec_id"), col("cid"))
+        Pq.encode(s, fresh, model)
+          .join(home, "vec_id")
+          .select(col("vec_id"), col("cid"), col("codes"))
+          .write.mode("append").parquet(s"$indexDir/codes")
+      }
+      n
+    } finally fresh.unpersist()
   }
 
   /** The stored coarse model, sorted by cell id. */

@@ -47,23 +47,30 @@ object Pq {
   def train(s: SparkSession, dir: String, m: Int = 4, k: Int = 16,
             iters: Int = 3): Model = {
     val e = Queries.prepared(s, dir).select(col("vec_id"), col("q")).cache()
-    try {
-      val dimsRow = e.select(size(col("q"))).limit(1).collect()
-      require(dimsRow.nonEmpty, s"PQ training needs a non-empty embeddings table ($dir)")
-      val dims = dimsRow(0).getInt(0)
-      require(dims % m == 0, s"m=$m must divide dims=$dims")
-      val dsub = dims / m
-      val books = (0 until m).map { j =>
-        val sub = e.select(col("vec_id"), subvec(col("q"), j, dsub).as("q"))
-          .withColumn("n2", graft.functions.VectorDot.of(col("q"), col("q")))
-          .cache()
-        try {
-          val model = Ann.lloyd(s, sub, k, iters)
-          model.sortBy(_._1).map(_._2) // code = position (init ids are 0..k-1)
-        } finally sub.unpersist()
-      }
-      Model(m, dsub, books)
-    } finally e.unpersist()
+    try trainFrom(s, e, m, k, iters) finally e.unpersist()
+  }
+
+  /** [[train]] over an ALREADY-prepared (and ideally cached) frame — for
+    * callers like `Index.build` sharing one prepared scan across stages.
+    */
+  def trainFrom(s: SparkSession, prepared: DataFrame, m: Int, k: Int,
+                iters: Int): Model = {
+    val e = prepared.select(col("vec_id"), col("q"))
+    val dimsRow = e.select(size(col("q"))).limit(1).collect()
+    require(dimsRow.nonEmpty, "PQ training needs a non-empty embeddings frame")
+    val dims = dimsRow(0).getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    val books = (0 until m).map { j =>
+      val sub = e.select(col("vec_id"), subvec(col("q"), j, dsub).as("q"))
+        .withColumn("n2", graft.functions.VectorDot.of(col("q"), col("q")))
+        .cache()
+      try {
+        val model = Ann.lloyd(s, sub, k, iters)
+        model.sortBy(_._1).map(_._2) // code = position (init ids are 0..k-1)
+      } finally sub.unpersist()
+    }
+    Model(m, dsub, books)
   }
 
   /** Encode every vector to its m codes: one broadcast crossJoin with the

@@ -126,6 +126,29 @@ class CliSpec extends AnyFunSuite {
       s"email must be redacted in the written corpus, got: $t1")
   }
 
+  test("Corpus CLI: --scrub-pii scrubs the benchmark too, so PII-spanning contamination is still caught") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-scrub-bench")
+    // the ONLY shared span crosses an email token; if the benchmark were
+    // shingled raw while the corpus is scrubbed, no trigram would match
+    val sharedSpan = "contact admin@example.com today please right"
+    val docs = Seq(
+      (1L, s"$sharedSpan unique1 unique2 unique3 unique4 unique5"),
+      (2L, "completely clean document with many distinct words here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, sharedSpan)).toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/corpus")
+    bench.write.parquet(s"$dir/bench")
+
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out",
+      "--scrub-pii", "--benchmark", s"$dir/bench"))
+
+    val kept = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L),
+      s"the contaminated doc must drop even though the shared span crosses PII, kept=$kept")
+  }
+
   test("Corpus CLI refuses an input that already has reserved pipeline columns") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-resv")

@@ -108,10 +108,13 @@ class StreamingSpec extends AnyFunSuite {
       // a constant-signature key would collapse them to one survivor
       mem.addData((1L, "", ts(10)), (2L, "   ", ts(20)), (3L, "two words", ts(30)))
       q.processAllAvailable()
+      // ...but byte-identical short spam must still dedup (exact-text key)
+      mem.addData((4L, "two words", ts(40)), (5L, "other pair", ts(50)))
+      q.processAllAvailable()
       val ids = spark.table("neardup_short_stream")
         .select("doc_id").as[Long].collect().sorted
-      assert(ids.toSeq === Seq(1L, 2L, 3L),
-        "unrelated short docs must not near-dup-collapse onto one signature")
+      assert(ids.toSeq === Seq(1L, 2L, 3L, 5L),
+        "blank docs keep per-doc keys; identical short text dedups on content")
     } finally q.stop()
   }
 

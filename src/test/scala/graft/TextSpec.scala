@@ -255,16 +255,31 @@ class TextSpec extends AnyFunSuite {
     assert(r2._2 === "no pii in this row at all" && (r2._3, r2._4, r2._5) === ((0, 0, 0)))
   }
 
+  test("PhonePattern does not chew digit runs embedded in longer identifiers") {
+    import graft.text.Pii
+    val docs = Seq((1L, "ticket 91234-567-89016 is open"),
+        (2L, "call 415-555-2671 now"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), Pii.scrub(col("text")).as("clean"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "ticket 91234-567-89016 is open",
+      "an id with extra surrounding digits must not be partially redacted")
+    assert(out(2L) === "call <PHONE> now")
+  }
+
   test("repetitionStats counts the most-repeated word and bigram exactly") {
     val docs = Seq(
       (1L, "spam spam spam ham eggs"),            // top word spam=3; top bigram "spam spam"=2
-      (2L, "a b a b a"))                          // top word a=3; "a b"=2, "b a"=2
+      (2L, "a b a b a"),                          // top word a=3; "a b"=2, "b a"=2
+      (3L, "single"))                             // no bigram -> dropped (oracle parity)
       .toDF("doc_id", "text")
     val r = graft.text.Queries.repetitionStats(docs)
       .select("doc_id", "n_words", "n_distinct", "top_word_n", "top_bigram_n")
       .as[(Long, Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
     assert(r(1L) === ((1L, 5L, 3L, 3L, 2L)))
     assert(r(2L) === ((2L, 5L, 2L, 3L, 2L)))
+    assert(!r.contains(3L),
+      "a 1-word doc has no bigram and must drop (the shingles fallback is not a bigram)")
   }
 
   test("langId picks the profile with most hits, und when none") {
