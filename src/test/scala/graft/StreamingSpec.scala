@@ -122,7 +122,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     val common = (1 to 40).map(i => s"w$i").mkString(" ")
     val fresh = (100 to 140).map(i => s"v$i").mkString(" ")
-    val corpus = Seq((900L, common, ts(0)), (901L, "other corpus doc entirely", ts(0)))
+    val corpus = Seq((900L, common, ts(0)), (901L, "hey there", ts(0)))
       .toDF("doc_id", "text", "ts")
     val mem = MemoryStream[(Long, String, Timestamp)]
     val docs = mem.toDF().toDF("doc_id", "text", "ts")
@@ -131,8 +131,10 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       // 1 = signature match with corpus doc 900 → dropped; 2 = new → kept;
-      // short doc 3 must pass (per-doc key never matches the corpus)
-      mem.addData((1L, common, ts(10)), (2L, fresh, ts(20)), (3L, "hi", ts(25)))
+      // 3 = new short doc passes; 5 = short doc byte-identical to corpus
+      // doc 901 → dropped on its exact-text key
+      mem.addData((1L, common, ts(10)), (2L, fresh, ts(20)), (3L, "hi", ts(25)),
+        (5L, "hey there", ts(26)))
       q.processAllAvailable()
       // 4 repeats 2 within the stream → dropped by the in-stream stage
       mem.addData((4L, fresh, ts(30)))
