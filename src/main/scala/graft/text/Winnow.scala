@@ -21,6 +21,41 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
+  /** Candidate near-dup pairs by shared winnowing fingerprints: docs
+    * sharing at least `minShared` fingerprints, via an equi self-join on
+    * fp — the substring-overlap dedup path (complements MinHash, which
+    * measures whole-doc set similarity and can miss two long documents
+    * sharing one big verbatim block).
+    *
+    * Skew guard: fingerprints appearing in more than `maxDf` documents
+    * (boilerplate runs — the "stop shingle" problem) are dropped BEFORE
+    * the self-join; a fingerprint shared by f docs contributes f² join
+    * rows, so one boilerplate fp across a 100 TB corpus would otherwise
+    * become a single quadratic hot key. The guard is also why the join
+    * stays balanced under AQE: post-filter every fp key has ≤ maxDf rows.
+    * Dropping hot fps can only LOWER n_shared, so the result
+    * under-reports extremely common runs — the standard trade; raise
+    * maxDf if boilerplate itself is the target.
+    */
+  def nearDupPairsByFingerprint(docs: DataFrame, idCol: String, textCol: String,
+                                k: Int = 3, w: Int = 4,
+                                minShared: Int = 2, maxDf: Int = 8): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2, "minShared >= 1, maxDf >= 2")
+    val fps = fingerprints(docs, idCol, textCol, k, w)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val pruned = fps.join(rare, "fp")
+    // fingerprints are DISTINCT per doc, so the per-pair row count IS the
+    // shared-fingerprint count — no distinct needed before the agg
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Distinct winnowing fingerprints per document: (idCol, fp) rows.
     * Documents with fewer than k + w - 1 words yield no fingerprints
     * (no full window exists) — filter such docs upstream if every doc

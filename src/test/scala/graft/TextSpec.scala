@@ -225,6 +225,28 @@ class TextSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("fingerprint-join pairs find shared runs; the stop-fp guard kills boilerplate-only pairs") {
+    import graft.text.Winnow
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")   // in ALL three docs
+    // long enough that several distinct window-minima fall fully inside
+    // the run (one 6-word run only guarantees ONE shared fingerprint)
+    val run = (20 to 39).map(i => s"r$i").mkString(" ")     // only in docs 1 and 2
+    val docs = Seq(
+      (1L, s"$boiler one two $run"),
+      (2L, s"$boiler six seven $run"),
+      (3L, s"$boiler four five alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    def pairs(maxDf: Int) =
+      Winnow.nearDupPairsByFingerprint(docs, "doc_id", "text", minShared = 2, maxDf = maxDf)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // generous guard: the boilerplate links every pair
+    assert(pairs(8) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // tight guard (maxDf=2): boilerplate fps have df=3 -> dropped; only the
+    // genuinely shared run (df=2 fps) links docs 1 and 2
+    assert(pairs(2) === Set((1L, 2L)),
+      "boilerplate-only pairs must disappear once the hot fps are pruned")
+  }
+
   test("winnowing is deterministic and skips docs shorter than k+w-1 words") {
     import graft.text.Winnow
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e f g h i j")).toDF("doc_id", "text")
