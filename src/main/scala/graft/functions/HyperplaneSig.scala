@@ -81,6 +81,15 @@ final case class HyperplaneSig(child: Expression, bits: Int, dims: Int)
   override def nullSafeEval(input: Any): Any = {
     val q = input.asInstanceOf[ArrayData]
     if (q.numElements() != dims) return 0L // declarative-parity on length mismatch
+    // declarative parity on null ELEMENTS too: one null slot nulls every
+    // per-bit dot, so when(dot > 0) is false for all bits → signature 0.
+    // Reading past the check would treat the slot as 0 (UnsafeArrayData)
+    // and hash the row into a DIFFERENT band than the oracle.
+    var k = 0
+    while (k < dims) {
+      if (q.isNullAt(k)) return 0L
+      k += 1
+    }
     val m = signs
     var sig = 0L
     var i = 0

@@ -36,6 +36,13 @@ final case class MinHashSignature(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_signature"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // range-checked at ANALYSIS time like the sibling expressions
+    // (SimHashBits/HyperplaneSig check bits): numHashes = 0 would silently
+    // return empty signatures that match nothing; negative would blow up
+    // per-row mid-job with NegativeArraySizeException
+    if (numHashes < 1 || numHashes > 1024)
+      return org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature numHashes must be in [1, 1024], got $numHashes")
     child.dataType match {
       case ArrayType(StringType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

@@ -49,6 +49,10 @@ final case class VectorDot(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      // a null ELEMENT nulls the whole dot, exactly like the declarative
+      // aggregate (null * x = null propagates through the sum) — reading
+      // past the check would treat the slot as 0 (UnsafeArrayData) or NPE
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -67,9 +71,10 @@ final case class VectorDot(left: Expression, right: Expression)
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $x.getLong($i) * $y.getLong($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -76,7 +76,21 @@ object Formats {
       .groupByKey()
       .map { case (rec, lines) =>
         val m = lines.toMap
-        (rec, m(0L).stripPrefix("@"), m(1L), m(3L))
+        // fail LOUDLY on malformed input: a truncated tail would otherwise
+        // throw a bare NoSuchElementException, and — much worse — a single
+        // stray/blank line shifts the global 4-line framing so every
+        // subsequent record silently mixes fields of different reads. The
+        // marker checks catch the shift at the first misframed record.
+        if (m.size != 4)
+          throw new IllegalArgumentException(
+            s"FASTQ record $rec is truncated (${m.size}/4 lines) — input must be 4-line aligned")
+        val header = m(0L)
+        val plus = m(2L)
+        if (!header.startsWith("@") || !plus.startsWith("+"))
+          throw new IllegalArgumentException(
+            s"FASTQ record $rec misframed (header='${header.take(30)}', sep='${plus.take(30)}') — " +
+              "a stray or blank line has shifted the 4-line alignment")
+        (rec, header.stripPrefix("@"), m(1L), m(3L))
       }
       .toDF("record_idx", "read_id", "seq", "qual")
       .drop("record_idx")

@@ -18,23 +18,37 @@ object Sources {
     *
     * `recursiveFileLookup` + `pathGlobFilter` replace the hand-rolled
     * recursion/extension filter; `input_file_name()` recovers lineage.
+    *
+    * `dataset_id` is the FIRST path component under `root` — NOT the
+    * file's immediate parent: recursive lookup is exactly what lets a
+    * dataset nest deeper (root/ds1/year=2020/f.parquet), and the parent
+    * dir there is 'year=2020', which would shred one dataset into bogus
+    * groups. Falls back to the parent-dir name only when the root prefix
+    * can't be located in the file URI (exotic scheme/encoding).
     */
   def scanDatasets(spark: SparkSession, root: String,
-                   format: String = "parquet", glob: String = "*.parquet"): DataFrame =
+                   format: String = "parquet", glob: String = "*.parquet"): DataFrame = {
+    val underRoot =
+      java.util.regex.Pattern.quote(root.stripSuffix("/")) + "/([^/]+)/"
     spark.read
       .format(format)
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", glob)
       .load(root)
       .withColumn("dataset_id",
-        regexp_extract(input_file_name(), s"^.*/([^/]+)/[^/]+$$", 1))
+        coalesce(
+          nullif(regexp_extract(input_file_name(), underRoot, 1), lit("")),
+          regexp_extract(input_file_name(), s"^.*/([^/]+)/[^/]+$$", 1)))
+  }
 
   /** CSV source with schema inference off by default (schema-on-read is a
-    * full extra pass at 100 TB — callers should pass explicit DDL).
+    * full extra pass at 100 TB — callers should pass explicit DDL; without
+    * one, columns come back as strings, they do NOT trigger an inference
+    * scan).
     */
   def csv(spark: SparkSession, path: String, schemaDdl: Option[String] = None): DataFrame = {
     val r = spark.read.option("header", "true")
-    schemaDdl.fold(r.option("inferSchema", "true"))(d => r.schema(d)).csv(path)
+    schemaDdl.fold(r)(d => r.schema(d)).csv(path)
   }
 
   /** JSON-lines source (explicit schema strongly preferred, same reason). */
@@ -56,9 +70,17 @@ object Sources {
     */
   def writePartitioned(df: DataFrame, outDir: String, partitionCols: Seq[String],
                        sortCols: Seq[String] = Nil, format: String = "parquet"): Unit = {
+    // sort by partitionCols FIRST: the file writer requires its output
+    // ordered by the partition columns, and if the child ordering doesn't
+    // already satisfy that, Spark inserts its OWN sort by partitionCols
+    // only — silently destroying the per-file sortCols order this sink
+    // promises. A (partitionCols ++ sortCols) local sort satisfies the
+    // writer's requirement, so no extra sort is planned and the data
+    // order inside each file is exactly sortCols.
     val sorted =
       if (sortCols.isEmpty) df
-      else df.sortWithinPartitions(sortCols.map(col): _*)
+      else df.sortWithinPartitions(
+        (partitionCols ++ sortCols.filterNot(partitionCols.contains)).map(col): _*)
     sorted.write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)

@@ -72,6 +72,16 @@ object SamSourceV2 {
     b.result()
   }
 
+  /** The deserialization half of [[confMap]] — the ONE place executor-side
+    * code rebuilds a Configuration (reader, stream, writer all call this;
+    * three hand-rolled copies had already drifted into existence once).
+    */
+  def confFromMap(m: Map[String, String]): Configuration = {
+    val conf = new Configuration(false)
+    m.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("qname", StringType),
     StructField("flag", IntegerType),
@@ -147,8 +157,12 @@ final class SamScan(
     options: CaseInsensitiveStringMap, required: StructType, pushed: Array[Filter])
     extends Scan with Batch {
 
-  private val contigEq: Option[String] =
-    pushed.collectFirst { case EqualTo("contig", v: String) => v }
+  // ALL pushed equalities apply conjunctively: pushFilters claimed every
+  // EqualTo("contig", _) as handled, so every one must be enforced here —
+  // keeping only the first would silently drop `contig = a AND contig = b`
+  // (correct answer: empty) and return a's rows
+  private val contigEqs: Seq[String] =
+    pushed.collect { case EqualTo("contig", v: String) => v }.toSeq
   private val contigNotNull: Boolean =
     pushed.exists { case IsNotNull("contig") => true; case _ => false }
 
@@ -184,7 +198,7 @@ final class SamScan(
     // (Configuration itself is not java-serializable).
     val confMap =
       SamSourceV2.confMap(SparkSession.active.sparkContext.hadoopConfiguration)
-    SamPartitionReaderFactory(required.fieldNames, contigEq, contigNotNull, confMap)
+    SamPartitionReaderFactory(required.fieldNames, contigEqs, contigNotNull, confMap)
   }
 
   override def toMicroBatchStream(
@@ -193,20 +207,19 @@ final class SamScan(
       SamSourceV2.confMap(SparkSession.active.sparkContext.hadoopConfiguration)
     new SamMicroBatchStream(
       rawPath, maxBytes,
-      SamPartitionReaderFactory(required.fieldNames, contigEq, contigNotNull, confMap),
+      SamPartitionReaderFactory(required.fieldNames, contigEqs, contigNotNull, confMap),
       confMap)
   }
 }
 
 final case class SamPartitionReaderFactory(
-    fields: Array[String], contigEq: Option[String], contigNotNull: Boolean,
+    fields: Array[String], contigEqs: Seq[String], contigNotNull: Boolean,
     confMap: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SamInputPartition]
-    val conf = new Configuration(false)
-    confMap.foreach { case (k, v) => conf.set(k, v) }
-    new SamPartitionReader(p, fields, contigEq, contigNotNull, conf)
+    new SamPartitionReader(p, fields, contigEqs, contigNotNull,
+      SamSourceV2.confFromMap(confMap))
   }
 }
 
@@ -216,7 +229,7 @@ final case class SamPartitionReaderFactory(
   * dropped), header (`@`) and empty lines skipped.
   */
 final class SamPartitionReader(
-    part: SamInputPartition, fields: Array[String], contigEq: Option[String],
+    part: SamInputPartition, fields: Array[String], contigEqs: Seq[String],
     contigNotNull: Boolean, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
@@ -281,7 +294,7 @@ final class SamPartitionReader(
       if (line.nonEmpty && line.charAt(0) != '@') {
         val parts = line.split("\t", -1)
         val contig = at(parts, 3)
-        if ((!contigNotNull || contig != null) && contigEq.forall(contig == _)) {
+        if ((!contigNotNull || contig != null) && contigEqs.forall(contig == _)) {
           val values = new Array[Any](fields.length)
           var i = 0
           while (i < fields.length) { values(i) = extract(parts, fields(i)); i += 1 }

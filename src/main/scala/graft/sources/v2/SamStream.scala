@@ -39,11 +39,7 @@ final class SamMicroBatchStream(
     confMap: Map[String, String])
     extends MicroBatchStream {
 
-  private def conf: Configuration = {
-    val c = new Configuration(false)
-    confMap.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
+  private def conf: Configuration = SamSourceV2.confFromMap(confMap)
 
   private def currentFiles(): Map[String, Long] =
     SamSourceV2.listFiles(rawPath, conf).map(st => st.getPath.toString -> st.getLen).toMap

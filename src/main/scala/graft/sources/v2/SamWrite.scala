@@ -65,9 +65,25 @@ final class SamStreamingWrite(path: String, schema: StructType, queryId: String)
     SamDataWriterFactory(path, schema.fieldNames, sinkId,
       SamSourceV2.confMap(SparkSession.active.sparkContext.hadoopConfiguration))
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     SamWriteCommit.renameAll(path, messages, replaceExisting = true,
       context = s"epoch $epochId")
+    // Overwrite-by-name alone has a hole: a replayed epoch can produce
+    // FEWER partitions than the crashed attempt (changed
+    // spark.sql.shuffle.partitions, AQE coalescing differently), and the
+    // first attempt's higher-pid files for THIS epoch would survive as
+    // duplicate rows. This epoch's files are exactly `part-*-e<id>-q*.sam`,
+    // so anything with the epoch suffix NOT in this commit set is stale.
+    val committed = messages.collect { case SamCommit(_, fin) => new Path(fin).getName }.toSet
+    val suffix = s"-e$epochId-$sinkId.sam"
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("part-") && n.endsWith(suffix) && !committed.contains(n))
+        fs.delete(p, false)
+    }
+  }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     SamWriteCommit.deleteTemps(path, messages)
@@ -150,11 +166,7 @@ final case class SamCommit(tmpPath: String, finalPath: String) extends WriterCom
 final case class SamDataWriterFactory(
     path: String, fields: Array[String], jobId: String, confMap: Map[String, String])
     extends DataWriterFactory with StreamingDataWriterFactory {
-  private def conf(): Configuration = {
-    val c = new Configuration(false)
-    confMap.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
+  private def conf(): Configuration = SamSourceV2.confFromMap(confMap)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SamDataWriter(path, fields, jobId, partitionId, conf())
   override def createWriter(

@@ -63,6 +63,19 @@ class FormatsSpec extends AnyFunSuite {
       (1 to 200).filter(_ % 3 == 1).map(_ * 10L).toSet)
   }
 
+  test("graft-sam conjunctive contig equalities are ALL enforced, not just the first") {
+    val body = (1 to 30).map { i =>
+      s"r$i\t0\tchr${i % 3}\t${i * 10}\t60\t4M\t*\t0\t0\tACGT\tFFFF"
+    }.mkString("\n")
+    val sam = write("conj.sam", body + "\n")
+    val base = spark.read.format("graft-sam").load(sam)
+    // contradictory equalities: the correct answer is EMPTY — a reader
+    // applying only the first pushed filter would return chr1's rows
+    assert(base.filter($"contig" === "chr1" && $"contig" === "chr2").count() === 0)
+    // redundant duplicates stay correct too
+    assert(base.filter($"contig" === "chr1" && $"contig" === "chr1").count() === 10)
+  }
+
   test("graft-sam write: round-trips records, overwrite truncates, append adds") {
     val src = write("rt.sam",
       (1 to 50).map(i => s"r$i\t0\tchr${i % 2}\t$i\t60\t4M\t*\t0\t0\tACGT\tFFFF\tNM:i:$i")
@@ -185,5 +198,18 @@ class FormatsSpec extends AnyFunSuite {
     val rows = Formats.readFastq(spark, fq)
       .as[(String, String, String)].collect().toSet
     assert(rows === Set(("read1", "ACGT", "FFFF"), ("read2", "GGCC", "!!!!")))
+  }
+
+  test("readFastq fails loudly on truncated or misframed input instead of garbling records") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // truncated tail: last record has 3 of 4 lines
+    val trunc = write("trunc.fastq", "@r1\nACGT\n+\nFFFF\n@r2\nGGCC\n+\n")
+    val e1 = intercept[Exception] { Formats.readFastq(spark, trunc).collect() }
+    assert(msgs(e1).exists(_.contains("truncated")))
+    // a stray blank line shifts the framing of everything after it
+    val shifted = write("shift.fastq", "@r1\nACGT\n+\nFFFF\n\n@r2\nGGCC\n+\n!!!!\n")
+    val e2 = intercept[Exception] { Formats.readFastq(spark, shifted).collect() }
+    assert(msgs(e2).exists(m => m.contains("misframed") || m.contains("truncated")))
   }
 }

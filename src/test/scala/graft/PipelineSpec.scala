@@ -34,15 +34,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows === Set((1, 1, "dimval"), (2, 0, "dimval")))
   }
 
-  test("scanDatasets tags each subdirectory as a dataset_id") {
+  test("scanDatasets tags the top-level subdirectory as dataset_id, even for nested layouts") {
     val root = java.nio.file.Files.createTempDirectory("scan").toString
     Seq((1, "a")).toDF("id", "x").write.parquet(s"$root/ds1/part.parquet")
     Seq((2, "b")).toDF("id", "x").write.parquet(s"$root/ds2/part.parquet")
+    // nested layout: recursiveFileLookup's whole point — the dataset must
+    // still be ds3, NOT the inner year=2020 directory
+    Seq((3, "c")).toDF("id", "x").write.parquet(s"$root/ds3/year=2020/part.parquet")
     val got = Sources.scanDatasets(spark, root)
       .select("id", "dataset_id").as[(Int, String)].collect().toSet
-    // dataset_id = the directory directly containing each data file
-    assert(got.map(_._1) === Set(1, 2))
-    assert(got.forall(_._2.nonEmpty))
+    assert(got === Set((1, "ds1"), (2, "ds2"), (3, "ds3")))
+  }
+
+  test("writePartitioned keeps sortCols order inside each partition's files") {
+    val out = java.nio.file.Files.createTempDirectory("sortsink").toString + "/t"
+    val df = Seq((5, "x"), (1, "x"), (3, "x"), (2, "y"), (9, "y"), (4, "y"))
+      .toDF("id", "part").repartition(1)
+    Sources.writePartitioned(df, out, Seq("part"), Seq("id"))
+    for (p <- Seq("x", "y")) {
+      val files = new java.io.File(s"$out/part=$p").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val ids = spark.read.parquet(f.toString).select("id").as[Int].collect().toSeq
+        assert(ids === ids.sorted, s"file $f lost the sortCols order: $ids")
+      }
+    }
   }
 
   test("writePartitioned round-trips with partition pruning available") {

@@ -51,6 +51,26 @@ class VectorSpec extends AnyFunSuite {
     assert(row === ((None, None)))
   }
 
+  test("native vector_dot and hyperplane_sig match the declarative forms on null ELEMENTS") {
+    // a null slot (e.g. quantize of a vector with a null component) nulls
+    // the dot in the declarative aggregate; the native loop must agree —
+    // not read the slot as 0 and return a concrete wrong product
+    val df = spark.range(1).select(
+      array(lit(1L), lit(null).cast("long"), lit(3L)).as("a"),
+      array(lit(4L), lit(5L), lit(6L)).as("b"))
+    val dot = df.select(
+        graft.functions.VectorDot.of(col("a"), col("b")).as("native"),
+        graft.vector.VectorOps.dotQ(col("a"), col("b")).as("decl"))
+      .as[(Option[Long], Option[Long])].head()
+    assert(dot === ((None, None)))
+    // hyperplane sig: null dot → every when(dot > 0) is false → sig 0
+    val sig = df.select(
+        graft.functions.HyperplaneSig.of(col("a"), 8, 3).as("native"),
+        graft.vector.VectorOps.hyperplaneSigDeclarative(col("a"), 8, 3).as("decl"))
+      .as[(Long, Long)].head()
+    assert(sig === ((0L, 0L)))
+  }
+
   test("q61 banded near-dup pairs are a subset of the exact q45 pairs") {
     // sf0.01, not sf0.001: the smallest scale has ZERO exact cos>=0.5 pairs,
     // so only sf0.01 exercises the recall side of the subset relation.
