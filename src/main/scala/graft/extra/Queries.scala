@@ -507,12 +507,12 @@ object Queries {
         |      FROM lineitem)
         |WHERE rn <= 3""".stripMargin,
     "q30_range_join" ->
-      """SELECT e.event_id, count(v.event_id) AS n_matches
+      """SELECT e.event_id, e.user_id, count(v.event_id) AS n_matches
         |FROM events e LEFT JOIN events v
         |  ON v.user_id = e.user_id AND v.event_type = 'view'
         |  AND v.ts > e.ts AND v.ts <= e.ts + INTERVAL 300 SECOND
         |WHERE e.event_type = 'error'
-        |GROUP BY e.event_id""".stripMargin,
+        |GROUP BY e.event_id, e.user_id""".stripMargin,
     "q31_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
         |  (SELECT max(epoch_us(c.ts)) FROM events c

@@ -29,7 +29,13 @@ object Analytic {
     import s.implicits._
     events
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_id"), col("event_type"))
+        col("event_id"),
+        // non-null contract checked in the same pass: a null type would
+        // extend the initial sentinel run and NPE the lexicographic
+        // tie-break mid-task — fail with a message instead
+        when(col("event_type").isNull,
+          raise_error(lit("longestRun: event_type must be non-null")))
+          .otherwise(col("event_type")).as("event_type"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroups { (uid, it) =>

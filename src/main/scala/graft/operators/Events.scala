@@ -42,7 +42,12 @@ object Events {
       .withColumn("hit",
         when(col("p_us") > col("o_us") && col("p_us") <= col("o_us") + usec, 1)
           .otherwise(0))
-      .groupBy(col(openerId))
+      // group by (key, openerId), not openerId alone: opener ids need only
+      // be unique PER KEY (composite identity after per-source ingestion);
+      // a global groupBy would silently merge two keys' counts on an id
+      // collision, and without the key in the output the collision would
+      // be undetectable downstream
+      .groupBy(col(openerId), col(key))
       .agg(sum(col("hit")).cast("long").as("n_matches"))
   }
 
@@ -54,6 +59,12 @@ object Events {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                rightId: String = "event_id"): DataFrame = {
+    // checked up front: the long cast below would silently null every
+    // string (UUID) id — same contract as Packing.greedyPack
+    require(Packing.isIntegralId(right, rightId),
+      s"asOfJoin needs an integral $rightId (got " +
+        s"${right.schema(rightId).dataType.simpleString}); " +
+        "map string ids to longs first (e.g. withDenseId)")
     val lu = left.select(col(key), unix_micros(col("ts")).as("ts_us"),
       lit(0).as("side"), lit(null).cast("long").as("rid"))
     val ru = right.select(col(key), unix_micros(col("ts")).as("ts_us"),

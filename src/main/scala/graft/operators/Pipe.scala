@@ -27,7 +27,15 @@ object Pipe {
   def pipeLongs(df: DataFrame, cols: Seq[String], cmd: Seq[String],
                 outCols: Seq[String])(implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    val lines = df.select(concat_ws("\t", cols.map(col): _*)).as[String]
+    // null guard in the same pass: concat_ws SKIPS nulls, which would
+    // silently shift the tab-separated fields the subprocess sees (column
+    // c read in column b's slot) — a misaligned pipe must be a task
+    // failure, not wrong output
+    val checked = cols.map(c =>
+      when(col(c).isNull,
+        raise_error(lit(s"pipeLongs: column $c is null — piped fields would shift")))
+        .otherwise(col(c)))
+    val lines = df.select(concat_ws("\t", checked: _*)).as[String]
     val piped = lines.rdd.pipe(cmd).map { line =>
       line.split("\t", -1).map(_.toLong).toSeq
     }

@@ -106,6 +106,16 @@ object Scale {
       expectedItems: Long, fpp: Double): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftx.Bridge
+    // the probe casts the fact key to long, so the dim filter must be
+    // built over the same long domain: a string-keyed dim would insert
+    // via putString while the probe hashes longs — near-every true match
+    // silently dropped (and non-numeric strings cast to null -> all rows
+    // filtered). Integral keys only, checked up front.
+    require(Packing.isIntegralId(fact, factKey) && Packing.isIntegralId(dim, dimKey),
+      s"bloomSemiJoin needs integral join keys (got " +
+        s"$factKey: ${fact.schema(factKey).dataType.simpleString}, " +
+        s"$dimKey: ${dim.schema(dimKey).dataType.simpleString}); " +
+        "hash or dense-map string keys to longs first")
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     // The serialized bits ride in the plan as a literal → shipped once per
     // stage via the task binary and garbage-collected with the query plan.

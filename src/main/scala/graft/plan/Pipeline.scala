@@ -29,8 +29,14 @@ object Stage {
     def apply(df: DataFrame): DataFrame = df.orderBy(keys: _*)
   }
 
-  /** O2 analog: constant/derived column overwrite. */
-  final case class Project(cols: Map[String, Column]) extends Stage {
+  /** O2 analog: constant/derived column overwrite. Takes a Seq, NOT a
+    * Map: columns are applied IN ORDER, and with a Map the iteration
+    * order of 5+ entries is hash-arbitrary — a projection where one
+    * column reads another it also overwrites would be
+    * order-nondeterministic, in the module whose whole point is
+    * deterministic config-gated plans.
+    */
+  final case class Project(cols: Seq[(String, Column)]) extends Stage {
     val name = "project"
     def apply(df: DataFrame): DataFrame =
       cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }

@@ -38,10 +38,12 @@ object Streams {
   final case class SessState(sessions: Long, events: Long, lastTsMs: Long)
   final case class SessUpdate(user_id: Long, n_sessions: Long, n_events: Long, closed: Boolean)
 
-  /** Stateful gap sessionization (batch-equivalent: q36_sessionize /
-    * Events.sessionize): per-user session counting with a `gapSec`
-    * inactivity gap, state kept per key in the state store and emitted on
-    * every update (Update output mode).
+  /** Stateful gap sessionization (batch analog: q36_sessionize /
+    * Events.sessionize; counts agree when events arrive in event-time
+    * order across batches — see the in-batch note below for the online
+    * approximation under cross-batch disorder): per-user session counting
+    * with a `gapSec` inactivity gap, state kept per key in the state
+    * store and emitted on every update (Update output mode).
     *
     * State is O(1) per user (three longs) AND the key set is bounded: the
     * stream is watermarked and the state uses `EventTimeTimeout` with the
@@ -73,9 +75,20 @@ object Streams {
             state.remove()
             Iterator.single(SessUpdate(uid, st.sessions, st.events, closed = true))
           } else {
-            // Within a micro-batch, order by event time (cross-batch
-            // disorder inside the lateness bound is handled by the
-            // watermark holding the timeout open).
+            // Within a micro-batch, events are processed in event-time
+            // order. ACROSS batches the fold is online: a late-but-within-
+            // watermark event landing in a later batch is counted into
+            // `events` but compared against the max-seen timestamp, so a
+            // session split it would have caused in event-time order can
+            // be missed — streaming counts are an online approximation
+            // under cross-batch disorder; the exact count is the batch
+            // sessionize (q36) over the landed data. Counting exactly
+            // online would mean buffering every event until the watermark
+            // passes it (state O(events-in-lateness-window), emissions
+            // delayed by the full lateness) — the wrong default for a
+            // live session monitor. The watermark still holds the TIMEOUT
+            // open correctly, so eviction and the final closed=true
+            // summary never fire early.
             val evs = batch.toArray.sortBy(_.ts.getTime)
             var st = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue))
             evs.foreach { e =>

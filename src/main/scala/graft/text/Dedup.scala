@@ -63,7 +63,12 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    thresholdTenths: Int = 7): DataFrame = {
-    val prep = prepared(docs, idCol, textCol)
+    // materialize: prep feeds THREE plan branches (the banded candidate
+    // join plus both verify sides), and Catalyst does not deduplicate
+    // common subtrees — without this the scan + tokenize + shingle + md5
+    // signature work (the dominant map cost) runs three times per query.
+    // Same reliable-checkpoint discipline as nearDupClusters.
+    val prep = materialize(prepared(docs, idCol, textCol))
     val sh = prep.select(col("doc_id"), col("sh"))
     candidatePairs(prep)
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -93,7 +98,9 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text",
                        thresholdTenths: Int = 8): DataFrame = {
-    val prep = prepared(docs, idCol, textCol)
+    // three-branch reuse — materialized for the same reason as
+    // nearDupPairs above
+    val prep = materialize(prepared(docs, idCol, textCol))
     val sh = prep.select(col("doc_id"), col("sh"))
     candidatePairs(prep)
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -22,14 +22,25 @@ object Pii {
     */
   val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 
-  /** North-American-style phone numbers: optional +1, separators
-    * space/dot/dash, 3-3-4 digits. Word boundaries on the digit run (the
-    * `\b` sits inside the optional `+1`/`(` prefix, where it is always
-    * between a non-word char and a digit) keep digit runs embedded in
-    * longer identifiers ("ticket 91234-567-89016") from being partially
-    * redacted mid-token.
+  /** North-American-style phone numbers, as three explicit head
+    * alternatives over a common `NNN[ .-]NNNN\b` tail:
+    *
+    *   - `+1…` head: anchored by the literal '+', which can never sit
+    *     mid-digit-run, so separators after it may all be absent
+    *     ("+1415-555-0123");
+    *   - `(NNN)` head: anchored by '(' ("(415)555-1234");
+    *   - bare `NNN[ .-]` head: anchored by `\b`, and the separator after
+    *     the area code is REQUIRED — that pair is what stops a match
+    *     starting mid-run inside longer identifiers
+    *     ("ticket 91234-567-89016" must not be partially redacted).
+    *
+    * The tail keeps its separator required so plain 7+-digit runs
+    * (order ids, timestamps) never match; a fully separator-less
+    * "4155551234" is intentionally NOT matched for the same reason.
     */
-  val PhonePattern = "(\\+1[ .-]?)?\\(?\\b[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b"
+  val PhonePattern =
+    "(\\+1[ .-]?\\(?[0-9]{3}\\)?[ .-]?|\\([0-9]{3}\\)[ .-]?|\\b[0-9]{3}[ .-])" +
+      "[0-9]{3}[ .-][0-9]{4}\\b"
 
   /** IPv4 literals (syntactic: 1-3 digit octets). */
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

@@ -41,7 +41,9 @@ object Winnow {
                                 k: Int = 3, w: Int = 4,
                                 minShared: Int = 2, maxDf: Int = 8): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, "minShared >= 1, maxDf >= 2")
-    val fps = fingerprints(docs, idCol, textCol, k, w)
+    // fps feeds three branches (df counts + both self-join sides) —
+    // materialize once instead of re-running the window pipeline 3×
+    val fps = Dedup.materialize(fingerprints(docs, idCol, textCol, k, w))
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("fp"))

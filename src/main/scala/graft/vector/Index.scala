@@ -127,10 +127,11 @@ object Index {
   def ivfPqTopK(s: SparkSession, dir: String, indexDir: String,
                 nQueries: Int, k: Int, nprobe: Int = 1,
                 rerank: Int = 0): DataFrame = {
-    val codes = s.read.parquet(s"$indexDir/codes")
+    // the one corpus-sized table is passed whole: cid and codes live in
+    // the same row, so the serve path scans it once and never pays a
+    // reunite join (passing them as two selects would read it twice)
     Pq.ivfPqTopK(s, dir, nQueries, k,
       loadModel(s, indexDir), loadCoarse(s, indexDir), nprobe, rerank,
-      precomputedCodes = Some(codes.select(col("vec_id"), col("codes"))),
-      precomputedHome = Some(codes.select(col("vec_id"), col("cid"))))
+      precomputedIndex = Some(s.read.parquet(s"$indexDir/codes")))
   }
 }

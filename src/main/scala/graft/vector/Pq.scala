@@ -141,31 +141,42 @@ object Pq {
                 model: Model, coarse: Seq[(Long, Seq[Long])], nprobe: Int = 1,
                 rerank: Int = 0,
                 precomputedCodes: Option[DataFrame] = None,
-                precomputedHome: Option[DataFrame] = None): DataFrame = {
+                precomputedHome: Option[DataFrame] = None,
+                precomputedIndex: Option[DataFrame] = None): DataFrame = {
     val e = Queries.prepared(s, dir)
     val cents = Ann.centroidsDF(s, coarse)
-    // rank the FULL corpus only once (home cells); probe cells are ranked
-    // over just the nQueries query vectors — deriving both from one
-    // `ranked` frame would execute the corpus-wide crossJoin+window twice.
-    // A stored index passes `precomputedHome` (build-time assignments) and
-    // skips even that one corpus-wide ranking pass.
-    val home = precomputedHome.getOrElse(
-      Ann.assignCells(e, cents).select(col("vec_id"), col("cid")))
-      .select(col("vec_id").as("b_id"), col("cid"))
     val probes = Ann.rankCells(e.filter(col("vec_id") < nQueries), cents)
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("a_id"), col("cid"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("a_id"), col("q").as("aq"), col("n2").as("na"))
-    val baseCodes = precomputedCodes.getOrElse(encode(s, e, model))
-      .select(col("vec_id").as("b_id"), col("codes"))
-    // cell-pruned candidates: equi join on cid (each base vector lives in
-    // exactly ONE home cell, so probing distinct cells never duplicates)
-    val candidates = probes
-      .join(home, Seq("cid"))
-      .filter(col("a_id") =!= col("b_id"))
-      .join(baseCodes, "b_id")
-      .join(broadcast(lutsFor(s, queries, model)), "a_id")
+    // Cell-pruned candidates: equi join on cid (each base vector lives in
+    // exactly ONE home cell, so probing distinct cells never duplicates).
+    // A stored index passes `precomputedIndex` — (vec_id, cid, codes) in
+    // one frame, because cid and codes live in the SAME parquet row — so
+    // the corpus-sized table is scanned ONCE and there is no reunite
+    // join. The fresh path ranks the FULL corpus once for home cells
+    // (probe cells are ranked over just the nQueries query vectors —
+    // deriving both from one ranked frame would run the corpus-wide
+    // crossJoin+window twice), prunes to the probed cells FIRST, and only
+    // then attaches codes by id to the surviving candidates.
+    val pruned: DataFrame = precomputedIndex match {
+      case Some(ix) =>
+        probes
+          .join(ix.select(col("vec_id").as("b_id"), col("cid"), col("codes")), Seq("cid"))
+          .filter(col("a_id") =!= col("b_id"))
+      case None =>
+        val home = precomputedHome.getOrElse(
+          Ann.assignCells(e, cents).select(col("vec_id"), col("cid")))
+          .select(col("vec_id").as("b_id"), col("cid"))
+        val baseCodes = precomputedCodes.getOrElse(encode(s, e, model))
+          .select(col("vec_id").as("b_id"), col("codes"))
+        probes
+          .join(home, Seq("cid"))
+          .filter(col("a_id") =!= col("b_id"))
+          .join(baseCodes, "b_id")
+    }
+    val candidates = pruned.join(broadcast(lutsFor(s, queries, model)), "a_id")
     finishTopK(adcScore(candidates, model), e, queries, k, rerank)
   }
 

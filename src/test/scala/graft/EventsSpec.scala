@@ -29,8 +29,24 @@ class EventsSpec extends AnyFunSuite {
       events.filter(col("event_type") === "error"),
       events.filter(col("event_type") === "view"),
       "user_id", 300L)
-      .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 2L, 6L -> 0L))
+      .select("event_id", "user_id", "n_matches")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L), (6L, 2L, 0L)))
+  }
+
+  test("windowedMatchCount keeps per-key opener identity (no cross-key id merging)") {
+    // SAME opener event_id under two different keys: counts must stay
+    // separate per (key, id), not merge into one row
+    val events = ev(
+      (7L, 1L, 1000L, "error"), (8L, 1L, 1100L, "view"),
+      (7L, 2L, 1000L, "error"))
+    val got = Events.windowedMatchCount(
+      events.filter(col("event_type") === "error"),
+      events.filter(col("event_type") === "view"),
+      "user_id", 300L)
+      .select("event_id", "user_id", "n_matches")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((7L, 1L, 1L), (7L, 2L, 0L)))
   }
 
   test("asOfJoin matches latest at-or-before per key, ties included") {

@@ -14,7 +14,7 @@ class PipelineSpec extends AnyFunSuite {
     val df = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "v")
     val plan = Plan(Seq(
       "filter" -> Stage.Filter(col("v") > 10),
-      "proj" -> Stage.Project(Map("v2" -> (col("v") * 2)))))
+      "proj" -> Stage.Project(Seq("v2" -> (col("v") * 2)))))
     val all = plan.build(df, Map("filter" -> "", "proj" -> ""))
     assert(all.columns.contains("v2") && all.count() === 2)
     val onlyProj = plan.build(df, Map("proj" -> ""))

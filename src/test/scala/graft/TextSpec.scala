@@ -277,16 +277,25 @@ class TextSpec extends AnyFunSuite {
     assert(r2._2 === "no pii in this row at all" && (r2._3, r2._4, r2._5) === ((0, 0, 0)))
   }
 
-  test("PhonePattern does not chew digit runs embedded in longer identifiers") {
+  test("PhonePattern: common formats redacted, embedded digit runs untouched") {
     import graft.text.Pii
-    val docs = Seq((1L, "ticket 91234-567-89016 is open"),
-        (2L, "call 415-555-2671 now"))
+    val docs = Seq(
+      (1L, "ticket 91234-567-89016 is open"),   // id superset — no match
+      (2L, "call 415-555-2671 now"),            // bare 3-3-4
+      (3L, "call (415)555-1234 now"),           // parenthesized area code
+      (4L, "call +1415-555-0123 now"),          // +1 with no separator
+      (5L, "ref 91234-567-8901 end"),           // mid-run suffix match bait
+      (6L, "order 4155551234 shipped"))         // separator-less run = id, kept
       .toDF("doc_id", "text")
     val out = docs.select(col("doc_id"), Pii.scrub(col("text")).as("clean"))
       .as[(Long, String)].collect().toMap
-    assert(out(1L) === "ticket 91234-567-89016 is open",
-      "an id with extra surrounding digits must not be partially redacted")
+    assert(out(1L) === "ticket 91234-567-89016 is open")
     assert(out(2L) === "call <PHONE> now")
+    assert(out(3L) === "call <PHONE> now")
+    assert(out(4L) === "call <PHONE> now")
+    assert(out(5L) === "ref 91234-567-8901 end",
+      "a match must not start mid-digit-run")
+    assert(out(6L) === "order 4155551234 shipped")
   }
 
   test("repetitionStats counts the most-repeated word and bigram exactly") {
