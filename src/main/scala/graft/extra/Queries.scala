@@ -31,6 +31,19 @@ object Queries {
         "user_id", 300L)
     }),
 
+    // Ordered funnel: earliest view, then earliest click within a day of
+    // it, then earliest purchase within a day of that — per-user stage
+    // reached. Chained per-key conditional-min aggregations, no window
+    // over the stream.
+    "q81_funnel" -> ((s, dir) =>
+      Events.funnel(Tables(s, dir).events, "user_id",
+        Seq("view", "click", "purchase"), withinSec = 86400L)),
+
+    // Cohort retention: signup-anchored distinct-active-user counts per
+    // (cohort day, day offset).
+    "q82_retention" -> ((s, dir) =>
+      Events.retention(Tables(s, dir).events, "user_id", "signup")),
+
     // As-of join: latest click at-or-before each purchase, per user.
     "q31_asof_join" -> ((s, dir) => {
       val ev = Tables(s, dir).events
@@ -519,6 +532,45 @@ object Queries {
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |     AND c.ts <= p.ts) AS asof_ts_us
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q82_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT e.user_id, c.cohort_day,
+        |    date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS offset_day
+        |  FROM events e JOIN cohort c USING (user_id)
+        |  WHERE CAST(e.ts AS DATE) >= c.cohort_day
+        |)
+        |SELECT cohort_day::VARCHAR AS cohort_day,
+        |  CAST(offset_day AS INT) AS offset_day, count(*) AS n_users
+        |FROM act GROUP BY 1, 2""".stripMargin,
+    // Same chained-min shape as the Spark fold: each CTE joins the stage's
+    // keys back to events and takes the conditional earliest-next.
+    "q81_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS view_us FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT v.user_id, v.view_us,
+        |    min(CASE WHEN e.event_type = 'click' AND epoch_us(e.ts) > v.view_us
+        |          AND epoch_us(e.ts) <= v.view_us + 86400000000 THEN epoch_us(e.ts) END)
+        |      AS click_us
+        |  FROM v LEFT JOIN events e ON e.user_id = v.user_id
+        |  GROUP BY v.user_id, v.view_us
+        |), p AS (
+        |  SELECT c.user_id, c.view_us, c.click_us,
+        |    min(CASE WHEN c.click_us IS NOT NULL AND e.event_type = 'purchase'
+        |          AND epoch_us(e.ts) > c.click_us
+        |          AND epoch_us(e.ts) <= c.click_us + 86400000000 THEN epoch_us(e.ts) END)
+        |      AS purchase_us
+        |  FROM c LEFT JOIN events e ON e.user_id = c.user_id
+        |  GROUP BY c.user_id, c.view_us, c.click_us
+        |)
+        |SELECT user_id, view_us, click_us, purchase_us,
+        |  CAST(1 + CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+        |FROM p""".stripMargin,
     "q32_cube" ->
       """SELECT event_type, CAST(ts AS DATE)::VARCHAR AS day,
         |  count(*) AS n,

@@ -79,6 +79,70 @@ object Events {
       .select(col("rid").as(rightId), col(key), col("ts_us"), col("asof_ts_us"))
   }
 
+  /** Ordered funnel: for each key, the earliest `stages.head` event, then
+    * for each later stage the earliest event of that type STRICTLY after
+    * the previous stage's chosen event and within `withinSec` of it.
+    * Returns one row per key that entered the funnel: the chosen
+    * timestamp per stage (µs, null once the funnel breaks) and the
+    * 1-based `stage` reached.
+    *
+    * Scale shape: one aggregation per stage, all shuffles on the SAME key
+    * (the first shuffle co-partitions; later stages reuse the
+    * partitioning), no window over the event stream, no self-join
+    * explosion — per-stage cost is a partial-agg'd conditional min over
+    * the events of keys still in the funnel. Stage count is the query's
+    * depth, not the data's.
+    */
+  def funnel(events: DataFrame, key: String, stages: Seq[String],
+             withinSec: Long): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    val usec = withinSec * 1000000L
+    val ev = events.select(col(key), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val entered = ev.filter(col("event_type") === stages.head)
+      .groupBy(col(key))
+      .agg(min(col("us")).as(s"${stages.head}_us"))
+    stages.zipWithIndex.drop(1).foldLeft(entered) { case (acc, (st, i)) =>
+      val prev = col(s"${stages(i - 1)}_us")
+      val carried = acc.columns.filter(_ != key).map(col)
+      acc.join(ev, Seq(key), "left")
+        .groupBy((col(key) +: carried): _*)
+        .agg(min(when(col("event_type") === st &&
+          col("us") > prev && col("us") <= prev + usec, col("us")))
+          .as(s"${st}_us"))
+    }.withColumn("stage",
+      stages.tail.map(st => when(col(s"${st}_us").isNotNull, 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _).cast("int"))
+  }
+
+  /** Cohort retention: each key is anchored to the date of its first
+    * `anchorType` event (its cohort day); for every (cohort day, day
+    * offset >= 0) pair, the number of DISTINCT keys active on that day.
+    * Keys without an anchor event are excluded; activity before the
+    * anchor is excluded.
+    *
+    * Scale shape: one shuffle on key for the anchor min, an equi join on
+    * key (cohort frame is one row per key — broadcasts when small, SMJ
+    * co-partitioned with the agg otherwise), a distinct on (key, cohort,
+    * offset) — the per-key daily activity set, bounded by days-per-key —
+    * and a final partial-agg'd count. Output rows are cohorts × offsets,
+    * tiny at any corpus scale.
+    */
+  def retention(events: DataFrame, key: String, anchorType: String): DataFrame = {
+    val ev = events.select(col(key), to_date(col("ts")).as("day"),
+      col("event_type"))
+    val cohort = ev.filter(col("event_type") === anchorType)
+      .groupBy(col(key)).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, Seq(key))
+      .filter(col("day") >= col("cohort_day"))
+      .select(col(key), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("offset_day"))
+      .distinct()
+      .groupBy(col("cohort_day").cast("string").as("cohort_day"), col("offset_day"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same key exceeds `gapSec`. Two window passes over
     * one shuffle on key. Returns per-key (n_sessions, n_events).

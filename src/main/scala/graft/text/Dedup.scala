@@ -209,6 +209,53 @@ object Dedup {
     corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Corpus-level boilerplate removal (the paragraph-dedup step of a
+    * CCNet-style pipeline, expressed at word-segment granularity since the
+    * unit of repetition is configurable): segment every doc into
+    * non-overlapping `w`-word chunks, count each distinct segment's
+    * document frequency across the WHOLE corpus, drop segments appearing
+    * in >= `minDf` docs (headers, footers, license blocks, nav chrome),
+    * and reassemble the surviving segments in order. Docs whose every
+    * segment is boilerplate stay in the output with an empty clean text —
+    * dropping them is a separate quality decision.
+    *
+    * Scale shape: two scans of the corpus (one feeding the df count, one
+    * feeding the keep side — the exploded segment stream is bigger than
+    * the source, so re-scanning beats caching it), one shuffle on segment
+    * text for the df count (partial-agg'd), one join marking hot segments
+    * (the hot set is small by construction: boilerplate is few DISTINCT
+    * strings, so it broadcasts), and ONE per-doc aggregation computing
+    * total, kept, and reassembly together (`collect_list` skips nulls, so
+    * the conditional struct collects exactly the kept segments — no
+    * anti-join + reunite round trip). No window over the corpus, no
+    * driver-side state.
+    *
+    * Output: (doc_id, n_segs, n_kept, clean_text) — counts as ints,
+    * decisions on exact integer df, so engine-exact vs the DuckDB oracle.
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        w: Int = 3, minDf: Int = 3): DataFrame = {
+    val prep = docs
+      .select(col(idCol).as("doc_id"), TextOps.words(col(textCol)).as("ws"))
+      .select(col("doc_id"), posexplode(TextOps.segments(col("ws"), w))
+        .as(Seq("seg_id", "seg")))
+    val hot = prep.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("seg"), lit(1).as("__hot"))
+    prep.join(hot, Seq("seg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_segs"),
+        count(when(col("__hot").isNull, 1)).cast("int").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__hot").isNull, struct(col("seg_id"), col("seg"))))),
+            x => x.getField("seg")), " ").as("clean_text"))
+  }
+
   /** Near-dup survivorship: keep the smallest doc_id of each near-dup
     * pair-chain's local comparisons (a doc is a duplicate iff it has ANY
     * near-dup partner with a smaller id — deterministic without computing

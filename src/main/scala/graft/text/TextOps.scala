@@ -53,6 +53,23 @@ object TextOps {
   def shingleSet(ws: Column, n: Int): Column =
     array_distinct(shingles(ws, n))
 
+  /** Non-overlapping `w`-word segments, space-joined, INCLUDING the
+    * partial tail (a doc of 11 words at w=3 yields segments of
+    * 3+3+3+2 words) — the paragraph unit for corpus-level boilerplate
+    * removal. Built from the same zip_with fold as `shingles`: the
+    * fold's element p is words p..p+w-1 (clamped at the end, because
+    * zip_with null-pads the shorter side and concat_ws skips nulls),
+    * and the stride filter keeps starts 0, w, 2w, … — the filter lambda
+    * reads only its element index, so there is no per-element capture
+    * re-evaluation.
+    */
+  def segments(ws: Column, w: Int): Column = {
+    require(w >= 1, "segment width must be >= 1")
+    val joined = (1 until w).foldLeft(ws)((acc, k) =>
+      zip_with(acc, slice(ws, lit(k + 1), size(ws)), (a, b) => concat_ws(" ", a, b)))
+    filter(joined, (_, i) => i % lit(w) === lit(0))
+  }
+
   /** MinHash signature: element i is the min over shingles of an
     * INDEPENDENT 32-bit hash — the (i mod 4)-th big-endian word of
     * md5((i div 4) ++ ":" ++ shingle). One digest yields four words, so a

@@ -49,6 +49,49 @@ class EventsSpec extends AnyFunSuite {
     assert(got === Set((7L, 1L, 1L), (7L, 2L, 0L)))
   }
 
+  test("funnel: per-key stage reached, strictly-after within the window") {
+    val events = ev(
+      // user 1: full funnel — view@1000, click@1500, purchase@1800
+      (1L, 1L, 1000L, "view"), (2L, 1L, 1500L, "click"), (3L, 1L, 1800L, "purchase"),
+      // user 2: click outside the window after its first view
+      (4L, 2L, 1000L, "view"), (5L, 2L, 9000L, "click"),
+      // user 3: click BEFORE the view only — strictly-after must reject it
+      (6L, 3L, 500L, "click"), (7L, 3L, 1000L, "view"),
+      // user 4: never views — not in the funnel at all
+      (8L, 4L, 1000L, "click"),
+      // user 5: second view would match, but the funnel anchors on the FIRST
+      (9L, 5L, 1000L, "view"), (10L, 5L, 8000L, "view"), (11L, 5L, 8100L, "click"))
+    val got = Events.funnel(events, "user_id",
+        Seq("view", "click", "purchase"), withinSec = 1000L)
+      .select("user_id", "view_us", "click_us", "purchase_us", "stage")
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect().toSet
+    assert(got === Set(
+      (1L, 1000000000L, Some(1500000000L), Some(1800000000L), 3),
+      (2L, 1000000000L, None, None, 1),
+      (3L, 1000000000L, None, None, 1),
+      (5L, 1000000000L, None, None, 1)))
+  }
+
+  test("retention: signup-anchored distinct daily actives per cohort/offset") {
+    val day = 86400L
+    val events = ev(
+      // user 1 signs up day 0, active day 0 (twice) and day 2
+      (1L, 1L, 0L, "signup"), (2L, 1L, 100L, "view"), (3L, 1L, 2 * day, "click"),
+      // user 2 signs up day 0, active day 0 only
+      (4L, 2L, 0L, "signup"),
+      // user 3 never signs up — excluded entirely
+      (5L, 3L, 0L, "view"),
+      // user 4: pre-signup activity on day 0 ignored; signs up day 1,
+      // active day 1 and day 2 (offsets 0 and 1)
+      (8L, 4L, 100L, "view"),
+      (6L, 4L, day, "signup"), (7L, 4L, 2 * day, "purchase"))
+    val got = Events.retention(events, "user_id", "signup")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === Set(
+      ("1970-01-01", 0, 2L), ("1970-01-01", 2, 1L),
+      ("1970-01-02", 0, 1L), ("1970-01-02", 1, 1L)))
+  }
+
   test("asOfJoin matches latest at-or-before per key, ties included") {
     val clicks = ev((1L, 1L, 100L, "click"), (2L, 1L, 200L, "click"), (3L, 2L, 50L, "click"))
     val purchases = ev((10L, 1L, 200L, "purchase"), (11L, 1L, 150L, "purchase"), (12L, 3L, 99L, "purchase"))

@@ -24,6 +24,33 @@ class TextSpec extends AnyFunSuite {
     assert(df.as[Seq[String]].head() === Seq("a b"))
   }
 
+  test("segments: non-overlapping chunks including the partial tail") {
+    val df = docs((1L, "a b c d e f g h"), (2L, "x y"), (3L, "p q r"))
+      .select(col("doc_id"),
+        TextOps.segments(TextOps.words(col("text")), 3).as("segs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(df(1L) === Seq("a b c", "d e f", "g h"))
+    assert(df(2L) === Seq("x y"))
+    assert(df(3L) === Seq("p q r"))
+  }
+
+  test("removeBoilerplate drops corpus-hot segments, keeps order, keeps all-hot docs") {
+    val corpus = docs(
+      (1L, "the same header unique one two"),
+      (2L, "the same header other body words"),
+      (3L, "the same header more unique stuff"),
+      (4L, "the same header"),
+      (5L, "totally different text here now ok"))
+    val out = Dedup.removeBoilerplate(corpus, w = 3, minDf = 3)
+      .select("doc_id", "n_segs", "n_kept", "clean_text")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2, 1, "unique one two")))
+    assert(out(2L) === ((2L, 2, 1, "other body words")))
+    assert(out(4L) === ((4L, 1, 0, "")),
+      "a doc that is ALL boilerplate stays in the output with empty text")
+    assert(out(5L) === ((5L, 2, 2, "totally different text here now ok")))
+  }
+
   test("minhash signature is insensitive to shingle order and has the declared width") {
     val base = docs((1L, "x y z w v u t s"), (2L, "s t u v w z y x"))
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
