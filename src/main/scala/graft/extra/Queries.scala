@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.multimodal.Binary
-import graft.operators.{Analytic, Events, Pipe, Relational, Scale}
+import graft.operators.{Analytic, Events, Pipe, Profile, Relational, Scale}
 
 /** Event-time analytics, grouping-set/pivot/json/window-function surface,
   * typed per-group analytics, the external-pipe escape hatch, and the
@@ -43,6 +43,51 @@ object Queries {
     // (cohort day, day offset).
     "q82_retention" -> ((s, dir) =>
       Events.retention(Tables(s, dir).events, "user_id", "signup")),
+
+    // ANALYZE-style table profile: per-column row/null/exact-distinct/
+    // min/max in ONE scan + stack unpivot (the oracle's per-column UNION
+    // of scans is the shape this operator exists to avoid). Doubles
+    // profiled as exact cents, dates as days.
+    "q83_profile" -> ((s, dir) =>
+      Profile.table(
+        Tables(s, dir).orders
+          .withColumn("o_totalprice_cents",
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .withColumn("o_orderdate_day", to_date(col("o_orderdate"))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice_cents",
+          "o_orderdate_day", "o_orderpriority"))),
+
+    // Unpivot/melt (inverse of the q33 pivot): wide per-flag metrics to
+    // long (flag, metric, value) rows via stack — exact integer values.
+    "q84_unpivot" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("sum_price_cents"),
+          count(lit(1)).as("n_items"))
+        .select(col("l_returnflag"), expr(
+          "stack(3, 'sum_qty', sum_qty, 'sum_price_cents', sum_price_cents, " +
+            "'n_items', n_items) AS (metric, value)"))
+    }),
+
+    // Full outer join: order-placement days vs ship days, day-level
+    // reconciliation with presence tag (both exclusive sides non-empty).
+    "q85_full_outer" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val l = Tables(s, dir).lineitem
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("n_ships"))
+      o.join(l, Seq("d"), "full_outer")
+        .select(col("d").cast("string").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0L)).as("n_ships"),
+          when(col("n_orders").isNull, "ship_only")
+            .when(col("n_ships").isNull, "order_only")
+            .otherwise("both").as("presence"))
+    }),
 
     // As-of join: latest click at-or-before each purchase, per user.
     "q31_asof_join" -> ((s, dir) => {
@@ -532,6 +577,63 @@ object Queries {
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |     AND c.ts <= p.ts) AS asof_ts_us
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    // Per-column UNION of scans — the naive shape; the Spark side does
+    // one scan + stack.
+    "q83_profile" ->
+      """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_s
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice_cents', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT CAST(floor(o_totalprice*100) AS BIGINT)),
+        |  CAST(min(CAST(floor(o_totalprice*100) AS BIGINT)) AS VARCHAR),
+        |  CAST(max(CAST(floor(o_totalprice*100) AS BIGINT)) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate_day', count(*), count(*) - count(o_orderdate),
+        |  count(DISTINCT CAST(o_orderdate AS DATE)),
+        |  CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR),
+        |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
+        |FROM orders""".stripMargin,
+    "q84_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |      AS sum_price_cents,
+        |    count(*) AS n_items
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'n_items', n_items FROM w""".stripMargin,
+    "q85_full_outer" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_ships
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(coalesce(o.d, l.d) AS VARCHAR) AS day,
+        |  coalesce(n_orders, 0) AS n_orders, coalesce(n_ships, 0) AS n_ships,
+        |  CASE WHEN o.d IS NULL THEN 'ship_only'
+        |       WHEN l.d IS NULL THEN 'order_only' ELSE 'both' END AS presence
+        |FROM o FULL OUTER JOIN l ON o.d = l.d""".stripMargin,
     "q82_retention" ->
       """WITH cohort AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style table profiling: per-column row/null/distinct counts and
+  * min/max, the stats pass a pipeline runs before trusting a new 100 TB
+  * drop (schema drift, null explosions, truncated loads all surface
+  * here).
+  */
+object Profile {
+
+  /** One row per profiled column: (column_name, n_rows, n_nulls,
+    * n_distinct, min_s, max_s), min/max cast to string so the output
+    * schema is uniform across column types.
+    *
+    * ONE scan: every metric is computed in a single aggregation and the
+    * wide 1-row result is unpivoted with `stack` — versus the naive
+    * per-column UNION of full scans (the shape of the DuckDB oracle).
+    * The exact distinct counts plan as one Expand (rows × columns) over
+    * the scan; for monitoring at extreme widths, swap countDistinct for
+    * approx_count_distinct — kept exact here because the driver gate
+    * hash-compares.
+    *
+    * Columns must be plain identifiers (no dots/backticks) — they are
+    * spliced into a `stack` SQL expression.
+    */
+  def table(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"profile column names must be plain identifiers, got: ${cols.mkString(", ")}")
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"__c$i"), countDistinct(col(c)).as(s"__d$i"),
+        min(col(c)).cast("string").as(s"__mn$i"),
+        max(col(c)).cast("string").as(s"__mx$i"))
+    }
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', __n, __n - __c$i, __d$i, __mn$i, __mx$i"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_s, max_s)"))
+  }
+}

@@ -114,6 +114,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(sorted === Seq((0, "m"), (1, "a"), (1, "z")))
   }
 
+  test("Profile.table: per-column rows/nulls/distinct/min/max in one pass") {
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("b")), (3L, Option("a")))
+      .toDF("id", "s")
+    val out = graft.operators.Profile.table(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("id") === (("id", 4L, 0L, 3L, "1", "3")))
+    assert(out("s") === (("s", 4L, 1L, 2L, "a", "b")),
+      "null is not counted as a distinct value and min/max skip it")
+    val bad = intercept[IllegalArgumentException] {
+      graft.operators.Profile.table(df, Seq("not a column!"))
+    }
+    assert(bad.getMessage.contains("plain identifiers"))
+  }
+
   test("scatter/gather invariant: per-key agg is partitioning-independent") {
     val df = (1 to 1000).map(i => (i % 7, i.toLong)).toDF("k", "v")
     val expected = df.groupBy("k").agg(sum("v")).as[(Int, Long)].collect().toMap
