@@ -44,6 +44,37 @@ object Queries {
     "q82_retention" -> ((s, dir) =>
       Events.retention(Tables(s, dir).events, "user_id", "signup")),
 
+    // Rank-family window functions over a deterministic total order:
+    // rank/dense_rank (ties impossible by construction), percent_rank
+    // and cume_dist (exact rationals of the same integer operands in
+    // both engines — IEEE-identical).
+    "q86_rank_fns" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables(s, dir).lineitem
+        .withColumn("cents", expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prank"), cume_dist().over(w).as("cdist"))
+    }),
+
+    // Gaps-and-islands: per-user runs of CONSECUTIVE active days via the
+    // classic day-minus-row_number grouping — one window per user
+    // partition, two partial-agg'd groupBys, nothing corpus-wide.
+    "q87_islands" -> ((s, dir) => {
+      val days = Tables(s, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d").asc)
+      days
+        .withColumn("grp",
+          datediff(col("d"), lit("1970-01-01")) - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("run_days"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("int").as("n_islands"),
+          max(col("run_days")).cast("int").as("longest_run_days"))
+    }),
+
     // ANALYZE-style table profile: per-column row/null/exact-distinct/
     // min/max in ONE scan + stack unpivot (the oracle's per-column UNION
     // of scans is the shape this operator exists to avoid). Doubles
@@ -577,6 +608,26 @@ object Queries {
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |     AND c.ts <= p.ts) AS asof_ts_us
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q86_rank_fns" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(floor(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist
+        |FROM t
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY cents, l_orderkey, l_linenumber)""".stripMargin,
+    "q87_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (SELECT user_id, d,
+        |  date_diff('day', DATE '1970-01-01', d)
+        |    - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |  FROM days),
+        |runs AS (SELECT user_id, grp, count(*) AS run_days FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS INT) AS n_islands,
+        |  CAST(max(run_days) AS INT) AS longest_run_days
+        |FROM runs GROUP BY user_id""".stripMargin,
     // Per-column UNION of scans — the naive shape; the Spark side does
     // one scan + stack.
     "q83_profile" ->

@@ -158,4 +158,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"),
       "regex scrub must stay a projection over the scan - zero shuffles")
   }
+
+  test("q80 boilerplate removal joins equi-only and scans the corpus at most twice") {
+    val p = planOf("q80_boilerplate")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "hot-segment marking must stay an equi join")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "df-count branch + keep branch: two corpus scans, no third for reassembly")
+  }
+
+  test("q83 profile is ONE scan: single aggregation + stack, not per-column unions") {
+    val p = planOf("q83_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "all per-column stats must come from a single pass over the table")
+    assert(!p.contains("Union"), "no per-column UNION of scans")
+  }
+
+  test("q81 funnel shuffles on the key only - no window, no nested loop") {
+    val p = planOf("q81_funnel")
+    assert(!p.contains("Window"), "funnel must not sort the event stream")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
 }
