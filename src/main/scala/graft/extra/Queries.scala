@@ -94,7 +94,10 @@ object Queries {
       Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          // floor, not a bare long cast: Spark's double→long cast
+          // truncates while DuckDB's rounds — floor is engine-exact
+          // (file-header determinism rule)
+          sum(expr("CAST(floor(l_quantity) AS BIGINT)")).as("sum_qty"),
           sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("sum_price_cents"),
           count(lit(1)).as("n_items"))
         .select(col("l_returnflag"), expr(
@@ -665,7 +668,7 @@ object Queries {
     "q84_unpivot" ->
       """WITH w AS (
         |  SELECT l_returnflag,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
         |    CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT)
         |      AS sum_price_cents,
         |    count(*) AS n_items

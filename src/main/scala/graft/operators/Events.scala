@@ -97,6 +97,13 @@ object Events {
              withinSec: Long): DataFrame = {
     require(stages.size >= 2, "a funnel needs at least 2 stages")
     require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    // stage names become "<stage>_us" output columns — same identifier
+    // contract as Profile.table, checked for the same reason (a dotted
+    // name parses as struct access; "stage" collides with the output)
+    require(stages.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"funnel stage names must be plain identifiers, got: ${stages.mkString(", ")}")
+    require(!stages.contains("stage") && key != "stage",
+      "'stage' is reserved for the output column")
     val usec = withinSec * 1000000L
     val ev = events.select(col(key), col("event_type"),
       unix_micros(col("ts")).as("us"))
@@ -106,10 +113,13 @@ object Events {
     stages.zipWithIndex.drop(1).foldLeft(entered) { case (acc, (st, i)) =>
       val prev = col(s"${stages(i - 1)}_us")
       val carried = acc.columns.filter(_ != key).map(col)
-      acc.join(ev, Seq(key), "left")
+      // join only THIS stage's events: the filter prunes the per-stage
+      // shuffle to one event type and pushes into the parquet scan; the
+      // left join still keeps keys with no stage-st events (null min)
+      acc.join(ev.filter(col("event_type") === st).drop("event_type"),
+          Seq(key), "left")
         .groupBy((col(key) +: carried): _*)
-        .agg(min(when(col("event_type") === st &&
-          col("us") > prev && col("us") <= prev + usec, col("us")))
+        .agg(min(when(col("us") > prev && col("us") <= prev + usec, col("us")))
           .as(s"${st}_us"))
     }.withColumn("stage",
       stages.tail.map(st => when(col(s"${st}_us").isNotNull, 1).otherwise(0))
