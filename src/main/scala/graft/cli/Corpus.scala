@@ -21,6 +21,10 @@ import graft.text.{Dedup, TextOps}
   *                                        reads JSONL, csv expects a header)
   *     [--scrub-pii]                      redact emails/phones/IPv4 in `text`
   *                                        (graft.text.Pii.scrub, map-only)
+  *     [--remove-boilerplate df]          drop w-word segments appearing in
+  *                                        >= df docs corpus-wide, keep the
+  *                                        reassembled text (CCNet-style)
+  *     [--boilerplate-w w]                segment width in words (default 20)
   *     [--benchmark /data/eval.parquet]   drop docs sharing a 3-gram with it
   *     [--dedup]                          MinHash-LSH near-dup removal (keep smallest id)
   *     [--min-tokens n] [--max-tokens n]  quality bounds (default 1/2^31)
@@ -47,7 +51,9 @@ object Corpus {
 
   final case class Args(
       input: String = "", out: String = "", format: String = "parquet",
-      scrubPii: Boolean = false, benchmark: Option[String] = None,
+      scrubPii: Boolean = false,
+      boilerplateDf: Option[Int] = None, boilerplateW: Int = 20,
+      benchmark: Option[String] = None,
       dedup: Boolean = false, minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
       samplePerMille: Option[Int] = None,
       mixture: Map[String, Int] = Map.empty, mixtureDefault: Int = 1000,
@@ -69,6 +75,10 @@ object Corpus {
     case "-O" :: v :: rest            => parse(rest, acc.copy(out = v))
     case "--format" :: v :: rest      => parse(rest, acc.copy(format = v))
     case "--scrub-pii" :: rest        => parse(rest, acc.copy(scrubPii = true))
+    case "--remove-boilerplate" :: v :: rest =>
+      parse(rest, acc.copy(boilerplateDf = Some(v.toInt)))
+    case "--boilerplate-w" :: v :: rest =>
+      parse(rest, acc.copy(boilerplateW = v.toInt))
     case "--benchmark" :: v :: rest   => parse(rest, acc.copy(benchmark = Some(v)))
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
     case "--min-tokens" :: v :: rest  => parse(rest, acc.copy(minTokens = v.toInt))
@@ -135,8 +145,23 @@ object Corpus {
     // scrub FIRST: token counts, decontamination shingles, and dedup
     // signatures all see the redacted text — so a PII span can never be
     // the thing that makes two docs "different" or leaks into shingles
-    var corpus = (if (a.scrubPii)
-      input.withColumn("text", graft.text.Pii.scrub(col("text"))) else input)
+    var corpus = if (a.scrubPii)
+      input.withColumn("text", graft.text.Pii.scrub(col("text"))) else input
+    // boilerplate removal BEFORE token counting: the quality bounds and
+    // every later stage must see the cleaned text (a doc that is mostly
+    // boilerplate should fail --min-tokens on its REMAINING content)
+    a.boilerplateDf.foreach { minDf =>
+      // corpus feeds the segment-df mining, the mark join, and the
+      // join-back below — persist or the scan+scrub chain recomputes
+      corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += corpus
+      val cleaned = Dedup.removeBoilerplate(corpus, w = a.boilerplateW, minDf = minDf)
+        .select(col("doc_id"), col("clean_text"))
+      corpus = corpus.drop("text")
+        .join(cleaned, Seq("doc_id"))
+        .withColumnRenamed("clean_text", "text")
+    }
+    corpus = corpus
       .withColumn("__n_tokens", size(TextOps.words(col("text"))))
       .filter(col("__n_tokens") >= a.minTokens && col("__n_tokens") <= a.maxTokens)
 
@@ -227,7 +252,8 @@ object Corpus {
     val a = parse(argv.toList)
     require(a.input.nonEmpty && a.out.nonEmpty,
       "usage: -I <corpus.parquet> -O <out> [--format parquet|orc|json|csv] " +
-        "[--scrub-pii] [--benchmark p] [--dedup] " +
+        "[--scrub-pii] [--remove-boilerplate df] [--boilerplate-w w] " +
+        "[--benchmark p] [--dedup] " +
         "[--min-tokens n] [--max-tokens n] [--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n]")

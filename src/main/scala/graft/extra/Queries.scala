@@ -44,6 +44,21 @@ object Queries {
     "q82_retention" -> ((s, dir) =>
       Events.retention(Tables(s, dir).events, "user_id", "signup")),
 
+    // Event-type transition matrix (Markov counts): consecutive event
+    // pairs per user via lag over (event-time µs, event_id) — the
+    // tie-break that keeps both engines on the same total order.
+    "q88_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Rank-family window functions over a deterministic total order:
     // rank/dense_rank (ties impossible by construction), percent_rank
     // and cume_dist (exact rationals of the same integer operands in
@@ -611,6 +626,14 @@ object Queries {
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |     AND c.ts <= p.ts) AS asof_ts_us
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q88_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "q86_rank_fns" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag,
         |  CAST(floor(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem)

@@ -149,6 +149,36 @@ class CliSpec extends AnyFunSuite {
       s"the contaminated doc must drop even though the shared span crosses PII, kept=$kept")
   }
 
+  test("Corpus CLI: --remove-boilerplate cleans text before the quality bounds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-bp")
+    val header = "shared legal header words"   // 4-word segment at w=4
+    val docs = Seq(
+      (1L, s"$header body one keeps going strong"),
+      (2L, s"$header body two keeps going along"),
+      (3L, s"$header body three keeps going fine"),
+      // all boilerplate: after cleaning this is empty -> min-tokens drops it
+      (4L, header),
+      (5L, "independent document body with plenty words"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/corpus")
+
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out",
+      "--remove-boilerplate", "3", "--boilerplate-w", "4",
+      "--min-tokens", "2"))
+
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 5L),
+      "the all-boilerplate doc must fail min-tokens on its cleaned text")
+    assert(out(1L) === "body one keeps going strong",
+      "the hot header segment is removed, the unique tail kept in order")
+    assert(out(5L) === "independent document body with plenty words")
+    assert(!out.values.exists(_.contains("shared legal header")))
+  }
+
   test("Corpus CLI refuses an input that already has reserved pipeline columns") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-resv")
