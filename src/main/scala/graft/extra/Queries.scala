@@ -59,6 +59,45 @@ object Queries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Sliding (hopping) event-time window: 1-hour windows every 30
+    // minutes, per event type — each event lands in exactly width/hop = 2
+    // windows. Spark's `window()` helper assigns both map-side (an
+    // Expand, no self-join), then ONE partial/final aggregation on
+    // (window, type); the batch twin of the streaming hopping agg.
+    "q91_hop_window" -> ((s, dir) =>
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("event_type"), col("n"))),
+
+    // Fixed-width value histogram: $5000 buckets over extendedprice
+    // cents. Bucket assignment is map-side integral `div` on exact cents;
+    // one partial/final agg bounded by bucket count, not row count.
+    "q93_histogram" -> ((s, dir) =>
+      Profile.histogram(Tables(s, dir).lineitem,
+        floor(col("l_extendedprice") * 100), width = 500000L)),
+
+    // Hot-hour detection: hours whose event count exceeds 1.5× the mean
+    // hourly load. The mean is never materialized as a double — the
+    // predicate cross-multiplies exact integers (2·n·n_hours > 3·total),
+    // so the flag is engine-exact. Totals come from the already-reduced
+    // hourly frame (hours ≪ events) and broadcast back as one row;
+    // materialize() computes that frame ONCE (it feeds both the totals
+    // branch and the output) so the events scan + hour agg never repeats.
+    "q94_hot_hours" -> ((s, dir) => {
+      val hourly = graft.text.Dedup.materialize(
+        Tables(s, dir).events
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n")))
+      val totals = hourly.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("nh"))
+      hourly.crossJoin(broadcast(totals))
+        .filter(col("n") * col("nh") * 2 > col("total") * 3)
+        .select(unix_micros(col("hr")).as("hr_us"), col("n"))
+    }),
+
     // Rank-family window functions over a deterministic total order:
     // rank/dense_rank (ties impossible by construction), percent_rank
     // and cume_dist (exact rationals of the same integer operands in
@@ -634,6 +673,26 @@ object Queries {
         |SELECT prev_type, event_type AS next_type, count(*) AS n
         |FROM seq WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "q91_hop_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        |x AS (SELECT event_type,
+        |  ((us // 1800000000) - i) * 1800000000 AS win_start_us
+        |  FROM e CROSS JOIN (SELECT unnest([0,1]) AS i)
+        |  WHERE ((us // 1800000000) - i) * 1800000000 + 3600000000 > us)
+        |SELECT win_start_us, event_type, count(*) AS n
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q93_histogram" ->
+      """SELECT CAST(floor(l_extendedprice*100) AS BIGINT) // 500000 AS bucket,
+        |  count(*) AS n,
+        |  CAST(min(floor(l_extendedprice*100)) AS BIGINT) AS lo,
+        |  CAST(max(floor(l_extendedprice*100)) AS BIGINT) AS hi
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q94_hot_hours" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS nh FROM h)
+        |SELECT epoch_us(hr) AS hr_us, n FROM h, t
+        |WHERE 2 * n * nh > 3 * total""".stripMargin,
     "q86_rank_fns" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag,
         |  CAST(floor(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem)

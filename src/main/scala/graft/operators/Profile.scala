@@ -41,4 +41,31 @@ object Profile {
       .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, n_rows, n_nulls, n_distinct, min_s, max_s)"))
   }
+
+  /** Fixed-width histogram over an exact integer measure: one row per
+    * occupied bucket — (bucket, n, lo, hi), where `bucket` = value div
+    * `width` and lo/hi are the exact extremes observed inside it.
+    *
+    * Scale shape: map-side bucket assignment + ONE partial/final hash
+    * aggregation — each partition contributes at most n_buckets rows to
+    * the shuffle regardless of data size, and the result is bounded by
+    * the value range, not the row count. The distribution pass that sizes
+    * quality filters (token-count cutoffs, price bands) before committing
+    * to them.
+    *
+    * `value` must be an exact integer expression (floor doubles to
+    * cents/milli-units first — see the determinism note in extra.Queries)
+    * and NON-NEGATIVE: bucket ids use integral `div`, which truncates
+    * toward zero, so negative values would straddle bucket 0 (DuckDB's
+    * `//` floors; shifting the measure keeps both engines exact and
+    * identical).
+    */
+  def histogram(df: DataFrame, value: org.apache.spark.sql.Column,
+                width: Long): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    df.select(value.cast("long").as("__v"))
+      .groupBy(expr(s"__v div ${width}L").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+  }
 }

@@ -46,6 +46,23 @@ object Sampling {
     df.filter(hashBucket(key, 1000, seed) < perMille)
   }
 
+  /** Per-ROW keep rates: `perMille` is a column, so each row carries its
+    * own acceptance probability — importance sampling by a quality score,
+    * length-proportional downsampling, per-domain rates joined in from a
+    * side table. Same hash-bucket decision as [[deterministicSample]], so
+    * it inherits every property that matters in a pipeline: deterministic
+    * per key, reproducible across runs/partitionings/engines, map-only
+    * (no shuffle), and NESTED — raising a row's rate can only ADD it, a
+    * re-run with gentler weights is a superset.
+    *
+    * Rates clamp naturally: perMille ≥ 1000 always keeps, ≤ 0 always
+    * drops, NULL drops (no bucket is "theirs" — same null contract as
+    * hashBucket).
+    */
+  def weightedSample(df: DataFrame, key: Column, perMille: Column,
+                     seed: String = ""): DataFrame =
+    df.filter(hashBucket(key, 1000, seed) < perMille)
+
   /** Exactly-k-per-stratum sampling: the deterministic way to build a
     * balanced eval/calibration set ("5 docs per language"). Rows are
     * ranked inside each stratum by md5(seed ":" key) — a uniform, stable

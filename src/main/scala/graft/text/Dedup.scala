@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection pipeline: shingle → MinHash → LSH band →
@@ -273,5 +273,36 @@ object Dedup {
         count(lit(1)).as("n_docs"),
         sum(coalesce(col("is_dup"), lit(0))).as("n_dup"))
       .withColumn("n_kept", col("n_docs") - col("n_dup"))
+  }
+
+  /** Quality-aware near-dup survivorship: of every verified near-dup
+    * pair, the LOWER-quality doc loses (tie → the larger id loses, so the
+    * tie rule degrades to the keep-smallest-id policy of
+    * [[survivorStats]]). A doc survives iff it loses no pair — the same
+    * local pair-chain decision as survivorStats, deterministic without
+    * computing full connected components, but keeping the doc you'd
+    * actually want in a training corpus (longest / richest / highest
+    * scoring) instead of whichever crawl happened to get the smaller id.
+    *
+    * `quality` must be an exact integer expression over the doc's columns
+    * (a double score invites cross-engine ties that flip the winner;
+    * floor it to milli-units first).
+    *
+    * Scale shape: pairs come from the banded LSH join (equi, verified),
+    * and are ≪ corpus; the per-side quality lookups join the tiny pair
+    * list against the corpus (broadcastable pair side), and the final
+    * anti join removes the loser set. No window, no sort, no CC rounds.
+    */
+  def survivorsByQuality(docs: DataFrame, quality: Column,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         thresholdTenths: Int = 7): DataFrame = {
+    val q = docs.select(col(idCol).as("__qid"), quality.cast("long").as("__q"))
+    val losers = nearDupPairs(docs, idCol, textCol, thresholdTenths)
+      .join(q.as("qa"), col("doc_a") === col("qa.__qid"))
+      .join(q.as("qb"), col("doc_b") === col("qb.__qid"))
+      .select(when(col("qa.__q") < col("qb.__q"), col("doc_a"))
+        .otherwise(col("doc_b")).as(idCol))
+      .distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 }

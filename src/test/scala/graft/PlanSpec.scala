@@ -179,4 +179,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "funnel must not sort the event stream")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
+
+  test("q89 capped postings ride the bounded-heap aggregate, never collect_list") {
+    val p = planOf("q89_inverted_index")
+    assert(p.contains("topk_values"), "postings must use the O(k)-buffer aggregate")
+    assert(!p.toLowerCase.contains("collect_list"),
+      "an unbounded collect_list would ship every posting of a hot term to one reducer")
+    assert(p.contains("partial_"), "df + postings must map-side combine")
+    assert(!p.contains("Window"), "no row_number ranking pass")
+  }
+
+  test("q91 hopping windows assign map-side (Expand), never via self-join") {
+    val p = planOf("q91_hop_window")
+    assert(p.contains("Expand") || p.contains("Generate"),
+      "each event must emit its width/hop windows in the map stage")
+    assert(!p.contains("Join"), "window assignment must not join events to a window table")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      "one shuffle: the (window, type) aggregation")
+  }
+
+  test("q93 histogram is one partial+final aggregation, bounded by buckets") {
+    val p = planOf("q93_histogram")
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      "bucket counts must map-side combine")
+    assert("Exchange".r.findAllIn(p).size === 1)
+    assert(!p.contains("Sort "), "histogram needs no ordering")
+  }
+
+  test("q94 hot-hours broadcasts the one-row totals, hour agg computed once") {
+    val p = planOf("q94_hot_hours")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      "the totals row must broadcast back over the hourly frame")
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      "the materialized hourly frame must feed both branches - no second events scan")
+  }
+
+  test("q92 survivor-best candidate generation stays an equi band join") {
+    val p = planOf("q92_survivor_best")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must come from the banded LSH join, not all-pairs")
+    assert(p.toLowerCase.contains("leftanti"),
+      "losers must be removed by an anti join")
+  }
 }

@@ -129,6 +129,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("plain identifiers"))
   }
 
+  test("Profile.histogram: counts partition the rows, lo/hi stay inside their bucket") {
+    val df = (0L until 1000L).toDF("v")
+    val out = graft.operators.Profile.histogram(df, col("v"), width = 128L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).sum === 1000L, "every row lands in exactly one bucket")
+    assert(out.map(_._1).toSeq === (0L to 7L), "1000/128 spans buckets 0..7")
+    out.foreach { case (b, _, lo, hi) =>
+      assert(lo >= b * 128 && hi < (b + 1) * 128 && lo <= hi,
+        s"bucket $b extremes [$lo,$hi] outside its range")
+    }
+    assert(out.last === ((7L, 104L, 896L, 999L)), "partial last bucket is exact")
+  }
+
   test("scatter/gather invariant: per-key agg is partitioning-independent") {
     val df = (1 to 1000).map(i => (i % 7, i.toLong)).toDF("k", "v")
     val expected = df.groupBy("k").agg(sum("v")).as[(Int, Long)].collect().toMap

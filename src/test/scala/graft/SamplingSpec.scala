@@ -74,4 +74,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(buckets.forall(b => b >= 0 && b < 8))
     assert(buckets.distinct.sorted.toSeq === (0 until 8))
   }
+
+  test("weightedSample: per-row rates, nested in the weight, clamps at the edges") {
+    val df = ids(4000).withColumn("w",
+      when(col("id") % 4 === 0, 0)          // never kept
+        .when(col("id") % 4 === 1, 100)
+        .when(col("id") % 4 === 2, 400)
+        .otherwise(1000))                   // always kept
+    val kept = Sampling.weightedSample(df, col("id"), col("w"))
+      .select(col("id"), col("w")).as[(Long, Int)].collect()
+    val byW = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!byW.contains(0), "rate 0 must drop every row")
+    assert(byW(1000) === 1000, "rate 1000 must keep every row")
+    // 1000 rows per class; binomial ±4 sigma
+    assert(byW(100) > 60 && byW(100) < 140, s"10% class off: ${byW(100)}")
+    assert(byW(400) > 340 && byW(400) < 460, s"40% class off: ${byW(400)}")
+    // nested: the SAME rows survive when their rate rises (constant 100 ->
+    // per-row w >= 100 everywhere except the zero class)
+    val flat100 = Sampling.deterministicSample(
+      df.filter(col("w") >= 100), col("id"), 100)
+      .select(col("id")).as[Long].collect().toSet
+    assert(flat100.subsetOf(kept.map(_._1).toSet))
+  }
 }

@@ -101,6 +101,26 @@ class TextSpec extends AnyFunSuite {
     assert(row === ((inter, union)))
   }
 
+  test("survivorsByQuality keeps the richer doc of a near-dup pair, id breaks ties") {
+    import org.apache.spark.sql.functions.{array_distinct, col, size}
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"t$i").mkString(" ")   // disjoint vocab:
+    val d = docs(                                          // no cross-pairing
+      (1L, common),                                   // near-dup of 2, poorer
+      (2L, common + " extra unique rich tail"),       // near-dup of 1, richer
+      (3L, "totally unrelated words nothing shared here at all"),
+      (10L, other), (11L, other))                     // exact tie: smaller id wins
+    val quality = size(array_distinct(graft.text.TextOps.words(col("text"))))
+    val kept = Dedup.survivorsByQuality(d, quality)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L, 10L),
+      "doc 1 loses to richer 2; tie pair 10/11 keeps the smaller id; 3 untouched")
+    // degenerates to survivorStats' keep-smallest-id policy under constant quality
+    val keptConst = Dedup.survivorsByQuality(d, org.apache.spark.sql.functions.lit(1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptConst === Set(1L, 3L, 10L))
+  }
+
   test("decontaminate drops exactly the corpus docs sharing a 3-gram with the benchmark") {
     val corpus = docs(
       (1L, "the quick brown fox jumps over the lazy dog"), // contains "quick brown fox"
