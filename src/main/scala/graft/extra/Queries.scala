@@ -98,6 +98,25 @@ object Queries {
         .select(unix_micros(col("hr")).as("hr_us"), col("n"))
     }),
 
+    // Navigation-family window functions (ntile/lead/first_value/
+    // nth_value) over the same tie-free total order as q86 — completing
+    // the window-function surface. All outputs are exact integers (or
+    // null before the frame reaches offset), so cross-engine hashing is
+    // safe; per-returnflag partitions keep the sort distributed.
+    "q96_window_nav" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * 100).cast("long")
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          cents.as("cents"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ntile(10).over(w).as("decile"),
+          lead(col("cents"), 1).over(w).as("next_cents"),
+          first_value(col("cents")).over(w).as("min_cents"),
+          nth_value(col("cents"), 3).over(w).as("third_cents"))
+    }),
+
     // Rank-family window functions over a deterministic total order:
     // rank/dense_rank (ties impossible by construction), percent_rank
     // and cume_dist (exact rationals of the same integer operands in
@@ -673,6 +692,16 @@ object Queries {
         |SELECT prev_type, event_type AS next_type, count(*) AS n
         |FROM seq WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "q96_window_nav" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(floor(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(ntile(10) OVER w AS INT) AS decile,
+        |  lead(cents, 1) OVER w AS next_cents,
+        |  first_value(cents) OVER w AS min_cents,
+        |  nth_value(cents, 3) OVER w AS third_cents
+        |FROM t WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY cents, l_orderkey, l_linenumber)""".stripMargin,
     "q91_hop_window" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
         |x AS (SELECT event_type,

@@ -83,6 +83,12 @@ class PlanSpec extends AnyFunSuite {
       s"EXISTS must decorrelate to joins, got:\n$p")
   }
 
+  test("q95 fuzzy-pair block join is an equi join, never all-pairs") {
+    val p = planOf("q95_fuzzy_pairs")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "blocked levenshtein must hash-join on the block key, not evaluate n² pairs")
+  }
+
   test("q61 embedding LSH candidate join is an equi join, never all-pairs") {
     val p = planOf("q61_embed_lsh_neardup")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
