@@ -117,6 +117,60 @@ object Queries {
           nth_value(col("cents"), 3).over(w).as("third_cents"))
     }),
 
+    // Null-aware NOT IN anti join — semantically distinct from the
+    // left_anti of q08 (NOT EXISTS): a NULL outer key, or any NULL in the
+    // subquery, eliminates the row under ANSI three-valued logic. Spark
+    // plans the single-column case as a broadcast null-aware anti join
+    // (NAAJ) rather than a nested loop; the outer key is made nullable on
+    // purpose so the null path is exercised, and the subquery excludes
+    // residues 40..49 so the result is non-empty.
+    "q97_not_in" -> ((s, dir) => {
+      Tables(s, dir).customer.createOrReplaceTempView("customer_v")
+      Tables(s, dir).orders.createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_v
+          |WHERE nullif(c_custkey % 50, 7) NOT IN
+          |  (SELECT o_custkey % 50 FROM orders_v
+          |   WHERE o_orderpriority = '1-URGENT' AND o_custkey % 50 < 40)""".stripMargin)
+    }),
+
+    // Sweep-line max-concurrency: each event holds a resource for 30
+    // minutes; the peak number held simultaneously, per event type. The
+    // classic interval→(±1 endpoint)→running-sum shape: 2 rows per event,
+    // one window sort, exact integers throughout. Ends sort before starts
+    // at equal timestamps (delta −1 < +1), i.e. half-open intervals.
+    // 100 TB note: the partition key here is event_type (5 hot keys) —
+    // at scale the running sum would be computed per (type, day) with
+    // per-day carry-in offsets (a two-pass prefix sum); the endpoint
+    // encoding and tie rule are unchanged.
+    "q98_concurrency" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val pts = ev.select(col("event_type"), col("us").as("t"), lit(1).as("delta"))
+        .unionAll(ev.select(col("event_type"),
+          (col("us") + lit(1800000000L)).as("t"), lit(-1).as("delta")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
+      pts.select(col("event_type"), sum(col("delta")).over(w).as("cur"))
+        .groupBy(col("event_type"))
+        .agg(max(col("cur")).cast("long").as("max_concurrent"))
+    }),
+
+    // Per-user ordered event-sequence assembly — the "build the training
+    // sequence" op (conversation turns, clickstreams → one ordered record
+    // per key). collect_list + array_sort on a (time, id, payload) struct
+    // gives a deterministic total order without a global sort; state per
+    // key is bounded by that key's history (a production pipeline caps it
+    // with slice(..., 1, N) after the sort — same plan shape).
+    "q99_user_paths" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type")).as("e"))
+      ev.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        array_join(transform(array_sort(collect_list(col("e"))),
+          x => x.getField("event_type")), ">").as("path"))
+    }),
+
     // Rank-family window functions over a deterministic total order:
     // rank/dense_rank (ties impossible by construction), percent_rank
     // and cume_dist (exact rationals of the same integer operands in
@@ -702,6 +756,26 @@ object Queries {
         |  nth_value(cents, 3) OVER w AS third_cents
         |FROM t WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY cents, l_orderkey, l_linenumber)""".stripMargin,
+    "q97_not_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE nullif(c_custkey % 50, 7) NOT IN
+        |  (SELECT o_custkey % 50 FROM orders
+        |   WHERE o_orderpriority = '1-URGENT' AND o_custkey % 50 < 40)""".stripMargin,
+    "q98_concurrency" ->
+      """WITH pts AS (
+        |  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 1800000000 AS t, -1 AS delta
+        |  FROM events),
+        |run AS (SELECT event_type,
+        |  sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS cur
+        |  FROM pts)
+        |SELECT event_type, CAST(max(cur) AS BIGINT) AS max_concurrent
+        |FROM run GROUP BY 1""".stripMargin,
+    "q99_user_paths" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+        |FROM events GROUP BY 1""".stripMargin,
     "q91_hop_window" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
         |x AS (SELECT event_type,

@@ -83,6 +83,14 @@ class PlanSpec extends AnyFunSuite {
       s"EXISTS must decorrelate to joins, got:\n$p")
   }
 
+  test("q97 NOT IN plans as a null-aware broadcast hash anti join, not BNLJ") {
+    val p = planOf("q97_not_in")
+    assert(p.contains("LeftAnti") && !p.contains("BroadcastNestedLoop"),
+      s"single-column NOT IN must take Spark's NAAJ hash path:\n$p")
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      "the BroadcastHashJoin must carry the isNullAwareAntiJoin=true flag")
+  }
+
   test("q95 fuzzy-pair block join is an equi join, never all-pairs") {
     val p = planOf("q95_fuzzy_pairs")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
