@@ -153,6 +153,60 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** End-of-time sentinel for open SCD2 intervals: 2^62 µs. An explicit
+    * long (not null) so interval predicates stay two-sided and engines
+    * never disagree on null-comparison semantics.
+    */
+  val EndOfTimeUs: Long = 4611686018427387904L
+
+  /** SCD2 dimension build: collapse a change-event stream into validity
+    * intervals — one row per change carrying its attribute and
+    * [valid_from_us, valid_to_us), where valid_to is the NEXT change's
+    * timestamp for the same key (EndOfTimeUs for the current row). The
+    * (ts, id) ordering is total, so simultaneous changes produce a
+    * deterministic zero-length interval for the earlier id rather than an
+    * engine-dependent winner.
+    *
+    * Scale shape: one shuffle on key + one lead() window per key partition
+    * — intervals per key are bounded by that key's change count, never
+    * corpus-wide. The standard "type-2 slowly changing dimension" build a
+    * feature pipeline runs before any point-in-time join.
+    */
+  def scd2(changes: DataFrame, key: String, attr: org.apache.spark.sql.Column,
+           attrName: String, idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    changes
+      .select(col(key), unix_micros(col("ts")).as("__us"), col(idCol),
+        attr.as(attrName))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("__us"), 1).over(w), lit(EndOfTimeUs)))
+      .select(col(key), col(attrName), col("__us").as("valid_from_us"),
+        col("valid_to_us"))
+  }
+
+  /** Point-in-time join: each fact row picks up the dimension attributes
+    * valid AT its timestamp — `valid_from_us <= ts < valid_to_us` — the
+    * feature-store correctness join (training examples must see the
+    * feature value as of the event, never a later one; an ordinary join
+    * to "current" dimension rows leaks the future).
+    *
+    * Implemented as an EQUI join on the key with the interval predicate as
+    * a post-filter — NOT a generic range join: SCD2 intervals partition
+    * each key's timeline, so each fact matches at most one dimension row,
+    * the join shuffles only on the key (co-partitioning with everything
+    * else keyed the same way), and per-key work is facts × that key's
+    * intervals (bounded by change counts, not corpus size).
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, key: String,
+                      factId: String = "event_id"): DataFrame = {
+    val f = facts.select(col(factId), col(key), unix_micros(col("ts")).as("__us"))
+    f.join(dim, Seq(key))
+      .filter(col("__us") >= col("valid_from_us") &&
+        col("__us") < col("valid_to_us"))
+      .drop("__us")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same key exceeds `gapSec`. Two window passes over
     * one shuffle on key. Returns per-key (n_sessions, n_events).

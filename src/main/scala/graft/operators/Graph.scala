@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.Dedup.materialize
+
+/** Graph analytics over edge lists derived from the corpus (co-occurrence
+  * graphs, near-dup graphs). The reference has no graph stage; these are the
+  * pipeline-health ops a training-data build runs over its OWN derived
+  * graphs — the dup graph's triangle density distinguishes template families
+  * from pairwise noise, and centrality over a co-occurrence graph surfaces
+  * hub entities. Everything is edge-list relational algebra (joins +
+  * aggregations — the Spark-idiomatic shape; no vertex-program framework
+  * needed for fixed-round algorithms), and all arithmetic is exact integers
+  * so results hash-match any engine.
+  */
+object Graph {
+
+  /** Distinct undirected co-occurrence edges (u < v) between items sharing a
+    * container (parts co-ordered in an order, tokens co-occurring in a doc).
+    *
+    * Scale shape: the self-join is EQUI on the container key, so each
+    * container's pairs are generated locally after one shuffle; output per
+    * container is C(k,2) for k items — quadratic in CONTAINER size, not
+    * corpus size. Callers cap pathological containers upstream (a 10k-item
+    * container means 50M pairs; `TopKPerKey` is the standard cap), exactly
+    * like the band-bucket caps in the LSH paths.
+    */
+  def coOccurrenceEdges(df: DataFrame, containerCol: String,
+                        itemCol: String): DataFrame = {
+    val side = df.select(col(containerCol).as("__c"), col(itemCol).as("__i"))
+    side.as("a").join(side.as("b"),
+        col("a.__c") === col("b.__c") && col("a.__i") < col("b.__i"))
+      .select(col("a.__i").as("u"), col("b.__i").as("v"))
+      .distinct()
+  }
+
+  /** Exact triangle count via DEGREE-ORIENTED wedge closure, plus node and
+    * edge counts — one summary row (n_nodes, n_edges, n_triangles).
+    *
+    * Edges are oriented from the endpoint with smaller (degree, id) to the
+    * larger; wedges are ordered pairs of out-neighbors, closed by an equi
+    * join back to the oriented edge list. Orientation bounds every node's
+    * out-degree by O(sqrt(m)), so the wedge count — the algorithm's
+    * intermediate volume — is O(m^1.5) regardless of skew (a celebrity node
+    * with degree 10^6 contributes wedges only through its LOW-degree
+    * neighbors). The naive u<v orientation puts all C(deg,2) wedges of every
+    * hub on one task; this shape is why the count survives a power-law graph
+    * at 100 TB. Counted once per triangle: the orientation is acyclic, so
+    * each triangle has exactly one node with two out-edges.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = materialize(edges.select(col("u"), col("v")).distinct())
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = smaller endpoint under that order
+    val ed = e
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+    val ori = materialize(ed.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("u")).otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("v")).otherwise(col("u")).as("dst"),
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("dv")).otherwise(col("du")).as("dd")))
+    // ordered out-neighbor pairs ((dd, dst) lexicographic), closed on (v, w)
+    val wedges = ori.as("e1").join(ori.as("e2"),
+      col("e1.src") === col("e2.src") &&
+        (col("e1.dd") < col("e2.dd") ||
+          (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+    val tri = wedges.join(ori.as("e3"),
+        col("e1.dst") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+    counts.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Fixed-iteration PageRank on an undirected edge list, in EXACT integer
+    * arithmetic so every engine computes bit-identical ranks: scores are
+    * parts-per-million longs, each node's contribution is `pr div degree`
+    * (integral floor division), and the damping update is
+    * `150000 + (85 * sum(contrib)) div 100` — integer sums are associative,
+    * so the result is independent of partitioning and aggregation order
+    * (the same determinism rule as the whole suite: never sum doubles).
+    *
+    * Scale shape: per iteration, ONE map-only contribution projection and
+    * one equi-join + partial/final agg on the edge list — the standard
+    * edge-cut message pass. The symmetrized edge list and degree frame are
+    * computed once and reused (materialized: iteration i's plan would
+    * otherwise re-run the co-occurrence self-join i times). Every node in
+    * an undirected edge list has degree ≥ 1, so no dangling-mass term is
+    * needed. Overflow bound: sum(contrib) ≤ 10^6 · n_nodes, so 85·sum stays
+    * inside a long up to ~10^11 nodes.
+    */
+  def pageRankInt(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sym = materialize(
+      edges.select(col("u"), col("v")).distinct()
+        .select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst"))))
+    val deg = materialize(sym.groupBy(col("src")).agg(count(lit(1)).as("d")))
+    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(deg, pr("node") === deg("src"))
+        .select(col("node"), expr("pr div d").as("c"))
+      pr = sym.join(contrib, sym("src") === contrib("node"))
+        .groupBy(col("dst"))
+        .agg(expr("CAST(150000 + (85 * sum(c)) div 100 AS BIGINT)").as("pr"))
+        .withColumnRenamed("dst", "node")
+    }
+    pr
+  }
+}

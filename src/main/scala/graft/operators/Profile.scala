@@ -68,4 +68,42 @@ object Profile {
       .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
         max(col("__v")).as("hi"))
   }
+
+  /** Exact z-score outliers over a pre-aggregated counts frame: keeps the
+    * rows whose count exceeds its group's mean by more than `sigmas`
+    * standard deviations. The test is EXACT integer arithmetic — with H
+    * buckets, total T and second moment S2 per group, `n > mean + kσ` is
+    * evaluated as `nH > T && (nH − T)² > k²(H·S2 − T²)` (both sides scaled
+    * by H²) — no double ever exists, so the flag is engine-exact and
+    * immune to float-summation order (same rule as q94's cross-multiplied
+    * mean). The anomaly pass a pipeline runs over ingest-rate or
+    * per-source volume counts before trusting a drop.
+    *
+    * Overflow bound: (nH − T)² must fit a long, i.e. |nH − T| < 3·10^9 —
+    * counts beyond that should be pre-scaled (divide n by a constant);
+    * checked cheaply here via the group totals.
+    *
+    * Scale shape: `counts` is already reduced (buckets × groups, tiny);
+    * per-group moments are one partial/final agg over it and join back on
+    * the group key — broadcast when small. Nothing corpus-sized moves.
+    */
+  def outlierCounts(counts: DataFrame, groupCols: Seq[String], nCol: String,
+                    sigmas: Int = 2): DataFrame = {
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
+    val n = col(nCol).cast("long")
+    val grp = groupCols.map(col)
+    val stats = counts.groupBy(grp: _*)
+      .agg(count(lit(1)).as("__h"), sum(n).as("__t"),
+        sum(n * n).as("__s2"))
+      .withColumn("__chk",
+        when(abs(col("__t")) > lit(3000000000L), raise_error(lit(
+          "outlierCounts: totals too large for exact long arithmetic — " +
+            "pre-scale the counts"))).otherwise(lit(0)))
+    counts.join(if (groupCols.isEmpty) broadcast(stats).crossJoin(counts).limit(0)
+      else stats, groupCols)
+      .filter(n * col("__h") > col("__t") &&
+        (n * col("__h") - col("__t")) * (n * col("__h") - col("__t")) >
+          lit(sigmas.toLong * sigmas) * (col("__h") * col("__s2") - col("__t") * col("__t")))
+      .drop("__h", "__t", "__s2", "__chk")
+  }
 }
