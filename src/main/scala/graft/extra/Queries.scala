@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.multimodal.Binary
-import graft.operators.{Analytic, Events, Pipe, Profile, Relational, Scale}
+import graft.operators.{Analytic, Events, Graph, Pipe, Profile, Relational, Scale}
 
 /** Event-time analytics, grouping-set/pivot/json/window-function surface,
   * typed per-group analytics, the external-pipe escape hatch, and the
@@ -170,6 +170,59 @@ object Queries {
         array_join(transform(array_sort(collect_list(col("e"))),
           x => x.getField("event_type")), ">").as("path"))
     }),
+
+    // SCD2 dimension build: the event stream collapsed into validity
+    // intervals (one lead() window per key partition, open intervals closed
+    // by the 2^62 sentinel) — the type-2 dimension every feature pipeline
+    // builds before a point-in-time join.
+    "q100_scd2" -> ((s, dir) =>
+      Events.scd2(Tables(s, dir).events, "user_id", col("event_type"),
+        "event_type")),
+
+    // Point-in-time join: each click picks up the purchase state (cents)
+    // valid AT its timestamp — equi join on the key + interval post-filter,
+    // never a generic range join (SCD2 intervals partition the timeline, so
+    // each fact matches at most one dimension row).
+    "q101_pit_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val dim = Events.scd2(ev.filter(col("event_type") === "purchase"),
+        "user_id", expr("CAST(floor(value * 100) AS BIGINT)"), "state_cents")
+      Events.pointInTimeJoin(ev.filter(col("event_type") === "click"), dim,
+        "user_id")
+    }),
+
+    // Exact z-score outliers over per-(type, hour) event counts: the
+    // ingest-anomaly pass. All-integer test (cross-multiplied by H²), so
+    // the flag is engine-exact; stats join back per group on an
+    // already-reduced counts frame.
+    "q102_outliers" -> ((s, dir) => {
+      val counts = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))).as("hr_us"))
+        .agg(count(lit(1)).as("n"))
+      Profile.outlierCounts(counts, Seq("event_type"), "n", sigmas = 2)
+    }),
+
+    // Exact triangle census of the parts-co-ordered-together graph:
+    // degree-oriented wedge closure bounds intermediate volume at O(m^1.5)
+    // regardless of hub skew — the dup-graph density diagnostic.
+    "q103_triangles" -> ((s, dir) =>
+      Graph.triangleStats(Graph.coOccurrenceEdges(
+        Tables(s, dir).lineitem, "l_orderkey", "l_partkey"))),
+
+    // Fixed-iteration integer PageRank (ppm longs, floor-div contributions)
+    // over the same co-occurrence graph: one equi join + partial/final agg
+    // per iteration, bit-identical across engines by construction.
+    "q104_pagerank" -> ((s, dir) =>
+      Graph.pageRankInt(Graph.coOccurrenceEdges(
+        Tables(s, dir).lineitem, "l_orderkey", "l_partkey"), iters = 3)),
+
+    // The co-occurrence edge list itself (distinct u < v part pairs sharing
+    // an order): EQUI self-join on the container key — pairs are generated
+    // locally after one shuffle, quadratic only in container size.
+    "q105_cooccur" -> ((s, dir) =>
+      Graph.coOccurrenceEdges(Tables(s, dir).lineitem, "l_orderkey",
+        "l_partkey")),
 
     // Rank-family window functions over a deterministic total order:
     // rank/dense_rank (ties impossible by construction), percent_rank
@@ -761,6 +814,74 @@ object Queries {
         |WHERE nullif(c_custkey % 50, 7) NOT IN
         |  (SELECT o_custkey % 50 FROM orders
         |   WHERE o_orderpriority = '1-URGENT' AND o_custkey % 50 < 40)""".stripMargin,
+    "q100_scd2" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+        |  coalesce(lead(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        |    4611686018427387904) AS valid_to_us
+        |FROM events""".stripMargin,
+    "q101_pit_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(floor(value*100) AS BIGINT) AS state_cents,
+        |    epoch_us(ts) AS valid_from_us,
+        |    coalesce(lead(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        |      4611686018427387904) AS valid_to_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, d.state_cents, d.valid_from_us,
+        |  d.valid_to_us
+        |FROM events f JOIN dim d ON f.user_id = d.user_id
+        |  AND epoch_us(f.ts) >= d.valid_from_us
+        |  AND epoch_us(f.ts) < d.valid_to_us
+        |WHERE f.event_type = 'click'""".stripMargin,
+    "q102_outliers" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hr_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, count(*) AS h, sum(n) AS t,
+        |    sum(n*n) AS s2
+        |  FROM counts GROUP BY 1)
+        |SELECT c.event_type, c.hr_us, CAST(c.n AS BIGINT) AS n
+        |FROM counts c JOIN stats s USING (event_type)
+        |WHERE c.n*s.h > s.t
+        |  AND (c.n*s.h - s.t)*(c.n*s.h - s.t) > 4*(s.h*s.s2 - s.t*s.t)""".stripMargin,
+    "q103_triangles" ->
+      """WITH p AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT
+        |  (SELECT count(DISTINCT x) FROM
+        |    (SELECT u AS x FROM p UNION ALL SELECT v AS x FROM p)) AS n_nodes,
+        |  (SELECT count(*) FROM p) AS n_edges,
+        |  (SELECT count(*) FROM p e1
+        |    JOIN p e2 ON e1.v = e2.u
+        |    JOIN p e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles""".stripMargin,
+    "q104_pagerank" ->
+      """WITH p AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT u AS src, v AS dst FROM p
+        |  UNION ALL SELECT v AS src, u AS dst FROM p),
+        |deg AS (SELECT src, count(*) AS d FROM sym GROUP BY 1),
+        |pr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |c1 AS (SELECT node, pr // d AS c FROM pr0 JOIN deg ON node = src),
+        |pr1 AS (SELECT dst AS node,
+        |    CAST(150000 + (85 * sum(c)) // 100 AS BIGINT) AS pr
+        |  FROM sym JOIN c1 ON src = node GROUP BY dst),
+        |c2 AS (SELECT node, pr // d AS c FROM pr1 JOIN deg ON node = src),
+        |pr2 AS (SELECT dst AS node,
+        |    CAST(150000 + (85 * sum(c)) // 100 AS BIGINT) AS pr
+        |  FROM sym JOIN c2 ON src = node GROUP BY dst),
+        |c3 AS (SELECT node, pr // d AS c FROM pr2 JOIN deg ON node = src),
+        |pr3 AS (SELECT dst AS node,
+        |    CAST(150000 + (85 * sum(c)) // 100 AS BIGINT) AS pr
+        |  FROM sym JOIN c3 ON src = node GROUP BY dst)
+        |SELECT node, pr FROM pr3""".stripMargin,
+    "q105_cooccur" ->
+      """SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin,
     "q98_concurrency" ->
       """WITH pts AS (
         |  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events

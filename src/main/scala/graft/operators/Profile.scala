@@ -63,7 +63,18 @@ object Profile {
   def histogram(df: DataFrame, value: org.apache.spark.sql.Column,
                 width: Long): DataFrame = {
     require(width > 0, s"bucket width must be positive, got $width")
-    df.select(value.cast("long").as("__v"))
+    // The non-negativity contract is ENFORCED, not just documented: the
+    // guard is folded into __v itself (assert_true → null → +0 on success)
+    // so the filter/agg that consumes __v keeps it alive — a standalone
+    // guard column would be pruned by Catalyst and never fire (the
+    // outlierCounts lesson). Nulls pass through (null buckets group
+    // together in both engines).
+    df.select(value.cast("long").as("__v0"))
+      .select((col("__v0") + coalesce(
+        assert_true(coalesce(col("__v0") >= 0, lit(true)),
+          lit("histogram: values must be non-negative (truncating div would " +
+            "straddle bucket 0; shift the measure first)")).cast("long"),
+        lit(0L))).as("__v"))
       .groupBy(expr(s"__v div ${width}L").as("bucket"))
       .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
         max(col("__v")).as("hi"))
@@ -79,31 +90,55 @@ object Profile {
     * mean). The anomaly pass a pipeline runs over ingest-rate or
     * per-source volume counts before trusting a drop.
     *
-    * Overflow bound: (nH − T)² must fit a long, i.e. |nH − T| < 3·10^9 —
-    * counts beyond that should be pre-scaled (divide n by a constant);
-    * checked cheaply here via the group totals.
+    * Overflow bounds are ENFORCED (division-form checks, themselves
+    * overflow-free), folded into columns the filter consumes so Catalyst
+    * cannot prune them: per group, counts must be non-negative,
+    * |T| ≤ 3·10^9 (so T² fits a long), S2 ≤ Long.Max/(k²·H) (so k²·H·S2
+    * fits), |T| ≤ Long.Max/H (so n·H ≤ T·H fits); per ROW, |nH − T| ≤
+    * 3·10^9 (so its square fits). Violations raise, never wrap.
     *
     * Scale shape: `counts` is already reduced (buckets × groups, tiny);
     * per-group moments are one partial/final agg over it and join back on
-    * the group key — broadcast when small. Nothing corpus-sized moves.
+    * the group key — broadcast when small (the groupCols.isEmpty global
+    * case is a 1-row broadcast cross join). Nothing corpus-sized moves.
     */
   def outlierCounts(counts: DataFrame, groupCols: Seq[String], nCol: String,
                     sigmas: Int = 2): DataFrame = {
     require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
     val n = col(nCol).cast("long")
     val grp = groupCols.map(col)
+    val k2 = sigmas.toLong * sigmas
+    val err = "outlierCounts: totals too large for exact long arithmetic — " +
+      "pre-scale the counts"
+    // group-level guard rides inside __t (assert_true → null → +0 when the
+    // bounds hold), so any consumer of __t evaluates it
     val stats = counts.groupBy(grp: _*)
-      .agg(count(lit(1)).as("__h"), sum(n).as("__t"),
-        sum(n * n).as("__s2"))
-      .withColumn("__chk",
-        when(abs(col("__t")) > lit(3000000000L), raise_error(lit(
-          "outlierCounts: totals too large for exact long arithmetic — " +
-            "pre-scale the counts"))).otherwise(lit(0)))
-    counts.join(if (groupCols.isEmpty) broadcast(stats).crossJoin(counts).limit(0)
-      else stats, groupCols)
-      .filter(n * col("__h") > col("__t") &&
-        (n * col("__h") - col("__t")) * (n * col("__h") - col("__t")) >
-          lit(sigmas.toLong * sigmas) * (col("__h") * col("__s2") - col("__t") * col("__t")))
-      .drop("__h", "__t", "__s2", "__chk")
+      .agg(count(lit(1)).as("__h"), sum(n).as("__t"), sum(n * n).as("__s2"),
+        min(n).as("__mn"))
+      .withColumn("__t",
+        col("__t") + coalesce(
+          assert_true(
+            col("__mn") >= 0 && abs(col("__t")) <= lit(3000000000L) &&
+              col("__s2") <= lit(Long.MaxValue / k2) / col("__h") &&
+              abs(col("__t")) <= lit(Long.MaxValue) / col("__h"),
+            lit(err)).cast("long"),
+          lit(0L)))
+      .drop("__mn")
+    // the global (ungrouped) case is a 1-row stats frame: broadcast cross
+    // join, NOT a using-columns join (there are no using columns — r6's
+    // empty-frame construction silently returned zero rows)
+    val joined =
+      if (groupCols.isEmpty) counts.crossJoin(broadcast(stats))
+      else counts.join(stats, groupCols)
+    val diff = n * col("__h") - col("__t")
+    // per-row guard: |nH − T| must fit squaring; a conjunct the filter
+    // keeps (references live columns — not foldable, not prunable)
+    val rowGuard = coalesce(
+      assert_true(abs(diff) <= lit(3000000000L), lit(err)).cast("boolean"),
+      lit(true))
+    joined
+      .filter(rowGuard && diff > 0 &&
+        diff * diff > lit(k2) * (col("__h") * col("__s2") - col("__t") * col("__t")))
+      .drop("__h", "__t", "__s2")
   }
 }

@@ -37,8 +37,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("every query name follows the qNN_ naming scheme and is unique by number") {
     val names = SparkEntry.queries.keySet.toSeq
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), "naming scheme")
-    val nums = names.map(_.substring(1, 3))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), "naming scheme")
+    val nums = names.map(_.takeWhile(_ != '_').drop(1).toInt)
     assert(nums.distinct.size === nums.size, "duplicate query numbers")
   }
 }

@@ -113,6 +113,36 @@ class EventsSpec extends AnyFunSuite {
     assert(got === Map(1L -> ((2L, 3L)), 2L -> ((1L, 1L))))
   }
 
+  test("scd2 builds validity intervals; simultaneous changes break ties by id") {
+    val changes = ev(
+      (10L, 1L, 100L, "bronze"), (11L, 1L, 200L, "gold"),
+      // same timestamp: id 20 gets the deterministic zero-length interval
+      (20L, 2L, 100L, "a"), (21L, 2L, 100L, "b"))
+    val got = Events.scd2(changes, "user_id", col("event_type"), "tier")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val eot = Events.EndOfTimeUs
+    assert(got === Set(
+      (1L, "bronze", 100000000L, 200000000L),
+      (1L, "gold", 200000000L, eot),
+      (2L, "a", 100000000L, 100000000L),
+      (2L, "b", 100000000L, eot)))
+  }
+
+  test("pointInTimeJoin picks the dimension row valid AT each fact ts — never a later one") {
+    val purchases = ev((10L, 1L, 100L, "purchase"), (11L, 1L, 200L, "purchase"))
+    val clicks = ev(
+      (1L, 1L, 50L, "click"),   // before any dim row → dropped
+      (2L, 1L, 150L, "click"),  // inside [100, 200) → ver 10
+      (3L, 1L, 200L, "click"),  // boundary: valid_from inclusive → ver 11
+      (4L, 2L, 100L, "click"))  // no dim for user 2 → dropped
+    val dim = Events.scd2(purchases, "user_id", col("event_id"), "ver")
+    val got = Events.pointInTimeJoin(clicks, dim, "user_id")
+      .select("event_id", "ver").as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 10L, 3L -> 11L))
+    // each fact matches AT MOST one dim row (intervals partition the timeline)
+    assert(Events.pointInTimeJoin(clicks, dim, "user_id").count() === 2L)
+  }
+
   test("longestRun finds the max run with smallest-type tie-break") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val events = ev(

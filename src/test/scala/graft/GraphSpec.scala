@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Graph analytics over derived edge lists: co-occurrence construction,
+  * degree-oriented triangle counting, and exact-integer PageRank — each
+  * checked against hand-computed results on graphs small enough to verify
+  * by eye (the oracle queries q103–q105 gate the same operators at sf0.01).
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("u", "v")
+
+  test("coOccurrenceEdges: distinct u<v pairs per container, dups collapsed") {
+    val df = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), // container 1 → (1,2),(1,3),(2,3)
+      (2L, 2L), (2L, 3L),           // container 2 → (2,3) again (dedup)
+      (3L, 4L))                     // singleton container → no pairs
+      .toDF("c", "item")
+    val got = Graph.coOccurrenceEdges(df, "c", "item")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("triangleStats: K4 plus a disconnected edge = 4 triangles, counted once each") {
+    val e = edges(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (5L, 6L))
+    val got = Graph.triangleStats(e)
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((6L, 7L, 4L)))
+  }
+
+  test("triangleStats: triangle-free graph (star) counts zero") {
+    val got = Graph.triangleStats(edges((1L, 2L), (1L, 3L), (1L, 4L)))
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((4L, 3L, 0L)))
+  }
+
+  test("pageRankInt matches the hand-computed 3-iteration ranks on a path") {
+    // path 1–2–3: deg(1)=deg(3)=1, deg(2)=2 — three exact integer rounds
+    val got = Graph.pageRankInt(edges((1L, 2L), (2L, 3L)), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L))
+  }
+
+  test("pageRankInt: symmetric graphs give equal ranks (partitioning-independent)") {
+    // 4-cycle: every node has degree 2 → ranks stay exactly 1_000_000 ppm
+    val got = Graph.pageRankInt(
+      edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L))
+  }
+}

@@ -142,6 +142,53 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.last === ((7L, 104L, 896L, 999L)), "partial last bucket is exact")
   }
 
+  test("Profile.histogram rejects negative values (truncating-div contract)") {
+    val bad = Seq(5L, -1L).toDF("v")
+    val e = intercept[Exception] {
+      graft.operators.Profile.histogram(bad, col("v"), width = 10L).collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+    // nulls still pass through as the null bucket
+    val out = graft.operators.Profile.histogram(
+      Seq(Option(5L), None).toDF("v"), col("v"), width = 10L).collect()
+    assert(out.length === 2)
+  }
+
+  test("Profile.outlierCounts flags the exact-z-score outliers per group") {
+    // group A: five 1s and a 100 — 100 sits above mean+2σ; group B: flat
+    val counts = (Seq.fill(5)(("A", 1L)) :+ ("A", 100L)) ++ Seq.fill(3)(("B", 5L))
+    val df = counts.zipWithIndex.map { case ((g, n), i) => (g, i.toLong, n) }
+      .toDF("g", "bucket", "n")
+    val got = graft.operators.Profile.outlierCounts(df, Seq("g"), "n")
+      .select("g", "n").as[(String, Long)].collect().toSeq
+    assert(got === Seq(("A", 100L)))
+  }
+
+  test("Profile.outlierCounts ungrouped (global) path returns the outliers — not an empty frame") {
+    // the r6 bug: groupCols.isEmpty silently produced zero rows
+    val df = ((0L until 5L).map(i => (i, 1L)) :+ (5L, 100L)).toDF("bucket", "n")
+    val got = graft.operators.Profile.outlierCounts(df, Seq.empty, "n")
+      .select("bucket", "n").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((5L, 100L)))
+  }
+
+  test("Profile.outlierCounts overflow/contract guards actually fire (not pruned)") {
+    // totals beyond the exact-long bound must raise, never wrap silently
+    // (each n² still fits a long, so the moment agg itself succeeds and
+    // it is the |T| ≤ 3·10^9 guard that trips)
+    val big = Seq(("A", 2000000000L), ("A", 2000000000L)).toDF("g", "n")
+    val e1 = intercept[Exception] {
+      graft.operators.Profile.outlierCounts(big, Seq("g"), "n").collect()
+    }
+    assert(e1.getMessage.contains("pre-scale"))
+    // negative counts violate the 0 ≤ n ≤ T precondition the bounds rely on
+    val neg = Seq(("A", -5L), ("A", 10L)).toDF("g", "n")
+    val e2 = intercept[Exception] {
+      graft.operators.Profile.outlierCounts(neg, Seq("g"), "n").collect()
+    }
+    assert(e2.getMessage.contains("pre-scale"))
+  }
+
   test("scatter/gather invariant: per-key agg is partitioning-independent") {
     val df = (1 to 1000).map(i => (i % 7, i.toLong)).toDF("k", "v")
     val expected = df.groupBy("k").agg(sum("v")).as[(Int, Long)].collect().toMap
