@@ -137,22 +137,39 @@ object Queries {
     // Sweep-line max-concurrency: each event holds a resource for 30
     // minutes; the peak number held simultaneously, per event type. The
     // classic interval→(±1 endpoint)→running-sum shape: 2 rows per event,
-    // one window sort, exact integers throughout. Ends sort before starts
-    // at equal timestamps (delta −1 < +1), i.e. half-open intervals.
-    // 100 TB note: the partition key here is event_type (5 hot keys) —
-    // at scale the running sum would be computed per (type, day) with
-    // per-day carry-in offsets (a two-pass prefix sum); the endpoint
-    // encoding and tie rule are unchanged.
+    // exact integers throughout. Ends sort before starts at equal
+    // timestamps (delta −1 < +1), i.e. half-open intervals.
+    //
+    // TWO-PASS SEGMENTED prefix sum (the r6 single-window version
+    // partitioned by event_type — 5 hot keys, 20% of ALL endpoints in one
+    // task at any scale): the running sum is computed per (type, DAY) —
+    // partition cardinality grows with the data — and each day adds the
+    // broadcast carry-in offset (the prefix sum of prior days' net deltas
+    // over the tiny types×days frame). day = t div 86400000000 is
+    // non-decreasing in t, so segmented order (day, then (t, delta))
+    // equals the global (t, delta) order and the result is IDENTICAL to
+    // the one-window formulation — which remains the oracle.
     "q98_concurrency" -> ((s, dir) => {
       val ev = Tables(s, dir).events
         .select(col("event_type"), unix_micros(col("ts")).as("us"))
       val pts = ev.select(col("event_type"), col("us").as("t"), lit(1).as("delta"))
         .unionAll(ev.select(col("event_type"),
           (col("us") + lit(1800000000L)).as("t"), lit(-1).as("delta")))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
-      pts.select(col("event_type"), sum(col("delta")).over(w).as("cur"))
+        .withColumn("day", expr("t div 86400000000"))
+      val wIn = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("t"), col("delta"))
+      val daily = pts.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("delta")).as("net"))
+      val wCarry = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = daily.select(col("event_type"), col("day"),
+        coalesce(sum(col("net")).over(wCarry), lit(0L)).as("carry"))
+      pts
+        .withColumn("cur_in_day", sum(col("delta")).over(wIn))
+        .join(broadcast(offsets), Seq("event_type", "day"))
         .groupBy(col("event_type"))
-        .agg(max(col("cur")).cast("long").as("max_concurrent"))
+        .agg(max(col("cur_in_day") + col("carry")).cast("long")
+          .as("max_concurrent"))
     }),
 
     // Per-user ordered event-sequence assembly — the "build the training

@@ -91,10 +91,15 @@ class PlanSpec extends AnyFunSuite {
       "the BroadcastHashJoin must carry the isNullAwareAntiJoin=true flag")
   }
 
-  test("q95 fuzzy-pair block join is an equi join, never all-pairs") {
+  test("q95 fuzzy-pair block join is an equi join with a bounded-heap block cap") {
     val p = planOf("q95_fuzzy_pairs")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
       "blocked levenshtein must hash-join on the block key, not evaluate n² pairs")
+    assert(p.contains("TopKPerKey"),
+      "hot blocks must be capped by the bounded-heap operator — without it a " +
+        "stop-word block is a single-task O(b²) straggler at scale")
+    assert(!p.contains("Window"),
+      "the cap must ride TopKPerKey, not a row_number window sort")
   }
 
   test("q61 embedding LSH candidate join is an equi join, never all-pairs") {
@@ -226,6 +231,59 @@ class PlanSpec extends AnyFunSuite {
       "the totals row must broadcast back over the hourly frame")
     assert("Scan parquet".r.findAllIn(p).size <= 1,
       "the materialized hourly frame must feed both branches - no second events scan")
+  }
+
+  test("q98 concurrency running sum is segmented per (type, day) with broadcast carry-ins") {
+    val p = planOf("q98_concurrency")
+    assert(p.contains("windowspecdefinition(event_type") && p.contains("day"),
+      "the endpoint running sum must partition by (event_type, day) — " +
+        "partitioning by type alone puts 20% of all endpoints in one task")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the tiny types×days carry-in frame must broadcast back, never shuffle " +
+        "the endpoint stream again")
+  }
+
+  test("q96 navigation windows are per-key partitioned (no single-task window)") {
+    val p = planOf("q96_window_nav")
+    assert(p.contains("windowspecdefinition(l_returnflag"),
+      "nav functions must partition by the group key")
+    assert(!p.contains("windowspecdefinition(ORDER"),
+      "no partitionless (single-task) window")
+  }
+
+  test("q99 sequence assembly is one per-key aggregation, no window sort") {
+    val p = planOf("q99_user_paths")
+    assert(p.toLowerCase.contains("collect_list"),
+      "per-key state must ride the aggregation buffer (array_sort after), " +
+        "bounded by that key's history")
+    assert(!p.contains("Window"), "no window over the event stream")
+    assert("Exchange".r.findAllIn(p).size === 1, "one shuffle on the key")
+  }
+
+  test("q100 SCD2 lead-window is per-key partitioned") {
+    val p = planOf("q100_scd2")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "interval build must partition by the dimension key")
+    assert(!p.contains("windowspecdefinition(ORDER"), "no single-task window")
+  }
+
+  test("q101 point-in-time join stays an equi join (interval as post-filter)") {
+    val p = planOf("q101_pit_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "PIT must equi-join on the key — SCD2 intervals partition the " +
+        "timeline, a range/theta join would BNLJ")
+  }
+
+  test("q103/q104/q105 graph joins are equi joins, never all-pairs wedges") {
+    for (q <- Seq("q103_triangles", "q104_pagerank", "q105_cooccur")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: wedge/contribution joins must hash on their keys")
+    }
+    // q105 (the raw edge list) must not even contain a broadcast loop —
+    // q103's two 1-row summary cross-joins are the only allowed BNLJs
+    assert(!planOf("q105_cooccur").contains("BroadcastNestedLoop"))
+    assert(!planOf("q104_pagerank").contains("BroadcastNestedLoop"))
   }
 
   test("q92 survivor-best candidate generation stays an equi band join") {
