@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Sessions
 import graft.operators.{Packing, Sampling}
 import graft.sources.Sources
-import graft.text.{Dedup, TextOps}
+import graft.text.{Dedup, Store, TextOps}
 
 /** Corpus-pipeline CLI: the training-data counterpart of [[Main]] — one
   * spark-submit surface running the LLM-pipeline stages (quality filter →
@@ -27,6 +27,13 @@ import graft.text.{Dedup, TextOps}
   *     [--boilerplate-w w]                segment width in words (default 20)
   *     [--benchmark /data/eval.parquet]   drop docs sharing a 3-gram with it
   *     [--dedup]                          MinHash-LSH near-dup removal (keep smallest id)
+  *     [--dedup-store dir]                INCREMENTAL near-dup removal vs the
+  *                                        persisted signature store: first run
+  *                                        bootstraps (intra-dedup + Store.build),
+  *                                        later runs drop dups vs the store +
+  *                                        intra-drop and append survivors'
+  *                                        signatures — the stored corpus is
+  *                                        never re-tokenized (daily-drop mode)
   *     [--min-tokens n] [--max-tokens n]  quality bounds (default 1/2^31)
   *     [--eval-k n] [--eval-by col]       carve out exactly n docs per stratum
   *                                        (default col: source) to OUT/_eval,
@@ -54,7 +61,8 @@ object Corpus {
       scrubPii: Boolean = false,
       boilerplateDf: Option[Int] = None, boilerplateW: Int = 20,
       benchmark: Option[String] = None,
-      dedup: Boolean = false, minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
+      dedup: Boolean = false, dedupStore: Option[String] = None,
+      minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
       samplePerMille: Option[Int] = None,
       mixture: Map[String, Int] = Map.empty, mixtureDefault: Int = 1000,
       mixtureBy: String = "source",
@@ -81,6 +89,7 @@ object Corpus {
       parse(rest, acc.copy(boilerplateW = v.toInt))
     case "--benchmark" :: v :: rest   => parse(rest, acc.copy(benchmark = Some(v)))
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
+    case "--dedup-store" :: v :: rest => parse(rest, acc.copy(dedupStore = Some(v)))
     case "--min-tokens" :: v :: rest  => parse(rest, acc.copy(minTokens = v.toInt))
     case "--max-tokens" :: v :: rest  => parse(rest, acc.copy(maxTokens = v.toInt))
     case "--sample" :: v :: rest      => parse(rest, acc.copy(samplePerMille = Some(v.toInt)))
@@ -187,6 +196,23 @@ object Corpus {
         .select(col("doc_b").as("doc_id")).distinct()
       corpus = corpus.join(losers, Seq("doc_id"), "left_anti")
     }
+    a.dedupStore.foreach { sd =>
+      corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += corpus
+      if (!Store.exists(spark, sd)) {
+        // bootstrap drop: intra-dedup (smallest-id), then the survivors'
+        // signatures BECOME the store — the next drop dedups against them
+        // without this drop ever being re-tokenized
+        val losers = Dedup.nearDupPairs(corpus)
+          .select(col("doc_b").as("doc_id")).distinct()
+        corpus = corpus.join(losers, Seq("doc_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached += corpus
+        Store.build(corpus, sd)
+      } else {
+        corpus = Store.dedupNewDropVsCorpus(corpus, sd)
+      }
+    }
     val eval = a.evalK.map { k =>
       require(corpus.columns.contains(a.evalBy),
         s"--eval-by column '${a.evalBy}' not in the corpus")
@@ -253,7 +279,7 @@ object Corpus {
     require(a.input.nonEmpty && a.out.nonEmpty,
       "usage: -I <corpus.parquet> -O <out> [--format parquet|orc|json|csv] " +
         "[--scrub-pii] [--remove-boilerplate df] [--boilerplate-w w] " +
-        "[--benchmark p] [--dedup] " +
+        "[--benchmark p] [--dedup] [--dedup-store dir] " +
         "[--min-tokens n] [--max-tokens n] [--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n]")

@@ -1,0 +1,125 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash signature store: compute each document's dedup
+  * signatures ONCE, serve every later drop from the stored table — the
+  * batch analog of `Streams.nearDupVsCorpusStream` and the dedup
+  * counterpart of `vector.Index`'s build/serve split.
+  *
+  * A real 100 TB pipeline ingests drops daily; recomputing the corpus
+  * side's shingles + signatures per drop is an O(corpus) map cost paid
+  * for an O(drop) question. The store makes the recurring cost
+  * O(drop) + one columnar scan of the stored table:
+  *
+  *   - `build` tokenizes/shingles/signs the initial corpus once and
+  *     persists (doc_id, sh, bands) as parquet (the raw 16-hash signature
+  *     is subsumed by its band keys and not stored).
+  *   - `dedupNewDropVsCorpus` signs ONLY the new drop, finds cross
+  *     candidates via the banded equi join (new bands × stored bands —
+  *     never a theta join), verifies exact Jaccard on candidates only
+  *     against the STORED shingle sets (the old corpus is never
+  *     re-tokenized), removes intra-drop dups the same way (smallest-id
+  *     survivorship, q26's policy), and appends the SURVIVORS' already
+  *     computed signatures to the store. Idempotent: re-running the same
+  *     drop finds every doc identical to its stored self (Jaccard 1) and
+  *     appends nothing.
+  *
+  * Store-side scan shape: the band-join branch reads only (doc_id,
+  * bands); the verify branch reads (doc_id, sh) joined to the tiny
+  * candidate set (AQE broadcasts it), so no corpus-sized shuffle of the
+  * store — column pruning keeps each branch at the columns it needs.
+  *
+  * Determinism: signatures and band keys are md5-derived (TextOps), the
+  * Jaccard decision is the integer 10·|∩| ≥ t·|∪| rule, survivorship is
+  * smallest-id — the stored table and every survivor set are re-run
+  * byte-identical (the training-data audit property).
+  */
+object Store {
+
+  def sigPath(storeDir: String): String = s"$storeDir/signatures"
+
+  def exists(s: SparkSession, storeDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(sigPath(storeDir))
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Tokenize + shingle + sign the corpus once; persist the signature
+    * table. Overwrites: build is the scheduled full (re)bootstrap, like
+    * `Index.build`.
+    */
+  def build(docs: DataFrame, storeDir: String,
+            idCol: String = "doc_id", textCol: String = "text"): Unit =
+    Dedup.prepared(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(sigPath(storeDir))
+
+  /** The stored signature table: (doc_id, sh, bands). */
+  def load(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(sigPath(storeDir))
+
+  /** Dedup a new drop against the stored corpus WITHOUT recomputing any
+    * stored signature, append the survivors' signatures, and return the
+    * surviving rows of `newDocs`.
+    *
+    * A new doc is dropped when it near-dups (exact Jaccard ≥ t/10 among
+    * banded candidates) ANY stored doc, or a smaller-id doc of its own
+    * drop (intra-drop smallest-id survivorship — applied unconditionally,
+    * so the kept set never depends on join evaluation order).
+    *
+    * The dup-id set is materialized BEFORE the append (same discipline as
+    * `Index.append`): the survivor plan must never scan the directory it
+    * is appending to mid-write.
+    */
+  def dedupNewDropVsCorpus(newDocs: DataFrame, storeDir: String,
+                           thresholdTenths: Int = 7,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val s = newDocs.sparkSession
+    require(exists(s, storeDir),
+      s"no signature store under $storeDir — run Store.build first")
+    // materialized: prep feeds the band join, both intra verify sides,
+    // the cross verify side, and the survivor append — five branches
+    val prep = Dedup.materialize(Dedup.prepared(newDocs, idCol, textCol))
+    val stored = load(s, storeDir)
+
+    val nb = prep.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val ob = stored.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val crossCand = nb.as("n").join(ob.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_key") === col("o.band_key"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+
+    val newSh = prep.select(col("doc_id").as("new_id"), col("sh").as("nsh"))
+    val oldSh = stored.select(col("doc_id").as("old_id"), col("sh").as("osh"))
+    def verified(cand: DataFrame, aSh: DataFrame, bSh: DataFrame,
+                 aKey: String, bKey: String): DataFrame =
+      cand.join(aSh, aKey).join(bSh, bKey)
+        .select(col(aKey), col(bKey),
+          size(array_intersect(col(aSh.columns(1)), col(bSh.columns(1)))).as("i"),
+          (size(col(aSh.columns(1))) + size(col(bSh.columns(1)))).as("ss"))
+        .filter(col("i") * 10 >= (col("ss") - col("i")) * lit(thresholdTenths))
+
+    val crossDup = verified(crossCand, newSh, oldSh, "new_id", "old_id")
+      .select(col("new_id")).distinct()
+    val intraPairs = Dedup.candidatePairs(prep)
+    val intraDup = verified(intraPairs,
+        newSh.toDF("doc_a", "sha"), newSh.toDF("doc_b", "shb"),
+        "doc_a", "doc_b")
+      .select(col("doc_b").as("new_id")).distinct()
+
+    // tiny (dup ids only) — materialize to cut lineage to the store dir
+    // before appending to it, and so the returned survivor frame never
+    // re-runs the mining when the caller acts on it
+    val dups = Dedup.materialize(crossDup.unionByName(intraDup).distinct())
+
+    prep.join(dups.withColumnRenamed("new_id", "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(sigPath(storeDir))
+
+    newDocs.join(dups.select(col("new_id").as(idCol)), Seq(idCol), "left_anti")
+  }
+}

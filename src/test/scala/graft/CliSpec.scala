@@ -44,6 +44,34 @@ class CliSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("Corpus CLI: --dedup-store two-drop pipeline dedups drop 2 against drop 1's store") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-store")
+    val keep = (1 to 30).map(i => s"k$i").mkString(" ")
+    val uniq = (50 to 80).map(i => s"u$i").mkString(" ")
+    Seq((1L, keep), (2L, keep), (3L, uniq))          // 2 intra-dups 1
+      .toDF("doc_id", "text").write.parquet(s"$dir/drop1")
+    Seq((10L, keep), (11L, (200 to 230).map(i => s"n$i").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/drop2")
+
+    // drop 1 bootstraps the store (intra-dedup first: 2 never enters it)
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop1", "-O", s"$dir/out1", "--dedup-store", s"$dir/store"))
+    assert(spark.read.parquet(s"$dir/out1").select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 3L))
+    assert(graft.text.Store.load(spark, s"$dir/store").count() === 2L)
+
+    // drop 2: doc 10 dups STORED doc 1 — dropped without drop 1 being
+    // re-read (only the store is consulted); 11 survives and is appended
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/out2", "--dedup-store", s"$dir/store"))
+    assert(spark.read.parquet(s"$dir/out2").select("doc_id").as[Long]
+      .collect().toSet === Set(11L))
+    assert(graft.text.Store.load(spark, s"$dir/store")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 11L))
+  }
+
   test("Corpus CLI: eval carve-out + mixture weights are disjoint, exact, deterministic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
