@@ -47,6 +47,14 @@ object Sources {
     * scan).
     */
   def csv(spark: SparkSession, path: String, schemaDdl: Option[String] = None): DataFrame = {
+    // loud, not silent: downstream arithmetic on all-string columns is the
+    // failure mode this warning exists for (callers migrating from
+    // inferSchema-on readers)
+    if (schemaDdl.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "graft.Sources.csv: no schema DDL supplied — all columns read as " +
+          "strings (schema inference is intentionally OFF: it costs a full " +
+          "extra pass at scale). Pass schemaDdl for typed columns.")
     val r = spark.read.option("header", "true")
     schemaDdl.fold(r)(d => r.schema(d)).csv(path)
   }
