@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Sessions
-import graft.operators.{Packing, Sampling}
+import graft.operators.{Graph, Packing, Sampling}
 import graft.sources.Sources
 import graft.text.{Dedup, Store, TextOps}
 
@@ -34,6 +34,13 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        intra-drop and append survivors'
   *                                        signatures — the stored corpus is
   *                                        never re-tokenized (daily-drop mode)
+  *     [--dup-graph-stats col]            emit the per-`col` dup-graph triangle
+  *                                        census (nodes/edges/triangles of the
+  *                                        near-dup pair graph restricted to
+  *                                        same-`col` edges) to OUT/_dupgraph —
+  *                                        computed BEFORE dedup removes the
+  *                                        dups it diagnoses; triangle-dense
+  *                                        groups are template families
   *     [--min-tokens n] [--max-tokens n]  quality bounds (default 1/2^31)
   *     [--eval-k n] [--eval-by col]       carve out exactly n docs per stratum
   *                                        (default col: source) to OUT/_eval,
@@ -62,6 +69,7 @@ object Corpus {
       boilerplateDf: Option[Int] = None, boilerplateW: Int = 20,
       benchmark: Option[String] = None,
       dedup: Boolean = false, dedupStore: Option[String] = None,
+      dupGraphBy: Option[String] = None,
       minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
       samplePerMille: Option[Int] = None,
       mixture: Map[String, Int] = Map.empty, mixtureDefault: Int = 1000,
@@ -90,6 +98,7 @@ object Corpus {
     case "--benchmark" :: v :: rest   => parse(rest, acc.copy(benchmark = Some(v)))
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
     case "--dedup-store" :: v :: rest => parse(rest, acc.copy(dedupStore = Some(v)))
+    case "--dup-graph-stats" :: v :: rest => parse(rest, acc.copy(dupGraphBy = Some(v)))
     case "--min-tokens" :: v :: rest  => parse(rest, acc.copy(minTokens = v.toInt))
     case "--max-tokens" :: v :: rest  => parse(rest, acc.copy(maxTokens = v.toInt))
     case "--sample" :: v :: rest      => parse(rest, acc.copy(samplePerMille = Some(v.toInt)))
@@ -123,7 +132,7 @@ object Corpus {
     * action or the cached corpus copies outlive the run).
     */
   def pipelineWithHandles(spark: SparkSession, a: Args): (DataFrame, Seq[DataFrame]) = {
-    val (train, _, cached) = pipelineFull(spark, a)
+    val (train, _, _, cached) = pipelineFull(spark, a)
     (train, cached)
   }
 
@@ -134,8 +143,8 @@ object Corpus {
     * anti-joined out of the training corpus — train and eval are disjoint
     * by construction.
     */
-  def pipelineFull(spark: SparkSession,
-                   a: Args): (DataFrame, Option[DataFrame], Seq[DataFrame]) = {
+  def pipelineFull(spark: SparkSession, a: Args)
+      : (DataFrame, Option[DataFrame], Option[DataFrame], Seq[DataFrame]) = {
     require(a.shards > 0, "--shards must be positive")
     val cached = Seq.newBuilder[DataFrame]
     val input = a.format match {
@@ -183,6 +192,22 @@ object Corpus {
       corpus = Dedup.decontaminate(corpus,
         if (a.scrubPii) bench.withColumn("text", graft.text.Pii.scrub(col("text")))
         else bench)
+    }
+    // dup-graph diagnostic BEFORE any dedup stage: it censuses exactly
+    // the dups the later stages remove
+    val dupGraph = a.dupGraphBy.map { gcol =>
+      require(corpus.columns.contains(gcol),
+        s"--dup-graph-stats column '$gcol' not in the corpus")
+      corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += corpus
+      val pairs = Dedup.nearDupPairs(corpus).select(col("doc_a"), col("doc_b"))
+      val g = corpus.select(col("doc_id"), col(gcol))
+      val edges = pairs
+        .join(g.toDF("doc_a", "ga"), "doc_a")
+        .join(g.toDF("doc_b", "gb"), "doc_b")
+        .filter(col("ga") === col("gb"))
+        .select(col("ga").as(gcol), col("doc_a").as("u"), col("doc_b").as("v"))
+      Graph.triangleStatsPerGroup(edges, gcol)
     }
     if (a.dedup) {
       // the corpus subtree feeds BOTH the LSH pair mining and the anti
@@ -271,7 +296,7 @@ object Corpus {
         corpus.withColumn("shard",
           Sampling.hashBucket(col("doc_id"), a.shards, seed = "pack"))
     }
-    (out.drop("__n_tokens"), eval, cached.result())
+    (out.drop("__n_tokens"), eval, dupGraph, cached.result())
   }
 
   def run(spark: SparkSession, argv: Array[String]): Unit = {
@@ -279,17 +304,20 @@ object Corpus {
     require(a.input.nonEmpty && a.out.nonEmpty,
       "usage: -I <corpus.parquet> -O <out> [--format parquet|orc|json|csv] " +
         "[--scrub-pii] [--remove-boilerplate df] [--boilerplate-w w] " +
-        "[--benchmark p] [--dedup] [--dedup-store dir] " +
+        "[--benchmark p] [--dedup] [--dedup-store dir] [--dup-graph-stats col] " +
         "[--min-tokens n] [--max-tokens n] [--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n]")
-    val (out, eval, cached) = pipelineFull(spark, a)
+    val (out, eval, dupGraph, cached) = pipelineFull(spark, a)
     try {
       Sources.writePartitioned(out, a.out, Seq("shard"), Seq("doc_id"))
       // after the main write: _eval is skipped by readers of a.out, and
       // writing second means a failed train write never leaves a dangling
       // eval set behind
       eval.foreach(_.write.mode("overwrite").parquet(s"${a.out}/_eval"))
+      // _dupgraph: tiny (groups × 1 row) diagnostic, underscore-skipped
+      dupGraph.foreach(_.repartition(1).write.mode("overwrite")
+        .parquet(s"${a.out}/_dupgraph"))
     } finally cached.foreach(_.unpersist())
   }
 

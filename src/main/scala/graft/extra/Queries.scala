@@ -241,6 +241,68 @@ object Queries {
       Graph.coOccurrenceEdges(Tables(s, dir).lineitem, "l_orderkey",
         "l_partkey")),
 
+    // EXACT equi-depth histogram (quantile buckets) without a global
+    // sort: per-VALUE counts (bounded by the value domain, not the row
+    // count), cumulative starts via the q98 segmented-prefix-sum shape —
+    // running sum per value-segment + broadcast carry-in offsets, so no
+    // single-task window over the domain — then bucket = (start·B) div N
+    // (ties share a bucket; buckets are exact rank ranges). The ANALYZE
+    // companion to q93's equi-WIDTH histogram: this one sizes quantile
+    // cutoffs (p99 token counts, price bands) exactly at any scale.
+    "q109_equidepth" -> ((s, dir) => {
+      val B = 8
+      // materialized: the value-count frame (domain-sized, ≪ rows) feeds
+      // the carry-offsets branch, the totals branch, and the main cumsum —
+      // without this the lineitem scan+agg runs three times
+      val vc = graft.text.Dedup.materialize(Tables(s, dir).lineitem
+        .select(expr("CAST(floor(l_extendedprice*100) AS BIGINT)").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("seg", expr("v div 100000")))
+      val wIn = Window.partitionBy(col("seg")).orderBy(col("v"))
+      val wSeg = Window.orderBy(col("seg"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = vc.groupBy(col("seg")).agg(sum(col("c")).as("net"))
+        .select(col("seg"),
+          coalesce(sum(col("net")).over(wSeg), lit(0L)).as("carry"))
+      val tot = vc.agg(sum(col("c")).as("nn"))
+      vc.withColumn("cin", sum(col("c")).over(wIn))
+        .join(broadcast(offs), Seq("seg"))
+        .crossJoin(broadcast(tot))
+        .withColumn("start", col("cin") + col("carry") - col("c"))
+        .groupBy(expr(s"(start * $B) div nn").as("bucket"))
+        .agg(sum(col("c")).as("n_rows"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"))
+    }),
+
+    // Integer token-budget apportionment (largest-remainder method): give
+    // each source a share of a fixed training-token budget proportional
+    // to its corpus token mass, EXACTLY — floor quotas + the leftover
+    // distributed by largest remainder (ties: source asc). The mixture
+    // planner that turns "1M tokens, weighted by availability" into
+    // per-source integer allocations summing exactly to the budget; all
+    // integer arithmetic, one tiny per-source frame after one corpus agg.
+    "q110_token_budget" -> ((s, dir) => {
+      val budget = 1000000L
+      // materialized: the per-source frame (a handful of rows) feeds the
+      // totals, the quota ranking, and the leftover agg — ONE corpus scan
+      val perSrc = graft.text.Dedup.materialize(Tables(s, dir).documents
+        .select(col("source"),
+          size(graft.text.TextOps.words(col("text"))).as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("toks")))
+      val tot = perSrc.agg(sum(col("toks")).as("tt"))
+      val quotas = perSrc.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($budget * toks) div tt"))
+        .withColumn("rem", expr(s"($budget * toks) % tt"))
+      val wRem = Window.orderBy(col("rem").desc, col("source").asc)
+      quotas
+        .withColumn("rk", row_number().over(wRem))
+        .crossJoin(broadcast(
+          quotas.agg((lit(budget) - sum(col("base"))).as("left_over"))))
+        .select(col("source"), col("toks"),
+          (col("base") + when(col("rk") <= col("left_over"), 1L).otherwise(0L))
+            .as("alloc_tokens"))
+    }),
+
     // Rank-family window functions over a deterministic total order:
     // rank/dense_rank (ties impossible by construction), percent_rank
     // and cume_dist (exact rationals of the same integer operands in
@@ -831,6 +893,30 @@ object Queries {
         |WHERE nullif(c_custkey % 50, 7) NOT IN
         |  (SELECT o_custkey % 50 FROM orders
         |   WHERE o_orderpriority = '1-URGENT' AND o_custkey % 50 < 40)""".stripMargin,
+    "q109_equidepth" ->
+      """WITH vc AS (SELECT CAST(floor(l_extendedprice*100) AS BIGINT) AS v,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (SELECT v, c,
+        |  CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS start FROM vc),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM vc)
+        |SELECT (start * 8) // nn AS bucket,
+        |  CAST(sum(c) AS BIGINT) AS n_rows, min(v) AS lo, max(v) AS hi
+        |FROM cum, tot GROUP BY 1""".stripMargin,
+    "q110_token_budget" ->
+      """WITH ps AS (SELECT source,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS tt FROM ps),
+        |q AS (SELECT source, toks, (1000000 * toks) // tt AS base,
+        |    (1000000 * toks) % tt AS rem FROM ps, tot),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM q),
+        |lo AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS left_over FROM q)
+        |SELECT source, toks,
+        |  CAST(base + CASE WHEN rk <= left_over THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_tokens
+        |FROM r, lo""".stripMargin,
     "q100_scd2" ->
       """SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
         |  coalesce(lead(epoch_us(ts)) OVER (

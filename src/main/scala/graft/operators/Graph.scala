@@ -79,6 +79,48 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Per-group triangle census: [[triangleStats]] with every join and
+    * aggregation additionally keyed by a group column — one row per group
+    * (group, n_nodes, n_edges, n_triangles). The dup-graph quality
+    * diagnostic: a template family (near-identical boilerplate docs)
+    * shows up as a group whose dup graph is triangle-dense, while
+    * pairwise-noise matches stay triangle-free — density separates
+    * "this source is one template" from "a few accidental collisions".
+    *
+    * Scale shape: identical to [[triangleStats]] (degree orientation
+    * bounds wedge volume at O(m^1.5) PER GROUP), and the group key rides
+    * every equi join, so groups co-partition and never mix.
+    */
+  def triangleStatsPerGroup(edges: DataFrame, groupCol: String): DataFrame = {
+    val e = materialize(
+      edges.select(col(groupCol).as("g"), col("u"), col("v")).distinct())
+    val deg = e.select(col("g"), col("u").as("x"))
+      .unionAll(e.select(col("g"), col("v").as("x")))
+      .groupBy(col("g"), col("x")).agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), Seq("g", "u"))
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), Seq("g", "v"))
+    val lt = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val ori = materialize(ed.select(col("g"),
+      when(lt, col("u")).otherwise(col("v")).as("src"),
+      when(lt, col("v")).otherwise(col("u")).as("dst"),
+      when(lt, col("dv")).otherwise(col("du")).as("dd")))
+    val wedges = ori.as("e1").join(ori.as("e2"),
+      col("e1.g") === col("e2.g") && col("e1.src") === col("e2.src") &&
+        (col("e1.dd") < col("e2.dd") ||
+          (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+    val tri = wedges.join(ori.as("e3"),
+        col("e1.g") === col("e3.g") && col("e1.dst") === col("e3.src") &&
+          col("e2.dst") === col("e3.dst"))
+      .groupBy(col("e1.g").as("g")).agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.groupBy(col("g")).agg(count(lit(1)).as("n_nodes"))
+    val edgeCounts = e.groupBy(col("g")).agg(count(lit(1)).as("n_edges"))
+    nodes.join(edgeCounts, Seq("g"))
+      .join(tri, Seq("g"), "left")
+      .select(col("g").as(groupCol), col("n_nodes"), col("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** Fixed-iteration PageRank on an undirected edge list, in EXACT integer
     * arithmetic so every engine computes bit-identical ranks: scores are
     * parts-per-million longs, each node's contribution is `pr div degree`

@@ -72,6 +72,30 @@ class CliSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 11L))
   }
 
+  test("Corpus CLI: --dup-graph-stats emits the per-source triangle census before dedup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-dupgraph")
+    val tmpl = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, "tmpl", tmpl), (2L, "tmpl", tmpl), (3L, "tmpl", tmpl), // dup triangle
+      (4L, "web", (50 to 80).map(i => s"w$i").mkString(" ")))     // clean
+      .toDF("doc_id", "source", "text")
+    docs.write.parquet(s"$dir/corpus")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out",
+      "--dedup", "--dup-graph-stats", "source"))
+    val stats = spark.read.parquet(s"$dir/out/_dupgraph")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(stats("tmpl") === (("tmpl", 3L, 3L, 1L)),
+      "the template family censuses as one dup triangle")
+    assert(!stats.contains("web"), "clean sources have no dup edges")
+    // the diagnostic ran BEFORE dedup: training output keeps only doc 1 of
+    // the family, yet the census saw all three
+    assert(spark.read.parquet(s"$dir/out").select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 4L))
+  }
+
   test("Corpus CLI: eval carve-out + mixture weights are disjoint, exact, deterministic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -41,6 +41,17 @@ class GraphSpec extends AnyFunSuite {
     assert(got === ((4L, 3L, 0L)))
   }
 
+  test("triangleStatsPerGroup keys the census by group; empty-triangle groups report 0") {
+    val e = Seq(
+      ("tmpl", 1L, 2L), ("tmpl", 2L, 3L), ("tmpl", 1L, 3L), // triangle
+      ("web", 7L, 8L))                                      // lone edge
+      .toDF("g", "u", "v")
+    val got = Graph.triangleStatsPerGroup(e, "g")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("tmpl") === (("tmpl", 3L, 3L, 1L)))
+    assert(got("web") === (("web", 2L, 1L, 0L)))
+  }
+
   test("pageRankInt matches the hand-computed 3-iteration ranks on a path") {
     // path 1–2–3: deg(1)=deg(3)=1, deg(2)=2 — three exact integer rounds
     val got = Graph.pageRankInt(edges((1L, 2L), (2L, 3L)), iters = 3)

@@ -286,6 +286,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!planOf("q104_pagerank").contains("BroadcastNestedLoop"))
   }
 
+  test("q107 per-group dup-graph census joins equi-only on (group, vertex) keys") {
+    val p = planOf("q107_dup_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "wedge closure must hash on (g, src/dst) — groups never mix")
+  }
+
+  test("q108 exact simjoin: prefix-filtered equi candidates, no all-pairs, no window") {
+    val p = planOf("q108_simjoin_exact")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "the completeness guarantee must come from prefix filtering, not brute force")
+    assert(!p.contains("Window"), "per-doc shingle ordering rides the agg buffer")
+  }
+
+  test("q109 equi-depth cumsum is segmented with broadcast carries (no single-task window over the domain)") {
+    val p = planOf("q109_equidepth")
+    assert(p.contains("windowspecdefinition(seg"),
+      "the value-domain cumsum must partition by segment")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "carry-ins and totals must broadcast back")
+  }
+
+  test("q110 apportionment windows only the per-source frame") {
+    val p = planOf("q110_token_budget")
+    // the row_number ranking runs over the handful of sources — assert the
+    // corpus-sized side never reaches a window (no doc-level columns in it)
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      "ranking must happen after the per-source reduction")
+  }
+
   test("q92 survivor-best candidate generation stays an equi band join") {
     val p = planOf("q92_survivor_best")
     assert(!p.contains("CartesianProduct"),
