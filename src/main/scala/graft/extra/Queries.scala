@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.multimodal.Binary
-import graft.operators.{Analytic, Events, Graph, Pipe, Profile, Relational, Scale}
+import graft.operators.{Analytic, Audit, Events, Graph, Pipe, Profile, Relational, Scale}
 
 /** Event-time analytics, grouping-set/pivot/json/window-function surface,
   * typed per-group analytics, the external-pipe escape hatch, and the
@@ -240,6 +240,51 @@ object Queries {
     "q105_cooccur" -> ((s, dir) =>
       Graph.coOccurrenceEdges(Tables(s, dir).lineitem, "l_orderkey",
         "l_partkey")),
+
+    // Bucketed co-located join: both sides written bucketBy(8) on the
+    // join key, so the join AND the following same-key aggregation read
+    // pre-partitioned buckets — ZERO shuffle exchanges in the whole plan
+    // (plan-asserted). THE layout feature for a fact table joined on the
+    // same key daily at 100 TB: the shuffle is paid once at write time,
+    // not per query.
+    "q111_bucketed_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-bucketed").toString
+      t.lineitem.select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li").saveAsTable("graft_li_bucketed")
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/ord").saveAsTable("graft_ord_bucketed")
+      s.table("graft_li_bucketed")
+        .join(s.table("graft_ord_bucketed")
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * lit(100))).as("revenue_cents"))
+    }),
+
+    // Drop-to-drop audit: exact per-kind change counts between two corpus
+    // versions (v2 deterministically derived: every 11th doc removed,
+    // every 7th surviving doc's lang changed, every 13th re-added under a
+    // shifted id) — one full-outer join on the key + one fixed-size
+    // summary aggregation; null-safe comparisons.
+    "q112_table_diff" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val base = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("lang",
+          when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")))
+      val v2 = base.unionByName(d.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+      Audit.tableDiff(d, v2, "doc_id", Seq("lang", "source", "n_chars"))
+    }),
 
     // EXACT equi-depth histogram (quantile buckets) without a global
     // sort: per-VALUE counts (bounded by the value domain, not the row
@@ -893,6 +938,46 @@ object Queries {
         |WHERE nullif(c_custkey % 50, 7) NOT IN
         |  (SELECT o_custkey % 50 FROM orders
         |   WHERE o_orderpriority = '1-URGENT' AND o_custkey % 50 < 40)""".stripMargin,
+    "q111_bucketed_join" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+    "q112_table_diff" ->
+      """WITH v1 AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    source, n_chars
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, source, n_chars FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |j AS (SELECT
+        |    a.doc_id IS NOT NULL AS pa, b.doc_id IS NOT NULL AS pb,
+        |    (a.lang IS DISTINCT FROM b.lang) AS ch_lang,
+        |    (a.source IS DISTINCT FROM b.source) AS ch_source,
+        |    (a.n_chars IS DISTINCT FROM b.n_chars) AS ch_n_chars
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT 'added' AS change,
+        |  CAST(count(*) FILTER (WHERE NOT pa) AS BIGINT) AS n FROM j
+        |UNION ALL SELECT 'removed',
+        |  CAST(count(*) FILTER (WHERE NOT pb) AS BIGINT) FROM j
+        |UNION ALL SELECT 'changed', CAST(count(*) FILTER
+        |  (WHERE pa AND pb AND (ch_lang OR ch_source OR ch_n_chars))
+        |  AS BIGINT) FROM j
+        |UNION ALL SELECT 'unchanged', CAST(count(*) FILTER
+        |  (WHERE pa AND pb AND NOT (ch_lang OR ch_source OR ch_n_chars))
+        |  AS BIGINT) FROM j
+        |UNION ALL SELECT 'changed_lang',
+        |  CAST(count(*) FILTER (WHERE pa AND pb AND ch_lang) AS BIGINT) FROM j
+        |UNION ALL SELECT 'changed_source',
+        |  CAST(count(*) FILTER (WHERE pa AND pb AND ch_source) AS BIGINT) FROM j
+        |UNION ALL SELECT 'changed_n_chars',
+        |  CAST(count(*) FILTER (WHERE pa AND pb AND ch_n_chars) AS BIGINT)
+        |  FROM j""".stripMargin,
     "q109_equidepth" ->
       """WITH vc AS (SELECT CAST(floor(l_extendedprice*100) AS BIGINT) AS v,
         |    count(*) AS c

@@ -315,6 +315,23 @@ class PlanSpec extends AnyFunSuite {
       "ranking must happen after the per-source reduction")
   }
 
+  test("q111 bucketed join reads pre-partitioned buckets: zero shuffle exchanges") {
+    val f = formatted("q111_bucketed_join")
+    assert(f.contains("Bucketed: true"),
+      "both scans must report the bucketed layout — otherwise the write-time " +
+        "shuffle is being paid again at read time")
+    assert(!f.contains("Exchange hashpartitioning") &&
+        !f.contains("Exchange rangepartitioning"),
+      "join on the bucket key + same-key aggregation must not shuffle at all")
+  }
+
+  test("q112 table diff is one full-outer join + one fixed-size summary") {
+    val p = planOf("q112_table_diff")
+    assert(p.toLowerCase.contains("fullouter"), "diff must join full-outer once")
+    assert(!p.contains("Window"), "no per-row ranking — the summary is one agg")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("q92 survivor-best candidate generation stays an equi band join") {
     val p = planOf("q92_survivor_best")
     assert(!p.contains("CartesianProduct"),

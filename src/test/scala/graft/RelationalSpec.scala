@@ -189,6 +189,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pre-scale"))
   }
 
+  test("Audit.tableDiff classifies added/removed/changed with null-safe compares") {
+    val v1 = Seq((1L, Option("a"), 10L), (2L, Option("b"), 20L),
+      (3L, Option("c"), 30L), (4L, None, 40L)).toDF("id", "s", "v")
+    val v2 = Seq((2L, Option("b"), 20L),       // unchanged
+      (3L, None, 30L),                          // changed: s  c→null
+      (4L, None, 41L),                          // changed: v  (null==null not a change)
+      (5L, Option("e"), 50L))                   // added
+    .toDF("id", "s", "v")                       // id 1 removed
+    val got = graft.operators.Audit.tableDiff(v1, v2, "id", Seq("s", "v"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L,
+      "unchanged" -> 1L, "changed_s" -> 1L, "changed_v" -> 1L))
+  }
+
   test("scatter/gather invariant: per-key agg is partitioning-independent") {
     val df = (1 to 1000).map(i => (i % 7, i.toLong)).toDF("k", "v")
     val expected = df.groupBy("k").agg(sum("v")).as[(Int, Long)].collect().toMap
