@@ -154,7 +154,7 @@ object Streams {
     * collapse every unrelated empty doc into one "near-dup" group and
     * drop all but the first (they carry no content to match on).
     */
-  private def sigKey(textCol: String, idCol: String, numHashes: Int) = {
+  private[graft] def sigKey(textCol: String, idCol: String, numHashes: Int) = {
     import graft.text.TextOps
     val ws = TextOps.words(col(textCol))
     val sig = graft.functions.MinHashSignature.of(TextOps.shingleSet(ws, 3), numHashes)
@@ -187,6 +187,33 @@ object Streams {
       .distinct()
     docs
       .withColumn("__sig_key", sigKey(textCol, idCol, numHashes))
+      .join(seen, Seq("__sig_key"), "left_anti")
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("__sig_key"))
+      .drop("__sig_key")
+  }
+
+  /** [[nearDupVsCorpusStream]] served from the PERSISTED signature store
+    * (`text.Store`): the static side is the stored `sig_key` column — a
+    * columnar scan of one string column — so starting (or restarting) a
+    * long-running ingest stream never re-tokenizes the corpus. The batch
+    * `Store.dedupNewDropVsCorpus` appends survivors' keys, so a daily
+    * batch compaction and this stream share one source of truth. The key
+    * is computed with the store's own hash count ([[graft.text.Store
+    * .SigKeyHashes]]) — probing with a different signature would silently
+    * never match.
+    */
+  def nearDupVsStoreStream(docs: DataFrame, storeDir: String,
+                           lateness: String,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val seen = graft.text.Store.load(docs.sparkSession, storeDir)
+      .select(col("sig_key").as("__sig_key"))
+      .filter(!col("__sig_key").startsWith("raw:"))
+      .distinct()
+    docs
+      .withColumn("__sig_key",
+        sigKey(textCol, idCol, graft.text.Store.SigKeyHashes))
       .join(seen, Seq("__sig_key"), "left_anti")
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("__sig_key"))

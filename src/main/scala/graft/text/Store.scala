@@ -40,6 +40,25 @@ object Store {
 
   def sigPath(storeDir: String): String = s"$storeDir/signatures"
 
+  /** Hash count of the streaming signature key stored alongside the batch
+    * signatures — `Streams.nearDupVsStoreStream` must probe with the SAME
+    * key the store was built with, so both sides read this constant.
+    */
+  val SigKeyHashes: Int = 8
+
+  /** (doc_id, sh, bands, sig_key): the batch signatures from
+    * [[Dedup.prepared]] plus the streaming dedup key — computed once here
+    * so a long-running ingest stream can left-anti against the store
+    * without ever touching the corpus text.
+    */
+  private def signed(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    Dedup.prepared(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        graft.streaming.Streams.sigKey(textCol, idCol, SigKeyHashes)
+          .as("sig_key")), Seq("doc_id"))
+      .select(col("doc_id"), col("sh"), col("bands"), col("sig_key"))
+
   def exists(s: SparkSession, storeDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(sigPath(storeDir))
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
@@ -51,10 +70,10 @@ object Store {
     */
   def build(docs: DataFrame, storeDir: String,
             idCol: String = "doc_id", textCol: String = "text"): Unit =
-    Dedup.prepared(docs, idCol, textCol)
+    signed(docs, idCol, textCol)
       .write.mode("overwrite").parquet(sigPath(storeDir))
 
-  /** The stored signature table: (doc_id, sh, bands). */
+  /** The stored signature table: (doc_id, sh, bands, sig_key). */
   def load(s: SparkSession, storeDir: String): DataFrame =
     s.read.parquet(sigPath(storeDir))
 
@@ -79,8 +98,10 @@ object Store {
     require(exists(s, storeDir),
       s"no signature store under $storeDir — run Store.build first")
     // materialized: prep feeds the band join, both intra verify sides,
-    // the cross verify side, and the survivor append — five branches
-    val prep = Dedup.materialize(Dedup.prepared(newDocs, idCol, textCol))
+    // the cross verify side, and the survivor append — five branches.
+    // `signed` (not bare `prepared`): appended rows must carry the same
+    // (doc_id, sh, bands, sig_key) schema the store was built with
+    val prep = Dedup.materialize(signed(newDocs, idCol, textCol))
     val stored = load(s, storeDir)
 
     val nb = prep.select(col("doc_id"),

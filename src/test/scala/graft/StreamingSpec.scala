@@ -145,6 +145,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-vs-store near-dup: ingest dedups against the persisted signature store") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sigstore-stream").toString
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    val fresh = (100 to 140).map(i => s"v$i").mkString(" ")
+    // the store is built ONCE from the corpus; the stream never sees the
+    // corpus text — only the stored sig_key column
+    graft.text.Store.build(
+      Seq((900L, common), (901L, "hey there")).toDF("doc_id", "text"), dir)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.nearDupVsStoreStream(docs, dir, "1 hour")
+      .writeStream.format("memory").queryName("neardup_store_stream")
+      .outputMode("append").start()
+    try {
+      // 1 matches stored 900's signature → dropped; 2 fresh → kept;
+      // 5 byte-identical to stored short doc 901 → dropped on exact-text key
+      mem.addData((1L, common, ts(10)), (2L, fresh, ts(20)),
+        (5L, "hey there", ts(26)))
+      q.processAllAvailable()
+      // 4 repeats 2 within the stream → dropped by the in-stream stage
+      mem.addData((4L, fresh, ts(30)))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_store_stream")
+        .select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(2L))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
