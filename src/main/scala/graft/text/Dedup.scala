@@ -40,9 +40,23 @@ object Dedup {
       .select(col("doc_id"), col("sh"), TextOps.lshBands(col("sig"), numBands, rowsPerBand).as("bands"))
   }
 
-  /** Candidate pairs (doc_a < doc_b) sharing ≥1 LSH band bucket. */
+  /** Candidate pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
+    *
+    * BLANK (empty/whitespace) docs are excluded from banding: the
+    * `shingles` <n fallback gives every blank doc the same singleton
+    * shingle set ([""]), so one band bucket would hold EVERY blank doc
+    * and the verify's Jaccard-1 on identical singletons would "near-dup"
+    * all of them into one survivor despite carrying no content — the
+    * exact failure `Streams.sigKey` guards with per-doc `raw:` keys on
+    * the streaming path. Short-but-real docs (1-2 words) stay IN: their
+    * fallback shingle is their full text, so banding dedups them by
+    * exact text (a singleton set can only reach Jaccard ≥ 0.7 against an
+    * identical singleton) — the batch analog of sigKey's `txt:` keys.
+    */
   def candidatePairs(prep: DataFrame): DataFrame = {
-    val banded = prep.select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val banded = prep
+      .filter(!(size(col("sh")) === 1 && trim(element_at(col("sh"), 1)) === ""))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     banded.as("a")
       .join(
         banded.as("b"),

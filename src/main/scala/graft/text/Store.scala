@@ -70,8 +70,42 @@ object Store {
     */
   def build(docs: DataFrame, storeDir: String,
             idCol: String = "doc_id", textCol: String = "text"): Unit =
-    signed(docs, idCol, textCol)
-      .write.mode("overwrite").parquet(sigPath(storeDir))
+    buildStaged(docs, storeDir, idCol, textCol)()
+
+  /** [[build]] split into compute and commit: the signatures land in a
+    * staging dir inside `storeDir` NOW; the store only starts existing
+    * (for [[exists]]/[[load]]) when the returned commit thunk runs. The
+    * crash-retry guard for pipelines that bootstrap the store as a side
+    * effect of producing another output (CLI `--dedup-store`): commit
+    * after THAT output succeeds, or a failed run's retry would find a
+    * store already containing the drop and dedup it against itself —
+    * silently writing an empty corpus.
+    */
+  def buildStaged(docs: DataFrame, storeDir: String,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): () => Unit = {
+    val s = docs.sparkSession
+    val staging = stagingPath(storeDir)
+    signed(docs, idCol, textCol).write.mode("overwrite").parquet(staging)
+    () => {
+      val fs = fileSystem(s, storeDir)
+      val sig = new org.apache.hadoop.fs.Path(sigPath(storeDir))
+      fs.delete(sig, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging), sig),
+        s"could not commit staged store $staging -> $sig")
+    }
+  }
+
+  /** Staging dirs live beside (never inside) the signatures dir, so
+    * [[load]]'s parquet scan never sees half-committed files; the leading
+    * underscore additionally makes any recursive reader skip them.
+    */
+  private def stagingPath(storeDir: String): String =
+    s"$storeDir/_staging-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def fileSystem(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** The stored signature table: (doc_id, sh, bands, sig_key). */
   def load(s: SparkSession, storeDir: String): DataFrame =
@@ -94,6 +128,26 @@ object Store {
                            thresholdTenths: Int = 7,
                            idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
+    val (survivors, commit) =
+      dedupNewDropVsCorpusStaged(newDocs, storeDir, thresholdTenths, idCol, textCol)
+    commit()
+    survivors
+  }
+
+  /** [[dedupNewDropVsCorpus]] with the survivor-signature append SPLIT
+    * from the dedup: the mining runs now (survivor signatures land in a
+    * staging dir), but the store is only mutated when the returned commit
+    * thunk runs. Callers that write the survivors somewhere (the CLI's
+    * training output) must commit AFTER that write succeeds: an eager
+    * append + failed output write would make the retry see every doc of
+    * the drop as a dup of its own stored signature and emit an empty
+    * output with no error. Uncommitted staging dirs are inert (never
+    * read) and re-staged work simply replaces them.
+    */
+  def dedupNewDropVsCorpusStaged(newDocs: DataFrame, storeDir: String,
+                                 thresholdTenths: Int = 7,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): (DataFrame, () => Unit) = {
     val s = newDocs.sparkSession
     require(exists(s, storeDir),
       s"no signature store under $storeDir — run Store.build first")
@@ -104,10 +158,22 @@ object Store {
     val prep = Dedup.materialize(signed(newDocs, idCol, textCol))
     val stored = load(s, storeDir)
 
-    val nb = prep.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    val ob = stored.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    // BLANK docs are excluded from both band-join sides (their `raw:`
+    // sig_key marks them — same set as the shingle-fallback's blank
+    // singleton): every blank doc shares one degenerate singleton shingle
+    // set, so once ONE blank doc is stored, banding would silently drop
+    // every blank doc of every later drop despite matching no content.
+    // Mirrors `Streams.sigKey`'s policy: blank docs always survive
+    // (per-doc keys); short-but-real docs stay banded — their fallback
+    // shingle is their exact text, so the banded path dedups them by
+    // exact text (the batch analog of sigKey's `txt:` keys), and
+    // candidatePairs applies the same blank guard on the intra side.
+    val nb = prep.filter(!col("sig_key").startsWith("raw:"))
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val ob = stored.filter(!col("sig_key").startsWith("raw:"))
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val crossCand = nb.as("n").join(ob.as("o"),
         col("n.band_idx") === col("o.band_idx") &&
           col("n.band_key") === col("o.band_key"))
@@ -137,10 +203,27 @@ object Store {
     // re-runs the mining when the caller acts on it
     val dups = Dedup.materialize(crossDup.unionByName(intraDup).distinct())
 
+    val staging = stagingPath(storeDir)
     prep.join(dups.withColumnRenamed("new_id", "doc_id"),
         Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(sigPath(storeDir))
+      .write.mode("overwrite").parquet(staging)
 
-    newDocs.join(dups.select(col("new_id").as(idCol)), Seq(idCol), "left_anti")
+    val survivors =
+      newDocs.join(dups.select(col("new_id").as(idCol)), Seq(idCol), "left_anti")
+    val commit = () => {
+      val fs = fileSystem(s, storeDir)
+      val sig = new org.apache.hadoop.fs.Path(sigPath(storeDir))
+      val src = new org.apache.hadoop.fs.Path(staging)
+      // move data files only: Spark part-file names carry the writing
+      // job's UUID, so names are unique within the signatures dir
+      fs.listStatus(src).foreach { f =>
+        if (f.getPath.getName.startsWith("part-"))
+          require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(sig, f.getPath.getName)),
+            s"could not commit staged append ${f.getPath} -> $sig")
+      }
+      fs.delete(src, true)
+      ()
+    }
+    (survivors, commit)
   }
 }

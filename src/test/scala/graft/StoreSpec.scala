@@ -55,6 +55,45 @@ class StoreSpec extends AnyFunSuite {
     assert(stored === fresh)
   }
 
+  test("short docs never collapse through the degenerate empty-shingle signature") {
+    val dir = Files.createTempDirectory("sigstore-short").toString
+    // store: one long doc, one short (2-word) doc, one blank doc
+    Store.build(Seq((1L, textA), (2L, "hello world"), (3L, ""))
+      .toDF("doc_id", "text"), dir)
+    val drop = Seq(
+      (10L, "hello world"),   // exact text of stored short doc → dropped
+      (11L, "bye now"),       // different short text → must SURVIVE
+      (12L, "bye now"),       // intra-drop exact short dup of 11 → dropped
+      (13L, ""),              // blank: raw: keys never match → survives
+      (14L, ""))              // second blank also survives (no collapse)
+      .toDF("doc_id", "text")
+    val survivors = Store.dedupNewDropVsCorpus(drop, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(11L, 13L, 14L),
+      "short docs dedup on exact text; blank docs always survive")
+    // survivor keys were appended: the same short text in a LATER drop drops
+    val next = Store.dedupNewDropVsCorpus(
+      Seq((20L, "bye now")).toDF("doc_id", "text"), dir)
+    assert(next.isEmpty)
+  }
+
+  test("staged commit: the store is untouched until commit() runs") {
+    val dir = Files.createTempDirectory("sigstore-staged").toString
+    val commitBuild = Store.buildStaged(
+      Seq((1L, textA)).toDF("doc_id", "text"), dir)
+    assert(!Store.exists(spark, dir), "build staged, not committed")
+    commitBuild()
+    assert(Store.exists(spark, dir) && Store.load(spark, dir).count() === 1L)
+
+    val (survivors, commitAppend) = Store.dedupNewDropVsCorpusStaged(
+      Seq((2L, textD)).toDF("doc_id", "text"), dir)
+    assert(survivors.select("doc_id").as[Long].collect().toSet === Set(2L))
+    assert(Store.load(spark, dir).count() === 1L,
+      "append staged — a crashed output write must leave the store as found")
+    commitAppend()
+    assert(Store.load(spark, dir).count() === 2L, "commit lands the append")
+  }
+
   test("dedupNewDropVsCorpus refuses a missing store") {
     val e = intercept[IllegalArgumentException] {
       Store.dedupNewDropVsCorpus(
