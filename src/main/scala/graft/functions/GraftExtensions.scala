@@ -50,6 +50,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: hyperplane_sig(array<bigint>, <int literal bits>, <int literal dims>)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) => children match {
+        case Seq(w, m) => BpeEncode(w, m)
+        case _ => throw new IllegalArgumentException(
+          "usage: bpe_encode(array<string> words, array<string> literal merges)")
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{Bpe, TextOps}
+
+/** Semantics of the native greedy-BPE expression (graft.functions.BpeEncode)
+  * against a direct Scala reference implementation of the same algorithm
+  * (lowest rank wins, leftmost occurrence on ties, merge one pair per step)
+  * plus hand-computed decision-point cases.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference implementation — deliberately naive. */
+  private def refBpe(word: String, merges: Seq[String]): Seq[String] = {
+    val rank = merges.zipWithIndex.filter { case (m, i) =>
+      merges.indexOf(m) == i // first occurrence wins, like the expression
+    }.toMap
+    var toks = word.map(_.toString).toVector
+    var go = true
+    while (go && toks.length > 1) {
+      val cands = toks.indices.dropRight(1)
+        .flatMap(i => rank.get(toks(i) + " " + toks(i + 1)).map(r => (r, i)))
+      if (cands.isEmpty) go = false
+      else {
+        val (_, bi) = cands.min // min rank, then leftmost index
+        toks = (toks.take(bi) :+ (toks(bi) + toks(bi + 1))) ++ toks.drop(bi + 2)
+      }
+    }
+    toks
+  }
+
+  private def encode(text: String, merges: Seq[String] = Bpe.DemoMerges): Seq[String] =
+    Seq(text).toDF("text")
+      .select(Bpe.encode(TextOps.words(col("text")), merges).as("toks"))
+      .as[Seq[String]].head()
+
+  test("multi-level merge builds on an earlier merge (t h, then th e)") {
+    assert(encode("the") === Seq("the"))
+  }
+
+  test("rank beats position: er (rank 7) fires before or (rank 8) in 'order'") {
+    assert(encode("order") === Seq("or", "d", "er"))
+  }
+
+  test("a merge can destroy a later-ranked candidate pair (small: a+l kills l+l)") {
+    assert(encode("small") === Seq("s", "m", "al", "l"))
+  }
+
+  test("merged tokens can themselves merge (jo + in -> join)") {
+    assert(encode("join") === Seq("join"))
+  }
+
+  test("leftmost occurrence wins when the best pair repeats") {
+    // merges: only "a b"; 'ababab' word -> chars a,b,a,b,a,b; three merges
+    // always at the leftmost remaining occurrence
+    assert(encode("ababab", Seq("a b")) === Seq("ab", "ab", "ab"))
+    // overlapping occurrences: 'aaa' with "a a" merges the leftmost,
+    // leaving (aa, a) which is NOT a listed pair
+    assert(encode("aaa", Seq("a a")) === Seq("aa", "a"))
+  }
+
+  test("words never merge across a boundary; empty words contribute nothing") {
+    val toks = Seq("the row").toDF("text")
+      .select(Bpe.encode(TextOps.words(col("text"))).as("toks"))
+      .as[Seq[String]].head()
+    assert(toks === Seq("the", "row"))
+    // split("") yields [""] — zero tokens, not a crash
+    assert(encode("") === Seq.empty)
+  }
+
+  test("expression matches the reference on every corpus word and random strings") {
+    val vocab = Seq("a", "agg", "batch", "big", "column", "customer", "data",
+      "dup", "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+      "order", "part", "query", "row", "scan", "slow", "small", "sort",
+      "spark", "stream", "table", "the", "value", "vector", "window")
+    val rnd = new scala.util.Random(42)
+    val randoms = Seq.fill(50)(
+      (0 until (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+    // random merges over the same tiny alphabet so merges actually fire
+    val rndMerges = Seq("a b", "b c", "ab c", "c c", "a a", "d e", "e f", "de f")
+    for (w <- vocab)
+      assert(encode(w) === refBpe(w, Bpe.DemoMerges), s"word=$w demo merges")
+    val got = Seq(randoms.mkString(" ")).toDF("text")
+      .select(Bpe.encode(TextOps.words(col("text")), rndMerges).as("toks"))
+      .as[Seq[String]].head()
+    assert(got === randoms.flatMap(refBpe(_, rndMerges)), "random words, random merges")
+  }
+
+  test("bpe_encode is registered for SQL and duplicate merge pairs keep the first rank") {
+    spark.range(1).createOrReplaceTempView("one")
+    val row = spark.sql(
+      "SELECT bpe_encode(array('order'), array('e r', 'o r', 'e r')) AS t FROM one")
+      .as[Seq[String]].head()
+    // duplicate 'e r' at rank 2 must not shadow rank 0
+    assert(row === Seq("or", "d", "er"))
+  }
+}
