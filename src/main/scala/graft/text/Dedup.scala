@@ -130,6 +130,67 @@ object Dedup {
         col("inter_size").cast("double") / least(col("size_a"), col("size_b")))
   }
 
+  /** EXACT containment self-join — the complete-recall answer to
+    * [[containmentPairs]]' caveat: ALL pairs with
+    * |A∩B| ≥ (thresholdTenths/10)·min(|A|,|B|) over 3-shingle sets, no
+    * banding, no missed pairs. "Find every doc quoted inside a larger
+    * one" with a completeness guarantee (oracle-gated as q114 against the
+    * brute-force all-pairs join).
+    *
+    * Asymmetric prefix filtering (the q108 machinery adapted per VERDICT
+    * r7 #2): in any qualifying pair, designate the doc with the smaller
+    * (set size, id) as the PROBE. The probe emits only its prefix — its
+    * |x|−⌈τ·|x|⌉+1 RAREST shingles under the global (df, shingle) order —
+    * while every doc is indexed by ALL its shingles. A qualifying pair
+    * shares o ≥ ⌈τ·min⌉ shingles and the probe's non-prefix elements
+    * number ⌈τ·min⌉−1 < o, so at least one shared shingle lands in the
+    * probe's prefix: every qualifying pair surfaces as a candidate.
+    *
+    * Scale shape: candidate volume per shingle = prefix-df × full-df;
+    * boilerplate shingles have full-df in the millions but prefix-df ≈ 0
+    * (rarest-first prefixes), so the equi join's hot keys carry almost no
+    * probe rows — the skew guard is intrinsic to the algorithm. The
+    * universe is shingleable (≥ 3-word) docs; shorter docs dedup exactly
+    * via [[Store]]/[[Streams]] text fallbacks instead.
+    */
+  def containmentJoinExact(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           thresholdTenths: Int = 8): DataFrame = {
+    require(thresholdTenths >= 1 && thresholdTenths <= 10,
+      s"thresholdTenths must be in [1, 10], got $thresholdTenths")
+    val toks = materialize(docs
+      .select(col(idCol).as("doc_id"), TextOps.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), TextOps.shingleSet(col("ws"), 3).as("ts"))
+      .withColumn("sz", size(col("ts"))))
+    val dfc = toks.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val pref = toks.select(col("doc_id"), col("sz"), explode(col("ts")).as("t"))
+      .join(dfc, "t")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("df"), col("t")))).as("ord"))
+      .select(col("doc_id"), col("sz"),
+        explode(expr("slice(ord, 1, " +
+          s"CAST(sz - (($thresholdTenths*sz+9) div 10) + 1 AS INT))")).as("p"))
+      .select(col("doc_id"), col("sz"), col("p.t").as("t"))
+    val full = toks.select(col("doc_id"), col("sz"), explode(col("ts")).as("t"))
+    val cand = pref.as("a").join(full.as("b"),
+        col("a.t") === col("b.t") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val sh = toks.select(col("doc_id"), col("ts"))
+    cand
+      .join(sh.toDF("doc_a", "ta"), "doc_a")
+      .join(sh.toDF("doc_b", "tb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("inter_size"),
+        least(size(col("ta")), size(col("tb"))).as("min_size"))
+      .filter(col("inter_size") * 10 >= col("min_size") * lit(thresholdTenths))
+  }
+
   /** Transitive near-dup clusters: connected components over the verified
     * pair graph via min-label propagation — `iterations` rounds of
     * "label(n) ← min(label(n), min over neighbors)", run as DataFrame

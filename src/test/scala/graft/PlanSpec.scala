@@ -332,6 +332,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q113 BPE encode is map-only: no shuffle, no join, no window") {
+    val p = planOf("q113_bpe_encode")
+    assert(!p.contains("Exchange"),
+      "tokenizer application must not move data — merges ride the plan as a literal")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("q114 exact containment: prefix-filtered equi candidates, no all-pairs, no window") {
+    val p = planOf("q114_containment_exact")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "completeness must come from the probe-prefix × full-index equi join, not brute force")
+    assert(!p.contains("Window"), "per-doc prefix ordering rides the agg buffer")
+  }
+
+  test("q116 BPE apportionment windows only the per-source frame") {
+    val p = planOf("q116_budget_bpe")
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      "ranking must happen after the per-source reduction")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q92 survivor-best candidate generation stays an equi band join") {
     val p = planOf("q92_survivor_best")
     assert(!p.contains("CartesianProduct"),

@@ -252,6 +252,27 @@ class TextSpec extends AnyFunSuite {
     assert(!cont.exists(p => p._2 == 3L), "unrelated doc stays clean")
   }
 
+  test("containmentJoinExact finds the quoted-inside-larger pair banding can miss") {
+    import graft.text.Dedup
+    // a 12-word doc quoted verbatim inside a 120-word doc: containment is
+    // 1.0 but symmetric Jaccard ≈ 10/118 ≈ 0.08 — the banded candidate
+    // path (containmentPairs' documented caveat) has essentially no
+    // chance; the prefix-filtered join must STILL find it (completeness
+    // is by construction, not by luck)
+    val quoted = (1 to 12).map(i => s"q$i").mkString(" ")
+    val filler = (100 to 207).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quoted),
+      (2L, s"$quoted $filler"),
+      (3L, (300 to 340).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentJoinExact(docs)
+      .select("doc_a", "doc_b", "inter_size", "min_size")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 10, 10)),
+      s"expected exactly the fully-contained (1,2) pair, got ${got.toSeq}")
+  }
+
   test("winnowing guarantee: docs sharing >= k+w-1 consecutive words share a fingerprint") {
     import graft.text.Winnow
     // two docs sharing a 6-word run (k=3, w=4 -> k+w-1=6) amid distinct text
