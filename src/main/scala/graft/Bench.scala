@@ -51,13 +51,58 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).exists()) names.foreach(exec(_, warmDir))
 
+    // q106 measures the signature-store SERVE path (the fixture store is
+    // built once per (session, sf-dir) — text.Queries.storeFixture). Build
+    // it untimed up front so even a RUNS=1 sweep's q106 number is pure
+    // serve; the BUILD cost gets its own row (q106_build) below.
+    if (names.contains("q106_incr_dedup")) graft.text.Queries.storeFixture(spark, sfDir)
+
     val results = names.map { name =>
       val times = (1 to runs).map(_ => exec(name, sfDir)).filter(_ >= 0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Store-build benchmark row: Store.build into a fresh throwaway dir,
+    // min of `runs` — the one-time cost the serve path (q106_incr_dedup's
+    // row) amortizes away. Same protocol as every other row.
+    val buildRow: Seq[(String, Double)] =
+      if (!names.contains("q106_incr_dedup")) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.col
+        val times = (1 to runs).map { _ =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft-bench-store")
+          val t0 = System.nanoTime()
+          graft.text.Store.build(
+            Tables(spark, sfDir).documents.filter(col("doc_id") % 3 =!= 0),
+            tmp.toString)
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          System.gc()
+          elapsed
+        }
+        Seq("q106_build" -> times.min)
+      }
+
+    val all = results ++ buildRow
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
+    // Host-drift calibration (r7 VERDICT #7): two queries untouched since
+    // round 1 whose cost is pure engine+host — cross-round comparisons
+    // should normalize by the control ratio before calling a delta real
+    // (r7's "1.4–1.6× regression" was the box, proven via these shapes).
+    val controlNames = Seq("q01_agg", "q02_sort").filter(results.toMap.contains)
+    val ctl = controlNames.map(n => "\"" + n + "\":" + results.toMap.apply(n))
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"controls":$ctl,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures stdout with a tail that can truncate half the
+    // suite (BENCH_r07 lost q01–q34); the file copy survives truncation.
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
   }
 }

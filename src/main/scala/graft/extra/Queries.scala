@@ -394,6 +394,32 @@ object Queries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice_cents",
           "o_orderdate_day", "o_orderpriority"))),
 
+    // q83's monitoring-path variant: approx_count_distinct profile — same
+    // columns, sketch-sized aggregates, NO Expand in the plan (the exact
+    // profile's dominant cost; bench documents the drop vs q83). The HLL
+    // value itself is not SQL-replayable, so the gated output hashes the
+    // exact columns (incl. the md5-bucket lower-bound witness) plus the
+    // sketch folded into approx_ok := approx ∈ [0.7·lo, 1.3·non-null] —
+    // the oracle asserts TRUE, so a broken sketch (zero, garbage,
+    // overflow) hash-fails; the tight 5%-rsd tolerance is spec-gated
+    // against the exact profile in RelationalSpec. Margins vs guarantees:
+    // lo ≤ true distinct and HLL ≥ 0.85·true at 3σ ⇒ approx ≥ 0.85·lo;
+    // approx ≤ 1.05·true ≤ 1.05·non-null — both ≫ clear of 0.7/1.3.
+    "q115_profile_approx" -> ((s, dir) =>
+      Profile.tableApprox(
+        Tables(s, dir).orders
+          .withColumn("o_totalprice_cents",
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .withColumn("o_orderdate_day", to_date(col("o_orderdate"))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice_cents",
+          "o_orderdate_day", "o_orderpriority"))
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct_lo"),
+          (col("n_distinct_approx") * 10 >= col("n_distinct_lo") * 7 &&
+            col("n_distinct_approx") * 10 <= (col("n_rows") - col("n_nulls")) * 13)
+            .as("approx_ok"),
+          col("min_s"), col("max_s"))),
+
     // Unpivot/melt (inverse of the q33 pivot): wide per-flag metrics to
     // long (flag, metric, value) rows via stack — exact integer values.
     "q84_unpivot" -> ((s, dir) => {
@@ -1160,6 +1186,47 @@ object Queries {
         |UNION ALL
         |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
         |  count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
+        |FROM orders""".stripMargin,
+    // n_distinct_lo replays Spark's md5-bucket witness exactly (md5 of the
+    // value's string rendering, first 3 hex chars — engine-portable);
+    // approx_ok is asserted TRUE: the Spark side folds its HLL value into
+    // certified bounds, so sketch breakage hash-fails here.
+    "q115_profile_approx" ->
+      """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT substr(md5(CAST(o_orderkey AS VARCHAR)),1,3)) AS n_distinct_lo,
+        |  TRUE AS approx_ok,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_s
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT substr(md5(CAST(o_custkey AS VARCHAR)),1,3)), TRUE,
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT substr(md5(o_orderstatus),1,3)), TRUE,
+        |  min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice_cents', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT substr(md5(CAST(CAST(floor(o_totalprice*100) AS BIGINT)
+        |    AS VARCHAR)),1,3)), TRUE,
+        |  CAST(min(CAST(floor(o_totalprice*100) AS BIGINT)) AS VARCHAR),
+        |  CAST(max(CAST(floor(o_totalprice*100) AS BIGINT)) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate_day', count(*), count(*) - count(o_orderdate),
+        |  count(DISTINCT substr(md5(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)),1,3)),
+        |  TRUE,
+        |  CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR),
+        |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT substr(md5(o_orderpriority),1,3)), TRUE,
+        |  min(o_orderpriority), max(o_orderpriority)
         |FROM orders""".stripMargin,
     "q84_unpivot" ->
       """WITH w AS (

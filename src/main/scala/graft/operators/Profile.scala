@@ -42,6 +42,53 @@ object Profile {
         "(column_name, n_rows, n_nulls, n_distinct, min_s, max_s)"))
   }
 
+  /** The monitoring-path variant of [[table]]: `n_distinct_approx`
+    * (HyperLogLog++, `rsd` relative standard deviation) in place of the
+    * exact distinct count. The exact variant plans ONE Expand that
+    * multiplies every scanned row by the column count before the shuffle —
+    * the right cost for a hash-gated answer, the wrong one for a daily
+    * drop-health check. Here every aggregate is constant-size, so the plan
+    * is a plain partial/final agg: shuffle bytes independent of row count
+    * (plan-asserted: no Expand — PlanSpec q115).
+    *
+    * The sketch value is deterministic for a given input but NOT
+    * SQL-replayable (DuckDB's approx_count_distinct is a different
+    * sketch), so alongside it the profile emits `n_distinct_lo` — the
+    * count of OCCUPIED md5 buckets (first 3 hex chars of md5 of the value
+    * string, K = 4096): an exact, engine-portable LOWER bound on the
+    * distinct count (bucketing can only collide values, never invent
+    * them), still Expand-free because it is one set-sized aggregate per
+    * column (≤ K entries per partial buffer). The q115 gate hashes the
+    * exact columns plus the sketch folded into a certified-bounds boolean
+    * (approx within [0.7·lo, 1.3·non-null]; HLL error is ≪ the margins),
+    * and RelationalSpec gates the rsd tolerance against the exact profile.
+    *
+    * `cast(value AS string)` feeds the bucket hash — portable for the
+    * integer/string/date columns a profile runs on (same rendering in
+    * both engines); profile doubles as exact cents first (see
+    * extra.Queries determinism note), which [[table]] requires anyway.
+    */
+  def tableApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"profile column names must be plain identifiers, got: ${cols.mkString(", ")}")
+    require(rsd > 0 && rsd < 0.4, s"rsd must be in (0, 0.4), got $rsd")
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"__c$i"),
+        size(collect_set(substring(md5(col(c).cast("string")), 1, 3)))
+          .cast("long").as(s"__lo$i"),
+        approx_count_distinct(col(c), rsd).as(s"__d$i"),
+        min(col(c)).cast("string").as(s"__mn$i"),
+        max(col(c)).cast("string").as(s"__mx$i"))
+    }
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', __n, __n - __c$i, __lo$i, __d$i, __mn$i, __mx$i"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct_lo, n_distinct_approx, min_s, max_s)"))
+  }
+
   /** Fixed-width histogram over an exact integer measure: one row per
     * occupied bucket — (bucket, n, lo, hi), where `bucket` = value div
     * `width` and lo/hi are the exact extremes observed inside it.

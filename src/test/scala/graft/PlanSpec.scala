@@ -346,6 +346,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "per-doc prefix ordering rides the agg buffer")
   }
 
+  test("q115 approx profile has NO Expand (the exact profile's dominant cost)") {
+    assert(!planOf("q115_profile_approx").contains("Expand"),
+      "sketch aggregates must plan as a plain partial/final agg")
+    // contrast: the hash-gated exact profile pays the Expand by design
+    assert(planOf("q83_profile").contains("Expand"),
+      "q83's exact distincts should still plan the Expand this variant avoids")
+  }
+
   test("q116 BPE apportionment windows only the per-source frame") {
     val p = planOf("q116_budget_bpe")
     assert(!p.contains("windowspecdefinition(doc_id"),

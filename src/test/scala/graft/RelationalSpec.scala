@@ -129,6 +129,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("plain identifiers"))
   }
 
+  test("Profile.tableApprox: exact columns match Profile.table; sketch within tolerance") {
+    import graft.operators.Profile
+    val df = Tables(spark, "/root/testdata/sf0.001").orders
+      .withColumn("o_totalprice_cents",
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice_cents")
+    val exact = Profile.table(df, cols)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = Profile.tableApprox(df, cols, rsd = 0.05)
+      .as[(String, Long, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    for (c <- cols) {
+      val (_, nRows, nNulls, lo, nd, mn, mx) = approx(c)
+      val (_, eRows, eNulls, ed, emn, emx) = exact(c)
+      assert((nRows, nNulls, mn, mx) === ((eRows, eNulls, emn, emx)),
+        s"$c: non-sketch columns must be exact")
+      assert(lo <= ed && lo >= 1L,
+        s"$c: md5-bucket witness $lo must lower-bound exact distinct $ed")
+      // 5 sigma of rsd=0.05 — deterministic for fixed input, so this is a
+      // stable gate, not a flaky statistical one
+      assert(math.abs(nd - ed) <= math.max(1L, (ed * 0.25).toLong),
+        s"$c: approx distinct $nd too far from exact $ed")
+    }
+  }
+
   test("Profile.histogram: counts partition the rows, lo/hi stay inside their bucket") {
     val df = (0L until 1000L).toDF("v")
     val out = graft.operators.Profile.histogram(df, col("v"), width = 128L)
