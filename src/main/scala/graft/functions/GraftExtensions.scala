@@ -1,9 +1,11 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine extension point: registers graft's native Catalyst expressions
   * into the session's function registry (usable from both the Column API
@@ -60,6 +62,64 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+
+    // ---- SQL table functions: the operator library driveable from pure
+    // SQL, the engine-native analog of the reference's properties-file
+    // "queries" (MiscUtils.loadConfigFile — a config line names a stage
+    // over a named input; here a TVF names an operator over a catalog
+    // table). The builder runs at analysis time on the driver with the
+    // active session set, so `SparkSession.active.table(...)` resolves the
+    // input through the normal catalog and the operator's DataFrame plan
+    // splices into the outer query — one Catalyst plan, no materialization.
+    def strArg(fn: String, e: Expression, what: String): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a string literal, got $other")
+    }
+    def intArg(fn: String, e: Expression, what: String): Int = e match {
+      case Literal(n: Int, IntegerType) => n
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an int literal, got $other")
+    }
+    def tvf(name: String)(builder: Seq[Expression] => LogicalPlan): Unit =
+      ext.injectTableFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+
+    tvf("graft_near_dup_pairs") { args =>
+      require(args.size == 1, "usage: graft_near_dup_pairs(<table name>)")
+      val t = strArg("graft_near_dup_pairs", args.head, "table name")
+      graft.text.Dedup.nearDupPairs(SparkSession.active.table(t))
+        .queryExecution.logical
+    }
+    tvf("graft_containment_exact") { args =>
+      require(args.size == 1, "usage: graft_containment_exact(<table name>)")
+      val t = strArg("graft_containment_exact", args.head, "table name")
+      graft.text.Dedup.containmentJoinExact(SparkSession.active.table(t))
+        .queryExecution.logical
+    }
+    tvf("graft_profile") { args =>
+      require(args.size == 2,
+        "usage: graft_profile(<table name>, '<comma-separated columns>')")
+      val t = strArg("graft_profile", args.head, "table name")
+      val cols = strArg("graft_profile", args(1), "column list")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      graft.operators.Profile.table(SparkSession.active.table(t), cols)
+        .queryExecution.logical
+    }
+    tvf("graft_pack_greedy") { args =>
+      require(args.size == 5, "usage: graft_pack_greedy(<table>, <idCol>, " +
+        "<nTokensCol>, <maxTokens>, <shards>)")
+      val t = strArg("graft_pack_greedy", args.head, "table name")
+      graft.operators.Packing.greedyPack(
+          SparkSession.active.table(t),
+          strArg("graft_pack_greedy", args(1), "idCol"),
+          strArg("graft_pack_greedy", args(2), "nTokensCol"),
+          intArg("graft_pack_greedy", args(3), "maxTokens"),
+          intArg("graft_pack_greedy", args(4), "shards"))
+        .queryExecution.logical
+    }
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),

@@ -111,6 +111,39 @@ object Store {
   def load(s: SparkSession, storeDir: String): DataFrame =
     s.read.parquet(sigPath(storeDir))
 
+  /** Maintenance: rewrite the signature table into `targetFiles` parquet
+    * files, contents IDENTICAL (same rows, every column — the audit
+    * property compaction must not disturb). Daily drops append a handful
+    * of part-files each ([[dedupNewDropVsCorpusStaged]]'s commit renames
+    * per-job files into the dir), so a store serving a 100 TB corpus
+    * accumulates thousands of small files within weeks — footer/open
+    * overhead then dominates the serve scan. Run this on the maintenance
+    * schedule, like any LSM/lakehouse compaction.
+    *
+    * coalesce, not repartition: a rewrite wants NO shuffle — read tasks
+    * funnel straight into `targetFiles` writers. Crash-safe swap: the
+    * compacted copy lands in a staging dir, the live dir is moved aside,
+    * staging is renamed in, then the old dir is deleted — a crash leaves
+    * either the old store live or (between the two renames) the old dir
+    * intact under `_compact-old`, never a half-written mix.
+    */
+  def compact(s: SparkSession, storeDir: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    require(exists(s, storeDir), s"no signature store under $storeDir")
+    val staging = stagingPath(storeDir)
+    load(s, storeDir).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(staging)
+    val fs = fileSystem(s, storeDir)
+    val sig = new org.apache.hadoop.fs.Path(sigPath(storeDir))
+    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_compact-old")
+    fs.delete(old, true)
+    require(fs.rename(sig, old), s"could not move live store aside: $sig")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), sig),
+      s"could not swap compacted store in: $staging -> $sig")
+    fs.delete(old, true)
+    ()
+  }
+
   /** Dedup a new drop against the stored corpus WITHOUT recomputing any
     * stored signature, append the survivors' signatures, and return the
     * surviving rows of `newDocs`.

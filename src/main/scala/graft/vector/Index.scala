@@ -97,6 +97,33 @@ object Index {
     } finally fresh.unpersist()
   }
 
+  /** Maintenance: rewrite the appended `codes` table into `targetFiles`
+    * parquet files, rows identical — the small-files compaction for an
+    * index that grows by daily [[append]]s (each append writes its own
+    * part-files; a year of drops is hundreds of files whose open/footer
+    * cost dominates the serve scan). Same crash-safe swap as
+    * `text.Store.compact`: compacted copy → staging, live dir moved
+    * aside, staging renamed in, old dir deleted. The model tables
+    * (centroids/codebooks) are single-write and never need this.
+    */
+  def compact(s: SparkSession, indexDir: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val fs = codes.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(codes), s"no codes table under $indexDir")
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$indexDir/_compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    s.read.parquet(codes.toString).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/_compact-old")
+    fs.delete(old, true)
+    require(fs.rename(codes, old), s"could not move live codes aside: $codes")
+    require(fs.rename(staging, codes),
+      s"could not swap compacted codes in: $staging -> $codes")
+    fs.delete(old, true)
+    ()
+  }
+
   /** The stored coarse model, sorted by cell id. */
   def loadCoarse(s: SparkSession, indexDir: String): Seq[(Long, Seq[Long])] =
     s.read.parquet(s"$indexDir/centroids")

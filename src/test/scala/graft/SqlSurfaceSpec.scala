@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The operator library driven from PURE SQL: GraftExtensions registers
+  * table functions (and the native scalar expressions) into the session,
+  * so a SQL-only client gets the same operators — the engine-native analog
+  * of the reference's properties-file queries. Each case runs an operator
+  * via spark.sql ONLY and checks equality with the Column-API path.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case a: scala.collection.Seq[_] => a.toList
+      case x => x
+    }).toSet
+
+  private lazy val docsView: Unit = {
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    Seq(
+      (1L, a),
+      (2L, a + " tail tweak"),                            // near-dup of 1
+      (3L, (1 to 12).map(i => s"a$i").mkString(" ")),     // contained in 1
+      (4L, (100 to 140).map(i => s"z$i").mkString(" ")))  // unrelated
+      .toDF("doc_id", "text").createOrReplaceTempView("sql_docs")
+  }
+
+  test("graft_near_dup_pairs runs the LSH dedup from SQL") {
+    docsView
+    val viaSql = spark.sql("SELECT * FROM graft_near_dup_pairs('sql_docs')")
+    val direct = graft.text.Dedup.nearDupPairs(spark.table("sql_docs"))
+    assert(viaSql.columns === direct.columns)
+    assert(rows(viaSql) === rows(direct))
+    assert(rows(viaSql).exists(_.take(2) == Seq(1L, 2L)),
+      "the planted near-dup pair must surface through SQL")
+  }
+
+  test("graft_containment_exact runs the prefix-filtered containment join from SQL") {
+    docsView
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_containment_exact('sql_docs') WHERE inter_size = min_size")
+    assert(rows(viaSql).exists(_.take(2) == Seq(1L, 3L)),
+      "the planted quoted-inside-larger pair must surface through SQL")
+  }
+
+  test("graft_profile runs the one-pass profile from SQL and composes with outer SQL") {
+    docsView
+    val viaSql = spark.sql(
+      "SELECT column_name, n_rows, n_distinct FROM graft_profile('sql_docs', " +
+        "'doc_id, text') ORDER BY column_name")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(viaSql === Seq(("doc_id", 4L, 4L), ("text", 4L, 4L)))
+  }
+
+  test("graft_pack_greedy packs from SQL, identical to the Column API") {
+    spark.range(1, 101)
+      .select(col("id").as("doc_id"), (col("id") % 7 + 1).as("n_tokens"))
+      .createOrReplaceTempView("sql_tok")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_pack_greedy('sql_tok', 'doc_id', 'n_tokens', 16, 4)")
+    val direct = graft.operators.Packing.greedyPack(
+      spark.table("sql_tok"), "doc_id", "n_tokens", maxTokens = 16, shards = 4)
+    assert(viaSql.columns === direct.columns)
+    assert(rows(viaSql) === rows(direct))
+  }
+
+  test("TVF argument errors are loud and named") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_profile('sql_docs')").collect()
+    }
+    assert(e.getMessage.contains("graft_profile"))
+  }
+}

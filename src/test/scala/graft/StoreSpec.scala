@@ -94,6 +94,27 @@ class StoreSpec extends AnyFunSuite {
     assert(Store.load(spark, dir).count() === 2L, "commit lands the append")
   }
 
+  test("compact coalesces appended part-files; store contents identical") {
+    val dir = Files.createTempDirectory("sigstore-compact").toString
+    Store.build(Seq((1L, textA)).toDF("doc_id", "text"), dir)
+    // two drops of unique docs — each commit renames its own part-files in
+    Store.dedupNewDropVsCorpus(
+      Seq((2L, textD)).toDF("doc_id", "text"), dir)
+    Store.dedupNewDropVsCorpus(
+      Seq((3L, (200 to 230).map(i => s"e$i").mkString(" "))).toDF("doc_id", "text"), dir)
+    def partFiles() = new java.io.File(Store.sigPath(dir)).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(partFiles() > 1, "appends must have left multiple part-files")
+    val before = Store.load(spark, dir).collect().map(_.toSeq).toSet
+    Store.compact(spark, dir, targetFiles = 1)
+    assert(partFiles() === 1, "compaction must coalesce to the target file count")
+    assert(Store.load(spark, dir).collect().map(_.toSeq).toSet === before,
+      "compaction must not change a single row")
+    // the store still serves: re-running a stored drop drops everything
+    assert(Store.dedupNewDropVsCorpus(
+      Seq((9L, textD)).toDF("doc_id", "text"), dir).count() === 0L)
+  }
+
   test("dedupNewDropVsCorpus refuses a missing store") {
     val e = intercept[IllegalArgumentException] {
       Store.dedupNewDropVsCorpus(

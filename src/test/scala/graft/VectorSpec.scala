@@ -268,6 +268,33 @@ class VectorSpec extends AnyFunSuite {
     assert(graft.vector.Index.append(spark, dir, idx) === 0L)
   }
 
+  test("Index.compact coalesces the appended codes files; contents identical") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-compact").toString
+    graft.vector.Index.build(spark, dir, idx,
+      nCells = 8, coarseIters = 1, m = 4, k = 16, pqIters = 1)
+    // simulate the daily-append lifecycle: shrink to a prefix, append back
+    // in two drops — each append leaves its own part-files behind
+    val full = spark.read.parquet(s"$idx/codes")
+    val schema = full.schema
+    def rewrite(rows: Array[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+          schema)
+        .write.mode("overwrite").parquet(s"$idx/codes")
+    val before = full.collect().map(_.toSeq).toSet
+    rewrite(full.filter(col("vec_id") < 50).collect())
+    graft.vector.Index.append(spark, dir, idx)
+    def partFiles() = new java.io.File(s"$idx/codes").listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(partFiles() > 1, "appends must have left multiple part-files")
+    graft.vector.Index.compact(spark, idx, targetFiles = 1)
+    assert(partFiles() === 1, "compaction must coalesce to the target file count")
+    assert(spark.read.parquet(s"$idx/codes").collect().map(_.toSeq).toSet === before,
+      "compaction must not change a single row")
+  }
+
   test("native hyperplane_sig equals the declarative formulation (8, 48 and 63 bit)") {
     val dims = 16
     val rnd = new scala.util.Random(7)
