@@ -69,20 +69,26 @@ object Bench {
       if (!names.contains("q106_incr_dedup")) Seq.empty
       else {
         import org.apache.spark.sql.functions.col
+        // failure → -1.0 like exec(): a build crash on one run must not
+        // discard the whole sweep's JSON line
         val times = (1 to runs).map { _ =>
-          val tmp = java.nio.file.Files.createTempDirectory("graft-bench-store")
-          val t0 = System.nanoTime()
-          graft.text.Store.build(
-            Tables(spark, sfDir).documents.filter(col("doc_id") % 3 =!= 0),
-            tmp.toString)
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-          System.gc()
-          elapsed
-        }
-        Seq("q106_build" -> times.min)
+          try {
+            val tmp = java.nio.file.Files.createTempDirectory("graft-bench-store")
+            val t0 = System.nanoTime()
+            graft.text.Store.build(
+              Tables(spark, sfDir).documents.filter(col("doc_id") % 3 =!= 0),
+              tmp.toString)
+            val elapsed = (System.nanoTime() - t0) / 1e9
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            System.gc()
+            elapsed
+          } catch {
+            case e: Throwable => System.err.println(s"[bench] q106_build: $e"); -1.0
+          }
+        }.filter(_ >= 0)
+        Seq("q106_build" -> (if (times.isEmpty) -1.0 else times.min))
       }
 
     val all = results ++ buildRow
@@ -92,8 +98,12 @@ object Bench {
     // round 1 whose cost is pure engine+host — cross-round comparisons
     // should normalize by the control ratio before calling a delta real
     // (r7's "1.4–1.6× regression" was the box, proven via these shapes).
-    val controlNames = Seq("q01_agg", "q02_sort").filter(results.toMap.contains)
-    val ctl = controlNames.map(n => "\"" + n + "\":" + results.toMap.apply(n))
+    // a control that errored every run (-1 sentinel) is omitted, not
+    // emitted: a negative "timing" would flip any normalization ratio
+    val resultMap = results.toMap
+    val controlNames = Seq("q01_agg", "q02_sort")
+      .filter(n => resultMap.get(n).exists(_ >= 0))
+    val ctl = controlNames.map(n => "\"" + n + "\":" + resultMap(n))
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"controls":$ctl,"sf":"$sfDir"}"""

@@ -315,40 +315,10 @@ object Queries {
     // planner that turns "1M tokens, weighted by availability" into
     // per-source integer allocations summing exactly to the budget; all
     // integer arithmetic, one tiny per-source frame after one corpus agg.
-    "q110_token_budget" -> ((s, dir) => {
-      val budget = 1000000L
-      // materialized: the per-source frame (a handful of rows) feeds the
-      // totals, the quota ranking, and the leftover agg — ONE corpus scan
-      // overflow guard, same assert_true-rides-the-column pattern as
-      // Profile.outlierCounts: budget*toks is exact long arithmetic only
-      // while toks <= Long.MaxValue/budget (~9.2e12 tokens at 1M budget);
-      // beyond that the quota silently wraps — raise instead. coalesce
-      // folds the null assert_true emits on success into +0, so every
-      // consumer of `toks` evaluates the guard (non-prunable).
-      val perSrc = graft.text.Dedup.materialize(Tables(s, dir).documents
-        .select(col("source"),
-          size(graft.text.TextOps.words(col("text"))).as("nt"))
-        .groupBy(col("source")).agg(sum(col("nt")).as("toks"))
-        .withColumn("toks",
-          col("toks") + coalesce(
-            assert_true(
-              col("toks") >= 0 && col("toks") <= lit(Long.MaxValue / budget),
-              lit("q110: per-source token mass too large for exact long " +
-                "apportionment — pre-scale the counts")).cast("long"),
-            lit(0L))))
-      val tot = perSrc.agg(sum(col("toks")).as("tt"))
-      val quotas = perSrc.crossJoin(broadcast(tot))
-        .withColumn("base", expr(s"($budget * toks) div tt"))
-        .withColumn("rem", expr(s"($budget * toks) % tt"))
-      val wRem = Window.orderBy(col("rem").desc, col("source").asc)
-      quotas
-        .withColumn("rk", row_number().over(wRem))
-        .crossJoin(broadcast(
-          quotas.agg((lit(budget) - sum(col("base"))).as("left_over"))))
-        .select(col("source"), col("toks"),
-          (col("base") + when(col("rk") <= col("left_over"), 1L).otherwise(0L))
-            .as("alloc_tokens"))
-    }),
+    "q110_token_budget" -> ((s, dir) =>
+      graft.operators.Budget.apportion(
+        Tables(s, dir).documents, "source",
+        size(graft.text.TextOps.words(col("text"))), budget = 1000000L)),
 
     // Rank-family window functions over a deterministic total order:
     // rank/dense_rank (ties impossible by construction), percent_rank

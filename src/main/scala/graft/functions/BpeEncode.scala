@@ -92,9 +92,19 @@ final case class BpeEncode(left: Expression, right: Expression)
   private def encodeWord(word: String): Array[UTF8String] = {
     val cached = cache.get(word)
     if (cached != null) return cached
-    var toks = new Array[String](word.length)
+    // split into Unicode CODE POINTS, not UTF-16 code units: the oracle's
+    // substr(w, i, 1) is code-point based, and a lone surrogate half is
+    // not a valid token (or valid UTF-8) — charAt would diverge on any
+    // astral-plane character (emoji, CJK ext-B)
+    var toks = new Array[String](word.codePointCount(0, word.length))
     var i = 0
-    while (i < word.length) { toks(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var idx = 0
+    while (idx < word.length) {
+      val cp = word.codePointAt(idx)
+      toks(i) = new String(Character.toChars(cp))
+      idx += Character.charCount(cp)
+      i += 1
+    }
     var done = toks.length < 2
     while (!done) {
       var best = Int.MaxValue

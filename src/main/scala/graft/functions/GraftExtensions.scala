@@ -67,10 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL, the engine-native analog of the reference's properties-file
     // "queries" (MiscUtils.loadConfigFile — a config line names a stage
     // over a named input; here a TVF names an operator over a catalog
-    // table). The builder runs at analysis time on the driver with the
+    // table). The builder runs at ANALYSIS time on the driver with the
     // active session set, so `SparkSession.active.table(...)` resolves the
     // input through the normal catalog and the operator's DataFrame plan
-    // splices into the outer query — one Catalyst plan, no materialization.
+    // splices into the outer query as one Catalyst plan. Analysis must
+    // stay JOB-FREE — an EXPLAIN or LIMIT 0 probe must not run the
+    // pipeline — so the dedup operators are invoked with eager=false
+    // (lazy cache() branch-sharing instead of an eager checkpoint).
     def strArg(fn: String, e: Expression, what: String): String = e match {
       case Literal(s: UTF8String, StringType) => s.toString
       case other => throw new IllegalArgumentException(
@@ -90,13 +93,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tvf("graft_near_dup_pairs") { args =>
       require(args.size == 1, "usage: graft_near_dup_pairs(<table name>)")
       val t = strArg("graft_near_dup_pairs", args.head, "table name")
-      graft.text.Dedup.nearDupPairs(SparkSession.active.table(t))
+      graft.text.Dedup.nearDupPairs(SparkSession.active.table(t), eager = false)
         .queryExecution.logical
     }
     tvf("graft_containment_exact") { args =>
       require(args.size == 1, "usage: graft_containment_exact(<table name>)")
       val t = strArg("graft_containment_exact", args.head, "table name")
-      graft.text.Dedup.containmentJoinExact(SparkSession.active.table(t))
+      graft.text.Dedup
+        .containmentJoinExact(SparkSession.active.table(t), eager = false)
         .queryExecution.logical
     }
     tvf("graft_profile") { args =>

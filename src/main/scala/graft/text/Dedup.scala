@@ -76,13 +76,18 @@ object Dedup {
     * materialized an (|a|+|b|)-element set per candidate just to count it).
     */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   thresholdTenths: Int = 7): DataFrame = {
+                   thresholdTenths: Int = 7, eager: Boolean = true): DataFrame = {
     // materialize: prep feeds THREE plan branches (the banded candidate
     // join plus both verify sides), and Catalyst does not deduplicate
     // common subtrees — without this the scan + tokenize + shingle + md5
     // signature work (the dominant map cost) runs three times per query.
     // Same reliable-checkpoint discipline as nearDupClusters.
-    val prep = materialize(prepared(docs, idCol, textCol))
+    // eager=false (the SQL TVF path): checkpointing is a Spark JOB, and a
+    // TVF builder runs at ANALYSIS time — an EXPLAIN must not execute the
+    // pipeline's heaviest stage. cache() shares the branches just as well
+    // but lazily (populated at first action, LRU-evictable afterwards).
+    val prep0 = prepared(docs, idCol, textCol)
+    val prep = if (eager) materialize(prep0) else prep0.cache()
     val sh = prep.select(col("doc_id"), col("sh"))
     candidatePairs(prep)
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -155,14 +160,18 @@ object Dedup {
     */
   def containmentJoinExact(docs: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text",
-                           thresholdTenths: Int = 8): DataFrame = {
+                           thresholdTenths: Int = 8,
+                           eager: Boolean = true): DataFrame = {
     require(thresholdTenths >= 1 && thresholdTenths <= 10,
       s"thresholdTenths must be in [1, 10], got $thresholdTenths")
-    val toks = materialize(docs
+    // eager=false: lazy cache() instead of checkpoint for the SQL TVF
+    // path, which builds this plan at analysis time (see nearDupPairs)
+    val toks0 = docs
       .select(col(idCol).as("doc_id"), TextOps.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), TextOps.shingleSet(col("ws"), 3).as("ts"))
-      .withColumn("sz", size(col("ts"))))
+      .withColumn("sz", size(col("ts")))
+    val toks = if (eager) materialize(toks0) else toks0.cache()
     val dfc = toks.select(explode(col("ts")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("df"))
     val pref = toks.select(col("doc_id"), col("sz"), explode(col("ts")).as("t"))

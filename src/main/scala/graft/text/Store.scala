@@ -182,6 +182,49 @@ object Store {
                                  idCol: String = "doc_id",
                                  textCol: String = "text"): (DataFrame, () => Unit) = {
     val s = newDocs.sparkSession
+    val (survivors, prep, dups) =
+      mine(newDocs, storeDir, thresholdTenths, idCol, textCol)
+    val staging = stagingPath(storeDir)
+    prep.join(dups.withColumnRenamed("new_id", "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(staging)
+    val commit = () => {
+      val fs = fileSystem(s, storeDir)
+      val sig = new org.apache.hadoop.fs.Path(sigPath(storeDir))
+      val src = new org.apache.hadoop.fs.Path(staging)
+      // move data files only: Spark part-file names carry the writing
+      // job's UUID, so names are unique within the signatures dir
+      fs.listStatus(src).foreach { f =>
+        if (f.getPath.getName.startsWith("part-"))
+          require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(sig, f.getPath.getName)),
+            s"could not commit staged append ${f.getPath} -> $sig")
+      }
+      fs.delete(src, true)
+      ()
+    }
+    (survivors, commit)
+  }
+
+  /** Serve-only dedup: same decisions as [[dedupNewDropVsCorpus]] but the
+    * store directory is NEVER touched — no staging write, no append. The
+    * path for repeatable queries/benchmarks over a fixed corpus snapshot
+    * (q106) and for dry-run "what would this drop add" questions: a
+    * staged-but-uncommitted run would still leave one inert staging dir
+    * per invocation behind; this leaves nothing.
+    */
+  def dedupNewDropVsCorpusReadOnly(newDocs: DataFrame, storeDir: String,
+                                   thresholdTenths: Int = 7,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text"): DataFrame =
+    mine(newDocs, storeDir, thresholdTenths, idCol, textCol)._1
+
+  /** The shared mining core: (survivors of `newDocs`, the drop's signed
+    * frame, the dup-id frame) — pure computation, no store mutation.
+    */
+  private def mine(newDocs: DataFrame, storeDir: String,
+                   thresholdTenths: Int, idCol: String,
+                   textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val s = newDocs.sparkSession
     require(exists(s, storeDir),
       s"no signature store under $storeDir — run Store.build first")
     // materialized: prep feeds the band join, both intra verify sides,
@@ -236,27 +279,8 @@ object Store {
     // re-runs the mining when the caller acts on it
     val dups = Dedup.materialize(crossDup.unionByName(intraDup).distinct())
 
-    val staging = stagingPath(storeDir)
-    prep.join(dups.withColumnRenamed("new_id", "doc_id"),
-        Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(staging)
-
     val survivors =
       newDocs.join(dups.select(col("new_id").as(idCol)), Seq(idCol), "left_anti")
-    val commit = () => {
-      val fs = fileSystem(s, storeDir)
-      val sig = new org.apache.hadoop.fs.Path(sigPath(storeDir))
-      val src = new org.apache.hadoop.fs.Path(staging)
-      // move data files only: Spark part-file names carry the writing
-      // job's UUID, so names are unique within the signatures dir
-      fs.listStatus(src).foreach { f =>
-        if (f.getPath.getName.startsWith("part-"))
-          require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(sig, f.getPath.getName)),
-            s"could not commit staged append ${f.getPath} -> $sig")
-      }
-      fs.delete(src, true)
-      ()
-    }
-    (survivors, commit)
+    (survivors, prep, dups)
   }
 }

@@ -90,6 +90,15 @@ class BpeSpec extends AnyFunSuite {
     assert(got === randoms.flatMap(refBpe(_, rndMerges)), "random words, random merges")
   }
 
+  test("astral-plane characters tokenize as whole code points, never surrogate halves") {
+    // U+1F600 is two UTF-16 code units; a charAt split would emit two
+    // invalid lone-surrogate tokens (and diverge from the code-point
+    // oracle); merges must still apply around it
+    assert(encode("a😀b", Seq("x y")) === Seq("a", "😀", "b"))
+    assert(encode("a😀b", Seq("a 😀")) ===
+      Seq("a😀", "b"))
+  }
+
   test("bpe_encode is registered for SQL and duplicate merge pairs keep the first rank") {
     spark.range(1).createOrReplaceTempView("one")
     val row = spark.sql(

@@ -115,6 +115,20 @@ class StoreSpec extends AnyFunSuite {
       Seq((9L, textD)).toDF("doc_id", "text"), dir).count() === 0L)
   }
 
+  test("read-only serve makes the same decisions and leaves the store dir untouched") {
+    val dir = Files.createTempDirectory("sigstore-ro").toString
+    Store.build(Seq((1L, textA)).toDF("doc_id", "text"), dir)
+    def entries() = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val before = entries()
+    val drop = Seq((2L, textA), (3L, textD)).toDF("doc_id", "text")
+    val survivors = Store.dedupNewDropVsCorpusReadOnly(drop, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(3L), "same decisions as the appending path")
+    assert(entries() === before,
+      "no staging dir, no append — nothing accumulates per invocation")
+    assert(Store.load(spark, dir).count() === 1L, "store contents unchanged")
+  }
+
   test("dedupNewDropVsCorpus refuses a missing store") {
     val e = intercept[IllegalArgumentException] {
       Store.dedupNewDropVsCorpus(
