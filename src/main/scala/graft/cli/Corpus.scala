@@ -42,6 +42,13 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        dups it diagnoses; triangle-dense
   *                                        groups are template families
   *     [--min-tokens n] [--max-tokens n]  quality bounds (default 1/2^31)
+  *     [--bpe-merges path]                denominate ALL token decisions
+  *                                        (--min/--max-tokens, --pack) in BPE
+  *                                        tokens under the given merges file
+  *                                        (one "left right" pair per line,
+  *                                        rank = line order) instead of
+  *                                        whitespace words — real tokenizer
+  *                                        budgets drift 2-3x from word counts
   *     [--eval-k n] [--eval-by col]       carve out exactly n docs per stratum
   *                                        (default col: source) to OUT/_eval,
   *                                        excluded from the training output
@@ -71,6 +78,7 @@ object Corpus {
       dedup: Boolean = false, dedupStore: Option[String] = None,
       dupGraphBy: Option[String] = None,
       minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
+      bpeMerges: Option[String] = None,
       samplePerMille: Option[Int] = None,
       mixture: Map[String, Int] = Map.empty, mixtureDefault: Int = 1000,
       mixtureBy: String = "source",
@@ -101,6 +109,7 @@ object Corpus {
     case "--dup-graph-stats" :: v :: rest => parse(rest, acc.copy(dupGraphBy = Some(v)))
     case "--min-tokens" :: v :: rest  => parse(rest, acc.copy(minTokens = v.toInt))
     case "--max-tokens" :: v :: rest  => parse(rest, acc.copy(maxTokens = v.toInt))
+    case "--bpe-merges" :: v :: rest  => parse(rest, acc.copy(bpeMerges = Some(v)))
     case "--sample" :: v :: rest      => parse(rest, acc.copy(samplePerMille = Some(v.toInt)))
     case "--mixture" :: v :: rest     => parse(rest, acc.copy(mixture = parseMixture(v)))
     case "--mixture-default" :: v :: rest => parse(rest, acc.copy(mixtureDefault = v.toInt))
@@ -111,6 +120,26 @@ object Corpus {
     case "--shards" :: v :: rest      => parse(rest, acc.copy(shards = v.toInt))
     case Nil                          => acc
     case other => throw new IllegalArgumentException(s"unknown args: $other")
+  }
+
+  /** Driver-side read of a merges file (one "left right" pair per line,
+    * rank = line order; blank lines skipped) through the Hadoop FS API so
+    * HDFS/S3 paths work on a real cluster — the merges table is tokenizer
+    * config, read once like the reference's properties files.
+    */
+  private def readMerges(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val merges = lines.map(_.trim).filter(_.nonEmpty)
+    require(merges.nonEmpty, s"--bpe-merges $path: no merge pairs found")
+    require(merges.forall(_.split(" ").length == 2),
+      s"--bpe-merges $path: every line must be 'left right' (two " +
+        "space-separated tokens)")
+    merges
   }
 
   /** Columns the pipeline writes; an input corpus already carrying one
@@ -195,8 +224,18 @@ object Corpus {
         .join(cleaned, Seq("doc_id"))
         .withColumnRenamed("clean_text", "text")
     }
+    // token denomination: whitespace words by default; with --bpe-merges,
+    // the SAME __n_tokens column carries BPE token counts, so the quality
+    // bounds here and the --pack stage below are tokenizer-aware without
+    // any further branching (one decision point, every consumer inherits)
+    val tokenCount = a.bpeMerges match {
+      case Some(p) =>
+        size(graft.text.Bpe.encode(TextOps.words(col("text")),
+          readMerges(spark, p)))
+      case None => size(TextOps.words(col("text")))
+    }
     corpus = corpus
-      .withColumn("__n_tokens", size(TextOps.words(col("text"))))
+      .withColumn("__n_tokens", tokenCount)
       .filter(col("__n_tokens") >= a.minTokens && col("__n_tokens") <= a.maxTokens)
 
     a.benchmark.foreach { b =>
@@ -328,7 +367,8 @@ object Corpus {
       "usage: -I <corpus.parquet> -O <out> [--format parquet|orc|json|csv] " +
         "[--scrub-pii] [--remove-boilerplate df] [--boilerplate-w w] " +
         "[--benchmark p] [--dedup] [--dedup-store dir] [--dup-graph-stats col] " +
-        "[--min-tokens n] [--max-tokens n] [--eval-k n] [--eval-by col] " +
+        "[--min-tokens n] [--max-tokens n] [--bpe-merges path] " +
+        "[--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n]")
     val r = pipelineFull(spark, a)

@@ -231,6 +231,51 @@ class CliSpec extends AnyFunSuite {
     assert(!out.values.exists(_.contains("shared legal header")))
   }
 
+  test("Corpus CLI: --bpe-merges denominates quality bounds and packing in BPE tokens") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-bpe")
+    // no merges apply to these words → BPE count = character count per
+    // word, summed: "ab cd" = 4 tokens (vs 2 whitespace words)
+    val docs = Seq(
+      (1L, "ab cd"),            // 2 words / 4 BPE tokens
+      (2L, "ab cd ef gh ij"))   // 5 words / 10 BPE tokens
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/corpus")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/merges.txt"), "x y\nq r\n")
+
+    // same --max-tokens 5 bound, different denomination: whitespace mode
+    // keeps both docs (2 and 5 words), BPE mode keeps only doc 1
+    // (4 tokens; doc 2 is 10)
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out-ws",
+      "--min-tokens", "1", "--max-tokens", "5", "--pack", "8", "--shards", "1"))
+    assert(spark.read.parquet(s"$dir/out-ws").select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 2L),
+      "whitespace mode: both docs within 5 words")
+
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out-bpe",
+      "--bpe-merges", s"$dir/merges.txt",
+      "--min-tokens", "1", "--max-tokens", "5", "--pack", "8", "--shards", "1"))
+    val bpe = spark.read.parquet(s"$dir/out-bpe")
+    assert(bpe.select("doc_id").as[Long].collect().toSet === Set(1L),
+      "BPE mode: doc 1 = 4 tokens kept, doc 2 = 10 tokens dropped")
+
+    // packing offsets are in BPE tokens: doc 1 alone in shard, offset 0
+    assert(bpe.select("tok_offset").as[Long].head() === 0L)
+
+    val bad = intercept[IllegalArgumentException] {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/bad.txt"), "justone\n")
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/corpus", "-O", s"$dir/out-bad",
+        "--bpe-merges", s"$dir/bad.txt"))
+    }
+    assert(bad.getMessage.contains("left right"))
+  }
+
   test("Corpus CLI refuses an input that already has reserved pipeline columns") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-resv")
