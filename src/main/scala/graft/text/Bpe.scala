@@ -1,6 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.functions.BpeEncode
 
@@ -39,6 +41,41 @@ object Bpe {
   /** Flattened BPE tokens of a words column under `merges`. */
   def encode(words: Column, merges: Seq[String] = DemoMerges): Column =
     BpeEncode.of(words, merges)
+
+  /** Per-document token-ID sequences — the step between BPE tokens and a
+    * training data loader: tokens are numbered by corpus frequency
+    * (count desc, token asc — the GPT-style convention of giving hot
+    * tokens small ids), and each doc becomes its `array<bigint>` id
+    * sequence in reading order. Output: (doc_id, ids); token-less docs
+    * (blank text) get an empty array, not a dropped row.
+    *
+    * Scale shape: the vocabulary frame is bounded by |merges| + |alphabet|
+    * BY CONSTRUCTION (every BPE token is either a base character or the
+    * product of a listed merge), so the global ranking window runs over a
+    * vocab-sized frame — the q109 broadcast-carry justification, not a
+    * corpus-sized window — and the id lookup is a broadcast join. The
+    * per-doc reassembly is one hash aggregation (collect_list sorted by
+    * position); only (doc_id, pos, id) triples shuffle.
+    */
+  def idSequences(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  merges: Seq[String] = DemoMerges): DataFrame = {
+    val toks = Dedup.materialize(docs.select(col(idCol).as("doc_id"),
+      encode(TextOps.words(col(textCol)), merges).as("toks")))
+    val tok = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "t")))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .select(col("t"),
+        (row_number().over(Window.orderBy(col("c").desc, col("t").asc)) - 1)
+          .cast("long").as("id"))
+    val seqs = tok.join(broadcast(vocab), "t")
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+        x => x.getField("id")).as("ids"))
+    toks.select(col("doc_id")).join(seqs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ids"), array().cast("array<bigint>")).as("ids"))
+  }
 
   /** DuckDB CTE chain replaying the greedy merge loop over the corpus's
     * DISTINCT words (vocab ≪ corpus, so the recursion is tiny), exposing:

@@ -99,6 +99,19 @@ class BpeSpec extends AnyFunSuite {
       Seq("a😀", "b"))
   }
 
+  test("idSequences: frequency-ranked ids, reading order, empty doc -> empty array") {
+    // corpus tokens under DemoMerges: "the the row" -> the,the,row;
+    // "row big" -> row,b,i,g. freq: the=2, row=2, b=i=g=1
+    // rank (count desc, token asc): row=0, the=1 ('row' < 'the'), b=2, g=3, i=4
+    val docs = Seq((1L, "the the row"), (2L, "row big"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Bpe.idSequences(docs)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) === Seq(1L, 1L, 0L))
+    assert(got(2L) === Seq(0L, 2L, 4L, 3L), "big -> b,i,g in reading order")
+    assert(got(3L) === Seq.empty, "blank doc keeps its row with an empty sequence")
+  }
+
   test("bpe_encode is registered for SQL and duplicate merge pairs keep the first rank") {
     spark.range(1).createOrReplaceTempView("one")
     val row = spark.sql(

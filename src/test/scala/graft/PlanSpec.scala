@@ -361,6 +361,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q118 token-id lookup broadcasts the vocab; ranking never sees doc columns") {
+    val p = planOf("q118_token_ids")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the bounded vocab must broadcast to the id lookup")
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      "the frequency ranking runs over the vocab frame, not per-doc rows")
+  }
+
   test("q92 survivor-best candidate generation stays an equi band join") {
     val p = planOf("q92_survivor_best")
     assert(!p.contains("CartesianProduct"),

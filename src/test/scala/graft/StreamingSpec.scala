@@ -31,6 +31,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bpe_encode runs in a streaming plan: per-batch token counts match the batch path") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val counted = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(graft.text.Bpe.encode(graft.text.TextOps.words(col("text"))))
+          .as("n_bpe"))
+    val q = Streams.toMemorySink(counted, "bpe_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      mem.addData((1L, "the row"), (2L, "order small"))
+      q.processAllAvailable()
+      val got = spark.table("bpe_stream").as[(Long, Int)].collect().toMap
+      // the -> [the] (1), row -> [row] (1); order -> [or,d,er] (3),
+      // small -> [s,m,al,l] (4) — identical to the batch expression
+      assert(got === Map(1L -> 2, 2L -> 7))
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events table matches the batch hourly agg") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())
