@@ -320,6 +320,17 @@ object Queries {
         Tables(s, dir).documents, "source",
         size(graft.text.TextOps.words(col("text"))), budget = 1000000L)),
 
+    // Materialized mixture: q110's allocation turned into an actual doc
+    // subset — each source's docs taken in deterministic md5 order until
+    // the next doc would exceed the source's integer allocation (greedy
+    // prefix; budget 10k tokens « corpus mass so the cut is real). The
+    // segmented-cumsum shape means no source-sized window partition
+    // exists (see Budget.selectToBudget).
+    "q119_budget_select" -> ((s, dir) =>
+      graft.operators.Budget.selectToBudget(
+        Tables(s, dir).documents, "source", "doc_id",
+        size(graft.text.TextOps.words(col("text"))), budget = 10000L)),
+
     // Rank-family window functions over a deterministic total order:
     // rank/dense_rank (ties impossible by construction), percent_rank
     // and cume_dist (exact rationals of the same integer operands in
@@ -1000,6 +1011,32 @@ object Queries {
         |  CAST(base + CASE WHEN rk <= left_over THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc_tokens
         |FROM r, lo""".stripMargin,
+    // replays selectToBudget: the apportionment CTEs (q110's, at budget
+    // 10000) + one per-source md5-order cumsum — the oracle can afford
+    // the plain window; the Spark side's segmented form is order-identical
+    // because the bucket is a PREFIX of the order key
+    "q119_budget_select" ->
+      """WITH ps AS (SELECT source,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS tt FROM ps),
+        |q AS (SELECT source, toks, (10000 * toks) // tt AS base,
+        |    (10000 * toks) % tt AS rem FROM ps, tot),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM q),
+        |lo AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS left_over FROM q),
+        |alloc AS (SELECT source,
+        |  CAST(base + CASE WHEN rk <= left_over THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_tokens
+        |  FROM r, lo),
+        |t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
+        |  md5('sel:'||CAST(doc_id AS VARCHAR)) AS mk FROM documents),
+        |c AS (SELECT doc_id, source, CAST(sum(nt) OVER (PARTITION BY source
+        |  ORDER BY mk, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT c.doc_id, c.source FROM c JOIN alloc a ON c.source = a.source
+        |WHERE c.cum <= a.alloc_tokens""".stripMargin,
     "q100_scd2" ->
       """SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
         |  coalesce(lead(epoch_us(ts)) OVER (

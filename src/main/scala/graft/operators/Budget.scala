@@ -54,4 +54,51 @@ object Budget {
         (col("base") + when(col("rk") <= col("left_over"), 1L).otherwise(0L))
           .as("alloc_tokens"))
   }
+
+  /** Materialize an [[apportion]]ment: SELECT the documents that fill each
+    * key's allocation — docs taken in deterministic md5 order (seed
+    * "sel:", the [[Sampling]] convention: reproducible, partition- and
+    * retry-invariant) until the key's running token total would exceed its
+    * allocation. Greedy prefix, not knapsack: a doc that would overflow
+    * the remaining allocation is dropped along with everything after it —
+    * the deterministic contract a re-runnable mixture needs (an
+    * exactly-fill packing would be input-order sensitive).
+    *
+    * Scale shape: NO per-key window over the corpus (a key's docs can be
+    * terabytes — one window partition per source would serialize into
+    * single tasks). Instead the q74/q109 segmented-cumsum shape: docs
+    * bucket by the first `prefixChars` hex chars of their md5 order key
+    * (bucket order == selection order, the withDenseId property), each
+    * (key, bucket) cumsums independently, and per-bucket carry-in offsets
+    * come from a (keys × 16^prefixChars)-row frame — computed with one
+    * tiny window and broadcast back.
+    */
+  def selectToBudget(docs: DataFrame, keyCol: String, idCol: String,
+                     mass: Column, budget: Long,
+                     prefixChars: Int = 2): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 8, "prefixChars must be in [1, 8]")
+    val alloc = apportion(docs, keyCol, mass, budget)
+      .select(col(keyCol), col("alloc_tokens"))
+    val keyed = docs
+      .select(col(idCol), col(keyCol), mass.cast("long").as("__nt"))
+      .withColumn("__mk", md5(concat(lit("sel:"), col(idCol).cast("string"))))
+      .withColumn("__mb", substring(col("__mk"), 1, prefixChars))
+    val wIn = Window.partitionBy(col(keyCol), col("__mb"))
+      .orderBy(col("__mk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the offsets frame is keys × 16^prefixChars rows — the documented
+    // broadcast-carry shape, not a corpus-sized window
+    val wSeg = Window.partitionBy(col(keyCol)).orderBy(col("__mb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col(keyCol), col("__mb"))
+      .agg(sum(col("__nt")).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wSeg), lit(0L)))
+      .select(col(keyCol), col("__mb"), col("__off"))
+    keyed
+      .withColumn("__cin", sum(col("__nt")).over(wIn))
+      .join(broadcast(offs), Seq(keyCol, "__mb"))
+      .join(broadcast(alloc), Seq(keyCol))
+      .filter(col("__off") + col("__cin") <= col("alloc_tokens"))
+      .select(col(idCol), col(keyCol))
+  }
 }

@@ -361,6 +361,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q119 budget selection cumsums per (source, bucket) — no source-sized window partition") {
+    val p = planOf("q119_budget_select")
+    assert(p.contains("windowspecdefinition(source"), "windows must exist")
+    assert(p.contains("windowspecdefinition(source#") &&
+        p.contains("__mb"),
+      "the corpus-side cumsum must partition by (source, md5 bucket), not source alone")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "carry-in offsets and allocations must broadcast back")
+  }
+
   test("q118 token-id lookup broadcasts the vocab; ranking never sees doc columns") {
     val p = planOf("q118_token_ids")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

@@ -68,6 +68,40 @@ class SamplingSpec extends AnyFunSuite {
       "pick must be partition-invariant")
   }
 
+  test("Budget.apportion + selectToBudget: exact sum, greedy prefix, partition-invariant") {
+    import graft.operators.Budget
+    val docs = (1L to 400L)
+      .map(i => (i, s"s${i % 4}", 10L + i % 7)) // 4 sources, masses 10..16
+      .toDF("doc_id", "source", "nt")
+    val alloc = Budget.apportion(docs, "source", col("nt"), budget = 1000L)
+      .as[(String, Long, Long)].collect()
+    assert(alloc.map(_._3).sum === 1000L, "allocations sum EXACTLY to the budget")
+
+    val sel = Budget.selectToBudget(docs, "source", "doc_id", col("nt"), 1000L)
+      .as[(Long, String)].collect().toSet
+    // per source: selected mass <= allocation, and adding the NEXT doc in
+    // md5 order would exceed it (greedy-prefix maximality)
+    val mass = docs.as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    val order = docs.as[(Long, String, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).sortBy(id =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(s"sel:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id))).toMap
+    for ((src, allocTokens) <- alloc.map(a => a._1 -> a._3)) {
+      val picked = order(src).takeWhile { id =>
+        // replicate the running-total rule
+        val upto = order(src).take(order(src).indexOf(id) + 1)
+        upto.map(mass).sum <= allocTokens
+      }.toSet
+      assert(sel.filter(_._2 == src).map(_._1) === picked,
+        s"$src: selection must be exactly the greedy md5-order prefix")
+    }
+    // partition invariance: the repartitioned input picks the same docs
+    val sel2 = Budget.selectToBudget(docs.repartition(13), "source", "doc_id",
+      col("nt"), 1000L).as[(Long, String)].collect().toSet
+    assert(sel2 === sel)
+  }
+
   test("hashBucket: stable shard assignment covers all buckets") {
     val buckets = ids(1000)
       .select(Sampling.hashBucket(col("id"), 8).as("b")).as[Int].collect()
