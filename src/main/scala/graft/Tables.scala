@@ -23,19 +23,37 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS); Spark's TimestampType is µs, so
-    * (with spark.sql.legacy.parquet.nanosAsLong) the nanos arrive as longs
-    * and are floor-divided to µs with INTEGER division — exact, and
-    * identical to DuckDB's epoch_us truncation.
+  /** events.ts normalized to Spark TimestampType whatever the writer
+    * emitted — the driver has regenerated this table with different
+    * parquet timestamp annotations across rounds:
+    *  - TIMESTAMP(NANOS): with spark.sql.legacy.parquet.nanosAsLong the
+    *    nanos arrive as longs, floor-divided to µs with INTEGER division —
+    *    exact, identical to DuckDB's epoch_us truncation;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; the cast keeps the wall-clock (session tz is pinned
+    *    UTC in Sessions.local), so unix_micros sees the same integer DuckDB's
+    *    epoch_us reads off the naive value;
+    *  - TIMESTAMP(MICROS, UTC): already TimestampType, no-op.
     */
-  def events: DataFrame = {
-    val raw = t("events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  def events: DataFrame = Tables.normalizeTs(t("events"), "ts")
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** Normalize a timestamp-ish column (long nanos / TIMESTAMP_NTZ /
+    * TIMESTAMP) to TimestampType. Shared by the batch catalog and the
+    * streaming specs so both read the same instant whatever the parquet
+    * writer annotated. See `Tables.events`.
+    */
+  def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }
 
 object Sessions {

@@ -58,9 +58,9 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("part-0.parquet"))
-    val schema = spark.read.parquet(streamDir.toString).schema // ts arrives as long (nanosAsLong)
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString), "ts")
     val q = Streams.toMemorySink(Streams.hourlyCounts(stream), "file_hourly")
     try {
       q.processAllAvailable()
