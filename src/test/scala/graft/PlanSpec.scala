@@ -346,6 +346,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "per-doc prefix ordering rides the agg buffer")
   }
 
+  test("q120 repeated spans: key-unique flag join, per-doc windows only") {
+    val p = planOf("q120_repeated_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "flagged-gram lookup must stay an equi join on gram_key")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "span merging must window per doc")
+    assert(!p.contains("windowspecdefinition(pos"),
+      "no global (un-partitioned) window may appear")
+  }
+
   test("q115 approx profile has NO Expand (the exact profile's dominant cost)") {
     assert(!planOf("q115_profile_approx").contains("Expand"),
       "sketch aggregates must plan as a plain partial/final agg")

@@ -381,6 +381,29 @@ class TextSpec extends AnyFunSuite {
       "a 1-word doc has no bigram and must drop (the shingles fallback is not a bigram)")
   }
 
+  test("repeatedSpans merges overlapping and adjacent flagged grams, splits on gaps") {
+    val d = docs(
+      // d1/d2 share the 6-word block p1..p6 → two overlapping 5-grams,
+      // one merged span each (d1: tokens 3..8, d2: tokens 2..7)
+      (1L, "u1 u2 p1 p2 p3 p4 p5 p6 u3 u4 u5"),
+      (2L, "v1 p1 p2 p3 p4 p5 p6 v2 v3 v4"),
+      // unique doc → no flagged grams → no rows
+      (3L, "w1 w2 w3 w4 w5 w6"),
+      // d5/d6 share two DISJOINT 5-grams; in d5 they sit adjacent
+      // (positions 1 and 6 → one span 1..10), in d6 a zz gap splits them
+      (5L, "q1 q2 q3 q4 q5 r1 r2 r3 r4 r5"),
+      (6L, "q1 q2 q3 q4 q5 zz r1 r2 r3 r4 r5"))
+    val r = graft.text.Queries.repeatedSpans(d)
+      .select("doc_id", "span_start", "span_end", "n_grams", "max_df", "span_toks")
+      .as[(Long, Int, Int, Long, Long, Int)].collect().toSet
+    assert(r === Set(
+      (1L, 3, 8, 2L, 2L, 6),
+      (2L, 2, 7, 2L, 2L, 6),
+      (5L, 1, 10, 2L, 2L, 10),
+      (6L, 1, 5, 1L, 2L, 5),
+      (6L, 7, 11, 1L, 2L, 5)))
+  }
+
   test("langId picks the profile with most hits, und when none") {
     val d = docs((1L, "the cat and the dog of a town"), (2L, "qqq zzz www"))
       .select(col("doc_id"), TextOps.langId(TextOps.words(col("text"))).as("lang"))
