@@ -142,6 +142,24 @@ object Queries {
     // the banded result exactly.
     "q61_embed_lsh_neardup" -> ((s, dir) => bandedNearDup(s, dir, Bands, RowBits)),
 
+    // SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup — cluster
+    // the embedding space, then prune near-duplicates ONLY within each
+    // cluster, so the pair search is O(Σ cell²) instead of n². Here the
+    // clustering is the engine's own deterministic integer Lloyd
+    // (`Ann.trainCentroids`: lowest-id seeds, exact-integer argmin
+    // assignment, floor-div mean update — partitioning-order independent,
+    // so the DuckDB oracle replays the whole training loop bit-for-bit),
+    // one update iteration, then per-cluster pairwise exact-integer cosine
+    // (q45's τ=0.5 threshold) dropping the larger vec_id of each
+    // qualifying pair. At 100 TB: training collects only the k×dims model,
+    // assignment is a broadcast-centroid map, and the pair join shuffles
+    // on cid — a cluster is the unit of comparison, never the corpus.
+    // Recall caveat (inherent to SemDeDup, documented): a near-dup pair
+    // split across two cells is not compared — the production guard is
+    // raising k's granularity or multi-probe assignment, cf. Ann.rankCells.
+    "q121_semantic_dedup" -> ((s, dir) =>
+      semanticDedup(s, prepared(s, dir), Centroids)),
+
     // LSH-bucketed ANN (the 100 TB scale path): 8-bit random-hyperplane
     // signature, candidates restricted to the same bucket, best match per
     // query. Shuffles on the signature instead of materializing n² pairs.
@@ -199,6 +217,29 @@ object Queries {
       .select(col("a_id"), col("b_id"), col("dot_q"), col("sim"))
   }
 
+  /** SemDeDup core over ANY (vec_id, q, n2) frame (see q121's scaladoc):
+    * one deterministic Lloyd iteration (`Ann.lloyd` — lowest-id seeds,
+    * integer argmin, floor-div mean), then per-cluster pairwise
+    * exact-integer cosine at τ=0.5, dropping the larger vec_id of each
+    * qualifying pair. Output: (vec_id, cid, dropped 0|1) for every input
+    * vector — the keep/drop decision table a pipeline filters on.
+    */
+  def semanticDedup(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
+    val model = Ann.trainCentroidsFrom(s, e, k, iters = 1)
+    val assigned = Ann
+      .assignCells(e, Ann.centroidsDF(s, model))
+      .select(col("vec_id"), col("q"), col("n2"), col("cid"))
+    val drops = withSim(
+      assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id")))
+      .filter(col("dot_q") > 0 &&
+        lit(4) * col("dot_q") * col("dot_q") >= col("na") * col("nb"))
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cid"))
+      .join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .na.fill(0, Seq("dropped"))
+  }
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   private val quantCte =
@@ -221,6 +262,43 @@ object Queries {
   private val sigExpr = sigExprOf(SigBits)
 
   def oracles: Map[String, String] = Map(
+    // Replays the ENTIRE deterministic Lloyd iteration (seed cells → argmin
+    // d² assignment → exact-integer floor-div mean → reassignment) before
+    // the intra-cluster prune — possible only because the Spark training
+    // loop is integer-exact and partitioning-order independent.
+    "q121_semantic_dedup" ->
+      s"""WITH $quantCte,
+         |c0 AS (SELECT vec_id AS cid, q AS cq FROM n ORDER BY vec_id LIMIT $Centroids),
+         |c0n AS (SELECT cid, cq, CAST(list_sum(list_transform(range(1, len(cq)+1),
+         |    i -> cq[i]*cq[i])) AS BIGINT) AS cn2 FROM c0),
+         |a1 AS (SELECT vec_id, q, cid FROM (
+         |  SELECT v.vec_id, v.q, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      v.n2 - 2*CAST(list_sum(list_transform(range(1, len(v.q)+1),
+         |        i -> v.q[i]*c.cq[i])) AS BIGINT) + c.cn2 ASC, c.cid ASC) AS rn
+         |  FROM n v CROSS JOIN c0n c) WHERE rn = 1),
+         |e1 AS (SELECT cid, unnest(range(1, len(q)+1)) AS d, q FROM a1),
+         |s1 AS (SELECT cid, d, sum(q[d]) AS sv, count(*) AS nn FROM e1 GROUP BY 1,2),
+         |m1 AS (SELECT cid, list(CAST((sv - ((sv % nn) + nn) % nn) // nn AS BIGINT)
+         |    ORDER BY d) AS mq FROM s1 GROUP BY cid),
+         |c1 AS (SELECT c0n.cid, coalesce(m1.mq, c0n.cq) AS cq
+         |  FROM c0n LEFT JOIN m1 USING (cid)),
+         |c1n AS (SELECT cid, cq, CAST(list_sum(list_transform(range(1, len(cq)+1),
+         |    i -> cq[i]*cq[i])) AS BIGINT) AS cn2 FROM c1),
+         |a2 AS (SELECT vec_id, q, n2, cid FROM (
+         |  SELECT v.vec_id, v.q, v.n2, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      v.n2 - 2*CAST(list_sum(list_transform(range(1, len(v.q)+1),
+         |        i -> v.q[i]*c.cq[i])) AS BIGINT) + c.cn2 ASC, c.cid ASC) AS rn
+         |  FROM n v CROSS JOIN c1n c) WHERE rn = 1),
+         |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+         |    a.n2 na, b.n2 nb
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |dr AS (SELECT DISTINCT b_id FROM p
+         |  WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb)
+         |SELECT a2.vec_id, a2.cid,
+         |  CAST(CASE WHEN dr.b_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
+         |FROM a2 LEFT JOIN dr ON a2.vec_id = dr.b_id""".stripMargin,
     "q50_ann_ivf" ->
       s"""WITH $quantCte,
          |c AS (SELECT vec_id AS cid, q AS cq FROM n WHERE vec_id < $Centroids),

@@ -356,6 +356,15 @@ class PlanSpec extends AnyFunSuite {
       "no global (un-partitioned) window may appear")
   }
 
+  test("q121 semantic dedup: pair search is an equi join on cid, never all-pairs") {
+    val p = planOf("q121_semantic_dedup")
+    assert(!p.contains("CartesianProduct"))
+    // the ONLY nested-loop allowed is the broadcast of the k-row centroid
+    // model (Ann.rankCells crossJoin) — the vector-vs-vector pair join
+    // must shuffle on cid
+    assert(p.contains("cid"), "pair join must key on the cluster id")
+  }
+
   test("q115 approx profile has NO Expand (the exact profile's dominant cost)") {
     assert(!planOf("q115_profile_approx").contains("Expand"),
       "sketch aggregates must plan as a plain partial/final agg")

@@ -132,6 +132,27 @@ class VectorSpec extends AnyFunSuite {
     assert(c1 <= c0 && c2 <= c1, s"objective must descend: $c0 -> $c1 -> $c2")
   }
 
+  test("semanticDedup drops the larger id of every intra-cluster near-dup pair") {
+    // Two orthogonal clusters, seeds (lowest ids 0,1) one per cluster.
+    // Near-dups of each seed must drop; the seeds themselves survive.
+    val e = Seq(
+      (0L, Seq(100L, 0L)),   // cluster 0 seed
+      (1L, Seq(0L, 100L)),   // cluster 1 seed
+      (2L, Seq(99L, 1L)),    // near-dup of 0 → dropped
+      (3L, Seq(98L, 2L)),    // near-dup of 0 and 2 → dropped
+      (4L, Seq(1L, 99L)))    // near-dup of 1 → dropped
+      .toDF("vec_id", "q")
+      .withColumn("n2", graft.functions.VectorDot.of(col("q"), col("q")))
+    val r = graft.vector.Queries.semanticDedup(spark, e, k = 2)
+      .as[(Long, Long, Int)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r.view.mapValues(_._2).toMap ===
+      Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1))
+    assert(r(2L)._1 === r(0L)._1 && r(3L)._1 === r(0L)._1,
+      "near-dups of seed 0 must land in seed 0's cluster")
+    assert(r(4L)._1 === r(1L)._1)
+    assert(r(0L)._1 !== r(1L)._1, "orthogonal seeds must be distinct clusters")
+  }
+
   test("trained IVF centroids do not lose recall at nprobe=2") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
