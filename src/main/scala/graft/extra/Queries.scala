@@ -331,6 +331,36 @@ object Queries {
         Tables(s, dir).documents, "source", "doc_id",
         size(graft.text.TextOps.words(col("text"))), budget = 10000L)),
 
+    // Token-balanced shard assignment: snake (boustrophedon) distribution
+    // over docs ranked by token count — the deterministic one-pass answer
+    // to "write N training shards with even token mass" (greedy
+    // bin-packing is sequential; snake bounds the shard token spread by
+    // one max-doc weight, and every engine computes it identically). The
+    // global rank is SEGMENTED, never a corpus-wide window: per-value
+    // counts (domain-sized — token counts, not docs) cumsum into carry
+    // offsets broadcast back, within-value ranks window per n_toks
+    // partition (q109's equi-depth machinery over a discrete key).
+    "q122_shard_snake" -> ((s, dir) => {
+      val S = 8
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(graft.text.TextOps.words(col("text"))).as("n_toks"))
+      val vc = graft.text.Dedup.materialize(
+        d.groupBy(col("n_toks")).agg(count(lit(1)).as("c")))
+      val wVal = Window.orderBy(col("n_toks").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = vc.select(col("n_toks"),
+        coalesce(sum(col("c")).over(wVal), lit(0L)).as("carry"))
+      val wIn = Window.partitionBy(col("n_toks")).orderBy(col("doc_id").asc)
+      d.withColumn("rin", row_number().over(wIn))
+        .join(broadcast(offs), Seq("n_toks"))
+        .withColumn("rank", col("carry") + col("rin"))
+        .withColumn("pos", (col("rank") - 1) % (2 * S))
+        .select(col("doc_id"), col("n_toks"), col("rank"),
+          when(col("pos") < S, col("pos"))
+            .otherwise(lit(2 * S - 1) - col("pos")).cast("int").as("shard"))
+    }),
+
     // Rank-family window functions over a deterministic total order:
     // rank/dense_rank (ties impossible by construction), percent_rank
     // and cume_dist (exact rationals of the same integer operands in
@@ -1037,6 +1067,18 @@ object Queries {
         |  FROM t)
         |SELECT c.doc_id, c.source FROM c JOIN alloc a ON c.source = a.source
         |WHERE c.cum <= a.alloc_tokens""".stripMargin,
+    "q122_shard_snake" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS INT) AS n_toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_toks,
+        |    CAST(row_number() OVER (ORDER BY n_toks DESC, doc_id) AS BIGINT)
+        |      AS rank
+        |  FROM d)
+        |SELECT doc_id, n_toks, rank,
+        |  CAST(CASE WHEN (rank-1)%16 < 8 THEN (rank-1)%16
+        |       ELSE 15-((rank-1)%16) END AS INT) AS shard
+        |FROM r""".stripMargin,
     "q100_scd2" ->
       """SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
         |  coalesce(lead(epoch_us(ts)) OVER (

@@ -116,6 +116,27 @@ class PackingSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("non-null")))
   }
 
+  test("q122 snake sharding: rank is a permutation, shards count- and token-balanced") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val r = SparkEntry.queries("q122_shard_snake")(spark, dir)
+      .select("doc_id", "n_toks", "rank", "shard")
+      .as[(Long, Int, Long, Int)].collect()
+    val n = r.length
+    assert(r.map(_._3).sorted.toSeq === (1L to n).toSeq,
+      "segmented rank must be the exact global permutation")
+    assert(r.forall(x => x._4 >= 0 && x._4 < 8))
+    val byShard = r.groupBy(_._4)
+    val counts = byShard.view.mapValues(_.length).values
+    assert(counts.max - counts.min <= 2,
+      s"snake doc counts must stay within one 2S block: ${counts.toSeq.sorted}")
+    val loads = byShard.view.mapValues(_.map(_._2.toLong).sum).values
+    val maxDoc = r.map(_._2).max
+    assert(loads.max - loads.min <= 2L * maxDoc,
+      s"snake token spread must be bounded by the largest doc, got " +
+        s"${loads.max - loads.min} vs maxDoc $maxDoc")
+  }
+
   test("packers fail loudly on null or non-positive token counts") {
     val df = Seq((1L, 10L), (2L, 0L)).toDF("doc_id", "n_tokens")
     val e = intercept[Exception] {

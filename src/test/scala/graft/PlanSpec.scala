@@ -307,6 +307,16 @@ class PlanSpec extends AnyFunSuite {
       "carry-ins and totals must broadcast back")
   }
 
+  test("q122 snake sharding ranks segmented: per-value windows + broadcast carries") {
+    val p = planOf("q122_shard_snake")
+    assert(p.contains("windowspecdefinition(n_toks"),
+      "within-value ranking must partition by the token-count value")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "value carry offsets must broadcast back, never shuffle the docs")
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      "no doc-partitioned or corpus-global doc window may appear")
+  }
+
   test("q110 apportionment windows only the per-source frame") {
     val p = planOf("q110_token_budget")
     // the row_number ranking runs over the handful of sources — assert the
