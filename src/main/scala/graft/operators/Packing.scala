@@ -158,4 +158,37 @@ object Packing {
       }
       .toDF("doc_id", "shard", "seq_id", "tok_offset")
   }
+
+  /** Overlapping sliding-window chunks over a token array — the context-
+    * window layout for long-document training and retrieval indexing
+    * (each chunk carries `size - stride` tokens of its predecessor for
+    * continuity). Chunk count is closed-form (1 + ⌈max(0, n−size)/stride⌉,
+    * integer arithmetic only), so the whole op is ONE map-side explode per
+    * doc: no shuffle, no window, no state — it scales with tokens scanned
+    * and parallelizes per input split. The final chunk is clamped to the
+    * doc end (it may be shorter than `size` but is never empty, and a doc
+    * shorter than one chunk yields exactly one chunk).
+    *
+    * `tokensCol` is an array column; output keeps `idCol` plus
+    * (chunk_idx, start_tok 1-based, end_tok inclusive, n_chunk_toks,
+    * chunk: array slice).
+    */
+  def slidingChunks(df: DataFrame, idCol: String, tokensCol: String,
+                    size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val n = org.apache.spark.sql.functions.size(col(tokensCol))
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(expr(s"(size($tokensCol) - $size + $stride - 1) div $stride") + lit(1))
+    df.filter(n > 0)
+      .select(col(idCol), col(tokensCol).as("__toks"),
+        explode(sequence(lit(0), (nChunks - 1).cast("int"))).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride + 1)
+      .withColumn("end_tok", least(col("start_tok") + lit(size - 1),
+        org.apache.spark.sql.functions.size(col("__toks"))))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_chunk_toks"),
+        slice(col("__toks"), col("start_tok"),
+          col("end_tok") - col("start_tok") + 1).as("chunk"))
+  }
 }

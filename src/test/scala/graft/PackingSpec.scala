@@ -137,6 +137,34 @@ class PackingSpec extends AnyFunSuite {
         s"${loads.max - loads.min} vs maxDoc $maxDoc")
   }
 
+  test("slidingChunks: exact starts/overlap, clamped tail, short doc = one chunk") {
+    val df = Seq(
+      (1L, (1 to 10).map(_.toString)),  // 10 toks, size 4 stride 3 → 3 chunks
+      (2L, Seq("a", "b")),              // shorter than size → one chunk
+      (3L, (1 to 4).map(_.toString)))   // exactly size → one chunk
+      .toDF("doc_id", "ws")
+    val r = Packing.slidingChunks(df, "doc_id", "ws", size = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok", "chunk")
+      .as[(Long, Int, Int, Int, Seq[String])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(r(1L).map(x => (x._3, x._4)) === Seq((1, 4), (4, 7), (7, 10)),
+      "chunks start every stride and the tail clamps to the doc end")
+    assert(r(1L)(1)._5 === Seq("4", "5", "6", "7"))
+    // neighbor overlap is exactly size - stride tokens
+    assert(r(1L)(0)._5.drop(3) === r(1L)(1)._5.take(1))
+    assert(r(2L).map(x => (x._3, x._4, x._5)) === Seq((1, 2, Seq("a", "b"))))
+    assert(r(3L).map(x => (x._3, x._4)) === Seq((1, 4)))
+    // every token position is covered
+    assert(r(1L).flatMap(x => x._3 to x._4).distinct.sorted === (1 to 10).toSeq)
+  }
+
+  test("slidingChunks rejects stride wider than the window") {
+    val df = Seq((1L, Seq("a"))).toDF("doc_id", "ws")
+    intercept[IllegalArgumentException] {
+      Packing.slidingChunks(df, "doc_id", "ws", size = 4, stride = 5)
+    }
+  }
+
   test("packers fail loudly on null or non-positive token counts") {
     val df = Seq((1L, 10L), (2L, 0L)).toDF("doc_id", "n_tokens")
     val e = intercept[Exception] {

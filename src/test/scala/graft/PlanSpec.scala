@@ -349,6 +349,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("q124 sliding chunks are map-only: no shuffle, no join, no window") {
+    val p = planOf("q124_chunk_overlap")
+    assert(!p.contains("Exchange"),
+      "chunk count is closed-form per row — nothing may move")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("q114 exact containment: prefix-filtered equi candidates, no all-pairs, no window") {
     val p = planOf("q114_containment_exact")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
