@@ -41,6 +41,12 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        computed BEFORE dedup removes the
   *                                        dups it diagnoses; triangle-dense
   *                                        groups are template families
+  *     [--span-stats]                     emit the per-doc substring-duplication
+  *                                        census (repeated-5-gram spans:
+  *                                        n_spans / covered_toks / max_df) to
+  *                                        OUT/_spanstats — also pre-dedup: it
+  *                                        measures the pasted-paragraph
+  *                                        duplication doc-level dedup can't see
   *     [--min-tokens n] [--max-tokens n]  quality bounds (default 1/2^31)
   *     [--bpe-merges path]                denominate ALL token decisions
   *                                        (--min/--max-tokens, --pack) in BPE
@@ -76,7 +82,7 @@ object Corpus {
       boilerplateDf: Option[Int] = None, boilerplateW: Int = 20,
       benchmark: Option[String] = None,
       dedup: Boolean = false, dedupStore: Option[String] = None,
-      dupGraphBy: Option[String] = None,
+      dupGraphBy: Option[String] = None, spanStats: Boolean = false,
       minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
       bpeMerges: Option[String] = None,
       samplePerMille: Option[Int] = None,
@@ -107,6 +113,7 @@ object Corpus {
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
     case "--dedup-store" :: v :: rest => parse(rest, acc.copy(dedupStore = Some(v)))
     case "--dup-graph-stats" :: v :: rest => parse(rest, acc.copy(dupGraphBy = Some(v)))
+    case "--span-stats" :: rest       => parse(rest, acc.copy(spanStats = true))
     case "--min-tokens" :: v :: rest  => parse(rest, acc.copy(minTokens = v.toInt))
     case "--max-tokens" :: v :: rest  => parse(rest, acc.copy(maxTokens = v.toInt))
     case "--bpe-merges" :: v :: rest  => parse(rest, acc.copy(bpeMerges = Some(v)))
@@ -179,6 +186,7 @@ object Corpus {
     */
   final case class PipelineResult(
       train: DataFrame, eval: Option[DataFrame], dupGraph: Option[DataFrame],
+      spanStats: Option[DataFrame],
       cached: Seq[DataFrame], commitStore: Option[() => Unit])
 
   /** Full pipeline: (training corpus, optional eval carve-out, persisted
@@ -263,6 +271,18 @@ object Corpus {
         .filter(col("ga") === col("gb"))
         .select(col("ga").as(gcol), col("doc_a").as("u"), col("doc_b").as("v"))
       Graph.triangleStatsPerGroup(edges, gcol)
+    }
+    // span census BEFORE dedup, same rationale: it measures the substring-
+    // level duplication the doc-level stages can't see (a pasted paragraph
+    // inside an otherwise unique doc survives --dedup entirely)
+    val spanStats = if (!a.spanStats) None else {
+      corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += corpus
+      Some(graft.text.Queries.repeatedSpans(corpus)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_toks")).as("covered_toks"),
+          max(col("max_df")).as("max_df")))
     }
     if (a.dedup) {
       // the corpus subtree feeds BOTH the LSH pair mining and the anti
@@ -357,8 +377,8 @@ object Corpus {
         corpus.withColumn("shard",
           Sampling.hashBucket(col("doc_id"), a.shards, seed = "pack"))
     }
-    PipelineResult(out.drop("__n_tokens"), eval, dupGraph, cached.result(),
-      commitStore)
+    PipelineResult(out.drop("__n_tokens"), eval, dupGraph, spanStats,
+      cached.result(), commitStore)
   }
 
   def run(spark: SparkSession, argv: Array[String]): Unit = {
@@ -367,6 +387,7 @@ object Corpus {
       "usage: -I <corpus.parquet> -O <out> [--format parquet|orc|json|csv] " +
         "[--scrub-pii] [--remove-boilerplate df] [--boilerplate-w w] " +
         "[--benchmark p] [--dedup] [--dedup-store dir] [--dup-graph-stats col] " +
+        "[--span-stats] " +
         "[--min-tokens n] [--max-tokens n] [--bpe-merges path] " +
         "[--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
@@ -381,6 +402,10 @@ object Corpus {
       // _dupgraph: tiny (groups × 1 row) diagnostic, underscore-skipped
       r.dupGraph.foreach(_.repartition(1).write.mode("overwrite")
         .parquet(s"${a.out}/_dupgraph"))
+      // _spanstats: per-doc substring-duplication census (docs with spans
+      // only), underscore-skipped like _dupgraph
+      r.spanStats.foreach(_.write.mode("overwrite")
+        .parquet(s"${a.out}/_spanstats"))
       // the store mutation commits LAST: a failure anywhere above leaves
       // the store exactly as the run found it, so the retry re-dedups the
       // same drop against the same corpus (idempotent, never empty)

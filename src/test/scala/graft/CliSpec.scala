@@ -96,6 +96,32 @@ class CliSpec extends AnyFunSuite {
       .collect().toSet === Set(1L, 4L))
   }
 
+  test("Corpus CLI: --span-stats censuses the pasted paragraph doc-level dedup misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-spans")
+    val pasted = (1 to 10).map(i => s"p$i").mkString(" ") // 10-token shared block
+    val docs = Seq(
+      // two otherwise-unique docs sharing only the pasted block — NOT
+      // near-dups (Jaccard way below 0.7), so --dedup keeps both
+      (1L, (100 to 140).map(i => s"a$i").mkString(" ") + " " + pasted),
+      (2L, pasted + " " + (200 to 240).map(i => s"b$i").mkString(" ")),
+      (3L, (300 to 340).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/corpus")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out", "--dedup", "--span-stats"))
+    // dedup kept all three (substring overlap is invisible to it)...
+    assert(spark.read.parquet(s"$dir/out").select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 2L, 3L))
+    // ...but the span census found the 10-token pasted block in both docs
+    val stats = spark.read.parquet(s"$dir/out/_spanstats")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(stats(1L)._2 === 1L && stats(1L)._3 === 10L && stats(1L)._4 === 2L)
+    assert(stats(2L)._2 === 1L && stats(2L)._3 === 10L)
+    assert(!stats.contains(3L), "clean docs emit no span rows")
+  }
+
   test("Corpus CLI: eval carve-out + mixture weights are disjoint, exact, deterministic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

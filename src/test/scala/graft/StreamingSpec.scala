@@ -50,6 +50,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding chunks apply stateless to a stream, matching the batch layout") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def chunked(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Packing.slidingChunks(
+        df.withColumn("ws", split(col("text"), " ")),
+        "doc_id", "ws", size = 4, stride = 3)
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("end_tok"), array_join(col("chunk"), " ").as("chunk_text"))
+    val q = Streams.toMemorySink(chunked(mem.toDF().toDF("doc_id", "text")),
+      "chunk_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val rows = Seq(
+        (1L, (1 to 10).map(_.toString).mkString(" ")),
+        (2L, "a b"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("chunk_stream")
+        .as[(Long, Int, Int, Int, String)].collect().toSet
+      val batch = chunked(rows.toDF("doc_id", "text"))
+        .as[(Long, Int, Int, Int, String)].collect().toSet
+      assert(got === batch, "map-only chunking must be layout-identical on a stream")
+      assert(got.count(_._1 == 1L) === 3 && got.count(_._1 == 2L) === 1)
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events table matches the batch hourly agg") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())
