@@ -382,6 +382,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cid"), "pair join must key on the cluster id")
   }
 
+  test("q125 span scrub: equi joins only, reassembly via agg (no window, no BNLJ)") {
+    val p = planOf("q125_span_scrub")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("windowspecdefinition"),
+      "token reassembly must sort inside the agg buffer, not a window")
+  }
+
   test("q115 approx profile has NO Expand (the exact profile's dominant cost)") {
     assert(!planOf("q115_profile_approx").contains("Expand"),
       "sketch aggregates must plan as a plain partial/final agg")

@@ -404,6 +404,21 @@ class TextSpec extends AnyFunSuite {
       (6L, 7, 11, 1L, 2L, 5)))
   }
 
+  test("scrubRepeatedSpans keeps exactly one corpus copy of a pasted block") {
+    val pasted = (1 to 10).map(i => s"P$i").mkString(" ")
+    val d = docs(
+      (1L, "a1 a2 a3 " + pasted),  // keeper (corpus-min doc id): intact
+      (2L, pasted + " b1 b2 b3"),  // loses the block
+      (3L, "c1 c2 c3 c4 c5 c6"),   // clean: untouched
+      (4L, pasted))                // pure boilerplate: scrubs to ""
+    val r = graft.text.Queries.scrubRepeatedSpans(d)
+      .as[(Long, Int, Long, String)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 13, 0L, "a1 a2 a3 " + pasted)))
+    assert(r(2L) === ((2L, 13, 10L, "b1 b2 b3")))
+    assert(r(3L) === ((3L, 6, 0L, "c1 c2 c3 c4 c5 c6")))
+    assert(r(4L) === ((4L, 10, 10L, "")))
+  }
+
   test("langId picks the profile with most hits, und when none") {
     val d = docs((1L, "the cat and the dog of a town"), (2L, "qqq zzz www"))
       .select(col("doc_id"), TextOps.langId(TextOps.words(col("text"))).as("lang"))
