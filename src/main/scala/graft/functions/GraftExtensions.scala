@@ -112,6 +112,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.operators.Profile.table(SparkSession.active.table(t), cols)
         .queryExecution.logical
     }
+    tvf("graft_repeated_spans") { args =>
+      require(args.size == 1, "usage: graft_repeated_spans(<table name>)")
+      val t = strArg("graft_repeated_spans", args.head, "table name")
+      graft.text.Queries.repeatedSpans(SparkSession.active.table(t))
+        .queryExecution.logical
+    }
+    tvf("graft_span_scrub") { args =>
+      require(args.size == 1, "usage: graft_span_scrub(<table name>)")
+      val t = strArg("graft_span_scrub", args.head, "table name")
+      graft.text.Queries.scrubRepeatedSpans(SparkSession.active.table(t))
+        .queryExecution.logical
+    }
+    tvf("graft_sliding_chunks") { args =>
+      require(args.size == 5, "usage: graft_sliding_chunks(<table>, <idCol>, " +
+        "<tokensCol>, <size>, <stride>)")
+      val t = strArg("graft_sliding_chunks", args.head, "table name")
+      graft.operators.Packing.slidingChunks(
+          SparkSession.active.table(t),
+          strArg("graft_sliding_chunks", args(1), "idCol"),
+          strArg("graft_sliding_chunks", args(2), "tokensCol"),
+          intArg("graft_sliding_chunks", args(3), "size"),
+          intArg("graft_sliding_chunks", args(4), "stride"))
+        .queryExecution.logical
+    }
     tvf("graft_pack_greedy") { args =>
       require(args.size == 5, "usage: graft_pack_greedy(<table>, <idCol>, " +
         "<nTokensCol>, <maxTokens>, <shards>)")

@@ -68,6 +68,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(viaSql) === rows(direct))
   }
 
+  test("graft_repeated_spans and graft_span_scrub run the span family from SQL") {
+    docsView
+    val spansSql = spark.sql("SELECT * FROM graft_repeated_spans('sql_docs')")
+    val spansDirect = graft.text.Queries.repeatedSpans(spark.table("sql_docs"))
+    assert(spansSql.columns === spansDirect.columns)
+    assert(rows(spansSql) === rows(spansDirect))
+    assert(spansSql.count() > 0, "the planted near-dup pair must flag spans")
+    val scrubSql = spark.sql("SELECT * FROM graft_span_scrub('sql_docs')")
+    val scrubDirect = graft.text.Queries.scrubRepeatedSpans(spark.table("sql_docs"))
+    assert(scrubSql.columns === scrubDirect.columns)
+    assert(rows(scrubSql) === rows(scrubDirect))
+  }
+
+  test("graft_sliding_chunks chunks from SQL, identical to the Column API") {
+    spark.table("sql_docs")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .createOrReplaceTempView("sql_toks")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_sliding_chunks('sql_toks', 'doc_id', 'ws', 8, 6)")
+    val direct = graft.operators.Packing.slidingChunks(
+      spark.table("sql_toks"), "doc_id", "ws", size = 8, stride = 6)
+    assert(viaSql.columns === direct.columns)
+    assert(rows(viaSql) === rows(direct))
+    assert(viaSql.count() > 0)
+  }
+
   test("TVF argument errors are loud and named") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_profile('sql_docs')").collect()
