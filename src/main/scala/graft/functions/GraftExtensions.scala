@@ -115,13 +115,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tvf("graft_repeated_spans") { args =>
       require(args.size == 1, "usage: graft_repeated_spans(<table name>)")
       val t = strArg("graft_repeated_spans", args.head, "table name")
-      graft.text.Queries.repeatedSpans(SparkSession.active.table(t))
+      graft.text.Queries.repeatedSpans(SparkSession.active.table(t),
+          eager = false)
         .queryExecution.logical
     }
     tvf("graft_span_scrub") { args =>
       require(args.size == 1, "usage: graft_span_scrub(<table name>)")
       val t = strArg("graft_span_scrub", args.head, "table name")
-      graft.text.Queries.scrubRepeatedSpans(SparkSession.active.table(t))
+      graft.text.Queries.scrubRepeatedSpans(SparkSession.active.table(t),
+          eager = false)
         .queryExecution.logical
     }
     tvf("graft_sliding_chunks") { args =>

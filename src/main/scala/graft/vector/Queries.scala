@@ -226,9 +226,12 @@ object Queries {
     */
   def semanticDedup(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
     val model = Ann.trainCentroidsFrom(s, e, k, iters = 1)
-    val assigned = Ann
+    // the assignment feeds THREE branches (both pair-join sides + the
+    // output keep/drop table) and each re-execution re-pays the broadcast
+    // argmin — materialize once (nearDupPairs' shared-prep discipline)
+    val assigned = graft.text.Dedup.materialize(Ann
       .assignCells(e, Ann.centroidsDF(s, model))
-      .select(col("vec_id"), col("q"), col("n2"), col("cid"))
+      .select(col("vec_id"), col("q"), col("n2"), col("cid")))
     val drops = withSim(
       assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id")))
