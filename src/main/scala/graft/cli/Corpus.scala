@@ -55,6 +55,11 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        rank = line order) instead of
   *                                        whitespace words — real tokenizer
   *                                        budgets drift 2-3x from word counts
+  *     [--bpe-learn n]                    learn an n-merge BPE table from the
+  *                                        WRITTEN training corpus and emit it
+  *                                        as OUT/_merges (same line format) —
+  *                                        feed it back via --bpe-merges on the
+  *                                        next run (train tokenizer → use it)
   *     [--eval-k n] [--eval-by col]       carve out exactly n docs per stratum
   *                                        (default col: source) to OUT/_eval,
   *                                        excluded from the training output
@@ -84,7 +89,7 @@ object Corpus {
       dedup: Boolean = false, dedupStore: Option[String] = None,
       dupGraphBy: Option[String] = None, spanStats: Boolean = false,
       minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
-      bpeMerges: Option[String] = None,
+      bpeMerges: Option[String] = None, bpeLearn: Option[Int] = None,
       samplePerMille: Option[Int] = None,
       mixture: Map[String, Int] = Map.empty, mixtureDefault: Int = 1000,
       mixtureBy: String = "source",
@@ -117,6 +122,7 @@ object Corpus {
     case "--min-tokens" :: v :: rest  => parse(rest, acc.copy(minTokens = v.toInt))
     case "--max-tokens" :: v :: rest  => parse(rest, acc.copy(maxTokens = v.toInt))
     case "--bpe-merges" :: v :: rest  => parse(rest, acc.copy(bpeMerges = Some(v)))
+    case "--bpe-learn" :: v :: rest   => parse(rest, acc.copy(bpeLearn = Some(v.toInt)))
     case "--sample" :: v :: rest      => parse(rest, acc.copy(samplePerMille = Some(v.toInt)))
     case "--mixture" :: v :: rest     => parse(rest, acc.copy(mixture = parseMixture(v)))
     case "--mixture-default" :: v :: rest => parse(rest, acc.copy(mixtureDefault = v.toInt))
@@ -388,7 +394,7 @@ object Corpus {
         "[--scrub-pii] [--remove-boilerplate df] [--boilerplate-w w] " +
         "[--benchmark p] [--dedup] [--dedup-store dir] [--dup-graph-stats col] " +
         "[--span-stats] " +
-        "[--min-tokens n] [--max-tokens n] [--bpe-merges path] " +
+        "[--min-tokens n] [--max-tokens n] [--bpe-merges path] [--bpe-learn n] " +
         "[--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n]")
@@ -406,6 +412,20 @@ object Corpus {
       // only), underscore-skipped like _dupgraph
       r.spanStats.foreach(_.write.mode("overwrite")
         .parquet(s"${a.out}/_spanstats"))
+      // _merges: BPE merge table learned from the WRITTEN training corpus
+      // (post-filter/dedup — the tokenizer should model the data it will
+      // tokenize, not what hygiene removed). Plain 'left right' lines in
+      // rank order: the exact format --bpe-merges reads back, so run N+1
+      // denominates its budgets in run N's learned tokenizer.
+      a.bpeLearn.foreach { n =>
+        val merges = graft.text.Bpe.learnMerges(r.train, nMerges = n)
+        val p = new org.apache.hadoop.fs.Path(s"${a.out}/_merges")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val os = fs.create(p, true)
+        try os.write((merges.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+      }
       // the store mutation commits LAST: a failure anywhere above leaves
       // the store exactly as the run found it, so the retry re-dedups the
       // same drop against the same corpus (idempotent, never empty)

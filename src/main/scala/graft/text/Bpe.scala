@@ -77,6 +77,97 @@ object Bpe {
         coalesce(col("ids"), array().cast("array<bigint>")).as("ids"))
   }
 
+  /** Learn a BPE merge table from the corpus — the training half to
+    * [[encode]]'s apply half, so a pipeline can derive its tokenizer from
+    * the data it processes instead of importing one.
+    *
+    * Classic BPE training (Sennrich et al., arXiv:1508.07909): start from
+    * code-point sequences, repeatedly merge the most frequent adjacent
+    * token pair (weighted by word frequency), `nMerges` times. Fully
+    * deterministic: ties break by (left, right) lexicographic order, and
+    * word frequencies come from an exact corpus aggregation.
+    *
+    * Scale shape — mirrors production BPE trainers (they train on a word
+    * FREQUENCY TABLE, never the corpus): the engine side is one
+    * combine-reduced word-count aggregation capped to the top `vocabCap`
+    * word types by (count desc, word asc) — a TakeOrdered, not a global
+    * sort. Only that bounded table is collected (the ANN k×dims model
+    * discipline: the MODEL is driver-sized by definition, the corpus never
+    * is). The merge loop itself is inherently sequential — iteration i+1's
+    * pair counts depend on iteration i's rewrites — so it runs where
+    * sequential state lives, on the capped table, off the cluster path.
+    * Code-point splitting is byte-identical to [[graft.functions.BpeEncode]],
+    * and learned tables are VALID merge tables by construction (each side
+    * is a base char or an earlier merge), so encode's one-at-a-time ≡
+    * per-round equivalence clause holds for them.
+    *
+    * Returns ≤ `nMerges` "left right" lines in rank order (fewer when the
+    * vocab merges to single tokens first) — the exact format `encode`,
+    * `oracleCtes`, and the CLI's `--bpe-merges` consume.
+    */
+  def learnMerges(docs: DataFrame, textCol: String = "text",
+                  nMerges: Int = 50, vocabCap: Int = 10000): Seq[String] = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(vocabCap > 0, s"vocabCap must be positive, got $vocabCap")
+    val top = docs
+      .select(explode(TextOps.words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(vocabCap)
+      .collect()
+    var words: Array[(Array[String], Long)] =
+      top.map(r => (codePoints(r.getString(0)), r.getLong(1)))
+    val merges = Seq.newBuilder[String]
+    var m = 0
+    var dry = false
+    while (m < nMerges && !dry) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((toks, c) <- words; i <- 0 until toks.length - 1)
+        counts.update((toks(i), toks(i + 1)),
+          counts.getOrElse((toks(i), toks(i + 1)), 0L) + c)
+      if (counts.isEmpty) dry = true
+      else {
+        val ((l, r), _) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += s"$l $r"
+        words = words.map { case (toks, c) => (mergePair(toks, l, r), c) }
+        m += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Code-point split identical to BpeEncode's (UTF-16 surrogate pairs stay
+    * one token).
+    */
+  private def codePoints(word: String): Array[String] = {
+    val out = new Array[String](word.codePointCount(0, word.length))
+    var idx = 0
+    var i = 0
+    while (idx < word.length) {
+      val cp = word.codePointAt(idx)
+      out(i) = new String(Character.toChars(cp))
+      i += 1
+      idx += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** One left-to-right pass replacing adjacent (l, r) with l+r — the
+    * per-round rewrite of the classic formulation ("aaa" under (a,a) →
+    * ["aa","a"]).
+    */
+  private def mergePair(toks: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
   /** DuckDB CTE chain replaying the greedy merge loop over the corpus's
     * DISTINCT words (vocab ≪ corpus, so the recursion is tiny), exposing:
     *   - `wtoks(w, toks)` — final token list per distinct word;

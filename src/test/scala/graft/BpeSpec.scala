@@ -120,4 +120,36 @@ class BpeSpec extends AnyFunSuite {
     // duplicate 'e r' at rank 2 must not shadow rank 0
     assert(row === Seq("or", "d", "er"))
   }
+
+  test("learnMerges: hand-computed frequencies, lexicographic ties, rank order") {
+    // words: low ×2, lower ×1. Pair counts round 1: (l,o)=3, (o,w)=3,
+    // (w,e)=1, (e,r)=1 — count tie, ("l","o") < ("o","w") lexicographic.
+    // Round 2: (lo,w)=3. Round 3: (low,e)=1 vs (e,r)=1 — "e" < "low".
+    // Round 4: (low,er)=1 (after e+r, the only pair left in 'lower').
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    assert(Bpe.learnMerges(docs, nMerges = 4) ===
+      Seq("l o", "lo w", "e r", "low er"))
+  }
+
+  test("learnMerges stops early when the vocab is fully merged") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(Bpe.learnMerges(docs, nMerges = 50) === Seq("a b"))
+  }
+
+  test("learned merges round-trip through the encode expression") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, nMerges = 4)
+    val toks = docs.select(Bpe.encode(TextOps.words(col("text")), merges).as("t"))
+      .as[Seq[String]].head()
+    assert(toks === Seq("low", "low", "lower"),
+      "a fully-trained vocab must tokenize its own corpus to whole words")
+  }
+
+  test("learnMerges is invariant to input partitioning") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"alpha beta gamma${i % 3}"))
+      .toDF("doc_id", "text")
+    val a = Bpe.learnMerges(docs, nMerges = 10)
+    val b = Bpe.learnMerges(docs.repartition(7), nMerges = 10)
+    assert(a === b)
+  }
 }

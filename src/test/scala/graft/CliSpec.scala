@@ -302,6 +302,35 @@ class CliSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("left right"))
   }
 
+  test("Corpus CLI: --bpe-learn emits a merges file --bpe-merges consumes next run") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-bpelearn")
+    val docs = (1L to 20L).map(i => (i, "low lower lowest"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/corpus")
+    // run 1: learn a 3-merge tokenizer from the written corpus
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out1", "--bpe-learn", "3"))
+    val merges = scala.io.Source.fromFile(s"$dir/out1/_merges").getLines().toSeq
+    // hand-computed: (l,o)=60 -> (lo,w)=60 -> (low,e)=40
+    assert(merges === Seq("l o", "lo w", "low e"))
+    // run 2: denominate quality bounds in the learned tokenizer. Each doc
+    // is 3 WORDS but 6 BPE tokens (low=1, lower=lowe+r=2, lowest=
+    // lowe+s+t=3) — min-tokens 4 keeps every doc in BPE denomination and
+    // would drop every doc in whitespace denomination: the 2-3x drift the
+    // flag exists to fix
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out2",
+      "--bpe-merges", s"$dir/out1/_merges", "--min-tokens", "4"))
+    assert(spark.read.parquet(s"$dir/out2").count() === 20)
+    val n = spark.read.parquet(s"$dir/corpus")
+      .select(size(graft.text.Bpe.encode(
+        graft.text.TextOps.words(col("text")),
+        merges)).as("n")).as[Int].head()
+    assert(n === 6, s"BPE token count under learned merges was $n")
+  }
+
   test("Corpus CLI refuses an input that already has reserved pipeline columns") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-resv")
