@@ -389,6 +389,21 @@ class PlanSpec extends AnyFunSuite {
       "token reassembly must sort inside the agg buffer, not a window")
   }
 
+  test("q126 novelty: gram ownership is an agg + key-unique join, no window") {
+    val p = planOf("q126_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("windowspecdefinition"),
+      "first-occurrence ownership must be a min agg, never a window rank")
+  }
+
+  test("q127 contamination report probes a BROADCAST benchmark side") {
+    val p = planOf("q127_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval-shingle side is MBs vs a 100 TB corpus — it must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for the probe")
+  }
+
   test("q115 approx profile has NO Expand (the exact profile's dominant cost)") {
     assert(!planOf("q115_profile_approx").contains("Expand"),
       "sketch aggregates must plan as a plain partial/final agg")
