@@ -220,6 +220,32 @@ object Streams {
       .drop("__sig_key")
   }
 
+  /** In-stream benchmark decontamination: drop incoming docs sharing ANY
+    * word 3-gram with the (static, small) benchmark set — the streaming
+    * form of `Dedup.decontaminate`, so an ingest pipeline applies the same
+    * leakage guard as the batch rebuild. The benchmark side is exploded to
+    * distinct shingles and BROADCAST (eval suites are MBs against the
+    * stream); the stream side stays UN-exploded and anti-joins on
+    * `array_contains(doc shingles, bench shingle)` — a per-batch broadcast
+    * probe with NO watermark and NO state store (a doc-level decision
+    * never needs reassembly because the doc row was never exploded), which
+    * is what keeps it composable before the stateful dedup stages.
+    * Worst-case probe cost is O(|bench shingles|) per clean doc — fine for
+    * MB-scale eval suites; for an unusually large benchmark run the batch
+    * `Dedup.decontaminate` inside `foreachBatch` instead (equi-join plan).
+    */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame,
+                          textCol: String = "text"): DataFrame = {
+    val benchShingles = broadcast(
+      bench.select(explode(graft.text.TextOps.shingleSet(
+        graft.text.TextOps.words(col(textCol)), 3)).as("__g")).distinct())
+    docs
+      .withColumn("__sh",
+        graft.text.TextOps.shingleSet(graft.text.TextOps.words(col(textCol)), 3))
+      .join(benchShingles, array_contains(col("__sh"), col("__g")), "left_anti")
+      .drop("__sh")
+  }
+
   /** Watermarked stream-stream interval join: for each left event, right
     * events of the same key within `(l.ts, l.ts + windowSec]` — the
     * streaming form of the batch bucketed range join (Events

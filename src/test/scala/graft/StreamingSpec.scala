@@ -76,6 +76,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminateStream drops benchmark-overlapping docs statelessly") {
+    implicit val sq = spark.sqlContext
+    val bench = Seq((100L, "the secret eval trigram is here"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.toMemorySink(
+      Streams.decontaminateStream(mem.toDF().toDF("doc_id", "text"), bench),
+      "decon_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      mem.addData(
+        (1L, "clean doc with fresh words only"),
+        (2L, "contains the secret eval trigram here plus filler"),
+        (3L, "short"))  // <3 words: whole-text shingle, no overlap
+      q.processAllAvailable()
+      mem.addData((4L, "another clean one"), (5L, "secret eval trigram quoted"))
+      q.processAllAvailable()
+      val kept = spark.table("decon_stream").as[(Long, String)]
+        .collect().map(_._1).toSet
+      assert(kept === Set(1L, 3L, 4L),
+        "docs 2 and 5 share a benchmark 3-gram and must drop in-stream")
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events table matches the batch hourly agg") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())
