@@ -92,6 +92,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: sliding chunks cover every token; strides reconstruct the doc") {
+    val gen = Gen.zip(
+      Gen.choose(1, 60),                          // doc length
+      Gen.choose(2, 12).flatMap(sz => Gen.choose(1, sz).map(st => (sz, st))))
+    check("chunk-invariants", Prop.forAll(gen) { case (n, (size, stride)) =>
+      val toks = (1 to n).map(_.toString)
+      val df = Seq((1L, toks)).toDF("doc_id", "ws")
+      val chunks = graft.operators.Packing
+        .slidingChunks(df, "doc_id", "ws", size, stride)
+        .select("chunk_idx", "start_tok", "end_tok", "chunk")
+        .as[(Int, Int, Int, Seq[String])].collect().sortBy(_._1)
+      val starts = chunks.map(_._2).toSeq
+      val expectedCount = if (n <= size) 1 else (n - size + stride - 1) / stride + 1
+      val covered = chunks.flatMap(c => c._2 to c._3).distinct.sorted.toSeq
+      // taking each chunk's first `stride` tokens (all of the last chunk)
+      // reconstructs the doc exactly — the data-loader contract
+      val rebuilt = chunks.dropRight(1).flatMap(_._4.take(stride)) ++
+        chunks.last._4
+      chunks.length == expectedCount &&
+        starts == Seq.tabulate(chunks.length)(i => i * stride + 1) &&
+        covered == (1 to n) &&
+        rebuilt.toSeq == toks &&
+        chunks.forall(c => c._4 == (c._2 to c._3).map(_.toString))
+    })
+  }
+
   test("property: deterministic samples nest across any pair of rates") {
     val idsGen = Gen.listOfN(80, Gen.choose(1L, 100000L)).map(_.distinct)
     check("sample-nesting", Prop.forAll(idsGen, Gen.choose(0, 1000), Gen.choose(0, 1000)) {
