@@ -116,6 +116,9 @@ object Bpe {
       .orderBy(col("c").desc, col("w").asc)
       .limit(vocabCap)
       .collect()
+    // fail HERE, not when a later run's --bpe-merges read finds an empty
+    // file: an empty training corpus is a pipeline bug upstream
+    require(top.nonEmpty, "learnMerges: no words in the training corpus")
     var words: Array[(Array[String], Long)] =
       top.map(r => (codePoints(r.getString(0)), r.getLong(1)))
     val merges = Seq.newBuilder[String]

@@ -145,6 +145,14 @@ class BpeSpec extends AnyFunSuite {
       "a fully-trained vocab must tokenize its own corpus to whole words")
   }
 
+  test("learnMerges fails loudly on an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.learnMerges(empty, nMerges = 3)
+    }
+    assert(e.getMessage.contains("no words"))
+  }
+
   test("learnMerges is invariant to input partitioning") {
     val docs = Seq.tabulate(40)(i => (i.toLong, s"alpha beta gamma${i % 3}"))
       .toDF("doc_id", "text")
