@@ -160,6 +160,13 @@ object Queries {
     "q121_semantic_dedup" -> ((s, dir) =>
       semanticDedup(s, prepared(s, dir), Centroids)),
 
+    // Multi-probe SemDeDup: pairs compared when the vectors share ANY of
+    // their top-2 cells — closes most of single-probe's cell-boundary
+    // recall gap (measured 6/14 → 12/14 of the exact global prune's drops
+    // at sf0.1, zero spurious in both) for ≤4× the per-cell pair volume.
+    "q128_semantic_dedup_p2" -> ((s, dir) =>
+      semanticDedup(s, prepared(s, dir), Centroids, probes = 2)),
+
     // LSH-bucketed ANN (the 100 TB scale path): 8-bit random-hyperplane
     // signature, candidates restricted to the same bucket, best match per
     // query. Shuffles on the signature instead of materializing n² pairs.
@@ -222,23 +229,36 @@ object Queries {
     * integer argmin, floor-div mean), then per-cluster pairwise
     * exact-integer cosine at τ=0.5, dropping the larger vec_id of each
     * qualifying pair. Output: (vec_id, cid, dropped 0|1) for every input
-    * vector — the keep/drop decision table a pipeline filters on.
+    * vector (cid = HOME cell) — the keep/drop decision table a pipeline
+    * filters on.
+    *
+    * `probes` is the recall knob (the same multi-probe idea the ANN suite
+    * pins laws for): a pair is compared when the two vectors share ANY of
+    * their top-`probes` cells, so a near-dup pair straddling a cell
+    * boundary is still caught. Measured on the sf0.1 embeddings (k=8,
+    * τ=0.5, vs the exact q45 global prune): probes=1 finds 6/14 drops,
+    * probes=2 finds 12/14 — both with zero spurious drops (COVERAGE.md);
+    * candidate volume grows ≤ probes² per cell.
     */
-  def semanticDedup(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
+  def semanticDedup(s: SparkSession, e: DataFrame, k: Int,
+                    probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= k, s"need 1 <= probes <= k, got $probes")
     val model = Ann.trainCentroidsFrom(s, e, k, iters = 1)
-    // the assignment feeds THREE branches (both pair-join sides + the
-    // output keep/drop table) and each re-execution re-pays the broadcast
-    // argmin — materialize once (nearDupPairs' shared-prep discipline)
-    val assigned = graft.text.Dedup.materialize(Ann
-      .assignCells(e, Ann.centroidsDF(s, model))
-      .select(col("vec_id"), col("q"), col("n2"), col("cid")))
+    // the ranked assignment feeds THREE branches (both pair-join sides +
+    // the output keep/drop table) and each re-execution re-pays the
+    // broadcast argmin — materialize once (nearDupPairs' shared-prep
+    // discipline)
+    val ranked = graft.text.Dedup.materialize(Ann
+      .rankCells(e, Ann.centroidsDF(s, model))
+      .filter(col("rn") <= probes)
+      .select(col("vec_id"), col("q"), col("n2"), col("cid"), col("rn")))
     val drops = withSim(
-      assigned.as("a").join(assigned.as("b"),
+      ranked.as("a").join(ranked.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id")))
       .filter(col("dot_q") > 0 &&
         lit(4) * col("dot_q") * col("dot_q") >= col("na") * col("nb"))
       .select(col("b_id").as("vec_id")).distinct()
-    assigned.select(col("vec_id"), col("cid"))
+    ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
       .join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
       .na.fill(0, Seq("dropped"))
   }
@@ -255,6 +275,37 @@ object Queries {
   private val dotExpr =
     "CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i])) AS BIGINT)"
 
+  /** Shared Lloyd-replay CTE chain for the SemDeDup oracles: seed cells →
+    * argmin d² assignment → exact-integer floor-div mean update →
+    * re-ranked assignment `ranked(vec_id, q, n2, cid, rn)` (rn = 1 is the
+    * home cell; consumers filter the probe depth they need).
+    */
+  private val lloydCtes =
+    s"""$quantCte,
+       |c0 AS (SELECT vec_id AS cid, q AS cq FROM n ORDER BY vec_id LIMIT $Centroids),
+       |c0n AS (SELECT cid, cq, CAST(list_sum(list_transform(range(1, len(cq)+1),
+       |    i -> cq[i]*cq[i])) AS BIGINT) AS cn2 FROM c0),
+       |a1 AS (SELECT vec_id, q, cid FROM (
+       |  SELECT v.vec_id, v.q, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      v.n2 - 2*CAST(list_sum(list_transform(range(1, len(v.q)+1),
+       |        i -> v.q[i]*c.cq[i])) AS BIGINT) + c.cn2 ASC, c.cid ASC) AS rn
+       |  FROM n v CROSS JOIN c0n c) WHERE rn = 1),
+       |e1 AS (SELECT cid, unnest(range(1, len(q)+1)) AS d, q FROM a1),
+       |s1 AS (SELECT cid, d, sum(q[d]) AS sv, count(*) AS nn FROM e1 GROUP BY 1,2),
+       |m1 AS (SELECT cid, list(CAST((sv - ((sv % nn) + nn) % nn) // nn AS BIGINT)
+       |    ORDER BY d) AS mq FROM s1 GROUP BY cid),
+       |c1 AS (SELECT c0n.cid, coalesce(m1.mq, c0n.cq) AS cq
+       |  FROM c0n LEFT JOIN m1 USING (cid)),
+       |c1n AS (SELECT cid, cq, CAST(list_sum(list_transform(range(1, len(cq)+1),
+       |    i -> cq[i]*cq[i])) AS BIGINT) AS cn2 FROM c1),
+       |ranked AS (
+       |  SELECT v.vec_id, v.q, v.n2, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      v.n2 - 2*CAST(list_sum(list_transform(range(1, len(v.q)+1),
+       |        i -> v.q[i]*c.cq[i])) AS BIGINT) + c.cn2 ASC, c.cid ASC) AS rn
+       |  FROM n v CROSS JOIN c1n c)""".stripMargin
+
   private def sigExprOf(bits: Int): String = (0 until bits).map { i =>
     s"""(CASE WHEN list_sum(list_transform(range(1, len(q)+1),
        |    j -> q[j] * (CASE WHEN ('0x'||substr(md5('$i:'||j),1,1))::INT % 2 = 1
@@ -270,30 +321,8 @@ object Queries {
     // the intra-cluster prune — possible only because the Spark training
     // loop is integer-exact and partitioning-order independent.
     "q121_semantic_dedup" ->
-      s"""WITH $quantCte,
-         |c0 AS (SELECT vec_id AS cid, q AS cq FROM n ORDER BY vec_id LIMIT $Centroids),
-         |c0n AS (SELECT cid, cq, CAST(list_sum(list_transform(range(1, len(cq)+1),
-         |    i -> cq[i]*cq[i])) AS BIGINT) AS cn2 FROM c0),
-         |a1 AS (SELECT vec_id, q, cid FROM (
-         |  SELECT v.vec_id, v.q, c.cid,
-         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |      v.n2 - 2*CAST(list_sum(list_transform(range(1, len(v.q)+1),
-         |        i -> v.q[i]*c.cq[i])) AS BIGINT) + c.cn2 ASC, c.cid ASC) AS rn
-         |  FROM n v CROSS JOIN c0n c) WHERE rn = 1),
-         |e1 AS (SELECT cid, unnest(range(1, len(q)+1)) AS d, q FROM a1),
-         |s1 AS (SELECT cid, d, sum(q[d]) AS sv, count(*) AS nn FROM e1 GROUP BY 1,2),
-         |m1 AS (SELECT cid, list(CAST((sv - ((sv % nn) + nn) % nn) // nn AS BIGINT)
-         |    ORDER BY d) AS mq FROM s1 GROUP BY cid),
-         |c1 AS (SELECT c0n.cid, coalesce(m1.mq, c0n.cq) AS cq
-         |  FROM c0n LEFT JOIN m1 USING (cid)),
-         |c1n AS (SELECT cid, cq, CAST(list_sum(list_transform(range(1, len(cq)+1),
-         |    i -> cq[i]*cq[i])) AS BIGINT) AS cn2 FROM c1),
-         |a2 AS (SELECT vec_id, q, n2, cid FROM (
-         |  SELECT v.vec_id, v.q, v.n2, c.cid,
-         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |      v.n2 - 2*CAST(list_sum(list_transform(range(1, len(v.q)+1),
-         |        i -> v.q[i]*c.cq[i])) AS BIGINT) + c.cn2 ASC, c.cid ASC) AS rn
-         |  FROM n v CROSS JOIN c1n c) WHERE rn = 1),
+      s"""WITH $lloydCtes,
+         |a2 AS (SELECT vec_id, q, n2, cid FROM ranked WHERE rn = 1),
          |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
          |    a.n2 na, b.n2 nb
          |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
@@ -302,6 +331,18 @@ object Queries {
          |SELECT a2.vec_id, a2.cid,
          |  CAST(CASE WHEN dr.b_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
          |FROM a2 LEFT JOIN dr ON a2.vec_id = dr.b_id""".stripMargin,
+    "q128_semantic_dedup_p2" ->
+      s"""WITH $lloydCtes,
+         |ap AS (SELECT vec_id, q, n2, cid FROM ranked WHERE rn <= 2),
+         |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+         |    a.n2 na, b.n2 nb
+         |  FROM ap a JOIN ap b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |dr AS (SELECT DISTINCT b_id FROM p
+         |  WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb),
+         |ah AS (SELECT vec_id, cid FROM ranked WHERE rn = 1)
+         |SELECT ah.vec_id, ah.cid,
+         |  CAST(CASE WHEN dr.b_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
+         |FROM ah LEFT JOIN dr ON ah.vec_id = dr.b_id""".stripMargin,
     "q50_ann_ivf" ->
       s"""WITH $quantCte,
          |c AS (SELECT vec_id AS cid, q AS cq FROM n WHERE vec_id < $Centroids),

@@ -153,6 +153,22 @@ class VectorSpec extends AnyFunSuite {
     assert(r(0L)._1 !== r(1L)._1, "orthogonal seeds must be distinct clusters")
   }
 
+  test("multi-probe SemDeDup keeps home cells and never loses single-probe drops") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    def run(name: String) = SparkEntry.queries(name)(spark, dir)
+      .as[(Long, Long, Int)].collect()
+    val p1 = run("q121_semantic_dedup")
+    val p2 = run("q128_semantic_dedup_p2")
+    assert(p1.map(r => r._1 -> r._2).toMap === p2.map(r => r._1 -> r._2).toMap,
+      "probe depth must not change the home-cell assignment")
+    val d1 = p1.filter(_._3 == 1).map(_._1).toSet
+    val d2 = p2.filter(_._3 == 1).map(_._1).toSet
+    assert(d1.subsetOf(d2),
+      "widening the probe can only ADD candidate pairs, never drop fewer")
+    assert(d1.nonEmpty, "sf0.01 plants at least one intra-cell near-dup")
+  }
+
   test("trained IVF centroids do not lose recall at nprobe=2") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
