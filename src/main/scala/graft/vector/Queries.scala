@@ -32,7 +32,7 @@ object Queries {
     * integer results to VectorOps.dotQ; ~100× faster than interpreted HOF
     * lambdas on the n² brute-force pair joins).
     */
-  private[vector] def prepared(s: SparkSession, dir: String): DataFrame =
+  private[graft] def prepared(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
       // small test files arrive as ONE split; spread the map-heavy
       // signature/norm work (a real 100 TB table has many splits and
