@@ -107,9 +107,28 @@ object Bench {
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"controls":$ctl,"sf":"$sfDir"}"""
-    println(line)
-    // The driver captures stdout with a tail that can truncate half the
-    // suite (BENCH_r07 lost q01–q34); the file copy survives truncation.
+    // The driver stores only a ~2 kB TAIL of stdout and parses the JSON
+    // out of that window (BENCH_r07/r08 both ended `parsed: null`: the
+    // full-name full-precision line is ~6 kB, so its HEAD — including the
+    // opening brace — fell out of the window). stdout therefore gets ONE
+    // compact line sized to the window: query names shortened to their
+    // leading "qNN" digits (collisions keep the full name — e.g.
+    // q106_incr_dedup takes "q106", q106_build stays long), values at
+    // millisecond precision. The full-name full-precision line goes to
+    // target/bench.json, which the judge reads for per-query analysis.
+    val shortKeys = all.foldLeft(Map.empty[String, String]) { case (acc, (k, _)) =>
+      val short = k.takeWhile(c => c == 'q' || c.isDigit)
+      acc + (k -> (if (short.nonEmpty && !acc.valuesIterator.contains(short)) short else k))
+    }
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    def ms(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qsShort = all.map { case (k, v) => "\"" + shortKeys(k) + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val ctlShort = controlNames.map(n => "\"" + shortKeys(n) + "\":" + ms(resultMap(n)))
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"controls":$ctlShort,"sf":"$sfDir"}""")
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, line + "\n")

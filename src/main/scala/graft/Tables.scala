@@ -51,6 +51,14 @@ object Tables {
       case LongType =>
         df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ carries no zone: the cast interprets the wall-clock in the
+        // SESSION zone, so it is instant-preserving only under UTC
+        // (Sessions.local pins it). Assert rather than let a non-UTC
+        // caller silently shift every event by their local offset.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(Set("UTC", "Etc/UTC", "GMT", "Z", "+00:00").contains(tz),
+          s"normalizeTs reads TIMESTAMP_NTZ as UTC wall-clock but session " +
+            s"timeZone is '$tz' — set spark.sql.session.timeZone=UTC")
         df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }

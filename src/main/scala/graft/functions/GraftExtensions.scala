@@ -74,6 +74,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // stay JOB-FREE — an EXPLAIN or LIMIT 0 probe must not run the
     // pipeline — so the dedup operators are invoked with eager=false
     // (lazy cache() branch-sharing instead of an eager checkpoint).
+    //
+    // Cache retention contract (deliberate): the eager=false cache()
+    // entries live in the session CacheManager for the SESSION lifetime —
+    // there is no post-execution hook a TVF could unpersist from. This is
+    // session-scoped memoization: entries are keyed by the analyzed plan,
+    // so repeated SQL queries over the SAME table reuse one entry (the
+    // second graft_near_dup_pairs('docs') pays nothing for prep), and the
+    // footprint is bounded by the number of DISTINCT (operator, table,
+    // args) combinations queried — not by query count. A long-lived SQL
+    // session cycling through many distinct tables should call
+    // `spark.catalog.clearCache()` (or `uncacheTable`) between corpora,
+    // exactly as it would after any .cache()-based workload.
     def strArg(fn: String, e: Expression, what: String): String = e match {
       case Literal(s: UTF8String, StringType) => s.toString
       case other => throw new IllegalArgumentException(

@@ -177,9 +177,12 @@ object Packing {
                     size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
+    // Column arithmetic throughout — interpolating the raw tokensCol name
+    // into an expr() string breaks on names needing backticks (spaces,
+    // dots); `div` as a Column op is floorDiv on ints like the SQL form
     val n = org.apache.spark.sql.functions.size(col(tokensCol))
     val nChunks = when(n <= size, lit(1))
-      .otherwise(expr(s"(size($tokensCol) - $size + $stride - 1) div $stride") + lit(1))
+      .otherwise(((n - lit(size) + lit(stride - 1)) / lit(stride)).cast("int") + lit(1))
     df.filter(n > 0)
       .select(col(idCol), col(tokensCol).as("__toks"),
         explode(sequence(lit(0), (nChunks - 1).cast("int"))).as("chunk_idx"))

@@ -230,9 +230,12 @@ object Streams {
     * probe with NO watermark and NO state store (a doc-level decision
     * never needs reassembly because the doc row was never exploded), which
     * is what keeps it composable before the stateful dedup stages.
-    * Worst-case probe cost is O(|bench shingles|) per clean doc — fine for
-    * MB-scale eval suites; for an unusually large benchmark run the batch
-    * `Dedup.decontaminate` inside `foreachBatch` instead (equi-join plan).
+    * Worst-case probe cost: the BNLJ condition scans the doc's shingle
+    * array per bench row, so a CLEAN doc (no early match) costs
+    * O(|bench shingles| × |doc shingles|) comparisons — fine for MB-scale
+    * eval suites against normal docs; for an unusually large benchmark (or
+    * very long docs) run the batch `Dedup.decontaminate` inside
+    * `foreachBatch` instead (equi-join plan, cost linear in both sides).
     */
   def decontaminateStream(docs: DataFrame, bench: DataFrame,
                           textCol: String = "text"): DataFrame = {
