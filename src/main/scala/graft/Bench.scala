@@ -56,40 +56,51 @@ object Bench {
     // it untimed up front so even a RUNS=1 sweep's q106 number is pure
     // serve; the BUILD cost gets its own row (q106_build) below.
     if (names.contains("q106_incr_dedup")) graft.text.Queries.storeFixture(spark, sfDir)
+    // q129 likewise measures the cluster-store SERVE path; the build gets
+    // its own q129_build row below.
+    if (names.contains("q129_store_semdedup"))
+      graft.vector.Queries.clusterStoreFixture(spark, sfDir)
 
     val results = names.map { name =>
       val times = (1 to runs).map(_ => exec(name, sfDir)).filter(_ >= 0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
 
-    // Store-build benchmark row: Store.build into a fresh throwaway dir,
-    // min of `runs` — the one-time cost the serve path (q106_incr_dedup's
-    // row) amortizes away. Same protocol as every other row.
+    // Store-build benchmark rows: build into a fresh throwaway dir, min of
+    // `runs` — the one-time cost the serve paths (q106/q129's rows)
+    // amortize away. Same protocol as every other row. Failure → -1.0
+    // like exec(): a build crash on one run must not discard the whole
+    // sweep's JSON line.
+    def buildBench(row: String, build: String => Unit): Seq[(String, Double)] = {
+      val times = (1 to runs).map { _ =>
+        try {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-bench-store")
+          val t0 = System.nanoTime()
+          build(tmp.toString)
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          System.gc()
+          elapsed
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $row: $e"); -1.0
+        }
+      }.filter(_ >= 0)
+      Seq(row -> (if (times.isEmpty) -1.0 else times.min))
+    }
+    import org.apache.spark.sql.functions.col
     val buildRow: Seq[(String, Double)] =
-      if (!names.contains("q106_incr_dedup")) Seq.empty
-      else {
-        import org.apache.spark.sql.functions.col
-        // failure → -1.0 like exec(): a build crash on one run must not
-        // discard the whole sweep's JSON line
-        val times = (1 to runs).map { _ =>
-          try {
-            val tmp = java.nio.file.Files.createTempDirectory("graft-bench-store")
-            val t0 = System.nanoTime()
-            graft.text.Store.build(
-              Tables(spark, sfDir).documents.filter(col("doc_id") % 3 =!= 0),
-              tmp.toString)
-            val elapsed = (System.nanoTime() - t0) / 1e9
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
-              .foreach(p => java.nio.file.Files.deleteIfExists(p))
-            System.gc()
-            elapsed
-          } catch {
-            case e: Throwable => System.err.println(s"[bench] q106_build: $e"); -1.0
-          }
-        }.filter(_ >= 0)
-        Seq("q106_build" -> (if (times.isEmpty) -1.0 else times.min))
-      }
+      (if (!names.contains("q106_incr_dedup")) Seq.empty
+       else buildBench("q106_build", tmp => graft.text.Store.build(
+         Tables(spark, sfDir).documents.filter(col("doc_id") % 3 =!= 0), tmp))) ++
+      (if (!names.contains("q129_store_semdedup")) Seq.empty
+       else buildBench("q129_build", tmp => {
+         graft.vector.ClusterStore.buildAuto(
+           graft.vector.Queries.prepared(spark, sfDir)
+             .filter(col("vec_id") % 3 =!= 0), tmp)
+         ()
+       }))
 
     val all = results ++ buildRow
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -1,0 +1,275 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted embedding-cluster store: train the semantic-dedup clustering
+  * ONCE, serve every later drop from the stored model — the embedding-path
+  * analog of `text.Store` (MinHash signatures) and `vector.Index` (ANN
+  * codes), closing the q106 build/serve split for SemDeDup (q121/q128).
+  *
+  * A real 100 TB pipeline ingests embedding drops daily; re-training
+  * centroids and re-assigning the whole corpus per drop is an O(corpus)
+  * cost paid for an O(drop) question. The store makes the recurring cost
+  * O(drop × k) assignment + a same-cell columnar probe of the stored
+  * vectors:
+  *
+  *   - [[build]] trains the deterministic integer Lloyd model
+  *     (`Ann.trainCentroidsFrom` — lowest-id seeds, exact-integer argmin,
+  *     floor-div mean; partitioning-order independent) and persists two
+  *     parquet tables under `storeDir`:
+  *       `centroids` (cid, cq) — driver-sized (k rows) by definition;
+  *       `vectors` (vec_id, q, n2, cid) — the corpus frame at its HOME
+  *       cell; the only table that scales with the corpus, bucketable by
+  *       cid at scale so the serve probe co-partitions.
+  *   - [[dedupNewDropVsStore]] assigns ONLY the new drop to the STORED
+  *     centroids (broadcast k×dims model, map-side argmin), compares each
+  *     new vector against stored vectors sharing any of its top-`probes`
+  *     cells plus smaller-id drop-mates sharing a probed cell (exact
+  *     integer cosine at τ = 1/2, the q45/q121 rule), and appends the
+  *     SURVIVORS' home-cell rows to `vectors`. The stored corpus is never
+  *     re-scored against itself — cells are the unit of comparison, never
+  *     the corpus, and the model stays frozen between scheduled rebuilds
+  *     exactly like `Index.append`.
+  *
+  * `targetCellSize` sizing ([[autoK]], [[buildAuto]]): the pair leg inside
+  * a cell is quadratic in CELL population, so fixed k degrades as n grows
+  * (measured: k=8 at sf1 is 5.2× slower than k=32 — COVERAGE.md's
+  * SemBench frontier). k = ⌈n / targetCellSize⌉ pins expected cell
+  * population — and with it the quadratic term — constant as the corpus
+  * scales, making the 100 TB default safe by construction instead of a
+  * caller-known knob.
+  *
+  * Determinism: the trained model, assignments, and drop decisions are
+  * exact-integer end to end, so the stored tables and every decision
+  * table are re-run byte-identical (the training-data audit property),
+  * and the DuckDB oracle replays the whole build+serve path bit-for-bit
+  * (q129).
+  *
+  * Staged commits ([[buildStaged]], [[dedupNewDropVsStoreStaged]]) follow
+  * `text.Store`'s crash-retry discipline: compute now into a staging dir,
+  * mutate the live store only when the commit thunk runs — a pipeline
+  * that bootstraps the store as a side effect of producing another output
+  * commits AFTER that output succeeds, or a failed run's retry would find
+  * the drop already stored and dedup it against itself.
+  */
+object ClusterStore {
+
+  def centroidsPath(storeDir: String): String = s"$storeDir/centroids"
+  def vectorsPath(storeDir: String): String = s"$storeDir/vectors"
+
+  /** k = ⌈n / targetCellSize⌉ (≥ 1), integer arithmetic only — mirrored
+    * exactly by the q129 oracle's `(count(*) + cell - 1) // cell`.
+    */
+  def autoK(n: Long, targetCellSize: Int): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
+    math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
+  }
+
+  def exists(s: SparkSession, storeDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(vectorsPath(storeDir))
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Train + assign + persist (full bootstrap, overwrites). `prepared` is
+    * a (vec_id, q, n2) frame (`Queries.prepared` shape).
+    */
+  def build(prepared: DataFrame, storeDir: String, k: Int,
+            iters: Int = 1): Unit =
+    buildStaged(prepared, storeDir, k, iters)()
+
+  /** [[build]] sized by [[autoK]] — the scale-safe default entry point.
+    * Pays one count job (driver-sized result) to derive k. Returns the
+    * k it trained, for logging/replay.
+    */
+  def buildAuto(prepared: DataFrame, storeDir: String,
+                targetCellSize: Int = 64, iters: Int = 1): Int = {
+    val k = autoK(prepared.count(), targetCellSize)
+    build(prepared, storeDir, k, iters)
+    k
+  }
+
+  /** [[build]] split into compute and commit: centroids + assignments land
+    * in staging dirs NOW; the store only starts existing (for [[exists]]/
+    * [[loadVectors]]) when the returned thunk runs.
+    */
+  def buildStaged(prepared: DataFrame, storeDir: String, k: Int,
+                  iters: Int = 1): () => Unit = {
+    val s = prepared.sparkSession
+    // training re-reads the frame per iteration and assignment reads it
+    // once more — cache for the build's lifetime
+    val e = prepared.select(col("vec_id"), col("q"), col("n2")).cache()
+    val (stagedC, stagedV) = (stagingPath(storeDir), stagingPath(storeDir))
+    try {
+      val model = Ann.trainCentroidsFrom(s, e, k, iters)
+      val cents = Ann.centroidsDF(s, model)
+      cents.write.mode("overwrite").parquet(stagedC)
+      Ann.assignCells(e, cents)
+        .select(col("vec_id"), col("q"), col("n2"), col("cid"))
+        .write.mode("overwrite").parquet(stagedV)
+    } finally e.unpersist()
+    () => {
+      val fs = fileSystem(s, storeDir)
+      swapIn(fs, stagedC, centroidsPath(storeDir))
+      // vectors LAST: exists() keys on it, so a crash between the two
+      // renames leaves the store still "absent", never half-present
+      swapIn(fs, stagedV, vectorsPath(storeDir))
+    }
+  }
+
+  /** The stored model, sorted by cell id (k×dims — driver-sized). */
+  def loadCentroids(s: SparkSession, storeDir: String): Seq[(Long, Seq[Long])] =
+    s.read.parquet(centroidsPath(storeDir))
+      .select(col("cid"), col("cq"))
+      .as[(Long, Seq[Long])](org.apache.spark.sql.Encoders.product[(Long, Seq[Long])])
+      .collect().toSeq.sortBy(_._1)
+
+  /** The stored corpus frame: (vec_id, q, n2, cid). */
+  def loadVectors(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(vectorsPath(storeDir))
+
+  /** Dedup a new drop against the stored clustering and append the
+    * survivors (commit immediately). Returns the decision table
+    * (vec_id, cid, dropped) for every drop vector — cid is the HOME cell
+    * under the stored centroids; pipelines filter on dropped = 0.
+    */
+  def dedupNewDropVsStore(newVecs: DataFrame, storeDir: String,
+                          probes: Int = 1): DataFrame = {
+    val (decisions, commit) = dedupNewDropVsStoreStaged(newVecs, storeDir, probes)
+    commit()
+    decisions
+  }
+
+  /** [[dedupNewDropVsStore]] with the survivor append SPLIT from the
+    * mining — commit only after any dependent output write succeeds
+    * (`text.Store.dedupNewDropVsCorpusStaged`'s contract, same reasons).
+    */
+  def dedupNewDropVsStoreStaged(newVecs: DataFrame, storeDir: String,
+                                probes: Int = 1): (DataFrame, () => Unit) = {
+    val s = newVecs.sparkSession
+    val (decisions, ranked) = mine(newVecs, storeDir, probes)
+    val staging = stagingPath(storeDir)
+    ranked.filter(col("rn") === 1)
+      .join(decisions.filter(col("dropped") === 0).select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("q"), col("n2"), col("cid"))
+      .write.mode("overwrite").parquet(staging)
+    val commit = () => {
+      val fs = fileSystem(s, storeDir)
+      val dst = new org.apache.hadoop.fs.Path(vectorsPath(storeDir))
+      val src = new org.apache.hadoop.fs.Path(staging)
+      // move data files only: part names carry the writing job's UUID,
+      // unique within the vectors dir (Store.append's protocol)
+      fs.listStatus(src).foreach { f =>
+        if (f.getPath.getName.startsWith("part-"))
+          require(fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(dst, f.getPath.getName)),
+            s"could not commit staged append ${f.getPath} -> $dst")
+      }
+      fs.delete(src, true)
+      ()
+    }
+    (decisions, commit)
+  }
+
+  /** Serve-only: same decisions, store never touched — not even a staging
+    * write. The path for repeatable queries/benchmarks over a fixed
+    * snapshot (q129) and dry-run "what would this drop add" questions.
+    */
+  def dedupNewDropVsStoreReadOnly(newVecs: DataFrame, storeDir: String,
+                                  probes: Int = 1): DataFrame =
+    mine(newVecs, storeDir, probes)._1
+
+  /** Maintenance: rewrite the appended `vectors` table into `targetFiles`
+    * parquet files, rows identical — same crash-safe swap as
+    * `text.Store.compact` (the centroids table is single-write and never
+    * needs this).
+    */
+  def compact(s: SparkSession, storeDir: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    require(exists(s, storeDir), s"no cluster store under $storeDir")
+    val staging = stagingPath(storeDir)
+    loadVectors(s, storeDir).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(staging)
+    val fs = fileSystem(s, storeDir)
+    val live = new org.apache.hadoop.fs.Path(vectorsPath(storeDir))
+    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_compact-old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"could not move live vectors aside: $live")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
+      s"could not swap compacted vectors in: $staging -> $live")
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Shared mining core: (decision table, the drop's probe-ranked frame) —
+    * pure computation, no store mutation.
+    *
+    * A new vector is dropped when it near-dups (exact integer cosine
+    * ≥ 1/2: dot > 0 ∧ 4·dot² ≥ |a|²·|b|²) ANY stored vector whose home
+    * cell is among the new vector's top-`probes` cells, or a smaller-id
+    * vector of its own drop sharing a probed cell (smallest-id
+    * survivorship, applied unconditionally — the kept set never depends
+    * on join order). Multi-probe rides the DROP side only: the stored
+    * side stays at its home cell, so the probe join's shuffle scales with
+    * drop × probes, and the stored table is read once per probed cell.
+    */
+  private def mine(newVecs: DataFrame, storeDir: String,
+                   probes: Int): (DataFrame, DataFrame) = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val s = newVecs.sparkSession
+    require(exists(s, storeDir),
+      s"no cluster store under $storeDir — run ClusterStore.build first")
+    val cents = Ann.centroidsDF(s, loadCentroids(s, storeDir))
+    // ranked feeds both intra pair sides, the cross probe side, the
+    // survivor append, and the decision table — materialize once
+    // (nearDupPairs' shared-prep discipline)
+    val ranked = graft.text.Dedup.materialize(
+      Ann.rankCells(newVecs.select(col("vec_id"), col("q"), col("n2")), cents)
+        .filter(col("rn") <= probes)
+        .select(col("vec_id"), col("q"), col("n2"), col("cid"), col("rn")))
+    val stored = loadVectors(s, storeDir)
+
+    def nearDup(pairs: DataFrame): DataFrame = pairs
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        graft.functions.VectorDot.of(col("a.q"), col("b.q")).as("dot_q"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
+      .filter(col("dot_q") > 0 &&
+        lit(4) * col("dot_q") * col("dot_q") >= col("na") * col("nb"))
+
+    val crossDrop = nearDup(
+      ranked.as("a").join(stored.as("b"), col("a.cid") === col("b.cid")))
+      .select(col("a_id").as("vec_id")).distinct()
+    val intraDrop = nearDup(
+      ranked.as("a").join(ranked.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id")))
+      .select(col("b_id").as("vec_id")).distinct()
+
+    // tiny (drop ids only) — materialize to cut lineage to the store dir
+    // before the staged append writes next to it
+    val drops = graft.text.Dedup.materialize(
+      crossDrop.unionByName(intraDrop).distinct())
+
+    val decisions = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+      .join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .na.fill(0, Seq("dropped"))
+    (decisions, ranked)
+  }
+
+  private def stagingPath(storeDir: String): String =
+    s"$storeDir/_staging-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def fileSystem(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem, staged: String,
+                     live: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(live)
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), dst),
+      s"could not commit staged store $staged -> $dst")
+    ()
+  }
+}

@@ -167,6 +167,23 @@ object Queries {
     "q128_semantic_dedup_p2" -> ((s, dir) =>
       semanticDedup(s, prepared(s, dir), Centroids, probes = 2)),
 
+    // Store-served SemDeDup — the q106 build/serve split for the embedding
+    // path: the clustering is TRAINED ONCE on the stored corpus
+    // (vec_id % 3 != 0, auto-sized k = ⌈n/64⌉ — ClusterStore.autoK pins
+    // cell population, and with it the quadratic pair leg, constant in n)
+    // and PERSISTED; this query assigns only the new drop (vec_id % 3 = 0)
+    // to the STORED centroids (top-2 probe cells) and pair-checks it
+    // against same-cell stored vectors + smaller-id drop-mates. The stored
+    // corpus is never re-trained or self-compared. Output: (vec_id, home
+    // cid, dropped) per drop vector. The oracle replays build AND serve
+    // bit-for-bit (integer Lloyd on the corpus split, then the probed
+    // assignment + exact-integer cosine drops).
+    "q129_store_semdedup" -> ((s, dir) => {
+      val storeDir = clusterStoreFixture(s, dir)
+      ClusterStore.dedupNewDropVsStoreReadOnly(
+        prepared(s, dir).filter(col("vec_id") % 3 === 0), storeDir, probes = 2)
+    }),
+
     // LSH-bucketed ANN (the 100 TB scale path): 8-bit random-hyperplane
     // signature, candidates restricted to the same bucket, best match per
     // query. Shuffles on the signature instead of materializing n² pairs.
@@ -263,6 +280,48 @@ object Queries {
       .na.fill(0, Seq("dropped"))
   }
 
+  /** [[semanticDedup]] sized by `targetCellSize` instead of a raw k —
+    * the scale-safe default: k = ⌈n/targetCellSize⌉ (`ClusterStore
+    * .autoK`) pins expected CELL population constant as the corpus grows,
+    * so the per-cell quadratic pair leg stops degrading with n (measured:
+    * fixed k=8 at sf1 is 5.2× slower than k=32 — the COVERAGE.md SemBench
+    * frontier this overload encodes). Pays one count job to derive k.
+    */
+  def semanticDedupByCellSize(s: SparkSession, e: DataFrame,
+                              targetCellSize: Int = 64,
+                              probes: Int = 1): DataFrame =
+    semanticDedup(s, e, ClusterStore.autoK(e.count(), targetCellSize), probes)
+
+  /** q129's cluster store, built ONCE per (session, sf-dir) from the
+    * corpus split (vec_id % 3 != 0) with auto-sized k and reused by every
+    * q129 invocation in the JVM (Bench times the build separately as
+    * q129_build). Temp dir removed on JVM exit; reuse is safe because
+    * q129 serves read-only, so the store is immutable after build.
+    */
+  private val clusterStores =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+
+  private[graft] def clusterStoreFixture(s: SparkSession, dir: String): String =
+    clusterStores.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-clusterstore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      ClusterStore.buildAuto(
+        prepared(s, dir).filter(col("vec_id") % 3 =!= 0), storeDir,
+        targetCellSize = StoreCellSize, iters = 1)
+      storeDir
+    })
+
+  /** q129's targetCellSize — shared with the oracle's `(n + 63) // 64`. */
+  private val StoreCellSize = 64
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   private val quantCte =
@@ -275,14 +334,16 @@ object Queries {
   private val dotExpr =
     "CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i])) AS BIGINT)"
 
-  /** Shared Lloyd-replay CTE chain for the SemDeDup oracles: seed cells →
-    * argmin d² assignment → exact-integer floor-div mean update →
-    * re-ranked assignment `ranked(vec_id, q, n2, cid, rn)` (rn = 1 is the
-    * home cell; consumers filter the probe depth they need).
+  /** One-iteration Lloyd-replay CTE chain over source CTE `src`
+    * (vec_id, q, n2 columns) with `kSel` seed cells (`kSel` is any scalar
+    * SQL expression — a literal for the fixed-k gates, a scalar subquery
+    * for the auto-k store): seed cells → argmin d² assignment →
+    * exact-integer floor-div mean update → trained model `c1n(cid, cq,
+    * cn2)`. Rank assignments against the model with [[rankCte]].
     */
-  private val lloydCtes =
-    s"""$quantCte,
-       |c0 AS (SELECT vec_id AS cid, q AS cq FROM n ORDER BY vec_id LIMIT $Centroids),
+  private def lloydChain(src: String, kSel: String): String =
+    s"""c0 AS (SELECT vec_id AS cid, q AS cq FROM $src
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= $kSel),
        |c0n AS (SELECT cid, cq, CAST(list_sum(list_transform(range(1, len(cq)+1),
        |    i -> cq[i]*cq[i])) AS BIGINT) AS cn2 FROM c0),
        |a1 AS (SELECT vec_id, q, cid FROM (
@@ -290,7 +351,7 @@ object Queries {
        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |      v.n2 - 2*CAST(list_sum(list_transform(range(1, len(v.q)+1),
        |        i -> v.q[i]*c.cq[i])) AS BIGINT) + c.cn2 ASC, c.cid ASC) AS rn
-       |  FROM n v CROSS JOIN c0n c) WHERE rn = 1),
+       |  FROM $src v CROSS JOIN c0n c) WHERE rn = 1),
        |e1 AS (SELECT cid, unnest(range(1, len(q)+1)) AS d, q FROM a1),
        |s1 AS (SELECT cid, d, sum(q[d]) AS sv, count(*) AS nn FROM e1 GROUP BY 1,2),
        |m1 AS (SELECT cid, list(CAST((sv - ((sv % nn) + nn) % nn) // nn AS BIGINT)
@@ -298,13 +359,28 @@ object Queries {
        |c1 AS (SELECT c0n.cid, coalesce(m1.mq, c0n.cq) AS cq
        |  FROM c0n LEFT JOIN m1 USING (cid)),
        |c1n AS (SELECT cid, cq, CAST(list_sum(list_transform(range(1, len(cq)+1),
-       |    i -> cq[i]*cq[i])) AS BIGINT) AS cn2 FROM c1),
-       |ranked AS (
+       |    i -> cq[i]*cq[i])) AS BIGINT) AS cn2 FROM c1)""".stripMargin
+
+  /** `$name(vec_id, q, n2, cid, rn)`: `src` ranked against the trained
+    * `c1n` model by exact-integer d² (rn = 1 is the home cell; consumers
+    * filter the probe depth they need) — the SQL mirror of
+    * `Ann.rankCells`.
+    */
+  private def rankCte(name: String, src: String): String =
+    s"""$name AS (
        |  SELECT v.vec_id, v.q, v.n2, c.cid,
        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |      v.n2 - 2*CAST(list_sum(list_transform(range(1, len(v.q)+1),
        |        i -> v.q[i]*c.cq[i])) AS BIGINT) + c.cn2 ASC, c.cid ASC) AS rn
-       |  FROM n v CROSS JOIN c1n c)""".stripMargin
+       |  FROM $src v CROSS JOIN c1n c)""".stripMargin
+
+  /** Shared chain for the fixed-k SemDeDup oracles (q121/q128): the whole
+    * table trains the model and `ranked` is its re-ranked assignment.
+    */
+  private val lloydCtes =
+    s"""$quantCte,
+       |${lloydChain("n", Centroids.toString)},
+       |${rankCte("ranked", "n")}""".stripMargin
 
   private def sigExprOf(bits: Int): String = (0 until bits).map { i =>
     s"""(CASE WHEN list_sum(list_transform(range(1, len(q)+1),
@@ -331,6 +407,36 @@ object Queries {
          |SELECT a2.vec_id, a2.cid,
          |  CAST(CASE WHEN dr.b_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
          |FROM a2 LEFT JOIN dr ON a2.vec_id = dr.b_id""".stripMargin,
+    // Replays the ENTIRE store lifecycle: auto-k (⌈n/64⌉ over the corpus
+    // split), the integer Lloyd build on vec_id % 3 != 0, home-cell stored
+    // assignment, then the serve — top-2 probe assignment of the drop
+    // (vec_id % 3 = 0) against the STORED model, cross drops vs same-cell
+    // stored vectors, intra-drop smallest-id survivorship.
+    "q129_store_semdedup" ->
+      s"""WITH $quantCte,
+         |corp AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 3 <> 0),
+         |kk AS (SELECT (count(*) + ${StoreCellSize - 1}) // $StoreCellSize AS k
+         |  FROM corp),
+         |${lloydChain("corp", "(SELECT k FROM kk)")},
+         |${rankCte("storedr", "corp")},
+         |stored AS (SELECT vec_id, q, n2, cid FROM storedr WHERE rn = 1),
+         |newv AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 3 = 0),
+         |${rankCte("newr", "newv")},
+         |np AS (SELECT vec_id, q, n2, cid FROM newr WHERE rn <= 2),
+         |xp AS (SELECT a.vec_id AS a_id, $dotExpr AS dot_q, a.n2 na, b.n2 nb
+         |  FROM np a JOIN stored b ON a.cid = b.cid),
+         |ip AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+         |    a.n2 na, b.n2 nb
+         |  FROM np a JOIN np b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |dr AS (SELECT DISTINCT a_id AS vec_id FROM xp
+         |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb
+         |  UNION
+         |  SELECT DISTINCT b_id AS vec_id FROM ip
+         |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb),
+         |home AS (SELECT vec_id, cid FROM newr WHERE rn = 1)
+         |SELECT home.vec_id, home.cid,
+         |  CAST(CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
+         |FROM home LEFT JOIN dr USING (vec_id)""".stripMargin,
     "q128_semantic_dedup_p2" ->
       s"""WITH $lloydCtes,
          |ap AS (SELECT vec_id, q, n2, cid FROM ranked WHERE rn <= 2),

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.vector.{ClusterStore, Queries}
+
+/** Persisted embedding-cluster-store lifecycle (the q106 build/serve split
+  * for the semantic-dedup path): build trains+persists once, serve assigns
+  * only the drop against the STORED model, survivors append, staged
+  * commits mutate nothing until the thunk runs, and re-runs are
+  * idempotent.
+  */
+class ClusterStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** (vec_id, q, n2) — the `Queries.prepared` shape over literal
+    * quantized vectors.
+    */
+  private def prep(vecs: Seq[(Long, Seq[Long])]): DataFrame =
+    vecs.toDF("vec_id", "q")
+      .withColumn("n2", graft.functions.VectorDot.of(col("q"), col("q")))
+
+  // one cell (k=1) keeps the geometry trivial: every pair is same-cell,
+  // so only the cosine rule decides
+  private val corpus = prep(Seq(
+    1L -> Seq(10L, 0L, 0L, 0L),
+    2L -> Seq(0L, 10L, 0L, 0L)))
+
+  test("staged build commits atomically; serve drops vs store and intra-drop, appends survivors, idempotent") {
+    val dir = Files.createTempDirectory("clusterstore").toString
+    val commit = ClusterStore.buildStaged(corpus, dir, k = 1)
+    assert(!ClusterStore.exists(spark, dir), "store absent until commit")
+    commit()
+    assert(ClusterStore.exists(spark, dir))
+    assert(ClusterStore.loadVectors(spark, dir).count() === 2L)
+    assert(ClusterStore.loadCentroids(spark, dir).size === 1)
+
+    val drop = prep(Seq(
+      3L -> Seq(10L, 0L, 0L, 0L), // dup of stored 1 → dropped
+      4L -> Seq(0L, 0L, 10L, 0L), // orthogonal to everything → survives
+      5L -> Seq(0L, 0L, 10L, 1L))) // near-dup of drop-mate 4 → dropped
+    val decisions = ClusterStore.dedupNewDropVsStore(drop, dir)
+      .select("vec_id", "dropped").as[(Long, Int)].collect().toMap
+    assert(decisions === Map(3L -> 1, 4L -> 0, 5L -> 1))
+    assert(ClusterStore.loadVectors(spark, dir).count() === 3L,
+      "exactly the survivor's row is appended")
+
+    // idempotent: same drop again — 4 now matches its stored self
+    val again = ClusterStore.dedupNewDropVsStore(drop, dir)
+      .filter(col("dropped") === 0).count()
+    assert(again === 0L)
+    assert(ClusterStore.loadVectors(spark, dir).count() === 3L, "no growth on re-run")
+  }
+
+  test("staged serve mutates nothing until commit; read-only serve never stages") {
+    val dir = Files.createTempDirectory("clusterstore-staged").toString
+    ClusterStore.build(corpus, dir, k = 1)
+    val drop = prep(Seq(6L -> Seq(0L, 0L, 0L, 7L)))
+
+    val (decisions, commit) = ClusterStore.dedupNewDropVsStoreStaged(drop, dir)
+    assert(decisions.filter(col("dropped") === 0).count() === 1L)
+    assert(ClusterStore.loadVectors(spark, dir).count() === 2L,
+      "append not visible before commit")
+    commit()
+    assert(ClusterStore.loadVectors(spark, dir).count() === 3L)
+
+    def listing = {
+      val root = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f.getPath -> f.length())
+      walk(root).sortBy(_._1)
+    }
+    val before = listing
+    val ro = ClusterStore.dedupNewDropVsStoreReadOnly(drop, dir)
+    assert(ro.filter(col("dropped") === 1).count() === 1L,
+      "6 now dups its own stored copy")
+    assert(listing === before, "read-only serve leaves the store byte-identical")
+  }
+
+  test("autoK pins cell population: k = ceil(n/cell), floor 1") {
+    assert(ClusterStore.autoK(0, 64) === 1)
+    assert(ClusterStore.autoK(64, 64) === 1)
+    assert(ClusterStore.autoK(65, 64) === 2)
+    assert(ClusterStore.autoK(6400, 64) === 100)
+    intercept[IllegalArgumentException](ClusterStore.autoK(10, 0))
+  }
+
+  test("semanticDedupByCellSize == semanticDedup at the derived k (sf0.001)") {
+    val e = Queries.prepared(spark, "/root/testdata/sf0.001")
+    val n = e.count()
+    val k = ClusterStore.autoK(n, 64)
+    val auto = Queries.semanticDedupByCellSize(spark, e, 64)
+      .as[(Long, Long, Int)].collect().toSet
+    val fixed = Queries.semanticDedup(spark, e, k)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(auto === fixed)
+  }
+
+  test("compact rewrites the vectors table identically into fewer files") {
+    val dir = Files.createTempDirectory("clusterstore-compact").toString
+    ClusterStore.build(corpus, dir, k = 1)
+    // two appends → extra part files
+    ClusterStore.dedupNewDropVsStore(prep(Seq(7L -> Seq(0L, 0L, 9L, 0L))), dir)
+    ClusterStore.dedupNewDropVsStore(prep(Seq(8L -> Seq(0L, 0L, 0L, 9L))), dir)
+    val before = ClusterStore.loadVectors(spark, dir)
+      .as[(Long, Seq[Long], Long, Long)].collect().toSet
+    ClusterStore.compact(spark, dir, targetFiles = 1)
+    val after = ClusterStore.loadVectors(spark, dir)
+      .as[(Long, Seq[Long], Long, Long)].collect().toSet
+    assert(after === before, "compaction must not disturb a single row")
+    val parts = new java.io.File(ClusterStore.vectorsPath(dir))
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(parts === 1)
+  }
+}
