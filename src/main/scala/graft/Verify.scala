@@ -11,6 +11,10 @@ object Verify {
     val unknown = subset -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // Pin the dump's sf-dir for data-derived oracles (q130 bakes the
+    // LEARNED merge table into its SQL — text.Queries.oracleLearnedMerges
+    // reads this plus the active session).
+    System.setProperty("graft.sf.dir", sfDir)
     val spark = Sessions.local(cpus.toInt)
     new java.io.File(outDir).mkdirs()
     val selected =

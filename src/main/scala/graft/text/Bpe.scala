@@ -189,14 +189,15 @@ object Bpe {
     * Emit with `WITH RECURSIVE <prefix,> ${bpeCtes(merges)}` and join
     * `bpe_doc` on doc_id (LEFT JOIN + coalesce for zero-token docs).
     */
-  def oracleCtes(merges: Seq[String] = DemoMerges): String = {
+  def oracleCtes(merges: Seq[String] = DemoMerges,
+                 src: String = "documents"): String = {
     require(merges.nonEmpty, "bpe oracle needs at least one merge")
     require(merges.forall(_.matches("[^']+ [^']+")),
       "merges must be 'left right' pairs without quotes")
     val values = merges.map(m => s"('$m')").mkString(", ")
     s"""bpe_merges(pair) AS (VALUES $values),
        |ks AS (SELECT list(pair) AS ks FROM bpe_merges),
-       |vocab AS (SELECT DISTINCT unnest(string_split(text,' ')) AS w FROM documents),
+       |vocab AS (SELECT DISTINCT unnest(string_split(text,' ')) AS w FROM $src),
        |init AS (SELECT w, list_transform(range(1, length(w)+1),
        |  i -> substr(w, i, 1)) AS toks FROM vocab),
        |g AS (
@@ -218,7 +219,7 @@ object Bpe {
        |    FROM g, ks)
        |  WHERE n_more = 0),
        |dw AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos
-       |       FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+       |       FROM (SELECT doc_id, string_split(text,' ') AS ws FROM $src)),
        |bpe_doc AS (SELECT dw.doc_id,
        |         CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens,
        |         md5(coalesce(string_agg(array_to_string(toks, ' '), ' ' ORDER BY pos), ''))

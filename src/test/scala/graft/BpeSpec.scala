@@ -160,4 +160,18 @@ class BpeSpec extends AnyFunSuite {
     val b = Bpe.learnMerges(docs.repartition(7), nMerges = 10)
     assert(a === b)
   }
+
+  test("q130 fixture: learned table is deterministic and NOT the DemoMerges fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val m1 = graft.text.Queries.learnedMergesFixture(spark, dir)
+    // the memoized fixture must equal a fresh replay of the same split
+    val fresh = Bpe.learnMerges(
+      graft.Tables(spark, dir).documents
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0),
+      nMerges = 24)
+    assert(m1 === fresh)
+    assert(m1.size === 24)
+    // the gate must exercise a genuinely learned table, not the demo one
+    assert(m1 !== Bpe.DemoMerges)
+  }
 }
