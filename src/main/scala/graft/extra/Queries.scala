@@ -227,6 +227,16 @@ object Queries {
       Graph.triangleStats(Graph.coOccurrenceEdges(
         Tables(s, dir).lineitem, "l_orderkey", "l_partkey"))),
 
+    // DOULION-sampled triangle estimate — q103's monitoring-path variant
+    // (the q83→q115 precedent): md5-deterministic edge sampling at
+    // p = 1/4, exact count on the sparsified graph, ×64 unbiased scale-up.
+    // Everything emitted is deterministic and hash-gated (the oracle
+    // replays the same sampled subgraph); accuracy vs the exact census is
+    // spec-gated in GraphSpec.
+    "q131_triangles_approx" -> ((s, dir) =>
+      Graph.triangleStatsSampled(Graph.coOccurrenceEdges(
+        Tables(s, dir).lineitem, "l_orderkey", "l_partkey"), keepDenom = 4)),
+
     // Fixed-iteration integer PageRank (ppm longs, floor-div contributions)
     // over the same co-occurrence graph: one equi join + partial/final agg
     // per iteration, bit-identical across engines by construction.
@@ -1122,6 +1132,24 @@ object Queries {
         |  (SELECT count(*) FROM p e1
         |    JOIN p e2 ON e1.v = e2.u
         |    JOIN p e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles""".stripMargin,
+    // Replays the md5 edge sampling, the exact count on the sparsified
+    // graph, the ×64 scale-up, and the floor(3·sqrt) spread column.
+    "q131_triangles_approx" ->
+      """WITH p AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sp AS (SELECT u, v FROM p
+        |  WHERE ('0x'||substr(md5('tri:'||CAST(u AS VARCHAR)||':'||
+        |    CAST(v AS VARCHAR)),1,7))::BIGINT % 4 < 1),
+        |tri AS (SELECT count(*) AS t FROM sp e1
+        |  JOIN sp e2 ON e1.v = e2.u
+        |  JOIN sp e3 ON e1.u = e3.u AND e2.v = e3.v)
+        |SELECT (SELECT count(*) FROM p) AS n_edges,
+        |  (SELECT count(*) FROM sp) AS n_edges_sampled,
+        |  t AS tri_sampled,
+        |  t * 64 AS est_triangles,
+        |  CAST(floor(3 * sqrt(CAST(t AS DOUBLE))) AS BIGINT) * 64 AS est_pm3sd
+        |FROM tri""".stripMargin,
     "q104_pagerank" ->
       """WITH p AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b

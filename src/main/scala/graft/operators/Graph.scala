@@ -79,6 +79,53 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** DOULION-style approximate triangle count (Tsourakakis et al.,
+    * KDD 2009, doi:10.1145/1557019.1557111): keep each edge independently
+    * with probability p = 1/`keepDenom`, count triangles EXACTLY on the
+    * sparsified graph, scale by 1/p³. The monitoring-path variant of
+    * [[triangleStats]] (the q83→q115 precedent): the wedge volume — the
+    * exact count's dominant cost — shrinks by ~p², so a daily density
+    * check pays a fraction of the exact census it replaces.
+    *
+    * The sampling decision is a DETERMINISTIC md5 bucket of the edge key
+    * (`Sampling.hashBucket` — reproducible across runs, partitionings,
+    * and engines), so the sparsified subgraph, its exact triangle count,
+    * and the scaled estimate are all engine-replayable: the oracle
+    * recomputes them bit-for-bit (q131), and accuracy vs the exact count
+    * is spec-gated separately (GraphSpec), the q115 discipline of hashing
+    * what is deterministic and bounding what is statistical.
+    *
+    * Output (one row): n_edges (full graph), n_edges_sampled,
+    * tri_sampled (exact count on the sample), est_triangles =
+    * tri_sampled·denom³ (the unbiased DOULION estimator — exact integer,
+    * since p = 1/denom), and est_pm3sd = ⌊3·√tri_sampled⌋·denom³ — the
+    * ±3σ half-width under the Poisson approximation of the sampled count.
+    * That half-width is a monitoring-grade spread estimate (triangles
+    * sharing a sampled edge correlate, so it is not a rigorous tail
+    * bound — DOULION's full variance needs the shared-edge pair count,
+    * which costs what the sampling saves); floor + IEEE sqrt keep it
+    * engine-exact.
+    *
+    * keepDenom = 1 degenerates to the exact census (spec-gated identity).
+    */
+  def triangleStatsSampled(edges: DataFrame, keepDenom: Int,
+                           seed: String = "tri"): DataFrame = {
+    require(keepDenom >= 1, s"keepDenom must be >= 1, got $keepDenom")
+    val e = materialize(edges.select(col("u"), col("v")).distinct())
+    val sampled = e.filter(
+      Sampling.hashBucket(concat_ws(":", col("u"), col("v")), keepDenom, seed)
+        < lit(1))
+    val scale = keepDenom.toLong * keepDenom * keepDenom
+    triangleStats(sampled)
+      .select(col("n_edges").as("n_edges_sampled"),
+        col("n_triangles").as("tri_sampled"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_edges"), col("n_edges_sampled"), col("tri_sampled"),
+        (col("tri_sampled") * lit(scale)).as("est_triangles"),
+        (floor(lit(3) * sqrt(col("tri_sampled").cast("double"))).cast("long")
+          * lit(scale)).as("est_pm3sd"))
+  }
+
   /** Per-group triangle census: [[triangleStats]] with every join and
     * aggregation additionally keyed by a group column — one row per group
     * (group, n_nodes, n_edges, n_triangles). The dup-graph quality

@@ -52,6 +52,31 @@ class GraphSpec extends AnyFunSuite {
     assert(got("web") === (("web", 2L, 1L, 0L)))
   }
 
+  test("triangleStatsSampled: keepDenom=1 degenerates to the exact census") {
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L))
+    val got = Graph.triangleStatsSampled(e, keepDenom = 1)
+      .select("n_edges", "n_edges_sampled", "tri_sampled", "est_triangles")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((6L, 6L, 4L, 4L)))
+  }
+
+  test("triangleStatsSampled: deterministic estimate lands near truth on K24") {
+    // complete graph on 24 nodes: C(24,2)=276 edges, C(24,3)=2024 triangles
+    val vs = (1L to 24L)
+    val e = (for (u <- vs; v <- vs if u < v) yield (u, v)).toDF("u", "v")
+    val got = Graph.triangleStatsSampled(e, keepDenom = 2)
+      .select("n_edges", "tri_sampled", "est_triangles", "est_pm3sd")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got._1 === 276L)
+    assert(got._3 === got._2 * 8, "estimate is tri_sampled x denom^3")
+    // md5 sampling is deterministic, so this is a fixed value — the
+    // assertion documents the accuracy band the estimator achieves here
+    // (E[tri_sampled]=253 at p=1/2; +-30% covers ~3 sigma of the spread)
+    assert(got._3 > 1400 && got._3 < 2650,
+      s"estimate ${got._3} strayed outside +-30% of the true 2024")
+    assert(got._4 > 0)
+  }
+
   test("pageRankInt matches the hand-computed 3-iteration ranks on a path") {
     // path 1–2–3: deg(1)=deg(3)=1, deg(2)=2 — three exact integer rounds
     val got = Graph.pageRankInt(edges((1L, 2L), (2L, 3L)), iters = 3)
