@@ -121,6 +121,14 @@ class PlanSpec extends AnyFunSuite {
       s"vector_dot must run in a WholeStageCodegen span; got:\n${dotLines.mkString("\n")}")
   }
 
+  test("q132 fixed-suite contamination probe broadcasts the benchmark side") {
+    val p = planOf("q132_contamination_fixed")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the constant eval-suite probe must stay a broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "a benchmark constant in corpus size must never shuffle the corpus for the probe")
+  }
+
   test("q50 IVF cell assignment broadcasts the centroids") {
     val p = planOf("q50_ann_ivf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
