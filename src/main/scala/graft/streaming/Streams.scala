@@ -249,6 +249,30 @@ object Streams {
       .drop("__sh")
   }
 
+  /** Streaming tokenizer-denominated budget monitor: BPE token totals per
+    * (event-time window, source) with watermarked late-data handling —
+    * the incremental-ingest face of the batch token-budget operators
+    * (q116's apportionment denominator, computed as drops land instead of
+    * by corpus rescan). `Bpe.encode` is a pure map-side expression, so
+    * the only streaming state is the windowed aggregation's — bounded by
+    * the watermark exactly like [[hourlyCounts]]; a 50k-merge production
+    * table rides the plan as a literal, never a join.
+    */
+  def tokenBudgetStream(docs: DataFrame,
+                        merges: Seq[String] = graft.text.Bpe.DemoMerges,
+                        lateness: String = "10 minutes",
+                        windowLen: String = "1 hour",
+                        textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__n_bpe",
+        size(graft.text.Bpe.encode(
+          graft.text.TextOps.words(col(textCol)), merges)).cast("long"))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("source"))
+      .agg(sum(col("__n_bpe")).as("n_tokens"), count(lit(1)).as("n_docs"))
+      .select(col("w.start").as("window_start"), col("source"),
+        col("n_tokens"), col("n_docs"))
+
   /** Watermarked stream-stream interval join: for each left event, right
     * events of the same key within `(l.ts, l.ts + windowSec]` — the
     * streaming form of the batch bucketed range join (Events

@@ -50,6 +50,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tokenBudgetStream: windowed BPE budgets honor the watermark (late-in counts, too-late drops)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val q = Streams.toMemorySink(
+      Streams.tokenBudgetStream(mem.toDF().toDF("ts", "source", "text")),
+      "bpe_budget_stream", org.apache.spark.sql.streaming.OutputMode.Update())
+    try {
+      // batch 1: "the row" = 2 BPE tokens into window [0h,1h); "order" = 3
+      // into [1h,2h). Watermark after the batch: 4900s - 10min = 4300s —
+      // PAST the first window's end (3600s), so [0h,1h) is finalized and
+      // its state evicted.
+      mem.addData((ts(100), "s1", "the row"), (ts(4900), "s1", "order"))
+      q.processAllAvailable()
+      // batch 2: ts=4000s is LATE (out of order) but lands in the still-
+      // open [1h,2h) window → its 5 tokens ("table" → t,a,b,l,e) count;
+      // ts=3200s targets the CLOSED [0h,1h) window → dropped ("small" = 4
+      // tokens must not appear anywhere).
+      mem.addData((ts(4000), "s1", "table"), (ts(3200), "s1", "small"))
+      q.processAllAvailable()
+      // Update mode re-emits a window on every change; counts only grow,
+      // so the final state per window is its max emission.
+      val finals = spark.table("bpe_budget_stream")
+        .select(unix_micros(col("window_start")).as("w"), col("source"),
+          col("n_tokens"), col("n_docs"))
+        .as[(Long, String, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2))
+        .map { case (k, rows) => k -> rows.map(r => (r._3, r._4)).max }
+      assert(finals === Map(
+        (0L, "s1") -> ((2L, 1L)),          // "the row"; closed before batch 2
+        (3600000000L, "s1") -> ((8L, 2L)))) // "order" + late-but-open "table"
+    } finally q.stop()
+  }
+
   test("sliding chunks apply stateless to a stream, matching the batch layout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
