@@ -27,6 +27,13 @@ import graft.text.{Dedup, Store, TextOps}
   *     [--boilerplate-w w]                segment width in words (default 20)
   *     [--benchmark /data/eval.parquet]   drop docs sharing a 3-gram with it
   *     [--dedup]                          MinHash-LSH near-dup removal (keep smallest id)
+  *     [--compact-store n]                maintenance: rewrite the --dedup-store
+  *                                        signature table into n parquet files
+  *                                        (contents identical) AFTER the run's
+  *                                        store commit — the answer to a month
+  *                                        of daily drops each appending a few
+  *                                        part-files. With --dedup-store alone
+  *                                        (no -I/-O) runs compaction standalone
   *     [--dedup-store dir]                INCREMENTAL near-dup removal vs the
   *                                        persisted signature store: first run
   *                                        bootstraps (intra-dedup + Store.build),
@@ -94,7 +101,8 @@ object Corpus {
       mixture: Map[String, Int] = Map.empty, mixtureDefault: Int = 1000,
       mixtureBy: String = "source",
       evalK: Option[Int] = None, evalBy: String = "source",
-      packTokens: Option[Int] = None, shards: Int = 16)
+      packTokens: Option[Int] = None, shards: Int = 16,
+      compactStore: Option[Int] = None)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -117,6 +125,8 @@ object Corpus {
     case "--benchmark" :: v :: rest   => parse(rest, acc.copy(benchmark = Some(v)))
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
     case "--dedup-store" :: v :: rest => parse(rest, acc.copy(dedupStore = Some(v)))
+    case "--compact-store" :: v :: rest =>
+      parse(rest, acc.copy(compactStore = Some(v.toInt)))
     case "--dup-graph-stats" :: v :: rest => parse(rest, acc.copy(dupGraphBy = Some(v)))
     case "--span-stats" :: rest       => parse(rest, acc.copy(spanStats = true))
     case "--min-tokens" :: v :: rest  => parse(rest, acc.copy(minTokens = v.toInt))
@@ -389,6 +399,16 @@ object Corpus {
 
   def run(spark: SparkSession, argv: Array[String]): Unit = {
     val a = parse(argv.toList)
+    // standalone maintenance invocation: compact an existing store and
+    // exit — no corpus read, no output write
+    if (a.input.isEmpty && a.out.isEmpty && a.compactStore.isDefined) {
+      val sd = a.dedupStore.getOrElse(throw new IllegalArgumentException(
+        "--compact-store needs --dedup-store <dir>"))
+      Store.compact(spark, sd, a.compactStore.get)
+      return
+    }
+    a.compactStore.foreach(_ => require(a.dedupStore.isDefined,
+      "--compact-store needs --dedup-store <dir>"))
     require(a.input.nonEmpty && a.out.nonEmpty,
       "usage: -I <corpus.parquet> -O <out> [--format parquet|orc|json|csv] " +
         "[--scrub-pii] [--remove-boilerplate df] [--boilerplate-w w] " +
@@ -397,7 +417,8 @@ object Corpus {
         "[--min-tokens n] [--max-tokens n] [--bpe-merges path] [--bpe-learn n] " +
         "[--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
-        "[--sample perMille] [--pack maxTokens] [--shards n]")
+        "[--sample perMille] [--pack maxTokens] [--shards n] " +
+        "[--compact-store n]")
     val r = pipelineFull(spark, a)
     try {
       Sources.writePartitioned(r.train, a.out, Seq("shard"), Seq("doc_id"))
@@ -430,6 +451,11 @@ object Corpus {
       // the store exactly as the run found it, so the retry re-dedups the
       // same drop against the same corpus (idempotent, never empty)
       r.commitStore.foreach(_.apply())
+      // maintenance AFTER the commit: compaction sees the just-appended
+      // survivors, and a compaction failure can't lose the append (the
+      // swap is crash-safe and contents-identical by construction)
+      a.compactStore.foreach(n => a.dedupStore.foreach(sd =>
+        Store.compact(spark, sd, n)))
     } finally r.cached.foreach(_.unpersist())
   }
 

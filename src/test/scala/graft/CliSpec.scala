@@ -72,6 +72,44 @@ class CliSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 11L))
   }
 
+  test("Corpus CLI: --compact-store rewrites the appended store into one file, contents identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-compact")
+    def drop(id: Long) =
+      Seq((id, (1 to 30).map(i => s"w${id}_$i").mkString(" ")))
+        .toDF("doc_id", "text")
+    drop(1L).write.parquet(s"$dir/drop1")
+    drop(2L).write.parquet(s"$dir/drop2")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop1", "-O", s"$dir/out1", "--dedup-store", s"$dir/store"))
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/out2", "--dedup-store", s"$dir/store"))
+    def partFiles = new java.io.File(
+      graft.text.Store.sigPath(s"$dir/store"))
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(partFiles > 1, "two drops must have left multiple part files")
+    val before = graft.text.Store.load(spark, s"$dir/store")
+      .select("doc_id").as[Long].collect().toSet
+
+    // standalone maintenance invocation: no -I/-O, just the store
+    graft.cli.Corpus.run(spark, Array(
+      "--dedup-store", s"$dir/store", "--compact-store", "1"))
+    assert(partFiles === 1, "compaction must funnel to the target file count")
+    assert(graft.text.Store.load(spark, s"$dir/store")
+      .select("doc_id").as[Long].collect().toSet === before,
+      "compaction must not disturb a single row")
+
+    // in-run maintenance: a third drop with --compact-store stays compact
+    drop(3L).write.parquet(s"$dir/drop3")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop3", "-O", s"$dir/out3",
+      "--dedup-store", s"$dir/store", "--compact-store", "1"))
+    assert(partFiles === 1)
+    assert(graft.text.Store.load(spark, s"$dir/store")
+      .select("doc_id").as[Long].collect().toSet === (before + 3L),
+      "the appended survivor must be inside the compacted store")
+  }
+
   test("Corpus CLI: --dup-graph-stats emits the per-source triangle census before dedup") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
