@@ -103,4 +103,32 @@ class GenomicsSpec extends AnyFunSuite {
       .map { case (d, n, t) => d -> ((n, t)) }.toMap
     assert(g("ds1") === ((2L, 5L)))
   }
+
+  test("O1→O14: contig-DICTIONARY order (not lexicographic) survives sort + merge") {
+    // a dictionary whose rank order CONFLICTS with string order — the BAM
+    // header's sequence dictionary is authoritative (SortSam's coordinate
+    // order), and 'chr10' < 'chr2' < 'chrM' lexicographically would
+    // reorder all three
+    val dictM = Seq(
+      ContigInfo("chrM", 16000L, 0), ContigInfo("chr10", 1000L, 1),
+      ContigInfo("chr2", 500L, 2)).toDF()
+    val sliceA = Seq(
+      read("a1", "chr2", 10L, Seq(1, 1)),
+      read("a2", "chrM", 5L, Seq(1, 1))).toDS().toDF()
+    val sliceB = Seq(
+      read("b1", "chr10", 7L, Seq(1, 1)),
+      read("b2", "chrM", 9L, Seq(1, 1))).toDS().toDF()
+    val rank = dictM.select(col("contig"), col("contig_rank"))
+    // O1 per scattered slice, then the O14 gather merge on the SAME
+    // dictionary keys (rank re-joined: sortReads drops its helper column,
+    // as a merged BAM drops nothing but needs the header dict again)
+    val merged = graft.operators.Relational.sortedUnion(
+      Seq(sortReads(sliceA, dictM), sortReads(sliceB, dictM))
+        .map(_.join(broadcast(rank), Seq("contig"), "left")),
+      col("contig_rank").asc_nulls_last, col("pos").asc, col("qname").asc)
+    val got = merged.select("qname").as[String].collect().toSeq
+    assert(got === Seq("a2", "b2", "b1", "a1"),
+      "dictionary order is chrM(5), chrM(9), chr10(7), chr2(10); " +
+        "lexicographic contig order would surface chr10 first")
+  }
 }
