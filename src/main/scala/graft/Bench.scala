@@ -56,10 +56,12 @@ object Bench {
     // it untimed up front so even a RUNS=1 sweep's q106 number is pure
     // serve; the BUILD cost gets its own row (q106_build) below.
     if (names.contains("q106_incr_dedup")) graft.text.Queries.storeFixture(spark, sfDir)
-    // q129 likewise measures the cluster-store SERVE path; the build gets
-    // its own q129_build row below.
+    // q129/q134 likewise measure the cluster-store SERVE path; the build
+    // gets its own q129_build row below.
     if (names.contains("q129_store_semdedup"))
       graft.vector.Queries.clusterStoreFixture(spark, sfDir)
+    if (names.contains("q134_store_append_serve"))
+      graft.vector.Queries.appendedClusterStoreFixture(spark, sfDir)
 
     val results = names.map { name =>
       val times = (1 to runs).map(_ => exec(name, sfDir)).filter(_ >= 0)

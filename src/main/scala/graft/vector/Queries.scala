@@ -184,6 +184,19 @@ object Queries {
         prepared(s, dir).filter(col("vec_id") % 3 === 0), storeDir, probes = 2)
     }),
 
+    // The APPEND path gated end-to-end: drop 1 (vec_id % 6 == 0) was
+    // served against the built store and its SURVIVORS appended (the
+    // fixture commits a real staged parquet append); drop 2
+    // (vec_id % 6 == 3) then serves against corpus ∪ survivors — a
+    // decision here can hinge on a row that only exists because the
+    // append ran correctly, so the hash gate covers build → serve →
+    // append → serve. The oracle replays all four stages.
+    "q134_store_append_serve" -> ((s, dir) => {
+      val storeDir = appendedClusterStoreFixture(s, dir)
+      ClusterStore.dedupNewDropVsStoreReadOnly(
+        prepared(s, dir).filter(col("vec_id") % 6 === 3), storeDir, probes = 2)
+    }),
+
     // LSH-bucketed ANN (the 100 TB scale path): 8-bit random-hyperplane
     // signature, candidates restricted to the same bucket, best match per
     // query. Shuffles on the signature instead of materializing n² pairs.
@@ -322,6 +335,32 @@ object Queries {
   /** q129's targetCellSize — shared with the oracle's `(n + 63) // 64`. */
   private val StoreCellSize = 64
 
+  /** q134's fixture: the q129 store AFTER absorbing drop 1 — built from
+    * the corpus split, then drop 1 (vec_id % 6 == 0) served through the
+    * STAGED commit path so its survivors land in the vectors table via a
+    * real parquet append. Separate dir from [[clusterStoreFixture]] (q129
+    * must keep serving against the un-appended store).
+    */
+  private[graft] def appendedClusterStoreFixture(s: SparkSession, dir: String): String =
+    clusterStores.computeIfAbsent((System.identityHashCode(s), dir + "#appended"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-clusterstore-app").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      ClusterStore.buildAuto(
+        prepared(s, dir).filter(col("vec_id") % 3 =!= 0), storeDir,
+        targetCellSize = StoreCellSize, iters = 1)
+      ClusterStore.dedupNewDropVsStore(
+        prepared(s, dir).filter(col("vec_id") % 6 === 0), storeDir, probes = 2)
+      storeDir
+    })
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   private val quantCte =
@@ -437,6 +476,50 @@ object Queries {
          |SELECT home.vec_id, home.cid,
          |  CAST(CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
          |FROM home LEFT JOIN dr USING (vec_id)""".stripMargin,
+    // Replays the full store lifecycle TWICE over: build on the corpus
+    // split, drop-1 serve (cross + intra legs), survivor append, then the
+    // gated drop-2 serve against corpus ∪ survivors.
+    "q134_store_append_serve" ->
+      s"""WITH $quantCte,
+         |corp AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 3 <> 0),
+         |kk AS (SELECT (count(*) + ${StoreCellSize - 1}) // $StoreCellSize AS k
+         |  FROM corp),
+         |${lloydChain("corp", "(SELECT k FROM kk)")},
+         |${rankCte("storedr", "corp")},
+         |stored0 AS (SELECT vec_id, q, n2, cid FROM storedr WHERE rn = 1),
+         |d1 AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 6 = 0),
+         |${rankCte("d1r", "d1")},
+         |d1p AS (SELECT vec_id, q, n2, cid FROM d1r WHERE rn <= 2),
+         |x1 AS (SELECT a.vec_id AS a_id, $dotExpr AS dot_q, a.n2 na, b.n2 nb
+         |  FROM d1p a JOIN stored0 b ON a.cid = b.cid),
+         |i1 AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+         |    a.n2 na, b.n2 nb
+         |  FROM d1p a JOIN d1p b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |dr1 AS (SELECT DISTINCT a_id AS vec_id FROM x1
+         |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb
+         |  UNION
+         |  SELECT DISTINCT b_id AS vec_id FROM i1
+         |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb),
+         |surv1 AS (SELECT vec_id, q, n2, cid FROM d1r
+         |  WHERE rn = 1 AND vec_id NOT IN (SELECT vec_id FROM dr1)),
+         |stored1 AS (SELECT * FROM stored0 UNION ALL SELECT * FROM surv1),
+         |d2 AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 6 = 3),
+         |${rankCte("d2r", "d2")},
+         |d2p AS (SELECT vec_id, q, n2, cid FROM d2r WHERE rn <= 2),
+         |x2 AS (SELECT a.vec_id AS a_id, $dotExpr AS dot_q, a.n2 na, b.n2 nb
+         |  FROM d2p a JOIN stored1 b ON a.cid = b.cid),
+         |i2 AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+         |    a.n2 na, b.n2 nb
+         |  FROM d2p a JOIN d2p b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |dr2 AS (SELECT DISTINCT a_id AS vec_id FROM x2
+         |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb
+         |  UNION
+         |  SELECT DISTINCT b_id AS vec_id FROM i2
+         |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb),
+         |home AS (SELECT vec_id, cid FROM d2r WHERE rn = 1)
+         |SELECT home.vec_id, home.cid,
+         |  CAST(CASE WHEN dr2.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
+         |FROM home LEFT JOIN dr2 USING (vec_id)""".stripMargin,
     "q128_semantic_dedup_p2" ->
       s"""WITH $lloydCtes,
          |ap AS (SELECT vec_id, q, n2, cid FROM ranked WHERE rn <= 2),

@@ -55,6 +55,15 @@ class ClusterStoreSpec extends AnyFunSuite {
       .filter(col("dropped") === 0).count()
     assert(again === 0L)
     assert(ClusterStore.loadVectors(spark, dir).count() === 3L, "no growth on re-run")
+
+    // cross-drop dependence: vector 9 near-dups ONLY the appended
+    // survivor 4 (cos = 1 with [0,0,10,0]; orthogonal to the original
+    // corpus) — it can drop only because the drop-1 append really landed
+    val drop2 = prep(Seq(9L -> Seq(0L, 0L, 20L, 0L)))
+    val d2 = ClusterStore.dedupNewDropVsStore(drop2, dir)
+      .select("vec_id", "dropped").as[(Long, Int)].collect().toMap
+    assert(d2 === Map(9L -> 1),
+      "a drop-2 decision must see drop-1's appended survivors")
   }
 
   test("staged serve mutates nothing until commit; read-only serve never stages") {
