@@ -275,6 +275,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cluster-store embedding ingest: foreachBatch serve dedups each drop vs the growing store") {
+    // The production shape for incremental SEMANTIC dedup on a stream:
+    // the pair leg needs the corpus-sized stored-vectors table, so it
+    // runs as the BATCH serve inside foreachBatch (the same advice
+    // decontaminateStream documents for large benchmarks) — each
+    // micro-batch is one "drop" against the persisted cluster store,
+    // survivors append, so batch N+1 sees batch N's survivors.
+    import graft.vector.ClusterStore
+    implicit val sq = spark.sqlContext
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("n2", graft.functions.VectorDot.of(col("q"), col("q")))
+    val dir = java.nio.file.Files.createTempDirectory("stream-clusterstore").toString
+    ClusterStore.build(prep(Seq(
+      (1L, Seq(10L, 0L, 0L, 0L)), (2L, Seq(0L, 10L, 0L, 0L))).toDF("vec_id", "q")),
+      dir, k = 1)
+
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val mem = MemoryStream[(Long, Seq[Long])]
+    val q = mem.toDF().toDF("vec_id", "q").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dec = ClusterStore.dedupNewDropVsStore(prep(batch), dir)
+        survivors ++= dec.filter(col("dropped") === 0)
+          .select("vec_id").as[Long].collect()
+        ()
+      }
+      .start()
+    try {
+      mem.addData((3L, Seq(10L, 0L, 0L, 0L)), (4L, Seq(0L, 0L, 10L, 0L)))
+      q.processAllAvailable() // 3 dups stored 1; 4 survives + appends
+      mem.addData((9L, Seq(0L, 0L, 20L, 0L)))
+      q.processAllAvailable() // 9 dups batch-1's APPENDED survivor 4
+      assert(survivors.toSet === Set(4L))
+      assert(ClusterStore.loadVectors(spark, dir).count() === 3L)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
