@@ -441,6 +441,25 @@ object Queries {
             .as("approx_ok"),
           col("min_s"), col("max_s"))),
 
+    // Profile-store serve (the q106/q129 build/serve split for ANALYZE
+    // stats): orders arrives as three drops, each contributing one
+    // constant-size mergeable partial row per column (exact sums/typed
+    // min-max/md5-bucket sets + an HLL sketch); corpus stats are served
+    // from the stored partials ONLY — the corpus is never rescanned. The
+    // oracle replays the exact fields over the whole table (bucket-set
+    // union ≡ single-scan bucket set), and the merged HLL estimate is
+    // folded into the q115 certified-bounds boolean.
+    "q136_profile_store" -> ((s, dir) => {
+      val storeDir = profileStoreFixture(s, dir)
+      graft.operators.ProfileStore.serve(s, storeDir)
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct_lo"),
+          (col("n_distinct_approx") * 10 >= col("n_distinct_lo") * 7 &&
+            col("n_distinct_approx") * 10 <= (col("n_rows") - col("n_nulls")) * 13)
+            .as("approx_ok"),
+          col("min_s"), col("max_s"))
+    }),
+
     // Unpivot/melt (inverse of the q33 pivot): wide per-flag metrics to
     // long (flag, metric, value) rows via stack — exact integer values.
     "q84_unpivot" -> ((s, dir) => {
@@ -1268,6 +1287,25 @@ object Queries {
     // value's string rendering, first 3 hex chars — engine-portable);
     // approx_ok is asserted TRUE: the Spark side folds its HLL value into
     // certified bounds, so sketch breakage hash-fails here.
+    "q136_profile_store" -> {
+      val kinds = Map("o_orderkey" -> "i", "o_custkey" -> "i",
+        "o_orderstatus" -> "s", "o_totalprice_cents" -> "i",
+        "o_orderpriority" -> "s")
+      val branches = ProfileCols.map { c =>
+        val v = if (kinds(c) == "i") s"CAST($c AS VARCHAR)" else c
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT substr(md5($v),1,3)) AS n_distinct_lo,
+           |  TRUE AS approx_ok,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM o""".stripMargin
+      }
+      s"""WITH o AS (SELECT *,
+         |  CAST(floor(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+         |  FROM orders)
+         |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+    },
     "q115_profile_approx" ->
       """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
         |  count(*) - count(o_orderkey) AS n_nulls,
@@ -1530,6 +1568,40 @@ object Queries {
   private val bucketedTables =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, String)]()
   private val fixtureNonce = java.util.UUID.randomUUID().toString.take(8)
+
+  /** q136's store, built ONCE per (session, sf-dir): orders split into
+    * three drops by o_orderkey % 3, bootstrapped with build + two appends
+    * so the gated serve path covers the whole store lifecycle. Temp dir
+    * removed on JVM exit; reuse is safe because serve never mutates.
+    */
+  private val profileStores =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+
+  private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice_cents", "o_orderpriority")
+
+  private def profileStoreFixture(s: SparkSession, dir: String): String =
+    profileStores.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-profstore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val o = Tables(s, dir).orders.withColumn("o_totalprice_cents",
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+      graft.operators.ProfileStore.build(
+        o.filter(col("o_orderkey") % 3 === 0), ProfileCols, storeDir, "drop0")
+      graft.operators.ProfileStore.append(
+        o.filter(col("o_orderkey") % 3 === 1), ProfileCols, storeDir, "drop1")
+      graft.operators.ProfileStore.append(
+        o.filter(col("o_orderkey") % 3 === 2), ProfileCols, storeDir, "drop2")
+      storeDir
+    })
 
   private def bucketedFixture(s: SparkSession, dir: String): (String, String) =
     bucketedTables.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
