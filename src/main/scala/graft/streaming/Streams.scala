@@ -273,6 +273,71 @@ object Streams {
       .select(col("w.start").as("window_start"), col("source"),
         col("n_tokens"), col("n_docs"))
 
+  /** Streaming semantic dedup served from the PERSISTED embedding-cluster
+    * store (`vector.ClusterStore`): incoming vectors are assigned to their
+    * home cell against the STORED centroids (a driver-sized k×dims model
+    * inlined as a literal — pure map-side argmin, no window, so it is
+    * stream-legal), anti-joined against stored vectors of that cell under
+    * the exact integer cosine ≥ 1/2 rule (the q121/q129 decision,
+    * bit-identical to the batch path), and exact in-stream repeats are
+    * dropped by quantized-vector key within the watermark. Input contract:
+    * (`idCol`, `embCol`: array<float/double>, ts: timestamp); output is
+    * the surviving rows plus their `cid`.
+    *
+    * Scale shape: the anti join is a stream-static equi join on cell id
+    * with the cosine test as a residual — shuffle scales with
+    * stream-batch × 1 probed cell, and the stored table is read columnar
+    * per micro-batch (same serve economics as the batch
+    * `dedupNewDropVsStore`). Two documented narrowings vs batch: home
+    * cell ONLY (multi-probe recall needs the per-vector top-p ranking —
+    * run `ClusterStore.dedupNewDropVsStore` in `foreachBatch` when
+    * cell-boundary recall matters, q128's trade), and intra-stream
+    * near-dups are caught only when quantized-exact (cross-row cosine
+    * within a micro-batch is a stream-stream self-join — batch ground:
+    * q129). The stream never appends to the store: ingestion that must
+    * also grow the store does that in `foreachBatch` via the staged
+    * append, where the commit can ride the sink's success.
+    */
+  def semanticDedupVsStoreStream(vecs: DataFrame, storeDir: String,
+                                 lateness: String,
+                                 idCol: String = "vec_id",
+                                 embCol: String = "embedding"): DataFrame = {
+    val s = vecs.sparkSession
+    val model = graft.vector.ClusterStore.loadCentroids(s, storeDir)
+    require(model.nonEmpty, s"empty centroid model under $storeDir")
+    val cells = array(model.map { case (cid, cq) =>
+      struct(
+        lit(cid).as("cid"),
+        array(cq.map(lit(_)): _*).as("cq"),
+        lit(cq.map(x => x * x).sum).as("cn2"))
+    }: _*)
+    // array_sort on struct(d2, cid) orders by d2 then cid — exactly
+    // Ann.rankCells' home-cell rule, without the (stream-illegal) window
+    val scored = transform(cells, c =>
+      struct(
+        (col("__n2") - lit(2) * graft.functions.VectorDot.of(col("__q"), c.getField("cq"))
+          + c.getField("cn2")).as("d2"),
+        c.getField("cid").as("cid")))
+    val prep = vecs
+      .withColumn("__q",
+        graft.vector.VectorOps.quantize(col(embCol), graft.vector.Queries.Scale))
+      .withColumn("__n2", graft.functions.VectorDot.of(col("__q"), col("__q")))
+      .withColumn("__cid", element_at(array_sort(scored), 1).getField("cid"))
+    val stored = graft.vector.ClusterStore.loadVectors(s, storeDir)
+      .select(col("cid").as("__s_cid"), col("q").as("__s_q"), col("n2").as("__s_n2"))
+    val dot = graft.functions.VectorDot.of(col("__q"), col("__s_q"))
+    prep
+      .join(stored,
+        col("__cid") === col("__s_cid") && dot > lit(0L) &&
+          lit(4L) * dot * dot >= col("__n2") * col("__s_n2"),
+        "left_anti")
+      .withColumn("__key", md5(concat_ws(",", transform(col("__q"), _.cast("string")))))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("__key"))
+      .withColumn("cid", col("__cid"))
+      .drop("__q", "__n2", "__cid", "__key")
+  }
+
   /** Watermarked stream-stream interval join: for each left event, right
     * events of the same key within `(l.ts, l.ts + windowSec]` — the
     * streaming form of the batch bucketed range join (Events

@@ -12,7 +12,10 @@ import graft.operators.Relational
   */
 object Queries {
 
-  private val Scale = 10000
+  // private[graft]: the streaming store probe (Streams
+  // .semanticDedupVsStoreStream) must quantize with the SAME scale the
+  // store was built with, or no stream vector would ever match a stored one
+  private[graft] val Scale = 10000
   private val Dims = 64
   private val SigBits = 8
   private val Centroids = 8

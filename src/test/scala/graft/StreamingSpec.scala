@@ -418,4 +418,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed === Set((1L, 1L, 1L)), "evicted key emits one final closed summary")
     } finally q.stop()
   }
+
+  test("semanticDedupVsStoreStream: store near-dups drop at ingest, exact repeats dedup in-stream") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-semstream").toString
+    // store: two orthogonal unit vectors, one cell (k=1) — only the
+    // cosine >= 1/2 rule decides
+    val corpus = Seq(
+        900L -> Seq(1.0, 0.0, 0.0, 0.0),
+        901L -> Seq(0.0, 1.0, 0.0, 0.0))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.vector.VectorOps.quantize(col("embedding")).as("q"))
+      .withColumn("n2", graft.functions.VectorDot.of(col("q"), col("q")))
+    graft.vector.ClusterStore.build(corpus, dir, k = 1)
+
+    val mem = MemoryStream[(Long, Seq[Double], Timestamp)]
+    val vecs = mem.toDF().toDF("vec_id", "embedding", "ts")
+    val q = Streams.semanticDedupVsStoreStream(vecs, dir, "1 hour")
+      .writeStream.format("memory").queryName("sem_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, Seq(0.99, 0.05, 0.0, 0.0), ts(10)), // cos ≈ 0.999 vs stored 900 → dropped
+        (11L, Seq(0.0, 0.0, 1.0, 0.0), ts(20)))   // orthogonal to the store → kept
+      q.processAllAvailable()
+      // identical direction, later micro-batch: quantized-exact key → dropped
+      mem.addData((12L, Seq(0.0, 0.0, 1.0, 0.0), ts(30)))
+      // near-dups BOTH stored vectors (cos ≈ 0.69 each) → dropped
+      mem.addData((13L, Seq(0.6, 0.6, 0.2, 0.0), ts(40)))
+      q.processAllAvailable()
+      val out = spark.table("sem_stream")
+      assert(out.select("vec_id").as[Long].collect().toSeq === Seq(11L))
+      // internal columns dropped; home cell exposed
+      assert(out.columns.toSet === Set("vec_id", "embedding", "ts", "cid"))
+      // the batch path agrees: replaying the stream rows through the
+      // read-only batch serve drops 10 and 13 too (11/12 split differs
+      // only by the in-stream exact guard vs batch smallest-id rule)
+      val batch = graft.vector.ClusterStore.dedupNewDropVsStoreReadOnly(
+        Seq(10L -> Seq(0.99, 0.05, 0.0, 0.0), 13L -> Seq(0.6, 0.6, 0.2, 0.0))
+          .toDF("vec_id", "embedding")
+          .select(col("vec_id"),
+            graft.vector.VectorOps.quantize(col("embedding")).as("q"))
+          .withColumn("n2", graft.functions.VectorDot.of(col("q"), col("q"))),
+        dir)
+      assert(batch.filter(col("dropped") === 0).count() === 0L)
+    } finally q.stop()
+  }
 }
