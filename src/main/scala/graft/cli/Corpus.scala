@@ -26,6 +26,20 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        reassembled text (CCNet-style)
   *     [--boilerplate-w w]                segment width in words (default 20)
   *     [--benchmark /data/eval.parquet]   drop docs sharing a 3-gram with it
+  *     [--lm-trusted /data/wiki.parquet]  train a trigram stupid-backoff LM
+  *                                        on the trusted corpus and keep only
+  *                                        docs scoring >= --lm-min-ppm (the
+  *                                        CCNet corpus-likeness gate; exact
+  *                                        integer fixed-point, text.Lm)
+  *     [--lm-min-ppm n]                   LM gate threshold in ppm (default 0)
+  *     [--profile-store dir]              append one mergeable stats row per
+  *                                        eligible column of the WRITTEN
+  *                                        corpus to the profile store
+  *                                        (operators.ProfileStore) — corpus
+  *                                        stats via serve, no corpus rescan;
+  *                                        drop id defaults to md5(input path),
+  *                                        re-runs of a profiled drop skip
+  *     [--profile-drop-id id]             override the profile drop id
   *     [--dedup]                          MinHash-LSH near-dup removal (keep smallest id)
   *     [--compact-store n]                maintenance: rewrite the --dedup-store
   *                                        signature table into n parquet files
@@ -93,6 +107,8 @@ object Corpus {
       scrubPii: Boolean = false,
       boilerplateDf: Option[Int] = None, boilerplateW: Int = 20,
       benchmark: Option[String] = None,
+      lmTrusted: Option[String] = None, lmMinPpm: Long = 0L,
+      profileStore: Option[String] = None, profileDropId: Option[String] = None,
       dedup: Boolean = false, dedupStore: Option[String] = None,
       dupGraphBy: Option[String] = None, spanStats: Boolean = false,
       minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
@@ -123,6 +139,12 @@ object Corpus {
     case "--boilerplate-w" :: v :: rest =>
       parse(rest, acc.copy(boilerplateW = v.toInt))
     case "--benchmark" :: v :: rest   => parse(rest, acc.copy(benchmark = Some(v)))
+    case "--lm-trusted" :: v :: rest  => parse(rest, acc.copy(lmTrusted = Some(v)))
+    case "--lm-min-ppm" :: v :: rest  => parse(rest, acc.copy(lmMinPpm = v.toLong))
+    case "--profile-store" :: v :: rest =>
+      parse(rest, acc.copy(profileStore = Some(v)))
+    case "--profile-drop-id" :: v :: rest =>
+      parse(rest, acc.copy(profileDropId = Some(v)))
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
     case "--dedup-store" :: v :: rest => parse(rest, acc.copy(dedupStore = Some(v)))
     case "--compact-store" :: v :: rest =>
@@ -261,6 +283,19 @@ object Corpus {
     corpus = corpus
       .withColumn("__n_tokens", tokenCount)
       .filter(col("__n_tokens") >= a.minTokens && col("__n_tokens") <= a.maxTokens)
+
+    // LM quality gate (q135's operator, the CCNet shape): train trigram
+    // stupid-backoff counts on the trusted corpus, keep docs scoring
+    // >= --lm-min-ppm. After the token bounds (sub-trigram docs score 0
+    // and belong to the length gate, not the LM) and before
+    // decontamination/dedup, so junk is gone before shingle costs are paid.
+    a.lmTrusted.foreach { tp =>
+      val trusted = spark.read.parquet(tp)
+      val keep = graft.text.Lm.score(corpus, graft.text.Lm.train(trusted))
+        .filter(col("score_ppm") >= a.lmMinPpm)
+        .select(col("doc_id"))
+      corpus = corpus.join(keep, Seq("doc_id"), "left_semi")
+    }
 
     a.benchmark.foreach { b =>
       val bench = spark.read.parquet(b)
@@ -412,7 +447,9 @@ object Corpus {
     require(a.input.nonEmpty && a.out.nonEmpty,
       "usage: -I <corpus.parquet> -O <out> [--format parquet|orc|json|csv] " +
         "[--scrub-pii] [--remove-boilerplate df] [--boilerplate-w w] " +
-        "[--benchmark p] [--dedup] [--dedup-store dir] [--dup-graph-stats col] " +
+        "[--benchmark p] [--lm-trusted p] [--lm-min-ppm n] " +
+        "[--profile-store dir] [--profile-drop-id id] " +
+        "[--dedup] [--dedup-store dir] [--dup-graph-stats col] " +
         "[--span-stats] " +
         "[--min-tokens n] [--max-tokens n] [--bpe-merges path] [--bpe-learn n] " +
         "[--eval-k n] [--eval-by col] " +
@@ -446,6 +483,33 @@ object Corpus {
         try os.write((merges.mkString("\n") + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally os.close()
+      }
+      // _profile partials: one mergeable stats row per eligible (exact
+      // integer / string) column of the WRITTEN training corpus, appended
+      // to the profile store under a deterministic drop id (default: md5
+      // of the input path) — corpus-level ANALYZE stats then come from
+      // ProfileStore.serve without ever rescanning the corpus. Committed
+      // only after the train write above succeeded; a re-run of an
+      // already-profiled drop skips the append (the store's double-count
+      // refusal, read as idempotency at the pipeline level).
+      a.profileStore.foreach { pd =>
+        import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
+        val dropId = a.profileDropId.getOrElse {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          "drop-" + md.digest(a.input.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+        }
+        val eligible = r.train.schema.fields.collect {
+          case f if Seq(ByteType, ShortType, IntegerType, LongType,
+            StringType).contains(f.dataType) => f.name
+        }.toSeq.filterNot(ReservedCols.contains)
+        require(eligible.nonEmpty,
+          "--profile-store: no exact integer/string columns to profile in the output corpus")
+        import graft.operators.ProfileStore
+        if (!ProfileStore.exists(spark, pd))
+          ProfileStore.buildStaged(r.train, eligible, pd, dropId)()
+        else if (!ProfileStore.drops(spark, pd).contains(dropId))
+          ProfileStore.appendStaged(r.train, eligible, pd, dropId)()
       }
       // the store mutation commits LAST: a failure anywhere above leaves
       // the store exactly as the run found it, so the retry re-dedups the

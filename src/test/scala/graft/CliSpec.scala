@@ -369,6 +369,57 @@ class CliSpec extends AnyFunSuite {
     assert(n === 6, s"BPE token count under learned merges was $n")
   }
 
+  test("Corpus CLI: --lm-trusted gates on corpus-likeness, junk drops below --lm-min-ppm") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-lm")
+    val trusted = (1L to 10L).map(i =>
+      (100L + i, "the cat sat on the mat and the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the rug and the dog sat on the mat"), // trusted-like
+      (2L, "zq xv qqj lkm vvw pqr zzt nbg hjk lop mnb erq"))     // OOV junk -> ppm 1
+      .toDF("doc_id", "text")
+    trusted.write.parquet(s"$dir/trusted")
+    docs.write.parquet(s"$dir/corpus")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out",
+      "--lm-trusted", s"$dir/trusted", "--lm-min-ppm", "1000"))
+    val kept = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  test("Corpus CLI: --profile-store accumulates per-drop partials; re-runs idempotent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-profstore")
+    val store = s"$dir/profstore"
+    Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/drop1")
+    Seq((3L, "iota kappa lambda mu"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/drop2")
+
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop1", "-O", s"$dir/out1", "--profile-store", store))
+    assert(graft.operators.ProfileStore.drops(spark, store).size === 1)
+    def nRows: Long = graft.operators.ProfileStore.serve(spark, store)
+      .filter(org.apache.spark.sql.functions.col("column_name") === "doc_id")
+      .select("n_rows").as[Long].head()
+    assert(nRows === 2L)
+    // same input again (retry): drop id repeats -> profiled once, no double count
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop1", "-O", s"$dir/out1b", "--profile-store", store))
+    assert(graft.operators.ProfileStore.drops(spark, store).size === 1)
+    assert(nRows === 2L)
+    // a second drop appends its partial; served stats cover both drops
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/out2", "--profile-store", store))
+    assert(graft.operators.ProfileStore.drops(spark, store).size === 2)
+    assert(nRows === 3L)
+    // text is profiled too (string column); shard/pack columns are not
+    val cols = graft.operators.ProfileStore.serve(spark, store)
+      .select("column_name").as[String].collect().toSet
+    assert(cols === Set("doc_id", "text"))
+  }
+
   test("Corpus CLI refuses an input that already has reserved pipeline columns") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-resv")
