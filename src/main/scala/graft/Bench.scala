@@ -62,6 +62,14 @@ object Bench {
       graft.vector.Queries.clusterStoreFixture(spark, sfDir)
     if (names.contains("q134_store_append_serve"))
       graft.vector.Queries.appendedClusterStoreFixture(spark, sfDir)
+    // q136 measures the profile-store SERVE path (partials-only merge);
+    // the three-drop build runs untimed here and gets its own row below
+    if (names.contains("q136_profile_store"))
+      graft.extra.Queries.profileStoreFixture(spark, sfDir)
+    // q137 measures the LM-store SERVE path (merged counts + scoring);
+    // the two-drop count build gets its own q137_build row below
+    if (names.contains("q137_lm_store"))
+      graft.text.Queries.lmStoreFixture(spark, sfDir)
 
     val results = names.map { name =>
       val times = (1 to runs).map(_ => exec(name, sfDir)).filter(_ >= 0)
@@ -102,7 +110,13 @@ object Bench {
            graft.vector.Queries.prepared(spark, sfDir)
              .filter(col("vec_id") % 3 =!= 0), tmp)
          ()
-       }))
+       })) ++
+      (if (!names.contains("q136_profile_store")) Seq.empty
+       else buildBench("q136_build",
+         tmp => graft.extra.Queries.profileStoreBuild(spark, sfDir, tmp))) ++
+      (if (!names.contains("q137_lm_store")) Seq.empty
+       else buildBench("q137_build",
+         tmp => graft.text.Queries.lmStoreBuild(spark, sfDir, tmp)))
 
     val all = results ++ buildRow
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

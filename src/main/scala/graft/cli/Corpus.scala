@@ -32,6 +32,14 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        CCNet corpus-likeness gate; exact
   *                                        integer fixed-point, text.Lm)
   *     [--lm-min-ppm n]                   LM gate threshold in ppm (default 0)
+  *     [--lm-store dir]                   persist/serve the trusted n-gram
+  *                                        counts (text.LmStore): with
+  *                                        --lm-trusted the drop's counts are
+  *                                        stored once (append-once by md5 of
+  *                                        the path) and the model is served
+  *                                        MERGED; alone, serves the existing
+  *                                        store — the trusted corpus is never
+  *                                        recounted across runs
   *     [--profile-store dir]              append one mergeable stats row per
   *                                        eligible column of the WRITTEN
   *                                        corpus to the profile store
@@ -108,6 +116,7 @@ object Corpus {
       boilerplateDf: Option[Int] = None, boilerplateW: Int = 20,
       benchmark: Option[String] = None,
       lmTrusted: Option[String] = None, lmMinPpm: Long = 0L,
+      lmStore: Option[String] = None,
       profileStore: Option[String] = None, profileDropId: Option[String] = None,
       dedup: Boolean = false, dedupStore: Option[String] = None,
       dupGraphBy: Option[String] = None, spanStats: Boolean = false,
@@ -141,6 +150,7 @@ object Corpus {
     case "--benchmark" :: v :: rest   => parse(rest, acc.copy(benchmark = Some(v)))
     case "--lm-trusted" :: v :: rest  => parse(rest, acc.copy(lmTrusted = Some(v)))
     case "--lm-min-ppm" :: v :: rest  => parse(rest, acc.copy(lmMinPpm = v.toLong))
+    case "--lm-store" :: v :: rest    => parse(rest, acc.copy(lmStore = Some(v)))
     case "--profile-store" :: v :: rest =>
       parse(rest, acc.copy(profileStore = Some(v)))
     case "--profile-drop-id" :: v :: rest =>
@@ -284,14 +294,37 @@ object Corpus {
       .withColumn("__n_tokens", tokenCount)
       .filter(col("__n_tokens") >= a.minTokens && col("__n_tokens") <= a.maxTokens)
 
-    // LM quality gate (q135's operator, the CCNet shape): train trigram
-    // stupid-backoff counts on the trusted corpus, keep docs scoring
+    // LM quality gate (q135/q137's operator, the CCNet shape): score every
+    // doc against trigram stupid-backoff counts and keep those scoring
     // >= --lm-min-ppm. After the token bounds (sub-trigram docs score 0
     // and belong to the length gate, not the LM) and before
     // decontamination/dedup, so junk is gone before shingle costs are paid.
-    a.lmTrusted.foreach { tp =>
-      val trusted = spark.read.parquet(tp)
-      val keep = graft.text.Lm.score(corpus, graft.text.Lm.train(trusted))
+    // Model source: --lm-trusted alone trains fresh per run; with
+    // --lm-store the trusted drop's counts persist (bootstrap, then
+    // append-once keyed by md5 of the trusted path — idempotent on retry)
+    // and the model is SERVED from the merged store, so a growing trusted
+    // corpus is never recounted; --lm-store alone serves the existing
+    // store. Committing the counts immediately is safe, unlike the dedup
+    // store: a failed run's retry skips the already-stored drop and serves
+    // the identical model — there is no self-dedup hazard.
+    if (a.lmTrusted.isDefined || a.lmStore.isDefined) {
+      import graft.text.{Lm, LmStore}
+      val model = (a.lmStore, a.lmTrusted) match {
+        case (None, Some(tp)) => Lm.train(spark.read.parquet(tp))
+        case (Some(sd), tp) =>
+          tp.foreach { p =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val dropId = "trusted-" + md.digest(p.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(12)
+            if (!LmStore.exists(spark, sd))
+              LmStore.build(spark.read.parquet(p), sd, dropId)
+            else if (!LmStore.drops(spark, sd).contains(dropId))
+              LmStore.append(spark.read.parquet(p), sd, dropId)
+          }
+          LmStore.serveModel(spark, sd)
+        case _ => throw new IllegalStateException("unreachable")
+      }
+      val keep = Lm.score(corpus, model)
         .filter(col("score_ppm") >= a.lmMinPpm)
         .select(col("doc_id"))
       corpus = corpus.join(keep, Seq("doc_id"), "left_semi")
@@ -447,7 +480,7 @@ object Corpus {
     require(a.input.nonEmpty && a.out.nonEmpty,
       "usage: -I <corpus.parquet> -O <out> [--format parquet|orc|json|csv] " +
         "[--scrub-pii] [--remove-boilerplate df] [--boilerplate-w w] " +
-        "[--benchmark p] [--lm-trusted p] [--lm-min-ppm n] " +
+        "[--benchmark p] [--lm-trusted p] [--lm-min-ppm n] [--lm-store dir] " +
         "[--profile-store dir] [--profile-drop-id id] " +
         "[--dedup] [--dedup-store dir] [--dup-graph-stats col] " +
         "[--span-stats] " +

@@ -1580,7 +1580,7 @@ object Queries {
   private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice_cents", "o_orderpriority")
 
-  private def profileStoreFixture(s: SparkSession, dir: String): String =
+  private[graft] def profileStoreFixture(s: SparkSession, dir: String): String =
     profileStores.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
       val storeDir = java.nio.file.Files
         .createTempDirectory("graft-profstore").toString
@@ -1592,16 +1592,24 @@ object Queries {
           F.walk(p).iterator().asScala.toSeq.reverseIterator
             .foreach(q => F.deleteIfExists(q))
       }))
-      val o = Tables(s, dir).orders.withColumn("o_totalprice_cents",
-        expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
-      graft.operators.ProfileStore.build(
-        o.filter(col("o_orderkey") % 3 === 0), ProfileCols, storeDir, "drop0")
-      graft.operators.ProfileStore.append(
-        o.filter(col("o_orderkey") % 3 === 1), ProfileCols, storeDir, "drop1")
-      graft.operators.ProfileStore.append(
-        o.filter(col("o_orderkey") % 3 === 2), ProfileCols, storeDir, "drop2")
+      profileStoreBuild(s, dir, storeDir)
       storeDir
     })
+
+  /** The three-drop build q136's fixture (and Bench's q136_build row)
+    * runs: orders split by o_orderkey % 3, bootstrap + two appends.
+    */
+  private[graft] def profileStoreBuild(s: SparkSession, dir: String,
+                                       storeDir: String): Unit = {
+    val o = Tables(s, dir).orders.withColumn("o_totalprice_cents",
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+    graft.operators.ProfileStore.build(
+      o.filter(col("o_orderkey") % 3 === 0), ProfileCols, storeDir, "drop0")
+    graft.operators.ProfileStore.append(
+      o.filter(col("o_orderkey") % 3 === 1), ProfileCols, storeDir, "drop1")
+    graft.operators.ProfileStore.append(
+      o.filter(col("o_orderkey") % 3 === 2), ProfileCols, storeDir, "drop2")
+  }
 
   private def bucketedFixture(s: SparkSession, dir: String): (String, String) =
     bucketedTables.computeIfAbsent((System.identityHashCode(s), dir), { _ =>

@@ -388,6 +388,38 @@ class CliSpec extends AnyFunSuite {
     assert(kept === Set(1L))
   }
 
+  test("Corpus CLI: --lm-store persists trusted counts once, later runs serve the merged model") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-lmstore")
+    val store = s"$dir/lmstore"
+    (1L to 10L).map(i => (100L + i, "the cat sat on the mat and the dog sat"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/trusted")
+    Seq(
+      (1L, "the cat sat on the mat near the dog"),
+      (2L, "zq xv qqj lkm vvw pqr zzt nbg hjk lop"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    // run 1: bootstraps the store from --lm-trusted, gates through it
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out1",
+      "--lm-trusted", s"$dir/trusted", "--lm-store", store,
+      "--lm-min-ppm", "1000"))
+    assert(graft.text.LmStore.drops(spark, store).size === 1)
+    assert(spark.read.parquet(s"$dir/out1")
+      .select("doc_id").as[Long].collect().toSet === Set(1L))
+    // run 2: same trusted path — append skipped (idempotent), store serves
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out2",
+      "--lm-trusted", s"$dir/trusted", "--lm-store", store,
+      "--lm-min-ppm", "1000"))
+    assert(graft.text.LmStore.drops(spark, store).size === 1)
+    // run 3: store alone (no trusted read at all) — same gate decisions
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out3",
+      "--lm-store", store, "--lm-min-ppm", "1000"))
+    assert(spark.read.parquet(s"$dir/out3")
+      .select("doc_id").as[Long].collect().toSet === Set(1L))
+  }
+
   test("Corpus CLI: --profile-store accumulates per-drop partials; re-runs idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-profstore")
