@@ -193,6 +193,81 @@ object Binary {
       }
   }
 
+  final case class ImageHash(doc_id: Long, is_image: Boolean, dhash: Long)
+
+  /** 64-bit difference hash (dHash — the standard perceptual image
+    * fingerprint): resize to a 9×8 luma grid (deterministic
+    * nearest-neighbor + integer BT.601, [[resizeImage]]/[[lumaPlane]]),
+    * bit (8y+x) = 1 iff luma(x+1, y) > luma(x, y). Row gradients survive
+    * uniform brightness/contrast shifts and recompression — the edits
+    * that defeat byte-level digests — so near-identical images land
+    * within a few Hamming bits. Integer ops end to end: bit-reproducible
+    * across JDKs/platforms (the audit property).
+    */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val luma = lumaPlane(resizeImage(img, 9, 8))
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((luma(y * 9 + x + 1) & 0xff) > (luma(y * 9 + x) & 0xff))
+          h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-image dHash over (doc_id, payload) partitions — map-only, like
+    * every extractor here. Non-decodable payloads flagged, never dropped.
+    */
+  def extractImageHashes(media: DataFrame)(implicit s: SparkSession): Dataset[ImageHash] = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { row =>
+          decodeImage(row.payload) match {
+            case Some(img) => ImageHash(row.doc_id, is_image = true, dHash64(img))
+            case None      => ImageHash(row.doc_id, is_image = false, 0L)
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs: dHash banded into 4 × 16-bit keys, so a
+    * pair within `maxHamming` ≤ 3 differing bits has ≥ 1 identical band
+    * (pigeonhole) and is found by the banded EQUI join — the q49 SimHash
+    * shape on the image path, never an all-pairs comparison. Candidates
+    * verified exactly by bit_count(xor). Scale: shuffle is |images| × 4
+    * band rows; a degenerate band (e.g. flat-color corpora hashing to 0)
+    * concentrates candidates the way hot shingles do — the SimHash
+    * stop-key guard applies if a corpus hits it.
+    */
+  def nearDupImagePairs(media: DataFrame, maxHamming: Int = 3)(
+      implicit s: SparkSession): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 bands guarantee detection only to hamming 3, got $maxHamming")
+    val hs = extractImageHashes(media).toDF().filter(col("is_image"))
+    val banded = hs.select(col("doc_id"), col("dhash"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band_idx"),
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val"))): _*))
+        .as("band"))
+      .select(col("doc_id"), col("dhash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Batch feature extraction over (doc_id, payload) partitions. */
   def extractFeatures(media: DataFrame, stride: Int)(implicit s: SparkSession): Dataset[MediaFeature] = {
     import s.implicits._

@@ -96,6 +96,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!feats(2L).is_audio && feats(2L).sample_rate === -1)
   }
 
+  private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("dHash64 is brightness-invariant and separates unrelated gradients") {
+    def gradient(horizontal: Boolean, shift: Int) = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val g = math.min(255, (if (horizontal) x else y) * 8 + shift)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val a = Binary.dHash64(gradient(horizontal = true, 0))
+    val bright = Binary.dHash64(gradient(horizontal = true, 40))
+    val b = Binary.dHash64(gradient(horizontal = false, 0))
+    // horizontal gradient: every row-neighbor strictly increases -> all 64 bits
+    assert(a === -1L)
+    // uniform brightness shift preserves every gradient sign (few clamp at 255)
+    assert(java.lang.Long.bitCount(a ^ bright) <= 3)
+    // vertical gradient: rows are flat -> no bit set
+    assert(b === 0L)
+    assert(java.lang.Long.bitCount(a ^ b) === 64)
+  }
+
+  test("nearDupImagePairs finds the recompressed/brightened twin via the banded join only") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    def textured(brighten: Int, invert: Boolean) = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        // deterministic texture varying in both axes
+        val base = ((x * 7 + y * 13) % 97) * 2
+        val g = math.min(255, (if (invert) 192 - base else base) + brighten)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val media = Seq(
+      (1L, png(textured(0, invert = false))),
+      (2L, png(textured(20, invert = false))), // same texture, brightened -> near-dup of 1
+      (3L, png(textured(0, invert = true))),   // every gradient sign flipped
+      (4L, "not an image".getBytes("UTF-8")))  // flagged, never paired
+      .toDF("doc_id", "payload")
+    val pairs = Binary.nearDupImagePairs(media)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("extractFeatures digests match MessageDigest ground truth") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
