@@ -162,6 +162,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg("graft_pack_greedy", args(4), "shards"))
         .queryExecution.logical
     }
+    tvf("graft_lm_score") { args =>
+      require(args.size == 2,
+        "usage: graft_lm_score(<trusted table>, <candidate table>)")
+      graft.text.Lm.scoreAgainst(
+          SparkSession.active.table(strArg("graft_lm_score", args.head, "trusted table")),
+          SparkSession.active.table(strArg("graft_lm_score", args(1), "candidate table")))
+        .queryExecution.logical
+    }
+    tvf("graft_lm_score_store") { args =>
+      require(args.size == 2,
+        "usage: graft_lm_score_store(<store dir>, <candidate table>)")
+      graft.text.LmStore.scoreVsStore(
+          SparkSession.active.table(
+            strArg("graft_lm_score_store", args(1), "candidate table")),
+          strArg("graft_lm_score_store", args.head, "store dir"))
+        .queryExecution.logical
+    }
+    tvf("graft_profile_serve") { args =>
+      require(args.size == 1, "usage: graft_profile_serve(<store dir>)")
+      graft.operators.ProfileStore.serve(SparkSession.active,
+          strArg("graft_profile_serve", args.head, "store dir"))
+        .queryExecution.logical
+    }
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),

@@ -94,6 +94,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql.count() > 0)
   }
 
+  test("graft_lm_score scores from SQL, identical to the Column API") {
+    docsView
+    Seq((100L, "a1 a2 a3 a4 a5 a6 a7 a8"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sql_trusted")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_lm_score('sql_trusted', 'sql_docs')")
+    val direct = graft.text.Lm.scoreAgainst(
+      spark.table("sql_trusted"), spark.table("sql_docs"))
+    assert(viaSql.columns === direct.columns)
+    assert(rows(viaSql) === rows(direct))
+    // composes with outer SQL: the gate is one WHERE away
+    val kept = spark.sql("SELECT doc_id FROM graft_lm_score('sql_trusted', 'sql_docs') " +
+      "WHERE score_ppm >= 1000").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(4L))
+  }
+
+  test("graft_lm_score_store and graft_profile_serve serve persisted stores from SQL") {
+    docsView
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlstores")
+    graft.text.LmStore.build(
+      Seq((100L, "a1 a2 a3 a4 a5 a6 a7 a8")).toDF("doc_id", "text"),
+      s"$dir/lm", "d0")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_lm_score_store('$dir/lm', 'sql_docs')")
+    val direct = graft.text.LmStore.scoreVsStore(spark.table("sql_docs"), s"$dir/lm")
+    assert(rows(viaSql) === rows(direct))
+
+    graft.operators.ProfileStore.build(
+      spark.table("sql_docs"), Seq("doc_id", "text"), s"$dir/prof", "d0")
+    val served = spark.sql(s"SELECT * FROM graft_profile_serve('$dir/prof') " +
+      "WHERE column_name = 'doc_id'")
+    assert(served.select("n_rows").as[Long].head() === 4L)
+  }
+
   test("TVF argument errors are loud and named") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_profile('sql_docs')").collect()
