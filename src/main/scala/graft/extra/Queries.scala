@@ -460,6 +460,17 @@ object Queries {
           col("min_s"), col("max_s"))
     }),
 
+    // Profile-store DRIFT report (q136's store, read per-drop instead of
+    // merged): per (drop, column) exact stats plus deltas vs the previous
+    // drop in drop order — the null-explosion / distinct-collapse signal
+    // a daily ingest watches, computed from O(drops × columns) stored
+    // partial rows with the corpus never rescanned. The oracle replays
+    // each drop's stats over orders and the same lag window.
+    "q138_profile_drift" -> ((s, dir) => {
+      val storeDir = profileStoreFixture(s, dir)
+      graft.operators.ProfileStore.drift(s, storeDir)
+    }),
+
     // Unpivot/melt (inverse of the q33 pivot): wide per-flag metrics to
     // long (flag, metric, value) rows via stack — exact integer values.
     "q84_unpivot" -> ((s, dir) => {
@@ -1287,6 +1298,28 @@ object Queries {
     // value's string rendering, first 3 hex chars — engine-portable);
     // approx_ok is asserted TRUE: the Spark side folds its HLL value into
     // certified bounds, so sketch breakage hash-fails here.
+    "q138_profile_drift" -> {
+      val branches = ProfileCols.map { c =>
+        val isInt = c != "o_orderstatus" && c != "o_orderpriority"
+        val v = if (isInt) s"CAST($c AS VARCHAR)" else c
+        s"""SELECT drop_id, '$c' AS column_name, count(*) AS n_rows,
+           |  ((count(*) - count($c)) * 1000000) // count(*) AS null_ppm,
+           |  count(DISTINCT substr(md5($v),1,3)) AS n_distinct_lo,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM o GROUP BY 1""".stripMargin
+      }
+      s"""WITH o AS (SELECT *,
+         |  CAST(floor(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+         |  'drop' || CAST(o_orderkey % 3 AS VARCHAR) AS drop_id
+         |  FROM orders),
+         |d AS (${branches.mkString("\nUNION ALL\n")})
+         |SELECT *,
+         |  n_rows - lag(n_rows) OVER w AS d_rows,
+         |  null_ppm - lag(null_ppm) OVER w AS d_null_ppm,
+         |  n_distinct_lo - lag(n_distinct_lo) OVER w AS d_distinct_lo
+         |FROM d WINDOW w AS (PARTITION BY column_name ORDER BY drop_id)""".stripMargin
+    },
     "q136_profile_store" -> {
       val kinds = Map("o_orderkey" -> "i", "o_custkey" -> "i",
         "o_orderstatus" -> "s", "o_totalprice_cents" -> "i",

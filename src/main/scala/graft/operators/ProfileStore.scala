@@ -202,6 +202,44 @@ object ProfileStore {
           .otherwise(col("mxs")).as("max_s"))
   }
 
+  /** Per-drop, per-column DRIFT report from the stored partials only —
+    * the drop-health trend a daily-ingest pipeline watches: (drop_id,
+    * column_name, n_rows, null_ppm, n_distinct_lo, min_s, max_s) plus
+    * deltas (d_rows, d_null_ppm, d_distinct_lo) against the PREVIOUS drop
+    * in drop_id order (use sortable drop ids — dates — for a meaningful
+    * order; the first drop's deltas are null). A null-rate jump or a
+    * distinct-count collapse between consecutive drops is the truncated-
+    * load / schema-drift signal `Profile`'s single-table stats can't see.
+    *
+    * Complementary to `Audit.tableDiff` (row-level diff of two corpus
+    * VERSIONS): drift reads O(drops × columns) stored partial rows and
+    * never touches the corpus. The lag window partitions by column over
+    * drops — bounded by drop count, never data size. All values exact
+    * integers/strings (null_ppm = integer ppm), so the report is
+    * hash-gated (q138).
+    */
+  def drift(s: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(exists(s, storeDir),
+      s"no profile store under $storeDir — run ProfileStore.build first")
+    val w = Window.partitionBy(col("column_name")).orderBy(col("drop_id"))
+    load(s, storeDir)
+      .select(col("drop_id"), col("column_name"),
+        col("n_rows").cast("long").as("n_rows"),
+        when(col("n_rows") === 0, lit(0L))
+          .otherwise(expr("((n_rows - n_nonnull) * 1000000) div n_rows"))
+          .as("null_ppm"),
+        size(col("buckets")).cast("long").as("n_distinct_lo"),
+        when(col("kind") === "i", col("min_l").cast("string"))
+          .otherwise(col("min_s")).as("min_s"),
+        when(col("kind") === "i", col("max_l").cast("string"))
+          .otherwise(col("max_s")).as("max_s"))
+      .withColumn("d_rows", col("n_rows") - lag(col("n_rows"), 1).over(w))
+      .withColumn("d_null_ppm", col("null_ppm") - lag(col("null_ppm"), 1).over(w))
+      .withColumn("d_distinct_lo",
+        col("n_distinct_lo") - lag(col("n_distinct_lo"), 1).over(w))
+  }
+
   /** Maintenance: rewrite the partials into `targetFiles` files, contents
     * identical — per-drop appends add one part-file each, so a year of
     * daily drops is ~365 tiny files. Crash-safe swap (`text.Store`'s

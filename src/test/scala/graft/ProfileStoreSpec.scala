@@ -97,6 +97,23 @@ class ProfileStoreSpec extends AnyFunSuite {
     assert(served(dir) === before)
   }
 
+  test("drift flags null-rate jumps drop-over-drop; first drop's deltas are null") {
+    val dir = tmpDir()
+    ProfileStore.build(rows(0 until 100), Seq("k", "s"), dir, "d0")
+    ProfileStore.append(rows(100 until 200, nullEvery = 2), Seq("k", "s"), dir, "d1")
+    val drift = ProfileStore.drift(spark, dir)
+      .select(col("drop_id"), col("column_name"), col("n_rows"),
+        col("null_ppm"), col("d_rows"), col("d_null_ppm"))
+      .as[(String, String, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(drift(("d0", "s"))._4 === 0L)
+    assert(drift(("d0", "s"))._5.isEmpty && drift(("d0", "s"))._6.isEmpty)
+    // d1: s is null for the 50 even ids of 100..199 -> 500000 ppm, jump +500000
+    assert(drift(("d1", "s"))._4 === 500000L)
+    assert(drift(("d1", "s"))._5 === Some(0L))
+    assert(drift(("d1", "s"))._6 === Some(500000L))
+  }
+
   test("non-exact column types are refused with the conversion hint") {
     val dir = tmpDir()
     val e = intercept[IllegalArgumentException] {
