@@ -127,7 +127,10 @@ object Corpus {
       mixtureBy: String = "source",
       evalK: Option[Int] = None, evalBy: String = "source",
       packTokens: Option[Int] = None, shards: Int = 16,
-      compactStore: Option[Int] = None)
+      compactStore: Option[Int] = None,
+      takedownIds: Option[String] = None,
+      lmRemoveDrop: Option[String] = None,
+      profileRemoveDrop: Option[String] = None)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -157,6 +160,12 @@ object Corpus {
       parse(rest, acc.copy(profileDropId = Some(v)))
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
     case "--dedup-store" :: v :: rest => parse(rest, acc.copy(dedupStore = Some(v)))
+    case "--takedown-ids" :: v :: rest =>
+      parse(rest, acc.copy(takedownIds = Some(v)))
+    case "--lm-remove-drop" :: v :: rest =>
+      parse(rest, acc.copy(lmRemoveDrop = Some(v)))
+    case "--profile-remove-drop" :: v :: rest =>
+      parse(rest, acc.copy(profileRemoveDrop = Some(v)))
     case "--compact-store" :: v :: rest =>
       parse(rest, acc.copy(compactStore = Some(v.toInt)))
     case "--dup-graph-stats" :: v :: rest => parse(rest, acc.copy(dupGraphBy = Some(v)))
@@ -475,6 +484,35 @@ object Corpus {
       Store.compact(spark, sd, a.compactStore.get)
       return
     }
+    // standalone TAKEDOWN invocations: honor a removal ticket against the
+    // persisted stores and exit — no corpus read, no output write. Each
+    // store's removal is exact by construction (per-doc signature rows /
+    // per-drop mergeable partials), so compliance costs one store
+    // rewrite, never a corpus rescan or retrain.
+    if (a.input.isEmpty && a.out.isEmpty &&
+        (a.takedownIds.isDefined || a.lmRemoveDrop.isDefined ||
+          a.profileRemoveDrop.isDefined)) {
+      a.takedownIds.foreach { idsPath =>
+        val sd = a.dedupStore.getOrElse(throw new IllegalArgumentException(
+          "--takedown-ids needs --dedup-store <dir>"))
+        val ids = spark.read.parquet(idsPath).select(col("doc_id"))
+        val n = Store.removeDocs(spark, sd, ids)
+        println(s"takedown: removed $n signature(s) from $sd")
+      }
+      a.lmRemoveDrop.foreach { dropId =>
+        val sd = a.lmStore.getOrElse(throw new IllegalArgumentException(
+          "--lm-remove-drop needs --lm-store <dir>"))
+        graft.text.LmStore.removeDrop(spark, sd, dropId)
+        println(s"takedown: removed LM drop '$dropId' from $sd")
+      }
+      a.profileRemoveDrop.foreach { dropId =>
+        val sd = a.profileStore.getOrElse(throw new IllegalArgumentException(
+          "--profile-remove-drop needs --profile-store <dir>"))
+        graft.operators.ProfileStore.removeDrop(spark, sd, dropId)
+        println(s"takedown: removed profile drop '$dropId' from $sd")
+      }
+      return
+    }
     a.compactStore.foreach(_ => require(a.dedupStore.isDefined,
       "--compact-store needs --dedup-store <dir>"))
     require(a.input.nonEmpty && a.out.nonEmpty,
@@ -488,7 +526,8 @@ object Corpus {
         "[--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n] " +
-        "[--compact-store n]")
+        "[--compact-store n] " +
+        "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id]")
     val r = pipelineFull(spark, a)
     try {
       Sources.writePartitioned(r.train, a.out, Seq("shard"), Seq("doc_id"))

@@ -460,6 +460,26 @@ object Queries {
           col("min_s"), col("max_s"))
     }),
 
+    // Profile-store TAKEDOWN gated end-to-end: drop1 of q136's three
+    // drops is removed (ProfileStore.removeDrop — one partials-table
+    // rewrite, the corpus never rescanned) and corpus stats are served
+    // from what remains. Every stored statistic re-merges from per-drop
+    // partials (sums, typed min/max, bucket-set union, HLL
+    // register-max), so the serve must equal a store that never ingested
+    // the drop — which is exactly what the oracle computes (q136's
+    // replay over orders minus the drop): min/max and distinct bounds
+    // genuinely un-see the removed rows, not just the counts.
+    "q140_profile_takedown" -> ((s, dir) => {
+      val storeDir = profileTakedownFixture(s, dir)
+      graft.operators.ProfileStore.serve(s, storeDir)
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct_lo"),
+          (col("n_distinct_approx") * 10 >= col("n_distinct_lo") * 7 &&
+            col("n_distinct_approx") * 10 <= (col("n_rows") - col("n_nulls")) * 13)
+            .as("approx_ok"),
+          col("min_s"), col("max_s"))
+    }),
+
     // Profile-store DRIFT report (q136's store, read per-drop instead of
     // merged): per (drop, column) exact stats plus deltas vs the previous
     // drop in drop order — the null-explosion / distinct-collapse signal
@@ -1320,25 +1340,10 @@ object Queries {
          |  n_distinct_lo - lag(n_distinct_lo) OVER w AS d_distinct_lo
          |FROM d WINDOW w AS (PARTITION BY column_name ORDER BY drop_id)""".stripMargin
     },
-    "q136_profile_store" -> {
-      val kinds = Map("o_orderkey" -> "i", "o_custkey" -> "i",
-        "o_orderstatus" -> "s", "o_totalprice_cents" -> "i",
-        "o_orderpriority" -> "s")
-      val branches = ProfileCols.map { c =>
-        val v = if (kinds(c) == "i") s"CAST($c AS VARCHAR)" else c
-        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
-           |  count(*) - count($c) AS n_nulls,
-           |  count(DISTINCT substr(md5($v),1,3)) AS n_distinct_lo,
-           |  TRUE AS approx_ok,
-           |  CAST(min($c) AS VARCHAR) AS min_s,
-           |  CAST(max($c) AS VARCHAR) AS max_s
-           |FROM o""".stripMargin
-      }
-      s"""WITH o AS (SELECT *,
-         |  CAST(floor(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
-         |  FROM orders)
-         |${branches.mkString("\nUNION ALL\n")}""".stripMargin
-    },
+    "q136_profile_store" -> profileServeOracle(takedown = false),
+    // q140 removed drop1 (o_orderkey % 3 == 1); partials re-merge, so
+    // the exact oracle is the q136 replay over the REMAINING rows
+    "q140_profile_takedown" -> profileServeOracle(takedown = true),
     "q115_profile_approx" ->
       """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
         |  count(*) - count(o_orderkey) AS n_nulls,
@@ -1626,6 +1631,52 @@ object Queries {
             .foreach(q => F.deleteIfExists(q))
       }))
       profileStoreBuild(s, dir, storeDir)
+      storeDir
+    })
+
+  /** q136's serve replay over orders — with `takedown`, over orders
+    * minus q140's removed drop (o_orderkey % 3 == 1).
+    */
+  private def profileServeOracle(takedown: Boolean): String = {
+    val kinds = Map("o_orderkey" -> "i", "o_custkey" -> "i",
+      "o_orderstatus" -> "s", "o_totalprice_cents" -> "i",
+      "o_orderpriority" -> "s")
+    val branches = ProfileCols.map { c =>
+      val v = if (kinds(c) == "i") s"CAST($c AS VARCHAR)" else c
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT substr(md5($v),1,3)) AS n_distinct_lo,
+         |  TRUE AS approx_ok,
+         |  CAST(min($c) AS VARCHAR) AS min_s,
+         |  CAST(max($c) AS VARCHAR) AS max_s
+         |FROM o""".stripMargin
+    }
+    val where = if (takedown) "WHERE o_orderkey % 3 <> 1" else ""
+    s"""WITH o AS (SELECT *,
+       |  CAST(floor(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+       |  FROM orders $where)
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** q140's store: q136's three-drop build followed by
+    * `ProfileStore.removeDrop("drop1")` — the served stats must equal a
+    * store that never saw o_orderkey % 3 == 1. Separate dir from
+    * [[profileStoreFixture]] (q136/q138 keep the intact store).
+    */
+  private[graft] def profileTakedownFixture(s: SparkSession, dir: String): String =
+    profileStores.computeIfAbsent((System.identityHashCode(s), dir + "#takedown"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-profstore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      profileStoreBuild(s, dir, storeDir)
+      graft.operators.ProfileStore.removeDrop(s, storeDir, "drop1")
       storeDir
     })
 

@@ -240,6 +240,36 @@ object ProfileStore {
         col("n_distinct_lo") - lag(col("n_distinct_lo"), 1).over(w))
   }
 
+  /** Takedown: remove one drop's partial rows — the corpus-free inverse
+    * of [[append]]. Every stored statistic is a per-drop partial under an
+    * algebraic merge (sums, typed min/max, bucket-set union, HLL
+    * register-max), so deleting the drop's rows makes [[serve]] and
+    * [[drift]] report EXACTLY what a store that never ingested the drop
+    * reports — min/max and the HLL genuinely un-see the drop because
+    * they re-merge from the remaining partials, not from a corpus-level
+    * rollup (q140's gate replays serve against the corpus minus the
+    * drop). Crash-safe swap, `_takedown-old` discipline; a second
+    * removal of the same id is refused loudly by the drops() check.
+    */
+  def removeDrop(s: SparkSession, storeDir: String, dropId: String): Unit = {
+    require(exists(s, storeDir),
+      s"no profile store under $storeDir — run ProfileStore.build first")
+    require(drops(s, storeDir).contains(dropId),
+      s"drop '$dropId' is not in $storeDir — nothing to remove")
+    val staging = stagingPath(storeDir)
+    load(s, storeDir).filter(col("drop_id") =!= dropId)
+      .write.mode("overwrite").parquet(staging)
+    val fs = fileSystem(s, storeDir)
+    val live = new org.apache.hadoop.fs.Path(partialsPath(storeDir))
+    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_takedown-old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"could not move live store aside: $live")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
+      s"could not swap takedown result in: $staging -> $live")
+    fs.delete(old, true)
+    ()
+  }
+
   /** Maintenance: rewrite the partials into `targetFiles` files, contents
     * identical — per-drop appends add one part-file each, so a year of
     * daily drops is ~365 tiny files. Crash-safe swap (`text.Store`'s

@@ -144,6 +144,40 @@ object LmStore {
     Lm.score(docs, serveModel(docs.sparkSession, storeDir, minCount),
       idCol, textCol)
 
+  /** Takedown: remove one drop's counts from the store — the corpus-free
+    * inverse of [[append]]. Because the store holds per-drop PARTIALS and
+    * the merge is a sum, deleting a drop's rows makes every later
+    * [[serveModel]] EXACTLY the model `Lm.train` would produce on the
+    * union of the REMAINING drops — not an approximation and not a
+    * re-train: a takedown request (license revocation, contaminated
+    * drop, right-to-be-forgotten) is honored by one partials-table
+    * rewrite, with the trusted corpus never re-read (q139's gate proves
+    * post-removal serve ≡ never-ingested). Crash-safe swap: the filtered
+    * copy lands in staging, the live table moves aside, staging renames
+    * in — a crash leaves the old store live or intact under
+    * `_takedown-old`, never half-removed (double-running a takedown is
+    * refused by the drops() check, so a retry after the final delete is
+    * loud, not silently destructive).
+    */
+  def removeDrop(s: SparkSession, storeDir: String, dropId: String): Unit = {
+    require(exists(s, storeDir),
+      s"no LM store under $storeDir — run LmStore.build first")
+    require(drops(s, storeDir).contains(dropId),
+      s"drop '$dropId' is not in $storeDir — nothing to remove")
+    val staging = stagingPath(storeDir)
+    load(s, storeDir).filter(col("drop_id") =!= dropId)
+      .write.mode("overwrite").parquet(staging)
+    val fs = fileSystem(s, storeDir)
+    val live = new org.apache.hadoop.fs.Path(countsPath(storeDir))
+    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_takedown-old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"could not move live store aside: $live")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
+      s"could not swap takedown result in: $staging -> $live")
+    fs.delete(old, true)
+    ()
+  }
+
   /** Maintenance: rewrite the counts table into `targetFiles` files,
     * contents identical (crash-safe swap — `text.Store.compact`).
     */

@@ -144,6 +144,45 @@ object Store {
     ()
   }
 
+  /** Takedown: remove the given documents' signatures from the store —
+    * a takedown request (license revocation, PII discovery, opt-out)
+    * honored by one signature-table rewrite, with the corpus text never
+    * re-read. `docIds` is a one-column (doc_id) frame — a DataFrame, not
+    * a collected set, because a source-level takedown over a 100 TB
+    * corpus can name millions of ids; the filter is a left-anti equi
+    * join (shuffle or broadcast as the ids frame's size dictates —
+    * Catalyst/AQE's call, never the driver's).
+    *
+    * After removal, every [[dedupNewDropVsCorpus]] serve behaves EXACTLY
+    * as if the removed docs were never ingested (q141's gate replays the
+    * serve against the store built without them): signatures are per-doc
+    * rows with no cross-doc rollup, so deletion is exact — the property
+    * that makes THIS store takedown-able in O(store) while a
+    * near-dup-graph rollup would need a corpus rescan. Returns the
+    * number of signatures removed (an audit line the takedown ticket
+    * records). Crash-safe `_takedown-old` swap, compact's discipline.
+    */
+  def removeDocs(s: SparkSession, storeDir: String, docIds: DataFrame): Long = {
+    require(exists(s, storeDir), s"no signature store under $storeDir")
+    require(docIds.columns.sameElements(Array("doc_id")),
+      s"docIds must be a single-column (doc_id) frame, got: ${docIds.columns.mkString(", ")}")
+    val staging = stagingPath(storeDir)
+    val before = load(s, storeDir)
+    val kept = before.join(docIds, Seq("doc_id"), "left_anti")
+    kept.write.mode("overwrite").parquet(staging)
+    val removed =
+      before.count() - s.read.parquet(staging).count()
+    val fs = fileSystem(s, storeDir)
+    val sig = new org.apache.hadoop.fs.Path(sigPath(storeDir))
+    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_takedown-old")
+    fs.delete(old, true)
+    require(fs.rename(sig, old), s"could not move live store aside: $sig")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), sig),
+      s"could not swap takedown result in: $staging -> $sig")
+    fs.delete(old, true)
+    removed
+  }
+
   /** Dedup a new drop against the stored corpus WITHOUT recomputing any
     * stored signature, append the survivors' signatures, and return the
     * surviving rows of `newDocs`.

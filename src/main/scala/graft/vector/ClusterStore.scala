@@ -202,6 +202,45 @@ object ClusterStore {
     ()
   }
 
+  /** Takedown: remove the given vectors' rows from the stored corpus —
+    * the embedding-path analog of `text.Store.removeDocs`. `docIds` is a
+    * one-column (vec_id) frame (takedowns can name millions of ids; the
+    * filter is a left-anti equi join, broadcast or shuffled at
+    * Catalyst's discretion). After removal every
+    * [[dedupNewDropVsStore]] serve pair-checks EXACTLY as if the removed
+    * vectors were never appended — assignments are per-vector rows with
+    * no cross-vector rollup, so deletion is exact (q142's gate replays
+    * the post-takedown serve).
+    *
+    * The CENTROIDS stay frozen: they are a trained model, not data, and
+    * the store's contract (like `Index.append`) is that the model
+    * refreshes only at scheduled [[build]] rebuilds — a takedown removes
+    * the obligation to COMPARE against the vectors, which the vectors
+    * table alone controls. (A k×dims model memorizes nothing
+    * row-recoverable, but a policy that requires model retraining on
+    * takedown simply schedules the rebuild it already owns.) Returns the
+    * number of vector rows removed. Crash-safe `_takedown-old` swap.
+    */
+  def removeDocs(s: SparkSession, storeDir: String, docIds: DataFrame): Long = {
+    require(exists(s, storeDir), s"no cluster store under $storeDir")
+    require(docIds.columns.sameElements(Array("vec_id")),
+      s"docIds must be a single-column (vec_id) frame, got: ${docIds.columns.mkString(", ")}")
+    val staging = stagingPath(storeDir)
+    val before = loadVectors(s, storeDir)
+    before.join(docIds, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(staging)
+    val removed = before.count() - s.read.parquet(staging).count()
+    val fs = fileSystem(s, storeDir)
+    val live = new org.apache.hadoop.fs.Path(vectorsPath(storeDir))
+    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_takedown-old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"could not move live vectors aside: $live")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
+      s"could not swap takedown result in: $staging -> $live")
+    fs.delete(old, true)
+    removed
+  }
+
   /** Shared mining core: (decision table, the drop's probe-ranked frame) —
     * pure computation, no store mutation.
     *

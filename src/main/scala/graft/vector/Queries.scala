@@ -200,6 +200,19 @@ object Queries {
         prepared(s, dir).filter(col("vec_id") % 6 === 3), storeDir, probes = 2)
     }),
 
+    // Cluster-store TAKEDOWN gated end-to-end: q134's appended store is
+    // purged of vec_id % 5 == 1 (ClusterStore.removeDocs — one
+    // vectors-table rewrite; centroids stay frozen, the Index.append
+    // model contract), then drop 2 serves against what remains. A drop-2
+    // vector whose only near-dup was purged must now SURVIVE — the
+    // oracle replays build → serve → append → purge → serve, so a
+    // takedown that left a stale row (or removed a live one) hash-fails.
+    "q142_cluster_takedown" -> ((s, dir) => {
+      val storeDir = takedownClusterStoreFixture(s, dir)
+      ClusterStore.dedupNewDropVsStoreReadOnly(
+        prepared(s, dir).filter(col("vec_id") % 6 === 3), storeDir, probes = 2)
+    }),
+
     // LSH-bucketed ANN (the 100 TB scale path): 8-bit random-hyperplane
     // signature, candidates restricted to the same bucket, best match per
     // query. Shuffles on the signature instead of materializing n² pairs.
@@ -364,6 +377,34 @@ object Queries {
       storeDir
     })
 
+  /** q142's store: the q134 lifecycle (build + drop-1 append) followed by
+    * `ClusterStore.removeDocs` of every stored vector with vec_id % 5 ==
+    * 1 — corpus rows and appended survivors alike. Separate dir from
+    * [[appendedClusterStoreFixture]] (q134 keeps the un-purged store);
+    * q142 serves read-only, so reuse is safe.
+    */
+  private[graft] def takedownClusterStoreFixture(s: SparkSession, dir: String): String =
+    clusterStores.computeIfAbsent((System.identityHashCode(s), dir + "#takedown"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-clusterstore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      ClusterStore.buildAuto(
+        prepared(s, dir).filter(col("vec_id") % 3 =!= 0), storeDir,
+        targetCellSize = StoreCellSize, iters = 1)
+      ClusterStore.dedupNewDropVsStore(
+        prepared(s, dir).filter(col("vec_id") % 6 === 0), storeDir, probes = 2)
+      ClusterStore.removeDocs(s, storeDir,
+        prepared(s, dir).filter(col("vec_id") % 5 === 1).select(col("vec_id")))
+      storeDir
+    })
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   private val quantCte =
@@ -433,6 +474,61 @@ object Queries {
 
   private val sigExpr = sigExprOf(SigBits)
 
+  /** q134's full-lifecycle replay — build on the corpus split, drop-1
+    * serve, survivor append, drop-2 serve. With `keepWhere`, a takedown
+    * filter is applied to the STORED side between the append and the
+    * final serve (q142's `ClusterStore.removeDocs`): assignments are
+    * per-vector rows, so removal is a plain filter here too, and the
+    * centroid model stays frozen in both engines.
+    */
+  private def storeAppendServeOracle(keepWhere: Option[String]): String = {
+    val storedFinal = keepWhere match {
+      case Some(w) => s"stored2 AS (SELECT * FROM stored1 WHERE $w)"
+      case None    => "stored2 AS (SELECT * FROM stored1)"
+    }
+    s"""WITH $quantCte,
+       |corp AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 3 <> 0),
+       |kk AS (SELECT (count(*) + ${StoreCellSize - 1}) // $StoreCellSize AS k
+       |  FROM corp),
+       |${lloydChain("corp", "(SELECT k FROM kk)")},
+       |${rankCte("storedr", "corp")},
+       |stored0 AS (SELECT vec_id, q, n2, cid FROM storedr WHERE rn = 1),
+       |d1 AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 6 = 0),
+       |${rankCte("d1r", "d1")},
+       |d1p AS (SELECT vec_id, q, n2, cid FROM d1r WHERE rn <= 2),
+       |x1 AS (SELECT a.vec_id AS a_id, $dotExpr AS dot_q, a.n2 na, b.n2 nb
+       |  FROM d1p a JOIN stored0 b ON a.cid = b.cid),
+       |i1 AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+       |    a.n2 na, b.n2 nb
+       |  FROM d1p a JOIN d1p b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |dr1 AS (SELECT DISTINCT a_id AS vec_id FROM x1
+       |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb
+       |  UNION
+       |  SELECT DISTINCT b_id AS vec_id FROM i1
+       |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb),
+       |surv1 AS (SELECT vec_id, q, n2, cid FROM d1r
+       |  WHERE rn = 1 AND vec_id NOT IN (SELECT vec_id FROM dr1)),
+       |stored1 AS (SELECT * FROM stored0 UNION ALL SELECT * FROM surv1),
+       |$storedFinal,
+       |d2 AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 6 = 3),
+       |${rankCte("d2r", "d2")},
+       |d2p AS (SELECT vec_id, q, n2, cid FROM d2r WHERE rn <= 2),
+       |x2 AS (SELECT a.vec_id AS a_id, $dotExpr AS dot_q, a.n2 na, b.n2 nb
+       |  FROM d2p a JOIN stored2 b ON a.cid = b.cid),
+       |i2 AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
+       |    a.n2 na, b.n2 nb
+       |  FROM d2p a JOIN d2p b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |dr2 AS (SELECT DISTINCT a_id AS vec_id FROM x2
+       |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb
+       |  UNION
+       |  SELECT DISTINCT b_id AS vec_id FROM i2
+       |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb),
+       |home AS (SELECT vec_id, cid FROM d2r WHERE rn = 1)
+       |SELECT home.vec_id, home.cid,
+       |  CAST(CASE WHEN dr2.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
+       |FROM home LEFT JOIN dr2 USING (vec_id)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     // Replays the ENTIRE deterministic Lloyd iteration (seed cells → argmin
     // d² assignment → exact-integer floor-div mean → reassignment) before
@@ -482,47 +578,14 @@ object Queries {
     // Replays the full store lifecycle TWICE over: build on the corpus
     // split, drop-1 serve (cross + intra legs), survivor append, then the
     // gated drop-2 serve against corpus ∪ survivors.
-    "q134_store_append_serve" ->
-      s"""WITH $quantCte,
-         |corp AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 3 <> 0),
-         |kk AS (SELECT (count(*) + ${StoreCellSize - 1}) // $StoreCellSize AS k
-         |  FROM corp),
-         |${lloydChain("corp", "(SELECT k FROM kk)")},
-         |${rankCte("storedr", "corp")},
-         |stored0 AS (SELECT vec_id, q, n2, cid FROM storedr WHERE rn = 1),
-         |d1 AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 6 = 0),
-         |${rankCte("d1r", "d1")},
-         |d1p AS (SELECT vec_id, q, n2, cid FROM d1r WHERE rn <= 2),
-         |x1 AS (SELECT a.vec_id AS a_id, $dotExpr AS dot_q, a.n2 na, b.n2 nb
-         |  FROM d1p a JOIN stored0 b ON a.cid = b.cid),
-         |i1 AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
-         |    a.n2 na, b.n2 nb
-         |  FROM d1p a JOIN d1p b ON a.cid = b.cid AND a.vec_id < b.vec_id),
-         |dr1 AS (SELECT DISTINCT a_id AS vec_id FROM x1
-         |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb
-         |  UNION
-         |  SELECT DISTINCT b_id AS vec_id FROM i1
-         |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb),
-         |surv1 AS (SELECT vec_id, q, n2, cid FROM d1r
-         |  WHERE rn = 1 AND vec_id NOT IN (SELECT vec_id FROM dr1)),
-         |stored1 AS (SELECT * FROM stored0 UNION ALL SELECT * FROM surv1),
-         |d2 AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 6 = 3),
-         |${rankCte("d2r", "d2")},
-         |d2p AS (SELECT vec_id, q, n2, cid FROM d2r WHERE rn <= 2),
-         |x2 AS (SELECT a.vec_id AS a_id, $dotExpr AS dot_q, a.n2 na, b.n2 nb
-         |  FROM d2p a JOIN stored1 b ON a.cid = b.cid),
-         |i2 AS (SELECT a.vec_id a_id, b.vec_id b_id, $dotExpr AS dot_q,
-         |    a.n2 na, b.n2 nb
-         |  FROM d2p a JOIN d2p b ON a.cid = b.cid AND a.vec_id < b.vec_id),
-         |dr2 AS (SELECT DISTINCT a_id AS vec_id FROM x2
-         |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb
-         |  UNION
-         |  SELECT DISTINCT b_id AS vec_id FROM i2
-         |    WHERE dot_q > 0 AND 4*dot_q*dot_q >= na*nb),
-         |home AS (SELECT vec_id, cid FROM d2r WHERE rn = 1)
-         |SELECT home.vec_id, home.cid,
-         |  CAST(CASE WHEN dr2.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
-         |FROM home LEFT JOIN dr2 USING (vec_id)""".stripMargin,
+    "q134_store_append_serve" -> storeAppendServeOracle(keepWhere = None),
+    // q142 purged vec_id % 5 = 1 from the appended store before the
+    // drop-2 serve (ClusterStore.removeDocs); stored assignments are
+    // per-vector rows with no rollup, so the exact oracle is q134's
+    // replay with the stored side filtered — the model (centroids) stays
+    // frozen in BOTH engines.
+    "q142_cluster_takedown" ->
+      storeAppendServeOracle(keepWhere = Some("vec_id % 5 <> 1")),
     "q128_semantic_dedup_p2" ->
       s"""WITH $lloydCtes,
          |ap AS (SELECT vec_id, q, n2, cid FROM ranked WHERE rn <= 2),

@@ -110,6 +110,38 @@ class CliSpec extends AnyFunSuite {
       "the appended survivor must be inside the compacted store")
   }
 
+  test("Corpus CLI: standalone takedown — --takedown-ids purges the signature store, --lm-remove-drop the LM store") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-takedown")
+    val keep = (1 to 30).map(i => s"k$i").mkString(" ")
+    val uniq = (50 to 80).map(i => s"u$i").mkString(" ")
+    Seq((1L, keep), (3L, uniq)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/drop1")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop1", "-O", s"$dir/out1", "--dedup-store", s"$dir/store"))
+
+    // takedown ticket: purge doc 1, then its incoming dup must survive
+    Seq(1L).toDF("doc_id").write.parquet(s"$dir/ticket")
+    graft.cli.Corpus.run(spark, Array(
+      "--dedup-store", s"$dir/store", "--takedown-ids", s"$dir/ticket"))
+    assert(graft.text.Store.load(spark, s"$dir/store")
+      .select("doc_id").as[Long].collect().toSet === Set(3L))
+    Seq((10L, keep)).toDF("doc_id", "text").write.parquet(s"$dir/drop2")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/out2", "--dedup-store", s"$dir/store"))
+    assert(spark.read.parquet(s"$dir/out2").select("doc_id").as[Long]
+      .collect().toSet === Set(10L), "post-takedown serve == never-ingested")
+
+    // LM store takedown: drop removed, id freed
+    graft.text.LmStore.build(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), s"$dir/lm", "d1")
+    graft.text.LmStore.append(
+      Seq((2L, "x y z w")).toDF("doc_id", "text"), s"$dir/lm", "d2")
+    graft.cli.Corpus.run(spark, Array(
+      "--lm-store", s"$dir/lm", "--lm-remove-drop", "d2"))
+    assert(graft.text.LmStore.drops(spark, s"$dir/lm") === Set("d1"))
+  }
+
   test("Corpus CLI: --dup-graph-stats emits the per-source triangle census before dedup") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -127,4 +127,24 @@ class ClusterStoreSpec extends AnyFunSuite {
       .listFiles().count(_.getName.startsWith("part-"))
     assert(parts === 1)
   }
+
+  test("removeDocs purges stored vectors, freezes centroids; a purged-dup incomer now survives") {
+    val dir = Files.createTempDirectory("clusterstore-td").toString
+    ClusterStore.build(corpus, dir, k = 1)
+    val centroidsBefore = ClusterStore.loadCentroids(spark, dir)
+    // vec 1 (10,0,0,0) is the only near-dup of the incoming vec 20
+    val removed = ClusterStore.removeDocs(spark, dir, Seq(1L, 999L).toDF("vec_id"))
+    assert(removed === 1L, "absent ids are not billed")
+    assert(ClusterStore.loadVectors(spark, dir)
+      .select("vec_id").as[Long].collect().toSet === Set(2L))
+    assert(ClusterStore.loadCentroids(spark, dir) === centroidsBefore,
+      "takedown must not retrain the model")
+    val dec = ClusterStore
+      .dedupNewDropVsStoreReadOnly(prep(Seq(20L -> Seq(9L, 0L, 0L, 0L))), dir)
+      .select("vec_id", "dropped").as[(Long, Int)].collect().toSet
+    assert(dec === Set((20L, 0)), "post-takedown serve == never-ingested")
+    assertThrows[IllegalArgumentException] {
+      ClusterStore.removeDocs(spark, dir, Seq(1L).toDF("doc_id"))
+    }
+  }
 }

@@ -74,4 +74,24 @@ class LmStoreSpec extends AnyFunSuite {
     assert(new java.io.File(LmStore.countsPath(dir))
       .listFiles().count(_.getName.startsWith("part-")) === 1)
   }
+
+  test("removeDrop: post-takedown serve == never-ingested; id freed for re-append; unknown drop refused") {
+    val dir = Files.createTempDirectory("graft-lmstore").toString
+    val d1 = docs((1L, "a b c a b c"))
+    val d2 = docs((2L, "x y z x y z"))
+    val d3 = docs((3L, "a b c x y"))
+    LmStore.build(d1, dir, "d1")
+    LmStore.append(d2, dir, "d2")
+    LmStore.append(d3, dir, "d3")
+    LmStore.removeDrop(spark, dir, "d2")
+    assert(LmStore.drops(spark, dir) === Set("d1", "d3"))
+    assert(countsOf(LmStore.serveModel(spark, dir)) ===
+      countsOf(Lm.train(d1.unionByName(d3))))
+    assertThrows[IllegalArgumentException] {
+      LmStore.removeDrop(spark, dir, "d2") // already gone: loud, not silent
+    }
+    LmStore.append(d2, dir, "d2") // takedown frees the idempotency key
+    assert(countsOf(LmStore.serveModel(spark, dir)) ===
+      countsOf(Lm.train(d1.unionByName(d3).unionByName(d2))))
+  }
 }

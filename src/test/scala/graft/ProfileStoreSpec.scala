@@ -114,6 +114,23 @@ class ProfileStoreSpec extends AnyFunSuite {
     assert(drift(("d1", "s"))._6 === Some(500000L))
   }
 
+  test("removeDrop: serve re-merges as never-ingested (min/max and bounds genuinely un-see the drop)") {
+    val dir = tmpDir()
+    ProfileStore.build(rows(0 until 100), Seq("k", "s"), dir, "d0")
+    ProfileStore.append(rows(100 until 200), Seq("k", "s"), dir, "d1")
+    ProfileStore.append(rows(200 until 300), Seq("k", "s"), dir, "d2")
+    ProfileStore.removeDrop(spark, dir, "d2")
+    assert(ProfileStore.drops(spark, dir) === Set("d0", "d1"))
+    val ref = tmpDir() // a store that never saw d2
+    ProfileStore.build(rows(0 until 100), Seq("k", "s"), ref, "d0")
+    ProfileStore.append(rows(100 until 200), Seq("k", "s"), ref, "d1")
+    assert(served(dir) === served(ref))
+    assert(served(dir)("k")._5 === "199", "max re-merges below the removed drop's 299")
+    assertThrows[IllegalArgumentException] {
+      ProfileStore.removeDrop(spark, dir, "d2") // already gone: loud
+    }
+  }
+
   test("non-exact column types are refused with the conversion hint") {
     val dir = tmpDir()
     val e = intercept[IllegalArgumentException] {

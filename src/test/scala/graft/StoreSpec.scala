@@ -129,6 +129,23 @@ class StoreSpec extends AnyFunSuite {
     assert(Store.load(spark, dir).count() === 1L, "store contents unchanged")
   }
 
+  test("removeDocs purges signatures; a doc whose only dup was purged now survives") {
+    val dir = Files.createTempDirectory("sigstore-td").toString
+    val textB = (200 to 230).map(i => s"e$i").mkString(" ")
+    Store.build(Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), dir)
+    // purge doc 1 (the only near-dup of the incoming doc 10)
+    val removed = Store.removeDocs(spark, dir, Seq(1L, 999L).toDF("doc_id"))
+    assert(removed === 1L, "absent ids are not billed")
+    assert(Store.load(spark, dir).select("doc_id").as[Long].collect().toSet === Set(2L))
+    val survivors = Store
+      .dedupNewDropVsCorpusReadOnly(Seq((10L, textA)).toDF("doc_id", "text"), dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(10L), "post-takedown serve == never-ingested")
+    assertThrows[IllegalArgumentException] {
+      Store.removeDocs(spark, dir, Seq((1L, "x")).toDF("doc_id", "extra"))
+    }
+  }
+
   test("dedupNewDropVsCorpus refuses a missing store") {
     val e = intercept[IllegalArgumentException] {
       Store.dedupNewDropVsCorpus(
