@@ -882,6 +882,24 @@ object Queries {
         "price_floor_sum" -> floor(col("l_extendedprice")))
     }),
 
+    // EXACT heavy hitters with BOUNDED state (Misra-Gries candidates +
+    // exact recount): every token with count·29 ≥ n over the corpus
+    // token stream — the hot-key census that sizes q55/q60's salts.
+    // A plain groupBy's partial-agg state is distinct-key sized; phase 1
+    // here caps task state at 2k entries and provably keeps every true
+    // heavy hitter as a candidate (no false negatives), phase 2 recounts
+    // candidates exactly — so the output is exact and partitioning-
+    // independent while the state bound holds at any cardinality. k=29
+    // lands the threshold INSIDE the corpus's near-uniform token band:
+    // some tokens qualify by a handful of occurrences and the nearest
+    // miss is ~1 count below, so an off-by-one in either phase flips
+    // membership and hash-fails.
+    "q143_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("token"))
+      Scale.heavyHitters(toks, "token", k = 29)
+    }),
+
     // Nested-type + conditional function surface: struct build/extract, map
     // build/lookup/size, nullif/coalesce, greatest/least. Output stays
     // scalar (the nested values are built and immediately consumed) so the
@@ -1340,6 +1358,12 @@ object Queries {
          |  n_distinct_lo - lag(n_distinct_lo) OVER w AS d_distinct_lo
          |FROM d WINDOW w AS (PARTITION BY column_name ORDER BY drop_id)""".stripMargin
     },
+    "q143_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT token, count(*) AS cnt FROM w
+        |GROUP BY token
+        |HAVING count(*) * 29 >= (SELECT count(*) FROM w)""".stripMargin,
     "q136_profile_store" -> profileServeOracle(takedown = false),
     // q140 removed drop1 (o_orderkey % 3 == 1); partials re-merge, so
     // the exact oracle is the q136 replay over the REMAINING rows

@@ -46,6 +46,30 @@ object Sampling {
     df.filter(hashBucket(key, 1000, seed) < perMille)
   }
 
+  /** Deterministic train/val/test (or any n-way) split assignment:
+    * `cuts` are (name, cumulative per-mille upper bound) in ascending
+    * order ending at 1000 — e.g. Seq("train" -> 900, "val" -> 950,
+    * "test" -> 1000). The decision is the same map-only md5-bucket as
+    * [[deterministicSample]], so membership is reproducible across
+    * runs, partitionings, and engines, and a re-ingested doc always
+    * lands in the SAME split (the property that keeps eval sets stable
+    * as the corpus grows — `df.randomSplit` gives neither). Widening a
+    * split only moves the boundary: docs never swap between two splits
+    * whose shared cut didn't move.
+    */
+  def assignSplit(key: Column, cuts: Seq[(String, Int)],
+                  seed: String = "split"): Column = {
+    require(cuts.nonEmpty && cuts.last._2 == 1000,
+      s"cuts must end at 1000 per mille, got: $cuts")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted &&
+        cuts.map(_._2).distinct.size == cuts.size && cuts.head._2 > 0,
+      s"cuts must be strictly ascending positive per-mille bounds, got: $cuts")
+    val b = hashBucket(key, 1000, seed)
+    cuts.init.foldRight(lit(cuts.last._1)) { case ((name, hi), els) =>
+      when(b < hi, lit(name)).otherwise(els)
+    }
+  }
+
   /** Per-ROW keep rates: `perMille` is a column, so each row carries its
     * own acceptance probability — importance sampling by a quality score,
     * length-proportional downsampling, per-domain rates joined in from a

@@ -130,4 +130,69 @@ object Scale {
       .filter(might)
       .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
   }
+
+  /** EXACT heavy hitters with BOUNDED intermediate state: every item
+    * whose count c satisfies c·k ≥ n (n = non-null rows), with its exact
+    * count — the hot-key census that sizes salts for [[saltedAgg]]/
+    * [[saltedJoin]] and finds the stop-token tail a tokenizer vocab
+    * should special-case.
+    *
+    * A plain groupBy-then-filter is exact but its partial-aggregation
+    * state is DISTINCT-KEY sized — at 100 TB of tokens that hash map
+    * spills long before the answer (which is ≤ k rows) needs any of it.
+    * Two passes instead (Misra-Gries '82 / Agarwal et al. "Mergeable
+    * Summaries", PODS'12):
+    *
+    *   1. candidates: per-partition Misra-Gries summaries of capacity
+    *      `capFactor·k` via mapPartitions — state is cap entries per
+    *      task, NEVER key-cardinality sized. An item absent from a
+    *      partition's summary has partition count ≤ n_p/(cap+1), so an
+    *      item absent from EVERY summary has global count ≤ n/(cap+1) <
+    *      n/k (capFactor ≥ 2) — the candidate union (≤ partitions × cap
+    *      rows, distinct-folded) is a PROVABLE superset of the true
+    *      heavy hitters. No false negatives, by construction.
+    *   2. recount: one broadcast semi join of the stream against the
+    *      candidate set, groupBy over ≤ partitions×cap keys, exact
+    *      threshold filter. False candidates die here, so the OUTPUT is
+    *      exact and partitioning-independent even though the candidate
+    *      set is not (spec-pinned: 1 vs 7 partitions, same answer).
+    *
+    * The decrement-all step is amortized O(1) per input row: every
+    * decrement pays back one earlier increment. Nulls are excluded from
+    * both the count and the census (document the denominator you gate
+    * on). The summaries never visit the driver — they stay a DataFrame
+    * and ship as a broadcast build side.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int,
+                   capFactor: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(capFactor >= 2,
+      s"capFactor must be >= 2 for the superset guarantee, got $capFactor")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val vals = items.select(col(itemCol).cast("string"))
+      .filter(col(itemCol).isNotNull).as[String]
+    val cap = capFactor * k
+    val candidates = vals.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        m.get(v) match {
+          case Some(c)              => m(v) = c + 1
+          case None if m.size < cap => m(v) = 1L
+          case None =>
+            val dead = List.newBuilder[String]
+            m.foreach { case (key, c) =>
+              if (c == 1L) dead += key else m(key) = c - 1 }
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF(itemCol).distinct()
+    val n = vals.count()
+    vals.toDF(itemCol)
+      .join(broadcast(candidates), Seq(itemCol), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k >= lit(n))
+  }
 }

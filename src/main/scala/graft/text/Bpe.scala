@@ -57,6 +57,54 @@ object Bpe {
     * per-doc reassembly is one hash aggregation (collect_list sorted by
     * position); only (doc_id, pos, id) triples shuffle.
     */
+  /** The corpus-frequency vocabulary [[idSequences]] numbers tokens by:
+    * (t, id) with hot tokens getting small ids (count desc, token asc —
+    * deterministic). Exposed so [[decode]] can invert a persisted id
+    * sequence: production persists this table next to the sequences (it
+    * is the id space's meaning); re-deriving it from the SAME corpus and
+    * merges is bit-identical. Vocab-sized by construction (≤ |merges| +
+    * |alphabet|), so the ranking window is bounded.
+    */
+  def vocabulary(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 merges: Seq[String] = DemoMerges): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(encode(TextOps.words(col(textCol)), merges)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .select(col("t"),
+        (row_number().over(Window.orderBy(col("c").desc, col("t").asc)) - 1)
+          .cast("long").as("id"))
+
+  /** Invert [[idSequences]]: ids → tokens (broadcast vocab join) →
+    * per-doc concatenation in sequence order. BPE merges never cross
+    * word boundaries but the flattened stream carries no word separator,
+    * so the reconstruction is the doc's SPACE-STRIPPED character stream
+    * — exactly the information the (ids, vocab) pair preserves. That is
+    * the training-loader handoff's losslessness property, and q145 gates
+    * it end-to-end against the raw corpus (`md5(replace(text, ' ', ''))`)
+    * WITHOUT replaying BPE in the oracle: any encode, numbering, or
+    * decode defect breaks the equality. An id missing from the vocab
+    * fails loudly (assert_true), never silently shortens a document.
+    * Output: (doc_id, decoded); empty sequences decode to ''.
+    */
+  def decode(seqs: DataFrame, vocab: DataFrame, idCol: String = "doc_id",
+             idsCol: String = "ids"): DataFrame = {
+    val tok = seqs.select(col(idCol).as("doc_id"),
+        posexplode_outer(col(idsCol)).as(Seq("pos", "id")))
+      .join(broadcast(vocab), Seq("id"), "left")
+      .select(col("doc_id"), col("pos"),
+        // the raise_error rides IN the consumed column — a side-channel
+        // assertion column would be pruned away unevaluated
+        when(col("id").isNotNull && col("t").isNull,
+          raise_error(concat(lit("id missing from vocabulary: "),
+            col("id").cast("string"))))
+          .otherwise(col("t")).as("t"))
+    tok.groupBy(col("doc_id"))
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t"))).as("decoded"))
+  }
+
   def idSequences(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
                   merges: Seq[String] = DemoMerges): DataFrame = {

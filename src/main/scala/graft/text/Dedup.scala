@@ -102,6 +102,35 @@ object Dedup {
       .withColumn("jaccard", col("inter_size").cast("double") / col("union_size"))
   }
 
+  /** Cross-split leakage census: near-dup pairs (exact-Jaccard verified,
+    * [[nearDupPairs]]) that SPAN two different splits of a deterministic
+    * train/val/test assignment (`Sampling.assignSplit` on `idCol`) —
+    * the contamination a random split can't prevent: an eval doc whose
+    * near-copy sits in train is memorization fuel that exact-match
+    * decontamination misses. Run this census BEFORE training; a
+    * non-empty result names the pairs to evict (move both sides to the
+    * same split, or drop the train-side copy).
+    *
+    * Scale shape: the pair leg is the banded LSH equi join (never
+    * all-pairs); the split columns ride in on two broadcast-or-shuffled
+    * id joins against the per-doc assignment — adding the census to an
+    * existing dedup pass costs two id-equi joins, not a second
+    * signature scan.
+    */
+  def crossSplitLeakage(docs: DataFrame, cuts: Seq[(String, Int)],
+                        seed: String = "split",
+                        idCol: String = "doc_id", textCol: String = "text",
+                        thresholdTenths: Int = 7): DataFrame = {
+    val sp = docs.select(col(idCol).as("doc_id"),
+      graft.operators.Sampling.assignSplit(col(idCol), cuts, seed).as("split"))
+    nearDupPairs(docs, idCol, textCol, thresholdTenths)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("inter_size"), col("union_size"))
+  }
+
   /** Containment-verified candidate pairs: asymmetric Jaccard
     * |A∩B| / min(|A|, |B|) ≥ thresholdTenths/10 — catches PARTIAL copies
     * (a doc quoted or embedded inside a larger one) that symmetric

@@ -112,6 +112,22 @@ class BpeSpec extends AnyFunSuite {
     assert(got(3L) === Seq.empty, "blank doc keeps its row with an empty sequence")
   }
 
+  test("decode inverts idSequences to the space-stripped stream; unknown id raises") {
+    val docs = Seq((1L, "the the row"), (2L, "row big"), (3L, ""))
+      .toDF("doc_id", "text")
+    val vocab = Bpe.vocabulary(docs)
+    val got = Bpe.decode(Bpe.idSequences(docs), vocab)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "thetherow", 2L -> "rowbig", 3L -> ""))
+    // an id outside the vocab must fail loudly, never silently shorten
+    val bad = Seq((9L, Seq(0L, 999L))).toDF("doc_id", "ids")
+    val e = intercept[Exception] {
+      Bpe.decode(bad, vocab).collect()
+    }
+    assert(e.getMessage.contains("missing from vocabulary") ||
+      Option(e.getCause).exists(_.getMessage.contains("missing from vocabulary")))
+  }
+
   test("bpe_encode is registered for SQL and duplicate merge pairs keep the first rank") {
     spark.range(1).createOrReplaceTempView("one")
     val row = spark.sql(

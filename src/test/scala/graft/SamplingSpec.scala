@@ -130,4 +130,52 @@ class SamplingSpec extends AnyFunSuite {
       .select(col("id")).as[Long].collect().toSet
     assert(flat100.subsetOf(kept.map(_._1).toSet))
   }
+
+  test("assignSplit: exhaustive, deterministic, boundary-stable as a split widens") {
+    val df = (1L to 2000L).toDF("id")
+    def splits(cuts: Seq[(String, Int)]) = df
+      .select(col("id"), Sampling.assignSplit(col("id"), cuts).as("s"))
+      .as[(Long, String)].collect().toMap
+    val a = splits(Seq("train" -> 900, "val" -> 950, "test" -> 1000))
+    assert(a.values.toSet === Set("train", "val", "test"), "every split populated")
+    assert(a.size === 2000, "every row assigned")
+    assert(splits(Seq("train" -> 900, "val" -> 950, "test" -> 1000)) === a,
+      "re-run identical")
+    // widening val at train's expense moves ONLY train docs into val:
+    // test membership (the 950 cut) is untouched
+    val b = splits(Seq("train" -> 800, "val" -> 950, "test" -> 1000))
+    assert(a.filter(_._2 == "test") === b.filter(_._2 == "test"))
+    assert(a.collect { case (id, "val") => id }.toSet
+      .subsetOf(b.collect { case (id, "val") => id }.toSet))
+    assertThrows[IllegalArgumentException] {
+      Sampling.assignSplit(col("id"), Seq("train" -> 900, "val" -> 950))
+    }
+    assertThrows[IllegalArgumentException] {
+      Sampling.assignSplit(col("id"), Seq("a" -> 950, "b" -> 900, "c" -> 1000))
+    }
+  }
+
+  test("crossSplitLeakage flags only near-dup pairs that span splits") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val df = (1L to 60L).map(i => (i, s"doc $i " + (1 to 30).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cuts = Seq("train" -> 500, "test" -> 1000)
+    val sp = df.select(col("doc_id"),
+      Sampling.assignSplit(col("doc_id"), cuts).as("s"))
+      .as[(Long, String)].collect().toMap
+    val train = sp.collect { case (id, "train") => id }.toSeq.sorted
+    val test = sp.collect { case (id, "test") => id }.toSeq.sorted
+    // plant: a cross-split near-dup (train(0), test(0)) and a same-split
+    // near-dup (train(1), train(2)) — only the first may be reported
+    val planted = Map(
+      train(0) -> base, test(0) -> base,
+      train(1) -> other, train(2) -> other)
+    val docs = df.as[(Long, String)].map { case (id, t) =>
+      (id, planted.getOrElse(id, t)) }.toDF("doc_id", "text")
+    val got = graft.text.Dedup.crossSplitLeakage(docs, cuts)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val exp = Set((math.min(train(0), test(0)), math.max(train(0), test(0))))
+    assert(got === exp)
+  }
 }

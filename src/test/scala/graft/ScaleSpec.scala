@@ -119,4 +119,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"),
       s"no ScalaUDF may survive in the bloom probe path, got:\n$plan")
   }
+
+  test("heavyHitters is exact and partitioning-independent past the MG decrement path") {
+    // 301 distinct cold singletons (well past cap = 2k = 6, forcing
+    // constant decrement churn) + two planted heavy keys; n = 1202,
+    // k = 3 → threshold ⌈n/3⌉ = 401: "hot" (500) and "warm" (401, the
+    // exact boundary) qualify, every singleton must not
+    val rows = (1 to 500).map(_ => "hot") ++ (1 to 401).map(_ => "warm") ++
+      (1 to 301).map(i => s"cold$i")
+    val expected = Set(("hot", 500L), ("warm", 401L))
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("item").repartition(parts)
+      val got = Scale.heavyHitters(df, "item", k = 3)
+        .as[(String, Long)].collect().toSet
+      assert(got === expected, s"at $parts partitions")
+    }
+  }
+
+  test("heavyHitters boundary: count*k == n qualifies, one less does not; nulls excluded") {
+    val df = ((1 to 5).map(_ => Option("a")) ++ (1 to 4).map(_ => Option("b")) ++
+      (1 to 11).map(_ => Option("c")) ++ Seq(Option.empty[String]))
+      .toDF("item")
+    // non-null n = 20, k = 4 → threshold 5: a (5) in, b (4) out
+    val got = Scale.heavyHitters(df, "item", k = 4)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 5L), ("c", 11L)))
+  }
 }
