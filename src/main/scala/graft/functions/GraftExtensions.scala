@@ -185,6 +185,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strArg("graft_profile_serve", args.head, "store dir"))
         .queryExecution.logical
     }
+    tvf("graft_profile_drift") { args =>
+      require(args.size == 1, "usage: graft_profile_drift(<store dir>)")
+      graft.operators.ProfileStore.drift(SparkSession.active,
+          strArg("graft_profile_drift", args.head, "store dir"))
+        .queryExecution.logical
+    }
+    tvf("graft_heavy_hitters") { args =>
+      require(args.size == 3,
+        "usage: graft_heavy_hitters(<table>, <itemCol>, <k>)")
+      val t = strArg("graft_heavy_hitters", args.head, "table name")
+      graft.operators.Scale.heavyHitters(
+          SparkSession.active.table(t),
+          strArg("graft_heavy_hitters", args(1), "itemCol"),
+          intArg("graft_heavy_hitters", args(2), "k"))
+        .queryExecution.logical
+    }
+    tvf("graft_split_leakage") { args =>
+      require(args.size == 2,
+        "usage: graft_split_leakage(<table>, <trainPerMille>) — " +
+          "train below the cut, eval at or above")
+      val t = strArg("graft_split_leakage", args.head, "table name")
+      val cut = intArg("graft_split_leakage", args(1), "trainPerMille")
+      require(cut > 0 && cut < 1000,
+        s"trainPerMille must be in (0, 1000), got $cut")
+      graft.text.Dedup.crossSplitLeakage(SparkSession.active.table(t),
+          cuts = Seq("train" -> cut, "eval" -> 1000), eager = false)
+        .queryExecution.logical
+    }
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),

@@ -120,10 +120,11 @@ object Dedup {
   def crossSplitLeakage(docs: DataFrame, cuts: Seq[(String, Int)],
                         seed: String = "split",
                         idCol: String = "doc_id", textCol: String = "text",
-                        thresholdTenths: Int = 7): DataFrame = {
+                        thresholdTenths: Int = 7,
+                        eager: Boolean = true): DataFrame = {
     val sp = docs.select(col(idCol).as("doc_id"),
       graft.operators.Sampling.assignSplit(col(idCol), cuts, seed).as("split"))
-    nearDupPairs(docs, idCol, textCol, thresholdTenths)
+    nearDupPairs(docs, idCol, textCol, thresholdTenths, eager)
       .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
       .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
       .filter(col("split_a") =!= col("split_b"))

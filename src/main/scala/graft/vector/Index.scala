@@ -97,6 +97,37 @@ object Index {
     } finally fresh.unpersist()
   }
 
+  /** Takedown: remove the given vectors' code rows from the index — the
+    * ANN half of the store-takedown family (`ClusterStore.removeDocs`):
+    * codes are per-vector rows with no rollup, so deletion is exact and
+    * a removed vector can never again appear in a top-k answer. The
+    * model tables (coarse centroids, PQ codebooks) stay frozen — the
+    * same scheduled-rebuild contract as [[append]]; they memorize
+    * nothing row-recoverable (k×dims and m×k×dims means). A removed id
+    * is also free to [[append]] again (the left-anti guard no longer
+    * sees it). Crash-safe `_takedown-old` swap; returns rows removed.
+    */
+  def removeDocs(s: SparkSession, indexDir: String, docIds: DataFrame): Long = {
+    require(docIds.columns.sameElements(Array("vec_id")),
+      s"docIds must be a single-column (vec_id) frame, got: ${docIds.columns.mkString(", ")}")
+    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val fs = codes.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(codes), s"no codes table under $indexDir")
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$indexDir/_takedown-${java.util.UUID.randomUUID().toString.take(8)}")
+    val before = s.read.parquet(codes.toString)
+    before.join(docIds, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(staging.toString)
+    val removed = before.count() - s.read.parquet(staging.toString).count()
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/_takedown-old")
+    fs.delete(old, true)
+    require(fs.rename(codes, old), s"could not move live codes aside: $codes")
+    require(fs.rename(staging, codes),
+      s"could not swap takedown result in: $staging -> $codes")
+    fs.delete(old, true)
+    removed
+  }
+
   /** Maintenance: rewrite the appended `codes` table into `targetFiles`
     * parquet files, rows identical — the small-files compaction for an
     * index that grows by daily [[append]]s (each append writes its own

@@ -128,6 +128,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(served.select("n_rows").as[Long].head() === 4L)
   }
 
+  test("graft_heavy_hitters and graft_split_leakage run from SQL, identical to the Column API") {
+    docsView
+    val hh = spark.sql(
+      "SELECT * FROM graft_heavy_hitters('sql_docs', 'doc_id', 4)")
+    val hhDirect = graft.operators.Scale.heavyHitters(
+      spark.table("sql_docs"), "doc_id", k = 4)
+    assert(rows(hh) === rows(hhDirect))
+    assert(rows(hh).size === 4, "4 distinct ids over 4 rows: all qualify at k=4")
+
+    val lk = spark.sql("SELECT * FROM graft_split_leakage('sql_docs', 500)")
+    val lkDirect = graft.text.Dedup.crossSplitLeakage(
+      spark.table("sql_docs"), cuts = Seq("train" -> 500, "eval" -> 1000))
+    assert(lk.columns === lkDirect.columns)
+    assert(rows(lk) === rows(lkDirect))
+  }
+
+  test("graft_profile_drift reports per-drop deltas from SQL") {
+    docsView
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqldrift")
+    graft.operators.ProfileStore.build(
+      spark.table("sql_docs"), Seq("doc_id"), s"$dir/prof", "d0")
+    graft.operators.ProfileStore.append(
+      Seq((9L, "x")).toDF("doc_id", "text"), Seq("doc_id"), s"$dir/prof", "d1")
+    val drift = spark.sql(s"SELECT * FROM graft_profile_drift('$dir/prof') " +
+      "WHERE drop_id = 'd1'")
+    assert(drift.select("d_rows").as[Long].head() === -3L,
+      "d1 has 1 row vs d0's 4 — the shrink surfaces as -3")
+  }
+
   test("TVF argument errors are loud and named") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_profile('sql_docs')").collect()

@@ -311,6 +311,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("profile-store ingest: foreachBatch appends per-batch partials; drift sees each batch as a drop") {
+    // The streaming half of q136/q138: each micro-batch contributes its
+    // constant-size mergeable partial row per column (batch id = drop
+    // id — unique per epoch, so a foreachBatch retry of the SAME epoch
+    // is refused by the store instead of double-counting), and corpus
+    // stats / per-drop drift are served from the store without the
+    // stream ever being replayed.
+    import graft.operators.ProfileStore
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-profstore").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "s").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val dropId = f"batch-$epoch%06d" // zero-padded: drift's drop order
+        if (!ProfileStore.exists(spark, dir))
+          ProfileStore.build(batch, Seq("k", "s"), dir, dropId)
+        else if (!ProfileStore.drops(spark, dir).contains(dropId))
+          ProfileStore.append(batch, Seq("k", "s"), dir, dropId)
+        ()
+      }
+      .start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, null), (4L, null), (5L, "c"), (6L, "d"))
+      q.processAllAvailable()
+      val m = ProfileStore.serve(spark, dir)
+        .select("column_name", "n_rows", "n_nulls")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(m("k") === ((6L, 0L)) && m("s") === ((6L, 2L)))
+      val drift = ProfileStore.drift(spark, dir)
+        .filter(col("column_name") === "s")
+        .select("drop_id", "null_ppm", "d_null_ppm")
+        .as[(String, Long, Option[Long])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(drift.size === 2)
+      val perBatch = drift.toSeq.sortBy(_._1).map(_._2)
+      assert(perBatch.head === ((0L, None)), "first batch: no nulls, no prior drop")
+      assert(perBatch.last === ((500000L, Some(500000L))),
+        "second batch: the null explosion surfaces in the drift report")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")

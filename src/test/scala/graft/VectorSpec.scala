@@ -332,6 +332,36 @@ class VectorSpec extends AnyFunSuite {
       "compaction must not change a single row")
   }
 
+  test("Index.removeDocs purges codes exactly; model frozen; id free to re-append") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-td").toString
+    graft.vector.Index.build(spark, dir, idx,
+      nCells = 8, coarseIters = 1, m = 4, k = 16, pqIters = 1)
+    val full = spark.read.parquet(s"$idx/codes").collect().map(_.toSeq).toSet
+    val coarse = graft.vector.Index.loadCoarse(spark, idx)
+    val model = graft.vector.Index.loadModel(spark, idx)
+    val victims = Seq(3L, 7L, 11L, 99999L).toDF("vec_id")
+    val removed = graft.vector.Index.removeDocs(spark, idx, victims)
+    assert(removed === 3L, "absent ids are not billed")
+    val after = spark.read.parquet(s"$idx/codes")
+    assert(!after.select("vec_id").as[Long].collect().toSet
+      .exists(Set(3L, 7L, 11L)), "purged ids gone from the index")
+    assert(graft.vector.Index.loadCoarse(spark, idx) === coarse &&
+      graft.vector.Index.loadModel(spark, idx) === model,
+      "takedown must not retrain the model")
+    // a removed vector can never appear in a top-k answer
+    val served = graft.vector.Index.ivfPqTopK(spark, dir, idx,
+        nQueries = 20, k = 5, nprobe = 8, rerank = 50)
+      .select("b_id").as[Long].collect().toSet
+    assert(!served.exists(Set(3L, 7L, 11L)))
+    // the left-anti append guard no longer sees the purged ids: they
+    // re-enter with codes identical to the original build's
+    assert(graft.vector.Index.append(spark, dir, idx) === 3L)
+    assert(spark.read.parquet(s"$idx/codes").collect().map(_.toSeq).toSet === full)
+  }
+
   test("native hyperplane_sig equals the declarative formulation (8, 48 and 63 bit)") {
     val dims = 16
     val rnd = new scala.util.Random(7)
