@@ -107,7 +107,18 @@ object Bpe {
 
   def idSequences(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
-                  merges: Seq[String] = DemoMerges): DataFrame = {
+                  merges: Seq[String] = DemoMerges): DataFrame =
+    idSequencesAndVocab(docs, idCol, textCol, merges)._1
+
+  /** [[idSequences]] and the [[vocabulary]] it numbered them with, from
+    * ONE shared encode pass (the materialized token frame feeds both) —
+    * the pair a training pipeline persists together, since the sequences
+    * are meaningless without the id space. Calling [[vocabulary]]
+    * separately is bit-identical but re-encodes the corpus.
+    */
+  def idSequencesAndVocab(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          merges: Seq[String] = DemoMerges): (DataFrame, DataFrame) = {
     val toks = Dedup.materialize(docs.select(col(idCol).as("doc_id"),
       encode(TextOps.words(col(textCol)), merges).as("toks")))
     val tok = toks.select(col("doc_id"),
@@ -120,9 +131,10 @@ object Bpe {
       .groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
         x => x.getField("id")).as("ids"))
-    toks.select(col("doc_id")).join(seqs, Seq("doc_id"), "left")
+    (toks.select(col("doc_id")).join(seqs, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("ids"), array().cast("array<bigint>")).as("ids"))
+        coalesce(col("ids"), array().cast("array<bigint>")).as("ids")),
+      vocab)
   }
 
   /** Learn a BPE merge table from the corpus — the training half to
