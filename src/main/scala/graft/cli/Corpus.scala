@@ -130,7 +130,8 @@ object Corpus {
       compactStore: Option[Int] = None,
       takedownIds: Option[String] = None,
       lmRemoveDrop: Option[String] = None,
-      profileRemoveDrop: Option[String] = None)
+      profileRemoveDrop: Option[String] = None,
+      manifest: Boolean = false)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -160,6 +161,7 @@ object Corpus {
       parse(rest, acc.copy(profileDropId = Some(v)))
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
     case "--dedup-store" :: v :: rest => parse(rest, acc.copy(dedupStore = Some(v)))
+    case "--manifest" :: rest          => parse(rest, acc.copy(manifest = true))
     case "--takedown-ids" :: v :: rest =>
       parse(rest, acc.copy(takedownIds = Some(v)))
     case "--lm-remove-drop" :: v :: rest =>
@@ -526,7 +528,7 @@ object Corpus {
         "[--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n] " +
-        "[--compact-store n] " +
+        "[--compact-store n] [--manifest] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id]")
     val r = pipelineFull(spark, a)
     try {
@@ -582,6 +584,17 @@ object Corpus {
           ProfileStore.buildStaged(r.train, eligible, pd, dropId)()
         else if (!ProfileStore.drops(spark, pd).contains(dropId))
           ProfileStore.appendStaged(r.train, eligible, pd, dropId)()
+      }
+      // _manifest: the written corpus's order-independent fingerprint
+      // table (count + xor + mod-sum per md5 shard) — the artifact two
+      // builds compare to certify byte-identical reproduction without
+      // re-reading each other's output. Written AFTER the train write
+      // (it certifies what landed), underscore-skipped by readers.
+      if (a.manifest) {
+        val cols = r.train.schema.fieldNames.toSeq
+          .filter(c => c != "doc_id" && c.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        graft.operators.Audit.manifest(r.train, "doc_id", cols, shards = a.shards)
+          .repartition(1).write.mode("overwrite").parquet(s"${a.out}/_manifest")
       }
       // the store mutation commits LAST: a failure anywhere above leaves
       // the store exactly as the run found it, so the retry re-dedups the

@@ -882,6 +882,17 @@ object Queries {
         "price_floor_sum" -> floor(col("l_extendedprice")))
     }),
 
+    // Order-independent corpus MANIFEST (the reproducibility
+    // certificate): per md5-shard, exact count + bit_xor/mod-sum row
+    // fingerprints — constant per-shard agg state, no sort, no
+    // collect_list, so the certificate itself is cheap at 100 TB and
+    // partitioning-independent by construction. Two engines computing
+    // the same manifest from the same table IS the audit property the
+    // whole suite leans on, stated as one 8-row table.
+    "q146_manifest" -> ((s, dir) =>
+      graft.operators.Audit.manifest(Tables(s, dir).documents,
+        key = "doc_id", cols = Seq("text", "lang", "source", "n_chars"))),
+
     // EXACT heavy hitters with BOUNDED state (Misra-Gries candidates +
     // exact recount): every token with count·29 ≥ n over the corpus
     // token stream — the hot-key census that sizes q55/q60's salts.
@@ -1358,6 +1369,20 @@ object Queries {
          |  n_distinct_lo - lag(n_distinct_lo) OVER w AS d_distinct_lo
          |FROM d WINDOW w AS (PARTITION BY column_name ORDER BY drop_id)""".stripMargin
     },
+    "q146_manifest" ->
+      """WITH r AS (SELECT
+        |  CAST(('0x'||substr(md5('manifest:'||CAST(doc_id AS VARCHAR)),1,7))::BIGINT
+        |    % 8 AS INT) AS shard,
+        |  ('0x'||substr(md5(concat_ws(chr(1),
+        |    coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+        |    coalesce(text, chr(2)),
+        |    coalesce(lang, chr(2)),
+        |    coalesce(source, chr(2)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(2)))),1,15))::BIGINT AS fp
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_rows, bit_xor(fp) AS xor_fp,
+        |  CAST(sum(fp % 1000003) AS BIGINT) AS sum_fp
+        |FROM r GROUP BY shard""".stripMargin,
     "q143_heavy_hitters" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS token
         |  FROM documents WHERE text IS NOT NULL)

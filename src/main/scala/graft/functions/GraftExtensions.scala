@@ -201,6 +201,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg("graft_heavy_hitters", args(2), "k"))
         .queryExecution.logical
     }
+    tvf("graft_manifest") { args =>
+      require(args.size == 4, "usage: graft_manifest(<table>, <keyCol>, " +
+        "'<comma-separated cols>', <shards>)")
+      val t = strArg("graft_manifest", args.head, "table name")
+      graft.operators.Audit.manifest(
+          SparkSession.active.table(t),
+          strArg("graft_manifest", args(1), "keyCol"),
+          strArg("graft_manifest", args(2), "column list")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          intArg("graft_manifest", args(3), "shards"))
+        .queryExecution.logical
+    }
     tvf("graft_split_leakage") { args =>
       require(args.size == 2,
         "usage: graft_split_leakage(<table>, <trainPerMille>) — " +

@@ -55,4 +55,39 @@ object Audit {
     wide.select(expr(
       s"stack(${4 + cols.size}, $stackArgs) AS (change, n)"))
   }
+
+  /** Order-independent corpus MANIFEST: per md5-shard of the key, exact
+    * row count plus two content fingerprints — `bit_xor` of each row's
+    * 60-bit md5 fingerprint and the sum of its mod-1000003 residue. The
+    * reproducibility certificate for a training corpus: the engine
+    * claims byte-identical re-runs everywhere (stores, dedup decisions,
+    * shards); this makes the claim checkable in ONE pass — two builds
+    * match iff their manifests match (up to fingerprint collision), and
+    * a mismatch names the shard to diff with [[tableDiff]].
+    *
+    * Scale shape: map-only fingerprinting + one partial/final agg with
+    * CONSTANT per-shard state (count, xor, sum — all commutative/
+    * associative, so the manifest is partitioning- and order-independent
+    * by construction, never a sort or collect_list of row hashes). Two
+    * fingerprints because they fail differently: xor cancels on twin
+    * corruptions, the modular sum shifts; count catches padding. Rows
+    * render with a chr(1) field separator and chr(2) for NULL, so
+    * adjacent-field ambiguity can't alias two different rows.
+    */
+  def manifest(df: DataFrame, key: String, cols: Seq[String],
+               shards: Int = 8): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require((key +: cols).forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      "manifest columns must be plain identifiers")
+    val rendered = concat_ws("\u0001",
+      (key +: cols).map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val fp = conv(substring(md5(rendered), 1, 15), 16, 10).cast("long")
+    df.select(
+        Sampling.hashBucket(col(key), shards, seed = "manifest").as("shard"),
+        fp.as("__fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__fp)").as("xor_fp"),
+        sum(col("__fp") % 1000003L).as("sum_fp"))
+  }
 }

@@ -44,6 +44,24 @@ class CliSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("Corpus CLI: --manifest certifies byte-identical re-runs via the fingerprint table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-manifest")
+    (1L to 20L).map(i => (i, (1 to 20).map(j => s"m${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    def run(out: String) = graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/$out", "--manifest", "--shards", "4"))
+    run("out1"); run("out2")
+    def mf(out: String) = spark.read.parquet(s"$dir/$out/_manifest")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    val m1 = mf("out1")
+    assert(m1.toSeq.map(_._2).sum === 20L, "manifest covers every written row")
+    assert(m1 === mf("out2"),
+      "two identical builds must produce the identical certificate")
+    // the manifest rides next to the corpus but never inside it
+    assert(!spark.read.parquet(s"$dir/out1").columns.contains("xor_fp"))
+  }
+
   test("Corpus CLI: --dedup-store two-drop pipeline dedups drop 2 against drop 1's store") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -230,6 +230,40 @@ class RelationalSpec extends AnyFunSuite {
       "unchanged" -> 1L, "changed_s" -> 1L, "changed_v" -> 1L))
   }
 
+  test("Audit.manifest: partition/order-independent; any single-field change flips a fingerprint") {
+    val base = (1L to 500L).map(i => (i, s"text$i", i * 3)).toDF("id", "t", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Audit.manifest(df, "id", Seq("t", "v"))
+        .as[(Int, Long, Long, Long)].collect().toSet
+    val m = rows(base)
+    assert(m.toSeq.map(_._2).sum === 500L, "counts cover every row")
+    for (parts <- Seq(1, 7)) assert(rows(base.repartition(parts)) === m)
+    assert(rows(base.orderBy(col("id").desc)) === m, "row order never matters")
+    // one field of one row changes -> that shard's fingerprints move
+    val tweaked = base.withColumn("v",
+      when(col("id") === 137L, col("v") + 1).otherwise(col("v")))
+    val d = rows(tweaked)
+    assert(d !== m)
+    assert(d.toSeq.map(_._2).sum === 500L, "counts unchanged — only fingerprints move")
+    assert((m diff d).size === 1 && (d diff m).size === 1,
+      "exactly the one affected shard differs")
+    // NULL vs the string rendering of an empty field are distinct rows
+    val withNull = Seq((9000L, null.asInstanceOf[String], 1L)).toDF("id", "t", "v")
+    val withEmpty = Seq((9000L, "", 1L)).toDF("id", "t", "v")
+    assert(rows(base.unionByName(withNull)) !== rows(base.unionByName(withEmpty)))
+    // mergeable: per-drop manifests fold to the whole-corpus manifest
+    // (count/xor/mod-sum are all commutative monoids over fixed shards)
+    val (a, b) = (base.filter(col("id") <= 250), base.filter(col("id") > 250))
+    val merged = graft.operators.Audit.manifest(a, "id", Seq("t", "v"))
+      .unionByName(graft.operators.Audit.manifest(b, "id", Seq("t", "v")))
+      .groupBy("shard")
+      .agg(sum("n_rows").as("n_rows"),
+        expr("bit_xor(xor_fp)").as("xor_fp"),
+        sum("sum_fp").as("sum_fp"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(merged === m, "union of drop manifests == corpus manifest")
+  }
+
   test("scatter/gather invariant: per-key agg is partitioning-independent") {
     val df = (1 to 1000).map(i => (i % 7, i.toLong)).toDF("k", "v")
     val expected = df.groupBy("k").agg(sum("v")).as[(Int, Long)].collect().toMap

@@ -144,6 +144,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(lk) === rows(lkDirect))
   }
 
+  test("graft_manifest fingerprints from SQL, identical to the Column API") {
+    docsView
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_manifest('sql_docs', 'doc_id', 'text', 4)")
+    val direct = graft.operators.Audit.manifest(
+      spark.table("sql_docs"), "doc_id", Seq("text"), shards = 4)
+    assert(viaSql.columns === direct.columns)
+    assert(rows(viaSql) === rows(direct))
+  }
+
   test("graft_profile_drift reports per-drop deltas from SQL") {
     docsView
     val dir = java.nio.file.Files.createTempDirectory("graft-sqldrift")
