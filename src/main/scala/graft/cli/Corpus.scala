@@ -131,7 +131,9 @@ object Corpus {
       takedownIds: Option[String] = None,
       lmRemoveDrop: Option[String] = None,
       profileRemoveDrop: Option[String] = None,
-      manifest: Boolean = false)
+      manifest: Boolean = false,
+      noveltyStore: Option[String] = None,
+      noveltyRemoveDrop: Option[String] = None)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -162,6 +164,10 @@ object Corpus {
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
     case "--dedup-store" :: v :: rest => parse(rest, acc.copy(dedupStore = Some(v)))
     case "--manifest" :: rest          => parse(rest, acc.copy(manifest = true))
+    case "--novelty-store" :: v :: rest =>
+      parse(rest, acc.copy(noveltyStore = Some(v)))
+    case "--novelty-remove-drop" :: v :: rest =>
+      parse(rest, acc.copy(noveltyRemoveDrop = Some(v)))
     case "--takedown-ids" :: v :: rest =>
       parse(rest, acc.copy(takedownIds = Some(v)))
     case "--lm-remove-drop" :: v :: rest =>
@@ -493,7 +499,7 @@ object Corpus {
     // rewrite, never a corpus rescan or retrain.
     if (a.input.isEmpty && a.out.isEmpty &&
         (a.takedownIds.isDefined || a.lmRemoveDrop.isDefined ||
-          a.profileRemoveDrop.isDefined)) {
+          a.profileRemoveDrop.isDefined || a.noveltyRemoveDrop.isDefined)) {
       a.takedownIds.foreach { idsPath =>
         val sd = a.dedupStore.getOrElse(throw new IllegalArgumentException(
           "--takedown-ids needs --dedup-store <dir>"))
@@ -513,6 +519,12 @@ object Corpus {
         graft.operators.ProfileStore.removeDrop(spark, sd, dropId)
         println(s"takedown: removed profile drop '$dropId' from $sd")
       }
+      a.noveltyRemoveDrop.foreach { dropId =>
+        val sd = a.noveltyStore.getOrElse(throw new IllegalArgumentException(
+          "--novelty-remove-drop needs --novelty-store <dir>"))
+        graft.text.GramStore.removeDrop(spark, sd, dropId)
+        println(s"takedown: removed gram drop '$dropId' from $sd")
+      }
       return
     }
     a.compactStore.foreach(_ => require(a.dedupStore.isDefined,
@@ -528,8 +540,9 @@ object Corpus {
         "[--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n] " +
-        "[--compact-store n] [--manifest] " +
-        "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id]")
+        "[--compact-store n] [--manifest] [--novelty-store dir] " +
+        "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
+        "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)
     try {
       Sources.writePartitioned(r.train, a.out, Seq("shard"), Seq("doc_id"))
@@ -595,6 +608,29 @@ object Corpus {
           .filter(c => c != "doc_id" && c.matches("[A-Za-z_][A-Za-z0-9_]*"))
         graft.operators.Audit.manifest(r.train, "doc_id", cols, shards = a.shards)
           .repartition(1).write.mode("overwrite").parquet(s"${a.out}/_manifest")
+      }
+      // _novelty: per-doc first-occurrence novelty of THIS drop against
+      // the gram store's history ∪ the drop (read-only scoring, written
+      // before the append so the report reflects what the drop found),
+      // then the drop's gram partials join the store under the same
+      // deterministic drop id discipline as --profile-store. A re-run of
+      // an already-ingested drop skips the append (min is idempotent,
+      // but the drop ledger stays truthful for --novelty-remove-drop).
+      a.noveltyStore.foreach { nd =>
+        import graft.text.GramStore
+        val dropId = a.profileDropId.getOrElse {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          "drop-" + md.digest(a.input.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+        }
+        if (!GramStore.exists(spark, nd)) {
+          GramStore.buildStaged(r.train, nd, dropId)()
+        } else {
+          GramStore.noveltyOfDrop(r.train, nd)
+            .write.mode("overwrite").parquet(s"${a.out}/_novelty")
+          if (!GramStore.drops(spark, nd).contains(dropId))
+            GramStore.appendStaged(r.train, nd, dropId)()
+        }
       }
       // the store mutation commits LAST: a failure anywhere above leaves
       // the store exactly as the run found it, so the retry re-dedups the

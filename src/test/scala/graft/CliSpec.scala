@@ -160,6 +160,45 @@ class CliSpec extends AnyFunSuite {
     assert(graft.text.LmStore.drops(spark, s"$dir/lm") === Set("d1"))
   }
 
+  test("Corpus CLI: --novelty-store scores each drop vs history and grows the gram ledger") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-novelty")
+    docsOf(1L -> "alpha beta gamma delta").write.parquet(s"$dir/drop1")
+    // drop 2: doc 10 repeats drop 1's opening trigram, doc 11 is fresh
+    docsOf(10L -> "alpha beta gamma", 11L -> "eps zeta eta theta")
+      .write.parquet(s"$dir/drop2")
+    def run(in: String, out: String) = graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/$in", "-O", s"$dir/$out", "--novelty-store", s"$dir/store"))
+    run("drop1", "out1") // bootstrap: no _novelty yet (nothing to compare)
+    assert(!new java.io.File(s"$dir/out1/_novelty").exists())
+    run("drop2", "out2")
+    val nov = spark.read.parquet(s"$dir/out2/_novelty")
+      .select("doc_id", "n_novel", "n_grams").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(nov(10L) === ((0L, 1L)), "the repeated trigram is owned by drop 1")
+    assert(nov(11L) === ((2L, 2L)), "fresh content is fully novel")
+    assert(graft.text.GramStore.drops(spark, s"$dir/store").size === 2)
+    // standalone takedown frees drop 1's ownership
+    val d1Id = graft.text.GramStore.drops(spark, s"$dir/store")
+    graft.cli.Corpus.run(spark, Array("--novelty-store", s"$dir/store",
+      "--novelty-remove-drop",
+      d1Id.find(_ != novDropId(s"$dir/drop2")).get))
+    assert(graft.text.GramStore.drops(spark, s"$dir/store") ===
+      Set(novDropId(s"$dir/drop2")))
+  }
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** The CLI's deterministic drop id for an input path. */
+  private def novDropId(input: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "drop-" + md.digest(input.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
   test("Corpus CLI: --dup-graph-stats emits the per-source triangle census before dedup") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
