@@ -201,6 +201,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg("graft_heavy_hitters", args(2), "k"))
         .queryExecution.logical
     }
+    tvf("graft_novelty_store") { args =>
+      require(args.size == 2,
+        "usage: graft_novelty_store(<store dir>, <candidate table>)")
+      graft.text.GramStore.noveltyOfDrop(
+          SparkSession.active.table(
+            strArg("graft_novelty_store", args(1), "candidate table")),
+          strArg("graft_novelty_store", args.head, "store dir"),
+          eager = false)
+        .queryExecution.logical
+    }
     tvf("graft_manifest") { args =>
       require(args.size == 4, "usage: graft_manifest(<table>, <keyCol>, " +
         "'<comma-separated cols>', <shards>)")

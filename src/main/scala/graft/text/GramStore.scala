@@ -153,12 +153,24 @@ object GramStore {
     * gram-TYPE sized) — the history is never re-tokenized, and nothing
     * here mutates the store: scoring a candidate drop is read-only;
     * [[append]] it only once it's accepted.
+    *
+    * Ownership is MIN doc_id (q126's rule, replayed faithfully), so a
+    * drop doc with a smaller id than a historical owner takes the gram
+    * over. For "history always owns what it saw first" semantics,
+    * assign ingest-ordered (monotonic) doc ids across drops — the
+    * natural scheme for a daily pipeline, and the one the CLI's
+    * dense-id path produces.
     */
   def noveltyOfDrop(newDocs: DataFrame, storeDir: String,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    eager: Boolean = true): DataFrame = {
     val s = newDocs.sparkSession
-    val rows = Dedup.materialize(gramRows(newDocs, idCol, textCol))
+    // rows feeds two plan branches (drop-first agg + the final join);
+    // eager=false is the SQL-TVF path — analysis must not run a job
+    // (nearDupPairs' documented cache-retention tradeoff applies)
+    val rows0 = gramRows(newDocs, idCol, textCol)
+    val rows = if (eager) Dedup.materialize(rows0) else rows0.cache()
     val dropFirst = rows.groupBy(col("gk")).agg(min(col("doc_id")).as("drop_first"))
     val stored = serveOwnership(s, storeDir)
       .select(col("gk"), col("first_doc").as("stored_first"))

@@ -144,6 +144,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(lk) === rows(lkDirect))
   }
 
+  test("graft_novelty_store scores novelty vs a persisted gram store from SQL") {
+    docsView
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlgrams")
+    // seed id 0 < every sql_docs id: history owns the shared grams
+    // (ownership is min doc_id over history ∪ drop — q126's rule)
+    graft.text.GramStore.build(
+      Seq((0L, (1 to 30).map(i => s"a$i").mkString(" ")))
+        .toDF("doc_id", "text"), s"$dir/grams", "d0")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_novelty_store('$dir/grams', 'sql_docs')")
+    val direct = graft.text.GramStore.noveltyOfDrop(
+      spark.table("sql_docs"), s"$dir/grams")
+    assert(rows(viaSql) === rows(direct))
+    // doc 1 repeats the stored doc verbatim: zero novel grams through SQL
+    assert(rows(viaSql).exists(r => r.head == 1L && r(2) == 0L))
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(

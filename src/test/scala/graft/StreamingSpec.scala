@@ -354,6 +354,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gram-store ingest: foreachBatch novelty scoring against the growing ledger") {
+    // The streaming half of q147: each micro-batch is scored against the
+    // history ∪ itself, then its partials join the store — batch N+1's
+    // novelty reflects batch N's grams.
+    import graft.text.GramStore
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-gramstore").toString
+    GramStore.build(Seq((1L, "a b c d")).toDF("doc_id", "text"), dir, "seed")
+    val scores = scala.collection.mutable.Map.empty[Long, Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val dropId = f"batch-$epoch%06d"
+        scores ++= GramStore.noveltyOfDrop(batch, dir)
+          .select("doc_id", "n_novel").as[(Long, Long)].collect()
+        if (!GramStore.drops(spark, dir).contains(dropId))
+          GramStore.appendStaged(batch, dir, dropId)()
+        ()
+      }
+      .start()
+    try {
+      mem.addData((10L, "a b c"), (11L, "x y z"))
+      q.processAllAvailable() // 10 repeats the seed's gram, 11 is fresh
+      mem.addData((20L, "x y z"))
+      q.processAllAvailable() // 20 repeats batch-1's APPENDED gram
+      assert(scores(10L) === 0L && scores(11L) === 1L && scores(20L) === 0L)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
