@@ -118,6 +118,71 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: heavyHitters equals brute-force groupBy-filter on random skewed data") {
+    // items drawn from a small alphabet with a zipf-ish tilt so some runs
+    // have qualifiers and some don't; k small enough that cap = 2k keeps
+    // the MG decrement path busy
+    val itemsGen = Gen.listOfN(120,
+      Gen.frequency(8 -> Gen.const("hot"), 5 -> Gen.const("warm"),
+        3 -> Gen.oneOf("c1", "c2", "c3"),
+        2 -> Gen.choose(1, 500).map(i => s"r$i")))
+    check("heavy-hitters", Prop.forAll(itemsGen, Gen.choose(2, 6),
+      Gen.choose(1, 7)) { (items, k, parts) =>
+        val df = items.toDF("item").repartition(parts)
+        val n = items.size
+        val expected = items.groupBy(identity).view.mapValues(_.size.toLong)
+          .filter { case (_, c) => c * k >= n }.toMap
+        val got = graft.operators.Scale.heavyHitters(df, "item", k)
+          .as[(String, Long)].collect().toMap
+        got == expected
+    })
+  }
+
+  test("property: store-served novelty equals q126 from-scratch on the union, for any drop split") {
+    // random tiny corpus of word sequences; an arbitrary subset is
+    // "history" (split into two stored drops), the rest is the new drop
+    val corpusGen = Gen.listOfN(14, Gen.zip(
+      Gen.choose(1L, 10000L),
+      Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))))
+      .map(_.distinctBy(_._1))
+    check("gram-store-union", Prop.forAll(corpusGen, Gen.choose(0, 100)) {
+      (corpus, splitSeed) =>
+        val (hist, drop) = corpus.partition(r =>
+          (r._1 + splitSeed) % 3 != 0)
+        // vacuously true when the random split leaves either side empty
+        (hist.isEmpty || drop.isEmpty) || {
+          val dir = java.nio.file.Files
+            .createTempDirectory("prop-gramstore").toString
+          val (h1, h2) = hist.partition(_._1 % 2 == 0)
+          graft.text.GramStore.build(
+            (if (h1.nonEmpty) h1 else hist.take(1)).toDF("doc_id", "text"),
+            dir, "d1")
+          val rest = if (h1.nonEmpty) h2 else hist.drop(1)
+          if (rest.nonEmpty)
+            graft.text.GramStore.append(rest.toDF("doc_id", "text"), dir, "d2")
+          val served = graft.text.GramStore
+            .noveltyOfDrop(drop.toDF("doc_id", "text"), dir)
+            .as[(Long, Long, Long, Long)].collect().toSet
+          // brute force: q126 semantics over the union, drop rows kept
+          val dropIds = drop.map(_._1).toSet
+          val rows = corpus.flatMap { case (id, text) =>
+            val ws = text.split(" ")
+            val sh = if (ws.length >= 3)
+              ws.sliding(3).map(_.mkString(" ")).toSeq.distinct
+            else Seq(text)
+            sh.map(g => (id, g))
+          }
+          val first = rows.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+          val expected = rows.groupBy(_._1).collect {
+            case (id, rs) if dropIds(id) =>
+              val novel = rs.count { case (i, g) => first(g) == i }.toLong
+              (id, rs.size.toLong, novel, novel * 1000 / rs.size)
+          }.toSet
+          served == expected
+        }
+    })
+  }
+
   test("property: deterministic samples nest across any pair of rates") {
     val idsGen = Gen.listOfN(80, Gen.choose(1L, 100000L)).map(_.distinct)
     check("sample-nesting", Prop.forAll(idsGen, Gen.choose(0, 1000), Gen.choose(0, 1000)) {
