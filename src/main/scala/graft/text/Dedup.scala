@@ -132,6 +132,42 @@ object Dedup {
         col("inter_size"), col("union_size"))
   }
 
+  /** Source-level TRIAGE: the per-source health report that derives a
+    * domain blocklist — the FineWeb/CCNet-style decision of which
+    * SOURCES to keep crawling, made from evidence the engine already
+    * computes per doc: near-dup density (a template-farm signal) and
+    * mean document length (a boilerplate/short-page signal). Output per
+    * source: (source, n_docs, n_dup_docs, dup_ppm, mean_words, passed)
+    * — all integers (ppm, floor-div mean) so the decision is
+    * engine-exact and the gate (q149) hashes the DECISIONS, not just
+    * the stats.
+    *
+    * Scale shape: the near-dup leg is the banded LSH pair join (never
+    * all-pairs); everything after is one distinct on dup ids + one
+    * per-source aggregation. Sources are group keys, never collected.
+    */
+  def sourceTriage(docs: DataFrame, maxDupPpm: Long = 120000L,
+                   minMeanWords: Long = 50L,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   sourceCol: String = "source"): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol)
+    val dupIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("__dup", lit(1L))
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        size(TextOps.words(col(textCol))).cast("long").as("__nw"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_docs"),
+        sum(col("__nw")).as("__w"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        expr("(n_dup_docs * 1000000) div n_docs").as("dup_ppm"),
+        expr("__w div n_docs").as("mean_words"))
+      .withColumn("passed",
+        col("dup_ppm") <= maxDupPpm && col("mean_words") >= minMeanWords)
+  }
+
   /** Containment-verified candidate pairs: asymmetric Jaccard
     * |A∩B| / min(|A|, |B|) ≥ thresholdTenths/10 — catches PARTIAL copies
     * (a doc quoted or embedded inside a larger one) that symmetric

@@ -69,6 +69,18 @@ object Queries {
       Dedup.nearDupPairs(
         Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism))),
 
+    // Source-level triage (the domain-blocklist decision): per source,
+    // near-dup doc density + mean doc length → an integer-exact
+    // keep/block decision. The thresholds sit INSIDE the corpus's
+    // observed ranges (dup_ppm 0–200000, mean words 45–62), so both
+    // rules actually fire: template-farm sources fail on dup_ppm,
+    // short-page sources on mean_words, and the oracle replays the full
+    // LSH+verify dup census plus the word means — a mis-filed source
+    // flips a hashed boolean.
+    "q149_source_triage" -> ((s, dir) =>
+      Dedup.sourceTriage(
+        Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism))),
+
     // Cross-split leakage census: deterministic 900/950/1000-per-mille
     // train/val/test assignment (the q62 md5-bucket decision, so a doc's
     // split never changes across runs), then every verified near-dup
@@ -1372,6 +1384,24 @@ object Queries {
          |SELECT doc_a, doc_b, inter_size, union_size,
          |  CAST(inter_size AS DOUBLE)/union_size AS jaccard
          |FROM pairs WHERE inter_size*10 >= union_size*7""".stripMargin,
+    "q149_source_triage" ->
+      s"""WITH $pairsCtes,
+         |vp AS (SELECT doc_a, doc_b FROM pairs
+         |  WHERE inter_size*10 >= union_size*7),
+         |dup AS (SELECT doc_a AS doc_id FROM vp UNION SELECT doc_b FROM vp),
+         |w AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw FROM documents),
+         |agg AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dup)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  sum(nw) AS ws
+         |  FROM w GROUP BY source)
+         |SELECT source, n_docs, n_dup_docs,
+         |  (n_dup_docs * 1000000) // n_docs AS dup_ppm,
+         |  CAST(ws // n_docs AS BIGINT) AS mean_words,
+         |  ((n_dup_docs * 1000000) // n_docs <= 120000
+         |    AND ws // n_docs >= 50) AS passed
+         |FROM agg""".stripMargin,
     "q144_split_leakage" ->
       s"""WITH $pairsCtes,
          |sp AS (SELECT doc_id,

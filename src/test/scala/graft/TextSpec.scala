@@ -89,6 +89,29 @@ class TextSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("sourceTriage blocks template farms and short-page sources, passes clean ones") {
+    def longDoc(seed: Int) =
+      (seed * 100 to seed * 100 + 60).map(i => s"t$i").mkString(" ")
+    val template = (1 to 40).map(i => s"tpl$i").mkString(" ")
+    val rows =
+      // "farm": every doc a near-copy of the template -> dup_ppm 10^6
+      (1L to 4L).map(i => (i, template + s" tail$i", "farm")) ++
+      // "stub": unique but 3-word docs -> mean_words below the floor
+      (11L to 14L).map(i => (i, s"a$i b$i c$i", "stub")) ++
+      // "clean": unique long docs
+      (21L to 24L).map(i => (i, longDoc(i.toInt), "clean"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val got = graft.text.Dedup.sourceTriage(d)
+      .select("source", "n_docs", "dup_ppm", "mean_words", "passed")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("farm")._3 === 1000000L && !got("farm")._5,
+      "a template farm fails on dup density")
+    assert(got("stub")._3 === 0L && got("stub")._4 === 3L && !got("stub")._5,
+      "a short-page source fails on mean length")
+    assert(got("clean")._5, "a clean source passes both rules")
+  }
+
   test("nearDupPairs reports exact inter/union sizes (|a|+|b|-|∩| identity)") {
     val common = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = docs((1L, common + " tail one"), (2L, common + " tail two"))
