@@ -147,9 +147,18 @@ object Bench {
       val short = k.takeWhile(c => c == 'q' || c.isDigit)
       acc + (k -> (if (short.nonEmpty && !acc.valuesIterator.contains(short)) short else k))
     }
-    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON.
+    // Trailing zeros stripped ("0.50" -> "0.5"): at 150+ queries the
+    // compact line brushes the driver's ~2 kB tail window — every spare
+    // byte keeps the closing brace inside it.
     def ms(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (v < 0) "-1"
+      else {
+        val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        if (s.contains('.'))
+          s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+        else s
+      }
     val qsShort = all.map { case (k, v) => "\"" + shortKeys(k) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val ctlShort = controlNames.map(n => "\"" + shortKeys(n) + "\":" + ms(resultMap(n)))
