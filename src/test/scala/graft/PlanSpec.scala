@@ -445,6 +445,35 @@ class PlanSpec extends AnyFunSuite {
       "the frequency ranking runs over the vocab frame, not per-doc rows")
   }
 
+  test("q143 heavy-hitter recount broadcasts the bounded candidate set") {
+    val p = planOf("q143_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "phase 2 must semi-join against broadcast candidates (parts × cap rows)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the stream side must never shuffle for the candidate filter")
+  }
+
+  test("q146 manifest is one partial/final agg — no sort, no join, no window") {
+    val p = planOf("q146_manifest")
+    assert(p.contains("HashAggregate"),
+      "the fingerprint fold must be a hash aggregate")
+    assert(!p.toLowerCase.contains("sortaggregate") &&
+        !p.contains("windowspecdefinition") && !p.contains("Join"),
+      "order independence must come from commutative aggregates, not ordering")
+  }
+
+  test("q147 store-served novelty joins on the gram key, never re-reads history text") {
+    val p = planOf("q147_novelty_store")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "ownership resolution must be equi joins on gk")
+    // history comes from the store's parquet partials (the drop side is
+    // a checkpointed gram frame, so no documents scan appears at all)
+    assert(p.contains("grams"),
+      "the serve must read the stored partials, not re-tokenize history")
+    assert(!p.contains("documents.parquet"),
+      "the corpus itself must never be rescanned at serve time")
+  }
+
   test("q92 survivor-best candidate generation stays an equi band join") {
     val p = planOf("q92_survivor_best")
     assert(!p.contains("CartesianProduct"),
