@@ -220,6 +220,17 @@ object Corpus {
     */
   private val ReservedCols = Seq("shard", "seq_id", "tok_offset", "__n_tokens", "__dense_id")
 
+  /** The deterministic per-input drop id every drop-ledgered store
+    * (--profile-store, --novelty-store) files a run under — ONE
+    * derivation, so the same pipeline run can never land in two stores
+    * under different ids (CliSpec re-derives it independently).
+    */
+  private def defaultDropId(input: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "drop-" + md.digest(input.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
   /** The composed pipeline, exposed for tests: returns the final corpus
     * (plus packing columns when --pack is set). Frames persisted along the
     * way are returned by [[pipelineWithHandles]] so [[run]] can unpersist
@@ -486,7 +497,18 @@ object Corpus {
     val a = parse(argv.toList)
     // standalone maintenance invocation: compact an existing store and
     // exit — no corpus read, no output write
-    if (a.input.isEmpty && a.out.isEmpty && a.compactStore.isDefined) {
+    val takedownRequested = a.takedownIds.isDefined ||
+      a.lmRemoveDrop.isDefined || a.profileRemoveDrop.isDefined ||
+      a.noveltyRemoveDrop.isDefined
+    // takedown flags are STANDALONE-ONLY, and must never be silently
+    // ignored: a compliance operation (license revocation, RTBF ticket)
+    // that exits 0 without removing anything is worse than a crash
+    require(!takedownRequested || (a.input.isEmpty && a.out.isEmpty),
+      "takedown flags (--takedown-ids/--lm-remove-drop/--profile-remove-drop/" +
+        "--novelty-remove-drop) are standalone maintenance invocations — " +
+        "run them without -I/-O")
+    if (a.input.isEmpty && a.out.isEmpty && a.compactStore.isDefined &&
+        !takedownRequested) {
       val sd = a.dedupStore.getOrElse(throw new IllegalArgumentException(
         "--compact-store needs --dedup-store <dir>"))
       Store.compact(spark, sd, a.compactStore.get)
@@ -496,10 +518,9 @@ object Corpus {
     // persisted stores and exit — no corpus read, no output write. Each
     // store's removal is exact by construction (per-doc signature rows /
     // per-drop mergeable partials), so compliance costs one store
-    // rewrite, never a corpus rescan or retrain.
-    if (a.input.isEmpty && a.out.isEmpty &&
-        (a.takedownIds.isDefined || a.lmRemoveDrop.isDefined ||
-          a.profileRemoveDrop.isDefined || a.noveltyRemoveDrop.isDefined)) {
+    // rewrite, never a corpus rescan or retrain. Removals run BEFORE any
+    // requested compaction, so one invocation can purge and compact.
+    if (a.input.isEmpty && a.out.isEmpty && takedownRequested) {
       a.takedownIds.foreach { idsPath =>
         val sd = a.dedupStore.getOrElse(throw new IllegalArgumentException(
           "--takedown-ids needs --dedup-store <dir>"))
@@ -524,6 +545,11 @@ object Corpus {
           "--novelty-remove-drop needs --novelty-store <dir>"))
         graft.text.GramStore.removeDrop(spark, sd, dropId)
         println(s"takedown: removed gram drop '$dropId' from $sd")
+      }
+      a.compactStore.foreach { n =>
+        val sd = a.dedupStore.getOrElse(throw new IllegalArgumentException(
+          "--compact-store needs --dedup-store <dir>"))
+        Store.compact(spark, sd, n)
       }
       return
     }
@@ -581,11 +607,7 @@ object Corpus {
       // refusal, read as idempotency at the pipeline level).
       a.profileStore.foreach { pd =>
         import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
-        val dropId = a.profileDropId.getOrElse {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          "drop-" + md.digest(a.input.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(12)
-        }
+        val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
         val eligible = r.train.schema.fields.collect {
           case f if Seq(ByteType, ShortType, IntegerType, LongType,
             StringType).contains(f.dataType) => f.name
@@ -604,8 +626,11 @@ object Corpus {
       // re-reading each other's output. Written AFTER the train write
       // (it certifies what landed), underscore-skipped by readers.
       if (a.manifest) {
-        val cols = r.train.schema.fieldNames.toSeq
-          .filter(c => c != "doc_id" && c.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        // every output column participates, or the run fails loudly —
+        // a silently narrowed certificate would "match" builds that
+        // differ in the dropped column (Audit.manifest rejects
+        // non-identifier names itself; surface that here, don't filter)
+        val cols = r.train.schema.fieldNames.toSeq.filter(_ != "doc_id")
         graft.operators.Audit.manifest(r.train, "doc_id", cols, shards = a.shards)
           .repartition(1).write.mode("overwrite").parquet(s"${a.out}/_manifest")
       }
@@ -618,11 +643,7 @@ object Corpus {
       // but the drop ledger stays truthful for --novelty-remove-drop).
       a.noveltyStore.foreach { nd =>
         import graft.text.GramStore
-        val dropId = a.profileDropId.getOrElse {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          "drop-" + md.digest(a.input.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(12)
-        }
+        val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
         if (!GramStore.exists(spark, nd)) {
           GramStore.buildStaged(r.train, nd, dropId)()
         } else {

@@ -99,6 +99,7 @@ object ProfileStore {
   }
 
   def exists(s: SparkSession, storeDir: String): Boolean = {
+    StoreSwap.requireNotCrashed(s, storeDir, partialsPath(storeDir))
     val p = new org.apache.hadoop.fs.Path(partialsPath(storeDir))
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -259,15 +260,7 @@ object ProfileStore {
     val staging = stagingPath(storeDir)
     load(s, storeDir).filter(col("drop_id") =!= dropId)
       .write.mode("overwrite").parquet(staging)
-    val fs = fileSystem(s, storeDir)
-    val live = new org.apache.hadoop.fs.Path(partialsPath(storeDir))
-    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_takedown-old")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"could not move live store aside: $live")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-      s"could not swap takedown result in: $staging -> $live")
-    fs.delete(old, true)
-    ()
+    StoreSwap.swapIn(s, storeDir, partialsPath(storeDir), staging, "_takedown-old")
   }
 
   /** Maintenance: rewrite the partials into `targetFiles` files, contents
@@ -281,15 +274,7 @@ object ProfileStore {
     val staging = stagingPath(storeDir)
     load(s, storeDir).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging)
-    val fs = fileSystem(s, storeDir)
-    val live = new org.apache.hadoop.fs.Path(partialsPath(storeDir))
-    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_compact-old")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"could not move live store aside: $live")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-      s"could not swap compacted store in: $staging -> $live")
-    fs.delete(old, true)
-    ()
+    StoreSwap.swapIn(s, storeDir, partialsPath(storeDir), staging, "_compact-old")
   }
 
   private def stagingPath(storeDir: String): String =

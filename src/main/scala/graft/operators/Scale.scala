@@ -188,6 +188,10 @@ object Scale {
       }
       m.keysIterator
     }.toDF(itemCol).distinct()
+    // a third pass, but the cheapest kind: count() prunes to an empty
+    // projection (columnar sources read only row counts), while folding n
+    // into phase 1 would force caching/recomputing the summaries to read
+    // them twice — costlier than the count it saves
     val n = vals.count()
     vals.toDF(itemCol)
       .join(broadcast(candidates), Seq(itemCol), "left_semi")

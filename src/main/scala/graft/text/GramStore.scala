@@ -60,6 +60,7 @@ object GramStore {
       .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("gk"))
 
   def exists(s: SparkSession, storeDir: String): Boolean = {
+    graft.operators.StoreSwap.requireNotCrashed(s, storeDir, gramsPath(storeDir))
     val p = new org.apache.hadoop.fs.Path(gramsPath(storeDir))
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -199,15 +200,8 @@ object GramStore {
     val staging = stagingPath(storeDir)
     load(s, storeDir).filter(col("drop_id") =!= dropId)
       .write.mode("overwrite").parquet(staging)
-    val fs = fileSystem(s, storeDir)
-    val live = new org.apache.hadoop.fs.Path(gramsPath(storeDir))
-    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_takedown-old")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"could not move live store aside: $live")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-      s"could not swap takedown result in: $staging -> $live")
-    fs.delete(old, true)
-    ()
+    graft.operators.StoreSwap.swapIn(s, storeDir, gramsPath(storeDir),
+      staging, "_takedown-old")
   }
 
   /** Maintenance: rewrite the grams table into `targetFiles` files,
@@ -219,15 +213,8 @@ object GramStore {
     val staging = stagingPath(storeDir)
     load(s, storeDir).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging)
-    val fs = fileSystem(s, storeDir)
-    val live = new org.apache.hadoop.fs.Path(gramsPath(storeDir))
-    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_compact-old")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"could not move live store aside: $live")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-      s"could not swap compacted store in: $staging -> $live")
-    fs.delete(old, true)
-    ()
+    graft.operators.StoreSwap.swapIn(s, storeDir, gramsPath(storeDir),
+      staging, "_compact-old")
   }
 
   private def stagingPath(storeDir: String): String =

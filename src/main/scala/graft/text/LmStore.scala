@@ -48,6 +48,9 @@ object LmStore {
   }
 
   def exists(s: SparkSession, storeDir: String): Boolean = {
+    // loud on a crashed swap: live-missing-with-marker must never read
+    // as "no store" (an exists-gated bootstrap would abandon the ledger)
+    graft.operators.StoreSwap.requireNotCrashed(s, storeDir, countsPath(storeDir))
     val p = new org.apache.hadoop.fs.Path(countsPath(storeDir))
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -167,15 +170,8 @@ object LmStore {
     val staging = stagingPath(storeDir)
     load(s, storeDir).filter(col("drop_id") =!= dropId)
       .write.mode("overwrite").parquet(staging)
-    val fs = fileSystem(s, storeDir)
-    val live = new org.apache.hadoop.fs.Path(countsPath(storeDir))
-    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_takedown-old")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"could not move live store aside: $live")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-      s"could not swap takedown result in: $staging -> $live")
-    fs.delete(old, true)
-    ()
+    graft.operators.StoreSwap.swapIn(s, storeDir, countsPath(storeDir),
+      staging, "_takedown-old")
   }
 
   /** Maintenance: rewrite the counts table into `targetFiles` files,
@@ -187,15 +183,8 @@ object LmStore {
     val staging = stagingPath(storeDir)
     load(s, storeDir).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging)
-    val fs = fileSystem(s, storeDir)
-    val live = new org.apache.hadoop.fs.Path(countsPath(storeDir))
-    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_compact-old")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"could not move live store aside: $live")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-      s"could not swap compacted store in: $staging -> $live")
-    fs.delete(old, true)
-    ()
+    graft.operators.StoreSwap.swapIn(s, storeDir, countsPath(storeDir),
+      staging, "_compact-old")
   }
 
   private def stagingPath(storeDir: String): String =

@@ -60,6 +60,7 @@ object Store {
       .select(col("doc_id"), col("sh"), col("bands"), col("sig_key"))
 
   def exists(s: SparkSession, storeDir: String): Boolean = {
+    graft.operators.StoreSwap.requireNotCrashed(s, storeDir, sigPath(storeDir))
     val p = new org.apache.hadoop.fs.Path(sigPath(storeDir))
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -133,15 +134,8 @@ object Store {
     val staging = stagingPath(storeDir)
     load(s, storeDir).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging)
-    val fs = fileSystem(s, storeDir)
-    val sig = new org.apache.hadoop.fs.Path(sigPath(storeDir))
-    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_compact-old")
-    fs.delete(old, true)
-    require(fs.rename(sig, old), s"could not move live store aside: $sig")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), sig),
-      s"could not swap compacted store in: $staging -> $sig")
-    fs.delete(old, true)
-    ()
+    graft.operators.StoreSwap.swapIn(s, storeDir, sigPath(storeDir),
+      staging, "_compact-old")
   }
 
   /** Takedown: remove the given documents' signatures from the store —
@@ -170,16 +164,12 @@ object Store {
     val before = load(s, storeDir)
     val kept = before.join(docIds, Seq("doc_id"), "left_anti")
     kept.write.mode("overwrite").parquet(staging)
+    // both counts are parquet footer-metadata reads (count pushdown),
+    // not data scans — the audit number is cheap even at store scale
     val removed =
       before.count() - s.read.parquet(staging).count()
-    val fs = fileSystem(s, storeDir)
-    val sig = new org.apache.hadoop.fs.Path(sigPath(storeDir))
-    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_takedown-old")
-    fs.delete(old, true)
-    require(fs.rename(sig, old), s"could not move live store aside: $sig")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), sig),
-      s"could not swap takedown result in: $staging -> $sig")
-    fs.delete(old, true)
+    graft.operators.StoreSwap.swapIn(s, storeDir, sigPath(storeDir),
+      staging, "_takedown-old")
     removed
   }
 

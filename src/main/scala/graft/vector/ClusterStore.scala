@@ -67,6 +67,7 @@ object ClusterStore {
   }
 
   def exists(s: SparkSession, storeDir: String): Boolean = {
+    graft.operators.StoreSwap.requireNotCrashed(s, storeDir, vectorsPath(storeDir))
     val p = new org.apache.hadoop.fs.Path(vectorsPath(storeDir))
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -191,15 +192,8 @@ object ClusterStore {
     val staging = stagingPath(storeDir)
     loadVectors(s, storeDir).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging)
-    val fs = fileSystem(s, storeDir)
-    val live = new org.apache.hadoop.fs.Path(vectorsPath(storeDir))
-    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_compact-old")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"could not move live vectors aside: $live")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-      s"could not swap compacted vectors in: $staging -> $live")
-    fs.delete(old, true)
-    ()
+    graft.operators.StoreSwap.swapIn(s, storeDir, vectorsPath(storeDir),
+      staging, "_compact-old")
   }
 
   /** Takedown: remove the given vectors' rows from the stored corpus —
@@ -229,15 +223,10 @@ object ClusterStore {
     val before = loadVectors(s, storeDir)
     before.join(docIds, Seq("vec_id"), "left_anti")
       .write.mode("overwrite").parquet(staging)
+    // footer-metadata counts, not data scans (parquet count pushdown)
     val removed = before.count() - s.read.parquet(staging).count()
-    val fs = fileSystem(s, storeDir)
-    val live = new org.apache.hadoop.fs.Path(vectorsPath(storeDir))
-    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_takedown-old")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"could not move live vectors aside: $live")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-      s"could not swap takedown result in: $staging -> $live")
-    fs.delete(old, true)
+    graft.operators.StoreSwap.swapIn(s, storeDir, vectorsPath(storeDir),
+      staging, "_takedown-old")
     removed
   }
 

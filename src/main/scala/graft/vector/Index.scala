@@ -114,17 +114,14 @@ object Index {
     val fs = codes.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(codes), s"no codes table under $indexDir")
     val staging = new org.apache.hadoop.fs.Path(
-      s"$indexDir/_takedown-${java.util.UUID.randomUUID().toString.take(8)}")
+      s"$indexDir/_staging-${java.util.UUID.randomUUID().toString.take(8)}")
     val before = s.read.parquet(codes.toString)
     before.join(docIds, Seq("vec_id"), "left_anti")
       .write.mode("overwrite").parquet(staging.toString)
+    // footer-metadata counts, not data scans (parquet count pushdown)
     val removed = before.count() - s.read.parquet(staging.toString).count()
-    val old = new org.apache.hadoop.fs.Path(s"$indexDir/_takedown-old")
-    fs.delete(old, true)
-    require(fs.rename(codes, old), s"could not move live codes aside: $codes")
-    require(fs.rename(staging, codes),
-      s"could not swap takedown result in: $staging -> $codes")
-    fs.delete(old, true)
+    graft.operators.StoreSwap.swapIn(s, indexDir, codes.toString,
+      staging.toString, "_takedown-old")
     removed
   }
 
@@ -143,16 +140,11 @@ object Index {
     val fs = codes.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(codes), s"no codes table under $indexDir")
     val staging = new org.apache.hadoop.fs.Path(
-      s"$indexDir/_compact-${java.util.UUID.randomUUID().toString.take(8)}")
+      s"$indexDir/_staging-${java.util.UUID.randomUUID().toString.take(8)}")
     s.read.parquet(codes.toString).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
-    val old = new org.apache.hadoop.fs.Path(s"$indexDir/_compact-old")
-    fs.delete(old, true)
-    require(fs.rename(codes, old), s"could not move live codes aside: $codes")
-    require(fs.rename(staging, codes),
-      s"could not swap compacted codes in: $staging -> $codes")
-    fs.delete(old, true)
-    ()
+    graft.operators.StoreSwap.swapIn(s, indexDir, codes.toString,
+      staging.toString, "_compact-old")
   }
 
   /** The stored coarse model, sorted by cell id. */

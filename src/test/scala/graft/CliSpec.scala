@@ -158,6 +158,24 @@ class CliSpec extends AnyFunSuite {
     graft.cli.Corpus.run(spark, Array(
       "--lm-store", s"$dir/lm", "--lm-remove-drop", "d2"))
     assert(graft.text.LmStore.drops(spark, s"$dir/lm") === Set("d1"))
+
+    // takedown flags are standalone-only: combining one with -I/-O must
+    // fail loudly, never run the pipeline while skipping the removal
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/drop2", "-O", s"$dir/out3",
+        "--dedup-store", s"$dir/store", "--takedown-ids", s"$dir/ticket"))
+    }
+    assert(e.getMessage.contains("standalone"))
+    // and a combined standalone takedown + compaction does BOTH
+    Seq(3L).toDF("doc_id").write.parquet(s"$dir/ticket2")
+    graft.cli.Corpus.run(spark, Array(
+      "--dedup-store", s"$dir/store", "--takedown-ids", s"$dir/ticket2",
+      "--compact-store", "1"))
+    assert(graft.text.Store.load(spark, s"$dir/store")
+      .select("doc_id").as[Long].collect().toSet === Set(10L))
+    assert(new java.io.File(graft.text.Store.sigPath(s"$dir/store"))
+      .listFiles().count(_.getName.startsWith("part-")) === 1)
   }
 
   test("Corpus CLI: --novelty-store scores each drop vs history and grows the gram ledger") {

@@ -63,6 +63,26 @@ class GramStoreSpec extends AnyFunSuite {
     assert(novelty(docs((10L, "m n o")), dir)(10L) === ((1L, 0L, 0L)))
   }
 
+  test("a crashed swap is loud: live-missing-with-marker never reads as 'no store'") {
+    val dir = Files.createTempDirectory("gramstore-crash").toString
+    GramStore.build(docs((1L, "a b c d")), dir, "d1")
+    // simulate a crash inside removeDrop's two-rename window: the live
+    // dir moved aside, the staged copy never renamed in
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(GramStore.gramsPath(dir)),
+      new org.apache.hadoop.fs.Path(s"$dir/_takedown-old")))
+    val e = intercept[IllegalStateException] { GramStore.exists(spark, dir) }
+    assert(e.getMessage.contains("crashed swap"),
+      "an exists-gated bootstrap must not silently abandon the ledger")
+    // recovery: rename back, the store serves again
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/_takedown-old"),
+      new org.apache.hadoop.fs.Path(GramStore.gramsPath(dir))))
+    assert(GramStore.exists(spark, dir) &&
+      GramStore.drops(spark, dir) === Set("d1"))
+  }
+
   test("staged build invisible until commit; compaction identical") {
     val dir = Files.createTempDirectory("gramstore-st").toString
     val commit = GramStore.buildStaged(docs((1L, "a b c d")), dir, "d1")
