@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to LoggedOutput, which prefixes every line
+// with "[info] " — that prefix broke the driver's JSON parse of the
+// Bench stdout line three rounds running (BENCH_r07–r09 `parsed: null`).
+// StdoutOutput inherits sbt's real stdout at the fd level: bare lines.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
