@@ -47,7 +47,11 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        stats via serve, no corpus rescan;
   *                                        drop id defaults to md5(input path),
   *                                        re-runs of a profiled drop skip
-  *     [--profile-drop-id id]             override the profile drop id
+  *     [--drop-id id]                     override the run's drop id in EVERY
+  *                                        drop-ledgered store (--profile-store
+  *                                        and --novelty-store file under the
+  *                                        same id; --profile-drop-id is a
+  *                                        legacy alias of this flag)
   *     [--dedup]                          MinHash-LSH near-dup removal (keep smallest id)
   *     [--compact-store n]                maintenance: rewrite the --dedup-store
   *                                        signature table into n parquet files
@@ -159,6 +163,12 @@ object Corpus {
     case "--lm-store" :: v :: rest    => parse(rest, acc.copy(lmStore = Some(v)))
     case "--profile-store" :: v :: rest =>
       parse(rest, acc.copy(profileStore = Some(v)))
+    // --drop-id is the canonical name: ONE id files this run's drop in
+    // EVERY drop-ledgered store (--profile-store AND --novelty-store).
+    // --profile-drop-id predates it and is kept as an alias — it always
+    // governed both stores, which its name hid.
+    case "--drop-id" :: v :: rest =>
+      parse(rest, acc.copy(profileDropId = Some(v)))
     case "--profile-drop-id" :: v :: rest =>
       parse(rest, acc.copy(profileDropId = Some(v)))
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
@@ -225,6 +235,18 @@ object Corpus {
     * derivation, so the same pipeline run can never land in two stores
     * under different ids (CliSpec re-derives it independently).
     */
+  /** An already-stored drop id means the append is SKIPPED — correct for
+    * a retry of the same content, silently wrong when the file at the
+    * same path was replaced (the default id hashes the PATH only). The
+    * skip must therefore be loud, and name the way out.
+    */
+  private def warnSkippedDrop(flag: String, dropId: String, store: String): Unit =
+    System.err.println(s"[corpus] $flag: drop '$dropId' is already stored " +
+      s"in $store — skipping the append. The default id is md5 of the " +
+      "input PATH: changed content under the same path is NOT " +
+      "re-ingested. Pass --drop-id for a content-versioned id, or remove " +
+      "the stale drop first.")
+
   private def defaultDropId(input: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     "drop-" + md.digest(input.getBytes("UTF-8"))
@@ -250,6 +272,7 @@ object Corpus {
   def pipelineWithHandles(spark: SparkSession, a: Args): (DataFrame, Seq[DataFrame]) = {
     val r = pipelineFull(spark, a)
     r.commitStore.foreach(_.apply())
+    r.commitLm.foreach(_.apply())
     (r.train, r.cached)
   }
 
@@ -263,7 +286,8 @@ object Corpus {
   final case class PipelineResult(
       train: DataFrame, eval: Option[DataFrame], dupGraph: Option[DataFrame],
       spanStats: Option[DataFrame],
-      cached: Seq[DataFrame], commitStore: Option[() => Unit])
+      cached: Seq[DataFrame], commitStore: Option[() => Unit],
+      commitLm: Option[() => Unit])
 
   /** Full pipeline: (training corpus, optional eval carve-out, persisted
     * frames). The eval set is exactly `--eval-k` docs per `--eval-by`
@@ -276,6 +300,7 @@ object Corpus {
     require(a.shards > 0, "--shards must be positive")
     val cached = Seq.newBuilder[DataFrame]
     var commitStore: Option[() => Unit] = None
+    var commitLm: Option[() => Unit] = None
     val input = a.format match {
       case "parquet" => spark.read.parquet(a.input)
       case "orc"     => spark.read.orc(a.input)
@@ -330,26 +355,35 @@ object Corpus {
     // Model source: --lm-trusted alone trains fresh per run; with
     // --lm-store the trusted drop's counts persist (bootstrap, then
     // append-once keyed by md5 of the trusted path — idempotent on retry)
-    // and the model is SERVED from the merged store, so a growing trusted
-    // corpus is never recounted; --lm-store alone serves the existing
-    // store. Committing the counts immediately is safe, unlike the dedup
-    // store: a failed run's retry skips the already-stored drop and serves
-    // the identical model — there is no self-dedup hazard.
+    // and the model is SERVED from store ∪ staged-drop, so a growing
+    // trusted corpus is never recounted; --lm-store alone serves the
+    // existing store. The store mutation is STAGED here and committed
+    // only after the output write succeeds (PipelineResult.commitLm) —
+    // the same commits-LAST discipline as the dedup store, so a run that
+    // fails mid-write leaves the LM ledger exactly as it found it.
     if (a.lmTrusted.isDefined || a.lmStore.isDefined) {
       import graft.text.{Lm, LmStore}
       val model = (a.lmStore, a.lmTrusted) match {
         case (None, Some(tp)) => Lm.train(spark.read.parquet(tp))
         case (Some(sd), tp) =>
+          var staged: Option[LmStore.Staged] = None
           tp.foreach { p =>
             val md = java.security.MessageDigest.getInstance("MD5")
             val dropId = "trusted-" + md.digest(p.getBytes("UTF-8"))
               .map("%02x".format(_)).mkString.take(12)
             if (!LmStore.exists(spark, sd))
-              LmStore.build(spark.read.parquet(p), sd, dropId)
+              staged = Some(LmStore.stageBuild(spark.read.parquet(p), sd, dropId))
             else if (!LmStore.drops(spark, sd).contains(dropId))
-              LmStore.append(spark.read.parquet(p), sd, dropId)
+              staged = Some(LmStore.stageAppend(spark.read.parquet(p), sd, dropId))
+            else
+              System.err.println(s"[corpus] --lm-store: trusted drop " +
+                s"'$dropId' is already counted in $sd — skipping the " +
+                "append. The id is md5 of the trusted PATH: changed " +
+                "content under the same path is NOT recounted (remove " +
+                "the drop first, or use a new path).")
           }
-          LmStore.serveModel(spark, sd)
+          commitLm = staged.map(_.commit)
+          LmStore.serveModelWith(spark, sd, staged.map(_.counts))
         case _ => throw new IllegalStateException("unreachable")
       }
       val keep = Lm.score(corpus, model)
@@ -490,7 +524,7 @@ object Corpus {
           Sampling.hashBucket(col("doc_id"), a.shards, seed = "pack"))
     }
     PipelineResult(out.drop("__n_tokens"), eval, dupGraph, spanStats,
-      cached.result(), commitStore)
+      cached.result(), commitStore, commitLm)
   }
 
   def run(spark: SparkSession, argv: Array[String]): Unit = {
@@ -559,7 +593,7 @@ object Corpus {
       "usage: -I <corpus.parquet> -O <out> [--format parquet|orc|json|csv] " +
         "[--scrub-pii] [--remove-boilerplate df] [--boilerplate-w w] " +
         "[--benchmark p] [--lm-trusted p] [--lm-min-ppm n] [--lm-store dir] " +
-        "[--profile-store dir] [--profile-drop-id id] " +
+        "[--profile-store dir] [--drop-id id] " +
         "[--dedup] [--dedup-store dir] [--dup-graph-stats col] " +
         "[--span-stats] " +
         "[--min-tokens n] [--max-tokens n] [--bpe-merges path] [--bpe-learn n] " +
@@ -619,6 +653,7 @@ object Corpus {
           ProfileStore.buildStaged(r.train, eligible, pd, dropId)()
         else if (!ProfileStore.drops(spark, pd).contains(dropId))
           ProfileStore.appendStaged(r.train, eligible, pd, dropId)()
+        else warnSkippedDrop("--profile-store", dropId, pd)
       }
       // _manifest: the written corpus's order-independent fingerprint
       // table (count + xor + mod-sum per md5 shard) — the artifact two
@@ -651,12 +686,15 @@ object Corpus {
             .write.mode("overwrite").parquet(s"${a.out}/_novelty")
           if (!GramStore.drops(spark, nd).contains(dropId))
             GramStore.appendStaged(r.train, nd, dropId)()
+          else warnSkippedDrop("--novelty-store", dropId, nd)
         }
       }
-      // the store mutation commits LAST: a failure anywhere above leaves
-      // the store exactly as the run found it, so the retry re-dedups the
-      // same drop against the same corpus (idempotent, never empty)
+      // the store mutations commit LAST: a failure anywhere above leaves
+      // every store exactly as the run found it, so the retry re-dedups
+      // the same drop against the same corpus (idempotent, never empty)
+      // and the LM ledger never records a drop whose output was lost
       r.commitStore.foreach(_.apply())
+      r.commitLm.foreach(_.apply())
       // maintenance AFTER the commit: compaction sees the just-appended
       // survivors, and a compaction failure can't lose the append (the
       // swap is crash-safe and contents-identical by construction)

@@ -43,6 +43,27 @@ object StoreSwap {
     ()
   }
 
+  /** Commit one drop's staged partials into the live table with a SINGLE
+    * rename: `staging` → `live/drop-<dropId>` (readers load the table
+    * with `recursiveFileLookup`). The single rename is what makes the
+    * append atomic: the old per-file loop left a crash window where SOME
+    * part files of a drop were live — the drop_id was then visible to
+    * `drops()`, so the retry path skipped the re-append and the store
+    * permanently under-counted, with no marker and no error. With one
+    * rename, a crash leaves the drop either fully absent (retry
+    * re-appends) or fully present (retry refused by the drops() ledger).
+    */
+  def commitDropDir(s: SparkSession, live: String, staging: String,
+                    dropId: String): Unit = {
+    val f = fs(s, live)
+    val dest = new Path(live, s"drop-$dropId")
+    require(!f.exists(dest),
+      s"drop '$dropId' already has a committed directory under $live — " +
+        "a concurrent or retried append must be refused, not overlaid")
+    require(f.rename(new Path(staging), dest),
+      s"could not commit staged drop $staging -> $dest")
+  }
+
   /** Loud crash detection for `exists()` paths: if the live dir is
     * missing but a swap marker survives, the store is mid-recovery, not
     * absent — bootstrapping over it would silently discard the history.

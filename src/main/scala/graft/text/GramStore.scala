@@ -65,8 +65,13 @@ object GramStore {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Layout mirrors [[LmStore.load]]: bootstrap files at the table root,
+    * each appended drop under its own atomically-renamed `drop-<id>/`
+    * subdirectory, takedown/compact rewrites flat — `recursiveFileLookup`
+    * reads all of it.
+    */
   def load(s: SparkSession, storeDir: String): DataFrame =
-    s.read.parquet(gramsPath(storeDir))
+    s.read.option("recursiveFileLookup", "true").parquet(gramsPath(storeDir))
 
   /** Drop ids already ingested (driver-sized: one string per drop). */
   def drops(s: SparkSession, storeDir: String): Set[String] =
@@ -112,19 +117,8 @@ object GramStore {
     val staging = stagingPath(storeDir)
     partials(docs, dropId, idCol, textCol)
       .write.mode("overwrite").parquet(staging)
-    () => {
-      val fs = fileSystem(s, storeDir)
-      val live = new org.apache.hadoop.fs.Path(gramsPath(storeDir))
-      val src = new org.apache.hadoop.fs.Path(staging)
-      fs.listStatus(src).foreach { f =>
-        if (f.getPath.getName.startsWith("part-"))
-          require(fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(live, f.getPath.getName)),
-            s"could not commit staged append ${f.getPath} -> $live")
-      }
-      fs.delete(src, true)
-      ()
-    }
+    () => graft.operators.StoreSwap.commitDropDir(
+      s, gramsPath(storeDir), staging, dropId)
   }
 
   def append(docs: DataFrame, storeDir: String, dropId: String,
@@ -168,10 +162,13 @@ object GramStore {
                     eager: Boolean = true): DataFrame = {
     val s = newDocs.sparkSession
     // rows feeds two plan branches (drop-first agg + the final join);
-    // eager=false is the SQL-TVF path — analysis must not run a job
-    // (nearDupPairs' documented cache-retention tradeoff applies)
+    // eager=false is the SQL-TVF path — analysis must not run a job, and
+    // a .cache() here would outlive the query (nothing ever unpersists a
+    // TVF's plan), accumulating blocks for the session's lifetime. The
+    // TVF path therefore recomputes the drop's grams per branch (two
+    // scans of the NEW drop only — the store side is never re-derived).
     val rows0 = gramRows(newDocs, idCol, textCol)
-    val rows = if (eager) Dedup.materialize(rows0) else rows0.cache()
+    val rows = if (eager) Dedup.materialize(rows0) else rows0
     val dropFirst = rows.groupBy(col("gk")).agg(min(col("doc_id")).as("drop_first"))
     val stored = serveOwnership(s, storeDir)
       .select(col("gk"), col("first_doc").as("stored_first"))

@@ -55,14 +55,29 @@ object LmStore {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The bootstrap drop's files sit at the table root; appended drops
+    * each live in their own `drop-<id>/` subdirectory (the single-rename
+    * atomic commit — [[graft.operators.StoreSwap.commitDropDir]]), and a
+    * takedown/compact rewrite flattens everything back to root files.
+    * `recursiveFileLookup` reads all three layouts in one pass.
+    */
   def load(s: SparkSession, storeDir: String): DataFrame =
-    s.read.parquet(countsPath(storeDir))
+    s.read.option("recursiveFileLookup", "true").parquet(countsPath(storeDir))
 
   /** Drop ids already counted (driver-sized: one string per drop). */
   def drops(s: SparkSession, storeDir: String): Set[String] =
     if (!exists(s, storeDir)) Set.empty
     else load(s, storeDir).select(col("drop_id")).distinct()
       .collect().map(_.getString(0)).toSet
+
+  /** A staged drop, not yet visible to the store: `counts` is the drop's
+    * MATERIALIZED partials (read back from the staging parquet — serving
+    * from it costs a scan, never a re-tokenize), `commit` the atomic
+    * publish. Lets a caller score against store ∪ staged-drop while
+    * keeping the actual mutation for after its own output commits
+    * (the CLI's store-mutation-commits-LAST discipline).
+    */
+  final case class Staged(counts: DataFrame, commit: () => Unit)
 
   /** Bootstrap from the first trusted drop (overwrites). */
   def build(trusted: DataFrame, storeDir: String, dropId: String,
@@ -73,24 +88,34 @@ object LmStore {
     * crash-retry discipline).
     */
   def buildStaged(trusted: DataFrame, storeDir: String, dropId: String,
-                  textCol: String = "text"): () => Unit = {
+                  textCol: String = "text"): () => Unit =
+    stageBuild(trusted, storeDir, dropId, textCol).commit
+
+  /** [[buildStaged]] that also hands back the staged counts. */
+  def stageBuild(trusted: DataFrame, storeDir: String, dropId: String,
+                 textCol: String = "text"): Staged = {
     val s = trusted.sparkSession
     val staging = stagingPath(storeDir)
     partials(trusted, dropId, textCol).write.mode("overwrite").parquet(staging)
-    () => {
+    Staged(s.read.parquet(staging), () => {
       val fs = fileSystem(s, storeDir)
       val live = new org.apache.hadoop.fs.Path(countsPath(storeDir))
       fs.delete(live, true)
       require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
         s"could not commit staged LM store $staging -> $live")
-    }
+    })
   }
 
   /** Add a new trusted drop's counts (staged). Refuses an already-stored
     * `dropId` — counts merge by sum, so a double append double-counts.
     */
   def appendStaged(trusted: DataFrame, storeDir: String, dropId: String,
-                   textCol: String = "text"): () => Unit = {
+                   textCol: String = "text"): () => Unit =
+    stageAppend(trusted, storeDir, dropId, textCol).commit
+
+  /** [[appendStaged]] that also hands back the staged counts. */
+  def stageAppend(trusted: DataFrame, storeDir: String, dropId: String,
+                  textCol: String = "text"): Staged = {
     val s = trusted.sparkSession
     require(exists(s, storeDir),
       s"no LM store under $storeDir — run LmStore.build first")
@@ -98,19 +123,8 @@ object LmStore {
       s"drop '$dropId' is already counted in $storeDir — appending it again would double-count")
     val staging = stagingPath(storeDir)
     partials(trusted, dropId, textCol).write.mode("overwrite").parquet(staging)
-    () => {
-      val fs = fileSystem(s, storeDir)
-      val live = new org.apache.hadoop.fs.Path(countsPath(storeDir))
-      val src = new org.apache.hadoop.fs.Path(staging)
-      fs.listStatus(src).foreach { f =>
-        if (f.getPath.getName.startsWith("part-"))
-          require(fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(live, f.getPath.getName)),
-            s"could not commit staged append ${f.getPath} -> $live")
-      }
-      fs.delete(src, true)
-      ()
-    }
+    Staged(s.read.parquet(staging), () => graft.operators.StoreSwap
+      .commitDropDir(s, countsPath(storeDir), staging, dropId))
   }
 
   def append(trusted: DataFrame, storeDir: String, dropId: String,
@@ -126,8 +140,26 @@ object LmStore {
                  minCount: Long = 1L): Lm.Model = {
     require(exists(s, storeDir),
       s"no LM store under $storeDir — run LmStore.build first")
+    serveModelWith(s, storeDir, extra = None, minCount)
+  }
+
+  /** The model the store WOULD serve after committing `extra` (a staged
+    * drop's partials, [[Staged.counts]]) — counts add, so this is exactly
+    * [[serveModel]] post-commit, computed pre-commit. An absent store
+    * with a staged bootstrap serves the staged counts alone.
+    */
+  def serveModelWith(s: SparkSession, storeDir: String,
+                     extra: Option[DataFrame],
+                     minCount: Long = 1L): Lm.Model = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val counts = load(s, storeDir)
+    val counts = (if (exists(s, storeDir)) Some(load(s, storeDir)) else None,
+        extra) match {
+      case (Some(b), Some(e)) => b.unionByName(e)
+      case (Some(b), None)    => b
+      case (None, Some(e))    => e
+      case (None, None)       => throw new IllegalArgumentException(
+        s"no LM store under $storeDir and no staged drop to serve")
+    }
     def order(n: Int, prune: Boolean): DataFrame = {
       val merged = counts.filter(col("n") === n)
         .groupBy(col("g")).agg(sum(col("c")).as("c"))

@@ -112,6 +112,9 @@ object Index {
       s"docIds must be a single-column (vec_id) frame, got: ${docIds.columns.mkString(", ")}")
     val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
     val fs = codes.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // codes-missing-with-marker is a crashed swap mid-recovery, not "no
+    // index" — must be the loud marker-naming error, not the bare require
+    graft.operators.StoreSwap.requireNotCrashed(s, indexDir, codes.toString)
     require(fs.exists(codes), s"no codes table under $indexDir")
     val staging = new org.apache.hadoop.fs.Path(
       s"$indexDir/_staging-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -138,6 +141,7 @@ object Index {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
     val fs = codes.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.operators.StoreSwap.requireNotCrashed(s, indexDir, codes.toString)
     require(fs.exists(codes), s"no codes table under $indexDir")
     val staging = new org.apache.hadoop.fs.Path(
       s"$indexDir/_staging-${java.util.UUID.randomUUID().toString.take(8)}")

@@ -527,6 +527,28 @@ class CliSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet === Set(1L))
   }
 
+  test("Corpus CLI: the LM store mutation commits LAST — a failed output write leaves the ledger untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-lmlast")
+    val store = s"$dir/lmstore"
+    (1L to 5L).map(i => (100L + i, "the cat sat on the mat"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/trusted")
+    Seq((1L, "the cat sat on the mat"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    // pipelineFull stages the bootstrap but must not mutate the store:
+    // the commit belongs to whoever lands the output write
+    val r = graft.cli.Corpus.pipelineFull(spark, graft.cli.Corpus.Args(
+      input = s"$dir/corpus", out = s"$dir/never-written",
+      lmTrusted = Some(s"$dir/trusted"), lmStore = Some(store)))
+    assert(!graft.text.LmStore.exists(spark, store),
+      "staging must leave the LM ledger untouched until the commit thunk runs")
+    // the gate still served the staged model (doc 1 matches trusted text)
+    assert(r.train.select("doc_id").as[Long].collect().toSet === Set(1L))
+    r.commitLm.foreach(_.apply())
+    assert(graft.text.LmStore.drops(spark, store).size === 1)
+    r.cached.foreach(_.unpersist())
+  }
+
   test("Corpus CLI: --profile-store accumulates per-drop partials; re-runs idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-profstore")

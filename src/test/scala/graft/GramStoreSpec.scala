@@ -83,6 +83,21 @@ class GramStoreSpec extends AnyFunSuite {
       GramStore.drops(spark, dir) === Set("d1"))
   }
 
+  test("mixed layout: subdir appends + flat takedown rewrites + re-appends all serve as one table") {
+    val dir = Files.createTempDirectory("gramstore-mixed").toString
+    GramStore.build(docs((1L, "a b c d")), dir, "d1")      // flat root files
+    GramStore.append(docs((5L, "x y z w")), dir, "d2")     // drop-d2/ subdir
+    assert(new java.io.File(GramStore.gramsPath(dir), "drop-d2").isDirectory,
+      "an append must land as ONE atomically-renamed subdirectory")
+    GramStore.removeDrop(spark, dir, "d1")                 // flattening rewrite
+    GramStore.append(docs((7L, "p q r s")), dir, "d3")     // subdir over flat
+    assert(GramStore.drops(spark, dir) === Set("d2", "d3"))
+    // serve over the mixed layout == from-scratch over the union corpus
+    val got = novelty(docs((10L, "x y z"), (11L, "a b c")), dir)
+    assert(got(10L) === ((1L, 0L, 0L)), "drop-d2's subdir rows serve")
+    assert(got(11L) === ((1L, 1L, 1000L)), "the removed drop's grams are gone")
+  }
+
   test("staged build invisible until commit; compaction identical") {
     val dir = Files.createTempDirectory("gramstore-st").toString
     val commit = GramStore.buildStaged(docs((1L, "a b c d")), dir, "d1")

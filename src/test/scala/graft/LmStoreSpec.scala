@@ -75,6 +75,33 @@ class LmStoreSpec extends AnyFunSuite {
       .listFiles().count(_.getName.startsWith("part-")) === 1)
   }
 
+  test("append commits with ONE rename: a staged drop is fully absent before and fully present after") {
+    val dir = Files.createTempDirectory("graft-lmstore").toString
+    val d1 = docs((1L, "a b c d"))
+    val d2 = docs((2L, "x y z w"))
+    LmStore.build(d1, dir, "d1")
+    val st = LmStore.stageAppend(d2, dir, "d2")
+    // the crash window: staged but uncommitted — the ledger must NOT see
+    // d2 (the old per-file commit loop could leave it half-visible, and a
+    // retry would then skip the re-append forever)
+    assert(LmStore.drops(spark, dir) === Set("d1"))
+    // serveModelWith previews the post-commit model without mutating
+    val preview = countsOf(LmStore.serveModelWith(spark, dir, Some(st.counts)))
+    assert(preview === countsOf(Lm.train(d1.unionByName(d2))))
+    assert(LmStore.drops(spark, dir) === Set("d1"))
+    st.commit()
+    assert(LmStore.drops(spark, dir) === Set("d1", "d2"))
+    assert(countsOf(LmStore.serveModel(spark, dir)) === preview)
+    // the drop landed as its own atomically-renamed subdirectory...
+    assert(new java.io.File(LmStore.countsPath(dir), "drop-d2").isDirectory)
+    // ...and a second commit against the same drop dir is refused
+    val rogue = Files.createTempDirectory("graft-lmstore-rogue").toString
+    assertThrows[IllegalArgumentException] {
+      graft.operators.StoreSwap.commitDropDir(
+        spark, LmStore.countsPath(dir), rogue, "d2")
+    }
+  }
+
   test("removeDrop: post-takedown serve == never-ingested; id freed for re-append; unknown drop refused") {
     val dir = Files.createTempDirectory("graft-lmstore").toString
     val d1 = docs((1L, "a b c a b c"))
