@@ -267,14 +267,22 @@ object Dedup {
   }
 
   /** Transitive near-dup clusters: connected components over the verified
-    * pair graph via min-label propagation — `iterations` rounds of
+    * pair graph via min-label propagation — rounds of
     * "label(n) ← min(label(n), min over neighbors)", run as DataFrame
-    * joins. A FIXED iteration count (not a convergence loop) keeps the
-    * computation deterministic and mirrored exactly by the SQL oracle;
-    * near-dup components are shallow (pairs/chains of edits), so diameter
-    * ≪ 6. At 100 TB each round is one shuffled join over the verified edge
-    * list (≪ corpus size); use the alternating small-star/large-star
-    * variant if components ever get deep.
+    * joins UNTIL NO LABEL CHANGES. The fixed point is the per-component
+    * minimum doc id — unique, so the result is deterministic and
+    * independent of the iteration count (the r8 design fixed rounds at 6
+    * for determinism; that silently under-merged any component whose
+    * propagation distance exceeded 6, e.g. a template family with a long
+    * edit chain — exactly the failure the fixture's short chains could
+    * not catch). The convergence check is one count over the
+    * already-materialized label frame per round; `maxIterations` is a
+    * LOUD ceiling (throws, never truncates): min-label propagation needs
+    * one round per hop of propagation distance, so a corpus that trips
+    * 50 has pathological chain structure and wants the alternating
+    * large-star/small-star contraction (O(log n) rounds) instead. At
+    * 100 TB each round is one shuffled join over the verified edge list
+    * (≪ corpus size).
     *
     * Iteration discipline (profiled, round 3): the cost of this query is
     * NOT the per-round jobs (sub-second at sf0.1) but driver-side
@@ -295,25 +303,40 @@ object Dedup {
     * for single-JVM/test runs where replication is meaningless). Set the
     * dir in production.
     *
-    * Returns (doc_id, cluster_id = min doc_id reachable in `iterations`
-    * hops) for every doc appearing in a near-dup pair.
+    * Returns (doc_id, cluster_id = min doc_id in the doc's connected
+    * component) for every doc appearing in a near-dup pair.
     */
-  def nearDupClusters(docs: DataFrame, iterations: Int = 6): DataFrame = {
+  def nearDupClusters(docs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val pairs = materialize(nearDupPairs(docs)
       .select(col("doc_a"), col("doc_b")))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = materialize(edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")))
-    for (_ <- 1 to iterations) {
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      round += 1
+      if (round > maxIterations) throw new IllegalStateException(
+        s"nearDupClusters did not converge within $maxIterations rounds — " +
+          "a near-dup component's propagation distance exceeds the ceiling " +
+          "(a template family with a very long edit chain). Raise " +
+          "maxIterations, or switch this corpus to an alternating " +
+          "large-star/small-star contraction.")
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("dl")), Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("dl")).as("nl"))
-      labels = materialize(labels
+      // __improved rides inside the SAME materialized frame, so counting
+      // the changed labels scans checkpointed rows — no plan re-execution
+      // and no second join just to detect the fixed point.
+      val next = materialize(labels
         .join(nbrMin.select(col("src").as("node"), col("nl")), Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (col("nl") < col("label")).as("__improved")))
+      changed = next.filter(col("__improved")).count()
+      labels = next.drop("__improved")
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }

@@ -108,8 +108,8 @@ object Queries {
         Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism), "source")),
 
     // Transitive near-dup clusters (connected components by min-label
-    // propagation, fixed rounds — Dedup.nearDupClusters' default, mirrored
-    // exactly in the oracle).
+    // propagation iterated to the fixed point; the oracle computes the
+    // same fixed point via a recursive reachability CTE).
     "q48_neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
         Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism))),
@@ -1725,32 +1725,25 @@ object Queries {
         |GROUP BY s.doc_id""".stripMargin
   ) ++ survivorOracle
 
-  /** Min-label propagation unrolled to the same fixed 6 rounds as
-    * Dedup.nearDupClusters' default — identical results even
-    * pre-convergence.
+  /** Connected components to the FIXED POINT, mirroring the engine's
+    * converge-until-no-label-changes loop: a recursive reachability CTE
+    * (UNION set semantics terminate it), then min over each node's
+    * reachable set — the per-component minimum doc id, the same unique
+    * fixed point min-label propagation converges to, independent of how
+    * many rounds either side happens to run.
     */
-  private def clustersOracle: String = {
-    // MATERIALIZED is load-bearing: each round references the previous CTE
-    // twice; DuckDB inlines plain CTEs, which would duplicate the whole
-    // minhash pipeline 2^rounds times. Round count MUST equal
-    // Dedup.nearDupClusters' iterations.
-    val rounds = (1 to 6).map { i =>
-      s"""l$i AS MATERIALIZED (SELECT n.node,
-         |  least(n.label, coalesce(m.ml, n.label)) AS label
-         |  FROM l${i - 1} n LEFT JOIN (
-         |    SELECT e.s, min(l.label) AS ml
-         |    FROM edges e JOIN l${i - 1} l ON e.d = l.node GROUP BY e.s) m
-         |  ON n.node = m.s)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $pairsCtes,
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE $pairsCtes,
        |np AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
        |  WHERE inter_size*10 >= union_size*7),
        |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM np
        |  UNION ALL SELECT doc_b, doc_a FROM np),
-       |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM edges),
-       |$rounds
-       |SELECT node AS doc_id, label AS cluster_id FROM l6""".stripMargin
-  }
+       |reach AS (
+       |  SELECT s AS node, s AS label FROM edges
+       |  UNION
+       |  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.node)
+       |SELECT node AS doc_id, min(label) AS cluster_id FROM reach
+       |GROUP BY node""".stripMargin
 
   private def survivorOracle: Map[String, String] = Map(
     "q48_neardup_clusters" -> clustersOracle,

@@ -196,4 +196,28 @@ class PropertySpec extends AnyFunSuite {
         small.subsetOf(big)
     })
   }
+
+  test("property: near-dup clustering is invariant under input partitioning") {
+    // three template families + two singletons; the converged fixed point
+    // (per-component min id) must not depend on how the input is split
+    // across partitions or ordered within them
+    val common1 = (1 to 30).map(i => s"a$i").mkString(" ")
+    val common2 = (50 to 80).map(i => s"b$i").mkString(" ")
+    val rows = Seq(
+      (1L, common1 + " x"), (2L, common1 + " y"), (3L, common1 + " z"),
+      (10L, common2 + " p"), (11L, common2 + " q"),
+      (20L, (200 to 230).map(i => s"c$i").mkString(" ")),
+      (21L, (300 to 330).map(i => s"d$i").mkString(" ")))
+    val reference = graft.text.Dedup.nearDupClusters(rows.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(reference.nonEmpty)
+    check("cluster-partitioning", Prop.forAll(Gen.choose(1, 8), Gen.long) {
+      (parts, shuffleSeed) =>
+        val permuted = new scala.util.Random(shuffleSeed).shuffle(rows)
+        val got = graft.text.Dedup
+          .nearDupClusters(permuted.toDF("doc_id", "text").repartition(parts))
+          .as[(Long, Long)].collect().toSet
+        got == reference
+    })
+  }
 }

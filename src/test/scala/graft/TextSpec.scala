@@ -214,6 +214,36 @@ class TextSpec extends AnyFunSuite {
     assert(withNull === 0L)
   }
 
+  test("nearDupClusters converges past any fixed round count: a long edit chain fully merges") {
+    // A sliding-window chain: doc i = 40 words starting at position 2i,
+    // so consecutive docs share 38/42 of their shingle-union (J ≈ 0.9)
+    // and docs ≥4 apart fall under the 0.7 threshold — a path-shaped
+    // component whose min label needs MANY propagation rounds to reach
+    // the far end (the r8 fixed-6-round implementation under-merged it).
+    val words = (0 until 100).map(i => s"w$i")
+    val chain = (0 until 30).map { i =>
+      (i + 1L, words.slice(2 * i, 2 * i + 40).mkString(" "))
+    }
+    val d = docs(chain: _*)
+    // guard: the planted component's propagation distance really exceeds
+    // 6 (BFS from the min node over the ACTUAL verified pair graph) —
+    // otherwise this test wouldn't exercise the >fixed-rounds regime
+    val edges = Dedup.nearDupPairs(d).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    var frontier = Set(1L); var seen = Set(1L); var depth = 0
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+      seen ++= frontier; if (frontier.nonEmpty) depth += 1
+    }
+    assert(seen === (1L to 30L).toSet, "the planted chain must be connected")
+    assert(depth > 6, s"planted propagation distance must exceed the old cap, got $depth")
+    val clusters = Dedup.nearDupClusters(d).as[(Long, Long)].collect().toSet
+    assert(clusters === (1L to 30L).map(i => (i, 1L)).toSet,
+      "every doc in the chain must converge to the component-min label")
+  }
+
   test("nearDupClusters uses reliable checkpoints when a checkpoint dir is set") {
     val common = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = docs(
