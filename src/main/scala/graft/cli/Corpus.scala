@@ -104,6 +104,31 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        (string doc ids get a dense id first)
   *     [--shards n]                       output shards (default 16)
   *
+  * Standalone compliance surface (no -I/-O):
+  *     [--takedown ticket.parquet]        apply ONE removal ticket to EVERY
+  *                                        configured store in one invocation:
+  *                                        doc_id rows purge --dedup-store
+  *                                        signatures; doc_id/vec_id rows purge
+  *                                        --cluster-store vectors and
+  *                                        --ann-index codes; drop_id rows
+  *                                        remove drops from --lm-store/
+  *                                        --profile-store/--novelty-store.
+  *                                        Retry-convergent: already-absent
+  *                                        drops are skipped with a notice, so
+  *                                        re-running a partially-applied
+  *                                        ticket finishes the job
+  *     [--ledger-report]                  print each configured store's drop
+  *                                        ledger, flag drops present in some
+  *                                        stores but absent from others (the
+  *                                        crash-recovery audit), and report
+  *                                        doc-granular stores' row counts;
+  *                                        combines with --takedown to show the
+  *                                        post-removal state
+  *     [--cluster-store dir]              the SemDeDup cluster store the
+  *                                        ticket/report should cover
+  *     [--ann-index dir]                  the ANN index the ticket/report
+  *                                        should cover
+  *
   * Every decision is deterministic (md5 hash buckets, integer thresholds,
   * smallest-id survivorship, md5-order eval picks), so re-runs produce
   * identical corpora — the property that makes training data auditable.
@@ -137,7 +162,11 @@ object Corpus {
       profileRemoveDrop: Option[String] = None,
       manifest: Boolean = false,
       noveltyStore: Option[String] = None,
-      noveltyRemoveDrop: Option[String] = None)
+      noveltyRemoveDrop: Option[String] = None,
+      clusterStore: Option[String] = None,
+      annIndex: Option[String] = None,
+      takedown: Option[String] = None,
+      ledgerReport: Boolean = false)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -180,6 +209,14 @@ object Corpus {
       parse(rest, acc.copy(noveltyRemoveDrop = Some(v)))
     case "--takedown-ids" :: v :: rest =>
       parse(rest, acc.copy(takedownIds = Some(v)))
+    case "--takedown" :: v :: rest =>
+      parse(rest, acc.copy(takedown = Some(v)))
+    case "--ledger-report" :: rest =>
+      parse(rest, acc.copy(ledgerReport = true))
+    case "--cluster-store" :: v :: rest =>
+      parse(rest, acc.copy(clusterStore = Some(v)))
+    case "--ann-index" :: v :: rest =>
+      parse(rest, acc.copy(annIndex = Some(v)))
     case "--lm-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(lmRemoveDrop = Some(v)))
     case "--profile-remove-drop" :: v :: rest =>
@@ -246,6 +283,28 @@ object Corpus {
       "input PATH: changed content under the same path is NOT " +
       "re-ingested. Pass --drop-id for a content-versioned id, or remove " +
       "the stale drop first.")
+
+  /** The three drop-ledgered stores as (flag, dir, drops, removeDrop) —
+    * the unified `--takedown` and `--ledger-report` iterate this ONE
+    * list, so a future ledgered store joins both surfaces in one place.
+    */
+  private def ledgeredStores(a: Args): Seq[(String, String,
+      (SparkSession, String) => Set[String],
+      (SparkSession, String, String) => Unit)] =
+    Seq(
+      a.lmStore.map(sd => ("--lm-store", sd,
+        (s: SparkSession, d: String) => graft.text.LmStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.text.LmStore.removeDrop(s, d, id))),
+      a.profileStore.map(sd => ("--profile-store", sd,
+        (s: SparkSession, d: String) => graft.operators.ProfileStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.operators.ProfileStore.removeDrop(s, d, id))),
+      a.noveltyStore.map(sd => ("--novelty-store", sd,
+        (s: SparkSession, d: String) => graft.text.GramStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.text.GramStore.removeDrop(s, d, id)))
+    ).flatten
 
   private def defaultDropId(input: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -533,14 +592,15 @@ object Corpus {
     // exit — no corpus read, no output write
     val takedownRequested = a.takedownIds.isDefined ||
       a.lmRemoveDrop.isDefined || a.profileRemoveDrop.isDefined ||
-      a.noveltyRemoveDrop.isDefined
+      a.noveltyRemoveDrop.isDefined || a.takedown.isDefined ||
+      a.ledgerReport
     // takedown flags are STANDALONE-ONLY, and must never be silently
     // ignored: a compliance operation (license revocation, RTBF ticket)
     // that exits 0 without removing anything is worse than a crash
     require(!takedownRequested || (a.input.isEmpty && a.out.isEmpty),
-      "takedown flags (--takedown-ids/--lm-remove-drop/--profile-remove-drop/" +
-        "--novelty-remove-drop) are standalone maintenance invocations — " +
-        "run them without -I/-O")
+      "takedown flags (--takedown/--takedown-ids/--lm-remove-drop/" +
+        "--profile-remove-drop/--novelty-remove-drop/--ledger-report) are " +
+        "standalone maintenance invocations — run them without -I/-O")
     if (a.input.isEmpty && a.out.isEmpty && a.compactStore.isDefined &&
         !takedownRequested) {
       val sd = a.dedupStore.getOrElse(throw new IllegalArgumentException(
@@ -555,6 +615,83 @@ object Corpus {
     // rewrite, never a corpus rescan or retrain. Removals run BEFORE any
     // requested compaction, so one invocation can purge and compact.
     if (a.input.isEmpty && a.out.isEmpty && takedownRequested) {
+      // ONE-TICKET takedown: a single removal ticket applied to EVERY
+      // configured store in one invocation — the answer to "a compliance
+      // ticket must not need six separate runs" and to the crash state
+      // where a mid-sequence failure leaves stores disagreeing. Ticket
+      // schema: a parquet with a `doc_id` (and/or `vec_id`) column for
+      // the doc-granular stores (--dedup-store signatures,
+      // --cluster-store vectors, --ann-index codes — vec stores use
+      // vec_id when present, else doc_id) and/or a `drop_id` column for
+      // the drop-ledgered stores (--lm-store/--profile-store/
+      // --novelty-store). Convergence semantics make the RETRY of a
+      // partial failure safe: doc-granular removal is an anti-join
+      // (removing absent ids removes 0 rows), and a ticket drop already
+      // absent from a ledger is SKIPPED with a notice instead of the
+      // single-store flags' loud refusal — re-running the same ticket
+      // always ends with every configured store purged. Run
+      // --ledger-report in the same invocation to print the converged
+      // per-store ledgers afterwards.
+      a.takedown.foreach { ticketPath =>
+        val anyStore = Seq(a.dedupStore, a.clusterStore, a.annIndex,
+          a.lmStore, a.profileStore, a.noveltyStore).flatten
+        require(anyStore.nonEmpty,
+          "--takedown needs at least one store flag (--dedup-store/" +
+            "--cluster-store/--ann-index/--lm-store/--profile-store/" +
+            "--novelty-store) — a ticket applied to nothing must not exit 0")
+        val ticket = spark.read.parquet(ticketPath)
+        val cols = ticket.columns.toSet
+        require(cols.contains("doc_id") || cols.contains("vec_id") ||
+            cols.contains("drop_id"),
+          s"--takedown $ticketPath: ticket needs a doc_id, vec_id, or " +
+            s"drop_id column, got: ${ticket.columns.mkString(", ")}")
+        val docStoresConfigured =
+          Seq(a.dedupStore, a.clusterStore, a.annIndex).flatten.nonEmpty
+        val ledgersConfigured =
+          Seq(a.lmStore, a.profileStore, a.noveltyStore).flatten.nonEmpty
+        if (cols.contains("doc_id") || cols.contains("vec_id")) {
+          require(docStoresConfigured,
+            "--takedown: the ticket carries doc/vec ids but no doc-granular " +
+              "store flag (--dedup-store/--cluster-store/--ann-index) is set")
+          a.dedupStore.foreach { sd =>
+            require(cols.contains("doc_id"),
+              "--dedup-store takedown needs a doc_id column in the ticket")
+            val n = Store.removeDocs(spark, sd,
+              ticket.select(col("doc_id")).distinct())
+            println(s"takedown: removed $n signature(s) from $sd")
+          }
+          lazy val vecIds = (if (cols.contains("vec_id"))
+            ticket.select(col("vec_id"))
+          else ticket.select(col("doc_id").as("vec_id"))).distinct()
+          a.clusterStore.foreach { sd =>
+            val n = graft.vector.ClusterStore.removeDocs(spark, sd, vecIds)
+            println(s"takedown: removed $n vector(s) from cluster store $sd")
+          }
+          a.annIndex.foreach { sd =>
+            val n = graft.vector.Index.removeDocs(spark, sd, vecIds)
+            println(s"takedown: removed $n code row(s) from ANN index $sd")
+          }
+        }
+        if (cols.contains("drop_id")) {
+          require(ledgersConfigured,
+            "--takedown: the ticket carries drop ids but no drop-ledgered " +
+              "store flag (--lm-store/--profile-store/--novelty-store) is set")
+          // the ticket's drop-id column is driver-sized by nature (one id
+          // per ingested drop, not per corpus row)
+          val dropIds = ticket.select(col("drop_id")).distinct()
+            .collect().map(_.getString(0)).sorted
+          ledgeredStores(a).foreach { case (flag, sd, dropsOf, removeOf) =>
+            val have = dropsOf(spark, sd)
+            dropIds.foreach { d =>
+              if (have.contains(d)) {
+                removeOf(spark, sd, d)
+                println(s"takedown: removed drop '$d' from $flag $sd")
+              } else println(s"takedown: drop '$d' already absent from " +
+                s"$flag $sd — skipped (retry convergence)")
+            }
+          }
+        }
+      }
       a.takedownIds.foreach { idsPath =>
         val sd = a.dedupStore.getOrElse(throw new IllegalArgumentException(
           "--takedown-ids needs --dedup-store <dir>"))
@@ -585,6 +722,51 @@ object Corpus {
           "--compact-store needs --dedup-store <dir>"))
         Store.compact(spark, sd, n)
       }
+      // CROSS-STORE LEDGER AUDIT: which drops live in which stores. THE
+      // recovery tool for a takedown sequence that crashed mid-way (or
+      // for stores that were legitimately bootstrapped at different
+      // times): every configured drop-ledgered store prints its ledger,
+      // and any drop present in some but absent from others is flagged
+      // as a DISAGREEMENT naming both sides — so the operator can see
+      // exactly which stores a re-run of the ticket still needs to
+      // converge. Runs AFTER any removals in the same invocation, so a
+      // combined `--takedown t.parquet --ledger-report` prints the
+      // post-takedown truth. Doc-granular stores have no drop ledger
+      // (their rows are per-doc); they report row counts as the audit
+      // line a removal is checked against.
+      if (a.ledgerReport) {
+        val ledgers = ledgeredStores(a).map { case (flag, sd, dropsOf, _) =>
+          (flag, sd, dropsOf(spark, sd))
+        }
+        ledgers.foreach { case (flag, sd, drops) =>
+          println(s"ledger: $flag $sd: ${drops.size} drop(s)" +
+            (if (drops.isEmpty) "" else drops.toSeq.sorted.mkString(" [", ", ", "]")))
+        }
+        val allDrops = ledgers.flatMap(_._3).toSet
+        val disagreements = allDrops.toSeq.sorted.flatMap { d =>
+          val in = ledgers.filter(_._3.contains(d)).map(_._1)
+          val out = ledgers.filterNot(_._3.contains(d)).map(_._1)
+          if (out.isEmpty) None
+          else Some(s"ledger: DISAGREEMENT: drop '$d' present in " +
+            s"{${in.mkString(", ")}} but absent from {${out.mkString(", ")}}")
+        }
+        disagreements.foreach(println)
+        if (disagreements.isEmpty && ledgers.nonEmpty)
+          println(s"ledger: consistent — ${ledgers.size} store(s) agree " +
+            s"on ${allDrops.size} drop(s)")
+        a.dedupStore.filter(sd => Store.exists(spark, sd)).foreach { sd =>
+          println(s"ledger: --dedup-store $sd: " +
+            s"${Store.load(spark, sd).count()} signature row(s)")
+        }
+        a.clusterStore.foreach { sd =>
+          println(s"ledger: --cluster-store $sd: " +
+            s"${graft.vector.ClusterStore.loadVectors(spark, sd).count()} vector row(s)")
+        }
+        a.annIndex.foreach { sd =>
+          println(s"ledger: --ann-index $sd: " +
+            s"${spark.read.parquet(s"$sd/codes").count()} code row(s)")
+        }
+      }
       return
     }
     a.compactStore.foreach(_ => require(a.dedupStore.isDefined,
@@ -601,6 +783,8 @@ object Corpus {
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n] " +
         "[--compact-store n] [--manifest] [--novelty-store dir] " +
+        "[--takedown ticket.parquet] [--ledger-report] " +
+        "[--cluster-store dir] [--ann-index dir] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)

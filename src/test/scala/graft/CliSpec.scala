@@ -549,6 +549,65 @@ class CliSpec extends AnyFunSuite {
     r.cached.foreach(_.unpersist())
   }
 
+  test("Corpus CLI: one-ticket takedown converges across all stores; --ledger-report names the divergence") {
+    import spark.implicits._
+    import graft.text.{GramStore, Lm, LmStore, Store}
+    import graft.operators.ProfileStore
+    val dir = Files.createTempDirectory("corpus-ticket")
+    val d1 = docsOf((1L, "aa bb cc dd ee"), (2L, "ff gg hh ii jj"))
+    val d2 = docsOf((10L, "kk ll mm nn oo"), (11L, "pp qq rr ss tt"))
+    LmStore.build(d1, s"$dir/lm", "d1"); LmStore.append(d2, s"$dir/lm", "d2")
+    ProfileStore.build(d1, Seq("text"), s"$dir/prof", "d1")
+    ProfileStore.append(d2, Seq("text"), s"$dir/prof", "d2")
+    GramStore.build(d1, s"$dir/nov", "d1"); GramStore.append(d2, s"$dir/nov", "d2")
+    Store.build(d1.unionByName(d2), s"$dir/sig")
+    def capture(args: String*): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        graft.cli.Corpus.run(spark, args.toArray)
+      }
+      buf.toString("UTF-8")
+    }
+    val stores = Seq("--lm-store", s"$dir/lm", "--profile-store", s"$dir/prof",
+      "--novelty-store", s"$dir/nov", "--dedup-store", s"$dir/sig")
+    // simulate a crash mid-sequence: drop d2 already removed from the LM
+    // store, still live everywhere else
+    LmStore.removeDrop(spark, s"$dir/lm", "d2")
+    val report = capture(("--ledger-report" +: stores): _*)
+    assert(report.contains("DISAGREEMENT") && report.contains("'d2'"),
+      s"the audit must name the diverged drop, got:\n$report")
+    assert(report.contains("absent from {--lm-store}"), report)
+    // the one-ticket retry: doc ids purge the signature store, the drop id
+    // converges the ledgers (removes where present, skips where absent)
+    Seq((10L, "d2"), (11L, "d2")).toDF("doc_id", "drop_id")
+      .write.parquet(s"$dir/ticket")
+    val td = capture(("--takedown" +: s"$dir/ticket" +:
+      "--ledger-report" +: stores): _*)
+    assert(td.contains("removed 2 signature(s)"), td)
+    assert(td.contains("already absent from --lm-store") &&
+      td.contains("skipped"), td)
+    assert(td.contains("removed drop 'd2' from --profile-store") &&
+      td.contains("removed drop 'd2' from --novelty-store"), td)
+    assert(td.contains("ledger: consistent"), td)
+    // post-takedown serve ≡ never-ingested, through the unified path
+    assert(LmStore.drops(spark, s"$dir/lm") === Set("d1"))
+    assert(ProfileStore.drops(spark, s"$dir/prof") === Set("d1"))
+    assert(GramStore.drops(spark, s"$dir/nov") === Set("d1"))
+    val served = LmStore.serveModel(spark, s"$dir/lm")
+      .c1.as[(String, Long)].collect().toSet
+    assert(served === Lm.train(d1).c1.as[(String, Long)].collect().toSet)
+    ProfileStore.build(d1, Seq("text"), s"$dir/prof-fresh", "d1")
+    assert(ProfileStore.serve(spark, s"$dir/prof").collect().toSeq ===
+      ProfileStore.serve(spark, s"$dir/prof-fresh").collect().toSeq)
+    assert(Store.load(spark, s"$dir/sig")
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(10L, 11L))
+      .count() === 0L)
+    // a full re-run of the SAME ticket is a no-op that still exits clean
+    val again = capture(("--takedown" +: s"$dir/ticket" +: stores): _*)
+    assert(again.contains("removed 0 signature(s)"), again)
+    assert(!again.contains("removed drop"), again)
+  }
+
   test("Corpus CLI: --profile-store accumulates per-drop partials; re-runs idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-profstore")
