@@ -83,6 +83,11 @@ object Bench {
     // the two-drop count build gets its own q137_build row below
     if (names.contains("q137_lm_store"))
       graft.text.Queries.lmStoreFixture(spark, sfDir)
+    // q150/q151 measure the span-store SERVE paths (detect/scrub vs the
+    // stored gram-df partials); the two-drop build gets its q150_build row
+    if (names.contains("q150_span_store") ||
+        names.contains("q151_span_store_scrub"))
+      graft.text.Queries.spanStoreFixture(spark, sfDir)
 
     val results = names.map { name =>
       val times = (1 to runs).map(_ => exec(name, sfDir)).filter(_ >= 0)
@@ -129,7 +134,15 @@ object Bench {
          tmp => graft.extra.Queries.profileStoreBuild(spark, sfDir, tmp))) ++
       (if (!names.contains("q137_lm_store")) Seq.empty
        else buildBench("q137_build",
-         tmp => graft.text.Queries.lmStoreBuild(spark, sfDir, tmp)))
+         tmp => graft.text.Queries.lmStoreBuild(spark, sfDir, tmp))) ++
+      (if (!names.contains("q150_span_store")) Seq.empty
+       else buildBench("q150_build", tmp => {
+         val d = Tables(spark, sfDir).documents
+         graft.text.SpanStore.build(
+           d.filter(col("doc_id") % 3 === 1), tmp, "a")
+         graft.text.SpanStore.append(
+           d.filter(col("doc_id") % 3 === 2), tmp, "b")
+       }))
 
     val all = results ++ buildRow
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -104,6 +104,18 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        (string doc ids get a dense id first)
   *     [--shards n]                       output shards (default 16)
   *
+  *     [--span-store dir]                 persisted gram-df store for the
+  *                                        repeated-span family: first run
+  *                                        bootstraps (SpanStore.build);
+  *                                        later runs write OUT/_spans (this
+  *                                        drop's repeated spans vs history ∪
+  *                                        drop, q150's operator) then append
+  *                                        the drop's gram-df partials under
+  *                                        the --drop-id discipline
+  *     [--span-remove-drop id]            standalone: remove one drop's
+  *                                        gram-df partials (exact takedown
+  *                                        by df subtraction + keeper re-min)
+  *
   * Standalone compliance surface (no -I/-O):
   *     [--takedown ticket.parquet]        apply ONE removal ticket to EVERY
   *                                        configured store in one invocation:
@@ -166,7 +178,9 @@ object Corpus {
       clusterStore: Option[String] = None,
       annIndex: Option[String] = None,
       takedown: Option[String] = None,
-      ledgerReport: Boolean = false)
+      ledgerReport: Boolean = false,
+      spanStore: Option[String] = None,
+      spanRemoveDrop: Option[String] = None)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -213,6 +227,10 @@ object Corpus {
       parse(rest, acc.copy(takedown = Some(v)))
     case "--ledger-report" :: rest =>
       parse(rest, acc.copy(ledgerReport = true))
+    case "--span-store" :: v :: rest =>
+      parse(rest, acc.copy(spanStore = Some(v)))
+    case "--span-remove-drop" :: v :: rest =>
+      parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
       parse(rest, acc.copy(clusterStore = Some(v)))
     case "--ann-index" :: v :: rest =>
@@ -303,7 +321,11 @@ object Corpus {
       a.noveltyStore.map(sd => ("--novelty-store", sd,
         (s: SparkSession, d: String) => graft.text.GramStore.drops(s, d),
         (s: SparkSession, d: String, id: String) =>
-          graft.text.GramStore.removeDrop(s, d, id)))
+          graft.text.GramStore.removeDrop(s, d, id))),
+      a.spanStore.map(sd => ("--span-store", sd,
+        (s: SparkSession, d: String) => graft.text.SpanStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.text.SpanStore.removeDrop(s, d, id)))
     ).flatten
 
   private def defaultDropId(input: String): String = {
@@ -593,7 +615,7 @@ object Corpus {
     val takedownRequested = a.takedownIds.isDefined ||
       a.lmRemoveDrop.isDefined || a.profileRemoveDrop.isDefined ||
       a.noveltyRemoveDrop.isDefined || a.takedown.isDefined ||
-      a.ledgerReport
+      a.ledgerReport || a.spanRemoveDrop.isDefined
     // takedown flags are STANDALONE-ONLY, and must never be silently
     // ignored: a compliance operation (license revocation, RTBF ticket)
     // that exits 0 without removing anything is worse than a crash
@@ -717,6 +739,12 @@ object Corpus {
         graft.text.GramStore.removeDrop(spark, sd, dropId)
         println(s"takedown: removed gram drop '$dropId' from $sd")
       }
+      a.spanRemoveDrop.foreach { dropId =>
+        val sd = a.spanStore.getOrElse(throw new IllegalArgumentException(
+          "--span-remove-drop needs --span-store <dir>"))
+        graft.text.SpanStore.removeDrop(spark, sd, dropId)
+        println(s"takedown: removed span-gram drop '$dropId' from $sd")
+      }
       a.compactStore.foreach { n =>
         val sd = a.dedupStore.getOrElse(throw new IllegalArgumentException(
           "--compact-store needs --dedup-store <dir>"))
@@ -785,6 +813,7 @@ object Corpus {
         "[--compact-store n] [--manifest] [--novelty-store dir] " +
         "[--takedown ticket.parquet] [--ledger-report] " +
         "[--cluster-store dir] [--ann-index dir] " +
+        "[--span-store dir] [--span-remove-drop id] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)
@@ -871,6 +900,25 @@ object Corpus {
           if (!GramStore.drops(spark, nd).contains(dropId))
             GramStore.appendStaged(r.train, nd, dropId)()
           else warnSkippedDrop("--novelty-store", dropId, nd)
+        }
+      }
+      // _spans: repeated-span detection of THIS drop against the span
+      // store's gram-df history ∪ the drop (q150's operator; read-only
+      // scoring written before the append, like _novelty), then the
+      // drop's gram-df partials join the store under the same drop-id
+      // discipline — corpus-wide span stats accrue without the history
+      // ever being re-tokenized.
+      a.spanStore.foreach { sd =>
+        import graft.text.SpanStore
+        val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
+        if (!SpanStore.exists(spark, sd)) {
+          SpanStore.buildStaged(r.train, sd, dropId)()
+        } else {
+          SpanStore.detectVsDrop(r.train, sd)
+            .write.mode("overwrite").parquet(s"${a.out}/_spans")
+          if (!SpanStore.drops(spark, sd).contains(dropId))
+            SpanStore.appendStaged(r.train, sd, dropId)()
+          else warnSkippedDrop("--span-store", dropId, sd)
         }
       }
       // the store mutations commit LAST: a failure anywhere above leaves

@@ -678,6 +678,39 @@ object Queries {
       scrubRepeatedSpans(Tables(s, dir).documents
         .repartition(s.sparkContext.defaultParallelism))),
 
+    // Store-served span DETECTION: q120 of a new drop against the
+    // persisted gram-df store's history ∪ the drop — gated bit-for-bit
+    // against the from-scratch union replay restricted to the drop (the
+    // history is never re-tokenized; its contribution is one store scan).
+    "q150_span_store" -> ((s, dir) => {
+      val storeDir = spanStoreFixture(s, dir)
+      SpanStore.detectVsDrop(
+        Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+          .repartition(s.sparkContext.defaultParallelism), storeDir)
+    }),
+
+    // Store-served span SCRUB: q125 of the drop against history ∪ drop —
+    // keepers elected as min(store keeper, drop min), the exact union
+    // survivorship.
+    "q151_span_store_scrub" -> ((s, dir) => {
+      val storeDir = spanStoreFixture(s, dir)
+      SpanStore.scrubVsDrop(
+        Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+          .repartition(s.sparkContext.defaultParallelism), storeDir)
+    }),
+
+    // Span-store takedown: a junk drop (the probe's own texts under
+    // disjoint ids) ingested then REMOVED — post-takedown detection must
+    // equal q150's never-ingested store exactly (df subtraction under
+    // the sum-merge; the junk drop had inflated precisely the probe
+    // grams' df, so any residue would surface as phantom spans).
+    "q152_span_takedown" -> ((s, dir) => {
+      val storeDir = spanTakedownFixture(s, dir)
+      SpanStore.detectVsDrop(
+        Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+          .repartition(s.sparkContext.defaultParallelism), storeDir)
+    }),
+
     // First-occurrence novelty scoring: what fraction of each doc's
     // 3-gram vocabulary does the corpus see FIRST in this doc (ownership
     // by minimum doc_id — deterministic, order-free)? The curation signal
@@ -795,41 +828,21 @@ object Queries {
     */
   def repeatedSpans(docs: DataFrame, k: Int = 5, minDf: Int = 2,
                     eager: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = docs
-      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= k)
     // the gram-position frame feeds BOTH the df agg and the flag join —
     // materialize it (nearDupPairs' shared-prep discipline) or the scan +
     // shingle + md5 map work runs twice; eager=false for the SQL TVF path
     // (analysis must stay job-free — cache() shares lazily; the entry is
     // retained for the session as documented at the TVF layer,
-    // GraftExtensions' cache-retention contract)
-    val pos0 = d
-      .select(col("doc_id"),
-        posexplode(TextOps.shingles(col("ws"), k)).as(Seq("p0", "gram")))
-      .select(col("doc_id"), (col("p0") + lit(1)).as("pos"),
-        substring(md5(col("gram")), 1, 16).as("gram_key"))
+    // GraftExtensions' cache-retention contract). Gram explosion + island
+    // merge are the span family's shared primitives (SpanStore hosts
+    // them; the store-served q150 path runs the same code).
+    val pos0 = SpanStore.posRows(docs, k)
     val pos = if (eager) Dedup.materialize(pos0) else pos0.cache()
     val flagged = pos
       .groupBy(col("gram_key"))
       .agg(countDistinct(col("doc_id")).as("gram_df"))
       .filter(col("gram_df") >= minDf)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val prevEnd = max(col("pos") + lit(k - 1))
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    pos.join(flagged, "gram_key")
-      .withColumn("new_span",
-        when(col("pos") > coalesce(prevEnd, lit(-1)) + lit(1), 1).otherwise(0))
-      .withColumn("span_id", sum(col("new_span")).over(w))
-      .groupBy(col("doc_id"), col("span_id"))
-      .agg(
-        min(col("pos")).as("span_start"),
-        (max(col("pos")) + lit(k - 1)).as("span_end"),
-        count(lit(1)).as("n_grams"),
-        max(col("gram_df")).as("max_df"))
-      .withColumn("span_toks", col("span_end") - col("span_start") + lit(1))
-      .drop("span_id")
+    SpanStore.spanRows(pos.join(flagged, "gram_key"), k)
   }
 
   /** Remove repeated spans, keeping ONE copy corpus-wide — the action to
@@ -857,13 +870,11 @@ object Queries {
                          eager: Boolean = true): DataFrame = {
     val d = docs.select(col("doc_id"), TextOps.words(col("text")).as("ws"))
     // same shared-prep materialization as repeatedSpans (keeper agg +
-    // flag join both consume pos); eager=false on the TVF path
-    val pos0 = d
-      .filter(size(col("ws")) >= k)
-      .select(col("doc_id"),
-        posexplode(TextOps.shingles(col("ws"), k)).as(Seq("p0", "gram")))
-      .select(col("doc_id"), (col("p0") + lit(1)).as("pos"),
-        substring(md5(col("gram")), 1, 16).as("gram_key"))
+    // flag join both consume pos); eager=false on the TVF path. The
+    // covered-position/reassembly tail is SpanStore.scrubTail — the
+    // store-served q151 path elects keepers differently (store ∪ drop)
+    // but scrubs through the identical machinery.
+    val pos0 = SpanStore.posRows(docs, k)
     val pos = if (eager) Dedup.materialize(pos0) else pos0.cache()
     val keepers = pos
       .groupBy(col("gram_key"))
@@ -871,29 +882,7 @@ object Queries {
         min(col("doc_id")).as("keeper"))
       .filter(col("gram_df") >= minDf)
       .select(col("gram_key"), col("keeper"))
-    // covered positions feed the anti join AND the n_removed agg; small
-    // (dup coverage only) so the share is cheap
-    val cov0 = pos.join(keepers, "gram_key")
-      .filter(col("doc_id") > col("keeper"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))
-      .distinct()
-    val cov = if (eager) Dedup.materialize(cov0) else cov0.cache()
-    val toks = d
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("t0", "w")))
-      .select(col("doc_id"), (col("t0") + lit(1)).as("t"), col("w"))
-    val sc = toks.join(cov, Seq("doc_id", "t"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("t"), col("w")))),
-          x => x.getField("w")), " ").as("scrubbed_text"))
-    val nrem = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
-    d.select(col("doc_id"), size(col("ws")).as("n_toks"))
-      .join(nrem, Seq("doc_id"), "left")
-      .join(sc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_toks"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+    SpanStore.scrubTail(d, pos, keepers, k, eager)
   }
 
   /** Per-doc repetition statistics (the q75 surface, reusable as a library
@@ -1070,6 +1059,60 @@ object Queries {
       storeDir
     })
 
+  /** q150/q151's span store: the corpus history (doc_id % 3 != 0) as two
+    * drops — "a" (% 3 == 1) bootstraps, "b" (% 3 == 2) appends — so the
+    * served df/keeper stats exercise BOTH merge disciplines (df sums,
+    * keepers min) across drops. Serve never mutates; session-wide reuse
+    * is safe.
+    */
+  private[graft] def spanStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#spans"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-spanstore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      SpanStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      SpanStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      storeDir
+    })
+
+  /** q152's store: [[spanStoreFixture]]'s two drops plus a JUNK drop "x" —
+    * the PROBE split's own texts re-keyed to doc_id + 10^7 (disjoint ids,
+    * duplicate content: it inflates exactly the probe grams' df while its
+    * large ids steal no keepers) — then REMOVED. The serve must flag
+    * exactly what a store that never saw "x" flags: removal IS df
+    * subtraction under the sum-merge.
+    */
+  private[graft] def spanTakedownFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#spans-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-spanstore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      SpanStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      SpanStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      SpanStore.append(
+        d.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)),
+        storeDir, "x")
+      SpanStore.removeDrop(s, storeDir, "x")
+      storeDir
+    })
+
   /** The sources q141 purges from the signature store — fixed names the
     * oracle mirrors literally (TESTDATA's documents carry src0..src19).
     */
@@ -1197,6 +1240,64 @@ object Queries {
        |  THEN ${1L << j} ELSE 0 END)""".stripMargin
   }.mkString(" +\n  ")
 
+  /** q120's span-detection replay, with `outFilter` restricting which
+    * docs' SPANS are emitted — gram df always counts over the FULL table,
+    * so the filtered variants replay "from scratch on the union,
+    * restricted to the probe drop" (q150/q152's store-serve contract).
+    */
+  private def spanDetectOracle(outFilter: String): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+       |  WHERE len(string_split(text,' ')) >= 5),
+       |g0 AS (SELECT doc_id, ws, unnest(range(1, len(ws)-3)) AS pos FROM d),
+       |g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+       |    substr(md5(array_to_string(ws[pos:pos+4],' ')),1,16) AS gram_key
+       |  FROM g0),
+       |f AS (SELECT gram_key, count(DISTINCT doc_id) AS gram_df FROM g
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |h AS (SELECT g.doc_id, g.pos, f.gram_df FROM g JOIN f USING (gram_key)),
+       |m AS (SELECT doc_id, pos, gram_df,
+       |    CASE WHEN pos > coalesce(max(pos+4) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1) + 1 THEN 1 ELSE 0 END AS new_span
+       |  FROM h),
+       |s AS (SELECT doc_id, pos, gram_df,
+       |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |  FROM m)
+       |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       |  CAST(max(pos)+4 AS INT) AS span_end,
+       |  count(*) AS n_grams, CAST(max(gram_df) AS BIGINT) AS max_df,
+       |  CAST(max(pos)+4-min(pos)+1 AS INT) AS span_toks
+       |FROM s WHERE $outFilter GROUP BY doc_id, span_id""".stripMargin
+
+  /** q125's span-scrub replay, filtered like [[spanDetectOracle]] —
+    * keepers elected over the full table, output docs restricted
+    * (q151's store-serve contract).
+    */
+  private def spanScrubOracle(outFilter: String): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |de AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 5),
+       |g0 AS (SELECT doc_id, ws, unnest(range(1, len(ws)-3)) AS pos FROM de),
+       |g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+       |    substr(md5(array_to_string(ws[pos:pos+4],' ')),1,16) AS gram_key
+       |  FROM g0),
+       |k AS (SELECT gram_key, min(doc_id) AS keeper FROM g
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |r AS (SELECT g.doc_id, g.pos FROM g JOIN k USING (gram_key)
+       |  WHERE g.doc_id > k.keeper),
+       |cov AS (SELECT DISTINCT doc_id, CAST(t AS INT) AS t FROM
+       |  (SELECT doc_id, unnest(range(pos, pos+5)) AS t FROM r)),
+       |t0 AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS t FROM d),
+       |tok AS (SELECT doc_id, CAST(t AS INT) AS t, ws[t] AS w FROM t0),
+       |sc AS (SELECT doc_id,
+       |    array_to_string(list(w ORDER BY t), ' ') AS scrubbed_text
+       |  FROM tok ANTI JOIN cov USING (doc_id, t) GROUP BY doc_id),
+       |nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(d.ws) AS INT) AS n_toks,
+       |  CAST(coalesce(nrem.n_removed, 0) AS BIGINT) AS n_removed,
+       |  coalesce(sc.scrubbed_text, '') AS scrubbed_text
+       |FROM d LEFT JOIN nrem USING (doc_id) LEFT JOIN sc USING (doc_id)
+       |WHERE $outFilter""".stripMargin
+
   private val simhashExpr = simhashSql(16)
 
   private val langScoreSql = TextOps.langProfiles.map { case (lang, vocab) =>
@@ -1205,52 +1306,16 @@ object Queries {
   }
 
   def oracles: Map[String, String] = Map(
-    "q120_repeated_spans" ->
-      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
-        |  WHERE len(string_split(text,' ')) >= 5),
-        |g0 AS (SELECT doc_id, ws, unnest(range(1, len(ws)-3)) AS pos FROM d),
-        |g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
-        |    substr(md5(array_to_string(ws[pos:pos+4],' ')),1,16) AS gram_key
-        |  FROM g0),
-        |f AS (SELECT gram_key, count(DISTINCT doc_id) AS gram_df FROM g
-        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
-        |h AS (SELECT g.doc_id, g.pos, f.gram_df FROM g JOIN f USING (gram_key)),
-        |m AS (SELECT doc_id, pos, gram_df,
-        |    CASE WHEN pos > coalesce(max(pos+4) OVER (PARTITION BY doc_id
-        |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      -1) + 1 THEN 1 ELSE 0 END AS new_span
-        |  FROM h),
-        |s AS (SELECT doc_id, pos, gram_df,
-        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-        |  FROM m)
-        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
-        |  CAST(max(pos)+4 AS INT) AS span_end,
-        |  count(*) AS n_grams, CAST(max(gram_df) AS BIGINT) AS max_df,
-        |  CAST(max(pos)+4-min(pos)+1 AS INT) AS span_toks
-        |FROM s GROUP BY doc_id, span_id""".stripMargin,
-    "q125_span_scrub" ->
-      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        |de AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 5),
-        |g0 AS (SELECT doc_id, ws, unnest(range(1, len(ws)-3)) AS pos FROM de),
-        |g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
-        |    substr(md5(array_to_string(ws[pos:pos+4],' ')),1,16) AS gram_key
-        |  FROM g0),
-        |k AS (SELECT gram_key, min(doc_id) AS keeper FROM g
-        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
-        |r AS (SELECT g.doc_id, g.pos FROM g JOIN k USING (gram_key)
-        |  WHERE g.doc_id > k.keeper),
-        |cov AS (SELECT DISTINCT doc_id, CAST(t AS INT) AS t FROM
-        |  (SELECT doc_id, unnest(range(pos, pos+5)) AS t FROM r)),
-        |t0 AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS t FROM d),
-        |tok AS (SELECT doc_id, CAST(t AS INT) AS t, ws[t] AS w FROM t0),
-        |sc AS (SELECT doc_id,
-        |    array_to_string(list(w ORDER BY t), ' ') AS scrubbed_text
-        |  FROM tok ANTI JOIN cov USING (doc_id, t) GROUP BY doc_id),
-        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1)
-        |SELECT d.doc_id, CAST(len(d.ws) AS INT) AS n_toks,
-        |  CAST(coalesce(nrem.n_removed, 0) AS BIGINT) AS n_removed,
-        |  coalesce(sc.scrubbed_text, '') AS scrubbed_text
-        |FROM d LEFT JOIN nrem USING (doc_id) LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "q120_repeated_spans" -> spanDetectOracle("TRUE"),
+    // q150/q152 serve the probe split (doc_id % 3 = 0) against the
+    // persisted gram-df store; the oracle replays the UNION from scratch
+    // (df/keepers over ALL docs — store corpus ∪ probe = the full table)
+    // and restricts the OUTPUT rows to the probe. q152 shares q150's
+    // oracle because takedown must serve exactly as never-ingested.
+    "q150_span_store" -> spanDetectOracle("doc_id % 3 = 0"),
+    "q152_span_takedown" -> spanDetectOracle("doc_id % 3 = 0"),
+    "q125_span_scrub" -> spanScrubOracle("TRUE"),
+    "q151_span_store_scrub" -> spanScrubOracle("d.doc_id % 3 = 0"),
     "q123_quality_gate" ->
       """WITH d AS (SELECT doc_id, lang,
         |    (CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000)

@@ -549,6 +549,37 @@ class CliSpec extends AnyFunSuite {
     r.cached.foreach(_.unpersist())
   }
 
+  test("Corpus CLI: --span-store detects each drop's repeated spans vs history and grows the gram-df ledger") {
+    import spark.implicits._
+    import graft.text.SpanStore
+    val dir = Files.createTempDirectory("corpus-spans")
+    val boiler = (1 to 10).map(i => s"s$i").mkString(" ")
+    def run(in: String, out: String): Unit = {
+      docsOf(in match {
+        case "drop1" => (1L, boiler + " first unique tail")
+        case _       => (10L, "lead tokens " + boiler + " trailing bits")
+      }).write.parquet(s"$dir/$in")
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/$in", "-O", s"$dir/$out", "--span-store", s"$dir/store"))
+    }
+    run("drop1", "out1") // bootstrap: no _spans yet (nothing to compare)
+    assert(!new java.io.File(s"$dir/out1/_spans").exists())
+    assert(SpanStore.drops(spark, s"$dir/store").size === 1)
+    run("drop2", "out2") // drop 2's boilerplate is flagged vs drop 1
+    val spans = spark.read.parquet(s"$dir/out2/_spans")
+      .as[(Long, Int, Int, Long, Long, Int)].collect()
+    assert(spans.length === 1 && spans.head._1 === 10L &&
+      spans.head._5 === 2L, s"got ${spans.toSeq}")
+    assert(SpanStore.drops(spark, s"$dir/store").size === 2)
+    // standalone takedown removes drop 2's partials again
+    val d2 = SpanStore.drops(spark, s"$dir/store")
+      .find(_ != novDropId(s"$dir/drop1")).get
+    graft.cli.Corpus.run(spark, Array("--span-store", s"$dir/store",
+      "--span-remove-drop", d2))
+    assert(SpanStore.drops(spark, s"$dir/store") ===
+      Set(novDropId(s"$dir/drop1")))
+  }
+
   test("Corpus CLI: one-ticket takedown converges across all stores; --ledger-report names the divergence") {
     import spark.implicits._
     import graft.text.{GramStore, Lm, LmStore, Store}
@@ -560,6 +591,8 @@ class CliSpec extends AnyFunSuite {
     ProfileStore.build(d1, Seq("text"), s"$dir/prof", "d1")
     ProfileStore.append(d2, Seq("text"), s"$dir/prof", "d2")
     GramStore.build(d1, s"$dir/nov", "d1"); GramStore.append(d2, s"$dir/nov", "d2")
+    graft.text.SpanStore.build(d1, s"$dir/spans", "d1")
+    graft.text.SpanStore.append(d2, s"$dir/spans", "d2")
     Store.build(d1.unionByName(d2), s"$dir/sig")
     def capture(args: String*): String = {
       val buf = new java.io.ByteArrayOutputStream()
@@ -569,7 +602,8 @@ class CliSpec extends AnyFunSuite {
       buf.toString("UTF-8")
     }
     val stores = Seq("--lm-store", s"$dir/lm", "--profile-store", s"$dir/prof",
-      "--novelty-store", s"$dir/nov", "--dedup-store", s"$dir/sig")
+      "--novelty-store", s"$dir/nov", "--span-store", s"$dir/spans",
+      "--dedup-store", s"$dir/sig")
     // simulate a crash mid-sequence: drop d2 already removed from the LM
     // store, still live everywhere else
     LmStore.removeDrop(spark, s"$dir/lm", "d2")
@@ -587,12 +621,14 @@ class CliSpec extends AnyFunSuite {
     assert(td.contains("already absent from --lm-store") &&
       td.contains("skipped"), td)
     assert(td.contains("removed drop 'd2' from --profile-store") &&
-      td.contains("removed drop 'd2' from --novelty-store"), td)
+      td.contains("removed drop 'd2' from --novelty-store") &&
+      td.contains("removed drop 'd2' from --span-store"), td)
     assert(td.contains("ledger: consistent"), td)
     // post-takedown serve ≡ never-ingested, through the unified path
     assert(LmStore.drops(spark, s"$dir/lm") === Set("d1"))
     assert(ProfileStore.drops(spark, s"$dir/prof") === Set("d1"))
     assert(GramStore.drops(spark, s"$dir/nov") === Set("d1"))
+    assert(graft.text.SpanStore.drops(spark, s"$dir/spans") === Set("d1"))
     val served = LmStore.serveModel(spark, s"$dir/lm")
       .c1.as[(String, Long)].collect().toSet
     assert(served === Lm.train(d1).c1.as[(String, Long)].collect().toSet)
