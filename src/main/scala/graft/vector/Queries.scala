@@ -287,8 +287,10 @@ object Queries {
     * candidate volume grows ≤ probes² per cell.
     */
   def semanticDedup(s: SparkSession, e: DataFrame, k: Int,
-                    probes: Int = 1): DataFrame = {
+                    probes: Int = 1, tauTenths: Int = 5): DataFrame = {
     require(probes >= 1 && probes <= k, s"need 1 <= probes <= k, got $probes")
+    require(tauTenths >= 1 && tauTenths <= 9,
+      s"need 1 <= tauTenths <= 9, got $tauTenths")
     val model = Ann.trainCentroidsFrom(s, e, k, iters = 1)
     // the ranked assignment feeds THREE branches (both pair-join sides +
     // the output keep/drop table) and each re-execution re-pays the
@@ -298,11 +300,16 @@ object Queries {
       .rankCells(e, Ann.centroidsDF(s, model))
       .filter(col("rn") <= probes)
       .select(col("vec_id"), col("q"), col("n2"), col("cid"), col("rn")))
+    // cos ≥ t/10 on integers: (10·dot)² ≥ t²·na·nb with dot > 0 — exact,
+    // and at the default t=5 identical decisions to the historical
+    // 4·dot² ≥ na·nb rule (q121/q128's oracle replays it). Headroom: for
+    // scale-1e4 unit vectors dot ≤ ~1e8, so 100·dot² ≤ 1e18 < Long.Max.
+    val tSq = tauTenths.toLong * tauTenths
     val drops = withSim(
       ranked.as("a").join(ranked.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id")))
       .filter(col("dot_q") > 0 &&
-        lit(4) * col("dot_q") * col("dot_q") >= col("na") * col("nb"))
+        lit(100L) * col("dot_q") * col("dot_q") >= lit(tSq) * col("na") * col("nb"))
       .select(col("b_id").as("vec_id")).distinct()
     ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
       .join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
@@ -315,11 +322,20 @@ object Queries {
     * so the per-cell quadratic pair leg stops degrading with n (measured:
     * fixed k=8 at sf1 is 5.2× slower than k=32 — the COVERAGE.md SemBench
     * frontier this overload encodes). Pays one count job to derive k.
+    *
+    * probes defaults to 2 here (unlike the raw-k [[semanticDedup]], whose
+    * q121-pinned default stays 1): many-small-cells is exactly the regime
+    * where near-dup pairs straddle cell boundaries, and the measured
+    * τ=0.9 frontier (SemBench planted twins, COVERAGE.md) shows probes=2
+    * closing auto-k's recall penalty completely — 100/100 vs 83-86/100
+    * at probes=1 — for ~zero marginal cost at bounded cell size.
     */
   def semanticDedupByCellSize(s: SparkSession, e: DataFrame,
                               targetCellSize: Int = 64,
-                              probes: Int = 1): DataFrame =
-    semanticDedup(s, e, ClusterStore.autoK(e.count(), targetCellSize), probes)
+                              probes: Int = 2,
+                              tauTenths: Int = 5): DataFrame =
+    semanticDedup(s, e, ClusterStore.autoK(e.count(), targetCellSize),
+      probes, tauTenths)
 
   /** q129's cluster store, built ONCE per (session, sf-dir) from the
     * corpus split (vec_id % 3 != 0) with auto-sized k and reused by every

@@ -104,9 +104,12 @@ class ClusterStoreSpec extends AnyFunSuite {
     val e = Queries.prepared(spark, "/root/testdata/sf0.001")
     val n = e.count()
     val k = ClusterStore.autoK(n, 64)
+    // by-cell-size defaults to probes=2 (the measured τ=0.9 frontier's
+    // recall-closing knob); parity holds against the raw-k call at the
+    // same probes
     val auto = Queries.semanticDedupByCellSize(spark, e, 64)
       .as[(Long, Long, Int)].collect().toSet
-    val fixed = Queries.semanticDedup(spark, e, k)
+    val fixed = Queries.semanticDedup(spark, e, k, probes = 2)
       .as[(Long, Long, Int)].collect().toSet
     assert(auto === fixed)
   }
