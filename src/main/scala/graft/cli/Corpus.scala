@@ -115,6 +115,15 @@ import graft.text.{Dedup, Store, TextOps}
   *     [--span-remove-drop id]            standalone: remove one drop's
   *                                        gram-df partials (exact takedown
   *                                        by df subtraction + keeper re-min)
+  *     [--scrub-spans]                    REWRITE text: delete every
+  *                                        repeated-k-gram occurrence outside
+  *                                        its keeper doc (q125); with an
+  *                                        existing --span-store, keepers/df
+  *                                        come from the store ∪ this drop
+  *                                        (q151) — the history is never
+  *                                        re-tokenized. Runs before token
+  *                                        counting; stores/reports see the
+  *                                        scrubbed text
   *
   * Standalone compliance surface (no -I/-O):
   *     [--takedown ticket.parquet]        apply ONE removal ticket to EVERY
@@ -180,7 +189,8 @@ object Corpus {
       takedown: Option[String] = None,
       ledgerReport: Boolean = false,
       spanStore: Option[String] = None,
-      spanRemoveDrop: Option[String] = None)
+      spanRemoveDrop: Option[String] = None,
+      scrubSpans: Boolean = false)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -229,6 +239,8 @@ object Corpus {
       parse(rest, acc.copy(ledgerReport = true))
     case "--span-store" :: v :: rest =>
       parse(rest, acc.copy(spanStore = Some(v)))
+    case "--scrub-spans" :: rest =>
+      parse(rest, acc.copy(scrubSpans = true))
     case "--span-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
@@ -413,6 +425,29 @@ object Corpus {
       corpus = corpus.drop("text")
         .join(cleaned, Seq("doc_id"))
         .withColumnRenamed("clean_text", "text")
+    }
+    // span-level scrub (q125/q151's operator turned into the pipeline's
+    // text REWRITE): every repeated-k-gram occurrence outside its keeper
+    // doc is deleted token-wise. With an existing --span-store the
+    // keepers/df come from the store ∪ this drop (history never
+    // re-tokenized); without one (or on the bootstrap run) it is the
+    // intra-drop q125 scrub. Runs BEFORE token counting for the same
+    // reason boilerplate removal does: a doc that is mostly pasted spans
+    // must fail --min-tokens on its REMAINING content. Downstream
+    // consequence, intentional: dedup signatures, the _spans report, and
+    // every store append see the SCRUBBED text — the stores record what
+    // was kept, exactly like --dedup-store appending survivors only.
+    if (a.scrubSpans) {
+      corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += corpus
+      val scrubbed = a.spanStore
+        .filter(sd => graft.text.SpanStore.exists(spark, sd)) match {
+        case Some(sd) => graft.text.SpanStore.scrubVsDrop(corpus, sd)
+        case None     => graft.text.Queries.scrubRepeatedSpans(corpus)
+      }
+      corpus = corpus.drop("text")
+        .join(scrubbed.select(col("doc_id"),
+          col("scrubbed_text").as("text")), Seq("doc_id"))
     }
     // token denomination: whitespace words by default; with --bpe-merges,
     // the SAME __n_tokens column carries BPE token counts, so the quality
@@ -813,7 +848,7 @@ object Corpus {
         "[--compact-store n] [--manifest] [--novelty-store dir] " +
         "[--takedown ticket.parquet] [--ledger-report] " +
         "[--cluster-store dir] [--ann-index dir] " +
-        "[--span-store dir] [--span-remove-drop id] " +
+        "[--span-store dir] [--span-remove-drop id] [--scrub-spans] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)

@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   * schema, partition-parallel batch shape, stride sampling ("frame
   * sampling"), digesting — is the same scale-true path: map-only, no
   * shuffle, no driver involvement, output size independent of payload
-  * size.
+  * size. The PRODUCTION path for those codecs is
+  * [[graft.operators.Pipe.pipeBinaryLongs]]: payloads stream base64-framed
+  * through an external `ffmpeg`/`sox`-style decoder, one process per
+  * partition — MultimodalSpec drives that recipe end-to-end with a
+  * stand-in shell decoder, so swapping in the real binary is a one-line
+  * `cmd` change with the plumbing already proven.
   */
 object Binary {
 

@@ -185,6 +185,88 @@ object Graph {
     * needed. Overflow bound: sum(contrib) ≤ 10^6 · n_nodes, so 85·sum stays
     * inside a long up to ~10^11 nodes.
     */
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris–Lattanzi–Mirrokni–Rastogi–Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): converges
+    * in O(log n) ROUNDS where min-label propagation needs one round per
+    * hop of propagation distance — the deep-chain-safe variant
+    * `text.Dedup.nearDupClusters`' scaladoc points long-chain corpora
+    * at. Per round both operators are one groupBy(min) + one equi join
+    * over the edge list, so a 100 TB dup graph pays ~log₂(n) shuffles
+    * total instead of diameter-many.
+    *
+    * Large-star hangs every neighbor LARGER than u off the minimum m of
+    * u's closed neighborhood; small-star re-hangs the rest ({v ∈ N(u):
+    * v < u} ∪ {u}) off m. Both preserve connectivity (applied to all
+    * nodes simultaneously — the paper's Lemmas 1-2), never raise any
+    * node's reachable minimum, and their alternation contracts every
+    * component into a star rooted at its minimum id.
+    *
+    * Convergence is detected EXACTLY, not by hashing: the (leaf →
+    * center) edge set is a disjoint union of stars iff (1) no leaf is
+    * also a center (one semi join) and (2) every leaf hangs off exactly
+    * ONE center (one agg — without it, {(3,1),(3,2)} would pass test 1
+    * while 1 and 2 are still unmerged). Since both operators preserve
+    * connectivity, stars ⇒ one star per component ⇒ fixed point.
+    * `maxRounds` (default 40 ≈ log₂ of anything physical) is a LOUD
+    * ceiling, never a truncation.
+    *
+    * Input: (u, v) pairs in any orientation (self-loops dropped).
+    * Output: (node, component = min node id in its component) for every
+    * endpoint — the same contract as nearDupClusters, so the two are
+    * interchangeable and cross-gated (q153 shares q48's fixed-point
+    * oracle; PropertySpec pins equality against union-find on random
+    * graphs).
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
+    // oriented leaf→center state: (a, b) with a > b invariant after the
+    // first large-star; neighborhoods are computed on the symmetrized view
+    var edges = materialize(
+      pairs.select(col("u"), col("v")).filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("a"),
+          least(col("u"), col("v")).as("b"))
+        .distinct())
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("x"), col("b").as("y"))
+        .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+    // m(u) = min of the closed neighborhood, joined back onto adjacency
+    def withMin(adj: DataFrame): DataFrame =
+      adj.join(
+        adj.groupBy(col("x")).agg(min(col("y")).as("mn"))
+          .select(col("x"), least(col("mn"), col("x")).as("m")),
+        "x")
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      if (rounds > maxRounds) throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds — " +
+          "alternating star contraction halves component depth per round, " +
+          "so this input is beyond any physical graph; raise maxRounds")
+      val large = withMin(sym(edges))
+        .filter(col("y") > col("x"))
+        .select(col("y").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val ls = materialize(large)
+      val wm = withMin(sym(ls))
+      val small = wm.filter(col("y") < col("x") && col("y") =!= col("m"))
+        .select(col("y").as("a"), col("m").as("b"))
+        .unionAll(wm.select(col("x").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+      edges = materialize(small)
+      // exact star test: no leaf is also a center, and no leaf has two
+      // centers (both scans run over the just-materialized frame)
+      converged = edges.join(
+          edges.select(col("b").as("a")).distinct(), Seq("a"), "left_semi")
+          .isEmpty &&
+        edges.groupBy(col("a")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).isEmpty
+    }
+    edges.select(col("a").as("node"), col("b").as("component"))
+      .unionByName(
+        edges.select(col("b").as("node"), col("b").as("component")).distinct())
+  }
+
   def pageRankInt(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val sym = materialize(

@@ -26,7 +26,6 @@ object Pipe {
     */
   def pipeLongs(df: DataFrame, cols: Seq[String], cmd: Seq[String],
                 outCols: Seq[String])(implicit s: SparkSession): DataFrame = {
-    import s.implicits._
     // null guard in the same pass: concat_ws SKIPS nulls, which would
     // silently shift the tab-separated fields the subprocess sees (column
     // c read in column b's slot) — a misaligned pipe must be a task
@@ -35,8 +34,43 @@ object Pipe {
       when(col(c).isNull,
         raise_error(lit(s"pipeLongs: column $c is null — piped fields would shift")))
         .otherwise(col(c)))
-    val lines = df.select(concat_ws("\t", checked: _*)).as[String]
-    val piped = lines.rdd.pipe(cmd).map { line =>
+    pipeParse(df.select(concat_ws("\t", checked: _*)), cmd, outCols)
+  }
+
+  /** Pipe (id, binary) rows through an external decoder as
+    * "id \t base64(payload)" lines, parsing stdout lines as tab-separated
+    * longs — THE production recipe for the compressed multimodal codecs
+    * (MP3, video frame-sampling) the JVM can't decode natively
+    * (`multimodal.Binary`'s documented stubs): `cmd` wraps the real tool —
+    * `ffmpeg -i pipe:`, `sox -t mp3 -`, a frame-sampler — reading base64
+    * payloads from stdin and emitting one feature line per input row.
+    * Base64 is the framing, not a format opinion: it keeps arbitrary
+    * bytes inside the line protocol `rdd.pipe` speaks, with the id riding
+    * alongside so the subprocess's output joins back without ordering
+    * assumptions. Partition-parallel, one process per partition,
+    * streaming both directions, no driver involvement; a decoder crash
+    * is a task failure, never a silently-skipped row. MultimodalSpec
+    * drives the full path with a stand-in shell decoder; swap in the
+    * codec binary and the plumbing is unchanged.
+    */
+  def pipeBinaryLongs(df: DataFrame, idCol: String, binCol: String,
+                      cmd: Seq[String], outCols: Seq[String])
+                     (implicit s: SparkSession): DataFrame = {
+    val id = when(col(idCol).isNull,
+      raise_error(lit(s"pipeBinaryLongs: $idCol is null"))).otherwise(col(idCol))
+    val payload = when(col(binCol).isNull,
+      raise_error(lit(s"pipeBinaryLongs: $binCol is null — decode a null " +
+        "payload explicitly upstream"))).otherwise(col(binCol))
+    // Spark's base64 is RFC 4648 without line breaks — one row, one line
+    pipeParse(df.select(concat_ws("\t", id.cast("string"), base64(payload))),
+      cmd, outCols)
+  }
+
+  private def pipeParse(lines: DataFrame, cmd: Seq[String],
+                        outCols: Seq[String])
+                       (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    val piped = lines.as[String].rdd.pipe(cmd).map { line =>
       line.split("\t", -1).map(_.toLong).toSeq
     }
     val out = piped.map(xs => org.apache.spark.sql.Row.fromSeq(xs))

@@ -114,6 +114,18 @@ object Queries {
       Dedup.nearDupClusters(
         Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism))),
 
+    // The SAME components via alternating large-star/small-star
+    // contraction (O(log n) rounds vs label propagation's O(distance)) —
+    // cross-gated against q48's fixed-point oracle, so the two
+    // interchangeable implementations can never drift apart.
+    "q153_cc_stars" -> ((s, dir) => {
+      val pairs = Dedup.nearDupPairs(
+          Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism))
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      graft.operators.Graph.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    }),
+
     // SimHash near-dup pairs: 56-bit signatures, candidates generated by
     // exact-match on one of 4 14-bit bands (pigeonhole: hamming ≤ 3 can
     // touch at most 3 of the 4 bands, so ≥1 band is identical — zero false
@@ -1812,6 +1824,9 @@ object Queries {
 
   private def survivorOracle: Map[String, String] = Map(
     "q48_neardup_clusters" -> clustersOracle,
+    // q153 computes the identical per-component-min fixed point by a
+    // different algorithm; one oracle gates both
+    "q153_cc_stars" -> clustersOracle,
     "q26_neardup_keep" ->
       s"""WITH $pairsCtes,
          |losers AS (SELECT DISTINCT doc_b AS doc_id

@@ -580,6 +580,39 @@ class CliSpec extends AnyFunSuite {
       Set(novDropId(s"$dir/drop1")))
   }
 
+  test("Corpus CLI: --scrub-spans rewrites text; with a span store the history owns the keepers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-scrubspans")
+    val boiler = (1 to 10).map(i => s"p$i").mkString(" ")
+    docsOf((1L, boiler + " first unique tail here")).write.parquet(s"$dir/drop1")
+    docsOf((10L, "intro " + boiler + " aa bb cc dd ee")).write.parquet(s"$dir/drop2")
+    // run 1 bootstraps the store; its lone doc has no df>=2 grams, so
+    // --scrub-spans leaves it untouched
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop1", "-O", s"$dir/out1",
+      "--span-store", s"$dir/store", "--scrub-spans"))
+    val t1 = spark.read.parquet(s"$dir/out1")
+      .select("text").as[String].head()
+    assert(t1 === boiler + " first unique tail here")
+    // run 2: the store's history owns the boilerplate (doc 1 < doc 10),
+    // so drop 2's copy is scrubbed token-wise from the WRITTEN output
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/out2",
+      "--span-store", s"$dir/store", "--scrub-spans"))
+    val t2 = spark.read.parquet(s"$dir/out2")
+      .select("text").as[String].head()
+    assert(t2 === "intro aa bb cc dd ee", s"got '$t2'")
+    // the appended drop-2 partials reflect the SCRUBBED text: the store
+    // grows by exactly the 2 grams of what was KEPT ("intro aa bb cc dd
+    // ee"), never by the boilerplate the scrub deleted
+    assert(graft.text.SpanStore.drops(spark, s"$dir/store").size === 2)
+    val served = graft.text.SpanStore
+      .serveStats(spark, s"$dir/store").count()
+    val fresh = graft.text.SpanStore
+      .partials(docsOf((1L, boiler + " first unique tail here")), "x").count()
+    assert(served === fresh + 2)
+  }
+
   test("Corpus CLI: one-ticket takedown converges across all stores; --ledger-report names the divergence") {
     import spark.implicits._
     import graft.text.{GramStore, Lm, LmStore, Store}

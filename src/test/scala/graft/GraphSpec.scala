@@ -91,4 +91,39 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L))
   }
+
+  test("connectedComponents: paths, multiple components, self-loops, reversed orientation") {
+    // a 9-node path (deep for its size), a triangle, a lone pair, a
+    // self-loop (dropped), and edges in both orientations
+    val e = edges(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L), (6L, 7L),
+      (8L, 7L), (9L, 8L),                     // path 1..9
+      (20L, 21L), (21L, 22L), (22L, 20L),     // triangle
+      (31L, 30L),                             // pair
+      (40L, 40L))                             // self-loop only → no rows
+    val got = Graph.connectedComponents(e).as[(Long, Long)].collect().toSet
+    val expected =
+      (1L to 9L).map(n => (n, 1L)).toSet ++
+        Seq(20L, 21L, 22L).map(n => (n, 20L)) ++
+        Seq((30L, 30L), (31L, 30L))
+    assert(got === expected)
+  }
+
+  test("connectedComponents == nearDupClusters on the same planted long chain") {
+    // the same sliding-window construction TextSpec plants for the label
+    // propagation convergence test: both implementations must produce the
+    // identical per-component-min fixed point
+    val words = (0 until 100).map(i => s"w$i")
+    val docs = (0 until 30).map { i =>
+      (i + 1L, words.slice(2 * i, 2 * i + 40).mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaStars = Graph.connectedComponents(
+      graft.text.Dedup.nearDupPairs(docs)
+        .select($"doc_a".as("u"), $"doc_b".as("v")))
+      .as[(Long, Long)].collect().toSet
+    val viaLabels = graft.text.Dedup.nearDupClusters(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(viaStars === viaLabels)
+    assert(viaStars === (1L to 30L).map(i => (i, 1L)).toSet)
+  }
 }

@@ -159,4 +159,38 @@ class MultimodalSpec extends AnyFunSuite {
     md.reset()
     assert(feat.strided_md5 === hex(md.digest("hlowrd".getBytes("UTF-8"))))
   }
+
+  test("Pipe.pipeBinaryLongs: the external-decoder production recipe, end-to-end") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // stand-in for an ffmpeg/sox-style decoder: reads "id \t base64"
+    // lines, emits "id \t n_bytes \t first_byte" — the exact contract a
+    // real codec wrapper fills (decode, extract, one line per row).
+    // POSIX sh + coreutils only, like a production wrapper script.
+    val script = java.nio.file.Files.createTempFile("graft-decoder", ".sh")
+    java.nio.file.Files.writeString(script,
+      """#!/bin/sh
+        |tab="$(printf '\t')"
+        |while IFS="$tab" read -r id b64; do
+        |  bytes="$(printf '%s' "$b64" | base64 -d | od -An -v -tu1 | tr -s ' ' '\n' | sed '/^$/d')"
+        |  n="$(printf '%s\n' "$bytes" | sed '/^$/d' | wc -l)"
+        |  first="$(printf '%s\n' "$bytes" | sed -n '1p')"
+        |  printf '%s\t%s\t%s\n' "$id" "$n" "${first:-0}"
+        |done
+        |""".stripMargin)
+    script.toFile.setExecutable(true)
+    val media = Seq(
+      (1L, Array[Byte](7, 0, -1, 42)),          // arbitrary binary incl. 0x00/0xff
+      (2L, "mp3-payload-stand-in".getBytes("UTF-8")),
+      (3L, Array[Byte](-128)))
+      .toDF("doc_id", "payload")
+    val got = graft.operators.Pipe.pipeBinaryLongs(
+        media, "doc_id", "payload", Seq(script.toString),
+        Seq("doc_id", "n_bytes", "first_byte"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((4L, 7L)),
+      2L -> ((20L, "m".head.toLong)),
+      3L -> ((1L, 128L))), s"got $got")
+  }
 }

@@ -197,6 +197,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: large/small-star components == union-find on random graphs") {
+    def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min of component: find() already roots at the
+      // min because unions always point the larger root at the smaller
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val edgesGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
+    check("cc-stars", Prop.forAll(edgesGen) { raw =>
+      val edges = raw.filter(e => e._1 != e._2)
+      edges.isEmpty || {
+        val got = graft.operators.Graph
+          .connectedComponents(edges.toDF("u", "v"))
+          .as[(Long, Long)].collect().toMap
+        got == unionFind(edges)
+      }
+    })
+  }
+
   test("property: near-dup clustering is invariant under input partitioning") {
     // three template families + two singletons; the converged fixed point
     // (per-component min id) must not depend on how the input is split
