@@ -211,6 +211,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           eager = false)
         .queryExecution.logical
     }
+    tvf("graft_span_detect_store") { args =>
+      require(args.size == 2,
+        "usage: graft_span_detect_store(<store dir>, <candidate table>)")
+      // eager=false: no checkpoint job at analysis (the k-probe that
+      // validates the store's gram width is a tiny column-pruned scan)
+      graft.text.SpanStore.detectVsDrop(
+          SparkSession.active.table(
+            strArg("graft_span_detect_store", args(1), "candidate table")),
+          strArg("graft_span_detect_store", args.head, "store dir"),
+          eager = false)
+        .queryExecution.logical
+    }
+    tvf("graft_span_scrub_store") { args =>
+      require(args.size == 2,
+        "usage: graft_span_scrub_store(<store dir>, <candidate table>)")
+      graft.text.SpanStore.scrubVsDrop(
+          SparkSession.active.table(
+            strArg("graft_span_scrub_store", args(1), "candidate table")),
+          strArg("graft_span_scrub_store", args.head, "store dir"),
+          eager = false)
+        .queryExecution.logical
+    }
     tvf("graft_manifest") { args =>
       require(args.size == 4, "usage: graft_manifest(<table>, <keyCol>, " +
         "'<comma-separated cols>', <shards>)")

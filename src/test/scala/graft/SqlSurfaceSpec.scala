@@ -161,6 +161,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(viaSql).exists(r => r.head == 1L && r(2) == 0L))
   }
 
+  test("graft_span_detect_store / graft_span_scrub_store serve the span store from SQL") {
+    docsView
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlspans")
+    // seed id 0 < every sql_docs id: history owns the keepers
+    graft.text.SpanStore.build(
+      Seq((0L, (1 to 30).map(i => s"a$i").mkString(" ")))
+        .toDF("doc_id", "text"), s"$dir/spans", "d0")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_span_detect_store('$dir/spans', 'sql_docs')")
+    val direct = graft.text.SpanStore.detectVsDrop(
+      spark.table("sql_docs"), s"$dir/spans")
+    assert(rows(viaSql) === rows(direct))
+    // doc 1 repeats the stored doc verbatim: one full-width span via SQL
+    assert(rows(viaSql).exists(r => r.head == 1L && r(1) == 1))
+    val scrubSql = spark.sql(
+      s"SELECT * FROM graft_span_scrub_store('$dir/spans', 'sql_docs')")
+    val scrubDirect = graft.text.SpanStore.scrubVsDrop(
+      spark.table("sql_docs"), s"$dir/spans")
+    assert(rows(scrubSql) === rows(scrubDirect))
+    // the verbatim repeat scrubs to empty; the unrelated doc is untouched
+    assert(rows(scrubSql).exists(r => r.head == 1L && r(3) == ""))
+    assert(rows(scrubSql).exists(r => r.head == 4L && r(2) == 0L))
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(

@@ -383,6 +383,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("span-store ingest: foreachBatch scrubs each batch vs history, appends kept grams") {
+    // The streaming half of q151: each micro-batch's text is scrubbed
+    // against the store ∪ itself, the KEPT text's gram-df partials join
+    // the store — batch N+1's keepers include what batch N kept (and
+    // nothing batch N scrubbed away, the --scrub-spans store contract).
+    import graft.text.SpanStore
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-spanstore").toString
+    val boiler = (1 to 10).map(i => s"s$i").mkString(" ")
+    SpanStore.build(Seq((1L, boiler + " unique history tail"))
+      .toDF("doc_id", "text"), dir, "seed")
+    val out = scala.collection.mutable.Map.empty[Long, String]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val dropId = f"batch-$epoch%06d"
+        val scrubbed = SpanStore.scrubVsDrop(batch, dir)
+          .select(col("doc_id"), col("scrubbed_text"))
+        out ++= scrubbed.as[(Long, String)].collect()
+        val kept = scrubbed.withColumnRenamed("scrubbed_text", "text")
+        if (!SpanStore.drops(spark, dir).contains(dropId))
+          SpanStore.appendStaged(kept, dir, dropId)()
+        ()
+      }
+      .start()
+    try {
+      mem.addData((10L, "lead " + boiler + " aa bb cc dd ee"))
+      q.processAllAvailable() // seed owns the boilerplate: scrubbed out
+      assert(out(10L) === "lead aa bb cc dd ee")
+      mem.addData((20L, "aa bb cc dd ee trailing"))
+      q.processAllAvailable() // batch-1's KEPT tail owns "aa bb cc dd ee"
+      assert(out(20L) === "trailing")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
