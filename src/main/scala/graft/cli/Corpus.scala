@@ -115,6 +115,13 @@ import graft.text.{Dedup, Store, TextOps}
   *     [--span-remove-drop id]            standalone: remove one drop's
   *                                        gram-df partials (exact takedown
   *                                        by df subtraction + keeper re-min)
+  *     [--manifest-store dir]             file the written corpus's manifest
+  *                                        partials under the --drop-id
+  *                                        discipline: the whole-history
+  *                                        certificate serves from the store
+  *                                        (no output rescan), and replicas
+  *                                        localize divergence to the DROP
+  *                                        via ManifestStore.compare
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -190,7 +197,8 @@ object Corpus {
       ledgerReport: Boolean = false,
       spanStore: Option[String] = None,
       spanRemoveDrop: Option[String] = None,
-      scrubSpans: Boolean = false)
+      scrubSpans: Boolean = false,
+      manifestStore: Option[String] = None)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -241,6 +249,8 @@ object Corpus {
       parse(rest, acc.copy(spanStore = Some(v)))
     case "--scrub-spans" :: rest =>
       parse(rest, acc.copy(scrubSpans = true))
+    case "--manifest-store" :: v :: rest =>
+      parse(rest, acc.copy(manifestStore = Some(v)))
     case "--span-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
@@ -337,7 +347,11 @@ object Corpus {
       a.spanStore.map(sd => ("--span-store", sd,
         (s: SparkSession, d: String) => graft.text.SpanStore.drops(s, d),
         (s: SparkSession, d: String, id: String) =>
-          graft.text.SpanStore.removeDrop(s, d, id)))
+          graft.text.SpanStore.removeDrop(s, d, id))),
+      a.manifestStore.map(sd => ("--manifest-store", sd,
+        (s: SparkSession, d: String) => graft.operators.ManifestStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.operators.ManifestStore.removeDrop(s, d, id)))
     ).flatten
 
   private def defaultDropId(input: String): String = {
@@ -849,6 +863,7 @@ object Corpus {
         "[--takedown ticket.parquet] [--ledger-report] " +
         "[--cluster-store dir] [--ann-index dir] " +
         "[--span-store dir] [--span-remove-drop id] [--scrub-spans] " +
+        "[--manifest-store dir] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)
@@ -916,6 +931,25 @@ object Corpus {
         val cols = r.train.schema.fieldNames.toSeq.filter(_ != "doc_id")
         graft.operators.Audit.manifest(r.train, "doc_id", cols, shards = a.shards)
           .repartition(1).write.mode("overwrite").parquet(s"${a.out}/_manifest")
+      }
+      // manifest STORE: the written corpus's certificate partials filed
+      // under the drop-id discipline — the growing-corpus answer to
+      // --manifest (which certifies one run): the whole-history manifest
+      // serves from ManifestStore.serve without rescanning any output,
+      // and two replicas localize a divergence to the drop via compare().
+      // A schema change between runs fails the append loudly (spec
+      // mismatch) rather than merging incomparable fingerprints.
+      a.manifestStore.foreach { md =>
+        import graft.operators.ManifestStore
+        val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
+        val cols = r.train.schema.fieldNames.toSeq.filter(_ != "doc_id")
+        if (!ManifestStore.exists(spark, md))
+          ManifestStore.buildStaged(r.train, md, dropId, "doc_id", cols,
+            a.shards)()
+        else if (!ManifestStore.drops(spark, md).contains(dropId))
+          ManifestStore.appendStaged(r.train, md, dropId, "doc_id", cols,
+            a.shards)()
+        else warnSkippedDrop("--manifest-store", dropId, md)
       }
       // _novelty: per-doc first-occurrence novelty of THIS drop against
       // the gram store's history ∪ the drop (read-only scoring, written

@@ -893,6 +893,22 @@ object Queries {
       graft.operators.Audit.manifest(Tables(s, dir).documents,
         key = "doc_id", cols = Seq("text", "lang", "source", "n_chars"))),
 
+    // Store-SERVED manifest: the q146 certificate merged from per-drop
+    // partials (three drops by doc_id % 3) — count/mod-sum add, xor of
+    // per-drop xors IS the union xor, so the serve must hash-match q146's
+    // from-scratch single pass exactly. The growing-corpus certificate:
+    // the daily cost is the new drop's scan, never a corpus rescan.
+    "q154_manifest_store" -> ((s, dir) =>
+      graft.operators.ManifestStore.serve(s, manifestStoreFixture(s, dir))),
+
+    // Manifest-store takedown: drop "c" (doc_id % 3 == 0) removed after
+    // ingest — the re-merge must equal the manifest of a corpus that
+    // never contained it (xor is self-inverse; sums subtract by
+    // omission).
+    "q155_manifest_takedown" -> ((s, dir) =>
+      graft.operators.ManifestStore.serve(s,
+        manifestTakedownFixture(s, dir))),
+
     // EXACT heavy hitters with BOUNDED state (Misra-Gries candidates +
     // exact recount): every token with count·29 ≥ n over the corpus
     // token stream — the hot-key census that sizes q55/q60's salts.
@@ -1369,20 +1385,12 @@ object Queries {
          |  n_distinct_lo - lag(n_distinct_lo) OVER w AS d_distinct_lo
          |FROM d WINDOW w AS (PARTITION BY column_name ORDER BY drop_id)""".stripMargin
     },
-    "q146_manifest" ->
-      """WITH r AS (SELECT
-        |  CAST(('0x'||substr(md5('manifest:'||CAST(doc_id AS VARCHAR)),1,7))::BIGINT
-        |    % 8 AS INT) AS shard,
-        |  ('0x'||substr(md5(concat_ws(chr(1),
-        |    coalesce(CAST(doc_id AS VARCHAR), chr(2)),
-        |    coalesce(text, chr(2)),
-        |    coalesce(lang, chr(2)),
-        |    coalesce(source, chr(2)),
-        |    coalesce(CAST(n_chars AS VARCHAR), chr(2)))),1,15))::BIGINT AS fp
-        |  FROM documents)
-        |SELECT shard, count(*) AS n_rows, bit_xor(fp) AS xor_fp,
-        |  CAST(sum(fp % 1000003) AS BIGINT) AS sum_fp
-        |FROM r GROUP BY shard""".stripMargin,
+    "q146_manifest" -> manifestOracle("TRUE"),
+    // q154 serves the SAME manifest from per-drop partials (the three
+    // drops cover the whole table); q155 removed drop c (% 3 = 0), so
+    // its exact oracle is the replay over the remaining rows
+    "q154_manifest_store" -> manifestOracle("TRUE"),
+    "q155_manifest_takedown" -> manifestOracle("doc_id % 3 <> 0"),
     "q143_heavy_hitters" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS token
         |  FROM documents WHERE text IS NOT NULL)
@@ -1682,6 +1690,78 @@ object Queries {
       profileStoreBuild(s, dir, storeDir)
       storeDir
     })
+
+  /** q154/q155's manifest store: the documents table as three drops by
+    * doc_id % 3 (build + two atomic appends, q146's key/columns/shards);
+    * the takedown variant then removes drop "c" (% 3 == 0). Serve never
+    * mutates, so session-wide reuse is safe.
+    */
+  private[graft] def manifestStoreFixture(s: SparkSession, dir: String): String =
+    profileStores.computeIfAbsent((System.identityHashCode(s), dir + "#manifest"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-manifeststore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      manifestStoreBuild(s, dir, storeDir, withC = true)
+      storeDir
+    })
+
+  private[graft] def manifestTakedownFixture(s: SparkSession, dir: String): String =
+    profileStores.computeIfAbsent((System.identityHashCode(s), dir + "#manifest-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-manifeststore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      manifestStoreBuild(s, dir, storeDir, withC = true)
+      graft.operators.ManifestStore.removeDrop(s, storeDir, "c")
+      storeDir
+    })
+
+  private[graft] def manifestStoreBuild(s: SparkSession, dir: String,
+                                        storeDir: String,
+                                        withC: Boolean): Unit = {
+    import graft.operators.ManifestStore
+    val d = Tables(s, dir).documents
+    val cols = Seq("text", "lang", "source", "n_chars")
+    ManifestStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a",
+      "doc_id", cols)
+    ManifestStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b",
+      "doc_id", cols)
+    if (withC)
+      ManifestStore.append(d.filter(col("doc_id") % 3 === 0), storeDir, "c",
+        "doc_id", cols)
+  }
+
+  /** q146's manifest replay, with `filter` restricting which DOCS
+    * participate — "TRUE" for the full table (q146/q154), the surviving
+    * split for the q155 takedown.
+    */
+  private def manifestOracle(filter: String): String =
+    s"""WITH r AS (SELECT
+       |  CAST(('0x'||substr(md5('manifest:'||CAST(doc_id AS VARCHAR)),1,7))::BIGINT
+       |    % 8 AS INT) AS shard,
+       |  ('0x'||substr(md5(concat_ws(chr(1),
+       |    coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+       |    coalesce(text, chr(2)),
+       |    coalesce(lang, chr(2)),
+       |    coalesce(source, chr(2)),
+       |    coalesce(CAST(n_chars AS VARCHAR), chr(2)))),1,15))::BIGINT AS fp
+       |  FROM documents WHERE $filter)
+       |SELECT shard, count(*) AS n_rows, bit_xor(fp) AS xor_fp,
+       |  CAST(sum(fp % 1000003) AS BIGINT) AS sum_fp
+       |FROM r GROUP BY shard""".stripMargin
 
   /** q136's serve replay over orders — with `takedown`, over orders
     * minus q140's removed drop (o_orderkey % 3 == 1).

@@ -613,6 +613,33 @@ class CliSpec extends AnyFunSuite {
     assert(served === fresh + 2)
   }
 
+  test("Corpus CLI: --manifest-store accumulates per-run certificate partials") {
+    import graft.operators.{Audit, ManifestStore}
+    val dir = Files.createTempDirectory("corpus-manstore")
+    def run(in: String, out: String, rows: (Long, String)*): Unit = {
+      docsOf(rows: _*).write.parquet(s"$dir/$in")
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/$in", "-O", s"$dir/$out",
+        "--manifest-store", s"$dir/store"))
+    }
+    run("drop1", "out1", (1L, "aa bb"), (2L, "cc dd"))
+    run("drop2", "out2", (10L, "xx yy"))
+    assert(ManifestStore.drops(spark, s"$dir/store").size === 2)
+    // the served certificate equals the manifest of BOTH written outputs
+    val union = spark.read.parquet(s"$dir/out1")
+      .unionByName(spark.read.parquet(s"$dir/out2"))
+    val cols = union.schema.fieldNames.toSeq.filter(_ != "doc_id")
+    assert(ManifestStore.serve(spark, s"$dir/store")
+      .collect().map(_.toSeq).toSet ===
+      Audit.manifest(union, "doc_id", cols, shards = 16)
+        .collect().map(_.toSeq).toSet)
+    // identical re-run: skipped (already-stored drop id), store unchanged
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/out3",
+      "--manifest-store", s"$dir/store"))
+    assert(ManifestStore.drops(spark, s"$dir/store").size === 2)
+  }
+
   test("Corpus CLI: one-ticket takedown converges across all stores; --ledger-report names the divergence") {
     import spark.implicits._
     import graft.text.{GramStore, Lm, LmStore, Store}
