@@ -88,6 +88,14 @@ object Bench {
     if (names.contains("q150_span_store") ||
         names.contains("q151_span_store_scrub"))
       graft.text.Queries.spanStoreFixture(spark, sfDir)
+    if (names.contains("q152_span_takedown"))
+      graft.text.Queries.spanTakedownFixture(spark, sfDir)
+    // q154/q155 serve the manifest store (kilobyte partials; build is a
+    // handful of manifest scans — no separate _build row warranted)
+    if (names.contains("q154_manifest_store"))
+      graft.extra.Queries.manifestStoreFixture(spark, sfDir)
+    if (names.contains("q155_manifest_takedown"))
+      graft.extra.Queries.manifestTakedownFixture(spark, sfDir)
 
     val results = names.map { name =>
       val times = (1 to runs).map(_ => exec(name, sfDir)).filter(_ >= 0)
