@@ -71,7 +71,8 @@ object Bench {
     if (names.contains("q106_incr_dedup")) graft.text.Queries.storeFixture(spark, sfDir)
     // q129/q134 likewise measure the cluster-store SERVE path; the build
     // gets its own q129_build row below.
-    if (names.contains("q129_store_semdedup"))
+    if (names.contains("q129_store_semdedup") ||
+        names.contains("q156_cluster_occupancy"))
       graft.vector.Queries.clusterStoreFixture(spark, sfDir)
     if (names.contains("q134_store_append_serve"))
       graft.vector.Queries.appendedClusterStoreFixture(spark, sfDir)

@@ -495,6 +495,22 @@ object Queries {
           size(col("toks")).cast("long").as("n_tokens"),
           md5(array_join(col("toks"), " ")).as("tokens_md5"))),
 
+    // Tokenizer FERTILITY per language: BPE tokens per whitespace word,
+    // in exact integer ppm — the budget-disparity report a multilingual
+    // pipeline runs before fixing per-language mixture rates (a language
+    // the tokenizer fragments 2× pays 2× the context budget per word;
+    // fertility is the standard name). Map-only encode + one partial/
+    // final agg per language; all decisions integer.
+    "q157_bpe_fertility" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .select(col("lang"), TextOps.words(col("text")).as("ws"))
+        .select(col("lang"), size(col("ws")).cast("long").as("nw"),
+          size(Bpe.encode(col("ws"))).cast("long").as("nt"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nw")).as("n_words"), sum(col("nt")).as("n_tokens"))
+        .withColumn("fertility_ppm",
+          expr("(n_tokens * 1000000) div n_words"))),
+
     // Learned-merges end-to-end gate: the tokenizer is TRAINED on split A
     // (doc_id % 7 == 0, Bpe.learnMerges — exact word-frequency counts on
     // a capped TakeOrdered table, driver-sized model) and APPLIED to the
@@ -1854,6 +1870,18 @@ object Queries {
          |SELECT d.doc_id, coalesce(b.n_tokens, 0) AS n_tokens,
          |  coalesce(b.tokens_md5, md5('')) AS tokens_md5
          |FROM documents d LEFT JOIN bpe_doc b ON d.doc_id = b.doc_id""".stripMargin,
+    "q157_bpe_fertility" ->
+      s"""WITH RECURSIVE ${Bpe.oracleCtes()},
+         |dl AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS nw
+         |  FROM documents)
+         |SELECT dl.lang,
+         |  CAST(sum(dl.nw) AS BIGINT) AS n_words,
+         |  CAST(sum(coalesce(b.n_tokens, 0)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(coalesce(b.n_tokens, 0)) * 1000000 // sum(dl.nw)
+         |    AS BIGINT) AS fertility_ppm
+         |FROM dl LEFT JOIN bpe_doc b USING (doc_id)
+         |GROUP BY dl.lang""".stripMargin,
     // q137 serves the MERGED two-drop count store; counts are additive,
     // so the whole-split replay below is the exact oracle for it too —
     // the gate proves store-served scoring ≡ trained-from-scratch

@@ -215,6 +215,19 @@ object ClusterStore {
     * takedown simply schedules the rebuild it already owns.) Returns the
     * number of vector rows removed. Crash-safe `_takedown-old` swap.
     */
+  /** Per-cell occupancy of the stored assignment — THE rebuild-policy
+    * monitor for a store that grows by [[dedupNewDropVsStore]] appends
+    * against FROZEN centroids: appends only deepen cells (the serve
+    * pair leg is quadratic in cell population), so when max occupancy
+    * drifts far above the build-time targetCellSize, schedule a rebuild.
+    * One partial/final count over the vectors table; exact integers.
+    */
+  def cellStats(s: SparkSession, storeDir: String): DataFrame = {
+    require(exists(s, storeDir), s"no cluster store under $storeDir")
+    loadVectors(s, storeDir).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vec"))
+  }
+
   def removeDocs(s: SparkSession, storeDir: String, docIds: DataFrame): Long = {
     require(exists(s, storeDir), s"no cluster store under $storeDir")
     require(docIds.columns.sameElements(Array("vec_id")),

@@ -213,6 +213,14 @@ object Queries {
         prepared(s, dir).filter(col("vec_id") % 6 === 3), storeDir, probes = 2)
     }),
 
+    // Per-cell occupancy of the stored assignment — the rebuild-policy
+    // monitor (appends against frozen centroids only DEEPEN cells; the
+    // serve pair leg is quadratic in cell population, so occupancy drift
+    // is the signal to retrain). Oracle replays auto-k + the Lloyd build
+    // + home-cell assignment, then counts per cell.
+    "q156_cluster_occupancy" -> ((s, dir) =>
+      ClusterStore.cellStats(s, clusterStoreFixture(s, dir))),
+
     // LSH-bucketed ANN (the 100 TB scale path): 8-bit random-hyperplane
     // signature, candidates restricted to the same bucket, best match per
     // query. Shuffles on the signature instead of materializing n² pairs.
@@ -591,6 +599,17 @@ object Queries {
          |SELECT home.vec_id, home.cid,
          |  CAST(CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
          |FROM home LEFT JOIN dr USING (vec_id)""".stripMargin,
+    // q156: the same auto-k + Lloyd + home-cell assignment replay as
+    // q129, rolled up to per-cell counts.
+    "q156_cluster_occupancy" ->
+      s"""WITH $quantCte,
+         |corp AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 3 <> 0),
+         |kk AS (SELECT (count(*) + ${StoreCellSize - 1}) // $StoreCellSize AS k
+         |  FROM corp),
+         |${lloydChain("corp", "(SELECT k FROM kk)")},
+         |${rankCte("storedr", "corp")}
+         |SELECT cid, count(*) AS n_vec FROM storedr WHERE rn = 1
+         |GROUP BY cid""".stripMargin,
     // Replays the full store lifecycle TWICE over: build on the corpus
     // split, drop-1 serve (cross + intra legs), survivor append, then the
     // gated drop-2 serve against corpus ∪ survivors.

@@ -474,6 +474,27 @@ class PlanSpec extends AnyFunSuite {
       "the corpus itself must never be rescanned at serve time")
   }
 
+  test("q150 store-served span detection joins on the gram key, history from the store only") {
+    val p = planOf("q150_span_store")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "flag resolution must be equi joins on gram_key")
+    assert(p.contains("spangrams"),
+      "the serve must read the stored gram-df partials")
+    // the drop side is a checkpointed gram frame and the history side is
+    // the store — the corpus parquet must not appear in the serve plan
+    assert(!p.contains("documents.parquet"),
+      "the corpus itself must never be rescanned at serve time")
+  }
+
+  test("q154 manifest serve is one aggregation over the stored partials, nothing else") {
+    val p = planOf("q154_manifest_store")
+    assert(p.contains("manifests"),
+      "the certificate must come from the stored partials")
+    assert(!p.contains("documents.parquet"),
+      "serving the certificate must not rescan any corpus")
+    assert(!p.contains("Join"), s"the serve is a single re-aggregation:\n$p")
+  }
+
   test("q92 survivor-best candidate generation stays an equi band join") {
     val p = planOf("q92_survivor_best")
     assert(!p.contains("CartesianProduct"),
