@@ -129,4 +129,41 @@ object Sampling {
     }
     df.filter(hashBucket(key, 1000, seed) < rate)
   }
+
+  /** Per-stratum TEMPERATURE rates at α = 1/2 — the mT5/XLM-R "flatten
+    * the language distribution" move, expressed as head-downsampling:
+    * post-sample stratum sizes ∝ √n_s (rate_s = 1000·√(n_min/n_s)‰, the
+    * rarest stratum kept whole), so a 100×-larger stratum ends only 10×
+    * larger instead of drowning the tail. Unlike [[mixtureSample]] the
+    * rates are DERIVED from the corpus itself — one count aggregation —
+    * not hand-configured. Determinism note: the rate uses floor over
+    * IEEE sqrt/division of exact integer counts — correctly-rounded ops,
+    * so any engine computes the identical per-mille (the q158 gate
+    * hash-checks this against DuckDB).
+    *
+    * Returns (stratum, n_docs, rate_pm) — feed it to [[weightedSample]]
+    * via a broadcast join, or use [[temperatureRebalance]] directly.
+    */
+  def temperatureRates(df: DataFrame, stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("__n_min"))))
+      .withColumn("rate_pm", least(lit(1000L),
+        floor(lit(1000.0) * sqrt(col("__n_min").cast("double")) /
+          sqrt(col("n_docs").cast("double"))).cast("long")))
+      .drop("__n_min")
+  }
+
+  /** Apply [[temperatureRates]]: keep each stratum at its derived rate,
+    * same nested hash-bucket decision as every sampler here (stable
+    * membership as the corpus grows a stratum's rate downward only
+    * removes rows, never churns survivors). Rates broadcast (stratum
+    * count is tiny); the data side stays map-only.
+    */
+  def temperatureRebalance(df: DataFrame, key: Column, stratumCol: String,
+                           seed: String = "temp"): DataFrame =
+    df.join(broadcast(temperatureRates(df, stratumCol)
+        .select(col(stratumCol), col("rate_pm"))), stratumCol)
+      .filter(hashBucket(key, 1000, seed) < col("rate_pm"))
+      .drop("rate_pm")
 }

@@ -354,6 +354,22 @@ object Queries {
           Map("en" -> 300, "zh" -> 800), defaultPerMille = 500)
         .select(col("doc_id"), col("lang"))),
 
+    // Temperature rebalancing census (α = 1/2, the mT5/XLM-R language
+    // flattening): per-source corpus count, the DERIVED keep rate
+    // (1000·√(n_min/n_s)‰, rarest source kept whole), and the resulting
+    // survivor count under the nested hash-bucket decision — the report
+    // a multilingual pipeline reads before committing the mixture.
+    "q158_temperature_mix" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val rates = graft.operators.Sampling.temperatureRates(d, "source")
+      val kept = graft.operators.Sampling
+        .temperatureRebalance(d, col("doc_id"), "source")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .na.fill(0L, Seq("n_kept"))
+        .select(col("source"), col("n_docs"), col("rate_pm"), col("n_kept"))
+    }),
+
     // Benchmark decontamination: every 19th doc plays the eval set; corpus
     // docs sharing ANY word 3-gram with it are dropped (test-set-leakage
     // guard). Broadcast semi-join on exploded shingles — no corpus shuffle.
@@ -1585,6 +1601,22 @@ object Queries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x'||substr(md5('w:'||CAST(doc_id AS VARCHAR)),1,7))::BIGINT % 1000
         |  < least(999, n_chars*2)""".stripMargin,
+    "q158_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+        |  GROUP BY source),
+        |m AS (SELECT min(n_docs) AS n_min FROM c),
+        |r AS (SELECT source, n_docs,
+        |    least(1000, CAST(floor(1000.0 * sqrt(CAST(n_min AS DOUBLE))
+        |      / sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)) AS rate_pm
+        |  FROM c, m),
+        |k AS (SELECT d.source, count(*) AS n_kept
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE ('0x'||substr(md5('temp:'||CAST(doc_id AS VARCHAR)),1,7))::BIGINT
+        |    % 1000 < rate_pm
+        |  GROUP BY d.source)
+        |SELECT r.source, r.n_docs, r.rate_pm,
+        |  coalesce(k.n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN k USING (source)""".stripMargin,
     "q95_fuzzy_pairs" ->
       """WITH t0 AS (SELECT doc_id,
         |    array_to_string(string_split(text,' ')[1:5], ' ') AS title,

@@ -178,4 +178,27 @@ class SamplingSpec extends AnyFunSuite {
     val exp = Set((math.min(train(0), test(0)), math.max(train(0), test(0))))
     assert(got === exp)
   }
+
+  test("temperatureRebalance: √-flattening rates, rarest stratum whole, nested membership") {
+    import graft.operators.Sampling
+    // strata of size 400 / 100 / 25: rates 1000·√(25/n) = 250 / 500 / 1000
+    val df = ((1L to 400L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "mid")) ++
+      (2001L to 2025L).map(i => (i, "rare"))).toDF("doc_id", "source")
+    val rates = Sampling.temperatureRates(df, "source")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rates === Map(
+      "big" -> ((400L, 250L)), "mid" -> ((100L, 500L)), "rare" -> ((25L, 1000L))))
+    val kept = Sampling.temperatureRebalance(df, col("doc_id"), "source")
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    // the rare stratum survives WHOLE; the head is flattened toward √n
+    assert((2001L to 2025L).forall(keptIds.contains))
+    // nested membership vs the same decision through mixtureSample: the
+    // derived-rate path must keep EXACTLY the rows the hand-configured
+    // rates would (one decision function across the sampler family)
+    val viaMixture = Sampling.mixtureSample(df, col("doc_id"), col("source"),
+        Map("big" -> 250, "mid" -> 500, "rare" -> 1000), seed = "temp")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds === viaMixture)
+  }
 }
