@@ -99,6 +99,11 @@ import graft.text.{Dedup, Store, TextOps}
   *     [--mixture s1=pm,s2=pm,...]        per-stratum keep rates in per-mille
   *     [--mixture-default pm]             rate for unlisted strata (default 1000)
   *     [--mixture-by col]                 mixture stratum column (default source)
+  *     [--temperature-by col]             α=1/2 temperature flattening: derive
+  *                                        per-stratum keep rates from the
+  *                                        corpus (sizes → ∝√n, rarest kept
+  *                                        whole) and apply them BEFORE any
+  *                                        --mixture policy rates
   *     [--sample perMille]                deterministic hash sample (whole corpus)
   *     [--pack maxTokens]                 greedy no-split packing annotation
   *                                        (string doc ids get a dense id first)
@@ -198,7 +203,8 @@ object Corpus {
       spanStore: Option[String] = None,
       spanRemoveDrop: Option[String] = None,
       scrubSpans: Boolean = false,
-      manifestStore: Option[String] = None)
+      manifestStore: Option[String] = None,
+      temperatureBy: Option[String] = None)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -273,6 +279,8 @@ object Corpus {
     case "--mixture" :: v :: rest     => parse(rest, acc.copy(mixture = parseMixture(v)))
     case "--mixture-default" :: v :: rest => parse(rest, acc.copy(mixtureDefault = v.toInt))
     case "--mixture-by" :: v :: rest  => parse(rest, acc.copy(mixtureBy = v))
+    case "--temperature-by" :: v :: rest =>
+      parse(rest, acc.copy(temperatureBy = Some(v)))
     case "--eval-k" :: v :: rest      => parse(rest, acc.copy(evalK = Some(v.toInt)))
     case "--eval-by" :: v :: rest     => parse(rest, acc.copy(evalBy = v))
     case "--pack" :: v :: rest        => parse(rest, acc.copy(packTokens = Some(v.toInt)))
@@ -607,6 +615,14 @@ object Corpus {
     eval.foreach { ev =>
       corpus = corpus.join(ev.select(col("doc_id")), Seq("doc_id"), "left_anti")
     }
+    // temperature flattening BEFORE any hand-configured mixture: the
+    // derived √n rates fix representation, then --mixture applies policy
+    // on top (different seeds, so the combined rate is the product)
+    a.temperatureBy.foreach { by =>
+      require(corpus.columns.contains(by),
+        s"--temperature-by column '$by' not in the corpus")
+      corpus = Sampling.temperatureRebalance(corpus, col("doc_id"), by)
+    }
     if (a.mixture.nonEmpty) {
       require(corpus.columns.contains(a.mixtureBy),
         s"--mixture-by column '${a.mixtureBy}' not in the corpus")
@@ -858,6 +874,7 @@ object Corpus {
         "[--min-tokens n] [--max-tokens n] [--bpe-merges path] [--bpe-learn n] " +
         "[--eval-k n] [--eval-by col] " +
         "[--mixture s=pm,...] [--mixture-default pm] [--mixture-by col] " +
+        "[--temperature-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n] " +
         "[--compact-store n] [--manifest] [--novelty-store dir] " +
         "[--takedown ticket.parquet] [--ledger-report] " +

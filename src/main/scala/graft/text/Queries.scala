@@ -114,6 +114,17 @@ object Queries {
       Dedup.nearDupClusters(
         Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism))),
 
+    // Template-family SIZE census: how many near-dup clusters exist at
+    // each size — the one-glance answer to "is duplication pairwise
+    // noise or industrial template farms" (a heavy tail here is what
+    // justifies span-level and source-level dedup). Rolls up q48's
+    // converged components; two tiny aggs over the label table.
+    "q159_dup_cluster_sizes" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+          Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
+
     // The SAME components via alternating large-star/small-star
     // contraction (O(log n) rounds vs label propagation's O(distance)) —
     // cross-gated against q48's fixed-point oracle, so the two
@@ -1875,6 +1886,13 @@ object Queries {
     // q153 computes the identical per-component-min fixed point by a
     // different algorithm; one oracle gates both
     "q153_cc_stars" -> clustersOracle,
+    // q159 rolls the same fixed point up to (cluster_size, n_clusters)
+    "q159_dup_cluster_sizes" ->
+      s"""WITH comp AS ($clustersOracle),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp
+         |  GROUP BY cluster_id)
+         |SELECT cluster_size, count(*) AS n_clusters FROM sz
+         |GROUP BY cluster_size""".stripMargin,
     "q26_neardup_keep" ->
       s"""WITH $pairsCtes,
          |losers AS (SELECT DISTINCT doc_b AS doc_id

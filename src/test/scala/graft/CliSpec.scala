@@ -613,6 +613,29 @@ class CliSpec extends AnyFunSuite {
     assert(served === fresh + 2)
   }
 
+  test("Corpus CLI: --temperature-by flattens the source distribution toward sqrt(n)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-temp")
+    (((1L to 400L).map(i => (i, "big", s"w$i words here for doc $i")) ++
+      (1001L to 1025L).map(i => (i, "rare", s"v$i rare doc body $i")))
+      .toDF("doc_id", "source", "text"))
+      .write.parquet(s"$dir/corpus")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out", "--temperature-by", "source"))
+    val out = spark.read.parquet(s"$dir/out")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // 400 vs 25 → rates 250‰ vs 1000‰: the rare source survives whole,
+    // the head lands near 100 (the exact count is the deterministic
+    // hash-bucket census, asserted through the library op)
+    val expected = graft.operators.Sampling.temperatureRebalance(
+        spark.read.parquet(s"$dir/corpus"),
+        org.apache.spark.sql.functions.col("doc_id"), "source")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(out === expected)
+    assert(out("rare") === 25L)
+    assert(out("big") < 400L)
+  }
+
   test("Corpus CLI: --manifest-store accumulates per-run certificate partials") {
     import graft.operators.{Audit, ManifestStore}
     val dir = Files.createTempDirectory("corpus-manstore")
