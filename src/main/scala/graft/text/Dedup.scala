@@ -341,6 +341,81 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Content-defined chunking (CDC, the rsync/LBFS boundary rule): split
+    * each doc's token stream AFTER every position whose trailing k-gram
+    * hashes to 0 mod `divisor` — boundaries are decided by CONTENT, so
+    * inserting a sentence re-chunks only the chunk it lands in while
+    * every later chunk re-aligns byte-identically (fixed-width chunking
+    * shifts ALL downstream chunks, which is why storage dedup abandoned
+    * it). The dedup granularity for append/prepend-heavy corpora — mail
+    * threads, forum quotes, versioned documents — where doc-level
+    * near-dup misses the share and span-level detection pays gram-level
+    * costs for it. Expected chunk length ≈ `divisor` tokens; docs
+    * shorter than k form one whole-doc chunk.
+    *
+    * Output: (doc_id, chunk_idx 1-based, n_words, chunk_key = md5 of the
+    * chunk's space-joined words). Scale shape: one shingle explode
+    * (map-side), the boundary flags join back position-equi, the
+    * chunk-id assignment is a per-doc running sum (window partitioned by
+    * doc — never global), and reassembly is one hash agg per (doc,
+    * chunk) exactly like the span scrub's — no sorts outside the agg
+    * buffer, no driver-side text.
+    */
+  def cdcChunks(docs: DataFrame, k: Int = 3, divisor: Int = 8,
+                idCol: String = "doc_id", textCol: String = "text",
+                eager: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val d = docs.select(col(idCol).as("doc_id"), TextOps.words(col(textCol)).as("ws"))
+    // boundary AFTER 1-based position p0 + k (the shingle's end); a cut
+    // after the final token would open an empty chunk, so it is dropped
+    val flags = d
+      .select(col("doc_id"), size(col("ws")).as("n"),
+        posexplode(TextOps.shingles(col("ws"), k)).as(Seq("p0", "g")))
+      .filter(col("p0") + lit(k) < col("n"))
+      .filter(graft.operators.Sampling.hashBucket(col("g"), divisor, "cdc") === 0)
+      .select(col("doc_id"), (col("p0") + lit(k)).as("cut_after"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    d.select(col("doc_id"), posexplode(col("ws")).as(Seq("t0", "w")))
+      .select(col("doc_id"), (col("t0") + lit(1)).as("pos"), col("w"))
+      .join(flags.select(col("doc_id"), col("cut_after").as("pos"),
+        lit(1).as("__b")), Seq("doc_id", "pos"), "left")
+      .withColumn("chunk_idx", lit(1) +
+        coalesce(sum(col("__b")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0)).cast("int"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_words"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ")).as("chunk_key"))
+  }
+
+  /** Per-doc CDC duplication census: how much of each doc consists of
+    * chunks that also appear in ANOTHER doc (chunk-key match across
+    * doc ids — verbatim shared blocks under content-defined alignment).
+    * Output: (doc_id, n_chunks, n_words, n_dup_chunks, dup_words).
+    */
+  def cdcDupStats(docs: DataFrame, k: Int = 3, divisor: Int = 8,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  eager: Boolean = true): DataFrame = {
+    val chunks0 = cdcChunks(docs, k, divisor, idCol, textCol, eager)
+    // chunks feeds the cross-doc df agg AND the per-doc rollup
+    val chunks = if (eager) materialize(chunks0) else chunks0
+    val shared = chunks
+      .groupBy(col("chunk_key"))
+      .agg(countDistinct(col("doc_id")).as("key_docs"))
+      .filter(col("key_docs") >= 2)
+      .select(col("chunk_key"))
+    chunks.join(shared.withColumn("__dup", lit(1)), Seq("chunk_key"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("n_words"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("__dup").isNotNull, col("n_words")).otherwise(0L))
+          .as("dup_words"))
+  }
+
   /** Eager lineage cut, reliable when the session can be: `checkpoint()`
     * to the configured checkpoint dir (survives executor loss), else
     * `localCheckpoint` (executor-local, test/single-JVM fallback).

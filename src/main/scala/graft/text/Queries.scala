@@ -733,6 +733,21 @@ object Queries {
       scrubRepeatedSpans(Tables(s, dir).documents
         .repartition(s.sparkContext.defaultParallelism))),
 
+    // Content-defined chunking (rsync/LBFS boundaries): variable chunks
+    // cut where the trailing 3-gram hashes to 0 mod 8, so insertions
+    // re-align instead of shifting every downstream chunk — the
+    // storage-dedup granularity for quote/append-heavy corpora.
+    "q160_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism))),
+
+    // CDC duplication census: per doc, how many of its chunks (and
+    // words) appear verbatim in ANOTHER doc under content-defined
+    // alignment.
+    "q161_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcDupStats(Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism))),
+
     // Store-served span DETECTION: q120 of a new drop against the
     // persisted gram-df store's history ∪ the drop — gated bit-for-bit
     // against the from-scratch union replay restricted to the drop (the
@@ -1295,6 +1310,35 @@ object Queries {
        |  THEN ${1L << j} ELSE 0 END)""".stripMargin
   }.mkString(" +\n  ")
 
+  /** q160's CDC replay (k=3, divisor=8): boundary flags from the trailing
+    * 3-gram's hash bucket, per-doc running sum for chunk ids, ordered
+    * string_agg reassembly — the engine's window/agg pipeline mirrored.
+    */
+  private def cdcOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |g0 AS (SELECT doc_id, len(ws) AS n, ws,
+       |    unnest(range(1, len(ws)-1)) AS st
+       |  FROM d WHERE len(ws) >= 3),
+       |fl AS (SELECT doc_id, CAST(st+2 AS INT) AS cut_after
+       |  FROM (SELECT doc_id, n, CAST(st AS INT) AS st,
+       |      array_to_string(ws[st:st+2],' ') AS g FROM g0)
+       |  WHERE st+2 < n
+       |    AND ('0x'||substr(md5('cdc:'||g),1,7))::BIGINT % 8 = 0),
+       |t0 AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS pos FROM d),
+       |tok AS (SELECT doc_id, CAST(pos AS INT) AS pos, ws[pos] AS w FROM t0),
+       |tb AS (SELECT tok.doc_id, tok.pos, tok.w,
+       |    CASE WHEN fl.cut_after IS NULL THEN 0 ELSE 1 END AS b
+       |  FROM tok LEFT JOIN fl
+       |  ON tok.doc_id = fl.doc_id AND tok.pos = fl.cut_after),
+       |ci AS (SELECT doc_id, pos, w,
+       |    CAST(1 + coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+       |      AS chunk_idx
+       |  FROM tb)
+       |SELECT doc_id, chunk_idx, count(*) AS n_words,
+       |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_key
+       |FROM ci GROUP BY doc_id, chunk_idx""".stripMargin
+
   /** q120's span-detection replay, with `outFilter` restricting which
     * docs' SPANS are emitted — gram df always counts over the FULL table,
     * so the filtered variants replay "from scratch on the union,
@@ -1362,6 +1406,19 @@ object Queries {
 
   def oracles: Map[String, String] = Map(
     "q120_repeated_spans" -> spanDetectOracle("TRUE"),
+    "q160_cdc_chunks" -> cdcOracle,
+    "q161_cdc_dedup" ->
+      s"""WITH ch AS ($cdcOracle),
+         |sh AS (SELECT chunk_key FROM ch GROUP BY chunk_key
+         |  HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT ch.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(ch.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN sh.chunk_key IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN sh.chunk_key IS NULL THEN 0 ELSE ch.n_words END)
+         |    AS BIGINT) AS dup_words
+         |FROM ch LEFT JOIN sh USING (chunk_key)
+         |GROUP BY ch.doc_id""".stripMargin,
     // q150/q152 serve the probe split (doc_id % 3 = 0) against the
     // persisted gram-df store; the oracle replays the UNION from scratch
     // (df/keepers over ALL docs — store corpus ∪ probe = the full table)

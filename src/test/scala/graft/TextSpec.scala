@@ -214,6 +214,33 @@ class TextSpec extends AnyFunSuite {
     assert(withNull === 0L)
   }
 
+  test("CDC chunks re-align after a prefix insertion; fixed-width chunking would not") {
+    import graft.text.Dedup
+    val body = (1 to 80).map(i => s"w$i")
+    val d = docs(
+      (1L, body.mkString(" ")),
+      (2L, "inserted preamble tokens " + body.mkString(" ")))
+    val chunks = Dedup.cdcChunks(d)
+      .as[(Long, Int, Long, String)].collect()
+    val keys1 = chunks.filter(_._1 == 1L).map(_._4).toSet
+    val keys2 = chunks.filter(_._1 == 2L).map(_._4).toSet
+    assert(keys1.size >= 4, s"divisor 8 over 80 tokens should cut several chunks, got ${keys1.size}")
+    // content-defined boundaries: every doc-1 chunk except (at most) the
+    // first — whose start fuses with the inserted preamble — reappears
+    // VERBATIM in doc 2. A fixed-width chunker shares zero chunks after
+    // a 3-token shift.
+    assert((keys1 -- keys2).size <= 1,
+      s"insertion must re-align, lost ${(keys1 -- keys2).size} of ${keys1.size}")
+    // the census sees the share: doc 2's dup_words cover most of the body
+    val census = Dedup.cdcDupStats(d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(census(2L)._5 >= 60L,
+      s"most of the repeated body must be flagged, got ${census(2L)}")
+    // totals conserve: chunk words sum to doc words
+    assert(census(1L)._3 === 80L && census(2L)._3 === 83L)
+  }
+
   test("nearDupClusters converges past any fixed round count: a long edit chain fully merges") {
     // A sliding-window chain: doc i = 40 words starting at position 2i,
     // so consecutive docs share 38/42 of their shingle-union (J ≈ 0.9)
