@@ -613,6 +613,70 @@ class CliSpec extends AnyFunSuite {
     assert(served === fresh + 2)
   }
 
+  test("Corpus CLI: the full daily-drop recipe — six stores, scrub, dedup, one invocation per drop") {
+    import spark.implicits._
+    import graft.text.{GramStore, LmStore, SpanStore}
+    import graft.operators.{ManifestStore, ProfileStore}
+    val dir = Files.createTempDirectory("corpus-daily")
+    val template = (1 to 40).map(i => s"t$i").mkString(" ")
+    val fresh2 = (200 to 240).map(i => s"f$i").mkString(" ")
+    docsOf((100L, "the cat sat on the mat and slept"))
+      .write.parquet(s"$dir/trusted")
+    docsOf((1L, template), (2L, (300 to 340).map(i => s"g$i").mkString(" ")))
+      .write.parquet(s"$dir/drop1")
+    // drop 2: one doc that repeats drop 1's template verbatim plus a
+    // unique tail, one genuinely fresh doc
+    docsOf((20L, template + " tweak99"), (21L, fresh2))
+      .write.parquet(s"$dir/drop2")
+    def daily(in: String, out: String): Unit =
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/$in", "-O", s"$dir/$out",
+        "--scrub-pii", "--scrub-spans", "--min-tokens", "1",
+        "--lm-trusted", s"$dir/trusted", "--lm-store", s"$dir/lm",
+        "--lm-min-ppm", "0",
+        "--dedup-store", s"$dir/sig",
+        "--profile-store", s"$dir/prof",
+        "--novelty-store", s"$dir/nov",
+        "--span-store", s"$dir/spans",
+        "--manifest-store", s"$dir/man"))
+    daily("drop1", "out1")
+    assert(spark.read.parquet(s"$dir/out1").count() === 2L)
+    Seq(ProfileStore.drops(spark, s"$dir/prof"),
+      GramStore.drops(spark, s"$dir/nov"),
+      SpanStore.drops(spark, s"$dir/spans"),
+      ManifestStore.drops(spark, s"$dir/man"))
+      .foreach(d => assert(d.size === 1, s"bootstrap must file one drop, got $d"))
+    assert(LmStore.drops(spark, s"$dir/lm").size === 1)
+    daily("drop2", "out2")
+    // the template repeat was handled SPAN-wise: the store's history owns
+    // every 5-gram of the template, so doc 20 scrubs down to its unique
+    // tail (and then no longer near-dups doc-level) — dedup-by-layers
+    val out2 = spark.read.parquet(s"$dir/out2")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out2(20L) === "tweak99", s"got '${out2.get(20L)}'")
+    assert(out2(21L) === fresh2)
+    // every ledgered store filed the second drop; the trusted LM drop is
+    // the same path, so its ledger stays at one
+    Seq(ProfileStore.drops(spark, s"$dir/prof"),
+      GramStore.drops(spark, s"$dir/nov"),
+      SpanStore.drops(spark, s"$dir/spans"),
+      ManifestStore.drops(spark, s"$dir/man"))
+      .foreach(d => assert(d.size === 2, s"run 2 must append, got $d"))
+    assert(LmStore.drops(spark, s"$dir/lm").size === 1)
+    // per-drop reports rode along on run 2
+    assert(new java.io.File(s"$dir/out2/_novelty").exists())
+    assert(new java.io.File(s"$dir/out2/_spans").exists())
+    // the cross-store ledgers agree (the --ledger-report audit)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      graft.cli.Corpus.run(spark, Array("--ledger-report",
+        "--profile-store", s"$dir/prof", "--novelty-store", s"$dir/nov",
+        "--span-store", s"$dir/spans", "--manifest-store", s"$dir/man"))
+    }
+    assert(buf.toString("UTF-8").contains("ledger: consistent"),
+      buf.toString("UTF-8"))
+  }
+
   test("Corpus CLI: --temperature-by flattens the source distribution toward sqrt(n)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-temp")
