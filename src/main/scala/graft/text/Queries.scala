@@ -372,9 +372,14 @@ object Queries {
     // a multilingual pipeline reads before committing the mixture.
     "q158_temperature_mix" -> ((s, dir) => {
       val d = Tables(s, dir).documents
+      // derive the rates ONCE and reuse the frame for the keep decision
+      // (temperatureRebalance would re-derive them — a second counts agg
+      // and a second 1-row-min crossJoin for nothing)
       val rates = graft.operators.Sampling.temperatureRates(d, "source")
-      val kept = graft.operators.Sampling
-        .temperatureRebalance(d, col("doc_id"), "source")
+      val kept = d
+        .join(broadcast(rates.select(col("source"), col("rate_pm"))), "source")
+        .filter(graft.operators.Sampling
+          .hashBucket(col("doc_id"), 1000, "temp") < col("rate_pm"))
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
       rates.join(kept, Seq("source"), "left")
         .na.fill(0L, Seq("n_kept"))
