@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ONE implementation of the drop-ledgered store lifecycle — the
+  * scaffold `LmStore` (sum-merge counts), `GramStore` (min-merge
+  * ownership), `SpanStore` (sum+min gram-df), and `ManifestStore`
+  * (xor/sum certificate partials) share. Each store keeps what makes it
+  * itself — the partials computation, the merge-discipline serve, and
+  * its validators — while the lifecycle that must behave IDENTICALLY
+  * everywhere lives here once, loudly:
+  *
+  *  - one parquet table of per-drop partial rows keyed by `drop_id`;
+  *    bootstrap files at the table root, every appended drop in its own
+  *    atomically-renamed `drop-<id>/` subdirectory
+  *    ([[StoreSwap.commitDropDir]] — a crash leaves the drop fully
+  *    absent or fully present, never half-visible to the ledger),
+  *    takedown/compact rewrites flat; `recursiveFileLookup` reads all
+  *    three layouts.
+  *  - `exists` routes through [[StoreSwap.requireNotCrashed]]: live
+  *    missing with a swap marker present is a loud mid-recovery error,
+  *    never a quiet false that an exists-gated bootstrap would
+  *    overwrite.
+  *  - staged build/append: partials land in a staging dir NOW, the
+  *    commit thunk publishes LATER — callers sequence it after their
+  *    own output write (the store-mutation-commits-LAST discipline).
+  *  - takedown by drop-row deletion (exact under every merge the family
+  *    uses: sums/mins/xors re-aggregate to the never-ingested state)
+  *    with the crash-safe `_takedown-old` swap; double-removal is loud.
+  *
+  * This was four copy-pasted lifecycles before round 10 consolidated
+  * them (the same move StoreSwap made for the swap discipline in r9):
+  * a fix like the atomic-append commit now lands in ONE place.
+  */
+trait DropLedger {
+
+  /** The partial table's directory name under the store dir. */
+  protected def tableName: String
+
+  /** Human name for error messages ("LM store", "span store", ...). */
+  protected def kind: String
+
+  def tablePath(storeDir: String): String = s"$storeDir/$tableName"
+
+  def exists(s: SparkSession, storeDir: String): Boolean = {
+    StoreSwap.requireNotCrashed(s, storeDir, tablePath(storeDir))
+    val p = new org.apache.hadoop.fs.Path(tablePath(storeDir))
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def load(s: SparkSession, storeDir: String): DataFrame =
+    s.read.option("recursiveFileLookup", "true").parquet(tablePath(storeDir))
+
+  /** Drop ids already ingested (driver-sized: one string per drop). */
+  def drops(s: SparkSession, storeDir: String): Set[String] =
+    if (!exists(s, storeDir)) Set.empty
+    else load(s, storeDir).select(col("drop_id")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  protected def requireDropId(dropId: String): Unit =
+    require(dropId.matches("[A-Za-z0-9._-]+"),
+      s"drop_id must be a plain token, got '$dropId'")
+
+  protected def requireStore(s: SparkSession, storeDir: String): Unit =
+    require(exists(s, storeDir),
+      s"no $kind under $storeDir — run build first")
+
+  protected def requireNewDrop(s: SparkSession, storeDir: String,
+                               dropId: String): Unit =
+    require(!drops(s, storeDir).contains(dropId),
+      s"drop '$dropId' is already ingested in $kind $storeDir — " +
+        "appending it again would corrupt the merged serve")
+
+  /** A staged-but-unpublished write: where the partials landed, and the
+    * thunk that makes them live. Stores that serve a preview of the
+    * post-commit state (LmStore's `serveModelWith`) read `stagingDir`
+    * back — materialized, never recomputed.
+    */
+  protected final case class StagedWrite(stagingDir: String, commit: () => Unit)
+
+  /** Stage a bootstrap: write `partials` to staging now, publish on the
+    * thunk (delete-live + single whole-dir rename).
+    * `coalesceTo` — stores with tiny partials pin them to one file.
+    */
+  protected def stagePartialsBuild(partials: DataFrame, storeDir: String,
+                                   coalesceTo: Option[Int] = None): StagedWrite = {
+    val s = partials.sparkSession
+    val staging = stagingPath(storeDir)
+    coalesceTo.fold(partials)(partials.coalesce)
+      .write.mode("overwrite").parquet(staging)
+    StagedWrite(staging, () => {
+      val fs = fileSystem(s, storeDir)
+      val live = new org.apache.hadoop.fs.Path(tablePath(storeDir))
+      fs.delete(live, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
+        s"could not commit staged $kind $staging -> $live")
+    })
+  }
+
+  /** Stage an append: partials to staging now; the thunk commits with
+    * ONE rename into `drop-<id>/` ([[StoreSwap.commitDropDir]]).
+    * Callers run their refusal checks (stored id, config spec) BEFORE
+    * computing partials.
+    */
+  protected def stagePartialsAppend(partials: DataFrame, storeDir: String,
+                                    dropId: String,
+                                    coalesceTo: Option[Int] = None): StagedWrite = {
+    val s = partials.sparkSession
+    val staging = stagingPath(storeDir)
+    coalesceTo.fold(partials)(partials.coalesce)
+      .write.mode("overwrite").parquet(staging)
+    StagedWrite(staging,
+      () => StoreSwap.commitDropDir(s, tablePath(storeDir), staging, dropId))
+  }
+
+  /** Takedown: delete one drop's partial rows — exact under the family's
+    * merges — via the crash-safe `_takedown-old` swap. Loud on an
+    * unknown drop (a silent no-op takedown is a compliance bug).
+    */
+  def removeDrop(s: SparkSession, storeDir: String, dropId: String): Unit = {
+    requireStore(s, storeDir)
+    require(drops(s, storeDir).contains(dropId),
+      s"drop '$dropId' is not in $kind $storeDir — nothing to remove")
+    val staging = stagingPath(storeDir)
+    load(s, storeDir).filter(col("drop_id") =!= dropId)
+      .write.mode("overwrite").parquet(staging)
+    StoreSwap.swapIn(s, storeDir, tablePath(storeDir), staging, "_takedown-old")
+  }
+
+  /** Maintenance: rewrite the table into `targetFiles` files, contents
+    * identical (crash-safe `_compact-old` swap).
+    */
+  def compact(s: SparkSession, storeDir: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    requireStore(s, storeDir)
+    val staging = stagingPath(storeDir)
+    load(s, storeDir).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(staging)
+    StoreSwap.swapIn(s, storeDir, tablePath(storeDir), staging, "_compact-old")
+  }
+
+  protected def stagingPath(storeDir: String): String =
+    s"$storeDir/_staging-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def fileSystem(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+}

@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
   * bootstrap at the table root, appended drops in atomically-renamed
   * `drop-<id>/` subdirectories, rewrites flat.
   */
-object ManifestStore {
+object ManifestStore extends DropLedger {
 
-  def rowsPath(storeDir: String): String = s"$storeDir/manifests"
+  protected def tableName: String = "manifests"
+  protected def kind: String = "manifest store"
+
+  def rowsPath(storeDir: String): String = tablePath(storeDir)
 
   private def specOf(key: String, cols: Seq[String], shards: Int): String =
     (key +: cols).mkString(",") + "#" + shards
@@ -42,32 +45,16 @@ object ManifestStore {
   /** One drop's manifest partials, tagged with drop id + config spec. */
   def partials(df: DataFrame, key: String, cols: Seq[String],
                shards: Int, dropId: String): DataFrame = {
-    require(dropId.matches("[A-Za-z0-9._-]+"),
-      s"drop_id must be a plain token, got '$dropId'")
+    requireDropId(dropId)
     Audit.manifest(df, key, cols, shards)
       .select(lit(dropId).as("drop_id"),
         lit(specOf(key, cols, shards)).as("spec"),
         col("shard"), col("n_rows"), col("xor_fp"), col("sum_fp"))
   }
 
-  def exists(s: SparkSession, storeDir: String): Boolean = {
-    StoreSwap.requireNotCrashed(s, storeDir, rowsPath(storeDir))
-    val p = new org.apache.hadoop.fs.Path(rowsPath(storeDir))
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  def load(s: SparkSession, storeDir: String): DataFrame =
-    s.read.option("recursiveFileLookup", "true").parquet(rowsPath(storeDir))
-
-  def drops(s: SparkSession, storeDir: String): Set[String] =
-    if (!exists(s, storeDir)) Set.empty
-    else load(s, storeDir).select(col("drop_id")).distinct()
-      .collect().map(_.getString(0)).toSet
-
   /** The store's fingerprint configuration — single-valued or loud. */
   def storedSpec(s: SparkSession, storeDir: String): String = {
-    require(exists(s, storeDir),
-      s"no manifest store under $storeDir — run ManifestStore.build first")
+    requireStore(s, storeDir)
     val specs = load(s, storeDir).select(col("spec")).distinct()
       .collect().map(_.getString(0))
     require(specs.length == 1,
@@ -82,19 +69,9 @@ object ManifestStore {
 
   def buildStaged(df: DataFrame, storeDir: String, dropId: String,
                   key: String, cols: Seq[String],
-                  shards: Int = 8): () => Unit = {
-    val s = df.sparkSession
-    val staging = stagingPath(storeDir)
-    partials(df, key, cols, shards, dropId)
-      .coalesce(1).write.mode("overwrite").parquet(staging)
-    () => {
-      val fs = fileSystem(s, storeDir)
-      val live = new org.apache.hadoop.fs.Path(rowsPath(storeDir))
-      fs.delete(live, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-        s"could not commit staged manifest store $staging -> $live")
-    }
-  }
+                  shards: Int = 8): () => Unit =
+    stagePartialsBuild(partials(df, key, cols, shards, dropId), storeDir,
+      coalesceTo = Some(1)).commit
 
   /** Append a new drop's partials (staged; atomic single-rename commit).
     * Refuses a stored id (counts/sums would double) and a config spec
@@ -108,12 +85,9 @@ object ManifestStore {
     val stored = storedSpec(s, storeDir)
     require(spec == stored,
       s"manifest spec mismatch: store has '$stored', append uses '$spec'")
-    require(!drops(s, storeDir).contains(dropId),
-      s"drop '$dropId' is already in $storeDir — appending again would double-count")
-    val staging = stagingPath(storeDir)
-    partials(df, key, cols, shards, dropId)
-      .coalesce(1).write.mode("overwrite").parquet(staging)
-    () => StoreSwap.commitDropDir(s, rowsPath(storeDir), staging, dropId)
+    requireNewDrop(s, storeDir, dropId)
+    stagePartialsAppend(partials(df, key, cols, shards, dropId), storeDir,
+      dropId, coalesceTo = Some(1)).commit
   }
 
   def append(df: DataFrame, storeDir: String, dropId: String, key: String,
@@ -152,35 +126,7 @@ object ManifestStore {
           !(col("a_sum") <=> col("b_sum")))
   }
 
-  /** Takedown: remove one drop's partials — the re-merge IS the manifest
-    * of the remaining corpus (q155's gate). Crash-safe swap; loud on an
-    * unknown drop.
-    */
-  def removeDrop(s: SparkSession, storeDir: String, dropId: String): Unit = {
-    require(exists(s, storeDir),
-      s"no manifest store under $storeDir — run ManifestStore.build first")
-    require(drops(s, storeDir).contains(dropId),
-      s"drop '$dropId' is not in $storeDir — nothing to remove")
-    val staging = stagingPath(storeDir)
-    load(s, storeDir).filter(col("drop_id") =!= dropId)
-      .coalesce(1).write.mode("overwrite").parquet(staging)
-    StoreSwap.swapIn(s, storeDir, rowsPath(storeDir), staging, "_takedown-old")
-  }
-
-  /** Maintenance: rewrite into `targetFiles` files, contents identical. */
-  def compact(s: SparkSession, storeDir: String, targetFiles: Int = 1): Unit = {
-    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    require(exists(s, storeDir), s"no manifest store under $storeDir")
-    val staging = stagingPath(storeDir)
-    load(s, storeDir).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(staging)
-    StoreSwap.swapIn(s, storeDir, rowsPath(storeDir), staging, "_compact-old")
-  }
-
-  private def stagingPath(storeDir: String): String =
-    s"$storeDir/_staging-${java.util.UUID.randomUUID().toString.take(8)}"
-
-  private def fileSystem(s: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
+  // Takedown (q155's gate: the re-merge IS the manifest of the remaining
+  // corpus — xor is self-inverse, sums subtract by omission) and
+  // compaction are the inherited DropLedger lifecycle.
 }

@@ -34,10 +34,16 @@ import org.apache.spark.sql.functions._
   * 16-hex-char md5 prefix of the word-3-gram shingle (q126's key), one
   * row per DISTINCT gram per drop (gram-type sized, Zipf ≪ tokens).
   * Serve is one partial/final min-aggregation partitioned by gk.
+  * Lifecycle (atomic per-drop appends, crash-loud exists, staged
+  * commits, takedown/compaction swaps) is the shared
+  * [[graft.operators.DropLedger]] discipline.
   */
-object GramStore {
+object GramStore extends graft.operators.DropLedger {
 
-  def gramsPath(storeDir: String): String = s"$storeDir/grams"
+  protected def tableName: String = "grams"
+  protected def kind: String = "gram store"
+
+  def gramsPath(storeDir: String): String = tablePath(storeDir)
 
   /** (drop_id, gk, first_doc): the drop's per-gram minimum doc id — the
     * same shingle set + key as q126 (`TextOps.shingleSet(words, 3)` with
@@ -45,8 +51,7 @@ object GramStore {
     */
   def partials(docs: DataFrame, dropId: String, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    require(dropId.matches("[A-Za-z0-9._-]+"),
-      s"drop_id must be a plain token, got '$dropId'")
+    requireDropId(dropId)
     gramRows(docs, idCol, textCol)
       .groupBy(col("gk")).agg(min(col("doc_id")).as("first_doc"))
       .select(lit(dropId).as("drop_id"), col("gk"), col("first_doc"))
@@ -59,26 +64,6 @@ object GramStore {
         explode(TextOps.shingleSet(TextOps.words(col(textCol)), 3)).as("g"))
       .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("gk"))
 
-  def exists(s: SparkSession, storeDir: String): Boolean = {
-    graft.operators.StoreSwap.requireNotCrashed(s, storeDir, gramsPath(storeDir))
-    val p = new org.apache.hadoop.fs.Path(gramsPath(storeDir))
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  /** Layout mirrors [[LmStore.load]]: bootstrap files at the table root,
-    * each appended drop under its own atomically-renamed `drop-<id>/`
-    * subdirectory, takedown/compact rewrites flat — `recursiveFileLookup`
-    * reads all of it.
-    */
-  def load(s: SparkSession, storeDir: String): DataFrame =
-    s.read.option("recursiveFileLookup", "true").parquet(gramsPath(storeDir))
-
-  /** Drop ids already ingested (driver-sized: one string per drop). */
-  def drops(s: SparkSession, storeDir: String): Set[String] =
-    if (!exists(s, storeDir)) Set.empty
-    else load(s, storeDir).select(col("drop_id")).distinct()
-      .collect().map(_.getString(0)).toSet
-
   /** Bootstrap from the first drop (overwrites). */
   def build(docs: DataFrame, storeDir: String, dropId: String,
             idCol: String = "doc_id", textCol: String = "text"): Unit =
@@ -89,36 +74,21 @@ object GramStore {
     */
   def buildStaged(docs: DataFrame, storeDir: String, dropId: String,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): () => Unit = {
-    val s = docs.sparkSession
-    val staging = stagingPath(storeDir)
-    partials(docs, dropId, idCol, textCol)
-      .write.mode("overwrite").parquet(staging)
-    () => {
-      val fs = fileSystem(s, storeDir)
-      val live = new org.apache.hadoop.fs.Path(gramsPath(storeDir))
-      fs.delete(live, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-        s"could not commit staged gram store $staging -> $live")
-    }
-  }
+                  textCol: String = "text"): () => Unit =
+    stagePartialsBuild(partials(docs, dropId, idCol, textCol), storeDir).commit
 
-  /** Append a new drop's gram partials (staged; refuses a stored id —
-    * see the scaladoc on why despite min's idempotence).
+  /** Append a new drop's gram partials (staged, single-rename atomic
+    * commit; refuses a stored id — see the scaladoc on why despite min's
+    * idempotence).
     */
   def appendStaged(docs: DataFrame, storeDir: String, dropId: String,
                    idCol: String = "doc_id",
                    textCol: String = "text"): () => Unit = {
     val s = docs.sparkSession
-    require(exists(s, storeDir),
-      s"no gram store under $storeDir — run GramStore.build first")
-    require(!drops(s, storeDir).contains(dropId),
-      s"drop '$dropId' is already ingested in $storeDir")
-    val staging = stagingPath(storeDir)
-    partials(docs, dropId, idCol, textCol)
-      .write.mode("overwrite").parquet(staging)
-    () => graft.operators.StoreSwap.commitDropDir(
-      s, gramsPath(storeDir), staging, dropId)
+    requireStore(s, storeDir)
+    requireNewDrop(s, storeDir, dropId)
+    stagePartialsAppend(partials(docs, dropId, idCol, textCol),
+      storeDir, dropId).commit
   }
 
   def append(docs: DataFrame, storeDir: String, dropId: String,
@@ -130,8 +100,7 @@ object GramStore {
     * from a full corpus scan, served from gram-type-sized partials.
     */
   def serveOwnership(s: SparkSession, storeDir: String): DataFrame = {
-    require(exists(s, storeDir),
-      s"no gram store under $storeDir — run GramStore.build first")
+    requireStore(s, storeDir)
     load(s, storeDir).groupBy(col("gk"))
       .agg(min(col("first_doc")).as("first_doc"))
   }
@@ -183,41 +152,4 @@ object GramStore {
           .as("n_novel"))
       .withColumn("novelty_ppt", expr("(n_novel * 1000) div n_grams"))
   }
-
-  /** Takedown: remove one drop's partials — the serve re-mins over the
-    * surviving drops, so a gram owned only by the removed drop becomes
-    * unseen again and a tied gram falls back exactly (q148's gate).
-    * Crash-safe `_takedown-old` swap; double-removal is loud.
-    */
-  def removeDrop(s: SparkSession, storeDir: String, dropId: String): Unit = {
-    require(exists(s, storeDir),
-      s"no gram store under $storeDir — run GramStore.build first")
-    require(drops(s, storeDir).contains(dropId),
-      s"drop '$dropId' is not in $storeDir — nothing to remove")
-    val staging = stagingPath(storeDir)
-    load(s, storeDir).filter(col("drop_id") =!= dropId)
-      .write.mode("overwrite").parquet(staging)
-    graft.operators.StoreSwap.swapIn(s, storeDir, gramsPath(storeDir),
-      staging, "_takedown-old")
-  }
-
-  /** Maintenance: rewrite the grams table into `targetFiles` files,
-    * contents identical (crash-safe swap — `text.Store.compact`).
-    */
-  def compact(s: SparkSession, storeDir: String, targetFiles: Int = 1): Unit = {
-    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    require(exists(s, storeDir), s"no gram store under $storeDir")
-    val staging = stagingPath(storeDir)
-    load(s, storeDir).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(staging)
-    graft.operators.StoreSwap.swapIn(s, storeDir, gramsPath(storeDir),
-      staging, "_compact-old")
-  }
-
-  private def stagingPath(storeDir: String): String =
-    s"$storeDir/_staging-${java.util.UUID.randomUUID().toString.take(8)}"
-
-  private def fileSystem(s: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
 }

@@ -20,55 +20,38 @@ import org.apache.spark.sql.functions._
   * Model pruning (`minCount`) happens at SERVE time, after the merge —
   * pruning per-drop partials would drop a gram whose count crosses the
   * threshold only across drops, silently diverging from the
-  * whole-corpus model the oracle (q137) replays.
+  * whole-corpus model the oracle (q137) replays. Takedown
+  * ([[removeDrop]], q139's gate) is exact because removal IS subtraction
+  * under the sum-merge; `drop_id` is the idempotency key — a double
+  * append would double-count, so it is refused.
   *
   * Storage: ONE parquet table `counts` (drop_id, n, g, c) — n ∈ {1,2,3},
   * `g` the space-joined gram, `c` its exact count in that drop. The table
   * scales with n-gram TYPES per drop (Zipf: types ≪ tokens); `serveModel`
-  * is one partial/final sum-aggregation per order, partitioned by gram key.
-  * `drop_id` is the idempotency key — double-appending a drop would
-  * double its counts, so it is refused (ProfileStore's rule).
+  * is one partial/final sum-aggregation per order, partitioned by gram
+  * key. Lifecycle (atomic per-drop appends, crash-loud exists, staged
+  * commits, takedown/compaction swaps) is the shared
+  * [[graft.operators.DropLedger]] discipline.
   */
-object LmStore {
+object LmStore extends graft.operators.DropLedger {
 
-  def countsPath(storeDir: String): String = s"$storeDir/counts"
+  protected def tableName: String = "counts"
+  protected def kind: String = "LM store"
+
+  def countsPath(storeDir: String): String = tablePath(storeDir)
 
   /** (drop_id, n, g, c) for one drop: `Lm.train`'s three counting passes,
     * tagged by order and stacked into the one mergeable table.
     */
   def partials(trusted: DataFrame, dropId: String,
                textCol: String = "text"): DataFrame = {
-    require(dropId.matches("[A-Za-z0-9._-]+"),
-      s"drop_id must be a plain token, got '$dropId'")
+    requireDropId(dropId)
     val m = Lm.train(trusted, textCol) // unpruned: partials must stay exact
     m.c3.withColumn("n", lit(3))
       .unionByName(m.c2.withColumn("n", lit(2)))
       .unionByName(m.c1.withColumn("n", lit(1)))
       .select(lit(dropId).as("drop_id"), col("n"), col("g"), col("c"))
   }
-
-  def exists(s: SparkSession, storeDir: String): Boolean = {
-    // loud on a crashed swap: live-missing-with-marker must never read
-    // as "no store" (an exists-gated bootstrap would abandon the ledger)
-    graft.operators.StoreSwap.requireNotCrashed(s, storeDir, countsPath(storeDir))
-    val p = new org.apache.hadoop.fs.Path(countsPath(storeDir))
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  /** The bootstrap drop's files sit at the table root; appended drops
-    * each live in their own `drop-<id>/` subdirectory (the single-rename
-    * atomic commit — [[graft.operators.StoreSwap.commitDropDir]]), and a
-    * takedown/compact rewrite flattens everything back to root files.
-    * `recursiveFileLookup` reads all three layouts in one pass.
-    */
-  def load(s: SparkSession, storeDir: String): DataFrame =
-    s.read.option("recursiveFileLookup", "true").parquet(countsPath(storeDir))
-
-  /** Drop ids already counted (driver-sized: one string per drop). */
-  def drops(s: SparkSession, storeDir: String): Set[String] =
-    if (!exists(s, storeDir)) Set.empty
-    else load(s, storeDir).select(col("drop_id")).distinct()
-      .collect().map(_.getString(0)).toSet
 
   /** A staged drop, not yet visible to the store: `counts` is the drop's
     * MATERIALIZED partials (read back from the staging parquet — serving
@@ -94,16 +77,8 @@ object LmStore {
   /** [[buildStaged]] that also hands back the staged counts. */
   def stageBuild(trusted: DataFrame, storeDir: String, dropId: String,
                  textCol: String = "text"): Staged = {
-    val s = trusted.sparkSession
-    val staging = stagingPath(storeDir)
-    partials(trusted, dropId, textCol).write.mode("overwrite").parquet(staging)
-    Staged(s.read.parquet(staging), () => {
-      val fs = fileSystem(s, storeDir)
-      val live = new org.apache.hadoop.fs.Path(countsPath(storeDir))
-      fs.delete(live, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-        s"could not commit staged LM store $staging -> $live")
-    })
+    val sw = stagePartialsBuild(partials(trusted, dropId, textCol), storeDir)
+    Staged(trusted.sparkSession.read.parquet(sw.stagingDir), sw.commit)
   }
 
   /** Add a new trusted drop's counts (staged). Refuses an already-stored
@@ -117,14 +92,11 @@ object LmStore {
   def stageAppend(trusted: DataFrame, storeDir: String, dropId: String,
                   textCol: String = "text"): Staged = {
     val s = trusted.sparkSession
-    require(exists(s, storeDir),
-      s"no LM store under $storeDir — run LmStore.build first")
-    require(!drops(s, storeDir).contains(dropId),
-      s"drop '$dropId' is already counted in $storeDir — appending it again would double-count")
-    val staging = stagingPath(storeDir)
-    partials(trusted, dropId, textCol).write.mode("overwrite").parquet(staging)
-    Staged(s.read.parquet(staging), () => graft.operators.StoreSwap
-      .commitDropDir(s, countsPath(storeDir), staging, dropId))
+    requireStore(s, storeDir)
+    requireNewDrop(s, storeDir, dropId)
+    val sw = stagePartialsAppend(partials(trusted, dropId, textCol),
+      storeDir, dropId)
+    Staged(s.read.parquet(sw.stagingDir), sw.commit)
   }
 
   def append(trusted: DataFrame, storeDir: String, dropId: String,
@@ -138,8 +110,7 @@ object LmStore {
     */
   def serveModel(s: SparkSession, storeDir: String,
                  minCount: Long = 1L): Lm.Model = {
-    require(exists(s, storeDir),
-      s"no LM store under $storeDir — run LmStore.build first")
+    requireStore(s, storeDir)
     serveModelWith(s, storeDir, extra = None, minCount)
   }
 
@@ -178,51 +149,4 @@ object LmStore {
                    textCol: String = "text"): DataFrame =
     Lm.score(docs, serveModel(docs.sparkSession, storeDir, minCount),
       idCol, textCol)
-
-  /** Takedown: remove one drop's counts from the store — the corpus-free
-    * inverse of [[append]]. Because the store holds per-drop PARTIALS and
-    * the merge is a sum, deleting a drop's rows makes every later
-    * [[serveModel]] EXACTLY the model `Lm.train` would produce on the
-    * union of the REMAINING drops — not an approximation and not a
-    * re-train: a takedown request (license revocation, contaminated
-    * drop, right-to-be-forgotten) is honored by one partials-table
-    * rewrite, with the trusted corpus never re-read (q139's gate proves
-    * post-removal serve ≡ never-ingested). Crash-safe swap: the filtered
-    * copy lands in staging, the live table moves aside, staging renames
-    * in — a crash leaves the old store live or intact under
-    * `_takedown-old`, never half-removed (double-running a takedown is
-    * refused by the drops() check, so a retry after the final delete is
-    * loud, not silently destructive).
-    */
-  def removeDrop(s: SparkSession, storeDir: String, dropId: String): Unit = {
-    require(exists(s, storeDir),
-      s"no LM store under $storeDir — run LmStore.build first")
-    require(drops(s, storeDir).contains(dropId),
-      s"drop '$dropId' is not in $storeDir — nothing to remove")
-    val staging = stagingPath(storeDir)
-    load(s, storeDir).filter(col("drop_id") =!= dropId)
-      .write.mode("overwrite").parquet(staging)
-    graft.operators.StoreSwap.swapIn(s, storeDir, countsPath(storeDir),
-      staging, "_takedown-old")
-  }
-
-  /** Maintenance: rewrite the counts table into `targetFiles` files,
-    * contents identical (crash-safe swap — `text.Store.compact`).
-    */
-  def compact(s: SparkSession, storeDir: String, targetFiles: Int = 1): Unit = {
-    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    require(exists(s, storeDir), s"no LM store under $storeDir")
-    val staging = stagingPath(storeDir)
-    load(s, storeDir).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(staging)
-    graft.operators.StoreSwap.swapIn(s, storeDir, countsPath(storeDir),
-      staging, "_compact-old")
-  }
-
-  private def stagingPath(storeDir: String): String =
-    s"$storeDir/_staging-${java.util.UUID.randomUUID().toString.take(8)}"
-
-  private def fileSystem(s: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
 }

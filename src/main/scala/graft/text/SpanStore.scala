@@ -40,9 +40,12 @@ import org.apache.spark.sql.functions._
   * `drop-<id>/` subdirectory ([[graft.operators.StoreSwap.commitDropDir]]),
   * takedown/compact rewrites flat; `recursiveFileLookup` reads all three.
   */
-object SpanStore {
+object SpanStore extends graft.operators.DropLedger {
 
-  def gramsPath(storeDir: String): String = s"$storeDir/spangrams"
+  protected def tableName: String = "spangrams"
+  protected def kind: String = "span store"
+
+  def gramsPath(storeDir: String): String = tablePath(storeDir)
 
   /** (doc_id, pos, gram_key) — one row per k-gram OCCURRENCE; 1-based
     * positions. The shared head of q120/q125 and every store path.
@@ -120,8 +123,7 @@ object SpanStore {
     */
   def partials(docs: DataFrame, dropId: String, k: Int = 5,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(dropId.matches("[A-Za-z0-9._-]+"),
-      s"drop_id must be a plain token, got '$dropId'")
+    requireDropId(dropId)
     require(k >= 2, s"k must be >= 2, got $k")
     posRows(docs, k, idCol, textCol)
       .groupBy(col("gram_key"))
@@ -131,27 +133,11 @@ object SpanStore {
         col("gram_key"), col("df_c"), col("min_doc"))
   }
 
-  def exists(s: SparkSession, storeDir: String): Boolean = {
-    graft.operators.StoreSwap.requireNotCrashed(s, storeDir, gramsPath(storeDir))
-    val p = new org.apache.hadoop.fs.Path(gramsPath(storeDir))
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  def load(s: SparkSession, storeDir: String): DataFrame =
-    s.read.option("recursiveFileLookup", "true").parquet(gramsPath(storeDir))
-
-  /** Drop ids already ingested (driver-sized: one string per drop). */
-  def drops(s: SparkSession, storeDir: String): Set[String] =
-    if (!exists(s, storeDir)) Set.empty
-    else load(s, storeDir).select(col("drop_id")).distinct()
-      .collect().map(_.getString(0)).toSet
-
   /** The store's gram width — stamped at build, validated single-valued
     * so a mismatched probe can never silently miss every gram.
     */
   def storedK(s: SparkSession, storeDir: String): Int = {
-    require(exists(s, storeDir),
-      s"no span store under $storeDir — run SpanStore.build first")
+    requireStore(s, storeDir)
     val ks = load(s, storeDir).select(col("k")).distinct()
       .collect().map(_.getInt(0))
     require(ks.length == 1,
@@ -166,19 +152,9 @@ object SpanStore {
 
   def buildStaged(docs: DataFrame, storeDir: String, dropId: String,
                   k: Int = 5, idCol: String = "doc_id",
-                  textCol: String = "text"): () => Unit = {
-    val s = docs.sparkSession
-    val staging = stagingPath(storeDir)
-    partials(docs, dropId, k, idCol, textCol)
-      .write.mode("overwrite").parquet(staging)
-    () => {
-      val fs = fileSystem(s, storeDir)
-      val live = new org.apache.hadoop.fs.Path(gramsPath(storeDir))
-      fs.delete(live, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-        s"could not commit staged span store $staging -> $live")
-    }
-  }
+                  textCol: String = "text"): () => Unit =
+    stagePartialsBuild(partials(docs, dropId, k, idCol, textCol),
+      storeDir).commit
 
   /** Append a new drop's gram-df partials (staged, single-rename atomic
     * commit). Refuses a stored id — df merges by sum, so a double append
@@ -189,13 +165,9 @@ object SpanStore {
                    textCol: String = "text"): () => Unit = {
     val s = docs.sparkSession
     val k = storedK(s, storeDir)
-    require(!drops(s, storeDir).contains(dropId),
-      s"drop '$dropId' is already ingested in $storeDir — appending it again would double-count df")
-    val staging = stagingPath(storeDir)
-    partials(docs, dropId, k, idCol, textCol)
-      .write.mode("overwrite").parquet(staging)
-    () => graft.operators.StoreSwap.commitDropDir(
-      s, gramsPath(storeDir), staging, dropId)
+    requireNewDrop(s, storeDir, dropId)
+    stagePartialsAppend(partials(docs, dropId, k, idCol, textCol),
+      storeDir, dropId).commit
   }
 
   def append(docs: DataFrame, storeDir: String, dropId: String,
@@ -208,8 +180,7 @@ object SpanStore {
     * gram-type-sized partials, partitioned by gram key.
     */
   def serveStats(s: SparkSession, storeDir: String): DataFrame = {
-    require(exists(s, storeDir),
-      s"no span store under $storeDir — run SpanStore.build first")
+    requireStore(s, storeDir)
     load(s, storeDir).groupBy(col("gram_key"))
       .agg(sum(col("df_c")).as("gram_df"), min(col("min_doc")).as("keeper"))
   }
@@ -276,41 +247,8 @@ object SpanStore {
     scrubTail(d, pos, keepers, k, eager)
   }
 
-  /** Takedown: remove one drop's partials — the serve re-sums df and
-    * re-mins keepers over the surviving drops, so a gram flagged only
-    * because of the removed drop stops being a span, and a keeper the
-    * removed drop held falls back exactly (q152's gate). Crash-safe
-    * `_takedown-old` swap; double-removal is loud.
-    */
-  def removeDrop(s: SparkSession, storeDir: String, dropId: String): Unit = {
-    require(exists(s, storeDir),
-      s"no span store under $storeDir — run SpanStore.build first")
-    require(drops(s, storeDir).contains(dropId),
-      s"drop '$dropId' is not in $storeDir — nothing to remove")
-    val staging = stagingPath(storeDir)
-    load(s, storeDir).filter(col("drop_id") =!= dropId)
-      .write.mode("overwrite").parquet(staging)
-    graft.operators.StoreSwap.swapIn(s, storeDir, gramsPath(storeDir),
-      staging, "_takedown-old")
-  }
-
-  /** Maintenance: rewrite the table into `targetFiles` files, contents
-    * identical (crash-safe swap — `text.Store.compact`).
-    */
-  def compact(s: SparkSession, storeDir: String, targetFiles: Int = 1): Unit = {
-    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    require(exists(s, storeDir), s"no span store under $storeDir")
-    val staging = stagingPath(storeDir)
-    load(s, storeDir).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(staging)
-    graft.operators.StoreSwap.swapIn(s, storeDir, gramsPath(storeDir),
-      staging, "_compact-old")
-  }
-
-  private def stagingPath(storeDir: String): String =
-    s"$storeDir/_staging-${java.util.UUID.randomUUID().toString.take(8)}"
-
-  private def fileSystem(s: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
+  // Takedown (q152's gate: the serve re-sums df and re-mins keepers over
+  // the surviving drops, so a gram flagged only because of the removed
+  // drop stops being a span and a stolen keeper falls back exactly) and
+  // compaction are the inherited DropLedger lifecycle.
 }
