@@ -91,6 +91,10 @@ object Bench {
       graft.text.Queries.spanStoreFixture(spark, sfDir)
     if (names.contains("q152_span_takedown"))
       graft.text.Queries.spanTakedownFixture(spark, sfDir)
+    if (names.contains("q162_chunk_store"))
+      graft.text.Queries.chunkStoreFixture(spark, sfDir)
+    if (names.contains("q163_chunk_takedown"))
+      graft.text.Queries.chunkTakedownFixture(spark, sfDir)
     // q154/q155 serve the manifest store (kilobyte partials; build is a
     // handful of manifest scans — no separate _build row warranted)
     if (names.contains("q154_manifest_store"))

@@ -127,6 +127,12 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        (no output rescan), and replicas
   *                                        localize divergence to the DROP
   *                                        via ManifestStore.compare
+  *     [--chunk-store dir]                persisted CDC chunk-frequency store:
+  *                                        first run bootstraps; later runs
+  *                                        write OUT/_chunks (this drop's
+  *                                        verbatim-share census vs history ∪
+  *                                        drop, q162's operator) then append
+  *                                        the drop's partials under --drop-id
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -204,7 +210,8 @@ object Corpus {
       spanRemoveDrop: Option[String] = None,
       scrubSpans: Boolean = false,
       manifestStore: Option[String] = None,
-      temperatureBy: Option[String] = None)
+      temperatureBy: Option[String] = None,
+      chunkStore: Option[String] = None)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -257,6 +264,8 @@ object Corpus {
       parse(rest, acc.copy(scrubSpans = true))
     case "--manifest-store" :: v :: rest =>
       parse(rest, acc.copy(manifestStore = Some(v)))
+    case "--chunk-store" :: v :: rest =>
+      parse(rest, acc.copy(chunkStore = Some(v)))
     case "--span-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
@@ -359,7 +368,11 @@ object Corpus {
       a.manifestStore.map(sd => ("--manifest-store", sd,
         (s: SparkSession, d: String) => graft.operators.ManifestStore.drops(s, d),
         (s: SparkSession, d: String, id: String) =>
-          graft.operators.ManifestStore.removeDrop(s, d, id)))
+          graft.operators.ManifestStore.removeDrop(s, d, id))),
+      a.chunkStore.map(sd => ("--chunk-store", sd,
+        (s: SparkSession, d: String) => graft.text.ChunkStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.text.ChunkStore.removeDrop(s, d, id)))
     ).flatten
 
   private def defaultDropId(input: String): String = {
@@ -880,7 +893,7 @@ object Corpus {
         "[--takedown ticket.parquet] [--ledger-report] " +
         "[--cluster-store dir] [--ann-index dir] " +
         "[--span-store dir] [--span-remove-drop id] [--scrub-spans] " +
-        "[--manifest-store dir] " +
+        "[--manifest-store dir] [--chunk-store dir] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)
@@ -967,6 +980,23 @@ object Corpus {
           ManifestStore.appendStaged(r.train, md, dropId, "doc_id", cols,
             a.shards)()
         else warnSkippedDrop("--manifest-store", dropId, md)
+      }
+      // _chunks: CDC verbatim-share census of THIS drop against the chunk
+      // store's history ∪ the drop (q162's operator; read-only scoring
+      // written before the append), then the drop's chunk-frequency
+      // partials join the store under the drop-id discipline.
+      a.chunkStore.foreach { cd =>
+        import graft.text.ChunkStore
+        val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
+        if (!ChunkStore.exists(spark, cd)) {
+          ChunkStore.buildStaged(r.train, cd, dropId)()
+        } else {
+          ChunkStore.dupStatsVsDrop(r.train, cd)
+            .write.mode("overwrite").parquet(s"${a.out}/_chunks")
+          if (!ChunkStore.drops(spark, cd).contains(dropId))
+            ChunkStore.appendStaged(r.train, cd, dropId)()
+          else warnSkippedDrop("--chunk-store", dropId, cd)
+        }
       }
       // _novelty: per-doc first-occurrence novelty of THIS drop against
       // the gram store's history ∪ the drop (read-only scoring, written

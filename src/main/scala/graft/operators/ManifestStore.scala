@@ -57,6 +57,9 @@ object ManifestStore extends DropLedger {
     requireStore(s, storeDir)
     val specs = load(s, storeDir).select(col("spec")).distinct()
       .collect().map(_.getString(0))
+    require(specs.nonEmpty,
+      s"manifest store $storeDir has no drops (every drop was removed) — " +
+        "build or append before serving")
     require(specs.length == 1,
       s"manifest store $storeDir holds mixed specs ${specs.sorted.mkString("; ")} — corrupt")
     specs.head

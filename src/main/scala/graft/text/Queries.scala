@@ -753,6 +753,25 @@ object Queries {
       Dedup.cdcDupStats(Tables(s, dir).documents
         .repartition(s.sparkContext.defaultParallelism))),
 
+    // Store-served CDC census: q161 of a new drop against the persisted
+    // chunk-frequency store's history ∪ the drop — the history is never
+    // re-chunked; its contribution is one store scan of chunk-sized
+    // partials (≈ one row per `divisor` tokens).
+    "q162_chunk_store" -> ((s, dir) =>
+      ChunkStore.dupStatsVsDrop(
+        Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+          .repartition(s.sparkContext.defaultParallelism),
+        chunkStoreFixture(s, dir))),
+
+    // Chunk-store takedown: the junk drop (the probe's own texts under
+    // disjoint ids) removed — post-takedown census ≡ never-ingested
+    // (df subtraction under the sum-merge).
+    "q163_chunk_takedown" -> ((s, dir) =>
+      ChunkStore.dupStatsVsDrop(
+        Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+          .repartition(s.sparkContext.defaultParallelism),
+        chunkTakedownFixture(s, dir))),
+
     // Store-served span DETECTION: q120 of a new drop against the
     // persisted gram-df store's history ∪ the drop — gated bit-for-bit
     // against the from-scratch union replay restricted to the drop (the
@@ -1188,6 +1207,52 @@ object Queries {
       storeDir
     })
 
+  /** q162/q163's chunk store: the corpus history (doc_id % 3 != 0) as two
+    * drops under the default CDC config; the takedown variant adds a junk
+    * drop "x" (the probe's texts re-keyed to doc_id + 10^7 — inflates
+    * exactly the probe chunks' df) and removes it.
+    */
+  private[graft] def chunkStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#chunks"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-chunkstore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      ChunkStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      ChunkStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      storeDir
+    })
+
+  private[graft] def chunkTakedownFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#chunks-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-chunkstore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      ChunkStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      ChunkStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      ChunkStore.append(
+        d.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)),
+        storeDir, "x")
+      ChunkStore.removeDrop(s, storeDir, "x")
+      storeDir
+    })
+
   /** The sources q141 purges from the signature store — fixed names the
     * oracle mirrors literally (TESTDATA's documents carry src0..src19).
     */
@@ -1344,6 +1409,25 @@ object Queries {
        |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_key
        |FROM ci GROUP BY doc_id, chunk_idx""".stripMargin
 
+  /** q161's census replay, with `outFilter` restricting which docs'
+    * census rows are emitted — chunk df always counts over the FULL
+    * table, so the filtered variants replay "union from scratch,
+    * restricted to the probe drop" (q162/q163's store-serve contract).
+    */
+  private def cdcCensusOracle(outFilter: String): String =
+    s"""WITH ch AS ($cdcOracle),
+       |sh AS (SELECT chunk_key FROM ch GROUP BY chunk_key
+       |  HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT ch.doc_id, count(*) AS n_chunks,
+       |  CAST(sum(ch.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN sh.chunk_key IS NULL THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN sh.chunk_key IS NULL THEN 0 ELSE ch.n_words END)
+       |    AS BIGINT) AS dup_words
+       |FROM ch LEFT JOIN sh USING (chunk_key)
+       |WHERE $outFilter
+       |GROUP BY ch.doc_id""".stripMargin
+
   /** q120's span-detection replay, with `outFilter` restricting which
     * docs' SPANS are emitted — gram df always counts over the FULL table,
     * so the filtered variants replay "from scratch on the union,
@@ -1412,18 +1496,13 @@ object Queries {
   def oracles: Map[String, String] = Map(
     "q120_repeated_spans" -> spanDetectOracle("TRUE"),
     "q160_cdc_chunks" -> cdcOracle,
-    "q161_cdc_dedup" ->
-      s"""WITH ch AS ($cdcOracle),
-         |sh AS (SELECT chunk_key FROM ch GROUP BY chunk_key
-         |  HAVING count(DISTINCT doc_id) >= 2)
-         |SELECT ch.doc_id, count(*) AS n_chunks,
-         |  CAST(sum(ch.n_words) AS BIGINT) AS n_words,
-         |  CAST(sum(CASE WHEN sh.chunk_key IS NULL THEN 0 ELSE 1 END)
-         |    AS BIGINT) AS n_dup_chunks,
-         |  CAST(sum(CASE WHEN sh.chunk_key IS NULL THEN 0 ELSE ch.n_words END)
-         |    AS BIGINT) AS dup_words
-         |FROM ch LEFT JOIN sh USING (chunk_key)
-         |GROUP BY ch.doc_id""".stripMargin,
+    "q161_cdc_dedup" -> cdcCensusOracle("TRUE"),
+    // q162/q163 serve the probe split (doc_id % 3 = 0) against the
+    // persisted chunk-frequency store; the oracle replays the UNION from
+    // scratch (chunk df over ALL docs) and restricts the census to the
+    // probe. q163 shares q162's oracle: takedown ≡ never-ingested.
+    "q162_chunk_store" -> cdcCensusOracle("ch.doc_id % 3 = 0"),
+    "q163_chunk_takedown" -> cdcCensusOracle("ch.doc_id % 3 = 0"),
     // q150/q152 serve the probe split (doc_id % 3 = 0) against the
     // persisted gram-df store; the oracle replays the UNION from scratch
     // (df/keepers over ALL docs — store corpus ∪ probe = the full table)

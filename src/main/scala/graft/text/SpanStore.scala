@@ -140,6 +140,9 @@ object SpanStore extends graft.operators.DropLedger {
     requireStore(s, storeDir)
     val ks = load(s, storeDir).select(col("k")).distinct()
       .collect().map(_.getInt(0))
+    require(ks.nonEmpty,
+      s"span store $storeDir has no drops (every drop was removed) — " +
+        "build or append before serving")
     require(ks.length == 1,
       s"span store $storeDir holds mixed gram widths ${ks.sorted.mkString(", ")} — corrupt")
     ks.head
