@@ -183,24 +183,28 @@ object Bench {
     // millisecond precision. The full-name full-precision line goes to
     // target/bench.json, which the judge reads for per-query analysis.
     val shortKeys = all.foldLeft(Map.empty[String, String]) { case (acc, (k, _)) =>
-      val short = k.takeWhile(c => c == 'q' || c.isDigit)
-      acc + (k -> (if (short.nonEmpty && !acc.valuesIterator.contains(short)) short else k))
+      val digits = k.takeWhile(c => c == 'q' || c.isDigit)
+      // store-build rows compress to "qNNb" (q106_build -> q106b): at
+      // 163 queries the full "_build" names alone crossed the window
+      val short = if (k.endsWith("_build")) digits + "b" else digits
+      acc + (k -> (if (short.length > 1 && !acc.valuesIterator.contains(short)) short else k))
     }
     // Locale.ROOT: a comma decimal separator would corrupt the JSON.
-    // Trailing zeros stripped ("0.50" -> "0.5"): at 150+ queries the
-    // compact line brushes the driver's ~2 kB tail window — every spare
-    // byte keeps the closing brace inside it.
+    // Trailing zeros stripped ("0.50" -> "0.5") and values >= 1 s carry
+    // ONE decimal — full precision lives in target/bench.json: at 163+
+    // queries the compact line brushes the driver's ~2 kB tail window,
+    // and every spare byte keeps the OPENING brace inside it (the window
+    // is a stdout TAIL, and sbt appends a [success] line after us).
     def ms(v: Double): String =
       if (v < 0) "-1"
       else {
-        val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        val s = String.format(java.util.Locale.ROOT,
+          if (v >= 1) "%.1f" else "%.2f", Double.box(v))
         if (s.contains('.'))
           s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
         else s
       }
     val qsShort = all.map { case (k, v) => "\"" + shortKeys(k) + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val ctlShort = controlNames.map(n => "\"" + shortKeys(n) + "\":" + ms(resultMap(n)))
       .mkString("{", ",", "}")
     // BENCH_r07–r09 all ended `parsed: null`. r7/r8: the full-precision
     // line overflowed the driver's ~2 kB stdout tail window (fixed by the
@@ -211,8 +215,11 @@ object Bench {
     // and reaches the process's real fd 1 bare, under sbt and plain java
     // alike; it is also the LAST stdout this main produces, so it sits at
     // the very end of the tail window.
+    // the controls object rides only in target/bench.json: on stdout it
+    // would re-state two queries entries for ~50 bytes of window budget;
+    // sf likewise compresses to its basename
     val compact =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"controls":$ctlShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"sf":"${new java.io.File(sfDir).getName}"}"""
     val rawOut = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     rawOut.write((compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     rawOut.flush()
