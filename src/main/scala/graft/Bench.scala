@@ -64,43 +64,41 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).exists()) names.foreach(exec(_, warmDir))
 
-    // q106 measures the signature-store SERVE path (the fixture store is
-    // built once per (session, sf-dir) — text.Queries.storeFixture). Build
-    // it untimed up front so even a RUNS=1 sweep's q106 number is pure
-    // serve; the BUILD cost gets its own row (q106_build) below.
-    if (names.contains("q106_incr_dedup")) graft.text.Queries.storeFixture(spark, sfDir)
-    // q129/q134 likewise measure the cluster-store SERVE path; the build
-    // gets its own q129_build row below.
-    if (names.contains("q129_store_semdedup") ||
-        names.contains("q156_cluster_occupancy"))
-      graft.vector.Queries.clusterStoreFixture(spark, sfDir)
-    if (names.contains("q134_store_append_serve"))
-      graft.vector.Queries.appendedClusterStoreFixture(spark, sfDir)
-    // q136 measures the profile-store SERVE path (partials-only merge);
-    // the three-drop build runs untimed here and gets its own row below
-    if (names.contains("q136_profile_store"))
-      graft.extra.Queries.profileStoreFixture(spark, sfDir)
-    // q137 measures the LM-store SERVE path (merged counts + scoring);
-    // the two-drop count build gets its own q137_build row below
-    if (names.contains("q137_lm_store"))
-      graft.text.Queries.lmStoreFixture(spark, sfDir)
-    // q150/q151 measure the span-store SERVE paths (detect/scrub vs the
-    // stored gram-df partials); the two-drop build gets its q150_build row
-    if (names.contains("q150_span_store") ||
-        names.contains("q151_span_store_scrub"))
-      graft.text.Queries.spanStoreFixture(spark, sfDir)
-    if (names.contains("q152_span_takedown"))
-      graft.text.Queries.spanTakedownFixture(spark, sfDir)
-    if (names.contains("q162_chunk_store"))
-      graft.text.Queries.chunkStoreFixture(spark, sfDir)
-    if (names.contains("q163_chunk_takedown"))
-      graft.text.Queries.chunkTakedownFixture(spark, sfDir)
+    // Store-serve queries measure the SERVE path; their fixture stores
+    // build untimed up front so even a RUNS=1 sweep's number is pure
+    // serve (the one-time cost gets its own qNNN_build row below where
+    // material). Each build is followed by the same cleanup as a timed
+    // row: at sf1 the FULL fixture family in one JVM — a dozen stores'
+    // builds' shuffle/broadcast residue — ran an 8 GB heap out of memory
+    // exactly here before the inter-build cleanup existed.
+    def prebuild(wanted: Boolean)(build: => Unit): Unit =
+      if (wanted) { build; cleanup(spark) }
+    prebuild(names.contains("q106_incr_dedup")) {
+      graft.text.Queries.storeFixture(spark, sfDir) }
+    prebuild(names.contains("q129_store_semdedup") ||
+        names.contains("q156_cluster_occupancy")) {
+      graft.vector.Queries.clusterStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q134_store_append_serve")) {
+      graft.vector.Queries.appendedClusterStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q136_profile_store")) {
+      graft.extra.Queries.profileStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q137_lm_store")) {
+      graft.text.Queries.lmStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q150_span_store") ||
+        names.contains("q151_span_store_scrub")) {
+      graft.text.Queries.spanStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q152_span_takedown")) {
+      graft.text.Queries.spanTakedownFixture(spark, sfDir) }
+    prebuild(names.contains("q162_chunk_store")) {
+      graft.text.Queries.chunkStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q163_chunk_takedown")) {
+      graft.text.Queries.chunkTakedownFixture(spark, sfDir) }
     // q154/q155 serve the manifest store (kilobyte partials; build is a
     // handful of manifest scans — no separate _build row warranted)
-    if (names.contains("q154_manifest_store"))
-      graft.extra.Queries.manifestStoreFixture(spark, sfDir)
-    if (names.contains("q155_manifest_takedown"))
-      graft.extra.Queries.manifestTakedownFixture(spark, sfDir)
+    prebuild(names.contains("q154_manifest_store")) {
+      graft.extra.Queries.manifestStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q155_manifest_takedown")) {
+      graft.extra.Queries.manifestTakedownFixture(spark, sfDir) }
 
     val results = names.map { name =>
       val times = (1 to runs).map(_ => exec(name, sfDir)).filter(_ >= 0)
@@ -198,8 +196,10 @@ object Bench {
     def ms(v: Double): String =
       if (v < 0) "-1"
       else {
+        // one decimal from 0.1 s up (rounds, full precision in the json
+        // file); two decimals only below, so a 50 ms row never reads "0"
         val s = String.format(java.util.Locale.ROOT,
-          if (v >= 1) "%.1f" else "%.2f", Double.box(v))
+          if (v >= 0.095) "%.1f" else "%.2f", Double.box(v))
         if (s.contains('.'))
           s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
         else s
