@@ -233,6 +233,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           eager = false)
         .queryExecution.logical
     }
+    tvf("graft_cdc_chunks") { args =>
+      require(args.size == 1, "usage: graft_cdc_chunks(<table>)")
+      graft.text.Dedup.cdcChunks(
+          SparkSession.active.table(
+            strArg("graft_cdc_chunks", args.head, "table name")),
+          eager = false)
+        .queryExecution.logical
+    }
+    tvf("graft_chunk_census_store") { args =>
+      require(args.size == 2,
+        "usage: graft_chunk_census_store(<store dir>, <candidate table>)")
+      graft.text.ChunkStore.dupStatsVsDrop(
+          SparkSession.active.table(
+            strArg("graft_chunk_census_store", args(1), "candidate table")),
+          strArg("graft_chunk_census_store", args.head, "store dir"),
+          eager = false)
+        .queryExecution.logical
+    }
     tvf("graft_manifest") { args =>
       require(args.size == 4, "usage: graft_manifest(<table>, <keyCol>, " +
         "'<comma-separated cols>', <shards>)")

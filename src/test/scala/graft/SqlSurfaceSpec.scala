@@ -185,6 +185,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(scrubSql).exists(r => r.head == 4L && r(2) == 0L))
   }
 
+  test("graft_cdc_chunks / graft_chunk_census_store run CDC dedup from SQL") {
+    docsView
+    val viaSql = spark.sql("SELECT * FROM graft_cdc_chunks('sql_docs')")
+    val direct = graft.text.Dedup.cdcChunks(spark.table("sql_docs"))
+    assert(rows(viaSql) === rows(direct))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlchunks")
+    graft.text.ChunkStore.build(
+      Seq((0L, (1 to 30).map(i => s"a$i").mkString(" ")))
+        .toDF("doc_id", "text"), s"$dir/chunks", "d0")
+    val census = spark.sql(
+      s"SELECT * FROM graft_chunk_census_store('$dir/chunks', 'sql_docs')")
+    val censusDirect = graft.text.ChunkStore.dupStatsVsDrop(
+      spark.table("sql_docs"), s"$dir/chunks")
+    assert(rows(census) === rows(censusDirect))
+    // doc 1 repeats the stored doc verbatim: all chunks shared via SQL
+    assert(rows(census).exists(r => r.head == 1L && r(1) == r(3)))
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(

@@ -418,6 +418,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chunk-store ingest: foreachBatch CDC census against the growing history") {
+    // The streaming half of q162: each micro-batch is censused against
+    // store ∪ batch, then its chunk partials join the store — batch
+    // N+1's shared chunks include batch N's.
+    import graft.text.ChunkStore
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-chunkstore").toString
+    val body = (1 to 60).map(i => s"c$i").mkString(" ")
+    ChunkStore.build(Seq((1L, body)).toDF("doc_id", "text"), dir, "seed")
+    val shares = scala.collection.mutable.Map.empty[Long, Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val dropId = f"batch-$epoch%06d"
+        shares ++= ChunkStore.dupStatsVsDrop(batch, dir)
+          .select("doc_id", "n_dup_chunks").as[(Long, Long)].collect()
+        if (!ChunkStore.drops(spark, dir).contains(dropId))
+          ChunkStore.appendStaged(batch, dir, dropId)()
+        ()
+      }
+      .start()
+    try {
+      val fresh = (200 to 260).map(i => s"f$i").mkString(" ")
+      mem.addData((10L, "intro " + body), (11L, fresh))
+      q.processAllAvailable() // 10 shares the seed's chunks, 11 is fresh
+      assert(shares(10L) > 0L && shares(11L) === 0L, shares.toString)
+      mem.addData((20L, fresh + " outro"))
+      q.processAllAvailable() // 20 shares batch-1's APPENDED fresh chunks
+      assert(shares(20L) > 0L, shares.toString)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
