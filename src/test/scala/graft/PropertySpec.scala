@@ -17,8 +17,9 @@ class PropertySpec extends AnyFunSuite {
 
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(10)
 
-  private def check(name: String, prop: Prop): Unit = {
-    val res = SCTest.check(params, prop)
+  private def check(name: String, prop: Prop,
+                    p: SCTest.Parameters = params): Unit = {
+    val res = SCTest.check(p, prop)
     assert(res.passed, s"$name: ${res.status}")
   }
 
@@ -224,6 +225,54 @@ class PropertySpec extends AnyFunSuite {
         got == unionFind(edges)
       }
     })
+  }
+
+  test("property: the drop-ledger lifecycle serves the union of surviving drops") {
+    // randomized build → appends → takedowns → one re-append, against the
+    // LmStore instance of the shared DropLedger scaffold: whatever the
+    // op sequence, the served model must equal Lm.train over exactly the
+    // docs of the drops still in the ledger (the generalization of the
+    // q137/q139 gates the per-store specs pin concretely)
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val textGen = Gen.listOfN(6, word).map(_.mkString(" "))
+    val dropGen = Gen.listOfN(3, textGen) // 3 docs per drop
+    val caseGen = for {
+      drops <- Gen.listOfN(3, dropGen)          // drops d0, d1, d2
+      removeMask <- Gen.listOfN(3, Gen.oneOf(true, false))
+      reTexts <- dropGen                        // content for one re-append
+    } yield (drops, removeMask, reTexts)
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val prop = Prop.forAll(caseGen) { case (drops, removeMask, reTexts) =>
+      import graft.text.{Lm, LmStore}
+      val dir = java.nio.file.Files.createTempDirectory("prop-ledger").toString
+      def frame(i: Int, texts: List[String]) =
+        texts.zipWithIndex.map { case (t, j) => (i * 100L + j, t) }
+          .toDF("doc_id", "text")
+      LmStore.build(frame(0, drops.head), dir, "d0")
+      drops.zipWithIndex.tail.foreach { case (d, i) =>
+        LmStore.append(frame(i, d), dir, s"d$i")
+      }
+      val removed = removeMask.zipWithIndex.collect { case (true, i) => i }
+      // never drain the store completely (a drained ledger refuses to
+      // serve by design); keep at least one drop
+      val toRemove = removed.take(2)
+      toRemove.foreach(i => LmStore.removeDrop(spark, dir, s"d$i"))
+      // a removed id is free to re-enter with NEW content
+      val reAdded = toRemove.headOption.map { i =>
+        LmStore.append(frame(i + 10, reTexts), dir, s"d$i")
+        i
+      }
+      val survivorDocs =
+        drops.zipWithIndex.collect {
+          case (d, i) if !toRemove.contains(i) => frame(i, d)
+        } ++ reAdded.map(i => frame(i + 10, reTexts))
+      val expected = Lm.train(survivorDocs.reduce(_ unionByName _))
+        .c1.as[(String, Long)].collect().toSet
+      val served = LmStore.serveModel(spark, dir)
+        .c1.as[(String, Long)].collect().toSet
+      served == expected
+    }
+    check("drop-ledger-union", prop, params)
   }
 
   test("property: near-dup clustering is invariant under input partitioning") {
