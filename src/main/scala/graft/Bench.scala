@@ -100,9 +100,14 @@ object Bench {
     prebuild(names.contains("q155_manifest_takedown")) {
       graft.extra.Queries.manifestTakedownFixture(spark, sfDir) }
 
+    // (name, min, max) — min is the billed value (intrinsic plan cost,
+    // see the header doc); max rides along in target/bench.json as
+    // variance telemetry (r9 VERDICT #7): a row whose max is a multiple
+    // of its min flags suite-context interference (the r9 q103 28s-vs-7s
+    // artifact) without needing a judge re-measurement to detect.
     val results = names.map { name =>
       val times = (1 to runs).map(_ => exec(name, sfDir)).filter(_ >= 0)
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      if (times.isEmpty) (name, -1.0, -1.0) else (name, times.min, times.max)
     }
 
     // Store-build benchmark rows: build into a fresh throwaway dir, min of
@@ -110,7 +115,7 @@ object Bench {
     // amortize away. Same protocol as every other row. Failure → -1.0
     // like exec(): a build crash on one run must not discard the whole
     // sweep's JSON line.
-    def buildBench(row: String, build: String => Unit): Seq[(String, Double)] = {
+    def buildBench(row: String, build: String => Unit): Seq[(String, Double, Double)] = {
       val times = (1 to runs).map { _ =>
         try {
           val tmp = java.nio.file.Files.createTempDirectory("graft-bench-store")
@@ -126,10 +131,11 @@ object Bench {
           case e: Throwable => System.err.println(s"[bench] $row: $e"); -1.0
         }
       }.filter(_ >= 0)
-      Seq(row -> (if (times.isEmpty) -1.0 else times.min))
+      Seq(if (times.isEmpty) (row, -1.0, -1.0)
+          else (row, times.min, times.max))
     }
     import org.apache.spark.sql.functions.col
-    val buildRow: Seq[(String, Double)] =
+    val buildRow: Seq[(String, Double, Double)] =
       (if (!names.contains("q106_incr_dedup")) Seq.empty
        else buildBench("q106_build", tmp => graft.text.Store.build(
          Tables(spark, sfDir).documents.filter(col("doc_id") % 3 =!= 0), tmp))) ++
@@ -155,8 +161,14 @@ object Bench {
            d.filter(col("doc_id") % 3 === 2), tmp, "b")
        }))
 
-    val all = results ++ buildRow
+    val all3 = results ++ buildRow
+    val all = all3.map { case (k, mn, _) => (k, mn) }
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // per-query MAX of the same runs — the spread. Full-file only (the
+    // compact stdout line is window-budgeted); consumers compute
+    // spread = max/min per query.
+    val qsMax = all3.map { case (k, _, mx) => "\"" + k + "\":" + mx }
+      .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     // Host-drift calibration (r7 VERDICT #7): two queries untouched since
     // round 1 whose cost is pure engine+host — cross-round comparisons
@@ -164,13 +176,13 @@ object Bench {
     // (r7's "1.4–1.6× regression" was the box, proven via these shapes).
     // a control that errored every run (-1 sentinel) is omitted, not
     // emitted: a negative "timing" would flip any normalization ratio
-    val resultMap = results.toMap
+    val resultMap = results.map { case (k, mn, _) => (k, mn) }.toMap
     val controlNames = Seq("q01_agg", "q02_sort")
       .filter(n => resultMap.get(n).exists(_ >= 0))
     val ctl = controlNames.map(n => "\"" + n + "\":" + resultMap(n))
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"controls":$ctl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"controls":$ctl,"sf":"$sfDir"}"""
     // The driver stores only a ~2 kB TAIL of stdout and parses the JSON
     // out of that window (BENCH_r07/r08 both ended `parsed: null`: the
     // full-name full-precision line is ~6 kB, so its HEAD — including the

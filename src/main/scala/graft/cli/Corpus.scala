@@ -150,8 +150,11 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        signatures; doc_id/vec_id rows purge
   *                                        --cluster-store vectors and
   *                                        --ann-index codes; drop_id rows
-  *                                        remove drops from --lm-store/
-  *                                        --profile-store/--novelty-store.
+  *                                        remove drops from every configured
+  *                                        drop-ledgered store (--lm-store/
+  *                                        --profile-store/--novelty-store/
+  *                                        --span-store/--manifest-store/
+  *                                        --chunk-store).
   *                                        Retry-convergent: already-absent
   *                                        drops are skipped with a notice, so
   *                                        re-running a partially-applied
@@ -724,7 +727,8 @@ object Corpus {
       // --cluster-store vectors, --ann-index codes — vec stores use
       // vec_id when present, else doc_id) and/or a `drop_id` column for
       // the drop-ledgered stores (--lm-store/--profile-store/
-      // --novelty-store). Convergence semantics make the RETRY of a
+      // --novelty-store/--span-store/--manifest-store/--chunk-store —
+      // everything in ledgeredStores). Convergence semantics make the RETRY of a
       // partial failure safe: doc-granular removal is an anti-join
       // (removing absent ids removes 0 rows), and a ticket drop already
       // absent from a ledger is SKIPPED with a notice instead of the
@@ -733,22 +737,26 @@ object Corpus {
       // --ledger-report in the same invocation to print the converged
       // per-store ledgers afterwards.
       a.takedown.foreach { ticketPath =>
-        val anyStore = Seq(a.dedupStore, a.clusterStore, a.annIndex,
-          a.lmStore, a.profileStore, a.noveltyStore).flatten
-        require(anyStore.nonEmpty,
-          "--takedown needs at least one store flag (--dedup-store/" +
-            "--cluster-store/--ann-index/--lm-store/--profile-store/" +
-            "--novelty-store) — a ticket applied to nothing must not exit 0")
+        // BOTH guards derive from ledgeredStores(a) — the one list every
+        // drop-ledgered store registers in — so a new store family joins
+        // the refusal/acceptance logic the moment it joins the list (the
+        // r10 bug: span/manifest/chunk handled by the loop below but
+        // refused by a hand-maintained flag list here).
+        val docStoresConfigured =
+          Seq(a.dedupStore, a.clusterStore, a.annIndex).flatten.nonEmpty
+        val ledgersConfigured = ledgeredStores(a).nonEmpty
+        require(docStoresConfigured || ledgersConfigured,
+          "--takedown needs at least one store flag (doc-granular: " +
+            "--dedup-store/--cluster-store/--ann-index; drop-ledgered: " +
+            "--lm-store/--profile-store/--novelty-store/--span-store/" +
+            "--manifest-store/--chunk-store) — a ticket applied to " +
+            "nothing must not exit 0")
         val ticket = spark.read.parquet(ticketPath)
         val cols = ticket.columns.toSet
         require(cols.contains("doc_id") || cols.contains("vec_id") ||
             cols.contains("drop_id"),
           s"--takedown $ticketPath: ticket needs a doc_id, vec_id, or " +
             s"drop_id column, got: ${ticket.columns.mkString(", ")}")
-        val docStoresConfigured =
-          Seq(a.dedupStore, a.clusterStore, a.annIndex).flatten.nonEmpty
-        val ledgersConfigured =
-          Seq(a.lmStore, a.profileStore, a.noveltyStore).flatten.nonEmpty
         if (cols.contains("doc_id") || cols.contains("vec_id")) {
           require(docStoresConfigured,
             "--takedown: the ticket carries doc/vec ids but no doc-granular " +
@@ -775,7 +783,8 @@ object Corpus {
         if (cols.contains("drop_id")) {
           require(ledgersConfigured,
             "--takedown: the ticket carries drop ids but no drop-ledgered " +
-              "store flag (--lm-store/--profile-store/--novelty-store) is set")
+              "store flag (--lm-store/--profile-store/--novelty-store/" +
+              "--span-store/--manifest-store/--chunk-store) is set")
           // the ticket's drop-id column is driver-sized by nature (one id
           // per ingested drop, not per corpus row)
           val dropIds = ticket.select(col("drop_id")).distinct()

@@ -237,8 +237,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.size == 1, "usage: graft_cdc_chunks(<table>)")
       graft.text.Dedup.cdcChunks(
           SparkSession.active.table(
-            strArg("graft_cdc_chunks", args.head, "table name")),
-          eager = false)
+            strArg("graft_cdc_chunks", args.head, "table name")))
         .queryExecution.logical
     }
     tvf("graft_chunk_census_store") { args =>

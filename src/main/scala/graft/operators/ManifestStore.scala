@@ -116,6 +116,13 @@ object ManifestStore extends DropLedger {
     * collision). One full-outer join over two kilobyte-sized tables.
     */
   def compare(s: SparkSession, dirA: String, dirB: String): DataFrame = {
+    // Same spec guard as appendStaged: replicas fingerprinted under
+    // different (key, cols, shards) produce a full table of meaningless
+    // "divergence" rows — refuse loudly instead.
+    val (sa, sb) = (storedSpec(s, dirA), storedSpec(s, dirB))
+    require(sa == sb,
+      s"manifest spec mismatch between replicas: '$dirA' has '$sa', " +
+        s"'$dirB' has '$sb' — comparing them row-by-row is meaningless")
     val a = load(s, dirA).select(col("drop_id"), col("shard"),
       col("n_rows").as("a_rows"), col("xor_fp").as("a_xor"),
       col("sum_fp").as("a_sum"))

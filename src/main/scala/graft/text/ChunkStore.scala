@@ -110,7 +110,7 @@ object ChunkStore extends graft.operators.DropLedger {
                      eager: Boolean = true): DataFrame = {
     val s = newDocs.sparkSession
     val (k, divisor) = storedCfg(s, storeDir)
-    val chunks0 = Dedup.cdcChunks(newDocs, k, divisor, idCol, textCol, eager)
+    val chunks0 = Dedup.cdcChunks(newDocs, k, divisor, idCol, textCol)
     // chunks feeds the drop-df agg AND the census rollup
     val chunks = if (eager) Dedup.materialize(chunks0) else chunks0
     val dup = chunks.groupBy(col("chunk_key"))

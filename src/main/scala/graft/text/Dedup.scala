@@ -362,8 +362,7 @@ object Dedup {
     * buffer, no driver-side text.
     */
   def cdcChunks(docs: DataFrame, k: Int = 3, divisor: Int = 8,
-                idCol: String = "doc_id", textCol: String = "text",
-                eager: Boolean = true): DataFrame = {
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
@@ -399,7 +398,7 @@ object Dedup {
   def cdcDupStats(docs: DataFrame, k: Int = 3, divisor: Int = 8,
                   idCol: String = "doc_id", textCol: String = "text",
                   eager: Boolean = true): DataFrame = {
-    val chunks0 = cdcChunks(docs, k, divisor, idCol, textCol, eager)
+    val chunks0 = cdcChunks(docs, k, divisor, idCol, textCol)
     // chunks feeds the cross-doc df agg AND the per-doc rollup
     val chunks = if (eager) materialize(chunks0) else chunks0
     val shared = chunks

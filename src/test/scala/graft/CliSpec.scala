@@ -791,6 +791,31 @@ class CliSpec extends AnyFunSuite {
     assert(!again.contains("removed drop"), again)
   }
 
+  test("Corpus CLI: a drop_id ticket against ONLY a new-family ledgered store is honored") {
+    // r10 ADVICE regression: the unified --takedown guards were a
+    // hand-maintained flag list that omitted --span-store/--manifest-store/
+    // --chunk-store, so a ticket whose ONLY configured store was one of
+    // the new families was REFUSED — contradicting the "one ticket applied
+    // to EVERY configured store" contract. Both guards now derive from
+    // ledgeredStores(a); this pins the previously-refused shape.
+    import spark.implicits._
+    import graft.text.ChunkStore
+    val dir = Files.createTempDirectory("corpus-ticket-chunk")
+    ChunkStore.build(docsOf((1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "ii jj kk ll mm nn oo pp")), s"$dir/chunks", "d1")
+    ChunkStore.append(docsOf((10L, "qq rr ss tt uu vv ww xx")),
+      s"$dir/chunks", "d2")
+    Seq("d2").toDF("drop_id").write.parquet(s"$dir/ticket")
+    graft.cli.Corpus.run(spark, Array(
+      "--takedown", s"$dir/ticket", "--chunk-store", s"$dir/chunks"))
+    assert(ChunkStore.drops(spark, s"$dir/chunks") === Set("d1"))
+    // and a ticket with NO store flag at all still refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Corpus.run(spark, Array("--takedown", s"$dir/ticket"))
+    }
+    assert(e.getMessage.contains("must not exit 0"), e.getMessage)
+  }
+
   test("Corpus CLI: --profile-store accumulates per-drop partials; re-runs idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-profstore")

@@ -56,6 +56,14 @@ class ManifestStoreSpec extends AnyFunSuite {
       "doc_id", Seq("text"), 4)
     assert(ManifestStore.compare(spark, dirA, dirB)
       .select("drop_id").as[String].collect().toSet === Set("d2", "d3"))
+    // replicas fingerprinted under DIFFERENT specs must refuse loudly —
+    // a row-by-row diff of incompatible fingerprints is all noise
+    val dirC = Files.createTempDirectory("manstore-c").toString
+    ManifestStore.build(d1, dirC, "d1", "doc_id", Seq("text"), 8)
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.compare(spark, dirA, dirC)
+    }
+    assert(e.getMessage.contains("spec mismatch"), e.getMessage)
   }
 
   test("takedown re-merges exactly; config mismatches and double appends are loud") {
