@@ -43,9 +43,15 @@ import org.apache.spark.sql.types._
   * crash-retry cannot double-count a drop (staged commits keep the
   * refusal meaningful — see [[appendStaged]]).
   */
-object ProfileStore {
+object ProfileStore extends DropLedger {
 
-  def partialsPath(storeDir: String): String = s"$storeDir/partials"
+  protected def tableName: String = "partials"
+  protected def kind: String = "profile store"
+
+  /** Historical alias for [[tablePath]] (the table predates the shared
+    * lifecycle's naming).
+    */
+  def partialsPath(storeDir: String): String = tablePath(storeDir)
 
   private def kinds(df: DataFrame, cols: Seq[String]): Map[String, String] = {
     require(cols.nonEmpty, "profile needs at least one column")
@@ -67,8 +73,7 @@ object ProfileStore {
     * min_s, max_s, buckets, hll). One scan, constant-size aggregates.
     */
   def partials(df: DataFrame, cols: Seq[String], dropId: String): DataFrame = {
-    require(dropId.matches("[A-Za-z0-9._-]+"),
-      s"drop_id must be a plain token, got '$dropId'")
+    requireDropId(dropId)
     val kind = kinds(df, cols)
     val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(count(col(c)).as(s"__c$i"),
@@ -98,75 +103,36 @@ object ProfileStore {
       .select(lit(dropId).as("drop_id"), col("*"))
   }
 
-  def exists(s: SparkSession, storeDir: String): Boolean = {
-    StoreSwap.requireNotCrashed(s, storeDir, partialsPath(storeDir))
-    val p = new org.apache.hadoop.fs.Path(partialsPath(storeDir))
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  /** The stored partials table. */
-  def load(s: SparkSession, storeDir: String): DataFrame =
-    s.read.parquet(partialsPath(storeDir))
-
-  /** Drop ids already in the store (driver-sized: one string per drop). */
-  def drops(s: SparkSession, storeDir: String): Set[String] =
-    if (!exists(s, storeDir)) Set.empty
-    else load(s, storeDir).select(col("drop_id")).distinct()
-      .collect().map(_.getString(0)).toSet
-
   /** Bootstrap the store from the first drop (overwrites). */
   def build(df: DataFrame, cols: Seq[String], storeDir: String,
             dropId: String): Unit =
     buildStaged(df, cols, storeDir, dropId)()
 
-  /** [[build]] split into compute-now / commit-later — the `text.Store`
-    * crash-retry discipline: the partial row lands in a staging dir NOW;
-    * the store only starts existing when the commit thunk runs.
+  /** [[build]] split into compute-now / commit-later — the shared
+    * [[DropLedger]] staged-build discipline: the partial row lands in a
+    * staging dir NOW; the store only starts existing when the commit
+    * thunk runs.
     */
   def buildStaged(df: DataFrame, cols: Seq[String], storeDir: String,
-                  dropId: String): () => Unit = {
-    val s = df.sparkSession
-    val staging = stagingPath(storeDir)
-    partials(df, cols, dropId).coalesce(1)
-      .write.mode("overwrite").parquet(staging)
-    () => {
-      val fs = fileSystem(s, storeDir)
-      val live = new org.apache.hadoop.fs.Path(partialsPath(storeDir))
-      fs.delete(live, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-        s"could not commit staged profile store $staging -> $live")
-    }
-  }
+                  dropId: String): () => Unit =
+    stagePartialsBuild(partials(df, cols, dropId), storeDir,
+      coalesceTo = Some(1)).commit
 
   /** Add a new drop's partials (staged; commit AFTER the drop's own
     * output write succeeds). Refuses an already-stored `dropId` — the
     * merge is a sum, so double-appending a drop would silently
     * double-count it; the drop id is the idempotency key a retrying
-    * pipeline leans on.
+    * pipeline leans on. The commit is ONE rename into a `drop-<id>/`
+    * subdirectory ([[StoreSwap.commitDropDir]]), so a crash leaves the
+    * drop fully absent or fully present — never half its part-files.
     */
   def appendStaged(df: DataFrame, cols: Seq[String], storeDir: String,
                    dropId: String): () => Unit = {
     val s = df.sparkSession
-    require(exists(s, storeDir),
-      s"no profile store under $storeDir — run ProfileStore.build first")
-    require(!drops(s, storeDir).contains(dropId),
-      s"drop '$dropId' is already profiled in $storeDir — appending it again would double-count")
-    val staging = stagingPath(storeDir)
-    partials(df, cols, dropId).coalesce(1)
-      .write.mode("overwrite").parquet(staging)
-    () => {
-      val fs = fileSystem(s, storeDir)
-      val live = new org.apache.hadoop.fs.Path(partialsPath(storeDir))
-      val src = new org.apache.hadoop.fs.Path(staging)
-      fs.listStatus(src).foreach { f =>
-        if (f.getPath.getName.startsWith("part-"))
-          require(fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(live, f.getPath.getName)),
-            s"could not commit staged append ${f.getPath} -> $live")
-      }
-      fs.delete(src, true)
-      ()
-    }
+    requireStore(s, storeDir)
+    requireNewDrop(s, storeDir, dropId)
+    stagePartialsAppend(partials(df, cols, dropId), storeDir, dropId,
+      coalesceTo = Some(1)).commit
   }
 
   def append(df: DataFrame, cols: Seq[String], storeDir: String,
@@ -181,8 +147,7 @@ object ProfileStore {
     * stored row, O(drops) rows per column.
     */
   def serve(s: SparkSession, storeDir: String): DataFrame = {
-    require(exists(s, storeDir),
-      s"no profile store under $storeDir — run ProfileStore.build first")
+    requireStore(s, storeDir)
     load(s, storeDir)
       .groupBy(col("column_name"), col("kind"))
       .agg(
@@ -221,8 +186,7 @@ object ProfileStore {
     */
   def drift(s: SparkSession, storeDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(exists(s, storeDir),
-      s"no profile store under $storeDir — run ProfileStore.build first")
+    requireStore(s, storeDir)
     val w = Window.partitionBy(col("column_name")).orderBy(col("drop_id"))
     load(s, storeDir)
       .select(col("drop_id"), col("column_name"),
@@ -241,46 +205,9 @@ object ProfileStore {
         col("n_distinct_lo") - lag(col("n_distinct_lo"), 1).over(w))
   }
 
-  /** Takedown: remove one drop's partial rows — the corpus-free inverse
-    * of [[append]]. Every stored statistic is a per-drop partial under an
-    * algebraic merge (sums, typed min/max, bucket-set union, HLL
-    * register-max), so deleting the drop's rows makes [[serve]] and
-    * [[drift]] report EXACTLY what a store that never ingested the drop
-    * reports — min/max and the HLL genuinely un-see the drop because
-    * they re-merge from the remaining partials, not from a corpus-level
-    * rollup (q140's gate replays serve against the corpus minus the
-    * drop). Crash-safe swap, `_takedown-old` discipline; a second
-    * removal of the same id is refused loudly by the drops() check.
-    */
-  def removeDrop(s: SparkSession, storeDir: String, dropId: String): Unit = {
-    require(exists(s, storeDir),
-      s"no profile store under $storeDir — run ProfileStore.build first")
-    require(drops(s, storeDir).contains(dropId),
-      s"drop '$dropId' is not in $storeDir — nothing to remove")
-    val staging = stagingPath(storeDir)
-    load(s, storeDir).filter(col("drop_id") =!= dropId)
-      .write.mode("overwrite").parquet(staging)
-    StoreSwap.swapIn(s, storeDir, partialsPath(storeDir), staging, "_takedown-old")
-  }
-
-  /** Maintenance: rewrite the partials into `targetFiles` files, contents
-    * identical — per-drop appends add one part-file each, so a year of
-    * daily drops is ~365 tiny files. Crash-safe swap (`text.Store`'s
-    * compact discipline).
-    */
-  def compact(s: SparkSession, storeDir: String, targetFiles: Int = 1): Unit = {
-    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    require(exists(s, storeDir), s"no profile store under $storeDir")
-    val staging = stagingPath(storeDir)
-    load(s, storeDir).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(staging)
-    StoreSwap.swapIn(s, storeDir, partialsPath(storeDir), staging, "_compact-old")
-  }
-
-  private def stagingPath(storeDir: String): String =
-    s"$storeDir/_staging-${java.util.UUID.randomUUID().toString.take(8)}"
-
-  private def fileSystem(s: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
+  // Takedown (exact: every stored statistic is a per-drop partial under
+  // an algebraic merge — sums, typed min/max, bucket-set union, HLL
+  // register-max — so deleting the drop's rows makes serve/drift report
+  // EXACTLY the never-ingested state; q140's gate replays that) and
+  // compaction are the inherited DropLedger lifecycle.
 }

@@ -89,9 +89,18 @@ class ProfileStoreSpec extends AnyFunSuite {
     (1 to 5).foreach(i =>
       ProfileStore.append(rows(100 * i until 100 * (i + 1)), Seq("k", "s"), dir, s"d$i"))
     val before = served(dir)
-    def nFiles: Int = new java.io.File(ProfileStore.partialsPath(dir))
-      .listFiles().count(_.getName.startsWith("part-"))
+    // appended drops live in atomically-renamed drop-<id>/ subdirs (the
+    // shared DropLedger layout), so count part-files RECURSIVELY
+    def nFiles: Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(
+          java.nio.file.Paths.get(ProfileStore.partialsPath(dir)))
+        .iterator().asScala
+        .count(_.getFileName.toString.startsWith("part-"))
+    }
     assert(nFiles >= 6)
+    assert(new java.io.File(ProfileStore.partialsPath(dir), "drop-d1")
+      .isDirectory, "appends land as their own drop subdirectories")
     ProfileStore.compact(spark, dir, targetFiles = 1)
     assert(nFiles === 1)
     assert(served(dir) === before)
