@@ -40,6 +40,99 @@ object Store {
 
   def sigPath(storeDir: String): String = s"$storeDir/signatures"
 
+  /** A store's LSH signature shape: `numHashes` minhashes banded as
+    * `numBands` × `rowsPerBand`. The S-curve threshold (1/b)^(1/r) of
+    * every shape the engine derives sits at ≈0.7 — the verify
+    * threshold — so CANDIDATE recall at the decision boundary is stable
+    * across shapes while the false-candidate rate b·j^r for sub-threshold
+    * pairs falls geometrically with r (the exact verify then makes the
+    * OUTPUT identical up to borderline-candidate recall).
+    */
+  final case class SigShape(numHashes: Int, numBands: Int, rowsPerBand: Int) {
+    require(numBands * rowsPerBand == numHashes,
+      s"bands × rows must cover the signature, got $this")
+  }
+
+  /** The historical fixed shape (16 hashes, 4×4; S-curve ≈ 0.71) — what
+    * every store built before shapes were persisted used, and still the
+    * derived shape at test scale.
+    */
+  val LegacyShape: SigShape = SigShape(16, 4, 4)
+
+  /** Size-derived signature shape — the autoK lesson applied to banding.
+    * The failure a fixed shape walks into: false candidates — pairs that
+    * band-collide but fail the exact verify — cost ~n²·mass·b·j^r, where
+    * `mass` is the corpus's SUB-threshold similarity density. Raising
+    * rows-per-band r cuts a Jaccard-j pair's collision rate by j per
+    * row; raising bands b alongside keeps the S-curve threshold
+    * (1/b)^(1/r) pinned at the 0.7 verify point. Signing is map-only
+    * and linear in numHashes, so trading 3–8× hash work for a
+    * geometrically smaller quadratic term is the q61 5×12-vs-8×6 move.
+    *
+    *   n < 1e6   → 16 hashes, 4×4  (S ≈ 0.71)  — every measured regime
+    *   n < 1e8   → 54 hashes, 9×6  (S ≈ 0.69)
+    *   else      → 136 hashes, 17×8 (S ≈ 0.70)
+    *
+    * Detection at j = 0.9 stays ≥ 0.98 for all three (1-(1-j^r)^b);
+    * false-candidate rate at j = 0.5 falls 25% → 14% → 7.8%.
+    *
+    * Thresholds are set from MEASUREMENT, not the asymptote alone: on
+    * the ScaleGen corpus cross-copy shingle overlap is zero by
+    * construction, candidates grow linearly, and the wider shapes only
+    * add band-join input — legacy wins the serve through the largest
+    * generated store (n = 333k: 5.5 s vs 6.4 s vs 8.2 s, BandBench
+    * r11). The n²-side of the trade is real but needs sub-threshold
+    * mass to bind; BandBench's planted-family experiment measures that
+    * regime directly (36k docs in j ≈ 0.45 families of 120: false
+    * candidates 200,745 → 70,824 → 23,767 across the three shapes at
+    * identical verified output, candidate+verify wall-clock already
+    * crossing over at that size — 3.4 → 3.0 → 2.7 s with the corpus
+    * side pre-signed, as a store serve is), so the rule switches only
+    * ABOVE every measured legacy-wins point, where any nonzero mass has
+    * n² behind it.
+    */
+  def derivedShape(n: Long): SigShape =
+    if (n < 1000000L) LegacyShape
+    else if (n < 100000000L) SigShape(54, 9, 6)
+    else SigShape(136, 17, 8)
+
+  /** The shape marker rides INSIDE the signatures dir as `_shape` (one
+    * line: `v1 <hashes> <bands> <rows>`): parquet scans skip
+    * underscore-prefixed files, and the build commit's whole-dir rename
+    * publishes data and shape atomically. A store without the marker is
+    * a pre-shape store → [[LegacyShape]].
+    */
+  private def shapeFile(storeDir: String) =
+    new org.apache.hadoop.fs.Path(sigPath(storeDir), "_shape")
+
+  private def writeShapeMarker(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String, shape: SigShape): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_shape"), true)
+    try out.write(
+      s"v1 ${shape.numHashes} ${shape.numBands} ${shape.rowsPerBand}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The shape this store's signatures were built with. */
+  def storedShape(s: SparkSession, storeDir: String): SigShape = {
+    require(exists(s, storeDir),
+      s"no signature store under $storeDir — run Store.build first")
+    val f = shapeFile(storeDir)
+    val fs = f.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) LegacyShape
+    else {
+      val in = fs.open(f)
+      val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().next().trim finally in.close()
+      line.split(" ") match {
+        case Array("v1", h, b, r) => SigShape(h.toInt, b.toInt, r.toInt)
+        case _ => throw new IllegalStateException(
+          s"unreadable shape marker in $storeDir: '$line'")
+      }
+    }
+  }
+
   /** Hash count of the streaming signature key stored alongside the batch
     * signatures — `Streams.nearDupVsStoreStream` must probe with the SAME
     * key the store was built with, so both sides read this constant.
@@ -51,9 +144,10 @@ object Store {
     * so a long-running ingest stream can left-anti against the store
     * without ever touching the corpus text.
     */
-  private def signed(docs: DataFrame, idCol: String,
-                     textCol: String): DataFrame =
-    Dedup.prepared(docs, idCol, textCol)
+  private def signed(docs: DataFrame, idCol: String, textCol: String,
+                     shape: SigShape): DataFrame =
+    Dedup.prepared(docs, idCol, textCol, numHashes = shape.numHashes,
+        numBands = shape.numBands, rowsPerBand = shape.rowsPerBand)
       .join(docs.select(col(idCol).as("doc_id"),
         graft.streaming.Streams.sigKey(textCol, idCol, SigKeyHashes)
           .as("sig_key")), Seq("doc_id"))
@@ -70,8 +164,9 @@ object Store {
     * `Index.build`.
     */
   def build(docs: DataFrame, storeDir: String,
-            idCol: String = "doc_id", textCol: String = "text"): Unit =
-    buildStaged(docs, storeDir, idCol, textCol)()
+            idCol: String = "doc_id", textCol: String = "text",
+            shape: Option[SigShape] = None): Unit =
+    buildStaged(docs, storeDir, idCol, textCol, shape)()
 
   /** [[build]] split into compute and commit: the signatures land in a
     * staging dir inside `storeDir` NOW; the store only starts existing
@@ -84,10 +179,16 @@ object Store {
     */
   def buildStaged(docs: DataFrame, storeDir: String,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): () => Unit = {
+                  textCol: String = "text",
+                  shape: Option[SigShape] = None): () => Unit = {
     val s = docs.sparkSession
+    // shape: explicit > derived-from-corpus-size (one count job, the
+    // buildAuto discipline — the caller-free default must not lock a
+    // 10^9-doc store into the test-scale shape)
+    val sh = shape.getOrElse(derivedShape(docs.count()))
     val staging = stagingPath(storeDir)
-    signed(docs, idCol, textCol).write.mode("overwrite").parquet(staging)
+    signed(docs, idCol, textCol, sh).write.mode("overwrite").parquet(staging)
+    writeShapeMarker(fileSystem(s, storeDir), staging, sh)
     () => {
       val fs = fileSystem(s, storeDir)
       val sig = new org.apache.hadoop.fs.Path(sigPath(storeDir))
@@ -131,9 +232,11 @@ object Store {
   def compact(s: SparkSession, storeDir: String, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     require(exists(s, storeDir), s"no signature store under $storeDir")
+    val shape = storedShape(s, storeDir)
     val staging = stagingPath(storeDir)
     load(s, storeDir).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging)
+    writeShapeMarker(fileSystem(s, storeDir), staging, shape)
     graft.operators.StoreSwap.swapIn(s, storeDir, sigPath(storeDir),
       staging, "_compact-old")
   }
@@ -160,10 +263,12 @@ object Store {
     require(exists(s, storeDir), s"no signature store under $storeDir")
     require(docIds.columns.sameElements(Array("doc_id")),
       s"docIds must be a single-column (doc_id) frame, got: ${docIds.columns.mkString(", ")}")
+    val shape = storedShape(s, storeDir)
     val staging = stagingPath(storeDir)
     val before = load(s, storeDir)
     val kept = before.join(docIds, Seq("doc_id"), "left_anti")
     kept.write.mode("overwrite").parquet(staging)
+    writeShapeMarker(fileSystem(s, storeDir), staging, shape)
     // both counts are parquet footer-metadata reads (count pushdown),
     // not data scans — the audit number is cheap even at store scale
     val removed =
@@ -258,9 +363,12 @@ object Store {
       s"no signature store under $storeDir — run Store.build first")
     // materialized: prep feeds the band join, both intra verify sides,
     // the cross verify side, and the survivor append — five branches.
-    // `signed` (not bare `prepared`): appended rows must carry the same
-    // (doc_id, sh, bands, sig_key) schema the store was built with
-    val prep = Dedup.materialize(signed(newDocs, idCol, textCol))
+    // `signed` with the STORED shape (not a fresh derivation): band keys
+    // only collide between signatures of the same shape, so a drop
+    // probed under a different shape would silently match NOTHING — the
+    // shape marker is what makes the store's layout self-describing
+    val prep = Dedup.materialize(
+      signed(newDocs, idCol, textCol, storedShape(s, storeDir)))
     val stored = load(s, storeDir)
 
     // BLANK docs are excluded from both band-join sides (their `raw:`

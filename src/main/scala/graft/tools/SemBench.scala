@@ -71,7 +71,8 @@ object SemBench {
     val exact9 = exactDrops(9)
     println(f"tau=0.9 planted: n=$nPl exact_drops=${exact9.size}")
     val autoK = graft.vector.ClusterStore.autoK(nPl, 64)
-    for (k <- Seq(8, 32, autoK).distinct; probes <- Seq(1, 2)) {
+    val balK = graft.vector.ClusterStore.balancedK(nPl)
+    for (k <- Seq(8, 32, balK, autoK).distinct; probes <- Seq(1, 2)) {
       def once(): (Double, Set[Long]) = {
         val t0 = System.nanoTime()
         val got = graft.vector.Queries
@@ -83,9 +84,11 @@ object SemBench {
       val all = (1 to runs).map(_ => once())
       val got = all.head._2
       val inter = (got & exact9).size
+      val tag = if (k == balK) " [balancedK default]"
+                else if (k == autoK) " [old autoK]" else ""
       println(f"tau=0.9 k=$k%3d probes=$probes cell≈${nPl / k}%5d " +
         f"sec=${all.map(_._1).min}%7.2f drops=${got.size} " +
-        f"recall=$inter/${exact9.size}")
+        f"recall=$inter/${exact9.size}$tag")
     }
 
     // Store lifecycle split (q129): build once on the corpus split, then

@@ -66,6 +66,34 @@ object ClusterStore {
     math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
   }
 
+  /** Balanced IN-SESSION k — the operating point that minimizes the
+    * measured total cost of one-shot semantic dedup, where BOTH legs
+    * depend on k:
+    *
+    *   assignment (rankCells: n·k crossJoin + per-vector argmin) ≈ a·n·k
+    *   pair leg   (per-cell quadratic)                          ≈ p·n²/k
+    *
+    * d/dk = 0  ⇒  k* = √((p/a)·n). The a/p ratio is MEASURED, not
+    * guessed: solving the two r10 SemBench τ=0.9 rows at n=21k
+    * (k=32 → 4.38 s, k=329 → 9.83 s) for the two constants gives
+    * a·n ≈ 0.029 s/cell and p·n² ≈ 111 s·cells, i.e. a/p·(1/n) ≈ 5.8 —
+    * rounded to `costRatio = 6`. The same solve explains WHY autoK was
+    * dominated: at k = n/64 the assignment leg alone is 0.029·329 ≈
+    * 9.5 s of the 9.83 s total — quadratic in n at fixed cell size.
+    *
+    * Shape: k* ∝ √n, so cells GROW as √(costRatio·n) and the total is
+    * O(n^1.5) — the best any exact-argmin one-shot clustering dedup can
+    * do when assignment must score all k centroids. A pipeline that
+    * needs bounded cells at unbounded n uses the STORE path (build once
+    * with autoK, serve drops: assignment is drop×k, never corpus×k).
+    * Recall at fixed probes is monotone in cell size, so k* ≤ autoK
+    * also means recall ≥ the old default's (measured: SemBench τ=0.9).
+    */
+  def balancedK(n: Long, costRatio: Int = 6): Int = {
+    require(costRatio > 0, s"costRatio must be positive, got $costRatio")
+    math.max(1L, math.round(math.sqrt(n.toDouble / costRatio))).toInt
+  }
+
   def exists(s: SparkSession, storeDir: String): Boolean = {
     graft.operators.StoreSwap.requireNotCrashed(s, storeDir, vectorsPath(storeDir))
     val p = new org.apache.hadoop.fs.Path(vectorsPath(storeDir))

@@ -324,26 +324,35 @@ object Queries {
       .na.fill(0, Seq("dropped"))
   }
 
-  /** [[semanticDedup]] sized by `targetCellSize` instead of a raw k —
-    * the scale-safe default: k = ⌈n/targetCellSize⌉ (`ClusterStore
-    * .autoK`) pins expected CELL population constant as the corpus grows,
-    * so the per-cell quadratic pair leg stops degrading with n (measured:
-    * fixed k=8 at sf1 is 5.2× slower than k=32 — the COVERAGE.md SemBench
-    * frontier this overload encodes). Pays one count job to derive k.
+  /** [[semanticDedup]] with the k DERIVED instead of caller-known — the
+    * in-session default entry point. Pays one count job to derive k.
+    *
+    * `targetCellSize = 0` (the default) sizes k by `ClusterStore
+    * .balancedK`: k* = √(n/6), the measured-cost-model optimum that
+    * balances the n·k assignment leg against the n²/k pair leg. The old
+    * default — autoK's k = ⌈n/64⌉ — pinned CELL population (bounding the
+    * pair leg) but made assignment quadratic in n; the r10 τ=0.9 sweep
+    * showed it dominated on BOTH cost and recall (9.83 s / 941 vs k=32's
+    * 4.38 s / 969 of 1000 at n=21k). A positive `targetCellSize` keeps
+    * the explicit autoK sizing for callers who need a specific cell
+    * geometry (the store path's build uses it: serve-side assignment is
+    * drop×k, so bounded cells are right THERE).
     *
     * probes defaults to 2 here (unlike the raw-k [[semanticDedup]], whose
-    * q121-pinned default stays 1): many-small-cells is exactly the regime
-    * where near-dup pairs straddle cell boundaries, and the measured
-    * τ=0.9 frontier (SemBench planted twins, COVERAGE.md) shows probes=2
-    * closing auto-k's recall penalty completely — 100/100 vs 83-86/100
-    * at probes=1 — for ~zero marginal cost at bounded cell size.
+    * q121-pinned default stays 1): derived-k regimes are where near-dup
+    * pairs straddle cell boundaries, and the measured τ=0.9 frontier
+    * (SemBench planted twins, COVERAGE.md) shows probes=2 recovering the
+    * straddled pairs for ~zero marginal cost.
     */
   def semanticDedupByCellSize(s: SparkSession, e: DataFrame,
-                              targetCellSize: Int = 64,
+                              targetCellSize: Int = 0,
                               probes: Int = 2,
-                              tauTenths: Int = 5): DataFrame =
-    semanticDedup(s, e, ClusterStore.autoK(e.count(), targetCellSize),
-      probes, tauTenths)
+                              tauTenths: Int = 5): DataFrame = {
+    val k =
+      if (targetCellSize == 0) ClusterStore.balancedK(e.count())
+      else ClusterStore.autoK(e.count(), targetCellSize)
+    semanticDedup(s, e, k, probes, tauTenths)
+  }
 
   /** q129's cluster store, built ONCE per (session, sf-dir) from the
     * corpus split (vec_id % 3 != 0) with auto-sized k and reused by every

@@ -100,6 +100,17 @@ class ClusterStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ClusterStore.autoK(10, 0))
   }
 
+  test("balancedK: k* = round(sqrt(n/6)), floor 1 — grows as sqrt(n)") {
+    assert(ClusterStore.balancedK(0) === 1)
+    assert(ClusterStore.balancedK(6) === 1)
+    assert(ClusterStore.balancedK(600) === 10)
+    assert(ClusterStore.balancedK(21000) === 59)
+    // 100x the data -> 10x the k (not 100x, the autoK shape that made
+    // the assignment leg quadratic)
+    assert(ClusterStore.balancedK(2100000) === 592)
+    intercept[IllegalArgumentException](ClusterStore.balancedK(10, 0))
+  }
+
   test("semanticDedupByCellSize == semanticDedup at the derived k (sf0.001)") {
     val e = Queries.prepared(spark, "/root/testdata/sf0.001")
     val n = e.count()
@@ -112,6 +123,13 @@ class ClusterStoreSpec extends AnyFunSuite {
     val fixed = Queries.semanticDedup(spark, e, k, probes = 2)
       .as[(Long, Long, Int)].collect().toSet
     assert(auto === fixed)
+    // the DEFAULT (targetCellSize = 0) sizes by balancedK instead
+    val bal = Queries.semanticDedupByCellSize(spark, e)
+      .as[(Long, Long, Int)].collect().toSet
+    val fixedBal = Queries.semanticDedup(spark, e,
+        ClusterStore.balancedK(n), probes = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bal === fixedBal)
   }
 
   test("compact rewrites the vectors table identically into fewer files") {

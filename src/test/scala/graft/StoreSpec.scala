@@ -146,6 +146,54 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("derivedShape: S-curve stays ~0.7 while rows grow with corpus size") {
+    assert(Store.derivedShape(1000) === Store.LegacyShape)
+    assert(Store.derivedShape(999999) === Store.LegacyShape)
+    assert(Store.derivedShape(1000000) === Store.SigShape(54, 9, 6))
+    assert(Store.derivedShape(100000000L) === Store.SigShape(136, 17, 8))
+    // every derived shape keeps detection at j=0.9 above 0.99 and its
+    // S-curve threshold within [0.65, 0.75] of the verify point
+    Seq(Store.derivedShape(1L), Store.derivedShape(1000000L),
+        Store.derivedShape(100000000L)).foreach { sh =>
+      val b = sh.numBands; val r = sh.rowsPerBand
+      assert(1 - math.pow(1 - math.pow(0.9, r), b) > 0.98, sh.toString)
+      val sCurve = math.pow(1.0 / b, 1.0 / r)
+      assert(sCurve > 0.65 && sCurve < 0.75, s"$sh s-curve $sCurve")
+    }
+    intercept[IllegalArgumentException](Store.SigShape(16, 4, 3))
+  }
+
+  test("shape marker: persisted at build, preserved by compact/removeDocs, drives the serve") {
+    val dir = Files.createTempDirectory("sigstore-shape").toString
+    val drop1 = Seq((1L, textA), (2L, (50 to 80).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // explicit non-legacy shape: a small store standing in for the
+    // >=3e5-doc regime where derivedShape picks 9x6
+    val wide = Store.SigShape(54, 9, 6)
+    Store.build(drop1, dir, shape = Some(wide))
+    assert(Store.storedShape(spark, dir) === wide)
+    // the serve signs the drop with the STORED shape: an exact dup and a
+    // fresh doc decide exactly as under the legacy shape
+    val survivors = Store.dedupNewDropVsCorpus(
+        Seq((3L, textA), (4L, textD)).toDF("doc_id", "text"), dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(4L))
+    // appended signatures carry the store's band count, not the default
+    assert(Store.load(spark, dir).select(size(col("bands"))).distinct()
+      .as[Int].collect().toSeq === Seq(9))
+    // maintenance rewrites preserve the marker
+    Store.compact(spark, dir, targetFiles = 1)
+    assert(Store.storedShape(spark, dir) === wide)
+    Store.removeDocs(spark, dir, Seq(2L).toDF("doc_id"))
+    assert(Store.storedShape(spark, dir) === wide)
+    // a pre-shape store (no marker) reads as the legacy shape
+    val legacyDir = Files.createTempDirectory("sigstore-legacy").toString
+    Store.build(drop1, legacyDir)
+    val marker = new java.io.File(Store.sigPath(legacyDir), "_shape")
+    assert(marker.exists()); marker.delete()
+    assert(Store.storedShape(spark, legacyDir) === Store.LegacyShape)
+  }
+
   test("dedupNewDropVsCorpus refuses a missing store") {
     val e = intercept[IllegalArgumentException] {
       Store.dedupNewDropVsCorpus(
