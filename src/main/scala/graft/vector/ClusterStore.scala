@@ -66,28 +66,33 @@ object ClusterStore {
     math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
   }
 
-  /** Balanced IN-SESSION k — the operating point that minimizes the
-    * measured total cost of one-shot semantic dedup, where BOTH legs
+  /** Balanced IN-SESSION k for one-shot semantic dedup, where BOTH legs
     * depend on k:
     *
-    *   assignment (rankCells: n·k crossJoin + per-vector argmin) ≈ a·n·k
-    *   pair leg   (per-cell quadratic)                          ≈ p·n²/k
+    *   assignment (rankCells: n·k crossJoin + argmin)  ≈ a·n·k      dots
+    *   pair leg   (per-cell quadratic, probes² probed) ≈ p·n²·probes²/k
     *
-    * d/dk = 0  ⇒  k* = √((p/a)·n). The a/p ratio is MEASURED, not
-    * guessed: solving the two r10 SemBench τ=0.9 rows at n=21k
-    * (k=32 → 4.38 s, k=329 → 9.83 s) for the two constants gives
-    * a·n ≈ 0.029 s/cell and p·n² ≈ 111 s·cells, i.e. a/p·(1/n) ≈ 5.8 —
-    * rounded to `costRatio = 6`. The same solve explains WHY autoK was
-    * dominated: at k = n/64 the assignment leg alone is 0.029·329 ≈
-    * 9.5 s of the 9.83 s total — quadratic in n at fixed cell size.
+    * d/dk = 0 ⇒ cost-optimal k ≈ probes·√((p/a)·n) with p ≈ a (one
+    * VectorDot per assignment row and per candidate pair) — i.e.
+    * ≈ 2√n at the probes=2 default. The r11 idle-box SemBench re-measure
+    * (n=21k, τ=0.9 twins, probes=2) pins the frontier: k=32 → 3.34 s /
+    * 969 of 1000 recall; k=59 → 2.44 s / 965; autoK=329 → 1.90 s / 941.
+    * (r10's 9.83 s autoK row that read as cost-dominated does NOT
+    * reproduce idle — suite-context noise; the correction is recorded
+    * here deliberately.) So at gated scale autoK is cost-optimal but
+    * recall-dominated, and no k wins both axes.
     *
-    * Shape: k* ∝ √n, so cells GROW as √(costRatio·n) and the total is
-    * O(n^1.5) — the best any exact-argmin one-shot clustering dedup can
-    * do when assignment must score all k centroids. A pipeline that
-    * needs bounded cells at unbounded n uses the STORE path (build once
-    * with autoK, serve drops: assignment is drop×k, never corpus×k).
-    * Recall at fixed probes is monotone in cell size, so k* ≤ autoK
-    * also means recall ≥ the old default's (measured: SemBench τ=0.9).
+    * The default is the measured KNEE, k* = √(n/6): within 4/1000 of
+    * the best recall at 27% less cost than k=32, +24/1000 recall over
+    * autoK for +28% cost. The √n SHAPE (not the constant) is what
+    * matters as n grows: autoK's k = n/64 makes the assignment leg
+    * alone quadratic in n — at n=2.1M it is ~24× the whole balanced
+    * cost — while k* ∝ √n keeps the total at O(n^1.5), the best any
+    * exact-argmin one-shot clustering dedup can do. A pipeline needing
+    * bounded cells at unbounded n uses the STORE path (build once with
+    * autoK, serve drops: assignment is drop×k, never corpus×k). Recall
+    * at fixed probes is monotone in cell size, so k* ≤ autoK also means
+    * recall ≥ the old default's (measured above).
     */
   def balancedK(n: Long, costRatio: Int = 6): Int = {
     require(costRatio > 0, s"costRatio must be positive, got $costRatio")

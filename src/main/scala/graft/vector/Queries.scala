@@ -328,15 +328,18 @@ object Queries {
     * in-session default entry point. Pays one count job to derive k.
     *
     * `targetCellSize = 0` (the default) sizes k by `ClusterStore
-    * .balancedK`: k* = √(n/6), the measured-cost-model optimum that
+    * .balancedK`: k* = √(n/6), the measured cost/recall KNEE that
     * balances the n·k assignment leg against the n²/k pair leg. The old
-    * default — autoK's k = ⌈n/64⌉ — pinned CELL population (bounding the
-    * pair leg) but made assignment quadratic in n; the r10 τ=0.9 sweep
-    * showed it dominated on BOTH cost and recall (9.83 s / 941 vs k=32's
-    * 4.38 s / 969 of 1000 at n=21k). A positive `targetCellSize` keeps
-    * the explicit autoK sizing for callers who need a specific cell
-    * geometry (the store path's build uses it: serve-side assignment is
-    * drop×k, so bounded cells are right THERE).
+    * default — autoK's k = ⌈n/64⌉ — pinned CELL population (bounding
+    * the pair leg) but made assignment quadratic in n AND costs recall
+    * (small cells split more twin pairs): the r11 idle-box τ=0.9 sweep
+    * at n=21k measures k=59 at 2.44 s / 965 of 1000 vs autoK=329's
+    * 1.90 s / 941 and k=32's 3.34 s / 969 — see balancedK's scaladoc
+    * for the full frontier and the r10-artifact correction. A positive
+    * `targetCellSize` keeps the explicit autoK sizing for callers who
+    * need a specific cell geometry (the store path's build uses it:
+    * serve-side assignment is drop×k, so bounded cells are right
+    * THERE).
     *
     * probes defaults to 2 here (unlike the raw-k [[semanticDedup]], whose
     * q121-pinned default stays 1): derived-k regimes are where near-dup
