@@ -41,6 +41,23 @@ object ScaleGen {
 
   private val Stride = 1L << 33
 
+  /** The documents-table scale transform, exposed for the scale gate
+    * (ScaleGateSpec runs correctness cross-checks on 10× the gated SF
+    * without writing the full table set): keys shifted copy×2³³, every
+    * token of copy c > 0 suffixed `c<c>` — a bijection on each copy's
+    * shingle space, so within-copy near-dup structure is EXACT and
+    * cross-copy shingle overlap is zero. Deterministic by construction:
+    * the output is a pure function of (input rows, copies).
+    */
+  def scaledDocuments(docs: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { c =>
+      val keyed = docs.withColumn("doc_id", col("doc_id") + lit(c * Stride))
+      if (c == 0) keyed
+      else keyed
+        .withColumn("text", regexp_replace(col("text"), "\\S+", s"$$0c$c"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
@@ -75,12 +92,7 @@ object ScaleGen {
       Seq("l_orderkey", "l_partkey", "l_suppkey"))())
     write("events", shifted(read("events"), Seq("event_id", "user_id"))())
 
-    write("documents", shifted(read("documents"), Seq("doc_id")) { (d, c) =>
-      if (c == 0) d
-      else d
-        .withColumn("text", regexp_replace(col("text"), "\\S+", s"$$0c$c"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    })
+    write("documents", scaledDocuments(read("documents"), copies))
 
     write("embeddings", shifted(read("embeddings"), Seq("vec_id")) { (d, c) =>
       val shift = (7 * c) % 64
