@@ -202,6 +202,17 @@ object Streams {
     * is computed with the store's own hash count ([[graft.text.Store
     * .SigKeyHashes]]) — probing with a different signature would silently
     * never match.
+    *
+    * TAKEDOWN CONTRACT (restart-to-honor, StreamingSpec-pinned): the
+    * store side's file listing is frozen at query start, and a takedown
+    * swap REPLACES the signatures dir — so a ticket landing mid-stream
+    * fails the next micro-batch LOUDLY (FAILED_READ_FILE), never
+    * silently keeps suppressing ingest with removed signatures and never
+    * reads a half-swapped store; the restarted query lists the
+    * post-takedown store and replays the failed batch exactly once. A
+    * pipeline that must absorb takedowns without restart runs the batch
+    * serve inside `foreachBatch`, where the store frame is rebuilt per
+    * micro-batch.
     */
   def nearDupVsStoreStream(docs: DataFrame, storeDir: String,
                            lateness: String,
@@ -297,6 +308,15 @@ object Streams {
     * q129). The stream never appends to the store: ingestion that must
     * also grow the store does that in `foreachBatch` via the staged
     * append, where the commit can ride the sink's success.
+    *
+    * TAKEDOWN CONTRACT: same restart-to-honor as
+    * [[nearDupVsStoreStream]] (a mid-stream takedown swap of the vectors
+    * table fails the next micro-batch loudly; restart serves the purged
+    * store), with one addition — the CENTROID model is collected at
+    * query start and inlined as a literal, so it stays the pre-takedown
+    * geometry until restart either way. That is benign for removal
+    * (takedown deletes vector rows, and cells only decide WHERE to
+    * probe), but it is one more reason restart is the honoring act.
     */
   def semanticDedupVsStoreStream(vecs: DataFrame, storeDir: String,
                                  lateness: String,

@@ -275,6 +275,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("takedown during a running store stream fails LOUDLY; a restart honors the ticket") {
+    // r10 VERDICT #3b / r9 #8: what happens when a removal ticket lands
+    // while nearDupVsStoreStream is running? The static store side's
+    // file listing is frozen at query start, and the takedown's
+    // crash-safe swap REPLACES the signatures dir — so the next
+    // micro-batch fails with FAILED_READ_FILE, never silently keeps
+    // suppressing ingest with the removed docs' signatures (the
+    // compliance-bug direction) and never silently serves a half-swapped
+    // store. The documented contract is RESTART-TO-HONOR: the restarted
+    // stream re-lists and serves the post-takedown store. A pipeline
+    // that must absorb takedowns without a restart runs the batch serve
+    // inside foreachBatch, where the store frame (and its listing) is
+    // rebuilt per micro-batch.
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sigstore-takedown-stream").toString
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    graft.text.Store.build(
+      Seq((900L, common)).toDF("doc_id", "text"), dir)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    def start(name: String) = Streams.nearDupVsStoreStream(
+        mem.toDF().toDF("doc_id", "text", "ts"), dir, "1 hour")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val q = start("takedown_stream")
+    try {
+      mem.addData((1L, common, ts(10)))
+      q.processAllAvailable()
+      assert(spark.table("takedown_stream").isEmpty,
+        "doc 1 near-dups the stored doc 900 — suppressed")
+      // the ticket lands mid-stream: the swap replaces the signatures dir
+      graft.text.Store.removeDocs(spark, dir, Seq(900L).toDF("doc_id"))
+      mem.addData((2L, common, ts(7200)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("FAILED_READ_FILE") ||
+        e.getCause.getMessage.contains("FAILED_READ_FILE"), e.getMessage)
+    } finally q.stop()
+    // restart-to-honor: the fresh query lists the post-takedown store,
+    // so the same content now SURVIVES (900's suppression is gone) and
+    // doc 2 — unprocessed when the query died — is delivered by the
+    // replayed micro-batch exactly once
+    val q2 = start("takedown_stream_restarted")
+    try {
+      // fresh content (a repeat of `common` would be dropped by the
+      // in-stream exact-repeat stage — doc 2 already carries it)
+      mem.addData((3L, (200 to 240).map(i => s"z$i").mkString(" "), ts(14400)))
+      q2.processAllAvailable()
+      val ids = spark.table("takedown_stream_restarted")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(2L, 3L),
+        "post-restart: doc 2 (blocked mid-takedown, content matching only " +
+          "REMOVED signatures) is delivered, and the stream is live")
+    } finally q2.stop()
+  }
+
   test("cluster-store embedding ingest: foreachBatch serve dedups each drop vs the growing store") {
     // The production shape for incremental SEMANTIC dedup on a stream:
     // the pair leg needs the corpus-sized stored-vectors table, so it
@@ -352,6 +408,85 @@ class StreamingSpec extends AnyFunSuite {
       assert(perBatch.last === ((500000L, Some(500000L))),
         "second batch: the null explosion surfaces in the drift report")
     } finally q.stop()
+  }
+
+  test("checkpointed restart: store ingest is exactly-once across a crash-replayed epoch") {
+    // r10 VERDICT #6: the foreachBatch ingest paths claim per-epoch drop
+    // ids + retry-refusal as their idempotency story, but no test killed
+    // a query and restarted it from its checkpoint. This does, over a
+    // real FILE source: process two batches, stop, DELETE the last
+    // commit marker from the checkpoint (exactly the on-disk state after
+    // a crash between the epoch's foreachBatch and its commit — Spark
+    // must then replay that epoch on restart), restart, add a third
+    // file. Exactly-once = the replayed epoch is refused by the ledger
+    // (skip, not double-ingest), the new file lands once, and the served
+    // model equals a one-shot batch ingest of all three files.
+    import graft.text.{Lm, LmStore}
+    val root = java.nio.file.Files.createTempDirectory("stream-restart")
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"; val store = s"$root/lm"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def addFile(name: String, rows: (Long, String)*): Unit = {
+      // the file source lists FILES under inDir, not nested dirs: write
+      // to a scratch dir, move the single part-file in as <name>.parquet
+      val scratch = s"$root/stage-$name"
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+    def ingest(batch: org.apache.spark.sql.DataFrame, epoch: Long): Unit = {
+      val dropId = f"epoch-$epoch%06d"
+      if (!LmStore.exists(spark, store))
+        LmStore.build(batch, store, dropId)
+      else if (!LmStore.drops(spark, store).contains(dropId))
+        LmStore.append(batch, store, dropId)
+      // already stored: the crash-replay of a committed epoch — skip
+    }
+    val schema = "doc_id LONG, text STRING"
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(ingest _).start()
+
+    addFile("a", (1L, "aa bb cc"))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      addFile("b", (2L, "dd ee ff"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val drops1 = LmStore.drops(spark, store)
+    assert(drops1.size === 2, s"two epochs ingested, got $drops1")
+
+    // simulate the crash: the LAST epoch ran its foreachBatch (the drop
+    // is in the ledger) but its commit marker never landed
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete(), "crash simulation: drop the last commit")
+    // the local FS keeps a .crc sidecar per commit file; leaving it
+    // behind makes the re-commit's rename fail as a phantom concurrent
+    // writer — a real crash loses both together
+    new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc").delete()
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays the uncommitted epoch: must skip
+      addFile("c", (3L, "gg hh ii"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    assert(LmStore.drops(spark, store).size === 3,
+      "replayed epoch skipped (not re-ingested), new epoch landed once")
+    val served = LmStore.serveModel(spark, store)
+      .c1.as[(String, Long)].collect().toSet
+    val oneShot = Lm.train(Seq((1L, "aa bb cc"), (2L, "dd ee ff"),
+        (3L, "gg hh ii")).toDF("doc_id", "text"))
+      .c1.as[(String, Long)].collect().toSet
+    assert(served === oneShot,
+      "served model == one-shot ingest: nothing lost, nothing doubled")
   }
 
   test("gram-store ingest: foreachBatch novelty scoring against the growing ledger") {
