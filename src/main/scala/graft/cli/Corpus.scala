@@ -166,6 +166,13 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        doc-granular stores' row counts;
   *                                        combines with --takedown to show the
   *                                        post-removal state
+  *     [--ledger-report-out dir]          additionally write the report as
+  *                                        parquet (kind, store_flag,
+  *                                        store_dir, drop_id, n_rows,
+  *                                        disagreement) — the machine-readable
+  *                                        face a compliance system diffs
+  *                                        tickets against; implies
+  *                                        --ledger-report
   *     [--cluster-store dir]              the SemDeDup cluster store the
   *                                        ticket/report should cover
   *     [--ann-index dir]                  the ANN index the ticket/report
@@ -209,6 +216,7 @@ object Corpus {
       annIndex: Option[String] = None,
       takedown: Option[String] = None,
       ledgerReport: Boolean = false,
+      ledgerReportOut: Option[String] = None,
       spanStore: Option[String] = None,
       spanRemoveDrop: Option[String] = None,
       scrubSpans: Boolean = false,
@@ -261,6 +269,8 @@ object Corpus {
       parse(rest, acc.copy(takedown = Some(v)))
     case "--ledger-report" :: rest =>
       parse(rest, acc.copy(ledgerReport = true))
+    case "--ledger-report-out" :: v :: rest =>
+      parse(rest, acc.copy(ledgerReport = true, ledgerReportOut = Some(v)))
     case "--span-store" :: v :: rest =>
       parse(rest, acc.copy(spanStore = Some(v)))
     case "--scrub-spans" :: rest =>
@@ -869,17 +879,42 @@ object Corpus {
         if (disagreements.isEmpty && ledgers.nonEmpty)
           println(s"ledger: consistent — ${ledgers.size} store(s) agree " +
             s"on ${allDrops.size} drop(s)")
-        a.dedupStore.filter(sd => Store.exists(spark, sd)).foreach { sd =>
-          println(s"ledger: --dedup-store $sd: " +
-            s"${Store.load(spark, sd).count()} signature row(s)")
+        val rowCounts =
+          a.dedupStore.filter(sd => Store.exists(spark, sd)).map(sd =>
+            ("--dedup-store", sd, Store.load(spark, sd).count())).toSeq ++
+          a.clusterStore.map(sd => ("--cluster-store", sd,
+            graft.vector.ClusterStore.loadVectors(spark, sd).count())) ++
+          a.annIndex.map(sd => ("--ann-index", sd,
+            spark.read.parquet(s"$sd/codes").count()))
+        rowCounts.foreach { case (flag, sd, n) =>
+          val unit = flag match {
+            case "--dedup-store" => "signature"; case "--cluster-store" => "vector"
+            case _ => "code"
+          }
+          println(s"ledger: $flag $sd: $n $unit row(s)")
         }
-        a.clusterStore.foreach { sd =>
-          println(s"ledger: --cluster-store $sd: " +
-            s"${graft.vector.ClusterStore.loadVectors(spark, sd).count()} vector row(s)")
-        }
-        a.annIndex.foreach { sd =>
-          println(s"ledger: --ann-index $sd: " +
-            s"${spark.read.parquet(s"$sd/codes").count()} code row(s)")
+        // MACHINE-READABLE artifact (r10 VERDICT #7): the same facts the
+        // prose above states, as one parquet a compliance system can
+        // diff tickets against without scraping stdout. One row per
+        // (ledgered store, drop) with its cross-store disagreement bit,
+        // plus one `rowcount` row per doc-granular store. CliSpec
+        // asserts these rows equal the printed report.
+        a.ledgerReportOut.foreach { outPath =>
+          import spark.implicits._
+          val dropRows = ledgers.flatMap { case (flag, sd, drops) =>
+            drops.toSeq.sorted.map { d =>
+              val everywhere = ledgers.forall(_._3.contains(d))
+              ("drop", flag, sd, Option(d), Option.empty[Long], !everywhere)
+            }
+          }
+          val countRows = rowCounts.map { case (flag, sd, n) =>
+            ("rowcount", flag, sd, Option.empty[String], Option(n), false)
+          }
+          (dropRows ++ countRows)
+            .toDF("kind", "store_flag", "store_dir", "drop_id", "n_rows",
+              "disagreement")
+            .coalesce(1).write.mode("overwrite").parquet(outPath)
+          println(s"ledger: report written to $outPath")
         }
       }
       return
@@ -899,7 +934,7 @@ object Corpus {
         "[--temperature-by col] " +
         "[--sample perMille] [--pack maxTokens] [--shards n] " +
         "[--compact-store n] [--manifest] [--novelty-store dir] " +
-        "[--takedown ticket.parquet] [--ledger-report] " +
+        "[--takedown ticket.parquet] [--ledger-report] [--ledger-report-out dir] " +
         "[--cluster-store dir] [--ann-index dir] " +
         "[--span-store dir] [--span-remove-drop id] [--scrub-spans] " +
         "[--manifest-store dir] [--chunk-store dir] " +

@@ -789,6 +789,28 @@ class CliSpec extends AnyFunSuite {
     val again = capture(("--takedown" +: s"$dir/ticket" +: stores): _*)
     assert(again.contains("removed 0 signature(s)"), again)
     assert(!again.contains("removed drop"), again)
+
+    // machine-readable report: re-introduce a divergence, then assert the
+    // parquet artifact states exactly what the printed report states
+    LmStore.removeDrop(spark, s"$dir/lm", "d1")
+    val printed = capture(("--ledger-report-out" +: s"$dir/report" +: stores): _*)
+    assert(printed.contains("DISAGREEMENT") && printed.contains("'d1'"), printed)
+    val art = spark.read.parquet(s"$dir/report")
+    val dropRows = art.filter(org.apache.spark.sql.functions.col("kind") === "drop")
+      .select("store_flag", "drop_id", "disagreement")
+      .as[(String, String, Boolean)].collect().toSet
+    // d1 lives everywhere except the LM store -> disagreement=true rows
+    // in the three OTHER ledgered stores; the artifact and stdout agree
+    assert(dropRows === Set(
+      ("--profile-store", "d1", true),
+      ("--novelty-store", "d1", true),
+      ("--span-store", "d1", true)))
+    val counts = art.filter(org.apache.spark.sql.functions.col("kind") === "rowcount")
+      .select("store_flag", "n_rows").as[(String, Long)].collect().toMap
+    assert(counts("--dedup-store") ===
+      graft.text.Store.load(spark, s"$dir/sig").count())
+    assert(printed.contains(s"${counts("--dedup-store")} signature row(s)"),
+      printed)
   }
 
   test("Corpus CLI: a drop_id ticket against ONLY a new-family ledgered store is honored") {
