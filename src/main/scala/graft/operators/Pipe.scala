@@ -61,8 +61,17 @@ object Pipe {
     val payload = when(col(binCol).isNull,
       raise_error(lit(s"pipeBinaryLongs: $binCol is null — decode a null " +
         "payload explicitly upstream"))).otherwise(col(binCol))
-    // Spark's base64 is RFC 4648 without line breaks — one row, one line
-    pipeParse(df.select(concat_ws("\t", id.cast("string"), base64(payload))),
+    // Spark's base64 can emit MIME-CHUNKED output (76-char lines joined
+    // with \r\n — version/legacy-conf dependent), which would shatter one
+    // payload across several pipe lines and feed the decoder truncated
+    // base64 for any payload over 56 bytes. Deleting CR/LF restores the
+    // one-row-one-line framing unconditionally (RFC 4648 decoders ignore
+    // none/it's absent when unchunked — translate is a no-op then), so
+    // the recipe does not depend on spark.sql.legacy.chunkBase64String.
+    // Caught by the real-decoder MultimodalSpec case: a 244-byte WAV
+    // arrived as four lines.
+    pipeParse(df.select(concat_ws("\t", id.cast("string"),
+        translate(base64(payload), "\r\n", ""))),
       cmd, outCols)
   }
 
