@@ -133,6 +133,14 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        verbatim-share census vs history ∪
   *                                        drop, q162's operator) then append
   *                                        the drop's partials under --drop-id
+  *     [--postings-store dir]             persisted inverted index for BM25
+  *                                        retrieval: the drop's postings
+  *                                        (doc_id, term, tf, dl) join the
+  *                                        store under --drop-id; serve with
+  *                                        PostingsStore.bm25TopKVsDrop
+  *                                        (q165's operator — the retrieval
+  *                                        workload is a caller input, so no
+  *                                        per-drop artifact is written)
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -154,7 +162,7 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        drop-ledgered store (--lm-store/
   *                                        --profile-store/--novelty-store/
   *                                        --span-store/--manifest-store/
-  *                                        --chunk-store).
+  *                                        --chunk-store/--postings-store).
   *                                        Retry-convergent: already-absent
   *                                        drops are skipped with a notice, so
   *                                        re-running a partially-applied
@@ -222,7 +230,8 @@ object Corpus {
       scrubSpans: Boolean = false,
       manifestStore: Option[String] = None,
       temperatureBy: Option[String] = None,
-      chunkStore: Option[String] = None)
+      chunkStore: Option[String] = None,
+      postingsStore: Option[String] = None)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -279,6 +288,8 @@ object Corpus {
       parse(rest, acc.copy(manifestStore = Some(v)))
     case "--chunk-store" :: v :: rest =>
       parse(rest, acc.copy(chunkStore = Some(v)))
+    case "--postings-store" :: v :: rest =>
+      parse(rest, acc.copy(postingsStore = Some(v)))
     case "--span-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
@@ -354,7 +365,7 @@ object Corpus {
       "re-ingested. Pass --drop-id for a content-versioned id, or remove " +
       "the stale drop first.")
 
-  /** The three drop-ledgered stores as (flag, dir, drops, removeDrop) —
+  /** The drop-ledgered stores as (flag, dir, drops, removeDrop) —
     * the unified `--takedown` and `--ledger-report` iterate this ONE
     * list, so a future ledgered store joins both surfaces in one place.
     */
@@ -385,7 +396,11 @@ object Corpus {
       a.chunkStore.map(sd => ("--chunk-store", sd,
         (s: SparkSession, d: String) => graft.text.ChunkStore.drops(s, d),
         (s: SparkSession, d: String, id: String) =>
-          graft.text.ChunkStore.removeDrop(s, d, id)))
+          graft.text.ChunkStore.removeDrop(s, d, id))),
+      a.postingsStore.map(sd => ("--postings-store", sd,
+        (s: SparkSession, d: String) => graft.text.PostingsStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.text.PostingsStore.removeDrop(s, d, id)))
     ).flatten
 
   private def defaultDropId(input: String): String = {
@@ -759,8 +774,8 @@ object Corpus {
           "--takedown needs at least one store flag (doc-granular: " +
             "--dedup-store/--cluster-store/--ann-index; drop-ledgered: " +
             "--lm-store/--profile-store/--novelty-store/--span-store/" +
-            "--manifest-store/--chunk-store) — a ticket applied to " +
-            "nothing must not exit 0")
+            "--manifest-store/--chunk-store/--postings-store) — a ticket " +
+            "applied to nothing must not exit 0")
         val ticket = spark.read.parquet(ticketPath)
         val cols = ticket.columns.toSet
         require(cols.contains("doc_id") || cols.contains("vec_id") ||
@@ -794,7 +809,8 @@ object Corpus {
           require(ledgersConfigured,
             "--takedown: the ticket carries drop ids but no drop-ledgered " +
               "store flag (--lm-store/--profile-store/--novelty-store/" +
-              "--span-store/--manifest-store/--chunk-store) is set")
+              "--span-store/--manifest-store/--chunk-store/" +
+              "--postings-store) is set")
           // the ticket's drop-id column is driver-sized by nature (one id
           // per ingested drop, not per corpus row)
           val dropIds = ticket.select(col("drop_id")).distinct()
@@ -937,7 +953,7 @@ object Corpus {
         "[--takedown ticket.parquet] [--ledger-report] [--ledger-report-out dir] " +
         "[--cluster-store dir] [--ann-index dir] " +
         "[--span-store dir] [--span-remove-drop id] [--scrub-spans] " +
-        "[--manifest-store dir] [--chunk-store dir] " +
+        "[--manifest-store dir] [--chunk-store dir] [--postings-store dir] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)
@@ -1041,6 +1057,19 @@ object Corpus {
             ChunkStore.appendStaged(r.train, cd, dropId)()
           else warnSkippedDrop("--chunk-store", dropId, cd)
         }
+      }
+      // Postings: the drop's inverted-index rows join the store under the
+      // drop-id discipline — no read-only scoring artifact, because a
+      // retrieval workload is a caller input, not a property of the drop
+      // (serve with PostingsStore.bm25TopKVsDrop and a probe of choice).
+      a.postingsStore.foreach { pd =>
+        import graft.text.PostingsStore
+        val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
+        if (!PostingsStore.exists(spark, pd))
+          PostingsStore.buildStaged(r.train, pd, dropId)()
+        else if (!PostingsStore.drops(spark, pd).contains(dropId))
+          PostingsStore.appendStaged(r.train, pd, dropId)()
+        else warnSkippedDrop("--postings-store", dropId, pd)
       }
       // _novelty: per-doc first-occurrence novelty of THIS drop against
       // the gram store's history ∪ the drop (read-only scoring, written

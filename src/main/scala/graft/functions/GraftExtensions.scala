@@ -250,6 +250,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           eager = false)
         .queryExecution.logical
     }
+    tvf("graft_bm25") { args =>
+      require(args.size == 3,
+        "usage: graft_bm25(<corpus table>, <queries table (query_id, term)>, <k>)")
+      val corpus = SparkSession.active.table(
+        strArg("graft_bm25", args.head, "corpus table"))
+      graft.text.Retrieval.bm25TopK(
+          graft.text.Retrieval.postings(corpus),
+          SparkSession.active.table(
+            strArg("graft_bm25", args(1), "queries table")),
+          intArg("graft_bm25", args(2), "k"))
+        .queryExecution.logical
+    }
+    tvf("graft_bm25_store") { args =>
+      require(args.size == 4,
+        "usage: graft_bm25_store(<store dir>, <drop table>, " +
+          "<queries table (query_id, term)>, <k>)")
+      graft.text.PostingsStore.bm25ForQueriesVsDrop(
+          SparkSession.active.table(
+            strArg("graft_bm25_store", args(1), "drop table")),
+          strArg("graft_bm25_store", args.head, "store dir"),
+          SparkSession.active.table(
+            strArg("graft_bm25_store", args(2), "queries table")),
+          intArg("graft_bm25_store", args(3), "k"))
+        .queryExecution.logical
+    }
     tvf("graft_manifest") { args =>
       require(args.size == 4, "usage: graft_manifest(<table>, <keyCol>, " +
         "'<comma-separated cols>', <shards>)")

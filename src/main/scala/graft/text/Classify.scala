@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Learned bag-of-words text classifier — the CCNet/fastText slot in a
+  * curation pipeline (language ID, source/domain routing, learned quality
+  * gates), trained and served entirely as DataFrame aggregates so both
+  * halves are DuckDB-gateable facts.
+  *
+  * The model is a CENTROID classifier over Laplace-smoothed unigram class
+  * profiles (Rocchio-style; Han & Karypis, "Centroid-Based Document
+  * Classification", PKDD 2000): weight(term, class) =
+  * (cnt(term, class) + 1) / (tot(class) + V), the smoothed class unigram
+  * probability, and a document scores each class by the inner product of
+  * its tf vector with that profile. This is multinomial Naive Bayes with
+  * the log replaced by identity — the same rational-surrogate move as
+  * [[Retrieval]]'s idf: per-term monotonicity in the class-conditional
+  * probability is preserved, sums replace products, and every quantity is
+  * an exact integer (weights in ppb via `div`, scores a Σ tf·w_ppb), so
+  * training AND inference hash-match across engines bit-for-bit. Unseen
+  * (term, class) pairs fall back to the class's smoothed-zero weight
+  * 10^9 div (tot + V), exactly NB's Laplace floor.
+  *
+  * Overflow: score ≤ dl · max_w ≤ dl · 10^9 — safe for docs to ~10^9
+  * tokens. Weights are model-sized (V × classes rows — the k×dims rule:
+  * broadcast, never shuffled against the corpus), so inference is one
+  * map-side broadcast join over the docs' exploded terms + a hash agg +
+  * the bounded-heap top-1: linear in corpus tokens, no corpus shuffle.
+  *
+  * The reference has no learned-classifier surface; this fills the
+  * curation gap its file-level pipeline never reaches (SURVEY.md §2's
+  * LLM-pipeline extension set).
+  */
+object Classify {
+
+  /** Train: (label, term, w_ppb) — Laplace-smoothed class unigram
+    * profiles in parts-per-billion, exact integers.
+    */
+  def trainWeights(docs: DataFrame, labelCol: String = "lang",
+                   textCol: String = "text"): DataFrame = {
+    val cnt = termCounts(docs, labelCol, textCol)
+    cnt.join(classTotals(cnt), Seq("label"))
+      .crossJoin(broadcast(vocabSize(cnt)))
+      .select(col("label"), col("term"),
+        expr("((cnt + 1) * 1000000000) div (tot + v)").as("w_ppb"))
+  }
+
+  /** Held-out prediction: (doc_id, true_label, pred_label, score_ppb) —
+    * argmax class by summed tf·w_ppb (ties by label ASC), unseen terms at
+    * the class's Laplace floor. `train` and `docs` are disjoint splits of
+    * a labeled corpus; `docs`' labels ride through as `true_label` so the
+    * output doubles as a confusion-matrix feed.
+    */
+  def predict(train: DataFrame, docs: DataFrame, labelCol: String = "lang",
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cnt = termCounts(train, labelCol, textCol)
+    val totV = classTotals(cnt).crossJoin(broadcast(vocabSize(cnt)))
+    val weights = cnt.join(totV, Seq("label"))
+      .select(col("label"), col("term"),
+        expr("((cnt + 1) * 1000000000) div (tot + v)").as("w_ppb"))
+    val defaults = totV.select(col("label"),
+      expr("1000000000 div (tot + v)").as("dflt_ppb"))
+    val tf = docs.select(col(idCol).as("doc_id"),
+        col(labelCol).as("true_label"),
+        explode(TextOps.words(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("true_label"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .crossJoin(broadcast(defaults)) // classes are few: the model axis
+      .join(broadcast(weights), Seq("term", "label"), "left")
+      .withColumn("w", coalesce(col("w_ppb"), col("dflt_ppb")))
+      .groupBy(col("doc_id"), col("true_label"), col("label"))
+      .agg(sum(col("tf") * col("w")).as("score_ppb"))
+    graft.operators.Relational.topKPerKey(scored,
+      Seq(col("doc_id")), Seq(col("score_ppb").desc, col("label").asc), 1)
+      .select(col("doc_id"), col("true_label"),
+        col("label").as("pred_label"), col("score_ppb"))
+  }
+
+  private def termCounts(docs: DataFrame, labelCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(labelCol).as("label"),
+        explode(TextOps.words(col(textCol))).as("term"))
+      .groupBy(col("label"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private def classTotals(cnt: DataFrame): DataFrame =
+    cnt.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+
+  private def vocabSize(cnt: DataFrame): DataFrame =
+    cnt.select(col("term")).distinct().agg(count(lit(1)).as("v"))
+}

@@ -805,6 +805,64 @@ object Queries {
           .repartition(s.sparkContext.defaultParallelism), storeDir)
     }),
 
+    // Exact BM25 retrieval: a fixed-size "more-like-this" workload (each
+    // probe doc's 8 most characteristic terms) ranked over the whole
+    // corpus with integer-exact rational-idf BM25 — the relevance leg of
+    // curation (seed-query filtering, decontamination lookup, near-dup
+    // triage). Posting-list equi-join + hash agg; the per-query top-k is
+    // the engine's bounded-heap exec, never a window sort.
+    "q164_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopKFor(
+        Tables(s, dir).documents
+          .repartition(s.sparkContext.defaultParallelism),
+        probe = col("doc_id") % 5 === 0 && col("doc_id") < 60)),
+
+    // Store-served BM25: q164's retrieval of probe queries from a NEW
+    // drop, searched over the persisted inverted index ∪ the drop —
+    // history text is never re-tokenized; df/N/Σdl re-aggregate from the
+    // merged postings. Gated bit-for-bit against the from-scratch
+    // full-corpus run (store corpus ∪ drop = the full table).
+    "q165_postings_store" -> ((s, dir) =>
+      PostingsStore.bm25TopKVsDrop(
+        Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+          .repartition(s.sparkContext.defaultParallelism),
+        postingsStoreFixture(s, dir),
+        probe = col("doc_id") % 15 === 0 && col("doc_id") < 300)),
+
+    // Postings-store takedown: a junk drop (the probe's own texts under
+    // disjoint ids) ingested then REMOVED — the junk had doubled exactly
+    // the probe docs' content (duplicate candidates ranking at the same
+    // scores, df/N/Σdl all inflated), so any residue would surface as
+    // phantom results or shifted scores. Post-takedown serve must equal
+    // never-ingested exactly (row deletion IS the union-merge inverse).
+    "q166_postings_takedown" -> ((s, dir) =>
+      PostingsStore.bm25TopKVsDrop(
+        Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+          .repartition(s.sparkContext.defaultParallelism),
+        postingsTakedownFixture(s, dir),
+        probe = col("doc_id") % 15 === 0 && col("doc_id") < 300)),
+
+    // Learned classifier TRAINING as a hashable fact: Laplace-smoothed
+    // unigram class profiles (the centroid/NB model) over the % 5 != 0
+    // train split — weights in exact integer ppb, so the trained model
+    // itself hash-matches DuckDB (no float fit, no RNG).
+    "q167_classifier_train" -> ((s, dir) =>
+      Classify.trainWeights(
+        Tables(s, dir).documents.filter(col("doc_id") % 5 =!= 0)
+          .repartition(s.sparkContext.defaultParallelism))),
+
+    // Learned classifier INFERENCE on the held-out % 5 == 0 split:
+    // argmax-class by summed tf·w_ppb with the Laplace floor for unseen
+    // terms — train + predict gated end-to-end (the CCNet/fastText slot:
+    // language ID, source routing, learned quality gates). One broadcast
+    // join of the model against exploded terms; no corpus shuffle.
+    "q168_classifier_predict" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      Classify.predict(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+    }),
+
     // First-occurrence novelty scoring: what fraction of each doc's
     // 3-gram vocabulary does the corpus see FIRST in this doc (ownership
     // by minimum doc_id — deterministic, order-free)? The curation signal
@@ -1253,6 +1311,52 @@ object Queries {
       storeDir
     })
 
+  /** q165/q166's postings store: the corpus history (doc_id % 3 != 0) as
+    * two drops; the takedown variant adds a junk drop "x" (the probe's
+    * texts re-keyed to doc_id + 10^7 — doubles exactly the probe docs'
+    * postings, df, N and Σdl) and removes it.
+    */
+  private[graft] def postingsStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#postings"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-postingsstore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      PostingsStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      PostingsStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      storeDir
+    })
+
+  private[graft] def postingsTakedownFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#postings-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-postingsstore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      PostingsStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      PostingsStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      PostingsStore.append(
+        d.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)),
+        storeDir, "x")
+      PostingsStore.removeDrop(s, storeDir, "x")
+      storeDir
+    })
+
   /** The sources q141 purges from the signature store — fixed names the
     * oracle mirrors literally (TESTDATA's documents carry src0..src19).
     */
@@ -1414,6 +1518,54 @@ object Queries {
     * table, so the filtered variants replay "union from scratch,
     * restricted to the probe drop" (q162/q163's store-serve contract).
     */
+  /** q164/q165/q166's BM25 replay: rational-idf BM25 (integer-exact, see
+    * [[Retrieval]]) with the probe workload selected by `queryWhere` over
+    * the postings CTE `p`. The store variants share the builder because
+    * store ∪ drop = the full table and takedown ≡ never-ingested; only
+    * the probe predicate differs. All division is `//` on non-negative
+    * BIGINTs — DuckDB floor ≡ Spark `div` truncation.
+    */
+  /** Shared train-side CTEs for q167/q168: Laplace-smoothed unigram class
+    * profiles over the % 5 != 0 split, weights in exact integer ppb.
+    */
+  private val classifierTrainCtes: String =
+    """WITH tr AS (SELECT lang AS label, unnest(string_split(text,' ')) AS term
+      |  FROM documents WHERE doc_id % 5 != 0),
+      |cnt AS (SELECT label, term, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tr GROUP BY 1, 2),
+      |tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot
+      |  FROM cnt GROUP BY 1),
+      |voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM cnt),
+      |w AS (SELECT label, term, ((cnt + 1) * 1000000000) // (tot + v) AS w_ppb
+      |  FROM cnt JOIN tot USING (label) CROSS JOIN voc)""".stripMargin
+
+  private def bm25Oracle(queryWhere: String): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |p0 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term
+       |  FROM w),
+       |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+       |  FROM p0 GROUP BY 1, 2),
+       |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+       |tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+       |  CAST(sum(tf) AS BIGINT) AS t FROM p),
+       |q0 AS (SELECT p.doc_id AS query_id, p.term, row_number() OVER (
+       |    PARTITION BY p.doc_id ORDER BY p.tf DESC, f.df ASC, p.term ASC) AS r
+       |  FROM p JOIN f USING (term) WHERE $queryWhere),
+       |qt AS (SELECT query_id, term FROM q0 WHERE r <= 8),
+       |leg AS (SELECT qt.query_id, p.doc_id,
+       |    ((2*(tot.n - f.df) + 1) * 1000) // (2*f.df + 1) AS idf_ppt,
+       |    (2200000000 * p.tf) //
+       |      (1000000*p.tf + 300000 + 900*((p.dl * tot.n * 1000) // tot.t))
+       |      AS tf_ppt
+       |  FROM qt JOIN p USING (term) JOIN f USING (term) CROSS JOIN tot),
+       |sc AS (SELECT query_id, doc_id,
+       |    CAST(sum((idf_ppt * tf_ppt) // 1000) AS BIGINT) AS score_ppt
+       |  FROM leg GROUP BY 1, 2),
+       |rk AS (SELECT query_id, doc_id, score_ppt, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_ppt DESC, doc_id ASC) AS r
+       |  FROM sc)
+       |SELECT query_id, doc_id, score_ppt FROM rk WHERE r <= 5""".stripMargin
+
   private def cdcCensusOracle(outFilter: String): String =
     s"""WITH ch AS ($cdcOracle),
        |sh AS (SELECT chunk_key FROM ch GROUP BY chunk_key
@@ -1510,6 +1662,39 @@ object Queries {
     // oracle because takedown must serve exactly as never-ingested.
     "q150_span_store" -> spanDetectOracle("doc_id % 3 = 0"),
     "q152_span_takedown" -> spanDetectOracle("doc_id % 3 = 0"),
+    // q164 ranks a fixed 12-probe workload over the full corpus; q165/q166
+    // serve a 20-probe drop workload (probes all in the % 3 = 0 drop)
+    // against the persisted index — store ∪ drop = the full table, and
+    // q166 shares q165's oracle: takedown ≡ never-ingested.
+    // q167/q168 train the centroid/NB classifier on the % 5 != 0 split
+    // and predict the % 5 == 0 split — the oracle replays BOTH halves
+    // (same smoothing, same integer ppb, same tie-break).
+    "q167_classifier_train" ->
+      s"""$classifierTrainCtes
+         |SELECT label, term, w_ppb FROM w""".stripMargin,
+    "q168_classifier_predict" ->
+      s"""$classifierTrainCtes,
+         |dflt AS (SELECT label, 1000000000 // (tot + v) AS dflt_ppb
+         |  FROM tot CROSS JOIN voc),
+         |te AS (SELECT doc_id, lang AS true_label,
+         |    unnest(string_split(text,' ')) AS term
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |tf AS (SELECT doc_id, true_label, term,
+         |    CAST(count(*) AS BIGINT) AS tf FROM te GROUP BY 1, 2, 3),
+         |sc AS (SELECT tf.doc_id, tf.true_label, dflt.label,
+         |    CAST(sum(tf.tf * coalesce(w.w_ppb, dflt.dflt_ppb)) AS BIGINT)
+         |      AS score_ppb
+         |  FROM tf CROSS JOIN dflt
+         |  LEFT JOIN w ON w.term = tf.term AND w.label = dflt.label
+         |  GROUP BY 1, 2, 3),
+         |rk AS (SELECT doc_id, true_label, label AS pred_label, score_ppb,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score_ppb DESC, label ASC) AS r FROM sc)
+         |SELECT doc_id, true_label, pred_label, score_ppb
+         |FROM rk WHERE r = 1""".stripMargin,
+    "q164_bm25_topk" -> bm25Oracle("p.doc_id % 5 = 0 AND p.doc_id < 60"),
+    "q165_postings_store" -> bm25Oracle("p.doc_id % 15 = 0 AND p.doc_id < 300"),
+    "q166_postings_takedown" -> bm25Oracle("p.doc_id % 15 = 0 AND p.doc_id < 300"),
     "q125_span_scrub" -> spanScrubOracle("TRUE"),
     "q151_span_store_scrub" -> spanScrubOracle("d.doc_id % 3 = 0"),
     "q123_quality_gate" ->

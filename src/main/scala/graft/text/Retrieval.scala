@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact BM25 full-text retrieval over the documents table — the ranking
+  * leg a data-curation pipeline uses for relevance filtering ("keep docs
+  * that retrieve well against seed queries"), decontamination lookup
+  * (retrieve the corpus neighborhood of an eval item before the n-gram
+  * gate), and near-dup triage ("more-like-this" against a suspect doc).
+  * The reference has no retrieval surface (its closest analog is the
+  * per-file grep-shaped scatter in daas-apps
+  * `sparkcaller/.../SparkCaller.java:125-344`); this is the record-level
+  * re-expression the engine's other text families follow.
+  *
+  * Scoring is Robertson/Sparck-Jones BM25 (k1 = 1.2, b = 0.75) with ONE
+  * documented substitution: the log in the idf is replaced by its exact
+  * rational argument, idf_ppt = 1000·(N − df + ½)/(df + ½) evaluated as
+  * `((2·(N − df) + 1) · 1000) div (2·df + 1)` — integer floor-division
+  * end-to-end, so the score is a hashable fact that DuckDB reproduces
+  * bit-for-bit (the same fixed-point discipline as [[Lm]]'s ppm CASE;
+  * both engines truncate non-negative operands identically). The rational
+  * idf is strictly monotone in df exactly like the log form, so PER-TERM
+  * candidate ordering is unchanged; only the relative weighting of
+  * multi-term sums differs from textbook BM25, which is a calibration
+  * choice, not a correctness one. All arithmetic stays inside 64 bits for
+  * N·max_dl·1000 < 2^63 (N ≤ ~9·10^10 docs at dl ≤ 10^5 words — beyond
+  * any 100 TB corpus).
+  *
+  * Scale shape: the score join is query_terms ⋈ postings on `term` — the
+  * classic posting-list traversal, bounded by Σ_q Σ_t df(t). With a
+  * Zipfian vocabulary and characteristic (high-tf, low-df) query terms the
+  * candidate lists are short; the synthetic fixture's 31-word vocabulary
+  * is the adversarial dense case (every posting list ≈ the whole corpus)
+  * and still runs as one equi-join + hash-agg, no shuffle of the corpus
+  * text itself. The final per-query top-k goes through the engine's own
+  * bounded-heap exec ([[graft.plans.TopKPerKeyNode]]) — map-side heaps,
+  * shuffle of heads only — never a full window sort. The query workload is
+  * FIXED-SIZE by construction (a query set does not grow with the corpus),
+  * so the whole plan is linear in corpus tokens. History serving at scale
+  * is [[PostingsStore]]'s job; impact-ordered early-exit (WAND) is the
+  * documented next pruning step if query volume ever grows with N.
+  */
+object Retrieval {
+
+  /** Terms per derived query — the probe doc's most characteristic terms. */
+  val QueryTerms = 8
+
+  /** Results per query. */
+  val TopK = 5
+
+  /** The inverted index as a frame: (doc_id, term, tf, dl) — one row per
+    * distinct (doc, term), `tf` the in-doc term frequency, `dl` the doc
+    * length in words (ridden along so scoring never re-joins a doc-stats
+    * side).
+    */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TextOps.words(col(textCol)).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** (term, df) — document frequency; one row per (doc, term) in the
+    * postings makes this a plain row count.
+    */
+  def docFreq(post: DataFrame): DataFrame =
+    post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** One-row (n, t): corpus doc count and total token count (Σ tf over a
+    * doc = its dl, so t = Σ dl — avgdl is t/n, kept rational).
+    */
+  def corpusTotals(post: DataFrame): DataFrame =
+    post.agg(countDistinct(col("doc_id")).as("n"), sum(col("tf")).as("t"))
+
+  /** Derive a "more-like-this" query per probe doc: its `qTerms` most
+    * characteristic terms, ranked tf DESC (what the doc is about), df ASC
+    * (prefer discriminative), term ASC (total order → deterministic).
+    * `probe` selects the probe docs by predicate on the postings columns —
+    * the workload stays fixed-size while the corpus grows.
+    */
+  def queriesFor(post: DataFrame, df: DataFrame, probe: Column,
+                 qTerms: Int = QueryTerms): DataFrame =
+    graft.operators.Relational.topKPerKey(
+      post.filter(probe).join(df, Seq("term"))
+        .select(col("doc_id").as("query_id"), col("term"), col("tf"), col("df")),
+      Seq(col("query_id")),
+      Seq(col("tf").desc, col("df").asc, col("term").asc), qTerms)
+      .select(col("query_id"), col("term"))
+
+  /** Exact BM25 top-k: (query_id, doc_id, score_ppt), the k highest-scored
+    * docs per query (ties by doc_id ASC). `queries` is (query_id, term);
+    * `post` the corpus postings. Pass `eager = false` when the caller
+    * already materialized `post` (it feeds df, totals, and the score join —
+    * three consumers).
+    */
+  def bm25TopK(post: DataFrame, queries: DataFrame, k: Int = TopK,
+               eager: Boolean = true): DataFrame = {
+    val p = if (eager) Dedup.materialize(post) else post
+    val scored = queries
+      .join(p, Seq("term"))
+      .join(docFreq(p), Seq("term"))
+      .crossJoin(broadcast(corpusTotals(p)))
+      .withColumn("idf_ppt", expr("((2*(n - df) + 1) * 1000) div (2*df + 1)"))
+      .withColumn("dlr_ppt", expr("(dl * n * 1000) div t"))
+      .withColumn("tf_ppt",
+        expr("(2200000000 * tf) div (1000000*tf + 300000 + 900*dlr_ppt)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("(idf_ppt * tf_ppt) div 1000")).as("score_ppt"))
+    graft.operators.Relational.topKPerKey(scored,
+      Seq(col("query_id")), Seq(col("score_ppt").desc, col("doc_id").asc), k)
+  }
+
+  /** postings → queries → top-k in one call, for a corpus given as docs. */
+  def bm25TopKFor(docs: DataFrame, probe: Column, k: Int = TopK,
+                  qTerms: Int = QueryTerms): DataFrame = {
+    val p = Dedup.materialize(postings(docs))
+    bm25TopK(p, queriesFor(p, docFreq(p), probe, qTerms), k, eager = false)
+  }
+}

@@ -838,6 +838,49 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must not exit 0"), e.getMessage)
   }
 
+  test("Corpus CLI: --postings-store ingests drops; one-ticket takedown serves as never-ingested") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.text.{PostingsStore, Retrieval}
+    val dir = Files.createTempDirectory("corpus-postings")
+    def run(in: String, out: String, rows: (Long, String)*): Unit = {
+      docsOf(rows: _*).write.parquet(s"$dir/$in")
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/$in", "-O", s"$dir/$out",
+        "--postings-store", s"$dir/post"))
+    }
+    run("drop1", "out1", (1L, "needle aa bb cc dd"), (2L, "ee ff gg hh ii"))
+    run("drop2", "out2", (10L, "needle needle jj kk ll"))
+    assert(PostingsStore.drops(spark, s"$dir/post").size === 2)
+    // identical re-run: skipped (already-stored drop id), store unchanged
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/out3",
+      "--postings-store", s"$dir/post"))
+    assert(PostingsStore.drops(spark, s"$dir/post").size === 2)
+    // a drop_id ticket through the unified surface removes drop2's postings
+    val withDoc10 = PostingsStore.servePostings(spark, s"$dir/post")
+      .filter(col("doc_id") === 10L).count()
+    assert(withDoc10 > 0L)
+    val target = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/post/postings").filter(col("doc_id") === 10L)
+      .select("drop_id").distinct().as[String].collect().head
+    Seq(target).toDF("drop_id").write.parquet(s"$dir/ticket")
+    graft.cli.Corpus.run(spark, Array(
+      "--takedown", s"$dir/ticket", "--postings-store", s"$dir/post"))
+    assert(PostingsStore.drops(spark, s"$dir/post").size === 1)
+    // post-takedown retrieval ≡ the never-ingested corpus
+    val probe = col("doc_id") === 100L
+    val drop = docsOf((100L, "needle probe mm nn oo"))
+    val served = PostingsStore
+      .bm25TopKVsDrop(drop, s"$dir/post", probe)
+      .collect().map(_.toSeq).toSet
+    val scratch = Retrieval.bm25TopKFor(
+      docsOf((1L, "needle aa bb cc dd"), (2L, "ee ff gg hh ii"))
+        .unionByName(drop), probe)
+      .collect().map(_.toSeq).toSet
+    assert(served === scratch)
+  }
+
   test("Corpus CLI: --profile-store accumulates per-drop partials; re-runs idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-profstore")

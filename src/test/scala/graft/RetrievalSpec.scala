@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Retrieval
+
+/** Exact BM25 retrieval semantics on planted corpora — the synthetic
+  * fixture's dense 31-word vocabulary exercises the gate but not the
+  * RANKING, so these plant Zipf-shaped signal: rare discriminative terms,
+  * tf monotonicity, and the length penalty.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val filler = (1 to 30).map(_ => "the common word").mkString(" ")
+
+  test("planted needle: the rare-term doc outranks every common-term doc") {
+    // doc 1 is the probe; docs 2-3 share its rare term 'needle', the rest
+    // only the ubiquitous filler. BM25 must put the needle docs on top.
+    val corpus = docs(
+      (1L, s"needle needle probe $filler"),
+      (2L, s"needle $filler"),
+      (3L, s"needle needle needle $filler"),
+      (4L, filler), (5L, filler), (6L, filler))
+    val top = Retrieval.bm25TopKFor(corpus, probe = col("doc_id") === 1L, k = 3)
+      .as[(Long, Long, Long)].collect().sortBy(-_._3)
+    assert(top.forall(_._1 == 1L))
+    val ranked = top.map(_._2).toSeq
+    // probe retrieves itself plus the two needle docs — never a filler doc
+    assert(ranked.toSet === Set(1L, 2L, 3L))
+  }
+
+  test("tf monotone, length penalized: more hits rank higher, padding hurts") {
+    val pad = (1 to 40).map(i => s"pad$i").mkString(" ")
+    val corpus = docs(
+      (1L, "query term here"),
+      (2L, "term term term term"), // high tf, short
+      (3L, "term term"), // lower tf, same-ish length
+      (4L, s"term term term term $pad")) // same tf as 2 but 11x longer
+    val p = Retrieval.postings(corpus)
+    val q = Seq((100L, "term")).toDF("query_id", "term")
+    val scores = Retrieval.bm25TopK(p, q, k = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(scores(2L) > scores(3L), "tf 4 must beat tf 2 at equal length")
+    assert(scores(2L) > scores(4L), "the padded doc must pay the dl penalty")
+    assert(scores(3L) > 0L && scores(4L) > 0L)
+  }
+
+  test("queriesFor picks characteristic terms: tf desc, then rarest-first") {
+    val corpus = docs(
+      (1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "beta zeta"), (3L, "beta zeta"), (4L, "gamma zeta"))
+    val p = Retrieval.postings(corpus)
+    val q = Retrieval.queriesFor(p, Retrieval.docFreq(p),
+      probe = col("doc_id") === 1L, qTerms = 2)
+      .as[(Long, String)].collect().toSet
+    // alpha (tf 3) first; beta and gamma tie at tf-rank by tf (beta 2 > gamma 1)
+    assert(q === Set((1L, "alpha"), (1L, "beta")))
+  }
+
+  test("integer-exact scoring: a hand-computed single-term corpus") {
+    // 2 docs, 2 words each: N=2, T=4, dl=2 → dlr_ppt = (2*2*1000)/4 = 1000.
+    // 'x' appears in doc 1 only (tf 2): df=1 → idf_ppt = (2*(2-1)+1)*1000/3
+    // = 1000; tf_ppt = 2200000000*2 / (2000000+300000+900000) = 1375;
+    // score = 1000*1375/1000 = 1375.
+    val corpus = docs((1L, "x x"), (2L, "y y"))
+    val p = Retrieval.postings(corpus)
+    val q = Seq((9L, "x")).toDF("query_id", "term")
+    val out = Retrieval.bm25TopK(p, q).as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((9L, 1L, 1375L)))
+  }
+}

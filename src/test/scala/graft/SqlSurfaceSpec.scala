@@ -203,6 +203,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(census).exists(r => r.head == 1L && r(1) == r(3)))
   }
 
+  test("graft_bm25 / graft_bm25_store run retrieval from SQL") {
+    docsView
+    Seq((100L, "a1"), (100L, "a2"))
+      .toDF("query_id", "term").createOrReplaceTempView("sql_queries")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_bm25('sql_docs', 'sql_queries', 3)")
+    val direct = graft.text.Retrieval.bm25TopK(
+      graft.text.Retrieval.postings(spark.table("sql_docs")),
+      spark.table("sql_queries"), k = 3)
+    assert(viaSql.columns === direct.columns)
+    assert(rows(viaSql) === rows(direct))
+    // the containment doc (3) packs a1/a2 densest (dl 12 vs 30) — rank 1
+    assert(rows(viaSql).nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlbm25")
+    graft.text.PostingsStore.build(
+      spark.table("sql_docs"), s"$dir/post", "d0")
+    Seq((200L, "z100")).toDF("doc_id", "text")
+      .createOrReplaceTempView("sql_drop")
+    val served = spark.sql(
+      s"SELECT * FROM graft_bm25_store('$dir/post', 'sql_drop', 'sql_queries', 3)")
+    val servedDirect = graft.text.PostingsStore.bm25ForQueriesVsDrop(
+      spark.table("sql_drop"), s"$dir/post",
+      spark.table("sql_queries"), k = 3)
+    assert(rows(served) === rows(servedDirect))
+    // the drop doc shares no query term — it can never be a candidate
+    assert(!rows(served).exists(_(1) == 200L))
+    assert(rows(served).map(_.head).toSet === Set(100L))
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(

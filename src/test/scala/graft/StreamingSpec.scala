@@ -585,6 +585,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("postings-store ingest: foreachBatch retrieval against the growing index") {
+    // The streaming half of q165: each micro-batch's probe docs retrieve
+    // over store ∪ batch, then the batch's postings join the store —
+    // batch N+1's queries surface batch N's docs without re-tokenizing
+    // any earlier batch.
+    import org.apache.spark.sql.functions.col
+    import graft.text.PostingsStore
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-postings").toString
+    val filler = (1 to 20).map(_ => "common filler words").mkString(" ")
+    PostingsStore.build(
+      Seq((1L, s"needle $filler")).toDF("doc_id", "text"), dir, "seed")
+    val hits = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val dropId = f"batch-$epoch%06d"
+        val topk = PostingsStore
+          .bm25TopKVsDrop(batch, dir, probe = col("doc_id") >= 0L)
+          .select("query_id", "doc_id")
+          .as[(Long, Long)].collect()
+        topk.groupBy(_._1).foreach { case (qid, rows) =>
+          hits(qid) = rows.map(_._2).toSet }
+        if (!PostingsStore.drops(spark, dir).contains(dropId))
+          PostingsStore.appendStaged(batch, dir, dropId)()
+        ()
+      }
+      .start()
+    try {
+      mem.addData((10L, s"needle probe $filler"))
+      q.processAllAvailable() // 10's needle query retrieves the seed doc
+      assert(hits(10L).contains(1L), hits.toString)
+      mem.addData((20L, s"needle needle again $filler"))
+      q.processAllAvailable() // 20 sees both the seed and batch-0's doc 10
+      assert(hits(20L).contains(1L) && hits(20L).contains(10L), hits.toString)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
