@@ -1513,18 +1513,6 @@ object Queries {
        |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_key
        |FROM ci GROUP BY doc_id, chunk_idx""".stripMargin
 
-  /** q161's census replay, with `outFilter` restricting which docs'
-    * census rows are emitted — chunk df always counts over the FULL
-    * table, so the filtered variants replay "union from scratch,
-    * restricted to the probe drop" (q162/q163's store-serve contract).
-    */
-  /** q164/q165/q166's BM25 replay: rational-idf BM25 (integer-exact, see
-    * [[Retrieval]]) with the probe workload selected by `queryWhere` over
-    * the postings CTE `p`. The store variants share the builder because
-    * store ∪ drop = the full table and takedown ≡ never-ingested; only
-    * the probe predicate differs. All division is `//` on non-negative
-    * BIGINTs — DuckDB floor ≡ Spark `div` truncation.
-    */
   /** Shared train-side CTEs for q167/q168: Laplace-smoothed unigram class
     * profiles over the % 5 != 0 split, weights in exact integer ppb.
     */
@@ -1539,6 +1527,13 @@ object Queries {
       |w AS (SELECT label, term, ((cnt + 1) * 1000000000) // (tot + v) AS w_ppb
       |  FROM cnt JOIN tot USING (label) CROSS JOIN voc)""".stripMargin
 
+  /** q164/q165/q166's BM25 replay: rational-idf BM25 (integer-exact, see
+    * [[Retrieval]]) with the probe workload selected by `queryWhere` over
+    * the postings CTE `p`. The store variants share the builder because
+    * store ∪ drop = the full table and takedown ≡ never-ingested; only
+    * the probe predicate differs. All division is `//` on non-negative
+    * BIGINTs — DuckDB floor ≡ Spark `div` truncation.
+    */
   private def bm25Oracle(queryWhere: String): String =
     s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
        |p0 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term
@@ -1566,6 +1561,11 @@ object Queries {
        |  FROM sc)
        |SELECT query_id, doc_id, score_ppt FROM rk WHERE r <= 5""".stripMargin
 
+  /** q161's census replay, with `outFilter` restricting which docs'
+    * census rows are emitted — chunk df always counts over the FULL
+    * table, so the filtered variants replay "union from scratch,
+    * restricted to the probe drop" (q162/q163's store-serve contract).
+    */
   private def cdcCensusOracle(outFilter: String): String =
     s"""WITH ch AS ($cdcOracle),
        |sh AS (SELECT chunk_key FROM ch GROUP BY chunk_key
@@ -1662,10 +1662,6 @@ object Queries {
     // oracle because takedown must serve exactly as never-ingested.
     "q150_span_store" -> spanDetectOracle("doc_id % 3 = 0"),
     "q152_span_takedown" -> spanDetectOracle("doc_id % 3 = 0"),
-    // q164 ranks a fixed 12-probe workload over the full corpus; q165/q166
-    // serve a 20-probe drop workload (probes all in the % 3 = 0 drop)
-    // against the persisted index — store ∪ drop = the full table, and
-    // q166 shares q165's oracle: takedown ≡ never-ingested.
     // q167/q168 train the centroid/NB classifier on the % 5 != 0 split
     // and predict the % 5 == 0 split — the oracle replays BOTH halves
     // (same smoothing, same integer ppb, same tie-break).
@@ -1692,6 +1688,10 @@ object Queries {
          |      ORDER BY score_ppb DESC, label ASC) AS r FROM sc)
          |SELECT doc_id, true_label, pred_label, score_ppb
          |FROM rk WHERE r = 1""".stripMargin,
+    // q164 ranks a fixed 12-probe workload over the full corpus; q165/q166
+    // serve a 20-probe drop workload (probes all in the % 3 = 0 drop)
+    // against the persisted index — store ∪ drop = the full table, and
+    // q166 shares q165's oracle: takedown ≡ never-ingested.
     "q164_bm25_topk" -> bm25Oracle("p.doc_id % 5 = 0 AND p.doc_id < 60"),
     "q165_postings_store" -> bm25Oracle("p.doc_id % 15 = 0 AND p.doc_id < 300"),
     "q166_postings_takedown" -> bm25Oracle("p.doc_id % 15 = 0 AND p.doc_id < 300"),
