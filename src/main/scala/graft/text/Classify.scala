@@ -53,8 +53,18 @@ object Classify {
     * output doubles as a confusion-matrix feed.
     */
   def predict(train: DataFrame, docs: DataFrame, labelCol: String = "lang",
-              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cnt = termCounts(train, labelCol, textCol)
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    predictWithCounts(termCounts(train, labelCol, textCol), docs,
+      labelCol, idCol, textCol)
+
+  /** [[predict]] from a (label, term, cnt) count table instead of raw
+    * train docs — the serve face [[ClassifyStore]] uses: counts are
+    * sum-mergeable across drops, so a persisted count store trains
+    * incrementally and unlearns exactly.
+    */
+  def predictWithCounts(cnt: DataFrame, docs: DataFrame,
+                        labelCol: String = "lang", idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
     val totV = classTotals(cnt).crossJoin(broadcast(vocabSize(cnt)))
     val weights = cnt.join(totV, Seq("label"))
       .select(col("label"), col("term"),
@@ -78,8 +88,9 @@ object Classify {
         col("label").as("pred_label"), col("score_ppb"))
   }
 
-  private def termCounts(docs: DataFrame, labelCol: String,
-                         textCol: String): DataFrame =
+  /** (label, term, cnt) term counts — [[ClassifyStore]]'s partial unit. */
+  private[text] def termCounts(docs: DataFrame, labelCol: String,
+                               textCol: String): DataFrame =
     docs.select(col(labelCol).as("label"),
         explode(TextOps.words(col(textCol))).as("term"))
       .groupBy(col("label"), col("term"))

@@ -863,6 +863,29 @@ object Queries {
         d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
     }),
 
+    // Store-served classifier: q168's inference with the model trained
+    // INCREMENTALLY — the train split ingested as two drops of summed
+    // (label, term, cnt) partials; the served model is bit-identical to
+    // from-scratch training on the union (counts add; weights/totals/
+    // vocab derive at serve time). Shares q168's oracle.
+    "q169_classifier_store" -> ((s, dir) =>
+      ClassifyStore.predictVsStore(
+        Tables(s, dir).documents.filter(col("doc_id") % 5 === 0)
+          .repartition(s.sparkContext.defaultParallelism),
+        classifyStoreFixture(s, dir))),
+
+    // Classifier EXACT UNLEARNING: a junk drop (the train texts re-keyed
+    // under a phantom class "xx" — which would win every prediction for
+    // its own texts and shift all smoothing denominators) ingested then
+    // REMOVED. Post-takedown predictions must be hash-identical to the
+    // never-ingested model: count subtraction IS machine unlearning for
+    // a count-factored model. Shares q168's oracle.
+    "q170_classifier_unlearn" -> ((s, dir) =>
+      ClassifyStore.predictVsStore(
+        Tables(s, dir).documents.filter(col("doc_id") % 5 === 0)
+          .repartition(s.sparkContext.defaultParallelism),
+        classifyUnlearnFixture(s, dir))),
+
     // First-occurrence novelty scoring: what fraction of each doc's
     // 3-gram vocabulary does the corpus see FIRST in this doc (ownership
     // by minimum doc_id — deterministic, order-free)? The curation signal
@@ -1354,6 +1377,61 @@ object Queries {
           .withColumn("doc_id", col("doc_id") + lit(10000000L)),
         storeDir, "x")
       PostingsStore.removeDrop(s, storeDir, "x")
+      storeDir
+    })
+
+  /** q169/q170's classifier store: the train split (doc_id % 5 != 0) as
+    * two drops of summed count partials; the unlearn variant adds a junk
+    * drop "x" (the train texts re-keyed +10^7 under phantom class "xx")
+    * and removes it — takedown must restore the never-ingested model.
+    */
+  private[graft] def classifyStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#classify"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-classifystore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      ClassifyStore.build(
+        d.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        storeDir, "a")
+      ClassifyStore.append(
+        d.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        storeDir, "b")
+      storeDir
+    })
+
+  private[graft] def classifyUnlearnFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#classify-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-classifystore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      ClassifyStore.build(
+        d.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        storeDir, "a")
+      ClassifyStore.append(
+        d.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        storeDir, "b")
+      ClassifyStore.append(
+        d.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+          .withColumn("lang", lit("xx")),
+        storeDir, "x")
+      ClassifyStore.removeDrop(s, storeDir, "x")
       storeDir
     })
 
