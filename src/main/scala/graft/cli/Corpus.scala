@@ -141,6 +141,16 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        (q165's operator — the retrieval
   *                                        workload is a caller input, so no
   *                                        per-drop artifact is written)
+  *     [--classifier-store dir]           persisted classifier count store:
+  *                                        the drop's (label, term, cnt)
+  *                                        partials join the store under
+  *                                        --drop-id; counts sum-merge so the
+  *                                        served model ≡ from-scratch on the
+  *                                        union and a drop takedown unlearns
+  *                                        EXACTLY (q169/q170). Serve with
+  *                                        ClassifyStore.predictVsStore;
+  *                                        --classifier-label picks the label
+  *                                        column (default lang)
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -162,7 +172,8 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        drop-ledgered store (--lm-store/
   *                                        --profile-store/--novelty-store/
   *                                        --span-store/--manifest-store/
-  *                                        --chunk-store/--postings-store).
+  *                                        --chunk-store/--postings-store/
+  *                                        --classifier-store).
   *                                        Retry-convergent: already-absent
   *                                        drops are skipped with a notice, so
   *                                        re-running a partially-applied
@@ -231,7 +242,9 @@ object Corpus {
       manifestStore: Option[String] = None,
       temperatureBy: Option[String] = None,
       chunkStore: Option[String] = None,
-      postingsStore: Option[String] = None)
+      postingsStore: Option[String] = None,
+      classifierStore: Option[String] = None,
+      classifierLabel: String = "lang")
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -290,6 +303,10 @@ object Corpus {
       parse(rest, acc.copy(chunkStore = Some(v)))
     case "--postings-store" :: v :: rest =>
       parse(rest, acc.copy(postingsStore = Some(v)))
+    case "--classifier-store" :: v :: rest =>
+      parse(rest, acc.copy(classifierStore = Some(v)))
+    case "--classifier-label" :: v :: rest =>
+      parse(rest, acc.copy(classifierLabel = v))
     case "--span-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
@@ -400,7 +417,11 @@ object Corpus {
       a.postingsStore.map(sd => ("--postings-store", sd,
         (s: SparkSession, d: String) => graft.text.PostingsStore.drops(s, d),
         (s: SparkSession, d: String, id: String) =>
-          graft.text.PostingsStore.removeDrop(s, d, id)))
+          graft.text.PostingsStore.removeDrop(s, d, id))),
+      a.classifierStore.map(sd => ("--classifier-store", sd,
+        (s: SparkSession, d: String) => graft.text.ClassifyStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.text.ClassifyStore.removeDrop(s, d, id)))
     ).flatten
 
   private def defaultDropId(input: String): String = {
@@ -774,8 +795,9 @@ object Corpus {
           "--takedown needs at least one store flag (doc-granular: " +
             "--dedup-store/--cluster-store/--ann-index; drop-ledgered: " +
             "--lm-store/--profile-store/--novelty-store/--span-store/" +
-            "--manifest-store/--chunk-store/--postings-store) — a ticket " +
-            "applied to nothing must not exit 0")
+            "--manifest-store/--chunk-store/--postings-store/" +
+            "--classifier-store) — a ticket applied to nothing must not " +
+            "exit 0")
         val ticket = spark.read.parquet(ticketPath)
         val cols = ticket.columns.toSet
         require(cols.contains("doc_id") || cols.contains("vec_id") ||
@@ -810,7 +832,7 @@ object Corpus {
             "--takedown: the ticket carries drop ids but no drop-ledgered " +
               "store flag (--lm-store/--profile-store/--novelty-store/" +
               "--span-store/--manifest-store/--chunk-store/" +
-              "--postings-store) is set")
+              "--postings-store/--classifier-store) is set")
           // the ticket's drop-id column is driver-sized by nature (one id
           // per ingested drop, not per corpus row)
           val dropIds = ticket.select(col("drop_id")).distinct()
@@ -954,6 +976,7 @@ object Corpus {
         "[--cluster-store dir] [--ann-index dir] " +
         "[--span-store dir] [--span-remove-drop id] [--scrub-spans] " +
         "[--manifest-store dir] [--chunk-store dir] [--postings-store dir] " +
+        "[--classifier-store dir] [--classifier-label col] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)
@@ -1070,6 +1093,25 @@ object Corpus {
         else if (!PostingsStore.drops(spark, pd).contains(dropId))
           PostingsStore.appendStaged(r.train, pd, dropId)()
         else warnSkippedDrop("--postings-store", dropId, pd)
+      }
+      // Classifier counts: the drop's (label, term, cnt) partials join the
+      // store under the drop-id discipline — counts sum-merge, so daily
+      // labeled drops accrue into one model and a removal ticket unlearns a
+      // drop EXACTLY (q169/q170's operator). Like postings, no read-only
+      // artifact: a predict workload is a caller input, served with
+      // ClassifyStore.predictVsStore.
+      a.classifierStore.foreach { cd =>
+        import graft.text.ClassifyStore
+        val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
+        require(r.train.columns.contains(a.classifierLabel),
+          s"--classifier-store: label column '${a.classifierLabel}' not in " +
+            s"the corpus (have: ${r.train.columns.mkString(", ")}) — " +
+            "pass --classifier-label")
+        if (!ClassifyStore.exists(spark, cd))
+          ClassifyStore.buildStaged(r.train, cd, dropId, a.classifierLabel)()
+        else if (!ClassifyStore.drops(spark, cd).contains(dropId))
+          ClassifyStore.appendStaged(r.train, cd, dropId, a.classifierLabel)()
+        else warnSkippedDrop("--classifier-store", dropId, cd)
       }
       // _novelty: per-doc first-occurrence novelty of THIS drop against
       // the gram store's history ∪ the drop (read-only scoring, written

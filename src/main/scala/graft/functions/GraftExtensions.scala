@@ -255,11 +255,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "usage: graft_bm25(<corpus table>, <queries table (query_id, term)>, <k>)")
       val corpus = SparkSession.active.table(
         strArg("graft_bm25", args.head, "corpus table"))
+      // eager=false: no checkpoint job at analysis time (EXPLAIN must stay
+      // plan-only); the postings subtree's three consumers fall to
+      // Catalyst's exchange reuse instead of an explicit materialize
       graft.text.Retrieval.bm25TopK(
           graft.text.Retrieval.postings(corpus),
           SparkSession.active.table(
             strArg("graft_bm25", args(1), "queries table")),
-          intArg("graft_bm25", args(2), "k"))
+          intArg("graft_bm25", args(2), "k"),
+          eager = false)
         .queryExecution.logical
     }
     tvf("graft_bm25_store") { args =>
@@ -272,7 +276,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strArg("graft_bm25_store", args.head, "store dir"),
           SparkSession.active.table(
             strArg("graft_bm25_store", args(2), "queries table")),
-          intArg("graft_bm25_store", args(3), "k"))
+          intArg("graft_bm25_store", args(3), "k"),
+          eager = false)
+        .queryExecution.logical
+    }
+    tvf("graft_classify_store") { args =>
+      require(args.size == 2 || args.size == 3,
+        "usage: graft_classify_store(<store dir>, <docs table>[, <label col>])")
+      graft.text.ClassifyStore.predictVsStore(
+          SparkSession.active.table(
+            strArg("graft_classify_store", args(1), "docs table")),
+          strArg("graft_classify_store", args.head, "store dir"),
+          labelCol = if (args.size == 3)
+            strArg("graft_classify_store", args(2), "label col") else "lang",
+          eager = false)
         .queryExecution.logical
     }
     tvf("graft_manifest") { args =>

@@ -22,17 +22,40 @@ import org.apache.spark.sql.functions._
   * (term, class) pairs fall back to the class's smoothed-zero weight
   * 10^9 div (tot + V), exactly NB's Laplace floor.
   *
-  * Overflow: score ≤ dl · max_w ≤ dl · 10^9 — safe for docs to ~10^9
-  * tokens. Weights are model-sized (V × classes rows — the k×dims rule:
-  * broadcast, never shuffled against the corpus), so inference is one
-  * map-side broadcast join over the docs' exploded terms + a hash agg +
-  * the bounded-heap top-1: linear in corpus tokens, no corpus shuffle.
+  * Overflow: on the score side, score ≤ dl · max_w ≤ dl · 10^9 — safe for
+  * docs to ~10^9 tokens. On the TRAINING side, the intermediate
+  * (cnt + 1) · 10^9 caps cnt at ~9.2·10^9 before 64-bit wrap — a single
+  * (term, class) pair may own at most ~9 billion token occurrences, which
+  * bounds the trainable corpus at roughly 10^10 tokens per class for its
+  * worst stopword (a ~100 TB-of-text ceiling per class; beyond it, divide
+  * cnt and tot by a common power of two first — the ratio, hence the
+  * model, is unchanged).
+  *
+  * Weights are model-sized (V × classes rows), so inference joins the
+  * model AGAINST the corpus' exploded terms, never the reverse: a
+  * broadcast hash join + hash agg + the bounded-heap top-1, linear in
+  * corpus tokens with no corpus shuffle. The broadcast is SIZE-GATED
+  * ([[MaxBroadcastModelRows]]): a real web-corpus vocabulary (10^7–10^9
+  * distinct terms) would OOM executors if force-hinted, so above the gate
+  * the model side joins as a plain shuffled equi-join — the corpus side
+  * shuffles once on (term, label), still linear, just not map-side.
+  * Crossover note: at ~48 bytes/row of unsafe-row footprint the default
+  * gate (4M rows) caps the broadcast at ~200 MB — comfortably inside a
+  * multi-GiB executor while far above any gated fixture (sf0.1 trains
+  * ~31 distinct terms × 4 classes).
   *
   * The reference has no learned-classifier surface; this fills the
   * curation gap its file-level pipeline never reaches (SURVEY.md §2's
   * LLM-pipeline extension set).
   */
 object Classify {
+
+  /** Model rows (V × classes) above which the inference join stops
+    * broadcasting the weights and falls back to a shuffled equi-join —
+    * ~200 MB of unsafe rows, the "fits every executor comfortably" line
+    * (see the crossover note above).
+    */
+  val MaxBroadcastModelRows: Long = 4000000L
 
   /** Train: (label, term, w_ppb) — Laplace-smoothed class unigram
     * profiles in parts-per-billion, exact integers.
@@ -53,20 +76,39 @@ object Classify {
     * output doubles as a confusion-matrix feed.
     */
   def predict(train: DataFrame, docs: DataFrame, labelCol: String = "lang",
-              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+              idCol: String = "doc_id", textCol: String = "text",
+              maxBroadcastModelRows: Long = MaxBroadcastModelRows): DataFrame =
     predictWithCounts(termCounts(train, labelCol, textCol), docs,
-      labelCol, idCol, textCol)
+      labelCol, idCol, textCol,
+      maxBroadcastModelRows = maxBroadcastModelRows)
 
   /** [[predict]] from a (label, term, cnt) count table instead of raw
     * train docs — the serve face [[ClassifyStore]] uses: counts are
     * sum-mergeable across drops, so a persisted count store trains
     * incrementally and unlearns exactly.
+    *
+    * `eager = true` (the default) materializes the model-sized count
+    * table once — it feeds class totals, the vocabulary size, the weight
+    * join AND the broadcast size gate, so the underlying corpus/store agg
+    * runs exactly once. The SQL TVF face passes `eager = false` (no job
+    * at analysis time); there the model join is left unhinted and AQE's
+    * runtime size gate makes the same broadcast-or-shuffle call from the
+    * actual shuffle statistics.
     */
   def predictWithCounts(cnt: DataFrame, docs: DataFrame,
                         labelCol: String = "lang", idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val totV = classTotals(cnt).crossJoin(broadcast(vocabSize(cnt)))
-    val weights = cnt.join(totV, Seq("label"))
+                        textCol: String = "text",
+                        eager: Boolean = true,
+                        maxBroadcastModelRows: Long =
+                          MaxBroadcastModelRows): DataFrame = {
+    val c = if (eager) Dedup.materialize(cnt) else cnt
+    // the gate reads the materialized model's row count (free after the
+    // checkpoint); the lazy face defers the same decision to AQE
+    val hintModel: DataFrame => DataFrame =
+      if (eager && c.count() <= maxBroadcastModelRows) df => broadcast(df)
+      else identity
+    val totV = classTotals(c).crossJoin(broadcast(vocabSize(c)))
+    val weights = c.join(totV, Seq("label"))
       .select(col("label"), col("term"),
         expr("((cnt + 1) * 1000000000) div (tot + v)").as("w_ppb"))
     val defaults = totV.select(col("label"),
@@ -78,7 +120,7 @@ object Classify {
       .agg(count(lit(1)).as("tf"))
     val scored = tf
       .crossJoin(broadcast(defaults)) // classes are few: the model axis
-      .join(broadcast(weights), Seq("term", "label"), "left")
+      .join(hintModel(weights), Seq("term", "label"), "left")
       .withColumn("w", coalesce(col("w_ppb"), col("dflt_ppb")))
       .groupBy(col("doc_id"), col("true_label"), col("label"))
       .agg(sum(col("tf") * col("w")).as("score_ppb"))

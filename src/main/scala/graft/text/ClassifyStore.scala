@@ -97,11 +97,15 @@ object ClassifyStore extends graft.operators.DropLedger {
 
   /** Classify docs with the store-trained model — bit-identical to
     * `Classify.predict` trained from scratch on the union corpus (q169's
-    * gate; q170 re-gates it after a takedown). Read-only.
+    * gate; q170 re-gates it after a takedown). Read-only. `eager = false`
+    * is the SQL-TVF face (no job at analysis; AQE size-gates the model
+    * join at runtime — see [[Classify.predictWithCounts]]).
     */
   def predictVsStore(docs: DataFrame, storeDir: String,
                      labelCol: String = "lang", idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame =
+                     textCol: String = "text",
+                     eager: Boolean = true): DataFrame =
     Classify.predictWithCounts(
-      serveCounts(docs.sparkSession, storeDir), docs, labelCol, idCol, textCol)
+      serveCounts(docs.sparkSession, storeDir), docs, labelCol, idCol,
+      textCol, eager = eager)
 }

@@ -108,16 +108,21 @@ object PostingsStore extends graft.operators.DropLedger {
 
   /** [[bm25TopKVsDrop]] with a caller-supplied (query_id, term) workload
     * instead of derived more-like-this probes — the SQL-TVF face, where
-    * the query set is a table, not a predicate.
+    * the query set is a table, not a predicate. The TVF passes
+    * `eager = false` (the file-wide TVF convention: no checkpoint job at
+    * SQL analysis time — EXPLAIN must stay plan-only); programmatic
+    * callers keep the default, which materializes the merged postings once
+    * for their three consumers (df, totals, score join).
     */
   def bm25ForQueriesVsDrop(newDocs: DataFrame, storeDir: String,
                            queries: DataFrame, k: Int = Retrieval.TopK,
                            idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
+                           textCol: String = "text",
+                           eager: Boolean = true): DataFrame = {
     val s = newDocs.sparkSession
     Retrieval.bm25TopK(
       servePostings(s, storeDir)
         .unionByName(Retrieval.postings(newDocs, idCol, textCol)),
-      queries, k)
+      queries, k, eager = eager)
   }
 }

@@ -1605,6 +1605,33 @@ object Queries {
       |w AS (SELECT label, term, ((cnt + 1) * 1000000000) // (tot + v) AS w_ppb
       |  FROM cnt JOIN tot USING (label) CROSS JOIN voc)""".stripMargin
 
+  /** q168's full held-out inference replay — also q169/q170's oracle:
+    * the store-served model must be bit-identical to from-scratch
+    * training on the union of drops (count sum-merge), and takedown must
+    * restore the never-ingested model exactly, so all three keys gate
+    * against this ONE SQL.
+    */
+  private val classifierPredictOracle: String =
+    s"""$classifierTrainCtes,
+       |dflt AS (SELECT label, 1000000000 // (tot + v) AS dflt_ppb
+       |  FROM tot CROSS JOIN voc),
+       |te AS (SELECT doc_id, lang AS true_label,
+       |    unnest(string_split(text,' ')) AS term
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |tf AS (SELECT doc_id, true_label, term,
+       |    CAST(count(*) AS BIGINT) AS tf FROM te GROUP BY 1, 2, 3),
+       |sc AS (SELECT tf.doc_id, tf.true_label, dflt.label,
+       |    CAST(sum(tf.tf * coalesce(w.w_ppb, dflt.dflt_ppb)) AS BIGINT)
+       |      AS score_ppb
+       |  FROM tf CROSS JOIN dflt
+       |  LEFT JOIN w ON w.term = tf.term AND w.label = dflt.label
+       |  GROUP BY 1, 2, 3),
+       |rk AS (SELECT doc_id, true_label, label AS pred_label, score_ppb,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score_ppb DESC, label ASC) AS r FROM sc)
+       |SELECT doc_id, true_label, pred_label, score_ppb
+       |FROM rk WHERE r = 1""".stripMargin
+
   /** q164/q165/q166's BM25 replay: rational-idf BM25 (integer-exact, see
     * [[Retrieval]]) with the probe workload selected by `queryWhere` over
     * the postings CTE `p`. The store variants share the builder because
@@ -1746,26 +1773,14 @@ object Queries {
     "q167_classifier_train" ->
       s"""$classifierTrainCtes
          |SELECT label, term, w_ppb FROM w""".stripMargin,
-    "q168_classifier_predict" ->
-      s"""$classifierTrainCtes,
-         |dflt AS (SELECT label, 1000000000 // (tot + v) AS dflt_ppb
-         |  FROM tot CROSS JOIN voc),
-         |te AS (SELECT doc_id, lang AS true_label,
-         |    unnest(string_split(text,' ')) AS term
-         |  FROM documents WHERE doc_id % 5 = 0),
-         |tf AS (SELECT doc_id, true_label, term,
-         |    CAST(count(*) AS BIGINT) AS tf FROM te GROUP BY 1, 2, 3),
-         |sc AS (SELECT tf.doc_id, tf.true_label, dflt.label,
-         |    CAST(sum(tf.tf * coalesce(w.w_ppb, dflt.dflt_ppb)) AS BIGINT)
-         |      AS score_ppb
-         |  FROM tf CROSS JOIN dflt
-         |  LEFT JOIN w ON w.term = tf.term AND w.label = dflt.label
-         |  GROUP BY 1, 2, 3),
-         |rk AS (SELECT doc_id, true_label, label AS pred_label, score_ppb,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY score_ppb DESC, label ASC) AS r FROM sc)
-         |SELECT doc_id, true_label, pred_label, score_ppb
-         |FROM rk WHERE r = 1""".stripMargin,
+    // q169/q170 serve q168's held-out inference from the persisted count
+    // store: counts SUM across drops, so the store-served model is
+    // bit-identical to from-scratch training on the union — and takedown
+    // (q170: the phantom-class junk drop removed) must serve exactly as
+    // never-ingested. Both share q168's oracle verbatim.
+    "q169_classifier_store" -> classifierPredictOracle,
+    "q170_classifier_unlearn" -> classifierPredictOracle,
+    "q168_classifier_predict" -> classifierPredictOracle,
     // q164 ranks a fixed 12-probe workload over the full corpus; q165/q166
     // serve a 20-probe drop workload (probes all in the % 3 = 0 drop)
     // against the persisted index — store ∪ drop = the full table, and

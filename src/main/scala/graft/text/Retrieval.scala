@@ -94,11 +94,19 @@ object Retrieval {
     * `post` the corpus postings. Pass `eager = false` when the caller
     * already materialized `post` (it feeds df, totals, and the score join —
     * three consumers).
+    *
+    * A duplicate (query_id, term) row in `queries` would double-count that
+    * term's contribution, so the workload is deduplicated here — the
+    * internal [[queriesFor]] path is unique by construction, but the SQL
+    * TVF face (`graft_bm25`/`graft_bm25_store`) takes an arbitrary user
+    * table. The dedup agg is workload-sized (queries are fixed-size by
+    * contract), never corpus-sized.
     */
   def bm25TopK(post: DataFrame, queries: DataFrame, k: Int = TopK,
                eager: Boolean = true): DataFrame = {
     val p = if (eager) Dedup.materialize(post) else post
     val scored = queries
+      .dropDuplicates("query_id", "term")
       .join(p, Seq("term"))
       .join(docFreq(p), Seq("term"))
       .crossJoin(broadcast(corpusTotals(p)))

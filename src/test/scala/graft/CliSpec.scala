@@ -881,6 +881,50 @@ class CliSpec extends AnyFunSuite {
     assert(served === scratch)
   }
 
+  test("Corpus CLI: --classifier-store trains across drops; one-ticket takedown unlearns exactly") {
+    import spark.implicits._
+    import graft.text.{Classify, ClassifyStore}
+    val dir = Files.createTempDirectory("corpus-classify")
+    def labeled(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "lang", "text")
+    def run(in: String, out: String, rows: (Long, String, String)*): Unit = {
+      labeled(rows: _*).write.parquet(s"$dir/$in")
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/$in", "-O", s"$dir/$out",
+        "--classifier-store", s"$dir/cls"))
+    }
+    val d1 = Seq((1L, "aa", "alpha alpha beta shared"),
+      (2L, "bb", "omega psi psi shared"))
+    val d2 = Seq((3L, "aa", "alpha gamma shared"))
+    run("drop1", "out1", d1: _*)
+    run("drop2", "out2", d2: _*)
+    assert(ClassifyStore.drops(spark, s"$dir/cls").size === 2)
+    // identical re-run: skipped (already-stored drop id), store unchanged
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/out3",
+      "--classifier-store", s"$dir/cls"))
+    assert(ClassifyStore.drops(spark, s"$dir/cls").size === 2)
+    // a drop_id ticket through the unified surface unlearns drop2 exactly
+    Seq(novDropId(s"$dir/drop2")).toDF("drop_id").write.parquet(s"$dir/ticket")
+    graft.cli.Corpus.run(spark, Array(
+      "--takedown", s"$dir/ticket", "--classifier-store", s"$dir/cls"))
+    assert(ClassifyStore.drops(spark, s"$dir/cls").size === 1)
+    val probe = labeled((10L, "aa", "alpha beta shared"))
+    val served = ClassifyStore.predictVsStore(probe, s"$dir/cls")
+      .collect().map(_.toSeq).toSet
+    val scratch = Classify.predict(labeled(d1: _*), probe)
+      .collect().map(_.toSeq).toSet
+    assert(served === scratch, "post-takedown model ≡ never saw drop2")
+    // a corpus without the label column fails loudly, naming the fix
+    docsOf((20L, "unlabeled text")).write.parquet(s"$dir/nolabel")
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/nolabel", "-O", s"$dir/out4",
+        "--classifier-store", s"$dir/cls2"))
+    }
+    assert(e.getMessage.contains("--classifier-label"))
+  }
+
   test("Corpus CLI: --profile-store accumulates per-drop partials; re-runs idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-profstore")

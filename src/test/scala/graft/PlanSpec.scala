@@ -502,4 +502,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("leftanti"),
       "losers must be removed by an anti join")
   }
+
+  test("q168 classifier inference broadcasts the model below the size gate, not above") {
+    // gated scale: V×classes is far under MaxBroadcastModelRows, so the
+    // model join onto the corpus' exploded terms must be a map-side
+    // broadcast — the corpus never shuffles against the model
+    val p = planOf("q168_classifier_predict")
+    assert(p.contains("BroadcastHashJoin"),
+      "the model (V×classes rows) must broadcast at gated scale")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus-side tf frame must not sort-merge against the model")
+    // the gate itself: above the threshold the forced hint must vanish
+    // from the logical plan (a 10^9-term web vocabulary would OOM a
+    // force-hinted broadcast; the fallback is a plain shuffled equi-join,
+    // with AQE still free to broadcast from real runtime sizes)
+    import spark.implicits._
+    val train = Seq((1L, "aa", "alpha beta"), (2L, "bb", "omega psi"))
+      .toDF("doc_id", "lang", "text")
+    val probe = Seq((10L, "aa", "alpha omega")).toDF("doc_id", "lang", "text")
+    def hintCount(df: DataFrame): Int =
+      "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).size
+    val gated = graft.text.Classify.predict(train, probe,
+      maxBroadcastModelRows = 0L)
+    val hinted = graft.text.Classify.predict(train, probe)
+    assert(hintCount(gated) === hintCount(hinted) - 1,
+      "above the gate exactly the model-join hint must be dropped " +
+        "(the classes-sized defaults and vocab hints stay)")
+    // both faces of the gate still produce the same predictions
+    assert(gated.collect().toSet === hinted.collect().toSet)
+  }
 }

@@ -230,6 +230,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // the drop doc shares no query term — it can never be a candidate
     assert(!rows(served).exists(_(1) == 200L))
     assert(rows(served).map(_.head).toSet === Set(100L))
+    // a duplicate (query_id, term) row in the user-supplied workload must
+    // count ONCE, not double the term's contribution (the TVF face takes
+    // an arbitrary table — bm25TopK dedups the workload)
+    Seq((100L, "a1"), (100L, "a1"), (100L, "a2"))
+      .toDF("query_id", "term").createOrReplaceTempView("sql_queries_dup")
+    val dup = spark.sql(
+      "SELECT * FROM graft_bm25('sql_docs', 'sql_queries_dup', 3)")
+    assert(rows(dup) === rows(viaSql))
+  }
+
+  test("graft_classify_store classifies against a persisted count store from SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlclassify")
+    graft.text.ClassifyStore.build(
+      Seq((1L, "aa", "alpha alpha beta shared"),
+          (2L, "bb", "omega psi psi shared"))
+        .toDF("doc_id", "lang", "text"), s"$dir/cls", "d0")
+    Seq((10L, "aa", "alpha beta shared"), (11L, "bb", "omega psi shared"))
+      .toDF("doc_id", "lang", "text").createOrReplaceTempView("sql_probe")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_classify_store('$dir/cls', 'sql_probe')")
+    val direct = graft.text.ClassifyStore.predictVsStore(
+      spark.table("sql_probe"), s"$dir/cls")
+    assert(viaSql.columns === direct.columns)
+    assert(rows(viaSql) === rows(direct))
+    // the planted signal separates: each probe lands in its own class
+    assert(rows(viaSql).map(r => r.head -> r(2)).toSet ===
+      Set(10L -> "aa", 11L -> "bb"))
   }
 
   test("graft_manifest fingerprints from SQL, identical to the Column API") {

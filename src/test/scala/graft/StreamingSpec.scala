@@ -623,6 +623,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("classifier-store ingest: foreachBatch training on the growing count store") {
+    // The streaming half of q169: each micro-batch of LABELED docs appends
+    // its (label, term, cnt) partials; a fixed held-out probe is classified
+    // against the store-so-far, so batch N+1's predictions reflect batch
+    // N's classes without retraining on any earlier batch. Counts
+    // sum-merge, so the model after K batches ≡ from-scratch on their
+    // union — the same invariant q169 hash-gates.
+    import graft.text.ClassifyStore
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-classify").toString
+    ClassifyStore.build(
+      Seq((1L, "aa", "alpha alpha beta shared")).toDF("doc_id", "lang", "text"),
+      dir, "seed")
+    val probe = Seq((100L, "?", "omega psi shared"))
+      .toDF("doc_id", "lang", "text")
+    val preds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mem = MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val dropId = f"batch-$epoch%06d"
+        if (!ClassifyStore.drops(spark, dir).contains(dropId))
+          ClassifyStore.appendStaged(batch, dir, dropId)()
+        preds += ClassifyStore.predictVsStore(probe, dir)
+          .select("pred_label").as[String].collect().head
+        ()
+      }
+      .start()
+    try {
+      mem.addData((2L, "aa", "alpha gamma shared"))
+      q.processAllAvailable() // only class aa exists: the probe must say aa
+      assert(preds.last === "aa", preds.toString)
+      mem.addData((3L, "bb", "omega omega psi psi shared"))
+      q.processAllAvailable() // batch-1 taught bb: the probe flips to bb
+      assert(preds.last === "bb", preds.toString)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
