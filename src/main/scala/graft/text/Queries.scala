@@ -266,6 +266,19 @@ object Queries {
         .select(col("doc_id"), col("source"))
     }),
 
+    // q106's serve with the store FORCE-BUILT at the non-legacy 9×6 band
+    // shape (the ≥10⁶-doc regime of Store.derivedShape): the stored
+    // marker drives the drop's signing, the 9-band equi-join generates
+    // candidates, and the exact-Jaccard verify must land on the SAME dup
+    // set the 4×4 legacy serve (and the brute-force oracle) produce —
+    // the code path a 100 TB corpus actually runs, hash-gated end-to-end.
+    "q171_incr_dedup_wide" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Store.dedupNewDropVsCorpusReadOnly(
+          d.filter(col("doc_id") % 3 === 0), wideStoreFixture(s, dir))
+        .select(col("doc_id"), col("source"))
+    }),
+
     // EXACT similarity self-join via prefix filtering (PPJoin-style):
     // ALL pairs with shingle-set Jaccard ≥ 0.7 — the completeness
     // guarantee LSH (q24) can't give: candidates here are pairs sharing
@@ -1483,6 +1496,35 @@ object Queries {
       storeDir
     })
 
+  /** q171's signature store: [[storeFixture]]'s corpus FORCE-BUILT at the
+    * non-legacy 9×6 shape — the banding the ≥10⁶-doc regime actually runs
+    * ([[Store.derivedShape]]), which no gated query exercised before
+    * (BandBench measures its cost; this fixture lets the driver hash its
+    * correctness). Sharing q106's oracle is sound because the corpus's
+    * near-dup mass sits at Jaccard ≥ 0.9, where both S-curves detect with
+    * ≥ 0.986 per pair and the exact verify decides the output — the gate
+    * pins that the wide-band candidate join, wide-shape signing and
+    * marker-driven serve reproduce the brute-force-verified dup set
+    * bit-for-bit.
+    */
+  private[graft] def wideStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#wide"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-sigstore-wide").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      Store.build(
+        Tables(s, dir).documents.filter(col("doc_id") % 3 =!= 0), storeDir,
+        shape = Some(Store.SigShape(54, 9, 6)))
+      storeDir
+    })
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   /** Shared CTE: word-3-gram shingle sets per doc (data contract: ≥3 words,
@@ -1514,6 +1556,41 @@ object Queries {
   private val bandKeys = (0 until 4)
     .map(b => s"md5(sig[${b * 4 + 1}]||'|'||sig[${b * 4 + 2}]||'|'||sig[${b * 4 + 3}]||'|'||sig[${b * 4 + 4}])")
     .mkString(", ")
+
+  /** q106's incremental-dedup replay (4×4 banding + exact-Jaccard verify
+    * + brute-force survivorship over the % 3 split) — also q171's oracle:
+    * the 9×6-shaped serve must land on the same verified dup set.
+    */
+  private val incrDedupOracle: String =
+    s"""WITH $docsCte,
+       |sigs AS (SELECT doc_id, sh, [
+       |    $sigEntries] AS sig FROM docs),
+       |bands AS (SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
+       |  unnest([$bandKeys]) AS band_key FROM sigs
+       |  WHERE NOT (len(sh) = 1 AND trim(sh[1]) = '')),
+       |nb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+       |ob AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+       |xc AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |  FROM nb n JOIN ob o
+       |  ON n.band_idx = o.band_idx AND n.band_key = o.band_key),
+       |xdup AS (SELECT DISTINCT new_id FROM xc
+       |  JOIN docs sa ON new_id = sa.doc_id
+       |  JOIN docs sb ON old_id = sb.doc_id
+       |  WHERE len(list_intersect(sa.sh, sb.sh))*10 >=
+       |    (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh)))*7),
+       |ic AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM nb a JOIN nb b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  AND a.doc_id < b.doc_id),
+       |idup AS (SELECT DISTINCT doc_b AS new_id FROM ic
+       |  JOIN docs sa ON doc_a = sa.doc_id
+       |  JOIN docs sb ON doc_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.sh, sb.sh))*10 >=
+       |    (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh)))*7)
+       |SELECT d.doc_id, d.source FROM docs d
+       |WHERE d.doc_id % 3 = 0
+       |  AND d.doc_id NOT IN (SELECT new_id FROM xdup)
+       |  AND d.doc_id NOT IN (SELECT new_id FROM idup)""".stripMargin
 
   /** Shared CTE chain computing verified near-dup pairs (mirrors Dedup). */
   private val pairsCtes =
@@ -1853,36 +1930,12 @@ object Queries {
          |SELECT d.doc_id, md5(d2.text) AS fp_doc,
          |  list_min(list_transform(d.sh, s -> md5(s))) AS fp_shingle
          |FROM docs d JOIN documents d2 ON d.doc_id = d2.doc_id""".stripMargin,
-    "q106_incr_dedup" ->
-      s"""WITH $docsCte,
-         |sigs AS (SELECT doc_id, sh, [
-         |    $sigEntries] AS sig FROM docs),
-         |bands AS (SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
-         |  unnest([$bandKeys]) AS band_key FROM sigs
-         |  WHERE NOT (len(sh) = 1 AND trim(sh[1]) = '')),
-         |nb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
-         |ob AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
-         |xc AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-         |  FROM nb n JOIN ob o
-         |  ON n.band_idx = o.band_idx AND n.band_key = o.band_key),
-         |xdup AS (SELECT DISTINCT new_id FROM xc
-         |  JOIN docs sa ON new_id = sa.doc_id
-         |  JOIN docs sb ON old_id = sb.doc_id
-         |  WHERE len(list_intersect(sa.sh, sb.sh))*10 >=
-         |    (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh)))*7),
-         |ic AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM nb a JOIN nb b
-         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |  AND a.doc_id < b.doc_id),
-         |idup AS (SELECT DISTINCT doc_b AS new_id FROM ic
-         |  JOIN docs sa ON doc_a = sa.doc_id
-         |  JOIN docs sb ON doc_b = sb.doc_id
-         |  WHERE len(list_intersect(sa.sh, sb.sh))*10 >=
-         |    (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh)))*7)
-         |SELECT d.doc_id, d.source FROM docs d
-         |WHERE d.doc_id % 3 = 0
-         |  AND d.doc_id NOT IN (SELECT new_id FROM xdup)
-         |  AND d.doc_id NOT IN (SELECT new_id FROM idup)""".stripMargin,
+    "q106_incr_dedup" -> incrDedupOracle,
+    // q171 serves the SAME drop against the 9×6-shaped store: candidate
+    // recall differs only on sub-verify pairs, so the exact-verified dup
+    // set — and therefore the oracle — is q106's (the corpus's dup mass
+    // is all at j ≥ 0.9; see wideStoreFixture).
+    "q171_incr_dedup_wide" -> incrDedupOracle,
     // q106's replay with the stored side purged of the takedown sources:
     // near-dups that existed only via a purged doc must NOT drop the new
     // doc any more

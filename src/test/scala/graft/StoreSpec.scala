@@ -194,6 +194,29 @@ class StoreSpec extends AnyFunSuite {
     assert(Store.storedShape(spark, legacyDir) === Store.LegacyShape)
   }
 
+  test("forced 9×6 shape serves the same dup decisions as the legacy 4×4 on one corpus") {
+    // the q171 gate's unit face: same corpus, both shapes, one verified
+    // output. The drop plants an exact dup (j = 1: every shape collides
+    // with certainty), a high-j near-dup (shares 28 of 30 shingle words,
+    // j ≈ 0.93 — both S-curves detect ≥ 0.99), and a fresh doc.
+    val corpus = Seq((1L, textA), (2L, (50 to 80).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nearA = ((1 to 28).map(i => s"a$i") ++ Seq("z1", "z2")).mkString(" ")
+    val drop = Seq((10L, textA), (11L, nearA), (12L, textD))
+      .toDF("doc_id", "text")
+    def serve(shape: Option[Store.SigShape]): Set[Long] = {
+      val dir = Files.createTempDirectory("sigstore-shapes").toString
+      Store.build(corpus, dir, shape = shape)
+      Store.dedupNewDropVsCorpusReadOnly(drop, dir)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val legacy = serve(None) // derivedShape at this n = LegacyShape 4×4
+    val wide = serve(Some(Store.SigShape(54, 9, 6)))
+    assert(legacy === Set(12L), "exact + near dup dropped, fresh doc kept")
+    assert(wide === legacy,
+      "the wide-band store must make identical verified decisions")
+  }
+
   test("dedupNewDropVsCorpus refuses a missing store") {
     val e = intercept[IllegalArgumentException] {
       Store.dedupNewDropVsCorpus(
