@@ -16,10 +16,22 @@ import org.apache.spark.sql.functions._
   *
   * Why postings rows and not pre-merged (term, df) partials: retrieval
   * needs per-(doc, term) tf at serve time — the index IS the partial.
-  * Corpus-level stats (df, N, Σdl) are cheap aggregates of the store scan
-  * the serve already pays for; a production deployment at 10^11 docs would
-  * sidecar them per drop, which composes with this layout (sum-merge)
-  * without changing the stored table.
+  * Corpus-level stats (df, N, Σdl) are SIDECARED per drop as extra rows
+  * in the SAME table, tagged `doc_id IS NULL` (term rows carry the
+  * drop's per-term df in `tf` and Σtf in `dl`; one `term IS NULL` row
+  * carries the drop's doc count in `tf` and token count in `dl`). One
+  * table keeps the lifecycle's single-rename atomicity — a drop's
+  * postings and its stats commit, and are taken down, together; the
+  * sum-merge of stats across drops is exact because drops partition the
+  * corpus by doc. Parquet's null-count file statistics make the split
+  * free at scan time: the serve's stats aggregate pushes IsNull(doc_id)
+  * and skips every all-postings file at the footer, and
+  * [[servePostings]]'s IsNotNull(doc_id) skips the stats files — so at
+  * 10^11 docs the corpus stats come from drop-count-sized partials, not
+  * a full store re-aggregation. A pre-sidecar store (no stats rows)
+  * serves by falling back to aggregating the postings; a mixed store
+  * (legacy drops + sidecar drops) falls back too — stats are used only
+  * when EVERY surviving drop carries them ([[serveStats]]).
   *
   * No tunable configuration is stamped: the only "config" is the
   * tokenization (corpus-contract whitespace words, [[TextOps.words]]),
@@ -31,16 +43,27 @@ object PostingsStore extends graft.operators.DropLedger {
   protected def tableName: String = "postings"
   protected def kind: String = "postings store"
 
-  /** (drop_id, doc_id, term, tf, dl) for one drop. Doc ids must be
-    * disjoint across drops (the store partitions the corpus by doc — the
-    * same contract every sum-merge family carries).
+  /** (drop_id, doc_id, term, tf, dl) for one drop — the drop's postings
+    * plus its stats-sidecar rows (see the class doc for the tagging).
+    * Doc ids must be disjoint across drops (the store partitions the
+    * corpus by doc — the same contract every sum-merge family carries).
     */
   def partials(docs: DataFrame, dropId: String, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     requireDropId(dropId)
-    Retrieval.postings(docs, idCol, textCol)
-      .select(lit(dropId).as("drop_id"), col("doc_id"), col("term"),
-        col("tf"), col("dl"))
+    val post = Dedup.materialize( // one tokenize feeds rows + both stats
+      Retrieval.postings(docs, idCol, textCol))
+    val rows = post.select(lit(dropId).as("drop_id"), col("doc_id"),
+      col("term"), col("tf"), col("dl"))
+    val termStats = post.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tfs"))
+      .select(lit(dropId).as("drop_id"), lit(null).cast("long").as("doc_id"),
+        col("term"), col("df").as("tf"), col("tfs").as("dl"))
+    val totals = Retrieval.corpusTotals(post)
+      .select(lit(dropId).as("drop_id"), lit(null).cast("long").as("doc_id"),
+        lit(null).cast("string").as("term"), col("n").as("tf"),
+        col("t").as("dl"))
+    rows.unionByName(termStats).unionByName(totals)
   }
 
   /** Bootstrap from the first drop (overwrites). */
@@ -82,7 +105,50 @@ object PostingsStore extends graft.operators.DropLedger {
     require(drops(s, storeDir).nonEmpty,
       s"$kind $storeDir has no drops (every drop was removed) — " +
         "build or append before serving")
-    load(s, storeDir).select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    postingsOf(s, storeDir)
+  }
+
+  // IsNotNull(doc_id) reaches the parquet footers: stats-only files
+  // (every doc_id null) are skipped wholesale
+  private def postingsOf(s: SparkSession, storeDir: String): DataFrame =
+    load(s, storeDir).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+
+  /** ONE metadata-sized job answering both ledger questions a serve asks:
+    * which drops survive, and which of them carry sidecar totals. The
+    * scan touches three columns (drop_id dictionary + two null flags) —
+    * never tf/dl data pages.
+    */
+  private def dropsAndStats(s: SparkSession,
+                            storeDir: String): (Set[String], Set[String]) = {
+    val rows = load(s, storeDir).groupBy(col("drop_id"))
+      .agg(max(col("doc_id").isNull && col("term").isNull).as("has_stats"))
+      .collect()
+    (rows.map(_.getString(0)).toSet,
+      rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet)
+  }
+
+  // (df, totals) frames from the sidecar rows; IsNull(doc_id) prunes the
+  // scan to stats files at the footer level
+  private def statsFrames(s: SparkSession,
+                          storeDir: String): (DataFrame, DataFrame) = {
+    val stats = load(s, storeDir).filter(col("doc_id").isNull)
+    (stats.filter(col("term").isNotNull).groupBy(col("term"))
+       .agg(sum(col("tf")).as("df")),
+     stats.filter(col("term").isNull)
+       .agg(sum(col("tf")).as("n"), sum(col("dl")).as("t")))
+  }
+
+  /** The store's corpus statistics from the per-drop sidecar rows:
+    * (term, df) and a one-row (n, t), sum-merged across surviving drops —
+    * `None` when any surviving drop predates the sidecar (mixed stats
+    * would under-count; the caller falls back to aggregating the
+    * postings).
+    */
+  def serveStats(s: SparkSession, storeDir: String): Option[(DataFrame, DataFrame)] = {
+    requireStore(s, storeDir)
+    val (all, withStats) = dropsAndStats(s, storeDir)
+    if (withStats != all) None else Some(statsFrames(s, storeDir))
   }
 
   /** BM25 top-k of queries derived from a new drop's probe docs, searched
@@ -98,12 +164,36 @@ object PostingsStore extends graft.operators.DropLedger {
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val s = newDocs.sparkSession
-    val post = Dedup.materialize(
-      servePostings(s, storeDir)
-        .unionByName(Retrieval.postings(newDocs, idCol, textCol)))
-    Retrieval.bm25TopK(post,
-      Retrieval.queriesFor(post, Retrieval.docFreq(post), probe, qTerms),
-      k, eager = false)
+    requireStore(s, storeDir)
+    val (all, withStats) = dropsAndStats(s, storeDir) // one metadata job
+    require(all.nonEmpty,
+      s"$kind $storeDir has no drops (every drop was removed) — " +
+        "build or append before serving")
+    if (withStats == all) {
+      // stats path: df/N/Σdl come from the drop-sized sidecar partials
+      // plus the drop's own aggregates — the full store scan is paid
+      // only by the term-pruned score join and the probe-pruned query
+      // derivation, never by a corpus-stats re-aggregation, so nothing
+      // corpus-sized is checkpointed
+      val dropPost = Dedup.materialize(
+        Retrieval.postings(newDocs, idCol, textCol))
+      val (storeDf, storeTot) = statsFrames(s, storeDir)
+      val df = storeDf.unionByName(Retrieval.docFreq(dropPost))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      val totals = storeTot.unionByName(Retrieval.corpusTotals(dropPost)
+          .select(col("n"), col("t")))
+        .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+      val post = postingsOf(s, storeDir).unionByName(dropPost)
+      Retrieval.bm25TopKWith(post, df, totals,
+        Retrieval.queriesFor(post, df, probe, qTerms), k)
+    } else { // pre-sidecar store: aggregate stats from the postings
+      val post = Dedup.materialize(
+        postingsOf(s, storeDir)
+          .unionByName(Retrieval.postings(newDocs, idCol, textCol)))
+      Retrieval.bm25TopK(post,
+        Retrieval.queriesFor(post, Retrieval.docFreq(post), probe, qTerms),
+        k, eager = false)
+    }
   }
 
   /** [[bm25TopKVsDrop]] with a caller-supplied (query_id, term) workload
@@ -120,9 +210,29 @@ object PostingsStore extends graft.operators.DropLedger {
                            textCol: String = "text",
                            eager: Boolean = true): DataFrame = {
     val s = newDocs.sparkSession
-    Retrieval.bm25TopK(
-      servePostings(s, storeDir)
-        .unionByName(Retrieval.postings(newDocs, idCol, textCol)),
-      queries, k, eager = eager)
+    requireStore(s, storeDir)
+    val (all, withStats) = dropsAndStats(s, storeDir) // one metadata job
+    require(all.nonEmpty,
+      s"$kind $storeDir has no drops (every drop was removed) — " +
+        "build or append before serving")
+    if (withStats == all) {
+      val dropPost =
+        if (eager) Dedup.materialize(Retrieval.postings(newDocs, idCol, textCol))
+        else Retrieval.postings(newDocs, idCol, textCol)
+      val (storeDf, storeTot) = statsFrames(s, storeDir)
+      val df = storeDf.unionByName(Retrieval.docFreq(dropPost))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      val totals = storeTot.unionByName(Retrieval.corpusTotals(dropPost)
+          .select(col("n"), col("t")))
+        .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+      Retrieval.bm25TopKWith(
+        postingsOf(s, storeDir).unionByName(dropPost), df, totals,
+        queries, k)
+    } else {
+      Retrieval.bm25TopK(
+        postingsOf(s, storeDir)
+          .unionByName(Retrieval.postings(newDocs, idCol, textCol)),
+        queries, k, eager = eager)
+    }
   }
 }

@@ -105,11 +105,23 @@ object Retrieval {
   def bm25TopK(post: DataFrame, queries: DataFrame, k: Int = TopK,
                eager: Boolean = true): DataFrame = {
     val p = if (eager) Dedup.materialize(post) else post
+    bm25TopKWith(p, docFreq(p), corpusTotals(p), queries, k)
+  }
+
+  /** [[bm25TopK]] with caller-supplied corpus statistics: `df` is
+    * (term, df), `totals` a one-row (n, t). The stats-sidecar serve
+    * ([[PostingsStore]]) uses this so df/N/Σdl come from per-drop
+    * sum-merged partials instead of re-aggregating the full postings
+    * scan — the scoring itself is unchanged, so the supplied stats must
+    * equal [[docFreq]]/[[corpusTotals]] of `post` exactly.
+    */
+  def bm25TopKWith(post: DataFrame, df: DataFrame, totals: DataFrame,
+                   queries: DataFrame, k: Int = TopK): DataFrame = {
     val scored = queries
       .dropDuplicates("query_id", "term")
-      .join(p, Seq("term"))
-      .join(docFreq(p), Seq("term"))
-      .crossJoin(broadcast(corpusTotals(p)))
+      .join(post, Seq("term"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(totals))
       .withColumn("idf_ppt", expr("((2*(n - df) + 1) * 1000) div (2*df + 1)"))
       .withColumn("dlr_ppt", expr("(dl * n * 1000) div t"))
       .withColumn("tf_ppt",

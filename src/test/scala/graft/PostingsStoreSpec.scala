@@ -66,6 +66,37 @@ class PostingsStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("stats sidecar: complete stores serve from partials, legacy/mixed fall back") {
+    val dir = Files.createTempDirectory("postingsstore-stats").toString
+    val hist = docs((1L, s"needle $filler"), (2L, filler))
+    PostingsStore.build(hist, dir, "d1")
+    // the sidecar stats equal the from-postings aggregates exactly
+    val Some((df, tot)) = PostingsStore.serveStats(spark, dir)
+    val post = PostingsStore.servePostings(spark, dir)
+    assert(df.as[(String, Long)].collect().toSet ===
+      Retrieval.docFreq(post).as[(String, Long)].collect().toSet)
+    assert(tot.as[(Long, Long)].collect().head ===
+      Retrieval.corpusTotals(post).as[(Long, Long)].collect().head)
+    // a pre-sidecar drop (postings rows only, hand-written in the legacy
+    // layout) makes the store MIXED: stats must refuse (None) and the
+    // serve must fall back to postings aggregation — same answer as a
+    // from-scratch union
+    Retrieval.postings(docs((5L, s"legacy needle doc $filler")))
+      .select(lit("legacy").as("drop_id"), col("doc_id"), col("term"),
+        col("tf"), col("dl"))
+      .write.parquet(s"$dir/postings/drop-legacy")
+    assert(PostingsStore.serveStats(spark, dir).isEmpty,
+      "a drop without sidecar rows must disable the stats path")
+    val drop = docs((10L, s"needle probe $filler"))
+    val probe = col("doc_id") === 10L
+    val served = PostingsStore.bm25TopKVsDrop(drop, dir, probe)
+      .as[(Long, Long, Long)].collect().toSet
+    val scratch = Retrieval.bm25TopKFor(
+      hist.unionByName(docs((5L, s"legacy needle doc $filler")))
+        .unionByName(drop), probe).as[(Long, Long, Long)].collect().toSet
+    assert(served === scratch)
+  }
+
   test("drained store refuses to serve; double removal is loud") {
     val dir = Files.createTempDirectory("postingsstore-dr").toString
     PostingsStore.build(docs((1L, filler)), dir, "d1")
