@@ -130,6 +130,37 @@ object Classify {
         col("label").as("pred_label"), col("score_ppb"))
   }
 
+  /** Per-class evaluation of a (doc_id, true_label, pred_label, …)
+    * confusion feed ([[predict]]'s output): (label, n_true, n_pred, tp,
+    * precision_ppm, recall_ppm) — exact integer parts-per-million, so the
+    * curation gate's quality is a hash-gated FACT, not a float summary.
+    * Classes appear whether seen as truth, as prediction, or both (full
+    * outer over the two marginals); a class never predicted has
+    * precision 0 by convention (CASE, not a division error), and a class
+    * with no true members recall 0 — both signal "look here", which is
+    * the monitoring purpose. One pass over the predictions frame: three
+    * class-sized aggregates joined on label, no doc-sized shuffle beyond
+    * the marginal group-bys (inputs are one row per doc).
+    */
+  def evaluate(predictions: DataFrame): DataFrame = {
+    val act = predictions.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_true"))
+    val prd = predictions.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tp = predictions.filter(col("true_label") === col("pred_label"))
+      .groupBy(col("true_label").as("label")).agg(count(lit(1)).as("tp"))
+    act.join(prd, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_ppm",
+        expr("CASE WHEN n_pred = 0 THEN 0 ELSE (tp * 1000000) div n_pred END"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN n_true = 0 THEN 0 ELSE (tp * 1000000) div n_true END"))
+  }
+
   /** (label, term, cnt) term counts — [[ClassifyStore]]'s partial unit. */
   private[text] def termCounts(docs: DataFrame, labelCol: String,
                                textCol: String): DataFrame =

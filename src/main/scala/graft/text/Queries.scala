@@ -899,6 +899,19 @@ object Queries {
           .repartition(s.sparkContext.defaultParallelism),
         classifyUnlearnFixture(s, dir))),
 
+    // Classifier QUALITY as a monitored fact: q168's confusion feed
+    // aggregated to per-class precision/recall in exact integer ppm —
+    // the number a curation gate alerts on (a class whose precision
+    // collapses is routing junk into the corpus). Three class-sized
+    // marginal aggs joined on label; zero-marginal classes report 0 by
+    // CASE, not a division error.
+    "q172_classifier_eval" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      Classify.evaluate(Classify.predict(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0)))
+    }),
+
     // First-occurrence novelty scoring: what fraction of each doc's
     // 3-gram vocabulary does the corpus see FIRST in this doc (ownership
     // by minimum doc_id — deterministic, order-free)? The curation signal
@@ -1858,6 +1871,28 @@ object Queries {
     "q169_classifier_store" -> classifierPredictOracle,
     "q170_classifier_unlearn" -> classifierPredictOracle,
     "q168_classifier_predict" -> classifierPredictOracle,
+    // q172 folds q168's confusion feed into per-class precision/recall
+    // (exact integer ppm; zero marginals report 0 via CASE)
+    "q172_classifier_eval" ->
+      s"""WITH pr AS ($classifierPredictOracle),
+         |act AS (SELECT true_label AS label, count(*) AS n_true
+         |  FROM pr GROUP BY 1),
+         |prd AS (SELECT pred_label AS label, count(*) AS n_pred
+         |  FROM pr GROUP BY 1),
+         |tp AS (SELECT true_label AS label, count(*) AS tp FROM pr
+         |  WHERE true_label = pred_label GROUP BY 1)
+         |SELECT label,
+         |  CAST(coalesce(act.n_true, 0) AS BIGINT) AS n_true,
+         |  CAST(coalesce(prd.n_pred, 0) AS BIGINT) AS n_pred,
+         |  CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+         |  CAST(CASE WHEN coalesce(prd.n_pred, 0) = 0 THEN 0
+         |    ELSE (coalesce(tp.tp, 0) * 1000000) // prd.n_pred END
+         |    AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN coalesce(act.n_true, 0) = 0 THEN 0
+         |    ELSE (coalesce(tp.tp, 0) * 1000000) // act.n_true END
+         |    AS BIGINT) AS recall_ppm
+         |FROM act FULL OUTER JOIN prd USING (label)
+         |LEFT JOIN tp USING (label)""".stripMargin,
     // q164 ranks a fixed 12-probe workload over the full corpus; q165/q166
     // serve a 20-probe drop workload (probes all in the % 3 = 0 drop)
     // against the persisted index — store ∪ drop = the full table, and

@@ -62,4 +62,21 @@ class ClassifySpec extends AnyFunSuite {
       .as[(Long, String, String, Long)].collect().head
     assert(out._3 === "a")
   }
+
+  test("evaluate: hand-computed confusion feed to exact-ppm precision/recall") {
+    // aa: 2 true, predicted aa twice + once for a bb doc → n_pred 3, tp 2
+    // bb: 2 true, 1 predicted (the other leaked to aa) → tp 1
+    // cc: predicted once, never true — precision 0/1, recall 0 by CASE
+    val preds = Seq(
+      (1L, "aa", "aa"), (2L, "aa", "aa"),
+      (3L, "bb", "aa"), (4L, "bb", "bb"),
+      (5L, "aa", "cc"))
+      .toDF("doc_id", "true_label", "pred_label")
+    val out = Classify.evaluate(preds)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out("aa") === ((3L, 3L, 2L, 666666L, 666666L)))
+    assert(out("bb") === ((2L, 1L, 1L, 1000000L, 500000L)))
+    assert(out("cc") === ((0L, 1L, 0L, 0L, 0L)))
+  }
 }
