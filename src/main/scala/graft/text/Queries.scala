@@ -830,6 +830,21 @@ object Queries {
           .repartition(s.sparkContext.defaultParallelism),
         probe = col("doc_id") % 5 === 0 && col("doc_id") < 60)),
 
+    // q164 through the MaxScore/WAND-pruned path: candidates from the
+    // rare (df ≤ 200) term postings only, exact scoring over doc-pruned
+    // lists, per-query exactness certificate with declarative fallback —
+    // output must be BIT-IDENTICAL to the full traversal (shares q164's
+    // oracle), which is the whole point: pruning buys cost, never
+    // answers. The df-200 cutoff splits this corpus's 31-term vocabulary
+    // (dfs 25..402) so BOTH branches — certified-pruned and fallback —
+    // are exercised under the hash gate.
+    "q173_bm25_maxscore" -> ((s, dir) =>
+      Retrieval.bm25TopKForMaxScore(
+        Tables(s, dir).documents
+          .repartition(s.sparkContext.defaultParallelism),
+        probe = col("doc_id") % 5 === 0 && col("doc_id") < 60,
+        essentialDfMax = 200L)),
+
     // Store-served BM25: q164's retrieval of probe queries from a NEW
     // drop, searched over the persisted inverted index ∪ the drop —
     // history text is never re-tokenized; df/N/Σdl re-aggregate from the
@@ -1898,6 +1913,9 @@ object Queries {
     // against the persisted index — store ∪ drop = the full table, and
     // q166 shares q165's oracle: takedown ≡ never-ingested.
     "q164_bm25_topk" -> bm25Oracle("p.doc_id % 5 = 0 AND p.doc_id < 60"),
+    // q173 is the MaxScore-pruned traversal of exactly q164's workload —
+    // pruning must never change the answer, so the oracle is shared
+    "q173_bm25_maxscore" -> bm25Oracle("p.doc_id % 5 = 0 AND p.doc_id < 60"),
     "q165_postings_store" -> bm25Oracle("p.doc_id % 15 = 0 AND p.doc_id < 300"),
     "q166_postings_takedown" -> bm25Oracle("p.doc_id % 15 = 0 AND p.doc_id < 300"),
     "q125_span_scrub" -> spanScrubOracle("TRUE"),

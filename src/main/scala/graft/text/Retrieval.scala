@@ -116,8 +116,17 @@ object Retrieval {
     * equal [[docFreq]]/[[corpusTotals]] of `post` exactly.
     */
   def bm25TopKWith(post: DataFrame, df: DataFrame, totals: DataFrame,
-                   queries: DataFrame, k: Int = TopK): DataFrame = {
-    val scored = queries
+                   queries: DataFrame, k: Int = TopK): DataFrame =
+    graft.operators.Relational.topKPerKey(
+      scoredPairs(post, df, totals, queries),
+      Seq(col("query_id")), Seq(col("score_ppt").desc, col("doc_id").asc), k)
+
+  /** Every (query, doc) exact BM25 score — the pre-top-k frame both the
+    * full traversal and the MaxScore-pruned path share.
+    */
+  private def scoredPairs(post: DataFrame, df: DataFrame, totals: DataFrame,
+                          queries: DataFrame): DataFrame =
+    queries
       .dropDuplicates("query_id", "term")
       .join(post, Seq("term"))
       .join(df, Seq("term"))
@@ -128,8 +137,107 @@ object Retrieval {
         expr("(2200000000 * tf) div (1000000*tf + 300000 + 900*dlr_ppt)"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(expr("(idf_ppt * tf_ppt) div 1000")).as("score_ppt"))
-    graft.operators.Relational.topKPerKey(scored,
-      Seq(col("query_id")), Seq(col("score_ppt").desc, col("doc_id").asc), k)
+
+  /** MaxScore/WAND-style pruned BM25 top-k — bit-identical output to
+    * [[bm25TopKWith]] (q173's gate), traversing only a fraction of the
+    * postings when the workload allows it. The batch re-expression of
+    * impact-ordered early exit (Turtle & Flood's MaxScore; WAND's
+    * per-term upper bounds), which is inherently per-query-sequential in
+    * a search engine but becomes a three-join certificate here:
+    *
+    *  1. Split each query's terms by document frequency: `df ≤
+    *     essentialDfMax` is ESSENTIAL (rare, high-impact), the rest
+    *     non-essential (frequent, low-idf — the stopword lists that
+    *     dominate traversal cost).
+    *  2. Candidates = docs sharing ≥ 1 essential term with ANY query
+    *     (the rare-term postings are short by definition: |candidates| ≤
+    *     Σ df over essential terms). Score candidates EXACTLY over the
+    *     doc-pruned postings (semi-join by doc_id — every term of a
+    *     candidate doc participates, so candidate scores are full
+    *     scores; the frequent lists are traversed only for candidate
+    *     docs, never end-to-end).
+    *  3. Per-query exactness CERTIFICATE: any non-candidate doc shares
+    *     only non-essential terms with the query, so its score is at
+    *     most Σ ub(t) over the query's non-essential terms, where
+    *     ub(t) = (idf_ppt(t) · 2200) div 1000 bounds a term's per-doc
+    *     contribution (tf_ppt < 2200 = (k1+1)·1000 for every tf, dl).
+    *     A query whose k-th pruned score STRICTLY exceeds that bound is
+    *     PROVEN exact (strict, because a tie could still displace the
+    *     k-th hit through the doc_id tie-break);
+    *     a query that fails the certificate (or has no essential term,
+    *     or fewer than k certified hits) re-runs the full traversal —
+    *     correctness never depends on the cutoff choice, only the
+    *     savings do. Both branches live in one lazy plan: the fallback
+    *     join processes exactly the failed queries' rows.
+    *
+    * Scale shape: candidate generation is bounded by essential-term df
+    * sums; the frequent posting lists — the O(N)-per-term cost WAND
+    * exists to avoid — are read through a candidate-doc semi-join
+    * (broadcast-sized: candidates ≤ Σ essential df). With per-drop
+    * sidecar stats ([[PostingsStore]]) df/N/Σdl never touch the
+    * postings at all, so a needle-query workload over a 10^11-doc corpus
+    * costs O(Σ rare df), not O(N · |query terms|).
+    * [[tools.MaxScoreBench]] measures the crossover on a planted
+    * Zipfian corpus.
+    */
+  def bm25TopKMaxScore(post: DataFrame, df: DataFrame, totals: DataFrame,
+                       queries: DataFrame, k: Int = TopK,
+                       essentialDfMax: Long = 1000L,
+                       eager: Boolean = true): DataFrame = {
+    val q = queries.dropDuplicates("query_id", "term")
+    // per-(query, term) upper bound; a term absent from the corpus (null
+    // df) has empty postings and bound 0
+    val qdf = q.join(df, Seq("term"), "left")
+      .crossJoin(broadcast(totals.select(col("n"))))
+      .withColumn("ub_ppt", expr(
+        "CASE WHEN df IS NULL THEN 0L ELSE " +
+          "((((2*(n - df) + 1) * 1000) div (2*df + 1)) * 2200) div 1000 END"))
+    val essTerms = qdf.filter(col("df").isNotNull &&
+      col("df") <= essentialDfMax)
+    // candidates are bounded by Σ essential df — broadcast-sized BY THE
+    // CUTOFF'S CONSTRUCTION, so the doc semi-join stays map-side and the
+    // frequent posting lists are never shuffled
+    val candDocs = essTerms.select(col("term")).distinct()
+      .join(post, Seq("term")).select(col("doc_id")).distinct()
+    val prunedTopk = Dedup.materialize(bm25TopKWith(
+      post.join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
+      df, totals, q, k))
+    // certificate: k certified hits whose k-th score dominates the sum of
+    // skipped-term bounds (trivially exact when nothing was skipped)
+    val ubRest = qdf.groupBy(col("query_id")).agg(
+      sum(when(col("df").isNull || col("df") > essentialDfMax,
+        col("ub_ppt")).otherwise(lit(0L))).as("ub_rest"))
+    val cert = prunedTopk.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("score_ppt")).as("kth_ppt"))
+      .join(ubRest, Seq("query_id"), "full_outer")
+      // STRICT kth > bound: a non-candidate scoring exactly the bound
+      // could still displace the k-th hit through the doc_id tie-break
+      .withColumn("exact", coalesce(
+        coalesce(col("ub_rest"), lit(0L)) === 0L ||
+          (coalesce(col("n_hits"), lit(0L)) === k &&
+            col("kth_ppt") > col("ub_rest")), lit(false)))
+    if (eager) {
+      // the certificate verdict is WORKLOAD-sized (one row per query):
+      // collect it and emit the fallback traversal only for the queries
+      // that need one — an all-certified workload never rescans the
+      // postings. The lazy face (eager=false, the TVF convention) keeps
+      // both branches in one plan instead; the fallback join then costs
+      // an extra postings scan even when it produces zero rows.
+      val failed = cert.filter(!col("exact")).select(col("query_id"))
+        .collect().map(_.getLong(0)).toSet
+      val certified = prunedTopk
+        .join(cert.filter(col("exact")).select(col("query_id")).hint("broadcast"),
+          Seq("query_id"), "left_semi")
+      if (failed.isEmpty) certified
+      else certified.unionByName(bm25TopKWith(post, df, totals,
+        q.filter(col("query_id").isInCollection(failed)), k))
+    } else {
+      val okIds = cert.filter(col("exact")).select(col("query_id"))
+      val failedIds = cert.filter(!col("exact")).select(col("query_id"))
+      prunedTopk.join(okIds, Seq("query_id"), "left_semi")
+        .unionByName(bm25TopKWith(post, df, totals,
+          q.join(failedIds, Seq("query_id"), "left_semi"), k))
+    }
   }
 
   /** postings → queries → top-k in one call, for a corpus given as docs. */
@@ -137,5 +245,17 @@ object Retrieval {
                   qTerms: Int = QueryTerms): DataFrame = {
     val p = Dedup.materialize(postings(docs))
     bm25TopK(p, queriesFor(p, docFreq(p), probe, qTerms), k, eager = false)
+  }
+
+  /** [[bm25TopKFor]] through the MaxScore-pruned path — same output by
+    * construction (certificate or fallback), q173's gate.
+    */
+  def bm25TopKForMaxScore(docs: DataFrame, probe: Column, k: Int = TopK,
+                          qTerms: Int = QueryTerms,
+                          essentialDfMax: Long = 1000L): DataFrame = {
+    val p = Dedup.materialize(postings(docs))
+    val df = Dedup.materialize(docFreq(p)) // feeds queries, bounds, scoring
+    bm25TopKMaxScore(p, df, corpusTotals(p),
+      queriesFor(p, df, probe, qTerms), k, essentialDfMax)
   }
 }

@@ -75,4 +75,38 @@ class RetrievalSpec extends AnyFunSuite {
     val out = Retrieval.bm25TopK(p, q).as[(Long, Long, Long)].collect()
     assert(out.toSeq === Seq((9L, 1L, 1375L)))
   }
+
+  test("MaxScore pruning is bit-identical to the full traversal on every branch") {
+    // 20 stopword-only docs + 3 needle docs: a needle query certifies
+    // (rare-term candidates dominate the skipped stopword bound), a
+    // stopword-only query must FALL BACK (no essential term), and a
+    // query naming an absent term exercises the ub=0 path — all three
+    // must equal the full traversal exactly.
+    val corpus = docs(
+      (Seq((1L, s"needle needle $filler"), (2L, s"needle alpha $filler"),
+        (3L, s"alpha needle needle $filler")) ++
+        (10L to 29L).map(i => i -> filler)): _*)
+    val p = Retrieval.postings(corpus)
+    val df = Retrieval.docFreq(p)
+    val tot = Retrieval.corpusTotals(p)
+    val qs = Seq(
+      (100L, "needle"), (100L, "the"),   // rare + stopword: certifies
+      (101L, "the"), (101L, "common"),   // stopwords only: falls back
+      (102L, "needle"), (102L, "zzz"))   // absent term: ub 0, certifies
+      .toDF("query_id", "term")
+    def rows(d: DataFrame) = d.as[(Long, Long, Long)].collect().toSet
+    val full = rows(Retrieval.bm25TopKWith(p, df, tot, qs, k = 3))
+    // df('needle') = 3, stopword dfs = 23: the cutoff splits them
+    val pruned = rows(Retrieval.bm25TopKMaxScore(p, df, tot, qs, k = 3,
+      essentialDfMax = 10L))
+    assert(pruned === full)
+    // every query answered (101 via fallback — its top-3 are present)
+    assert(pruned.map(_._1) === Set(100L, 101L, 102L))
+    // cutoff 0 forces global fallback; cutoff ∞ makes everything
+    // essential (certificate trivially exact) — both still identical
+    assert(rows(Retrieval.bm25TopKMaxScore(p, df, tot, qs, k = 3,
+      essentialDfMax = 0L)) === full)
+    assert(rows(Retrieval.bm25TopKMaxScore(p, df, tot, qs, k = 3,
+      essentialDfMax = Long.MaxValue)) === full)
+  }
 }
