@@ -280,6 +280,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           eager = false)
         .queryExecution.logical
     }
+    tvf("graft_bm25_maxscore") { args =>
+      require(args.size == 4,
+        "usage: graft_bm25_maxscore(<corpus table>, " +
+          "<queries table (query_id, term)>, <k>, <essential df cutoff>)")
+      val corpus = SparkSession.active.table(
+        strArg("graft_bm25_maxscore", args.head, "corpus table"))
+      val post = graft.text.Retrieval.postings(corpus)
+      // eager=false: the certificate fallback stays a plan branch (no
+      // workload collect at analysis time) — output is still exact
+      graft.text.Retrieval.bm25TopKMaxScore(post,
+          graft.text.Retrieval.docFreq(post),
+          graft.text.Retrieval.corpusTotals(post),
+          SparkSession.active.table(
+            strArg("graft_bm25_maxscore", args(1), "queries table")),
+          intArg("graft_bm25_maxscore", args(2), "k"),
+          intArg("graft_bm25_maxscore", args(3), "essential df cutoff").toLong,
+          eager = false)
+        .queryExecution.logical
+    }
     tvf("graft_classify_store") { args =>
       require(args.size == 2 || args.size == 3,
         "usage: graft_classify_store(<store dir>, <docs table>[, <label col>])")

@@ -138,17 +138,21 @@ object Classify {
     * outer over the two marginals); a class never predicted has
     * precision 0 by convention (CASE, not a division error), and a class
     * with no true members recall 0 — both signal "look here", which is
-    * the monitoring purpose. One pass over the predictions frame: three
-    * class-sized aggregates joined on label, no doc-sized shuffle beyond
-    * the marginal group-bys (inputs are one row per doc).
+    * the monitoring purpose. The predictions frame is folded ONCE into
+    * the classes²-sized confusion matrix (one partial+final hash agg —
+    * the inference pipeline upstream is never re-executed per marginal),
+    * and every marginal derives from that tiny frame.
     */
   def evaluate(predictions: DataFrame): DataFrame = {
-    val act = predictions.groupBy(col("true_label").as("label"))
-      .agg(count(lit(1)).as("n_true"))
-    val prd = predictions.groupBy(col("pred_label").as("label"))
-      .agg(count(lit(1)).as("n_pred"))
-    val tp = predictions.filter(col("true_label") === col("pred_label"))
-      .groupBy(col("true_label").as("label")).agg(count(lit(1)).as("tp"))
+    val conf = predictions
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("cnt"))
+    val act = conf.groupBy(col("true_label").as("label"))
+      .agg(sum(col("cnt")).as("n_true"))
+    val prd = conf.groupBy(col("pred_label").as("label"))
+      .agg(sum(col("cnt")).as("n_pred"))
+    val tp = conf.filter(col("true_label") === col("pred_label"))
+      .select(col("true_label").as("label"), col("cnt").as("tp"))
     act.join(prd, Seq("label"), "full_outer")
       .join(tp, Seq("label"), "left")
       .select(col("label"),

@@ -238,6 +238,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val dup = spark.sql(
       "SELECT * FROM graft_bm25('sql_docs', 'sql_queries_dup', 3)")
     assert(rows(dup) === rows(viaSql))
+    // the MaxScore-pruned TVF is exact at every cutoff — 0 forces the
+    // fallback branch, a huge cutoff makes everything essential
+    for (cutoff <- Seq(0, 1000000))
+      assert(rows(spark.sql(
+        s"SELECT * FROM graft_bm25_maxscore('sql_docs', 'sql_queries', 3, $cutoff)"))
+        === rows(viaSql), s"cutoff $cutoff")
   }
 
   test("graft_classify_store classifies against a persisted count store from SQL") {
