@@ -1,0 +1,145 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hashed n-gram importance scoring — the DSIR slot in a curation
+  * pipeline (Xie et al., "Data Selection for Language Models via
+  * Importance Resampling", NeurIPS 2023): pick raw-web documents whose
+  * hashed n-gram profile looks like a small trusted TARGET corpus, by
+  * the ratio of smoothed target/raw feature probabilities.
+  *
+  * Model: each document is a bag of hashed features — its unigrams and
+  * bigrams bucketed to `buckets` ids by md5 (engine-portable, exact).
+  * Target and raw corpora each reduce to a B-row count profile; a
+  * feature's importance ratio is the Laplace-smoothed count ratio in
+  * exact integer ppm, `((tgt_f + 1) * 10^6) div (raw_f + 1)`, and a
+  * document's score is the per-token MEAN ratio,
+  * `(Σ_occurrences r_ppm) div n_feats`. Two deliberate, documented
+  * departures from the paper, both the engine's standard
+  * rational-surrogate moves (see [[Classify]], [[Retrieval]]):
+  *
+  *   - log p/q is replaced by the identity on the smoothed count ratio.
+  *     The corpus-total normalizers (TgtTot + B)/(RawTot + B) scale every
+  *     feature's true probability ratio by ONE global positive constant,
+  *     so omitting them rescales every document's score identically —
+  *     ranking-irrelevant — and keeps the per-feature intermediate at
+  *     (tgt_f + 1)·10^6, 64-bit safe while any single target bucket
+  *     holds < ~9.2·10^12 occurrences (a full-corpus-scale ceiling;
+  *     [[Classify]] documents the same class of bound).
+  *   - the Gumbel-noised sampling becomes deterministic top-k by
+  *     (score, doc_id) — reproducible across engines and runs, which is
+  *     what a hash-gated curation decision needs.
+  *
+  * 100 TB shape: the ratio table is AT MOST `buckets` rows regardless of
+  * corpus size — that is what the feature hashing buys — so scoring is
+  * exploded-features ⋈ broadcast(ratio) + ONE hash aggregation by doc:
+  * map-side join, partial aggregation, a single doc-sized shuffle, no
+  * corpus-wide sort anywhere. Selection is [[graft.operators.Relational
+  * .topK]] (TakeOrderedAndProject: per-partition bounded heap + a k-row
+  * gather). Profiles are plain sum-aggregations, and because counts
+  * sum-merge across disjoint drops the raw profile persists incrementally
+  * as a ledgered store ([[DsirStore]]) with exact unlearning.
+  *
+  * The reference has no data-selection surface at all (its pipeline ends
+  * at variant calls, daas-apps `SparkCaller.java:125-344`); this is part
+  * of SURVEY.md §2's LLM-pipeline extension set.
+  */
+object Dsir {
+
+  /** Feature-space size. 2^16 keeps the ratio table trivially
+    * broadcastable (a few MB) while collisions stay rare below ~10^4
+    * distinct n-grams per corpus; the paper uses a same-order 10^4.
+    */
+  val DefaultBuckets: Int = 65536
+
+  /** md5 bucket of one n-gram string — first 8 hex digits as an integer
+    * (exactly `('0x'||substr(md5(s),1,8))::BIGINT` in DuckDB), mod B.
+    */
+  def bucket(s: Column, buckets: Int): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Per-document exploded hashed features, one row per OCCURRENCE:
+    * (id, f). Features are the doc's unigrams plus its bigrams (a
+    * one-word doc contributes its unigram only), so a doc yields
+    * 2·words − 1 rows. Pure map-side: project + explode, no shuffle.
+    */
+  def explodedFeatures(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       buckets: Int = DefaultBuckets): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val bigrams = when(size(col("ws")) >= 2,
+      slice(zip_with(col("ws"), slice(col("ws"), lit(2), size(col("ws"))),
+        (a, b) => concat_ws(" ", a, b)), lit(1), size(col("ws")) - 1))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("id"), ws.as("ws"))
+      .select(col("id"), explode(concat(col("ws"), bigrams)).as("s"))
+      .select(col("id"), bucket(col("s"), buckets).as("f"))
+  }
+
+  /** Corpus profile: (f, cnt) summed over every feature occurrence —
+    * the sufficient statistic for one side of the ratio. ≤ B rows out;
+    * partial aggregation makes it one map-side-combined shuffle of at
+    * most B·partitions rows. Profiles of disjoint corpora sum-merge to
+    * the union's profile (the [[DsirStore]] contract).
+    */
+  def profile(docs: DataFrame, textCol: String = "text",
+              buckets: Int = DefaultBuckets): DataFrame =
+    explodedFeatures(docs, textCol = textCol, buckets = buckets)
+      .groupBy(col("f")).agg(count(lit(1)).as("cnt"))
+
+  /** Importance-ratio table from two profiles: (f, r_ppm) over features
+    * present in EITHER corpus, r_ppm = ((tgt + 1) * 10^6) div (raw + 1).
+    * Absent-everywhere buckets score the smoothed default 10^6 (= ratio
+    * (0+1)/(0+1)) via the scorer's coalesce, so the table never needs
+    * densifying. ≤ B rows: broadcastable by construction.
+    */
+  def ratios(targetProfile: DataFrame, rawProfile: DataFrame): DataFrame =
+    targetProfile.withColumnRenamed("cnt", "tgt")
+      .join(rawProfile.withColumnRenamed("cnt", "raw"), Seq("f"), "full_outer")
+      .select(col("f"),
+        expr("((coalesce(tgt, 0) + 1) * 1000000) div (coalesce(raw, 0) + 1)")
+          .as("r_ppm"))
+
+  /** Score documents against a ratio table: (doc_id, n_feats, score_ppm)
+    * where score_ppm is the mean occurrence ratio,
+    * (Σ r_ppm) div n_feats. One broadcast left-join (unseen bucket →
+    * the smoothed default 10^6) + one hash agg by doc — the only
+    * shuffle is doc-sized and partially aggregated map-side.
+    *
+    * Overflow: Σ r_ppm ≤ n_feats · max_r; with max_r = (TgtMax+1)·10^6
+    * this wraps only past ~9.2·10^18 / max_r occurrences per doc —
+    * unreachable for any real document.
+    */
+  def scoreAgainst(docs: DataFrame, ratioTable: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   buckets: Int = DefaultBuckets): DataFrame =
+    explodedFeatures(docs, idCol, textCol, buckets)
+      .join(broadcast(ratioTable), Seq("f"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("r_ppm"), lit(1000000L))).as("rsum"))
+      .select(col("id").as(idCol), col("n_feats"),
+        expr("rsum div n_feats").as("score_ppm"))
+
+  /** End-to-end: profile both corpora, build ratios, score `raw`'s own
+    * documents — the batch data-selection pass (score once, then select
+    * with [[selectTopK]] or any threshold).
+    */
+  def score(target: DataFrame, raw: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text",
+            buckets: Int = DefaultBuckets): DataFrame =
+    scoreAgainst(raw,
+      ratios(profile(target, textCol, buckets), profile(raw, textCol, buckets)),
+      idCol, textCol, buckets)
+
+  /** Deterministic selection: global top-k by (score_ppm DESC, doc_id
+    * ASC) — the reproducible stand-in for the paper's Gumbel sampling.
+    * Fixed k ⇒ TakeOrderedAndProject's bounded per-partition heap; no
+    * global sort at any corpus size.
+    */
+  def selectTopK(scored: DataFrame, k: Int,
+                 idCol: String = "doc_id"): DataFrame =
+    graft.operators.Relational.topK(scored, k,
+      col("score_ppm").desc, col(idCol).asc)
+}

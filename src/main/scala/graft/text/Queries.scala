@@ -1016,7 +1016,33 @@ object Queries {
         "doc_id", "ws", size = 32, stride = 24)
         .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
           col("end_tok"), col("n_chunk_toks"),
-          array_join(col("chunk"), " ").as("chunk_text")))
+          array_join(col("chunk"), " ").as("chunk_text"))),
+
+    // DSIR-slot data selection (see Dsir): the % 19 == 0 split plays
+    // the trusted target corpus, the rest is the raw pool. q174 scores
+    // every raw doc by its mean hashed-n-gram importance ratio in exact
+    // ppm; q175 is the curation decision — the deterministic top-100 by
+    // (score, doc_id), lang attached for the census reader. The ratio
+    // model is ≤ 2^16 rows whatever the corpus size (that is what the
+    // feature hashing buys), so scoring is a broadcast map-side join +
+    // one doc-sized hash agg and selection is a bounded-heap top-k.
+    "q174_dsir_score" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      Dsir.score(d.filter(col("doc_id") % 19 === 0),
+        d.filter(col("doc_id") % 19 =!= 0))
+    }),
+
+    "q175_dsir_select" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      val picked = Dsir.selectTopK(
+        Dsir.score(d.filter(col("doc_id") % 19 === 0),
+          d.filter(col("doc_id") % 19 =!= 0)), 100)
+      d.select(col("doc_id"), col("lang"))
+        .join(broadcast(picked), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_feats"), col("score_ppm"))
+    })
   )
 
   /** Substring-level repeated-span detection — the span-granularity dedup
@@ -1855,7 +1881,47 @@ object Queries {
     lang -> s"CAST(len(list_filter(ws, w -> w IN ($set))) AS INT)"
   }
 
+  /** q174/q175's DSIR replay: hashed uni+bigram occurrences (md5 bucket
+    * mod 2^16 — the engine-portable `('0x'||hex)::BIGINT` recipe), target
+    * (% 19 = 0) and raw profiles, smoothed count-ratio in ppm, per-doc
+    * mean score. The store variants (q176/q177) share the builder with a
+    * `rawWhere` restricted to the store's drops ∪ probe = the full raw
+    * split, and an output filter for the probe drop — the standard
+    * serve ≡ from-scratch-on-union contract. All division `//` on
+    * non-negative BIGINTs ≡ Spark `div`.
+    */
+  private val dsirCtes: String =
+    """WITH tws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |fe AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+      |    THEN list_concat(ws, list_transform(range(1, len(ws)),
+      |      i -> array_to_string(ws[i:i+1], ' ')))
+      |    ELSE ws END AS feats FROM tws),
+      |occ AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
+      |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe)),
+      |tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS tgt FROM occ
+      |  WHERE doc_id % 19 = 0 GROUP BY 1),
+      |raw AS (SELECT f, CAST(count(*) AS BIGINT) AS raw FROM occ
+      |  WHERE doc_id % 19 != 0 GROUP BY 1),
+      |r AS (SELECT f, ((coalesce(tgt, 0) + 1) * 1000000) //
+      |    (coalesce(raw, 0) + 1) AS r_ppm
+      |  FROM tgt FULL JOIN raw USING (f)),
+      |sc AS (SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |    CAST(sum(coalesce(r.r_ppm, 1000000)) AS BIGINT) AS rsum
+      |  FROM occ LEFT JOIN r USING (f)
+      |  WHERE occ.doc_id % 19 != 0 GROUP BY 1),
+      |scored AS (SELECT doc_id, n_feats, rsum // n_feats AS score_ppm
+      |  FROM sc)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q174_dsir_score" ->
+      s"""$dsirCtes
+         |SELECT doc_id, n_feats, score_ppm FROM scored""".stripMargin,
+    "q175_dsir_select" ->
+      s"""$dsirCtes,
+         |rk AS (SELECT doc_id, n_feats, score_ppm, row_number() OVER (
+         |    ORDER BY score_ppm DESC, doc_id ASC) AS r FROM scored)
+         |SELECT rk.doc_id, d.lang, rk.n_feats, rk.score_ppm
+         |FROM rk JOIN documents d USING (doc_id) WHERE rk.r <= 100""".stripMargin,
     "q120_repeated_spans" -> spanDetectOracle("TRUE"),
     "q160_cdc_chunks" -> cdcOracle,
     "q161_cdc_dedup" -> cdcCensusOracle("TRUE"),
