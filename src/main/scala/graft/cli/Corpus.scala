@@ -151,6 +151,17 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        ClassifyStore.predictVsStore;
   *                                        --classifier-label picks the label
   *                                        column (default lang)
+  *     [--dsir-store dir]                 persisted DSIR raw-pool profile:
+  *                                        with --dsir-target (trusted corpus
+  *                                        parquet), later runs write
+  *                                        OUT/_dsir (this drop's importance
+  *                                        scores vs target + history ∪ drop,
+  *                                        q176's operator), then the drop's
+  *                                        (f, cnt) profile partials join the
+  *                                        store under --drop-id; counts
+  *                                        sum-merge so a drop takedown
+  *                                        unlearns the selection model
+  *                                        EXACTLY (q177)
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -173,7 +184,7 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        --profile-store/--novelty-store/
   *                                        --span-store/--manifest-store/
   *                                        --chunk-store/--postings-store/
-  *                                        --classifier-store).
+  *                                        --classifier-store/--dsir-store).
   *                                        Retry-convergent: already-absent
   *                                        drops are skipped with a notice, so
   *                                        re-running a partially-applied
@@ -244,7 +255,9 @@ object Corpus {
       chunkStore: Option[String] = None,
       postingsStore: Option[String] = None,
       classifierStore: Option[String] = None,
-      classifierLabel: String = "lang")
+      classifierLabel: String = "lang",
+      dsirStore: Option[String] = None,
+      dsirTarget: Option[String] = None)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -307,6 +320,10 @@ object Corpus {
       parse(rest, acc.copy(classifierStore = Some(v)))
     case "--classifier-label" :: v :: rest =>
       parse(rest, acc.copy(classifierLabel = v))
+    case "--dsir-store" :: v :: rest =>
+      parse(rest, acc.copy(dsirStore = Some(v)))
+    case "--dsir-target" :: v :: rest =>
+      parse(rest, acc.copy(dsirTarget = Some(v)))
     case "--span-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
@@ -421,7 +438,11 @@ object Corpus {
       a.classifierStore.map(sd => ("--classifier-store", sd,
         (s: SparkSession, d: String) => graft.text.ClassifyStore.drops(s, d),
         (s: SparkSession, d: String, id: String) =>
-          graft.text.ClassifyStore.removeDrop(s, d, id)))
+          graft.text.ClassifyStore.removeDrop(s, d, id))),
+      a.dsirStore.map(sd => ("--dsir-store", sd,
+        (s: SparkSession, d: String) => graft.text.DsirStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.text.DsirStore.removeDrop(s, d, id)))
     ).flatten
 
   private def defaultDropId(input: String): String = {
@@ -796,7 +817,7 @@ object Corpus {
             "--dedup-store/--cluster-store/--ann-index; drop-ledgered: " +
             "--lm-store/--profile-store/--novelty-store/--span-store/" +
             "--manifest-store/--chunk-store/--postings-store/" +
-            "--classifier-store) — a ticket applied to nothing must not " +
+            "--classifier-store/--dsir-store) — a ticket applied to nothing must not " +
             "exit 0")
         val ticket = spark.read.parquet(ticketPath)
         val cols = ticket.columns.toSet
@@ -832,7 +853,7 @@ object Corpus {
             "--takedown: the ticket carries drop ids but no drop-ledgered " +
               "store flag (--lm-store/--profile-store/--novelty-store/" +
               "--span-store/--manifest-store/--chunk-store/" +
-              "--postings-store/--classifier-store) is set")
+              "--postings-store/--classifier-store/--dsir-store) is set")
           // the ticket's drop-id column is driver-sized by nature (one id
           // per ingested drop, not per corpus row)
           val dropIds = ticket.select(col("drop_id")).distinct()
@@ -977,6 +998,7 @@ object Corpus {
         "[--span-store dir] [--span-remove-drop id] [--scrub-spans] " +
         "[--manifest-store dir] [--chunk-store dir] [--postings-store dir] " +
         "[--classifier-store dir] [--classifier-label col] " +
+        "[--dsir-store dir] [--dsir-target path] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)
@@ -1112,6 +1134,27 @@ object Corpus {
         else if (!ClassifyStore.drops(spark, cd).contains(dropId))
           ClassifyStore.appendStaged(r.train, cd, dropId, a.classifierLabel)()
         else warnSkippedDrop("--classifier-store", dropId, cd)
+      }
+      // _dsir: importance scores of THIS drop's docs against the stored
+      // raw-pool profile ∪ the drop, with --dsir-target as the trusted
+      // side (read-only scoring written before the append, like _chunks/
+      // _novelty), then the drop's profile partials join the store under
+      // the drop-id discipline — the selection model accrues without the
+      // raw history ever being re-tokenized.
+      a.dsirStore.foreach { dd =>
+        import graft.text.DsirStore
+        val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
+        if (!DsirStore.exists(spark, dd)) {
+          DsirStore.buildStaged(r.train, dd, dropId)()
+        } else {
+          a.dsirTarget.foreach { td =>
+            DsirStore.scoreVsDrop(spark.read.parquet(td), r.train, dd)
+              .write.mode("overwrite").parquet(s"${a.out}/_dsir")
+          }
+          if (!DsirStore.drops(spark, dd).contains(dropId))
+            DsirStore.appendStaged(r.train, dd, dropId)()
+          else warnSkippedDrop("--dsir-store", dropId, dd)
+        }
       }
       // _novelty: per-doc first-occurrence novelty of THIS drop against
       // the gram store's history ∪ the drop (read-only scoring, written

@@ -311,6 +311,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           eager = false)
         .queryExecution.logical
     }
+    tvf("graft_dsir_score") { args =>
+      require(args.size == 2,
+        "usage: graft_dsir_score(<target table>, <raw table>)")
+      graft.text.Dsir.score(
+          SparkSession.active.table(
+            strArg("graft_dsir_score", args.head, "target table")),
+          SparkSession.active.table(
+            strArg("graft_dsir_score", args(1), "raw table")))
+        .queryExecution.logical
+    }
+    tvf("graft_dsir_store") { args =>
+      require(args.size == 3,
+        "usage: graft_dsir_store(<store dir>, <target table>, <drop table>)")
+      graft.text.DsirStore.scoreVsDrop(
+          SparkSession.active.table(
+            strArg("graft_dsir_store", args(1), "target table")),
+          SparkSession.active.table(
+            strArg("graft_dsir_store", args(2), "drop table")),
+          strArg("graft_dsir_store", args.head, "store dir"),
+          eager = false)
+        .queryExecution.logical
+    }
     tvf("graft_manifest") { args =>
       require(args.size == 4, "usage: graft_manifest(<table>, <keyCol>, " +
         "'<comma-separated cols>', <shards>)")

@@ -114,8 +114,19 @@ object Dsir {
   def scoreAgainst(docs: DataFrame, ratioTable: DataFrame,
                    idCol: String = "doc_id", textCol: String = "text",
                    buckets: Int = DefaultBuckets): DataFrame =
-    explodedFeatures(docs, idCol, textCol, buckets)
-      .join(broadcast(ratioTable), Seq("f"), "left")
+    scoreFeatures(explodedFeatures(docs, idCol, textCol, buckets),
+      ratioTable, idCol)
+
+  /** [[scoreAgainst]] from already-exploded (id, f) occurrence rows —
+    * the store serve computes those once for both its profile and this
+    * join ([[DsirStore.scoreVsDrop]]). The broadcast hint is safe by
+    * construction: the ratio table is ≤ `buckets` rows at ANY corpus
+    * size (contrast [[Classify]]'s vocabulary-sized model, which must
+    * size-gate its hint).
+    */
+  private[text] def scoreFeatures(feats: DataFrame, ratioTable: DataFrame,
+                                  idCol: String): DataFrame =
+    feats.join(broadcast(ratioTable), Seq("f"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_feats"),
         sum(coalesce(col("r_ppm"), lit(1000000L))).as("rsum"))

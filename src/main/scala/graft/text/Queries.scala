@@ -1042,6 +1042,33 @@ object Queries {
       d.select(col("doc_id"), col("lang"))
         .join(broadcast(picked), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_feats"), col("score_ppm"))
+    }),
+
+    // Store-served DSIR: q174's scoring with the raw profile accrued
+    // INCREMENTALLY — the raw history ingested as two drops of summed
+    // (f, cnt) partials, the % 7 == 1 slice arriving as the new drop to
+    // score. Counts sum-merge, so the served ratio model is bit-identical
+    // to profiling the union raw pool from scratch; the store scan is
+    // drops × buckets rows whatever the corpus size.
+    "q176_dsir_store" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      DsirStore.scoreVsDrop(d.filter(col("doc_id") % 19 === 0),
+        d.filter(col("doc_id") % 19 =!= 0 && col("doc_id") % 7 === 1),
+        dsirStoreFixture(s, dir))
+    }),
+
+    // DSIR EXACT UNLEARNING: a junk drop (the raw texts duplicated —
+    // which would double every raw count and so halve every importance
+    // ratio) ingested then REMOVED. Post-takedown scores must be
+    // hash-identical to the never-ingested model: count subtraction IS
+    // unlearning for the selection model too. Shares q176's oracle.
+    "q177_dsir_unlearn" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      DsirStore.scoreVsDrop(d.filter(col("doc_id") % 19 === 0),
+        d.filter(col("doc_id") % 19 =!= 0 && col("doc_id") % 7 === 1),
+        dsirUnlearnFixture(s, dir))
     })
   )
 
@@ -1502,6 +1529,55 @@ object Queries {
       storeDir
     })
 
+  /** q176/q177's dsir store: the raw history (doc_id % 19 != 0, minus
+    * the % 7 == 1 probe slice) as two drops of summed profile partials;
+    * the unlearn variant adds a junk drop "x" (the raw texts duplicated,
+    * which would halve every ratio) and removes it — takedown must
+    * restore the never-ingested selection model.
+    */
+  private[graft] def dsirStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#dsir"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-dsirstore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val raw = Tables(s, dir).documents
+        .filter(col("doc_id") % 19 =!= 0 && col("doc_id") % 7 =!= 1)
+      DsirStore.build(raw.filter(col("doc_id") % 7 <= 3), storeDir, "a")
+      DsirStore.append(raw.filter(col("doc_id") % 7 > 3), storeDir, "b")
+      storeDir
+    })
+
+  private[graft] def dsirUnlearnFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#dsir-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-dsirstore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val raw = Tables(s, dir).documents
+        .filter(col("doc_id") % 19 =!= 0 && col("doc_id") % 7 =!= 1)
+      DsirStore.build(raw.filter(col("doc_id") % 7 <= 3), storeDir, "a")
+      DsirStore.append(raw.filter(col("doc_id") % 7 > 3), storeDir, "b")
+      DsirStore.append(
+        Tables(s, dir).documents.filter(col("doc_id") % 19 =!= 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)),
+        storeDir, "x")
+      DsirStore.removeDrop(s, storeDir, "x")
+      storeDir
+    })
+
   /** The sources q141 purges from the signature store — fixed names the
     * oracle mirrors literally (TESTDATA's documents carry src0..src19).
     */
@@ -1922,6 +1998,18 @@ object Queries {
          |    ORDER BY score_ppm DESC, doc_id ASC) AS r FROM scored)
          |SELECT rk.doc_id, d.lang, rk.n_feats, rk.score_ppm
          |FROM rk JOIN documents d USING (doc_id) WHERE rk.r <= 100""".stripMargin,
+    // q176 serves q174's scoring for the % 7 == 1 probe slice from the
+    // persisted raw profile (store drops ∪ probe = the full raw split,
+    // so the CTE chain is q174's verbatim); q177's post-takedown store
+    // (the doubled-raw junk drop removed) must serve exactly the same.
+    "q176_dsir_store" ->
+      s"""$dsirCtes
+         |SELECT doc_id, n_feats, score_ppm FROM scored
+         |WHERE doc_id % 7 = 1""".stripMargin,
+    "q177_dsir_unlearn" ->
+      s"""$dsirCtes
+         |SELECT doc_id, n_feats, score_ppm FROM scored
+         |WHERE doc_id % 7 = 1""".stripMargin,
     "q120_repeated_spans" -> spanDetectOracle("TRUE"),
     "q160_cdc_chunks" -> cdcOracle,
     "q161_cdc_dedup" -> cdcCensusOracle("TRUE"),

@@ -925,6 +925,45 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("--classifier-label"))
   }
 
+  test("Corpus CLI: --dsir-store ingests raw profiles; scores drops; one-ticket takedown unlearns") {
+    import spark.implicits._
+    import graft.text.{Dsir, DsirStore}
+    val dir = Files.createTempDirectory("corpus-dsir")
+    docsOf((100L, "alpha beta alpha")).write.parquet(s"$dir/target")
+    val d1 = Seq((1L, "alpha noise noise"), (2L, "junk junk filler"))
+    val d2 = Seq((3L, "beta alpha filler"))
+    docsOf(d1: _*).write.parquet(s"$dir/drop1")
+    docsOf(d2: _*).write.parquet(s"$dir/drop2")
+    // first run bootstraps; second scores drop2 vs store ∪ drop2 into
+    // OUT/_dsir, then appends
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop1", "-O", s"$dir/out1",
+      "--dsir-store", s"$dir/dsir", "--dsir-target", s"$dir/target"))
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/out2",
+      "--dsir-store", s"$dir/dsir", "--dsir-target", s"$dir/target"))
+    assert(DsirStore.drops(spark, s"$dir/dsir").size === 2)
+    val artifact = spark.read.parquet(s"$dir/out2/_dsir")
+      .collect().map(_.toSeq).toSet
+    val scratch = Dsir.score(
+        spark.read.parquet(s"$dir/target"),
+        docsOf(d1: _*).unionByName(docsOf(d2: _*)))
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 3L)
+      .collect().map(_.toSeq).toSet
+    assert(artifact === scratch,
+      "_dsir artifact ≡ from-scratch scoring on history ∪ drop")
+    // a drop_id ticket through the unified surface unlearns drop2 exactly
+    Seq(novDropId(s"$dir/drop2")).toDF("drop_id").write.parquet(s"$dir/ticket")
+    graft.cli.Corpus.run(spark, Array(
+      "--takedown", s"$dir/ticket", "--dsir-store", s"$dir/dsir"))
+    assert(DsirStore.drops(spark, s"$dir/dsir").size === 1)
+    val served = DsirStore.serveProfile(spark, s"$dir/dsir")
+      .collect().map(_.toSeq).toSet
+    val neverIngested = Dsir.profile(docsOf(d1: _*))
+      .collect().map(_.toSeq).toSet
+    assert(served === neverIngested, "post-takedown profile ≡ never saw drop2")
+  }
+
   test("Corpus CLI: --profile-store accumulates per-drop partials; re-runs idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-profstore")

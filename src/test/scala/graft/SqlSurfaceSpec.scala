@@ -265,6 +265,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
       Set(10L -> "aa", 11L -> "bb"))
   }
 
+  test("graft_dsir_score / graft_dsir_store run importance scoring from SQL") {
+    Seq((100L, "alpha beta alpha"), (101L, "beta alpha"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sql_target")
+    Seq((1L, "alpha noise"), (2L, "junk junk filler"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sql_raw")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_dsir_score('sql_target', 'sql_raw')")
+    val direct = graft.text.Dsir.score(
+      spark.table("sql_target"), spark.table("sql_raw"))
+    assert(viaSql.columns === direct.columns)
+    assert(rows(viaSql) === rows(direct))
+    // the target-like raw doc out-scores the junk one
+    val byDoc = rows(viaSql).map(r => r.head -> r(2).asInstanceOf[Long]).toMap
+    assert(byDoc(1L) > byDoc(2L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqldsir")
+    graft.text.DsirStore.build(
+      spark.table("sql_raw"), s"$dir/dsir", "d0")
+    Seq((10L, "alpha beta"), (11L, "junk noise"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sql_dsir_drop")
+    val served = spark.sql(
+      s"SELECT * FROM graft_dsir_store('$dir/dsir', 'sql_target', 'sql_dsir_drop')")
+    val servedDirect = graft.text.DsirStore.scoreVsDrop(
+      spark.table("sql_target"), spark.table("sql_dsir_drop"), s"$dir/dsir")
+    assert(rows(served) === rows(servedDirect))
+    // the store face ≡ from-scratch on history ∪ drop, restricted to the drop
+    val scratch = graft.text.Dsir.score(spark.table("sql_target"),
+      spark.table("sql_raw").unionByName(spark.table("sql_dsir_drop")))
+      .filter(col("doc_id") >= 10L)
+    assert(rows(served) === rows(scratch))
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(

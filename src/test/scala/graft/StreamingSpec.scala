@@ -660,6 +660,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dsir-store ingest: foreachBatch scoring against the growing raw profile") {
+    // The streaming half of q176: each micro-batch of RAW docs is scored
+    // against the trusted target + the raw profile accrued so far ∪ the
+    // batch, then its (f, cnt) partials append. The raw pool growing with
+    // target-like text must DEPRESS later identical batches' scores (their
+    // features stop looking rare in the raw pool) — and every batch's
+    // scores ≡ from-scratch Dsir.score on the union so far, the same
+    // invariant q176 hash-gates.
+    import graft.text.{Dsir, DsirStore}
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-dsir").toString
+    val target = Seq((100L, "alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val seed = Seq((1L, "noise junk filler junk"))
+      .toDF("doc_id", "text")
+    DsirStore.build(seed, dir, "seed")
+    val scores = scala.collection.mutable.Map.empty[Long, Long]
+    var lastVsScratch = true
+    var history = seed
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val dropId = f"batch-$epoch%06d"
+        val got = DsirStore.scoreVsDrop(target, batch, dir)
+          .select("doc_id", "score_ppm").as[(Long, Long)].collect()
+        got.foreach { case (id, sc) => scores(id) = sc }
+        val scratch = Dsir.score(target, history.unionByName(batch))
+          .join(batch.select("doc_id"), "doc_id")
+          .select("doc_id", "score_ppm").as[(Long, Long)].collect()
+        lastVsScratch = got.sorted.sameElements(scratch.sorted)
+        if (!DsirStore.drops(spark, dir).contains(dropId))
+          DsirStore.appendStaged(batch, dir, dropId)()
+        history = history.unionByName(batch)
+        ()
+      }
+      .start()
+    try {
+      mem.addData((10L, "alpha beta"))
+      q.processAllAvailable()
+      assert(lastVsScratch, "batch-0 scores must match from-scratch")
+      mem.addData((20L, "alpha beta"))
+      q.processAllAvailable()
+      assert(lastVsScratch, "batch-1 scores must match from-scratch")
+      assert(scores(20L) < scores(10L),
+        "batch-0's ingested text must depress batch-1's identical doc: " +
+          scores.toString)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
