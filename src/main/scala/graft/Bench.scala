@@ -99,6 +99,20 @@ object Bench {
       graft.extra.Queries.manifestStoreFixture(spark, sfDir) }
     prebuild(names.contains("q155_manifest_takedown")) {
       graft.extra.Queries.manifestTakedownFixture(spark, sfDir) }
+    prebuild(names.contains("q165_postings_store")) {
+      graft.text.Queries.postingsStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q166_postings_takedown")) {
+      graft.text.Queries.postingsTakedownFixture(spark, sfDir) }
+    prebuild(names.contains("q169_classifier_store")) {
+      graft.text.Queries.classifyStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q170_classifier_unlearn")) {
+      graft.text.Queries.classifyUnlearnFixture(spark, sfDir) }
+    prebuild(names.contains("q171_incr_dedup_wide")) {
+      graft.text.Queries.wideStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q176_dsir_store")) {
+      graft.text.Queries.dsirStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q177_dsir_unlearn")) {
+      graft.text.Queries.dsirUnlearnFixture(spark, sfDir) }
 
     // (name, min, max) — min is the billed value (intrinsic plan cost,
     // see the header doc); max rides along in target/bench.json as
