@@ -113,6 +113,11 @@ object Bench {
       graft.text.Queries.dsirStoreFixture(spark, sfDir) }
     prebuild(names.contains("q177_dsir_unlearn")) {
       graft.text.Queries.dsirUnlearnFixture(spark, sfDir) }
+    prebuild(names.contains("q179_sketch_store") ||
+        names.contains("q181_sketch_growth")) {
+      graft.text.Queries.sketchStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q180_sketch_unlearn")) {
+      graft.text.Queries.sketchUnlearnFixture(spark, sfDir) }
 
     // (name, min, max) — min is the billed value (intrinsic plan cost,
     // see the header doc); max rides along in target/bench.json as
@@ -230,7 +235,14 @@ object Bench {
           s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
         else s
       }
-    val qsShort = all.map { case (k, v) => "\"" + shortKeys(k) + "\":" + ms(v) }
+    // store-build rows (qNNb) ride only in target/bench.json, like the
+    // controls: at 177+ queries the compact line crossed the ~2 kB tail
+    // window WITH them (1957 bytes measured at 182 rows + sbt's
+    // [success] suffix), and they grow with every store family — the
+    // serve rows are the per-round contract, the build rows are the
+    // judge-file detail
+    val qsShort = all.filterNot(_._1.endsWith("_build"))
+      .map { case (k, v) => "\"" + shortKeys(k) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // BENCH_r07–r09 all ended `parsed: null`. r7/r8: the full-precision
     // line overflowed the driver's ~2 kB stdout tail window (fixed by the

@@ -162,6 +162,17 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        sum-merge so a drop takedown
   *                                        unlearns the selection model
   *                                        EXACTLY (q177)
+  *     [--sketch-store dir]               persisted distinct-gram sketch
+  *                                        (portable HLL registers, ≤ 256
+  *                                        rows per drop): the drop's
+  *                                        registers join the store under
+  *                                        --drop-id (max-merge ≡ sketching
+  *                                        the union from scratch, q179;
+  *                                        takedown re-maxes survivors to
+  *                                        the never-ingested sketch, q180),
+  *                                        then OUT/_saturation gets the
+  *                                        distinct-gram growth curve
+  *                                        (q181's operator)
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -184,7 +195,8 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        --profile-store/--novelty-store/
   *                                        --span-store/--manifest-store/
   *                                        --chunk-store/--postings-store/
-  *                                        --classifier-store/--dsir-store).
+  *                                        --classifier-store/--dsir-store/
+  *                                        --sketch-store).
   *                                        Retry-convergent: already-absent
   *                                        drops are skipped with a notice, so
   *                                        re-running a partially-applied
@@ -257,7 +269,8 @@ object Corpus {
       classifierStore: Option[String] = None,
       classifierLabel: String = "lang",
       dsirStore: Option[String] = None,
-      dsirTarget: Option[String] = None)
+      dsirTarget: Option[String] = None,
+      sketchStore: Option[String] = None)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -324,6 +337,8 @@ object Corpus {
       parse(rest, acc.copy(dsirStore = Some(v)))
     case "--dsir-target" :: v :: rest =>
       parse(rest, acc.copy(dsirTarget = Some(v)))
+    case "--sketch-store" :: v :: rest =>
+      parse(rest, acc.copy(sketchStore = Some(v)))
     case "--span-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
@@ -442,7 +457,11 @@ object Corpus {
       a.dsirStore.map(sd => ("--dsir-store", sd,
         (s: SparkSession, d: String) => graft.text.DsirStore.drops(s, d),
         (s: SparkSession, d: String, id: String) =>
-          graft.text.DsirStore.removeDrop(s, d, id)))
+          graft.text.DsirStore.removeDrop(s, d, id))),
+      a.sketchStore.map(sd => ("--sketch-store", sd,
+        (s: SparkSession, d: String) => graft.text.SketchStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.text.SketchStore.removeDrop(s, d, id)))
     ).flatten
 
   private def defaultDropId(input: String): String = {
@@ -817,8 +836,8 @@ object Corpus {
             "--dedup-store/--cluster-store/--ann-index; drop-ledgered: " +
             "--lm-store/--profile-store/--novelty-store/--span-store/" +
             "--manifest-store/--chunk-store/--postings-store/" +
-            "--classifier-store/--dsir-store) — a ticket applied to nothing must not " +
-            "exit 0")
+            "--classifier-store/--dsir-store/--sketch-store) — a ticket " +
+            "applied to nothing must not exit 0")
         val ticket = spark.read.parquet(ticketPath)
         val cols = ticket.columns.toSet
         require(cols.contains("doc_id") || cols.contains("vec_id") ||
@@ -853,7 +872,8 @@ object Corpus {
             "--takedown: the ticket carries drop ids but no drop-ledgered " +
               "store flag (--lm-store/--profile-store/--novelty-store/" +
               "--span-store/--manifest-store/--chunk-store/" +
-              "--postings-store/--classifier-store/--dsir-store) is set")
+              "--postings-store/--classifier-store/--dsir-store/" +
+              "--sketch-store) is set")
           // the ticket's drop-id column is driver-sized by nature (one id
           // per ingested drop, not per corpus row)
           val dropIds = ticket.select(col("drop_id")).distinct()
@@ -998,7 +1018,7 @@ object Corpus {
         "[--span-store dir] [--span-remove-drop id] [--scrub-spans] " +
         "[--manifest-store dir] [--chunk-store dir] [--postings-store dir] " +
         "[--classifier-store dir] [--classifier-label col] " +
-        "[--dsir-store dir] [--dsir-target path] " +
+        "[--dsir-store dir] [--dsir-target path] [--sketch-store dir] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)
@@ -1155,6 +1175,23 @@ object Corpus {
             DsirStore.appendStaged(r.train, dd, dropId)()
           else warnSkippedDrop("--dsir-store", dropId, dd)
         }
+      }
+      // _saturation: the distinct-gram growth curve AFTER this drop's
+      // registers join the store — the "is new data still novel?"
+      // monitor, read from drops × 256 stored rows only (the corpus is
+      // hashed once, at its own ingest). Max-merge makes a re-run of an
+      // already-stored drop harmless, but the skip keeps the ledger
+      // truthful for --takedown.
+      a.sketchStore.foreach { kd =>
+        import graft.text.SketchStore
+        val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
+        if (!SketchStore.exists(spark, kd))
+          SketchStore.buildStaged(r.train, kd, dropId)()
+        else if (!SketchStore.drops(spark, kd).contains(dropId))
+          SketchStore.appendStaged(r.train, kd, dropId)()
+        else warnSkippedDrop("--sketch-store", dropId, kd)
+        SketchStore.growthCurve(spark, kd)
+          .write.mode("overwrite").parquet(s"${a.out}/_saturation")
       }
       // _novelty: per-doc first-occurrence novelty of THIS drop against
       // the gram store's history ∪ the drop (read-only scoring, written

@@ -333,6 +333,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           eager = false)
         .queryExecution.logical
     }
+    tvf("graft_sketch_store") { args =>
+      require(args.size == 1,
+        "usage: graft_sketch_store(<store dir>)")
+      graft.text.SketchStore.serveEstimate(SparkSession.active,
+          strArg("graft_sketch_store", args.head, "store dir"))
+        .queryExecution.logical
+    }
+    tvf("graft_sketch_growth") { args =>
+      require(args.size == 1,
+        "usage: graft_sketch_growth(<store dir>)")
+      graft.text.SketchStore.growthCurve(SparkSession.active,
+          strArg("graft_sketch_growth", args.head, "store dir"))
+        .queryExecution.logical
+    }
     tvf("graft_manifest") { args =>
       require(args.size == 4, "usage: graft_manifest(<table>, <keyCol>, " +
         "'<comma-separated cols>', <shards>)")

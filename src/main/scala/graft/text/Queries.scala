@@ -1069,7 +1069,37 @@ object Queries {
       DsirStore.scoreVsDrop(d.filter(col("doc_id") % 19 === 0),
         d.filter(col("doc_id") % 19 =!= 0 && col("doc_id") % 7 === 1),
         dsirUnlearnFixture(s, dir))
-    })
+    }),
+
+    // Portable HLL distinct-gram sketch (see DistinctSketch): register
+    // table + integer-exact estimate + the exact audit column side by
+    // side — the corpus-saturation measurement whose shuffle is ≤
+    // 256 × partitions rows however large the corpus (the exact column
+    // is the deliberate audit cost, the q83-vs-q115 split).
+    "q178_distinct_sketch" -> ((s, dir) =>
+      DistinctSketch.summary(Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism))),
+
+    // Store-served sketch: the corpus ingested as three drops of ≤ 256
+    // register rows each; the served per-bucket MAX must be bit-identical
+    // to sketching the union corpus from scratch (max-merge is exact for
+    // ANY drop overlap — registers are value-keyed, not doc-keyed).
+    "q179_sketch_store" -> ((s, dir) =>
+      SketchStore.serveRegisters(s, sketchStoreFixture(s, dir))),
+
+    // Sketch takedown: a junk drop of salted texts (novel grams that
+    // perturb the served registers) ingested then REMOVED. MAX does not
+    // subtract — exactness comes from deleting the drop's own register
+    // ROWS and re-maxing survivors, which is exactly the never-ingested
+    // sketch. Shares q179's oracle.
+    "q180_sketch_unlearn" -> ((s, dir) =>
+      SketchStore.serveRegisters(s, sketchUnlearnFixture(s, dir))),
+
+    // The saturation curve: distinct-gram estimate after each ingest
+    // prefix (a, ab, abc) from stored partials only — the "is new data
+    // still novel?" monitor that never re-scans history.
+    "q181_sketch_growth" -> ((s, dir) =>
+      SketchStore.growthCurve(s, sketchStoreFixture(s, dir)))
   )
 
   /** Substring-level repeated-span detection — the span-granularity dedup
@@ -1578,6 +1608,56 @@ object Queries {
       storeDir
     })
 
+  /** q179/q181's sketch store: the corpus as three drops (a, b, c by
+    * doc_id % 3 = 1, 2, 0 — union = the full table) of ≤ 256 register
+    * rows each; the unlearn variant adds a junk drop "x" whose salted
+    * texts contribute novel grams (perturbing the served registers) and
+    * removes it — takedown must restore the never-ingested sketch.
+    */
+  private[graft] def sketchStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#sketch"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-sketchstore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      SketchStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      SketchStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      SketchStore.append(d.filter(col("doc_id") % 3 === 0), storeDir, "c")
+      storeDir
+    })
+
+  private[graft] def sketchUnlearnFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#sketch-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-sketchstore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      SketchStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      SketchStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      SketchStore.append(d.filter(col("doc_id") % 3 === 0), storeDir, "c")
+      SketchStore.append(
+        d.withColumn("text",
+          concat_ws(" ", concat(lit("zq"), col("doc_id").cast("string")),
+            col("text"))),
+        storeDir, "x")
+      SketchStore.removeDrop(s, storeDir, "x")
+      storeDir
+    })
+
   /** The sources q141 purges from the signature store — fixed names the
     * oracle mirrors literally (TESTDATA's documents carry src0..src19).
     */
@@ -1988,7 +2068,80 @@ object Queries {
       |scored AS (SELECT doc_id, n_feats, rsum // n_feats AS score_ppm
       |  FROM sc)""".stripMargin
 
+  /** Shared CTE chain for the distinct-sketch replays, suffix-
+    * parameterized so several corpus slices coexist in one statement
+    * (q181's prefixes): word-5-gram occurrences → the DistinctSketch
+    * register recipe VERBATIM (2-hex-char bucket, bit-granular rho from
+    * leading-zero hex count + a first-nonzero-digit CASE, capped at 32;
+    * docs under 5 words contribute their whole text — TextOps.shingles'
+    * fallback).
+    */
+  private def sketchRegsCte(sfx: String, docFilter: String): String =
+    s"""gl$sfx AS (SELECT CASE WHEN len(string_split(text,' ')) >= 5
+       |    THEN list_transform(range(1, len(string_split(text,' ')) - 3),
+       |      i -> array_to_string((string_split(text,' '))[i:i+4], ' '))
+       |    ELSE [text] END AS gs
+       |  FROM documents WHERE $docFilter),
+       |g5$sfx AS (SELECT unnest(gs) AS g FROM gl$sfx),
+       |rr$sfx AS (SELECT ('0x'||substr(md5(g),1,2))::BIGINT AS bucket,
+       |    least(CASE
+       |      WHEN regexp_replace(substr(md5(g),3,13),'^0*','') = '' THEN 32
+       |      ELSE 4*(13 - len(regexp_replace(substr(md5(g),3,13),'^0*','')))
+       |        + CASE substr(regexp_replace(substr(md5(g),3,13),'^0*',''),1,1)
+       |            WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+       |            WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+       |            WHEN '7' THEN 1 ELSE 0 END + 1 END, 32) AS rho
+       |  FROM g5$sfx),
+       |regs$sfx AS (SELECT bucket, CAST(max(rho) AS BIGINT) AS rho
+       |  FROM rr$sfx GROUP BY 1)""".stripMargin
+
+  /** The integer-exact HLL estimate over one regs CTE — the
+    * DistinctSketch.estimateAgg arithmetic verbatim (α·m²·2^32 with
+    * α = 7183/10^4, m = 256: numerator 470745088·2^32 ≈ 2.02·10^18,
+    * denominator ≤ 10^4·2^40 — every intermediate in one BIGINT).
+    */
+  private def sketchEstCte(sfx: String, seen: Int, last: String): String =
+    s"""e$sfx AS (SELECT CAST($seen AS BIGINT) AS drops_seen,
+       |  '$last' AS last_drop, CAST(count(*) AS BIGINT) AS occupied,
+       |  CAST((470745088 * 4294967296) // (10000 *
+       |    ((256 - count(*)) * 4294967296 +
+       |     sum(1::BIGINT << (32 - rho)))) AS BIGINT) AS est_distinct
+       |  FROM regs$sfx)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q178_distinct_sketch" ->
+      s"""WITH ${sketchRegsCte("", "TRUE")},
+         |${sketchEstCte("", 1, "all")},
+         |ex AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_exact
+         |  FROM g5)
+         |SELECT CAST(256 AS BIGINT) AS m, occupied, est_distinct, n_exact,
+         |  CAST((abs(est_distinct - n_exact) * 1000) // n_exact
+         |    AS BIGINT) AS err_pml
+         |FROM e, ex""".stripMargin,
+    // q179 serves the three-drop store's max-merged registers — store
+    // drops partition the corpus by doc_id % 3, so union = the full
+    // table and the oracle replays the registers from scratch; q180
+    // shares it: takedown ≡ never-ingested.
+    "q179_sketch_store" ->
+      s"""WITH ${sketchRegsCte("", "TRUE")}
+         |SELECT bucket, rho FROM regs""".stripMargin,
+    "q180_sketch_unlearn" ->
+      s"""WITH ${sketchRegsCte("", "TRUE")}
+         |SELECT bucket, rho FROM regs""".stripMargin,
+    // q181's prefixes replay the registers over the cumulative drop
+    // slices (a = % 3 = 1, ab = % 3 in (1,2), abc = all).
+    "q181_sketch_growth" ->
+      s"""WITH ${sketchRegsCte("1", "doc_id % 3 = 1")},
+         |${sketchRegsCte("2", "doc_id % 3 IN (1, 2)")},
+         |${sketchRegsCte("3", "TRUE")},
+         |${sketchEstCte("1", 1, "a")},
+         |${sketchEstCte("2", 2, "b")},
+         |${sketchEstCte("3", 3, "c")}
+         |SELECT drops_seen, last_drop, occupied, est_distinct FROM e1
+         |UNION ALL
+         |SELECT drops_seen, last_drop, occupied, est_distinct FROM e2
+         |UNION ALL
+         |SELECT drops_seen, last_drop, occupied, est_distinct FROM e3""".stripMargin,
     "q174_dsir_score" ->
       s"""$dsirCtes
          |SELECT doc_id, n_feats, score_ppm FROM scored""".stripMargin,

@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted distinct-count sketch ([[DistinctSketch]]'s build/serve
+  * split) — the corpus-saturation ledger: each drop contributes its own
+  * ≤ m register rows, and the served sketch of the whole ingest history
+  * is one per-bucket MAX over drops×m rows — metadata-scale, history
+  * text never re-hashed. Registers of disjoint corpus slices max-merge
+  * to the union's registers by construction (max is associative,
+  * commutative, idempotent — duplicate VALUES across drops are free,
+  * unlike the sum-merge families where drops must partition the data),
+  * so serve ≡ from-scratch bit-for-bit (q179's gate).
+  *
+  * Takedown is the family's one genuinely different case: MAX does not
+  * subtract. Exactness comes from the ledger granularity instead —
+  * removing a drop deletes its register ROWS and the serve re-maxes
+  * the survivors, which is exactly the sketch of the never-ingested
+  * history (q180's gate). The corollary is honest and documented:
+  * unlearning is DROP-level; purging a single document from inside a
+  * drop means rebuilding that drop's partial from its remaining raw
+  * docs (the standard production answer for sketch state — registers
+  * hold no per-doc rows to delete).
+  *
+  * What this buys at 100 TB: the distinct-gram growth curve
+  * ([[growthCurve]]) — the "is new data still novel?" monitor — read
+  * from drops×m stored rows instead of re-scanning an ever-growing
+  * corpus per point; appending a day's drop hashes that drop once.
+  *
+  * Storage: one parquet table `distinctsketch` (drop_id, cfg, bucket,
+  * rho); `cfg` stamps the gram width + the pinned m/MaxRho recipe —
+  * registers over different gram universes are incommensurable, so
+  * append and serve validate it single-valued and loud (the
+  * [[ChunkStore]] rule). Lifecycle is the shared
+  * [[graft.operators.DropLedger]] discipline (atomic per-drop subdir
+  * append, staged commit-last, crash-safe swaps, loud double-remove).
+  */
+object SketchStore extends graft.operators.DropLedger {
+
+  protected def tableName: String = "distinctsketch"
+  protected def kind: String = "sketch store"
+
+  private def cfgOf(gram: Int): String =
+    s"g$gram-m${DistinctSketch.Buckets}-r${DistinctSketch.MaxRho}"
+
+  /** (drop_id, cfg, bucket, rho) for one drop — ≤ m rows. */
+  def partials(docs: DataFrame, dropId: String, textCol: String = "text",
+               gram: Int = 5): DataFrame = {
+    requireDropId(dropId)
+    DistinctSketch.registers(DistinctSketch.grams(docs, textCol, gram))
+      .select(lit(dropId).as("drop_id"), lit(cfgOf(gram)).as("cfg"),
+        col("bucket"), col("rho"))
+  }
+
+  /** The store's config stamp — single-valued or loud; a drained store
+    * (every drop removed) refuses here, the family rule.
+    */
+  def storedCfg(s: SparkSession, storeDir: String): String = {
+    requireStore(s, storeDir)
+    val cfgs = load(s, storeDir).select(col("cfg")).distinct()
+      .collect().map(_.getString(0))
+    require(cfgs.nonEmpty,
+      s"$kind $storeDir has no drops (every drop was removed) — " +
+        "build or append before serving")
+    require(cfgs.length == 1,
+      s"$kind $storeDir holds mixed sketch configs " +
+        s"${cfgs.sorted.mkString(", ")} — corrupt")
+    cfgs.head
+  }
+
+  /** Bootstrap from the first drop (overwrites). */
+  def build(docs: DataFrame, storeDir: String, dropId: String,
+            textCol: String = "text", gram: Int = 5): Unit =
+    buildStaged(docs, storeDir, dropId, textCol, gram)()
+
+  def buildStaged(docs: DataFrame, storeDir: String, dropId: String,
+                  textCol: String = "text", gram: Int = 5): () => Unit =
+    stagePartialsBuild(partials(docs, dropId, textCol, gram),
+      storeDir, coalesceTo = Some(1)).commit
+
+  /** Append a new drop's registers (staged, single-rename atomic
+    * commit). Refuses a stored id and inherits the store's gram config —
+    * a caller cannot mix register universes.
+    */
+  def appendStaged(docs: DataFrame, storeDir: String,
+                   dropId: String, textCol: String = "text"): () => Unit = {
+    val s = docs.sparkSession
+    val cfg = storedCfg(s, storeDir)
+    val gram = cfg.drop(1).takeWhile(_ != '-').toInt
+    requireNewDrop(s, storeDir, dropId)
+    stagePartialsAppend(partials(docs, dropId, textCol, gram),
+      storeDir, dropId, coalesceTo = Some(1)).commit
+  }
+
+  def append(docs: DataFrame, storeDir: String, dropId: String,
+             textCol: String = "text"): Unit =
+    appendStaged(docs, storeDir, dropId, textCol)()
+
+  /** Served sketch: (bucket, rho) max-merged across surviving drops —
+    * exactly [[DistinctSketch.registers]] of the union corpus.
+    */
+  def serveRegisters(s: SparkSession, storeDir: String): DataFrame = {
+    storedCfg(s, storeDir) // existence + non-drained + single-cfg
+    load(s, storeDir).groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+  }
+
+  /** One-row estimate of the whole history's distinct count — the
+    * recurring monitoring read: drops×m stored rows in, constants out.
+    */
+  def serveEstimate(s: SparkSession, storeDir: String): DataFrame =
+    DistinctSketch.estimate(serveRegisters(s, storeDir))
+
+  /** The saturation curve: one row per ingest PREFIX of the
+    * lexicographically-ordered drops (date-shaped ids sort themselves) —
+    * (drops_seen, last_drop, occupied, est_distinct). A flattening
+    * est_distinct across prefixes is the "new drops add volume, not
+    * novelty" signal. Plan: stored partials ⋈ broadcast drop-index ⋈
+    * broadcast prefix frame (idx ≤ prefix) → per-(prefix, bucket) max →
+    * the constant-size estimate agg; everything after the store scan is
+    * drops² × m rows — metadata-scale.
+    */
+  def growthCurve(s: SparkSession, storeDir: String): DataFrame = {
+    import s.implicits._
+    storedCfg(s, storeDir)
+    val ordered = drops(s, storeDir).toSeq.sorted // driver-sized: drop ids
+    val idx = ordered.zipWithIndex
+      .map { case (d, i) => (d, i + 1L) }.toDF("drop_id", "__idx")
+    val prefixes = ordered.zipWithIndex
+      .map { case (d, i) => (i + 1L, d) }.toDF("drops_seen", "last_drop")
+    val regs = load(s, storeDir)
+      .join(broadcast(idx), Seq("drop_id"))
+      .join(broadcast(prefixes), col("__idx") <= col("drops_seen"))
+      .groupBy(col("drops_seen"), col("last_drop"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    DistinctSketch.estimateAgg(regs, Seq(col("drops_seen"), col("last_drop")))
+      .select(col("drops_seen"), col("last_drop"),
+        col("occupied").cast("long"), col("est_distinct"))
+  }
+}

@@ -964,6 +964,42 @@ class CliSpec extends AnyFunSuite {
     assert(served === neverIngested, "post-takedown profile ≡ never saw drop2")
   }
 
+  test("Corpus CLI: --sketch-store accrues registers, writes _saturation; one-ticket takedown re-maxes") {
+    import spark.implicits._
+    import graft.text.{DistinctSketch, SketchStore}
+    val dir = Files.createTempDirectory("corpus-sketch")
+    val d1 = Seq((1L, "one two three four five six seven"))
+    val d2 = Seq((2L, "eight nine ten eleven twelve thirteen"))
+    docsOf(d1: _*).write.parquet(s"$dir/drop1")
+    docsOf(d2: _*).write.parquet(s"$dir/drop2")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop1", "-O", s"$dir/out1", "--sketch-store", s"$dir/sk"))
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/out2", "--sketch-store", s"$dir/sk"))
+    assert(SketchStore.drops(spark, s"$dir/sk").size === 2)
+    // the _saturation artifact is the growth curve over both drops and
+    // its last point is the full-union sketch estimate
+    val sat = spark.read.parquet(s"$dir/out2/_saturation")
+      .orderBy(org.apache.spark.sql.functions.col("drops_seen"))
+      .collect()
+    assert(sat.length === 2)
+    val fullEst = DistinctSketch.estimate(DistinctSketch.registers(
+        DistinctSketch.grams(docsOf(d1: _*).unionByName(docsOf(d2: _*)))))
+      .select("est_distinct").as[Long].head()
+    assert(sat.last.getAs[Long]("est_distinct") === fullEst)
+    // drop2's ticket through the unified surface: re-max ≡ never ingested
+    Seq(novDropId(s"$dir/drop2")).toDF("drop_id").write.parquet(s"$dir/tk")
+    graft.cli.Corpus.run(spark, Array(
+      "--takedown", s"$dir/tk", "--sketch-store", s"$dir/sk"))
+    val served = SketchStore.serveRegisters(spark, s"$dir/sk")
+      .collect().map(_.toSeq).toSet
+    val neverIngested = DistinctSketch.registers(
+        DistinctSketch.grams(docsOf(d1: _*)))
+      .collect().map(_.toSeq).toSet
+    assert(served === neverIngested,
+      "post-takedown registers ≡ never saw drop2")
+  }
+
   test("Corpus CLI: --profile-store accumulates per-drop partials; re-runs idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-profstore")

@@ -296,6 +296,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(served) === rows(scratch))
   }
 
+  test("graft_sketch_store / graft_sketch_growth read the distinct sketch from SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlsketch")
+    val a = Seq((1L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    graft.text.SketchStore.build(a, s"$dir/sk", "a")
+    graft.text.SketchStore.append(b, s"$dir/sk", "b")
+    val est = spark.sql(s"SELECT * FROM graft_sketch_store('$dir/sk')")
+    val estDirect = graft.text.SketchStore.serveEstimate(spark, s"$dir/sk")
+    assert(est.columns === estDirect.columns)
+    assert(rows(est) === rows(estDirect))
+    val curve = spark.sql(
+      s"SELECT * FROM graft_sketch_growth('$dir/sk') ORDER BY drops_seen")
+    val curveDirect = graft.text.SketchStore.growthCurve(spark, s"$dir/sk")
+      .orderBy(col("drops_seen"))
+    assert(curve.columns === curveDirect.columns)
+    assert(rows(curve) === rows(curveDirect))
+    // the last prefix's estimate is the full-store estimate
+    assert(rows(curve).last.last === rows(est).head.last)
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(

@@ -709,6 +709,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sketch-store ingest: foreachBatch appends per-batch registers; serve tracks the union") {
+    import graft.text.{DistinctSketch, SketchStore}
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-sketch").toString
+    val seed = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    SketchStore.build(seed, dir, "seed")
+    var history = seed
+    var lastVsScratch = true
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val dropId = f"batch-$epoch%06d"
+        if (!SketchStore.drops(spark, dir).contains(dropId))
+          SketchStore.appendStaged(batch, dir, dropId)()
+        history = history.unionByName(batch)
+        val got = SketchStore.serveRegisters(spark, dir)
+          .as[(Long, Long)].collect().toSet
+        val scratch = DistinctSketch.registers(DistinctSketch.grams(history))
+          .as[(Long, Long)].collect().toSet
+        lastVsScratch = got == scratch
+        ()
+      }
+      .start()
+    try {
+      mem.addData((10L, "zeta eta theta iota kappa"))
+      q.processAllAvailable()
+      assert(lastVsScratch,
+        "served registers must equal from-scratch after batch 0")
+      mem.addData((20L, "lambda mu nu xi omicron pi"))
+      q.processAllAvailable()
+      assert(lastVsScratch,
+        "served registers must equal from-scratch after batch 1")
+      assert(SketchStore.drops(spark, dir) ===
+        Set("seed", "batch-000000", "batch-000001"))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
