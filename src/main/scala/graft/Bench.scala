@@ -114,7 +114,8 @@ object Bench {
     prebuild(names.contains("q177_dsir_unlearn")) {
       graft.text.Queries.dsirUnlearnFixture(spark, sfDir) }
     prebuild(names.contains("q179_sketch_store") ||
-        names.contains("q181_sketch_growth")) {
+        names.contains("q181_sketch_growth") ||
+        names.contains("q182_sketch_overlap")) {
       graft.text.Queries.sketchStoreFixture(spark, sfDir) }
     prebuild(names.contains("q180_sketch_unlearn")) {
       graft.text.Queries.sketchUnlearnFixture(spark, sfDir) }

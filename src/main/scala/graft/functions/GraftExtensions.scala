@@ -347,6 +347,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strArg("graft_sketch_growth", args.head, "store dir"))
         .queryExecution.logical
     }
+    tvf("graft_sketch_overlap") { args =>
+      require(args.size == 1,
+        "usage: graft_sketch_overlap(<store dir>)")
+      graft.text.SketchStore.overlapMatrix(SparkSession.active,
+          strArg("graft_sketch_overlap", args.head, "store dir"))
+        .queryExecution.logical
+    }
     tvf("graft_manifest") { args =>
       require(args.size == 4, "usage: graft_manifest(<table>, <keyCol>, " +
         "'<comma-separated cols>', <shards>)")

@@ -1099,7 +1099,14 @@ object Queries {
     // prefix (a, ab, abc) from stored partials only — the "is new data
     // still novel?" monitor that never re-scans history.
     "q181_sketch_growth" -> ((s, dir) =>
-      SketchStore.growthCurve(s, sketchStoreFixture(s, dir)))
+      SketchStore.growthCurve(s, sketchStoreFixture(s, dir))),
+
+    // Inter-drop redundancy matrix: pairwise overlap estimates by
+    // inclusion–exclusion on the stored registers (HLL union is exact
+    // in-the-sketch; intersection is derived) — drops² × 256 stored
+    // rows replace what would otherwise be a corpus × corpus join.
+    "q182_sketch_overlap" -> ((s, dir) =>
+      SketchStore.overlapMatrix(s, sketchStoreFixture(s, dir)))
   )
 
   /** Substring-level repeated-span detection — the span-granularity dedup
@@ -2108,7 +2115,48 @@ object Queries {
        |     sum(1::BIGINT << (32 - rho)))) AS BIGINT) AS est_distinct
        |  FROM regs$sfx)""".stripMargin
 
+  /** One pair-overlap row by inclusion–exclusion over three est CTEs
+    * (`v$a`, `v$b`, `v$ab` each holding a single `est` column) — the
+    * SketchStore.overlapMatrix arithmetic verbatim.
+    */
+  private def sketchOverlapRow(a: String, b: String): String =
+    s"""SELECT '$a' AS drop_a, '$b' AS drop_b,
+       |  v$a.est AS est_a, v$b.est AS est_b, v$a$b.est AS est_union,
+       |  CAST(v$a.est + v$b.est - v$a$b.est AS BIGINT) AS overlap_est,
+       |  CAST((greatest(v$a.est + v$b.est - v$a$b.est, 0) * 1000000) //
+       |    least(v$a.est, v$b.est) AS BIGINT) AS containment_ppm
+       |FROM v$a, v$b, v$a$b""".stripMargin
+
+  /** `v$sfx AS (SELECT <integer-exact HLL estimate> AS est FROM regs$sfx)`. */
+  private def sketchEstVal(sfx: String): String =
+    s"""v$sfx AS (SELECT
+       |  CAST((470745088 * 4294967296) // (10000 *
+       |    ((256 - count(*)) * 4294967296 +
+       |     sum(1::BIGINT << (32 - rho)))) AS BIGINT) AS est
+       |  FROM regs$sfx)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // q182's drops are the q179 store's (a = % 3 = 1, b = % 3 = 2,
+    // c = % 3 = 0); each pair union replays the registers over the two
+    // slices together.
+    "q182_sketch_overlap" ->
+      s"""WITH ${sketchRegsCte("a", "doc_id % 3 = 1")},
+         |${sketchRegsCte("b", "doc_id % 3 = 2")},
+         |${sketchRegsCte("c", "doc_id % 3 = 0")},
+         |${sketchRegsCte("ab", "doc_id % 3 IN (1, 2)")},
+         |${sketchRegsCte("ac", "doc_id % 3 IN (0, 1)")},
+         |${sketchRegsCte("bc", "doc_id % 3 IN (0, 2)")},
+         |${sketchEstVal("a")},
+         |${sketchEstVal("b")},
+         |${sketchEstVal("c")},
+         |${sketchEstVal("ab")},
+         |${sketchEstVal("ac")},
+         |${sketchEstVal("bc")}
+         |${sketchOverlapRow("a", "b")}
+         |UNION ALL
+         |${sketchOverlapRow("a", "c")}
+         |UNION ALL
+         |${sketchOverlapRow("b", "c")}""".stripMargin,
     "q178_distinct_sketch" ->
       s"""WITH ${sketchRegsCte("", "TRUE")},
          |${sketchEstCte("", 1, "all")},

@@ -111,6 +111,51 @@ object SketchStore extends graft.operators.DropLedger {
   def serveEstimate(s: SparkSession, storeDir: String): DataFrame =
     DistinctSketch.estimate(serveRegisters(s, storeDir))
 
+  /** Pairwise drop-overlap estimates from stored partials ONLY — the
+    * inter-drop redundancy matrix ("is Tuesday's crawl re-fetching
+    * Monday's?") by inclusion–exclusion on the sketch estimates:
+    * overlap_est = est_a + est_b − est_union, where est_union comes
+    * from max-merging just the two drops' register rows (HLL union is
+    * exact-in-the-sketch; intersection is the derived quantity). At
+    * 100 TB this replaces a corpus × corpus join with drops² × m stored
+    * rows. Sketch error can drive a small true-zero overlap NEGATIVE —
+    * reported raw (clamping here would hide the error band; the
+    * containment column floors at 0 because a ratio is a decision
+    * feed). containment_ppm = overlap relative to the SMALLER drop in
+    * integer ppm — near 10^6 means one drop is essentially inside the
+    * other.
+    */
+  def overlapMatrix(s: SparkSession, storeDir: String): DataFrame = {
+    import s.implicits._
+    storedCfg(s, storeDir)
+    val ordered = drops(s, storeDir).toSeq.sorted
+    val pairs = (for {
+      i <- ordered.indices; j <- (i + 1) until ordered.size
+    } yield (ordered(i), ordered(j))).toDF("drop_a", "drop_b")
+    val parts = load(s, storeDir)
+    // a drop's partial rows ARE its registers (per-bucket max at build)
+    val single = DistinctSketch.estimateAgg(
+      parts.select(col("drop_id"), col("bucket"), col("rho")),
+      Seq(col("drop_id")))
+    val unionRegs = parts
+      .join(broadcast(pairs),
+        col("drop_id") === col("drop_a") || col("drop_id") === col("drop_b"))
+      .groupBy(col("drop_a"), col("drop_b"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    DistinctSketch.estimateAgg(unionRegs, Seq(col("drop_a"), col("drop_b")))
+      .select(col("drop_a"), col("drop_b"),
+        col("est_distinct").as("est_union"))
+      .join(broadcast(single.select(col("drop_id").as("drop_a"),
+        col("est_distinct").as("est_a"))), Seq("drop_a"))
+      .join(broadcast(single.select(col("drop_id").as("drop_b"),
+        col("est_distinct").as("est_b"))), Seq("drop_b"))
+      .select(col("drop_a"), col("drop_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("overlap_est"))
+      .withColumn("containment_ppm",
+        expr("(greatest(overlap_est, 0L) * 1000000) div least(est_a, est_b)"))
+  }
+
   /** The saturation curve: one row per ingest PREFIX of the
     * lexicographically-ordered drops (date-shaped ids sort themselves) —
     * (drops_seen, last_drop, occupied, est_distinct). A flattening

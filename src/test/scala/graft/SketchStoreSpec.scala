@@ -132,6 +132,32 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(curve(2)._4 === full._3 && curve(2)._3 === full._2)
   }
 
+  test("overlap matrix: identical drops read as contained, disjoint drops as empty") {
+    val dir = Files.createTempDirectory("sketchstore-ov").toString
+    def slab(name: String, lo: Int, hi: Int): DataFrame =
+      docs((lo.toLong, (lo to hi).map(i => s"$name$i").mkString(" ")))
+    // a and b share NO values; c is a verbatim copy of a's values
+    SketchStore.build(slab("x", 1, 3000), dir, "a")
+    SketchStore.append(slab("y", 1, 3000), dir, "b")
+    SketchStore.append(slab("x", 1, 3000), dir, "c")
+    val m = SketchStore.overlapMatrix(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(m.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ac = m(("a", "c"))
+    // identical value sets: union est == each side's est, overlap == est,
+    // containment == exactly 10^6 (integer arithmetic, no tolerance)
+    assert(ac._3 === ac._4 && ac._4 === ac._5 && ac._6 === ac._3)
+    assert(ac._7 === 1000000L)
+    // disjoint drops: overlap is sketch noise around 0 — well under the
+    // ~3000 true cardinality (deterministic for this fixed data)
+    val ab = m(("a", "b"))
+    assert(math.abs(ab._6) < ab._3 / 3,
+      s"disjoint overlap should be noise, got ${ab._6} vs est ${ab._3}")
+    assert(ab._7 < 350000L,
+      s"disjoint containment should be far from 10^6, got ${ab._7}")
+  }
+
   test("rho recipe: bit-granular positions and the cap") {
     // reference values computed from the md5 hex by hand: for value v,
     // rho = 1 + (leading zero bits of md5[3..15] as 52 bits), capped 32

@@ -316,6 +316,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(curve) === rows(curveDirect))
     // the last prefix's estimate is the full-store estimate
     assert(rows(curve).last.last === rows(est).head.last)
+    val ov = spark.sql(
+      s"SELECT * FROM graft_sketch_overlap('$dir/sk')")
+    val ovDirect = graft.text.SketchStore.overlapMatrix(spark, s"$dir/sk")
+    assert(ov.columns === ovDirect.columns)
+    assert(rows(ov) === rows(ovDirect))
   }
 
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
