@@ -1106,7 +1106,37 @@ object Queries {
     // in-the-sketch; intersection is derived) — drops² × 256 stored
     // rows replace what would otherwise be a corpus × corpus join.
     "q182_sketch_overlap" -> ((s, dir) =>
-      SketchStore.overlapMatrix(s, sketchStoreFixture(s, dir)))
+      SketchStore.overlapMatrix(s, sketchStoreFixture(s, dir))),
+
+    // Hybrid retrieval: q164's BM25 workload fused with the exact-cosine
+    // vector leg by Reciprocal-Rank Fusion in integer ppb (see Hybrid).
+    // vec_id ≡ doc_id in TESTDATA, so the two legs rank one candidate
+    // space; the vector leg is the brute-force baseline (production
+    // swaps in the IVF/LSH serve — the fusion is leg-agnostic).
+    "q183_hybrid_rrf" -> ((s, dir) => {
+      val k = 10
+      val lex = Hybrid.addRank(
+        Retrieval.bm25TopKFor(
+          Tables(s, dir).documents
+            .repartition(s.sparkContext.defaultParallelism),
+          probe = col("doc_id") % 5 === 0 && col("doc_id") < 60, k = k),
+        col("query_id"), Seq(col("score_ppt").desc, col("doc_id").asc),
+        "lex_rank", k)
+      val e = graft.vector.Queries.prepared(s, dir)
+      val qs = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 60)
+      val scored = e
+        .repartition(s.sparkContext.defaultParallelism).as("b")
+        .crossJoin(broadcast(qs.as("a")))
+        .select(col("a.vec_id").as("query_id"),
+          col("b.vec_id").as("doc_id"),
+          graft.vector.VectorOps.cosineQ(
+            graft.functions.VectorDot.of(col("a.q"), col("b.q")),
+            col("a.n2"), col("b.n2")).as("sim"))
+      val vec = Hybrid.addRank(scored, col("query_id"),
+        Seq(col("sim").desc, col("doc_id").asc), "vec_rank", k)
+        .drop("sim")
+      Hybrid.rrfFuse(lex.drop("score_ppt"), vec, k)
+    })
   )
 
   /** Substring-level repeated-span detection — the span-granularity dedup
@@ -1934,7 +1964,15 @@ object Queries {
     * BIGINTs — DuckDB floor ≡ Spark `div` truncation.
     */
   private def bm25Oracle(queryWhere: String): String =
-    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    s"""WITH ${bm25Ctes(queryWhere)}
+       |SELECT query_id, doc_id, score_ppt FROM rk WHERE r <= 5""".stripMargin
+
+  /** The BM25 replay chain up to ranked (query_id, doc_id, score_ppt, r)
+    * in CTE `rk` — shared by the plain top-5 oracles and q183's hybrid
+    * fusion (which reads a deeper cut of the same ranking).
+    */
+  private def bm25Ctes(queryWhere: String): String =
+    s"""w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
        |p0 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term
        |  FROM w),
        |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
@@ -1957,8 +1995,7 @@ object Queries {
        |  FROM leg GROUP BY 1, 2),
        |rk AS (SELECT query_id, doc_id, score_ppt, row_number() OVER (
        |    PARTITION BY query_id ORDER BY score_ppt DESC, doc_id ASC) AS r
-       |  FROM sc)
-       |SELECT query_id, doc_id, score_ppt FROM rk WHERE r <= 5""".stripMargin
+       |  FROM sc)""".stripMargin
 
   /** q161's census replay, with `outFilter` restricting which docs'
     * census rows are emitted — chunk df always counts over the FULL
@@ -2267,6 +2304,36 @@ object Queries {
     // serve a 20-probe drop workload (probes all in the % 3 = 0 drop)
     // against the persisted index — store ∪ drop = the full table, and
     // q166 shares q165's oracle: takedown ≡ never-ingested.
+    // q183 fuses q164's BM25 ranking (cut at 10) with the exact-cosine
+    // vector ranking (q28's recipe, self included) by integer-ppb RRF;
+    // the full outer join keeps one-leg docs with the other rank NULL.
+    "q183_hybrid_rrf" ->
+      s"""WITH ${bm25Ctes("p.doc_id % 5 = 0 AND p.doc_id < 60")},
+         |lexleg AS (SELECT query_id, doc_id, CAST(r AS INT) AS lex_rank
+         |  FROM rk WHERE r <= 10),
+         |${graft.vector.Queries.quantCte},
+         |vp AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         |    ${graft.vector.Queries.dotExpr} AS dot_q, a.n2 na, b.n2 nb
+         |  FROM n a JOIN n b ON a.vec_id % 5 = 0 AND a.vec_id < 60),
+         |vr AS (SELECT query_id, doc_id,
+         |    CAST(dot_q AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS sim
+         |  FROM vp),
+         |vecleg AS (SELECT query_id, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS INT)
+         |    AS vec_rank
+         |  FROM vr QUALIFY vec_rank <= 10),
+         |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    l.lex_rank, v.vec_rank,
+         |    CAST(coalesce(1000000000 // (60 + l.lex_rank), 0) +
+         |         coalesce(1000000000 // (60 + v.vec_rank), 0)
+         |      AS BIGINT) AS rrf_ppb
+         |  FROM lexleg l FULL JOIN vecleg v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_ppb,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_ppb DESC, doc_id ASC) AS INT) AS rank
+         |FROM fused QUALIFY rank <= 10""".stripMargin,
     "q164_bm25_topk" -> bm25Oracle("p.doc_id % 5 = 0 AND p.doc_id < 60"),
     // q173 is the MaxScore-pruned traversal of exactly q164's workload —
     // pruning must never change the answer, so the oracle is shared

@@ -443,14 +443,14 @@ object Queries {
 
   // ---- DuckDB oracles ------------------------------------------------------
 
-  private val quantCte =
+  private[graft] val quantCte =
     s"""e AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE)*$Scale) AS BIGINT)) AS q
        |  FROM embeddings),
        |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(
        |    range(1, len(q)+1), i -> q[i]*q[i])) AS BIGINT) AS n2 FROM e)""".stripMargin
 
-  private val dotExpr =
+  private[graft] val dotExpr =
     "CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i])) AS BIGINT)"
 
   /** One-iteration Lloyd-replay CTE chain over source CTE `src`

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Hybrid
+
+/** RRF fusion semantics on planted rank lists: exact integer scores,
+  * both-legs dominance, one-leg NULL reporting, deterministic
+  * tie-breaks, and the k cut.
+  */
+class HybridSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def leg(rankCol: String, rows: (Long, Long, Int)*) =
+    rows.toDF("query_id", "doc_id", rankCol)
+
+  test("fused scores are the exact integer reciprocal sums; both-legs docs dominate") {
+    val lex = leg("lex_rank", (1L, 10L, 1), (1L, 20L, 2))
+    val vec = leg("vec_rank", (1L, 20L, 1), (1L, 30L, 2))
+    val got = Hybrid.rrfFuse(lex, vec, k = 10)
+      .orderBy(col("rank"))
+      .select("doc_id", "rrf_ppb", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    val r1 = 1000000000L / 61 // rank 1 term
+    val r2 = 1000000000L / 62 // rank 2 term
+    // doc 20 is on BOTH legs (ranks 2 and 1) and must out-score the
+    // single-leg rank-1 docs; docs 10 and 30 tie on score -> doc_id asc
+    assert(got === Seq((20L, r2 + r1, 1), (10L, r1, 2), (30L, r2, 3)))
+  }
+
+  test("one-leg docs report the other rank as NULL; k cuts the fused list") {
+    val lex = leg("lex_rank", (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val vec = leg("vec_rank", (1L, 12L, 1))
+    val fused = Hybrid.rrfFuse(lex, vec, k = 2)
+    val rows = fused.orderBy(col("rank"))
+      .select("doc_id", "lex_rank", "vec_rank")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(rows.length === 2, "k must cut the fused list")
+    assert(rows.head === ((12L, Some(3), Some(1))))
+    assert(rows(1) === ((10L, Some(1), None)),
+      "a lex-only doc must carry vec_rank NULL, not an imputed value")
+  }
+
+  test("addRank ranks per query and cuts at k") {
+    val scored = Seq((1L, 10L, 900L), (1L, 11L, 800L), (1L, 12L, 700L),
+      (2L, 10L, 100L)).toDF("query_id", "doc_id", "score")
+    val got = Hybrid.addRank(scored, col("query_id"),
+      Seq(col("score").desc, col("doc_id").asc), "r", 2)
+      .select("query_id", "doc_id", "r")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1)))
+  }
+}
