@@ -67,4 +67,25 @@ object Hybrid {
           .orderBy(col("rrf_ppb").desc, col("doc_id").asc)))
       .filter(col("rank") <= k)
   }
+
+  /** Known-item evaluation of one ranked system: each query's relevant
+    * doc is the probe it was derived from (doc_id = query_id — the
+    * standard self-retrieval diagnostic), so retrieval quality is a
+    * measured fact with NO labeled judgments needed. One row:
+    * (system, n_queries, n_found, mrr_ppb) with the reciprocal rank as
+    * the exact integer `10^9 div rank` (missing-at-k contributes 0) and
+    * MRR its integer mean — rational metrics only (MRR/found@k, not
+    * NDCG, whose log2 discount has no exact surrogate). Workload-sized
+    * end to end: `probes` is the query list, `ranked` a top-k frame.
+    */
+  def selfEval(probes: DataFrame, ranked: DataFrame,
+               system: String): DataFrame =
+    probes.join(
+        ranked.filter(col("doc_id") === col("query_id"))
+          .select(col("query_id"), col("rank")),
+        Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"), count(col("rank")).as("n_found"),
+        sum(coalesce(expr("1000000000 div rank"), lit(0L))).as("__rr"))
+      .select(lit(system).as("system"), col("n_queries"), col("n_found"),
+        expr("__rr div n_queries").as("mrr_ppb"))
 }

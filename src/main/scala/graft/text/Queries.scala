@@ -1113,31 +1113,54 @@ object Queries {
     // vec_id ≡ doc_id in TESTDATA, so the two legs rank one candidate
     // space; the vector leg is the brute-force baseline (production
     // swaps in the IVF/LSH serve — the fusion is leg-agnostic).
-    "q183_hybrid_rrf" -> ((s, dir) => {
-      val k = 10
-      val lex = Hybrid.addRank(
-        Retrieval.bm25TopKFor(
-          Tables(s, dir).documents
-            .repartition(s.sparkContext.defaultParallelism),
-          probe = col("doc_id") % 5 === 0 && col("doc_id") < 60, k = k),
-        col("query_id"), Seq(col("score_ppt").desc, col("doc_id").asc),
-        "lex_rank", k)
-      val e = graft.vector.Queries.prepared(s, dir)
-      val qs = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 60)
-      val scored = e
-        .repartition(s.sparkContext.defaultParallelism).as("b")
-        .crossJoin(broadcast(qs.as("a")))
-        .select(col("a.vec_id").as("query_id"),
-          col("b.vec_id").as("doc_id"),
-          graft.vector.VectorOps.cosineQ(
-            graft.functions.VectorDot.of(col("a.q"), col("b.q")),
-            col("a.n2"), col("b.n2")).as("sim"))
-      val vec = Hybrid.addRank(scored, col("query_id"),
-        Seq(col("sim").desc, col("doc_id").asc), "vec_rank", k)
-        .drop("sim")
-      Hybrid.rrfFuse(lex.drop("score_ppt"), vec, k)
+    "q183_hybrid_rrf" -> ((s, dir) => hybridLegs(s, dir)._3),
+
+    // Known-item retrieval evaluation (the q172 move for the retrieval
+    // stack): each q164-probe's relevant doc is itself, so found@10 and
+    // MRR (exact integer ppb) are measured facts per system — the
+    // lexical leg, the vector leg (a control: self-cosine is 1, rank 1
+    // by construction), and the fusion, one inference pass each.
+    "q184_retrieval_eval" -> ((s, dir) => {
+      val (lex, vec, fused) = hybridLegs(s, dir)
+      val probes = Tables(s, dir).documents
+        .filter(col("doc_id") % 5 === 0 && col("doc_id") < 60)
+        .select(col("doc_id").as("query_id"))
+      Hybrid.selfEval(probes,
+          lex.withColumnRenamed("lex_rank", "rank"), "bm25")
+        .unionByName(Hybrid.selfEval(probes,
+          vec.withColumnRenamed("vec_rank", "rank"), "vector"))
+        .unionByName(Hybrid.selfEval(probes, fused, "hybrid"))
     })
   )
+
+  /** q183/q184's shared legs: (lex top-10 with lex_rank, vector top-10
+    * with vec_rank, RRF-fused top-10) over q164's 12-probe workload.
+    */
+  private def hybridLegs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val k = 10
+    val lex = Hybrid.addRank(
+      Retrieval.bm25TopKFor(
+        Tables(s, dir).documents
+          .repartition(s.sparkContext.defaultParallelism),
+        probe = col("doc_id") % 5 === 0 && col("doc_id") < 60, k = k),
+      col("query_id"), Seq(col("score_ppt").desc, col("doc_id").asc),
+      "lex_rank", k).drop("score_ppt")
+    val e = graft.vector.Queries.prepared(s, dir)
+    val qs = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 60)
+    val scored = e
+      .repartition(s.sparkContext.defaultParallelism).as("b")
+      .crossJoin(broadcast(qs.as("a")))
+      .select(col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("doc_id"),
+        graft.vector.VectorOps.cosineQ(
+          graft.functions.VectorDot.of(col("a.q"), col("b.q")),
+          col("a.n2"), col("b.n2")).as("sim"))
+    val vec = Hybrid.addRank(scored, col("query_id"),
+      Seq(col("sim").desc, col("doc_id").asc), "vec_rank", k)
+      .drop("sim")
+    (lex, vec, Hybrid.rrfFuse(lex, vec, k))
+  }
 
   /** Substring-level repeated-span detection — the span-granularity dedup
     * from Lee et al., "Deduplicating Training Data Makes Language Models
@@ -2139,6 +2162,52 @@ object Queries {
        |regs$sfx AS (SELECT bucket, CAST(max(rho) AS BIGINT) AS rho
        |  FROM rr$sfx GROUP BY 1)""".stripMargin
 
+  /** q183/q184's shared replay: BM25 ranking (q164's chain, read at a
+    * 10-deep cut) + exact-cosine ranking (q28's recipe, self included) +
+    * the RRF fusion, ending at ranked CTE `fr` (query_id, doc_id,
+    * lex_rank, vec_rank, rrf_ppb, rank).
+    */
+  private def hybridCtes: String =
+    s"""${bm25Ctes("p.doc_id % 5 = 0 AND p.doc_id < 60")},
+       |lexleg AS (SELECT query_id, doc_id, CAST(r AS INT) AS lex_rank
+       |  FROM rk WHERE r <= 10),
+       |${graft.vector.Queries.quantCte},
+       |vp AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+       |    ${graft.vector.Queries.dotExpr} AS dot_q, a.n2 na, b.n2 nb
+       |  FROM n a JOIN n b ON a.vec_id % 5 = 0 AND a.vec_id < 60),
+       |vr AS (SELECT query_id, doc_id,
+       |    CAST(dot_q AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS sim
+       |  FROM vp),
+       |vecleg AS (SELECT query_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS INT)
+       |    AS vec_rank
+       |  FROM vr QUALIFY vec_rank <= 10),
+       |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    l.lex_rank, v.vec_rank,
+       |    CAST(coalesce(1000000000 // (60 + l.lex_rank), 0) +
+       |         coalesce(1000000000 // (60 + v.vec_rank), 0)
+       |      AS BIGINT) AS rrf_ppb
+       |  FROM lexleg l FULL JOIN vecleg v
+       |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+       |fr AS (SELECT query_id, doc_id, lex_rank, vec_rank, rrf_ppb,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_ppb DESC, doc_id ASC) AS INT) AS rank
+       |  FROM fused)""".stripMargin
+
+  /** One known-item eval row over self-rank CTE `srcCte` (query_id,
+    * srank): found@k count and exact-integer MRR ppb, missing probes
+    * contributing 0 through the LEFT JOIN.
+    */
+  private def retrievalEvalRow(sfx: String, system: String,
+                               srcCte: String): String =
+    s"""ev$sfx AS (SELECT '$system' AS system,
+       |  CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(count(s.srank) AS BIGINT) AS n_found,
+       |  CAST(sum(coalesce(1000000000 // s.srank, 0)) // count(*)
+       |    AS BIGINT) AS mrr_ppb
+       |  FROM probes p LEFT JOIN $srcCte s USING (query_id))""".stripMargin
+
   /** The integer-exact HLL estimate over one regs CTE — the
     * DistinctSketch.estimateAgg arithmetic verbatim (α·m²·2^32 with
     * α = 7183/10^4, m = 256: numerator 470745088·2^32 ≈ 2.02·10^18,
@@ -2308,32 +2377,26 @@ object Queries {
     // vector ranking (q28's recipe, self included) by integer-ppb RRF;
     // the full outer join keeps one-leg docs with the other rank NULL.
     "q183_hybrid_rrf" ->
-      s"""WITH ${bm25Ctes("p.doc_id % 5 = 0 AND p.doc_id < 60")},
-         |lexleg AS (SELECT query_id, doc_id, CAST(r AS INT) AS lex_rank
-         |  FROM rk WHERE r <= 10),
-         |${graft.vector.Queries.quantCte},
-         |vp AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
-         |    ${graft.vector.Queries.dotExpr} AS dot_q, a.n2 na, b.n2 nb
-         |  FROM n a JOIN n b ON a.vec_id % 5 = 0 AND a.vec_id < 60),
-         |vr AS (SELECT query_id, doc_id,
-         |    CAST(dot_q AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS sim
-         |  FROM vp),
-         |vecleg AS (SELECT query_id, doc_id, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS INT)
-         |    AS vec_rank
-         |  FROM vr QUALIFY vec_rank <= 10),
-         |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
-         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
-         |    l.lex_rank, v.vec_rank,
-         |    CAST(coalesce(1000000000 // (60 + l.lex_rank), 0) +
-         |         coalesce(1000000000 // (60 + v.vec_rank), 0)
-         |      AS BIGINT) AS rrf_ppb
-         |  FROM lexleg l FULL JOIN vecleg v
-         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
-         |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_ppb,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY rrf_ppb DESC, doc_id ASC) AS INT) AS rank
-         |FROM fused QUALIFY rank <= 10""".stripMargin,
+      s"""WITH $hybridCtes
+         |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_ppb, rank
+         |FROM fr WHERE rank <= 10""".stripMargin,
+    // q184's known-item eval: for each system, the probe's own doc_id
+    // looked up in its top-10; MRR in exact integer ppb.
+    "q184_retrieval_eval" ->
+      s"""WITH $hybridCtes,
+         |probes AS (SELECT doc_id AS query_id FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id < 60),
+         |sb AS (SELECT query_id, lex_rank AS srank FROM lexleg
+         |  WHERE doc_id = query_id),
+         |sv AS (SELECT query_id, vec_rank AS srank FROM vecleg
+         |  WHERE doc_id = query_id),
+         |sh AS (SELECT query_id, rank AS srank FROM fr
+         |  WHERE rank <= 10 AND doc_id = query_id),
+         |${retrievalEvalRow("1", "bm25", "sb")},
+         |${retrievalEvalRow("2", "vector", "sv")},
+         |${retrievalEvalRow("3", "hybrid", "sh")}
+         |SELECT * FROM ev1 UNION ALL SELECT * FROM ev2
+         |UNION ALL SELECT * FROM ev3""".stripMargin,
     "q164_bm25_topk" -> bm25Oracle("p.doc_id % 5 = 0 AND p.doc_id < 60"),
     // q173 is the MaxScore-pruned traversal of exactly q164's workload —
     // pruning must never change the answer, so the oracle is shared

@@ -43,6 +43,19 @@ class HybridSpec extends AnyFunSuite {
       "a lex-only doc must carry vec_rank NULL, not an imputed value")
   }
 
+  test("selfEval: known-item metrics in exact integers; misses count as 0") {
+    val probes = Seq(1L, 2L, 3L, 4L).toDF("query_id")
+    // self-hits: q1 at rank 1, q2 at rank 4, q4 at rank 2; q3 never
+    // finds itself (and q2's top hit is some other doc — ignored)
+    val ranked = Seq(
+      (1L, 1L, 1), (2L, 99L, 1), (2L, 2L, 4), (4L, 4L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Hybrid.selfEval(probes, ranked, "sys")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got === (("sys", 4L, 3L,
+      (1000000000L + 250000000L + 500000000L) / 4)))
+  }
+
   test("addRank ranks per query and cuts at k") {
     val scored = Seq((1L, 10L, 900L), (1L, 11L, 800L), (1L, 12L, 700L),
       (2L, 10L, 100L)).toDF("query_id", "doc_id", "score")
