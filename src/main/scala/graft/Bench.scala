@@ -119,6 +119,8 @@ object Bench {
       graft.text.Queries.sketchStoreFixture(spark, sfDir) }
     prebuild(names.contains("q180_sketch_unlearn")) {
       graft.text.Queries.sketchUnlearnFixture(spark, sfDir) }
+    prebuild(names.contains("q185_sketch_admission")) {
+      graft.text.Queries.sketchAdmitFixture(spark, sfDir) }
 
     // (name, min, max) — min is the billed value (intrinsic plan cost,
     // see the header doc); max rides along in target/bench.json as

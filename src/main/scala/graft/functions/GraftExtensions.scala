@@ -354,6 +354,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strArg("graft_sketch_overlap", args.head, "store dir"))
         .queryExecution.logical
     }
+    tvf("graft_sketch_admit") { args =>
+      require(args.size == 2,
+        "usage: graft_sketch_admit(<store dir>, <candidate docs table>)")
+      graft.text.SketchStore.admission(
+          SparkSession.active.table(
+            strArg("graft_sketch_admit", args(1), "candidate docs table")),
+          strArg("graft_sketch_admit", args.head, "store dir"),
+          eager = false)
+        .queryExecution.logical
+    }
+    tvf("graft_rrf") { args =>
+      require(args.size == 3,
+        "usage: graft_rrf(<lex table (query_id, doc_id, rank)>, " +
+          "<vec table (query_id, doc_id, rank)>, <k>)")
+      graft.text.Hybrid.rrfFuse(
+          SparkSession.active.table(
+            strArg("graft_rrf", args.head, "lex table"))
+            .withColumnRenamed("rank", "lex_rank"),
+          SparkSession.active.table(
+            strArg("graft_rrf", args(1), "vec table"))
+            .withColumnRenamed("rank", "vec_rank"),
+          intArg("graft_rrf", args(2), "k"))
+        .queryExecution.logical
+    }
     tvf("graft_manifest") { args =>
       require(args.size == 4, "usage: graft_manifest(<table>, <keyCol>, " +
         "'<comma-separated cols>', <shards>)")

@@ -1115,6 +1115,16 @@ object Queries {
     // swaps in the IVF/LSH serve — the fusion is leg-agnostic).
     "q183_hybrid_rrf" -> ((s, dir) => hybridLegs(s, dir)._3),
 
+    // Pre-ingest admission: the % 3 = 0 slice arrives as a CANDIDATE
+    // drop against a store holding only the other two thirds — one
+    // sketch pass over the candidate + drops × 256 stored rows decide
+    // how much of it is new BEFORE any ingest or dedup cost.
+    "q185_sketch_admission" -> ((s, dir) =>
+      SketchStore.admission(
+        Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+          .repartition(s.sparkContext.defaultParallelism),
+        sketchAdmitFixture(s, dir))),
+
     // Known-item retrieval evaluation (the q172 move for the retrieval
     // stack): each q164-probe's relevant doc is itself, so found@10 and
     // MRR (exact integer ppb) are measured facts per system — the
@@ -1693,6 +1703,27 @@ object Queries {
       storeDir
     })
 
+  /** q185's admission store: only the a/b drops — the % 3 = 0 slice is
+    * the never-ingested candidate the admission check scores.
+    */
+  private[graft] def sketchAdmitFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#sketch-adm"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-sketchstore-adm").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      SketchStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      SketchStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      storeDir
+    })
+
   private[graft] def sketchUnlearnFixture(s: SparkSession, dir: String): String =
     sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#sketch-td"), { _ =>
       val storeDir = java.nio.file.Files
@@ -2242,6 +2273,22 @@ object Queries {
        |  FROM regs$sfx)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // q185's candidate is the % 3 = 0 slice against the a/b-only store;
+    // the oracle replays drop/store/union registers and the admission
+    // arithmetic verbatim.
+    "q185_sketch_admission" ->
+      s"""WITH ${sketchRegsCte("dr", "doc_id % 3 = 0")},
+         |${sketchRegsCte("st", "doc_id % 3 IN (1, 2)")},
+         |${sketchRegsCte("un", "TRUE")},
+         |${sketchEstVal("dr")},
+         |${sketchEstVal("st")},
+         |${sketchEstVal("un")}
+         |SELECT vdr.est AS est_drop, vst.est AS est_store,
+         |  vun.est AS est_union,
+         |  CAST(vun.est - vst.est AS BIGINT) AS novelty_est,
+         |  CAST((greatest(vdr.est - (vun.est - vst.est), 0) * 1000000) //
+         |    vdr.est AS BIGINT) AS containment_ppm
+         |FROM vdr, vst, vun""".stripMargin,
     // q182's drops are the q179 store's (a = % 3 = 1, b = % 3 = 2,
     // c = % 3 = 0); each pair union replays the registers over the two
     // slices together.

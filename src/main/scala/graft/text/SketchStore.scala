@@ -156,6 +156,44 @@ object SketchStore extends graft.operators.DropLedger {
         expr("(greatest(overlap_est, 0L) * 1000000) div least(est_a, est_b)"))
   }
 
+  /** Pre-ingest admission check: how much of a CANDIDATE drop is new
+    * against the stored history, decided before the drop ever joins the
+    * store — sketch the candidate (one pass over the drop only),
+    * max-merge against the served registers, and report
+    * (est_drop, est_store, est_union, novelty_est, containment_ppm) in
+    * one row: novelty_est = est_union − est_store (what the drop would
+    * ADD), containment_ppm = the drop's overlap share of itself (near
+    * 10^6 ⇒ the drop is essentially already ingested — skip it). The
+    * history is never re-read beyond drops × m register rows, so the
+    * admission decision for a day's crawl costs one scan OF THAT CRAWL
+    * — the gate that keeps a 100 TB pool from paying full dedup cost on
+    * a drop that was 95% old news. Sketch error can drive novelty_est
+    * slightly negative on a fully-contained drop — reported raw, like
+    * [[overlapMatrix]].
+    */
+  def admission(docs: DataFrame, storeDir: String, textCol: String = "text",
+                eager: Boolean = true): DataFrame = {
+    val s = docs.sparkSession
+    val cfg = storedCfg(s, storeDir)
+    val gram = cfg.drop(1).takeWhile(_ != '-').toInt
+    val dropRegs0 = DistinctSketch.registers(
+      DistinctSketch.grams(docs, textCol, gram))
+    val dropRegs = if (eager) Dedup.materialize(dropRegs0) else dropRegs0
+    val storeRegs = serveRegisters(s, storeDir)
+    val estOf = (regs: DataFrame, name: String) =>
+      DistinctSketch.estimateAgg(regs, Seq.empty)
+        .select(col("est_distinct").as(name))
+    estOf(dropRegs, "est_drop")
+      .crossJoin(broadcast(estOf(storeRegs, "est_store")))
+      .crossJoin(broadcast(estOf(
+        dropRegs.unionByName(storeRegs)
+          .groupBy(col("bucket")).agg(max(col("rho")).as("rho")),
+        "est_union")))
+      .withColumn("novelty_est", expr("est_union - est_store"))
+      .withColumn("containment_ppm",
+        expr("(greatest(est_drop - novelty_est, 0L) * 1000000) div est_drop"))
+  }
+
   /** The saturation curve: one row per ingest PREFIX of the
     * lexicographically-ordered drops (date-shaped ids sort themselves) —
     * (drops_seen, last_drop, occupied, est_distinct). A flattening

@@ -158,6 +158,28 @@ class SketchStoreSpec extends AnyFunSuite {
       s"disjoint containment should be far from 10^6, got ${ab._7}")
   }
 
+  test("admission: a re-fetched drop reads as contained, a fresh one as novel") {
+    val dir = Files.createTempDirectory("sketchstore-adm").toString
+    def slab(name: String, lo: Int, hi: Int): DataFrame =
+      docs((lo.toLong, (lo to hi).map(i => s"$name$i").mkString(" ")))
+    SketchStore.build(slab("x", 1, 3000), dir, "a")
+    // candidate 1: the history re-fetched verbatim — nothing new
+    val contained = SketchStore.admission(slab("x", 1, 3000), dir)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(contained._1 === contained._2 && contained._3 === contained._2,
+      "identical value sets must sketch identically")
+    assert(contained._4 === 0L && contained._5 === 1000000L,
+      s"re-fetch must read as fully contained, got $contained")
+    // candidate 2: all-new values — novelty ≈ its own estimate,
+    // containment far from 10^6 (deterministic for this fixed data)
+    val fresh = SketchStore.admission(slab("y", 1, 3000), dir)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(fresh._5 < 350000L,
+      s"an all-new drop must read as mostly novel, got $fresh")
+    assert(fresh._4 > fresh._1 / 3,
+      s"novelty_est must be a large share of the fresh drop's estimate: $fresh")
+  }
+
   test("rho recipe: bit-granular positions and the cap") {
     // reference values computed from the md5 hex by hand: for value v,
     // rho = 1 + (leading zero bits of md5[3..15] as 52 bits), capped 32

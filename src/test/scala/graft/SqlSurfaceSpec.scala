@@ -321,6 +321,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val ovDirect = graft.text.SketchStore.overlapMatrix(spark, s"$dir/sk")
     assert(ov.columns === ovDirect.columns)
     assert(rows(ov) === rows(ovDirect))
+    b.createOrReplaceTempView("sql_sketch_cand")
+    val adm = spark.sql(
+      s"SELECT * FROM graft_sketch_admit('$dir/sk', 'sql_sketch_cand')")
+    val admDirect = graft.text.SketchStore.admission(b, s"$dir/sk")
+    assert(adm.columns === admDirect.columns)
+    assert(rows(adm) === rows(admDirect))
+    // b is already ingested: the candidate must read fully contained
+    assert(adm.select("containment_ppm").as[Long].head() === 1000000L)
+  }
+
+  test("graft_rrf fuses two arbitrary rank-list tables from SQL") {
+    Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+      .createOrReplaceTempView("sql_rrf_lex")
+    Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "doc_id", "rank")
+      .createOrReplaceTempView("sql_rrf_vec")
+    val got = spark.sql(
+      "SELECT doc_id, rank FROM graft_rrf('sql_rrf_lex', 'sql_rrf_vec', 10) " +
+        "ORDER BY rank")
+      .as[(Long, Int)].collect().toSeq
+    // doc 20 is on both legs and must fuse to the top
+    assert(got === Seq((20L, 1), (10L, 2), (30L, 3)))
   }
 
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
