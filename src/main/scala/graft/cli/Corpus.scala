@@ -169,10 +169,13 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        --drop-id (max-merge ≡ sketching
   *                                        the union from scratch, q179;
   *                                        takedown re-maxes survivors to
-  *                                        the never-ingested sketch, q180),
-  *                                        then OUT/_saturation gets the
-  *                                        distinct-gram growth curve
-  *                                        (q181's operator)
+  *                                        the never-ingested sketch, q180);
+  *                                        later runs write OUT/_admission
+  *                                        (this drop's novelty vs the
+  *                                        history, BEFORE the append —
+  *                                        q185's operator) and
+  *                                        OUT/_saturation (the growth
+  *                                        curve including it, q181's)
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -1176,20 +1179,28 @@ object Corpus {
           else warnSkippedDrop("--dsir-store", dropId, dd)
         }
       }
-      // _saturation: the distinct-gram growth curve AFTER this drop's
-      // registers join the store — the "is new data still novel?"
-      // monitor, read from drops × 256 stored rows only (the corpus is
-      // hashed once, at its own ingest). Max-merge makes a re-run of an
-      // already-stored drop harmless, but the skip keeps the ledger
-      // truthful for --takedown.
+      // _admission (pre-append): how novel THIS drop is against the
+      // stored history — the read-only decision artifact, written
+      // BEFORE the registers join the store (the _dsir/_novelty order:
+      // score first, ingest second, so the report reflects what the
+      // drop looked like on arrival). _saturation (post-append): the
+      // distinct-gram growth curve including this drop — the "is new
+      // data still novel?" monitor. Both read drops × 256 stored rows;
+      // the corpus is hashed once, at its own ingest. Max-merge makes a
+      // re-run of an already-stored drop harmless, but the skip keeps
+      // the ledger truthful for --takedown.
       a.sketchStore.foreach { kd =>
         import graft.text.SketchStore
         val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
-        if (!SketchStore.exists(spark, kd))
+        if (!SketchStore.exists(spark, kd)) {
           SketchStore.buildStaged(r.train, kd, dropId)()
-        else if (!SketchStore.drops(spark, kd).contains(dropId))
-          SketchStore.appendStaged(r.train, kd, dropId)()
-        else warnSkippedDrop("--sketch-store", dropId, kd)
+        } else {
+          SketchStore.admission(r.train, kd)
+            .write.mode("overwrite").parquet(s"${a.out}/_admission")
+          if (!SketchStore.drops(spark, kd).contains(dropId))
+            SketchStore.appendStaged(r.train, kd, dropId)()
+          else warnSkippedDrop("--sketch-store", dropId, kd)
+        }
         SketchStore.growthCurve(spark, kd)
           .write.mode("overwrite").parquet(s"${a.out}/_saturation")
       }

@@ -968,8 +968,11 @@ class CliSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.text.{DistinctSketch, SketchStore}
     val dir = Files.createTempDirectory("corpus-sketch")
-    val d1 = Seq((1L, "one two three four five six seven"))
-    val d2 = Seq((2L, "eight nine ten eleven twelve thirteen"))
+    // in-regime cardinalities (the raw estimator's floor sits near 184
+    // below ~640 distinct values — SketchStoreSpec pins the regime; here
+    // each drop carries ~2000 distinct grams so novelty is measurable)
+    val d1 = Seq((1L, (1 to 2000).map(i => s"x$i").mkString(" ")))
+    val d2 = Seq((2L, (1 to 2000).map(i => s"y$i").mkString(" ")))
     docsOf(d1: _*).write.parquet(s"$dir/drop1")
     docsOf(d2: _*).write.parquet(s"$dir/drop2")
     graft.cli.Corpus.run(spark, Array(
@@ -977,6 +980,11 @@ class CliSpec extends AnyFunSuite {
     graft.cli.Corpus.run(spark, Array(
       "-I", s"$dir/drop2", "-O", s"$dir/out2", "--sketch-store", s"$dir/sk"))
     assert(SketchStore.drops(spark, s"$dir/sk").size === 2)
+    // the pre-append _admission artifact scored drop2 against drop1's
+    // registers only — all-new values, so novelty ≈ its own estimate
+    val adm = spark.read.parquet(s"$dir/out2/_admission").collect().head
+    assert(adm.getAs[Long]("novelty_est") > adm.getAs[Long]("est_drop") / 3,
+      s"fresh drop2 must read as mostly novel on arrival: $adm")
     // the _saturation artifact is the growth curve over both drops and
     // its last point is the full-union sketch estimate
     val sat = spark.read.parquet(s"$dir/out2/_saturation")
