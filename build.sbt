@@ -16,6 +16,11 @@ run / fork := true
 // Bench stdout line three rounds running (BENCH_r07–r09 `parsed: null`).
 // StdoutOutput inherits sbt's real stdout at the fd level: bare lines.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver keeps only a ~2 kB TAIL of stdout; at 185 bench rows the
+// compact JSON line is ~1990 bytes, and sbt's trailing "[success]
+// Total time: ..." (~60 bytes) would push the line's OPENING BRACE out
+// of the window. Success is still signaled by exit code 0.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
