@@ -531,4 +531,37 @@ class PlanSpec extends AnyFunSuite {
     // both faces of the gate still produce the same predictions
     assert(gated.collect().toSet === hinted.collect().toSet)
   }
+
+  test("q179 sketch serve prunes the store scan to (bucket, rho) and is one partial/final max") {
+    val f = formatted("q179_sketch_store")
+    // column pruning must reach the parquet footer: drop_id/cfg are
+    // ledger metadata the serve never reads
+    assert(f.contains("ReadSchema: struct<bucket:bigint,rho:bigint>"),
+      s"serve must scan only the register columns:\n$f")
+    assert(f.contains("partial_max"),
+      "the max-merge must combine map-side before the exchange")
+    assert(!f.contains("SortMergeJoin") && !f.contains("Window"),
+      "serve is one aggregation — no join, no window")
+  }
+
+  test("q178 sketch registers partial-aggregate the gram stream; estimate joins a broadcast 1-row audit") {
+    val f = formatted("q178_distinct_sketch")
+    assert(f.contains("partial_max"),
+      "register construction must map-side combine (shuffle <= m x partitions rows)")
+    assert(f.contains("BroadcastNestedLoopJoin") ||
+        f.contains("BroadcastExchange"),
+      "the exact-audit column must join as a broadcast 1-row frame")
+    assert(!f.contains("SortMergeJoin"),
+      "nothing corpus-sized may sort-merge in the sketch path")
+  }
+
+  test("q185 admission never shuffles the history: store registers + candidate registers only") {
+    val f = formatted("q185_sketch_admission")
+    // both sides reduce to <= 256-row register frames before any join;
+    // the only joins are the broadcast 1-row estimate crosses
+    assert(!f.contains("SortMergeJoin"),
+      "admission must not sort-merge anything")
+    assert(f.contains("partial_max"),
+      "the candidate's registers must map-side combine")
+  }
 }
