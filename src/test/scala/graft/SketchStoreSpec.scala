@@ -183,20 +183,31 @@ class SketchStoreSpec extends AnyFunSuite {
   test("rho recipe: bit-granular positions and the cap") {
     // reference values computed from the md5 hex by hand: for value v,
     // rho = 1 + (leading zero bits of md5[3..15] as 52 bits), capped 32
-    val rows = Seq("a", "b", "c", "xyz").toDF("g")
-    val got = rows.select(col("g"),
+    // 500 deterministic values cross-checked against an INDEPENDENT
+    // bit-level implementation (JDK MessageDigest + binary strings vs
+    // the engine's hex-string CASE arithmetic) — two algorithms, one
+    // answer, the ScaleGateSpec discipline applied to the register
+    // recipe; plus the bucket split on the same values
+    val vals = (1 to 496).map(i => s"val-$i") ++ Seq("a", "b", "c", "xyz")
+    val got = vals.toDF("g").select(col("g"),
+      DistinctSketch.bucketOf(col("g")).as("bucket"),
       DistinctSketch.rhoOf(col("g")).as("rho"))
-      .as[(String, Int)].collect().toMap
-    def refRho(v: String): Int = {
+      .as[(String, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def ref(v: String): (Long, Int) = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val bits = hex.substring(2, 15).flatMap(c =>
         String.format("%4s", Integer.toBinaryString(Integer.parseInt(c.toString, 16)))
           .replace(' ', '0'))
-      math.min(bits.indexOf('1') match { case -1 => 52; case i => i + 1 }, 32)
+      val rho = math.min(bits.indexOf('1') match { case -1 => 52; case i => i + 1 }, 32)
+      (java.lang.Long.parseLong(hex.substring(0, 2), 16), rho)
     }
-    Seq("a", "b", "c", "xyz").foreach { v =>
-      assert(got(v) === refRho(v), s"rho('$v')")
+    vals.foreach { v =>
+      assert(got(v) === ref(v), s"(bucket, rho)('$v')")
     }
+    // the planted set must exercise deep registers, not just rho 1-2
+    assert(vals.map(v => ref(v)._2).max >= 7,
+      "the cross-check set should cover multi-bit leading-zero runs")
   }
 }
