@@ -49,6 +49,15 @@ object Retrieval {
   /** Results per query. */
   val TopK = 5
 
+  /** Candidate-doc rows above which the MaxScore doc semi-join stops
+    * force-broadcasting the candidate set and falls back to a shuffled
+    * semi-join — one long column at ~24 bytes/unsafe row keeps 4M rows
+    * near 100 MB, comfortably inside an executor while far above any
+    * gated fixture. Same discipline as [[Classify.MaxBroadcastModelRows]]:
+    * the hint is a performance choice that must never be able to OOM.
+    */
+  val MaxBroadcastCandidateRows: Long = 4000000L
+
   /** The inverted index as a frame: (doc_id, term, tf, dl) — one row per
     * distinct (doc, term), `tf` the in-doc term frequency, `dl` the doc
     * length in words (ridden along so scoring never re-joins a doc-stats
@@ -161,29 +170,46 @@ object Retrieval {
     *     most Σ ub(t) over the query's non-essential terms, where
     *     ub(t) = (idf_ppt(t) · 2200) div 1000 bounds a term's per-doc
     *     contribution (tf_ppt < 2200 = (k1+1)·1000 for every tf, dl).
-    *     A query whose k-th pruned score STRICTLY exceeds that bound is
-    *     PROVEN exact (strict, because a tie could still displace the
-    *     k-th hit through the doc_id tie-break);
-    *     a query that fails the certificate (or has no essential term,
-    *     or fewer than k certified hits) re-runs the full traversal —
-    *     correctness never depends on the cutoff choice, only the
-    *     savings do. Both branches live in one lazy plan: the fallback
-    *     join processes exactly the failed queries' rows.
+    *     A query that skipped NO corpus-present term is trivially exact
+    *     (its candidates are every doc sharing any scoring term; absent
+    *     terms contribute no rows to the full traversal either). A query
+    *     that DID skip a corpus-present term is exact only with k
+    *     certified hits whose k-th score STRICTLY exceeds the skipped
+    *     bound — strict, because a tie could still displace the k-th hit
+    *     through the doc_id tie-break, and required even when the bound
+    *     is 0: a skipped term whose idf floors to 0 (df within ~0.05% of
+    *     N) still matches docs at score 0, which the full traversal ranks
+    *     when fewer than k positive-score docs exist. A query that fails
+    *     the certificate (or has no essential term, or fewer than k
+    *     certified hits) re-runs the full traversal — correctness never
+    *     depends on the cutoff choice, only the savings do. Both branches
+    *     live in one lazy plan: the fallback join processes exactly the
+    *     failed queries' rows.
     *
     * Scale shape: candidate generation is bounded by essential-term df
     * sums; the frequent posting lists — the O(N)-per-term cost WAND
-    * exists to avoid — are read through a candidate-doc semi-join
-    * (broadcast-sized: candidates ≤ Σ essential df). With per-drop
+    * exists to avoid — are read through a candidate-doc semi-join.
+    * Candidates ≤ Σ essential df is bounded PER TERM by the cutoff but
+    * unbounded in the number of distinct essential terms a large query
+    * workload contributes, so the semi-join hint is SIZE-GATED like the
+    * classifier model broadcast ([[Classify.MaxBroadcastModelRows]]): the
+    * eager path counts the materialized candidate set and broadcasts only
+    * under [[MaxBroadcastCandidateRows]], falling back to a shuffled
+    * semi-join above it; the lazy face leaves the join unhinted and AQE
+    * makes the same call from runtime sizes. With per-drop
     * sidecar stats ([[PostingsStore]]) df/N/Σdl never touch the
     * postings at all, so a needle-query workload over a 10^11-doc corpus
     * costs O(Σ rare df), not O(N · |query terms|).
     * [[tools.MaxScoreBench]] measures the crossover on a planted
-    * Zipfian corpus.
+    * Zipfian corpus; [[deriveEssentialDfMax]] picks the cutoff from the
+    * df distribution so pruning survives corpus growth without retuning.
     */
   def bm25TopKMaxScore(post: DataFrame, df: DataFrame, totals: DataFrame,
                        queries: DataFrame, k: Int = TopK,
                        essentialDfMax: Long = 1000L,
-                       eager: Boolean = true): DataFrame = {
+                       eager: Boolean = true,
+                       maxBroadcastCandidateRows: Long =
+                         MaxBroadcastCandidateRows): DataFrame = {
     val q = queries.dropDuplicates("query_id", "term")
     // per-(query, term) upper bound; a term absent from the corpus (null
     // df) has empty postings and bound 0
@@ -194,28 +220,34 @@ object Retrieval {
           "((((2*(n - df) + 1) * 1000) div (2*df + 1)) * 2200) div 1000 END"))
     val essTerms = qdf.filter(col("df").isNotNull &&
       col("df") <= essentialDfMax)
-    // candidates are bounded by Σ essential df — broadcast-sized BY THE
-    // CUTOFF'S CONSTRUCTION, so the doc semi-join stays map-side and the
-    // frequent posting lists are never shuffled
-    val candDocs = essTerms.select(col("term")).distinct()
+    // candidates are bounded by Σ essential df — per-term by the cutoff's
+    // construction, but a million-query workload's distinct essential
+    // terms can push the union past executor memory, so the broadcast is
+    // size-gated: counted when eager (the materialization makes the count
+    // free), AQE-decided on the lazy face
+    val candDocsRaw = essTerms.select(col("term")).distinct()
       .join(post, Seq("term")).select(col("doc_id")).distinct()
     val prunedTopk = Dedup.materialize(bm25TopKWith(
-      post.join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
+      candidateScan(post, candDocsRaw, eager, maxBroadcastCandidateRows),
       df, totals, q, k))
     // certificate: k certified hits whose k-th score dominates the sum of
-    // skipped-term bounds (trivially exact when nothing was skipped)
+    // skipped-term bounds; trivially exact only when NO corpus-present
+    // term was skipped (ub_rest = 0 is NOT enough — a skipped zero-idf
+    // term still matches docs at score 0, see the contract above)
     val ubRest = qdf.groupBy(col("query_id")).agg(
       sum(when(col("df").isNull || col("df") > essentialDfMax,
-        col("ub_ppt")).otherwise(lit(0L))).as("ub_rest"))
+        col("ub_ppt")).otherwise(lit(0L))).as("ub_rest"),
+      sum(when(col("df").isNotNull && col("df") > essentialDfMax,
+        lit(1L)).otherwise(lit(0L))).as("n_skipped"))
     val cert = prunedTopk.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("score_ppt")).as("kth_ppt"))
       .join(ubRest, Seq("query_id"), "full_outer")
       // STRICT kth > bound: a non-candidate scoring exactly the bound
       // could still displace the k-th hit through the doc_id tie-break
       .withColumn("exact", coalesce(
-        coalesce(col("ub_rest"), lit(0L)) === 0L ||
+        coalesce(col("n_skipped"), lit(0L)) === 0L ||
           (coalesce(col("n_hits"), lit(0L)) === k &&
-            col("kth_ppt") > col("ub_rest")), lit(false)))
+            col("kth_ppt") > coalesce(col("ub_rest"), lit(0L))), lit(false)))
     if (eager) {
       // the certificate verdict is WORKLOAD-sized (one row per query):
       // collect it and emit the fallback traversal only for the queries
@@ -223,8 +255,11 @@ object Retrieval {
       // postings. The lazy face (eager=false, the TVF convention) keeps
       // both branches in one plan instead; the fallback join then costs
       // an extra postings scan even when it produces zero rows.
+      // query_id is collected generically — the contract admits any
+      // equatable id type (BIGINT in the fixtures, strings from a TVF
+      // caller), and isInCollection handles either.
       val failed = cert.filter(!col("exact")).select(col("query_id"))
-        .collect().map(_.getLong(0)).toSet
+        .collect().map(_.get(0)).toSeq
       val certified = prunedTopk
         .join(cert.filter(col("exact")).select(col("query_id")).hint("broadcast"),
           Seq("query_id"), "left_semi")
@@ -245,6 +280,58 @@ object Retrieval {
                   qTerms: Int = QueryTerms): DataFrame = {
     val p = Dedup.materialize(postings(docs))
     bm25TopK(p, queriesFor(p, docFreq(p), probe, qTerms), k, eager = false)
+  }
+
+  /** The postings scan pruned to the MaxScore candidate docs — the
+    * semi-join whose hint the size gate governs (factored out so
+    * PlanSpec can assert the gate on the pre-materialization plan).
+    * Eager: count the materialized candidates, broadcast only under the
+    * gate; lazy: unhinted, AQE decides from runtime sizes.
+    */
+  private[graft] def candidateScan(post: DataFrame, candDocsRaw: DataFrame,
+                                   eager: Boolean,
+                                   maxBroadcastCandidateRows: Long): DataFrame = {
+    val candDocs =
+      if (!eager) candDocsRaw
+      else {
+        val cd = Dedup.materialize(candDocsRaw)
+        if (cd.count() <= maxBroadcastCandidateRows) broadcast(cd) else cd
+      }
+    post.join(candDocs, Seq("doc_id"), "left_semi")
+  }
+
+  /** Derive the essential-df cutoff from the corpus df distribution
+    * instead of hand-tuning it: the largest cutoff whose total candidate
+    * exposure — Σ df over terms with df ≤ cutoff — stays within
+    * `candidateBudget`, so the MaxScore candidate set is bounded under
+    * the broadcast gate BY CONSTRUCTION and pruning survives corpus
+    * growth without retuning (a mis-set fixed cutoff silently degrades
+    * to full traversal + a wasted pruned pass).
+    *
+    * Pass the FULL df frame for a workload-agnostic cutoff, or
+    * `df.join(queries.select("term").distinct, Seq("term"), "left_semi")`
+    * for a workload-aware one (only terms the workload can contribute
+    * count against the budget — strictly larger cutoffs). Returns 0 when
+    * even the rarest df class overflows the budget (MaxScore then falls
+    * back to the full traversal globally, which is the right call).
+    *
+    * Scale shape: the frame under the cumulative window is one row per
+    * DISTINCT df VALUE — Zipfian df values cluster heavily (the long tail
+    * is df = 1, 2, 3, …; the head a handful of giants), so this is
+    * metadata-scale (≪ vocabulary, ≪ corpus) and the single-partition
+    * ordered window over it is deliberate, not an oversight.
+    */
+  def deriveEssentialDfMax(df: DataFrame,
+                           candidateBudget: Long =
+                             MaxBroadcastCandidateRows): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val byDf = df.groupBy(col("df")).agg(sum(col("df")).as("exposure"))
+    val cum = byDf.withColumn("cum", sum(col("exposure")).over(
+      Window.orderBy(col("df"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val r = cum.filter(col("cum") <= candidateBudget)
+      .agg(max(col("df"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** [[bm25TopKFor]] through the MaxScore-pruned path — same output by

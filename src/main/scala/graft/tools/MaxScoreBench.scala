@@ -51,6 +51,20 @@ object MaxScoreBench {
     println(s"corpus n=$nDocs, postings=${post.count()}")
     val dfMap = df.as[(String, Long)].collect().toMap
 
+    // The cutoff is DERIVED from the df distribution, not hand-tuned:
+    // largest cutoff whose Σ essential df fits the candidate broadcast
+    // budget (here scaled to the corpus so the bench exercises the
+    // crossover at any SPARK_GRAFT_DOCS; a deployment passes its real
+    // RAM-derived budget). On this plant it must land in the Zipf gap —
+    // above every needle df (≈ n/1000, so pruning keeps its candidates)
+    // and below the stopword df (= n, so the long lists stay skipped).
+    val derived = Retrieval.deriveEssentialDfMax(df,
+      candidateBudget = 2L * nDocs)
+    println(s"derived essentialDfMax=$derived " +
+      s"(needle df≈${nDocs / 1000}, stopword df=$nDocs)")
+    require(derived >= nDocs / 1000 && derived < nDocs,
+      s"derived cutoff $derived missed the planted Zipf crossover")
+
     def time(label: String)(mk: => org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] = {
       var out: Set[(Long, Long, Long)] = Set.empty
       val secs = (1 to runs).map { _ =>
@@ -82,10 +96,11 @@ object MaxScoreBench {
         s"pruned candidates<=$candBound")
       val full = time(s"full/$nQueries")(
         Retrieval.bm25TopKWith(post, df, totals, queries))
-      // cutoff between the needle df (n/400) and the stopword df (= n)
+      // the derived cutoff sits between the needle df and the stopword
+      // df (asserted above) — no per-corpus tuning
       val pruned = time(s"pruned/$nQueries")(
         Retrieval.bm25TopKMaxScore(post, df, totals, queries,
-          essentialDfMax = nDocs / 100))
+          essentialDfMax = derived))
       require(pruned == full, "pruning changed the answer — BUG")
       println(s"   outputs identical: true")
     }

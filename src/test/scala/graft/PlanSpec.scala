@@ -532,6 +532,39 @@ class PlanSpec extends AnyFunSuite {
     assert(gated.collect().toSet === hinted.collect().toSet)
   }
 
+  test("MaxScore candidate semi-join broadcasts below the size gate, not above") {
+    // gated scale: candidates ≤ Σ essential df is tiny, so the doc
+    // semi-join that prunes the postings must be a map-side broadcast —
+    // the frequent posting lists are read through it, never shuffled.
+    // Above the gate the forced hint must vanish (a million-query
+    // workload's Σ essential df is unbounded by the per-term cutoff; the
+    // fallback is a shuffled semi-join, with AQE still free to broadcast
+    // from real runtime sizes). Asserted on the factored-out candidate
+    // scan because the full MaxScore path checkpoints it away.
+    import spark.implicits._
+    val corpus = Seq((1L, "needle common"), (2L, "common word"),
+      (3L, "common word")).toDF("doc_id", "text")
+    val post = graft.text.Retrieval.postings(corpus)
+    val cands = Seq(1L).toDF("doc_id")
+    def hintCount(d: DataFrame): Int =
+      "ResolvedHint".r.findAllIn(d.queryExecution.analyzed.toString).size
+    val hinted = graft.text.Retrieval.candidateScan(post, cands,
+      eager = true, maxBroadcastCandidateRows = 4000000L)
+    assert(hintCount(hinted) === 1 &&
+      hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "under the gate the candidate set must force-broadcast")
+    val gated = graft.text.Retrieval.candidateScan(post, cands,
+      eager = true, maxBroadcastCandidateRows = 0L)
+    assert(hintCount(gated) === 0,
+      "above the gate the forced candidate hint must be dropped")
+    val lazyFace = graft.text.Retrieval.candidateScan(post, cands,
+      eager = false, maxBroadcastCandidateRows = 4000000L)
+    assert(hintCount(lazyFace) === 0,
+      "the lazy face must leave the candidate semi-join unhinted for AQE")
+    // both faces of the gate still produce the same pruned scan
+    assert(gated.collect().toSet === hinted.collect().toSet)
+  }
+
   test("q179 sketch serve prunes the store scan to (bucket, rho) and is one partial/final max") {
     val f = formatted("q179_sketch_store")
     // column pruning must reach the parquet footer: drop_id/cfg are

@@ -109,4 +109,58 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows(Retrieval.bm25TopKMaxScore(p, df, tot, qs, k = 3,
       essentialDfMax = Long.MaxValue)) === full)
   }
+
+  test("a skipped zero-idf term (df ≈ N) cannot short-circuit the certificate") {
+    // 'every' appears in all 502 docs: idf_ppt = 1000 div (2·502+1) = 0,
+    // so its skipped-term bound is 0 — but the full traversal still ranks
+    // its zero-score matches when fewer than k positive-score docs exist.
+    // The certificate must therefore NOT treat ub_rest = 0 as exact when
+    // a corpus-present term was skipped: this query has 2 candidates for
+    // k = 3, must fall back, and the outputs must match bit-for-bit.
+    val corpus = docs(
+      (Seq((1L, "needle every"), (2L, "needle every")) ++
+        (10L to 509L).map(i => i -> "every")): _*)
+    val p = Retrieval.postings(corpus)
+    val df = Retrieval.docFreq(p)
+    val tot = Retrieval.corpusTotals(p)
+    val qs = Seq((1L, "needle"), (1L, "every")).toDF("query_id", "term")
+    def rows(d: DataFrame) = d.as[(Long, Long, Long)].collect().toSet
+    val full = rows(Retrieval.bm25TopKWith(p, df, tot, qs, k = 3))
+    // the full top-3 includes a zero-score 'every'-only doc as the 3rd hit
+    assert(full.exists(_._3 === 0L),
+      "fixture precondition: the skipped term's idf must floor to 0")
+    assert(rows(Retrieval.bm25TopKMaxScore(p, df, tot, qs, k = 3,
+      essentialDfMax = 10L)) === full)
+    assert(rows(Retrieval.bm25TopKMaxScore(p, df, tot, qs, k = 3,
+      essentialDfMax = 10L, eager = false)) === full)
+  }
+
+  test("certificate fallback collects non-BIGINT query ids generically") {
+    // the eager branch collects failed query ids — a string-keyed
+    // workload must flow through isInCollection without a cast error
+    val corpus = docs((1L, s"needle $filler"), (2L, filler), (3L, filler),
+      (4L, filler))
+    val p = Retrieval.postings(corpus)
+    val qs = Seq(("qa", "needle"), ("qb", "the")).toDF("query_id", "term")
+    val out = Retrieval.bm25TopKMaxScore(p, Retrieval.docFreq(p),
+      Retrieval.corpusTotals(p), qs, k = 2, essentialDfMax = 2L)
+      .as[(String, Long, Long)].collect()
+    val full = Retrieval.bm25TopKWith(p, Retrieval.docFreq(p),
+      Retrieval.corpusTotals(p), qs, k = 2).as[(String, Long, Long)].collect()
+    assert(out.toSet === full.toSet)
+    assert(out.map(_._1).toSet === Set("qa", "qb"))
+  }
+
+  test("deriveEssentialDfMax: largest cutoff whose Σ essential df fits the budget") {
+    val df = Seq(("a", 1L), ("b", 1L), ("c", 3L), ("d", 5L), ("e", 100L))
+      .toDF("term", "df")
+    // cumulative exposure by df value: df=1 → 2, df=3 → 5, df=5 → 10,
+    // df=100 → 110
+    assert(Retrieval.deriveEssentialDfMax(df, candidateBudget = 10L) === 5L)
+    assert(Retrieval.deriveEssentialDfMax(df, candidateBudget = 9L) === 3L)
+    assert(Retrieval.deriveEssentialDfMax(df, candidateBudget = 2L) === 1L)
+    // even the rarest class overflows → 0 (global fallback, by design)
+    assert(Retrieval.deriveEssentialDfMax(df, candidateBudget = 1L) === 0L)
+    assert(Retrieval.deriveEssentialDfMax(df, candidateBudget = 1000L) === 100L)
+  }
 }
