@@ -1168,16 +1168,25 @@ object Corpus {
         import graft.text.DsirStore
         val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
         if (!DsirStore.exists(spark, dd)) {
+          // first drop: the history is empty, so the score's raw side is
+          // the drop itself — --dsir-target is honored from day one
+          a.dsirTarget.foreach { td =>
+            graft.text.Dsir.score(spark.read.parquet(td), r.train)
+              .write.mode("overwrite").parquet(s"${a.out}/_dsir")
+          }
           DsirStore.buildStaged(r.train, dd, dropId)()
-        } else {
+        } else if (!DsirStore.drops(spark, dd).contains(dropId)) {
+          // score BEFORE the append (the artifact reflects the drop on
+          // arrival) but only for a genuinely NEW drop: on a re-run the
+          // history already holds this drop's profile, so scoreVsDrop's
+          // raw side would count it twice and silently rewrite a
+          // different artifact than the original run produced
           a.dsirTarget.foreach { td =>
             DsirStore.scoreVsDrop(spark.read.parquet(td), r.train, dd)
               .write.mode("overwrite").parquet(s"${a.out}/_dsir")
           }
-          if (!DsirStore.drops(spark, dd).contains(dropId))
-            DsirStore.appendStaged(r.train, dd, dropId)()
-          else warnSkippedDrop("--dsir-store", dropId, dd)
-        }
+          DsirStore.appendStaged(r.train, dd, dropId)()
+        } else warnSkippedDrop("--dsir-store", dropId, dd)
       }
       // _admission (pre-append): how novel THIS drop is against the
       // stored history — the read-only decision artifact, written

@@ -943,6 +943,15 @@ class CliSpec extends AnyFunSuite {
       "-I", s"$dir/drop2", "-O", s"$dir/out2",
       "--dsir-store", s"$dir/dsir", "--dsir-target", s"$dir/target"))
     assert(DsirStore.drops(spark, s"$dir/dsir").size === 2)
+    // the FIRST run already honored --dsir-target: its _dsir scores
+    // drop1 against an empty history (raw side = the drop itself)
+    val firstArtifact = spark.read.parquet(s"$dir/out1/_dsir")
+      .collect().map(_.toSeq).toSet
+    val firstScratch = Dsir.score(
+        spark.read.parquet(s"$dir/target"), docsOf(d1: _*))
+      .collect().map(_.toSeq).toSet
+    assert(firstArtifact === firstScratch,
+      "first-build _dsir ≡ scoring the bootstrap drop against itself")
     val artifact = spark.read.parquet(s"$dir/out2/_dsir")
       .collect().map(_.toSeq).toSet
     val scratch = Dsir.score(
@@ -952,6 +961,16 @@ class CliSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(artifact === scratch,
       "_dsir artifact ≡ from-scratch scoring on history ∪ drop")
+    // a RE-RUN of an already-ingested drop must not write an artifact at
+    // all: the history already holds drop2's profile, so scoring would
+    // count the drop twice on the raw side and silently rewrite a
+    // different _dsir than the original run produced
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/out3",
+      "--dsir-store", s"$dir/dsir", "--dsir-target", s"$dir/target"))
+    assert(DsirStore.drops(spark, s"$dir/dsir").size === 2)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/out3/_dsir")),
+      "re-run of a stored drop must skip the _dsir artifact, not rewrite it")
     // a drop_id ticket through the unified surface unlearns drop2 exactly
     Seq(novDropId(s"$dir/drop2")).toDF("drop_id").write.parquet(s"$dir/ticket")
     graft.cli.Corpus.run(spark, Array(

@@ -217,6 +217,32 @@ class StoreSpec extends AnyFunSuite {
       "the wide-band store must make identical verified decisions")
   }
 
+  test("fixture precondition: no verified dup pair sits in the [0.7, 0.9) Jaccard band") {
+    // q171 serves the 9×6 band shape against q106's 4×4-banded oracle;
+    // the shapes' recall differs only on pairs below j ≈ 0.9, so the
+    // shared oracle is sound ONLY while the corpus's dup mass is all at
+    // j ≥ 0.9. That was an argued-not-checked precondition — here it is
+    // CHECKED with the complete-recall exact sim join (q108's machinery:
+    // prefix filtering, no banding, no missed pairs ≥ 0.7), so a
+    // TESTDATA regeneration introducing mid-band pairs fails loudly
+    // instead of silently diverging the wide serve from the oracle.
+    // Short (<3-word) docs dedup by exact text (singleton fallback
+    // shingles only reach j = 1 ≥ 0.9), so the shingleable universe
+    // q108 scans is exactly the at-risk population.
+    //
+    // Scope: sf0.01 is where the driver hash-compares q171 against the
+    // oracle, so that is where the precondition is load-bearing. sf0.001
+    // (plan-shape tests only, never oracle-compared) is known to hold
+    // exactly one mid-band pair — docs (33, 436) at j = 8/9 ≈ 0.889 —
+    // which is WHY it is excluded here rather than silently passing.
+    val midBand = SparkEntry.queries("q108_simjoin_exact")(
+        spark, "/root/testdata/sf0.01")
+      .filter(col("inter_size") * 10 < col("union_size") * 9).count()
+    assert(midBand === 0L,
+      s"sf0.01 holds $midBand verified pairs in [0.7, 0.9) — the q171/" +
+        "q106 oracle-sharing precondition no longer holds")
+  }
+
   test("dedupNewDropVsCorpus refuses a missing store") {
     val e = intercept[IllegalArgumentException] {
       Store.dedupNewDropVsCorpus(
