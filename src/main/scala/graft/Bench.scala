@@ -16,6 +16,62 @@ import org.apache.spark.sql.SparkSession
   * (count() alone lets Catalyst prune the projections being measured).
   */
 object Bench {
+
+  /** The driver stores a 2000-char TAIL of stdout and parses the JSON
+    * line out of it — the line plus its newline must stay inside or the
+    * OPENING brace falls out and the round records `parsed: null`
+    * (BENCH_r07/r08). [[BenchSpec]] asserts [[compactLine]] stays under
+    * this at the current query count with margin, so suite growth hits a
+    * loud test failure BEFORE it hits the driver.
+    */
+  val StdoutWindowBytes = 2000
+
+  /** The compact stdout line: short qNN keys (cross-round matching
+    * depends on them — NEVER renamed), millisecond-ish precision, and
+    * NOTHING else. `metric`/`unit`/`sf`/`value` ride only in
+    * target/bench.json: the full envelope left ~5 bytes of window slack
+    * at 185 rows (r12), the driver's parse is shape-agnostic — it stores
+    * whatever JSON the tail holds — and every dropped field is either
+    * constant ("total"/"sec"), known to the driver from its own env
+    * (sf), or recomputable as the sum of `queries` (value); the judge
+    * reads the full-name full-precision file for all of them.
+    * Store-build rows (`*_build`) likewise live only in the file (r12).
+    * NEXT lever, when qNN rows alone outgrow the window (~192 rows at
+    * ~10.5 bytes/row): the per-row payload is irreducible without
+    * renaming keys, so the line itself must stop carrying every row —
+    * coordinate with the driver before that round.
+    */
+  private[graft] def compactLine(rows: Seq[(String, Double)],
+                                 total: Double): String = {
+    val shortKeys = rows.foldLeft(Map.empty[String, String]) { case (acc, (k, _)) =>
+      val digits = k.takeWhile(c => c == 'q' || c.isDigit)
+      // store-build rows compress to "qNNb" (q106_build -> q106b): at
+      // 163 queries the full "_build" names alone crossed the window
+      val short = if (k.endsWith("_build")) digits + "b" else digits
+      acc + (k -> (if (short.length > 1 && !acc.valuesIterator.contains(short)) short else k))
+    }
+    val qsShort = rows.filterNot(_._1.endsWith("_build"))
+      .map { case (k, v) => "\"" + shortKeys(k) + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val _ = total // reserved: re-add "value" if the window ever widens
+    s"""{"queries":$qsShort}"""
+  }
+
+  /** Locale.ROOT: a comma decimal separator would corrupt the JSON.
+    * Trailing zeros stripped ("0.50" -> "0.5"); one decimal from 0.1 s up
+    * (full precision lives in target/bench.json), two decimals only
+    * below, so a 50 ms row never reads "0".
+    */
+  private[graft] def ms(v: Double): String =
+    if (v < 0) "-1"
+    else {
+      val s = String.format(java.util.Locale.ROOT,
+        if (v >= 0.095) "%.1f" else "%.2f", Double.box(v))
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
+
   /** Untimed inter-query cleanup (r9 VERDICT #1): across 150 rows × 3
     * runs, cached frames + localCheckpoint blocks + broadcast refs
     * accumulate and pressure the heap exactly when the suite reaches its
@@ -205,62 +261,24 @@ object Bench {
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"controls":$ctl,"sf":"$sfDir"}"""
-    // The driver stores only a ~2 kB TAIL of stdout and parses the JSON
-    // out of that window (BENCH_r07/r08 both ended `parsed: null`: the
-    // full-name full-precision line is ~6 kB, so its HEAD — including the
-    // opening brace — fell out of the window). stdout therefore gets ONE
-    // compact line sized to the window: query names shortened to their
-    // leading "qNN" digits (collisions keep the full name — e.g.
-    // q106_incr_dedup takes "q106", q106_build stays long), values at
-    // millisecond precision. The full-name full-precision line goes to
-    // target/bench.json, which the judge reads for per-query analysis.
-    val shortKeys = all.foldLeft(Map.empty[String, String]) { case (acc, (k, _)) =>
-      val digits = k.takeWhile(c => c == 'q' || c.isDigit)
-      // store-build rows compress to "qNNb" (q106_build -> q106b): at
-      // 163 queries the full "_build" names alone crossed the window
-      val short = if (k.endsWith("_build")) digits + "b" else digits
-      acc + (k -> (if (short.length > 1 && !acc.valuesIterator.contains(short)) short else k))
-    }
-    // Locale.ROOT: a comma decimal separator would corrupt the JSON.
-    // Trailing zeros stripped ("0.50" -> "0.5") and values >= 1 s carry
-    // ONE decimal — full precision lives in target/bench.json: at 163+
-    // queries the compact line brushes the driver's ~2 kB tail window,
-    // and every spare byte keeps the OPENING brace inside it (the window
-    // is a stdout TAIL, and sbt appends a [success] line after us).
-    def ms(v: Double): String =
-      if (v < 0) "-1"
-      else {
-        // one decimal from 0.1 s up (rounds, full precision in the json
-        // file); two decimals only below, so a 50 ms row never reads "0"
-        val s = String.format(java.util.Locale.ROOT,
-          if (v >= 0.095) "%.1f" else "%.2f", Double.box(v))
-        if (s.contains('.'))
-          s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-        else s
-      }
-    // store-build rows (qNNb) ride only in target/bench.json, like the
-    // controls: at 177+ queries the compact line crossed the ~2 kB tail
-    // window WITH them (1957 bytes measured at 182 rows + sbt's
-    // [success] suffix), and they grow with every store family — the
-    // serve rows are the per-round contract, the build rows are the
-    // judge-file detail
-    val qsShort = all.filterNot(_._1.endsWith("_build"))
-      .map { case (k, v) => "\"" + shortKeys(k) + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    // The driver stores only a 2000-char TAIL of stdout and parses the
+    // JSON out of that window (BENCH_r07/r08 both ended `parsed: null`:
+    // the full-name full-precision line is ~6 kB, so its HEAD — including
+    // the opening brace — fell out of the window). stdout therefore gets
+    // ONE compact line sized to the window (see compactLine); the
+    // full-name full-precision line goes to target/bench.json, which the
+    // judge reads for per-query analysis.
+    //
     // BENCH_r07–r09 all ended `parsed: null`. r7/r8: the full-precision
-    // line overflowed the driver's ~2 kB stdout tail window (fixed by the
-    // compact line). r9: the compact line FIT but arrived prefixed
-    // "[info] " — under a non-forked `sbt runMain`, System.out is
-    // redirected through sbt's logger, which prefixes every line. Writing
-    // through FileDescriptor.out bypasses the System.setOut redirection
-    // and reaches the process's real fd 1 bare, under sbt and plain java
+    // line overflowed the tail window (fixed by the compact line). r9:
+    // the compact line FIT but arrived prefixed "[info] " — under a
+    // non-forked `sbt runMain`, System.out is redirected through sbt's
+    // logger, which prefixes every line. Writing through
+    // FileDescriptor.out bypasses the System.setOut redirection and
+    // reaches the process's real fd 1 bare, under sbt and plain java
     // alike; it is also the LAST stdout this main produces, so it sits at
     // the very end of the tail window.
-    // the controls object rides only in target/bench.json: on stdout it
-    // would re-state two queries entries for ~50 bytes of window budget;
-    // sf likewise compresses to its basename
-    val compact =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"sf":"${new java.io.File(sfDir).getName}"}"""
+    val compact = compactLine(all, total)
     val rawOut = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     rawOut.write((compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     rawOut.flush()
