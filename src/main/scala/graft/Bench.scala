@@ -36,13 +36,35 @@ object Bench {
     * (sf), or recomputable as the sum of `queries` (value); the judge
     * reads the full-name full-precision file for all of them.
     * Store-build rows (`*_build`) likewise live only in the file (r12).
-    * NEXT lever, when qNN rows alone outgrow the window (~192 rows at
-    * ~10.5 bytes/row): the per-row payload is irreducible without
-    * renaming keys, so the line itself must stop carrying every row —
-    * coordinate with the driver before that round.
+    *
+    * OVERFLOW POLICY (r13 — the structural lever the r12 envelope
+    * shaving only postponed): the per-row payload is irreducible without
+    * renaming keys, so when the qNN rows alone outgrow the window the
+    * line stops carrying every row. Rows fill the line in ASCENDING
+    * query-number order with their EXACT rendered lengths; rows that no
+    * longer fit spill to target/bench.json only (where every row always
+    * lives at full name + full precision — the file the judge reads).
+    * Ascending fill gives the stable-prefix property cross-round
+    * matching needs: a key is evicted only if every numerically higher
+    * key is evicted too, so suite growth can never silently drop a
+    * long-reported row while keeping a newer one — the newest rows are
+    * exactly the ones with no cross-round history to lose. Spilled keys
+    * are logged to stderr ([[main]]) so a truncated line is visible in
+    * the bench log, never inferred.
     */
   private[graft] def compactLine(rows: Seq[(String, Double)],
-                                 total: Double): String = {
+                                 total: Double): String =
+    compactLineSpill(rows, total)._1
+
+  /** Safety bytes kept free inside [[StdoutWindowBytes]] beyond the
+    * line's own newline — slack for any stray byte the JVM or shell
+    * appends after the raw-fd write.
+    */
+  private[graft] val LineSafetyBytes = 8
+
+  /** [[compactLine]] plus the list of spilled (evicted) row keys. */
+  private[graft] def compactLineSpill(rows: Seq[(String, Double)],
+                                      total: Double): (String, Seq[String]) = {
     val shortKeys = rows.foldLeft(Map.empty[String, String]) { case (acc, (k, _)) =>
       val digits = k.takeWhile(c => c == 'q' || c.isDigit)
       // store-build rows compress to "qNNb" (q106_build -> q106b): at
@@ -50,11 +72,23 @@ object Bench {
       val short = if (k.endsWith("_build")) digits + "b" else digits
       acc + (k -> (if (short.length > 1 && !acc.valuesIterator.contains(short)) short else k))
     }
-    val qsShort = rows.filterNot(_._1.endsWith("_build"))
-      .map { case (k, v) => "\"" + shortKeys(k) + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    def qNum(k: String): Int = {
+      val d = k.drop(1).takeWhile(_.isDigit)
+      if (d.isEmpty) Int.MaxValue else d.toInt
+    }
+    val rendered = rows.filterNot(_._1.endsWith("_build"))
+      .map { case (k, v) => (k, "\"" + shortKeys(k) + "\":" + ms(v)) }
+      .sortBy { case (k, _) => (qNum(k), k) }
+    val wrapperLen = """{"queries":{}}""".length
+    val budget = StdoutWindowBytes - 1 - LineSafetyBytes // -1: the newline
+    def lineLen(n: Int): Int =
+      wrapperLen + rendered.take(n).map(_._2.length).sum + math.max(0, n - 1)
+    var keep = rendered.size
+    while (keep > 0 && lineLen(keep) > budget) keep -= 1
+    val (kept, spilled) = rendered.splitAt(keep)
     val _ = total // reserved: re-add "value" if the window ever widens
-    s"""{"queries":$qsShort}"""
+    val line = "{\"queries\":" + kept.map(_._2).mkString("{", ",", "}") + "}"
+    (line, spilled.map(_._1))
   }
 
   /** Locale.ROOT: a comma decimal separator would corrupt the JSON.
@@ -278,7 +312,11 @@ object Bench {
     // reaches the process's real fd 1 bare, under sbt and plain java
     // alike; it is also the LAST stdout this main produces, so it sits at
     // the very end of the tail window.
-    val compact = compactLine(all, total)
+    val (compact, spilled) = compactLineSpill(all, total)
+    if (spilled.nonEmpty)
+      System.err.println(s"[bench] stdout line at window budget: " +
+        s"${spilled.size} newest rows spilled to target/bench.json only: " +
+        spilled.mkString(", "))
     val rawOut = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     rawOut.write((compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     rawOut.flush()

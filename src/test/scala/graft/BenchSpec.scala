@@ -14,23 +14,41 @@ class BenchSpec extends AnyFunSuite {
 
   test("compact bench line stays inside the driver's stdout tail window at the current query count") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // pessimistic rendering: every row at a 3-char value ("8.8"). Rows
-    // that render wider in practice are only the sub-0.1 s two-decimal
-    // ones ("0.08", +1 byte each, ~10 rows at r12) — the margin below
-    // covers several times that, and shrinks as queries are added, so
-    // the failure arrives rounds before the window actually overflows.
-    val line = Bench.compactLine(names.map(_ -> 8.8), 888.8)
-    // the margin is thin by design: at ~10.5 bytes/row the envelope is
-    // already minimal (only the qNN rows remain), so the next overflow
-    // needs a structural lever (see compactLine's scaladoc) — this test
-    // is the tripwire that forces designing it BEFORE the driver breaks
-    val margin = 15
-    assert(line.length + 1 <= Bench.StdoutWindowBytes - margin,
+    // pessimistic rendering: every row at a 4-char value ("88.8") — wider
+    // than any realistic suite (r12's widest rows were "8.8"/"0.07").
+    // The overflow policy must keep the line inside the window even here.
+    val (line, spilled) = Bench.compactLineSpill(names.map(_ -> 88.8), 888.8)
+    assert(line.length + 1 <= Bench.StdoutWindowBytes,
       s"compact line is ${line.length}+1 bytes at ${names.size} queries — " +
-        s"within ${Bench.StdoutWindowBytes} but inside the $margin-byte " +
-        "safety margin: the per-row payload is irreducible without " +
-        "renaming qNN keys (cross-round matching depends on them), so the " +
-        "line must stop carrying every row — coordinate with the driver")
+        "the overflow policy failed to keep it inside the window")
+    // realistic rendering (3-char values): the long-reported prefix of
+    // the suite must still ride the line whole — only rows numbered
+    // q186+ (the r13 additions, which carry no cross-round history yet)
+    // may spill, and spilling more than a handful means the next
+    // structural lever is due.
+    val (line3, spilled3) = Bench.compactLineSpill(names.map(_ -> 8.8), 888.8)
+    assert(line3.length + 1 <= Bench.StdoutWindowBytes)
+    def qNum(k: String) = k.drop(1).takeWhile(_.isDigit).toInt
+    assert(spilled3.forall(qNum(_) >= 186),
+      s"rows with r12 cross-round history spilled from the line: $spilled3")
+    assert(spilled3.size <= 3, s"spill growing past the r13 additions " +
+      s"($spilled3) — design the next lever before the driver loses rows")
+  }
+
+  test("overflow spills only the numerically-highest keys, stable-prefix") {
+    // force an overflow with an oversized synthetic suite and check the
+    // policy invariants: (a) line fits, (b) a spilled key implies every
+    // higher-numbered key is spilled too, (c) kept + spilled = all rows
+    val names = (1 to 400).map(i => f"q$i%02d_synthetic")
+    val (line, spilled) = Bench.compactLineSpill(names.map(_ -> 8.8), 0.0)
+    assert(line.length + 1 <= Bench.StdoutWindowBytes)
+    assert(spilled.nonEmpty, "400 rows cannot fit — the policy must spill")
+    def qNum(k: String) = k.drop(1).takeWhile(_.isDigit).toInt
+    val minSpilled = spilled.map(qNum).min
+    val keptNums = names.filterNot(spilled.contains).map(qNum)
+    assert(keptNums.forall(_ < minSpilled),
+      "spill must evict a numeric suffix, never a row below a kept one")
+    assert(spilled.size + keptNums.size === names.size)
   }
 
   test("compact bench line parses as JSON with every non-build row present") {
