@@ -176,6 +176,25 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        q185's operator) and
   *                                        OUT/_saturation (the growth
   *                                        curve including it, q181's)
+  *     [--sketch-admit-ppm n]             admission-GATE the sketch ingest:
+  *                                        a drop whose containment_ppm vs
+  *                                        the stored history is >= n is
+  *                                        recorded-and-REJECTED (never
+  *                                        appended); every verdict lands in
+  *                                        STORE/_admissions (the auditable
+  *                                        decision trail — q185's check
+  *                                        closed into the ingest loop)
+  *     [--curation-spine]                 run the LLM curation spine (q186:
+  *                                        quality gate → near-dup dedup →
+  *                                        decontaminate → DSIR top-k →
+  *                                        greedy pack → manifest) as ONE
+  *                                        lazy plan over -I documents;
+  *                                        needs --dsir-target (trusted
+  *                                        corpus), takes --benchmark for
+  *                                        the decontamination blocklist
+  *                                        (default: the built-in eval
+  *                                        suite); writes OUT/selection +
+  *                                        OUT/_manifest
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -204,6 +223,14 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        drops are skipped with a notice, so
   *                                        re-running a partially-applied
   *                                        ticket finishes the job
+  *     [--sketch-raw drop=rawDir]         doc-granular purge for the
+  *                                        max-merge sketch family (with
+  *                                        --takedown + --sketch-store):
+  *                                        registers cannot subtract, so the
+  *                                        named drop is REBUILT from rawDir
+  *                                        minus the ticket's doc_ids and
+  *                                        swapped atomically — serve ≡ a
+  *                                        store that never held those docs
   *     [--ledger-report]                  print each configured store's drop
   *                                        ledger, flag drops present in some
   *                                        stores but absent from others (the
@@ -273,7 +300,10 @@ object Corpus {
       classifierLabel: String = "lang",
       dsirStore: Option[String] = None,
       dsirTarget: Option[String] = None,
-      sketchStore: Option[String] = None)
+      sketchStore: Option[String] = None,
+      sketchRaw: Option[String] = None,
+      sketchAdmitPpm: Option[Long] = None,
+      curationSpine: Boolean = false)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -342,6 +372,12 @@ object Corpus {
       parse(rest, acc.copy(dsirTarget = Some(v)))
     case "--sketch-store" :: v :: rest =>
       parse(rest, acc.copy(sketchStore = Some(v)))
+    case "--sketch-raw" :: v :: rest =>
+      parse(rest, acc.copy(sketchRaw = Some(v)))
+    case "--sketch-admit-ppm" :: v :: rest =>
+      parse(rest, acc.copy(sketchAdmitPpm = Some(v.toLong)))
+    case "--curation-spine" :: rest =>
+      parse(rest, acc.copy(curationSpine = true))
     case "--span-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
@@ -780,6 +816,33 @@ object Corpus {
 
   def run(spark: SparkSession, argv: Array[String]): Unit = {
     val a = parse(argv.toList)
+    // the LLM curation SPINE as one invocation (q186's operator —
+    // Curation.spineSelection/spineManifest): quality gate → near-dup
+    // dedup → decontaminate → DSIR top-k → greedy pack → manifest, one
+    // lazy plan, two artifacts: OUT/selection (the packed, provenance-
+    // carrying pick) and OUT/_manifest (the 8-row certificate computed
+    // from the WRITTEN artifact, so it certifies what is actually on
+    // disk, not the plan that produced it).
+    if (a.curationSpine) {
+      require(a.input.nonEmpty && a.out.nonEmpty,
+        "--curation-spine needs -I <documents parquet> and -O <out dir>")
+      val target = a.dsirTarget.getOrElse(throw new IllegalArgumentException(
+        "--curation-spine needs --dsir-target <trusted corpus parquet>"))
+      val docs = spark.read.parquet(a.input)
+      val bench = a.benchmark.map(spark.read.parquet(_))
+        .getOrElse(graft.text.EvalSuite.table(spark))
+        .withColumnRenamed("bench_id", "doc_id")
+      graft.text.Curation
+        .spineSelection(docs, spark.read.parquet(target), bench)
+        .write.mode("overwrite").parquet(s"${a.out}/selection")
+      graft.operators.Audit.manifest(
+          spark.read.parquet(s"${a.out}/selection"), key = "doc_id",
+          cols = Seq("lang", "score_ppm", "pack_shard", "seq_id",
+            "tok_offset", "n_tokens"))
+        .coalesce(1).write.mode("overwrite").parquet(s"${a.out}/_manifest")
+      println(s"curation-spine: wrote ${a.out}/selection and ${a.out}/_manifest")
+      return
+    }
     // standalone maintenance invocation: compact an existing store and
     // exit — no corpus read, no output write
     val takedownRequested = a.takedownIds.isDefined ||
@@ -832,11 +895,14 @@ object Corpus {
         // r10 bug: span/manifest/chunk handled by the loop below but
         // refused by a hand-maintained flag list here).
         val docStoresConfigured =
-          Seq(a.dedupStore, a.clusterStore, a.annIndex).flatten.nonEmpty
+          Seq(a.dedupStore, a.clusterStore, a.annIndex).flatten.nonEmpty ||
+            a.sketchRaw.nonEmpty
         val ledgersConfigured = ledgeredStores(a).nonEmpty
         require(docStoresConfigured || ledgersConfigured,
           "--takedown needs at least one store flag (doc-granular: " +
-            "--dedup-store/--cluster-store/--ann-index; drop-ledgered: " +
+            "--dedup-store/--cluster-store/--ann-index, or --sketch-store " +
+            "with --sketch-raw drop=rawDir for the rebuild recipe; " +
+            "drop-ledgered: " +
             "--lm-store/--profile-store/--novelty-store/--span-store/" +
             "--manifest-store/--chunk-store/--postings-store/" +
             "--classifier-store/--dsir-store/--sketch-store) — a ticket " +
@@ -868,6 +934,31 @@ object Corpus {
           a.annIndex.foreach { sd =>
             val n = graft.vector.Index.removeDocs(spark, sd, vecIds)
             println(s"takedown: removed $n code row(s) from ANN index $sd")
+          }
+          // doc-granular purge for the MAX-MERGE family: registers hold
+          // no per-doc rows to delete, so the ticket's docs are removed
+          // by REBUILDING the named drop's registers from its raw corpus
+          // minus the ticket (SketchStore.purgeDocs — one scan of that
+          // drop, one atomic swap; the history is never touched).
+          // --sketch-raw names the drop and where its raw docs live:
+          // the store deliberately holds registers only, so raw access
+          // is the caller's to provide.
+          a.sketchRaw.foreach { spec =>
+            val sd = a.sketchStore.getOrElse(throw new IllegalArgumentException(
+              "--sketch-raw needs --sketch-store <dir>"))
+            require(cols.contains("doc_id"),
+              "--sketch-raw purge needs a doc_id column in the ticket")
+            val (dropId, rawDir) = spec.split("=", 2) match {
+              case Array(d, p) if d.nonEmpty && p.nonEmpty => (d, p)
+              case _ => throw new IllegalArgumentException(
+                s"--sketch-raw expects dropId=rawDir, got '$spec'")
+            }
+            val remaining = spark.read.parquet(rawDir)
+              .join(ticket.select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+            graft.text.SketchStore.purgeDocs(remaining, sd, dropId)
+            println(s"takedown: rebuilt sketch drop '$dropId' in $sd " +
+              s"from $rawDir minus the ticket's docs")
           }
         }
         if (cols.contains("drop_id")) {
@@ -1201,14 +1292,27 @@ object Corpus {
       a.sketchStore.foreach { kd =>
         import graft.text.SketchStore
         val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
-        if (!SketchStore.exists(spark, kd)) {
-          SketchStore.buildStaged(r.train, kd, dropId)()
-        } else {
-          SketchStore.admission(r.train, kd)
-            .write.mode("overwrite").parquet(s"${a.out}/_admission")
-          if (!SketchStore.drops(spark, kd).contains(dropId))
-            SketchStore.appendStaged(r.train, kd, dropId)()
-          else warnSkippedDrop("--sketch-store", dropId, kd)
+        a.sketchAdmitPpm match {
+          // admission-GATED ingest: the verdict (admitted / rejected-
+          // stale / skipped-duplicate) is recorded in the store's own
+          // _admissions log — auditable state, not stdout — and a stale
+          // drop never joins the ledger (q185's decision, closed into
+          // the loop)
+          case Some(ppm) =>
+            val admitted = SketchStore.ingestGated(r.train, kd, dropId, ppm)
+            println(s"sketch admission: drop '$dropId' " +
+              (if (admitted) "admitted" else "skipped") +
+              s" — verdict recorded under $kd/_admissions")
+          case None =>
+            if (!SketchStore.exists(spark, kd)) {
+              SketchStore.buildStaged(r.train, kd, dropId)()
+            } else {
+              SketchStore.admission(r.train, kd)
+                .write.mode("overwrite").parquet(s"${a.out}/_admission")
+              if (!SketchStore.drops(spark, kd).contains(dropId))
+                SketchStore.appendStaged(r.train, kd, dropId)()
+              else warnSkippedDrop("--sketch-store", dropId, kd)
+            }
         }
         SketchStore.growthCurve(spark, kd)
           .write.mode("overwrite").parquet(s"${a.out}/_saturation")

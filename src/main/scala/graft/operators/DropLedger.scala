@@ -128,6 +128,29 @@ trait DropLedger {
     StoreSwap.swapIn(s, storeDir, tablePath(storeDir), staging, "_takedown-old")
   }
 
+  /** Intra-drop PURGE for merge families whose partials cannot subtract
+    * (max-merge: [[graft.text.SketchStore]]): replace ONE drop's partial
+    * rows with freshly-computed partials — rebuilt by the caller from
+    * the drop's remaining raw rows — in a single crash-safe swap, so the
+    * serve afterwards ≡ a store whose drop never contained the purged
+    * rows. The sum/min/xor families don't need this (row deletion or
+    * subtraction is already exact); any FUTURE max-merge family inherits
+    * the same recipe: the ledger keeps raw-drop provenance out of the
+    * store, so doc-granular takedown = re-derive that drop's partials
+    * from its surviving raw rows and swap them in here.
+    */
+  def replaceDropRows(s: SparkSession, storeDir: String, dropId: String,
+                      freshPartials: DataFrame): Unit = {
+    requireStore(s, storeDir)
+    require(drops(s, storeDir).contains(dropId),
+      s"drop '$dropId' is not in $kind $storeDir — nothing to purge")
+    val staging = stagingPath(storeDir)
+    load(s, storeDir).filter(col("drop_id") =!= dropId)
+      .unionByName(freshPartials)
+      .write.mode("overwrite").parquet(staging)
+    StoreSwap.swapIn(s, storeDir, tablePath(storeDir), staging, "_purge-old")
+  }
+
   /** Maintenance: rewrite the table into `targetFiles` files, contents
     * identical (crash-safe `_compact-old` swap).
     */

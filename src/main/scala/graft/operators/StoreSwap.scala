@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   */
 object StoreSwap {
 
-  val Markers: Seq[String] = Seq("_takedown-old", "_compact-old")
+  val Markers: Seq[String] = Seq("_takedown-old", "_compact-old", "_purge-old")
 
   private def fs(s: SparkSession, p: String) =
     new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The LLM curation SPINE — the engine's reason to exist, composed as
+  * ONE lazy plan (the q44 move, `domain/CallerPipeline.scala`, applied
+  * to the pipeline the LLM-data side is FOR):
+  *
+  *   per-lang quality gate (q123) → near-dup dedup, keep-smallest-id
+  *   (q26) → decontaminate vs a benchmark (q133) → DSIR top-k selection
+  *   vs a trusted target (q175) → greedy no-split packing (q66) →
+  *   order-independent manifest certificate (q146).
+  *
+  * Per-stage hash gates cannot catch CROSS-STAGE wiring bugs — a column
+  * contract drifting between stages, an ordering assumption one stage
+  * makes and the next breaks — so the spine's gate is the final
+  * manifest: any mis-composition anywhere flips a fingerprint.
+  *
+  * No stage materializes to disk and nothing is collected at the
+  * driver. The two caches are lazy plan-sharing, not stage barriers:
+  * `clean` feeds four branches (raw profile, scoring, packing,
+  * manifest provenance) and Catalyst does not dedupe common subtrees;
+  * the dedup prep cache inside `nearDupPairs(eager = false)` is the
+  * same move. Both populate inside the first action's DAG — contrast
+  * the reference's collect()-separated stages (daas-apps
+  * `SparkCaller.java:125-344`, one barrier per tool).
+  *
+  * 100 TB shape — each stage keeps its own audited plan:
+  *  - quality gate: per-lang window (the q123 percentile contract; a
+  *    language is the natural partition and the rank IS the semantics);
+  *  - dedup: banded MinHash LSH equi-join, never all-pairs;
+  *  - decontamination: benchmark-sized broadcast semi/anti joins;
+  *  - DSIR: ≤ 2^16-row ratio model broadcast + one doc-sized hash agg;
+  *  - selection: TakeOrderedAndProject bounded heap (k rows to driver
+  *    memory never — the heap lives per partition);
+  *  - packing: k selected rows, one tiny shuffle;
+  *  - manifest: constant per-shard agg state.
+  */
+object Curation {
+
+  /** Packed, provenance-carrying selection: one row per selected doc —
+    * (doc_id, lang, n_tokens, score_ppm, pack_shard, seq_id,
+    * tok_offset). `corpus` flows the gates; `target` only feeds the
+    * DSIR ratio numerator; `bench` (id `doc_id`, text `text`) is the
+    * decontamination blocklist.
+    *
+    * `barrier` is applied at every stage boundary and defaults to
+    * identity (the production shape: one fused lazy plan). CurationSpec
+    * passes `_.localCheckpoint()` and asserts the fused run ≡ the
+    * barriered run — the executable proof that fusing the stages into
+    * one plan changed nothing but the barrier count.
+    */
+  def spineSelection(corpus: DataFrame, target: DataFrame, bench: DataFrame,
+                     k: Int = 100,
+                     barrier: DataFrame => DataFrame = identity): DataFrame = {
+    // stage 1 — q123's per-lang percentile gate: keep each language's
+    // top three quality quartiles (distinct/total tokens, exact ppt;
+    // the cut is rank*4 > n, never a float percentile)
+    val scored = corpus
+      .withColumn("ws", TextOps.words(col("text")))
+      .select(col("doc_id"), col("lang"),
+        size(array_distinct(col("ws"))).as("nd"), size(col("ws")).as("nt"))
+      .withColumn("score_ppt", expr("(CAST(nd AS BIGINT) * 1000) div nt"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("score_ppt").asc, col("doc_id").asc)
+    val keptIds = scored
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("grp_n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rnk") * 4 > col("grp_n"))
+      .select(col("doc_id"))
+    val gated = barrier(corpus.join(keptIds, Seq("doc_id"), "left_semi"))
+
+    // stage 2 — q26's survivorship: a doc is dropped iff it has a
+    // verified near-dup partner with a smaller id (banded LSH + exact
+    // Jaccard >= 0.7; eager=false keeps the prep cache lazy so the
+    // spine stays one unexecuted plan until its first action)
+    val losers = Dedup.nearDupPairs(gated, eager = false)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val deduped = barrier(gated.join(losers, Seq("doc_id"), "left_anti"))
+
+    // stage 3 — q133: drop every doc sharing a 3-gram with the benchmark
+    val clean = barrier(Dedup.decontaminate(deduped, bench)).cache()
+
+    // stage 4 — q175: DSIR importance scoring of the survivors against
+    // the trusted target profile, deterministic top-k by (score, id)
+    val picked = barrier(Dsir.selectTopK(Dsir.score(target, clean), k))
+
+    // stage 5 — q66: greedy no-split packing of the selection
+    val withTok = clean.select(col("doc_id"), col("lang"),
+      size(TextOps.words(col("text"))).as("n_tokens"))
+    val packed = graft.operators.Packing.greedyPack(
+      withTok.join(broadcast(picked.select(col("doc_id"))), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens")),
+      "doc_id", "n_tokens", maxTokens = 256, shards = 8)
+
+    packed.withColumnRenamed("shard", "pack_shard")
+      .join(withTok.select(col("doc_id"), col("lang"), col("n_tokens")),
+        Seq("doc_id"))
+      .join(broadcast(picked.select(col("doc_id"), col("score_ppm"))),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score_ppm"),
+        col("pack_shard"), col("seq_id"), col("tok_offset"))
+  }
+
+  /** stage 6 — q146: the 8-row manifest CERTIFICATE over
+    * [[spineSelection]] — the reproducibility statement "these exact
+    * docs, with these exact scores, in this exact layout" as constant
+    * per-shard agg state. Two engines composing the same six stages
+    * from the same corpus match iff these 8 rows match.
+    */
+  def spineManifest(corpus: DataFrame, target: DataFrame, bench: DataFrame,
+                    k: Int = 100): DataFrame =
+    graft.operators.Audit.manifest(
+      spineSelection(corpus, target, bench, k), key = "doc_id",
+      cols = Seq("lang", "score_ppm", "pack_shard", "seq_id", "tok_offset",
+        "n_tokens"))
+}

@@ -59,14 +59,16 @@ object Dsir {
   def bucket(s: Column, buckets: Int): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long") % buckets
 
-  /** Per-document exploded hashed features, one row per OCCURRENCE:
-    * (id, f). Features are the doc's unigrams plus its bigrams (a
+  /** Per-document raw feature-gram OCCURRENCES, one row per occurrence:
+    * (id, s). Features are the doc's unigrams plus its bigrams (a
     * one-word doc contributes its unigram only), so a doc yields
     * 2·words − 1 rows. Pure map-side: project + explode, no shuffle.
+    * This is the pre-hash stream [[explodedFeatures]] buckets — exposed
+    * separately so the occupancy audit (q188) can count the raw gram
+    * universe against the bucket universe.
     */
-  def explodedFeatures(docs: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text",
-                       buckets: Int = DefaultBuckets): DataFrame = {
+  def explodedGrams(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
     val ws = split(col(textCol), " ")
     val bigrams = when(size(col("ws")) >= 2,
       slice(zip_with(col("ws"), slice(col("ws"), lit(2), size(col("ws"))),
@@ -74,8 +76,50 @@ object Dsir {
       .otherwise(array().cast("array<string>"))
     docs.select(col(idCol).as("id"), ws.as("ws"))
       .select(col("id"), explode(concat(col("ws"), bigrams)).as("s"))
-      .select(col("id"), bucket(col("s"), buckets).as("f"))
   }
+
+  /** [[explodedGrams]] hashed into buckets: (id, f). */
+  def explodedFeatures(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       buckets: Int = DefaultBuckets): DataFrame =
+    explodedGrams(docs, idCol, textCol)
+      .select(col("id"), bucket(col("s"), buckets).as("f"))
+
+  /** Feature-hash OCCUPANCY audit (q188) — the honesty surface for
+    * [[DefaultBuckets]]: feature hashing folds distinct n-grams into
+    * shared buckets, and past ~10^4 distinct grams (a real web corpus
+    * has 10^8+ distinct bigrams) the folding starts blending unrelated
+    * features into one importance ratio. This makes the regime VISIBLE
+    * next to the score instead of assumed in a comment: one row —
+    * (side, n_occurrences, n_distinct_grams [exact], occupied [buckets
+    * holding ≥ 1 gram], folded [grams beyond their bucket's first —
+    * the collision excess], fold_ppm [folded per distinct gram, exact
+    * integer]). fold_ppm near 0: ratios are per-gram; approaching 10^6:
+    * the model is measuring bucket traffic, not gram importance — raise
+    * `buckets` or shrink the gram space.
+    *
+    * Exactness note: n_distinct_grams is an EXACT corpus-wide distinct
+    * over raw gram strings — one Expand-style multi-distinct agg,
+    * affordable at gate scale and the right gate semantics. At 100 TB
+    * swap the exact distinct for the integer-exact [[DistinctSketch]]
+    * estimate (±2% at 256 stored rows — the q178 family measures
+    * exactly this cardinality shape); the audit row and the decision it
+    * feeds are unchanged.
+    */
+  def occupancyAudit(docs: DataFrame, side: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     buckets: Int = DefaultBuckets): DataFrame =
+    explodedGrams(docs, idCol, textCol)
+      .select(col("s"), bucket(col("s"), buckets).as("f"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("s")).as("n_distinct_grams"),
+        countDistinct(col("f")).as("occupied"))
+      .select(lit(side).as("side"), col("n_occurrences"),
+        col("n_distinct_grams"), col("occupied"),
+        (col("n_distinct_grams") - col("occupied")).as("folded"),
+        expr("CASE WHEN n_distinct_grams = 0 THEN 0L ELSE " +
+          "((n_distinct_grams - occupied) * 1000000) div n_distinct_grams " +
+          "END").as("fold_ppm"))
 
   /** Corpus profile: (f, cnt) summed over every feature occurrence —
     * the sufficient statistic for one side of the ratio. ≤ B rows out;

@@ -1044,6 +1044,18 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("n_feats"), col("score_ppm"))
     }),
 
+    // The q174 split's bucket-collision honesty row (see
+    // Dsir.occupancyAudit): exact distinct-gram count vs occupied
+    // buckets per corpus side, so the feature-hashing regime the DSIR
+    // scores live in is a gated MEASUREMENT, not a scaladoc assumption.
+    "q188_dsir_occupancy" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      Dsir.occupancyAudit(d.filter(col("doc_id") % 19 === 0), "target")
+        .unionByName(
+          Dsir.occupancyAudit(d.filter(col("doc_id") % 19 =!= 0), "raw"))
+    }),
+
     // Store-served DSIR: q174's scoring with the raw profile accrued
     // INCREMENTALLY — the raw history ingested as two drops of summed
     // (f, cnt) partials, the % 7 == 1 slice arriving as the new drop to
@@ -1140,7 +1152,40 @@ object Queries {
         .unionByName(Hybrid.selfEval(probes,
           vec.withColumnRenamed("vec_rank", "rank"), "vector"))
         .unionByName(Hybrid.selfEval(probes, fused, "hybrid"))
-    })
+    }),
+
+    // The LLM curation spine END-TO-END as one lazy plan (see Curation):
+    // quality gate (q123) → near-dup dedup (q26) → decontaminate vs the
+    // fixed eval suite (q133) → DSIR top-100 vs the trusted % 19 == 0
+    // target (q175) → greedy pack (q66) → manifest (q146). The gated
+    // output is the final 8-row manifest certificate, so a composition
+    // bug anywhere in the chain — exactly what the six per-stage gates
+    // cannot see — flips a fingerprint here. The oracle replays all six
+    // stages as one CTE chain of the stage oracles.
+    "q186_curation_spine" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      Curation.spineManifest(
+        corpus = d.filter(col("doc_id") % 19 =!= 0),
+        target = d.filter(col("doc_id") % 19 === 0),
+        bench = EvalSuite.table(s).withColumnRenamed("bench_id", "doc_id"))
+    }),
+
+    // The hybrid's PRODUCTION shape, gated: q183's fusion with the
+    // exact-cosine vector leg swapped for an IVF-SERVED leg (q50's
+    // deterministic MIPS quantizer, nprobe=1) over PLANTED embeddings —
+    // each vector's group (vec_id % 8) dominates one coordinate, so (a)
+    // every vector provably assigns to its own group's centroid and (b)
+    // every exact top-10 lives inside the query's own cell: ANN
+    // recall@10 is 100% BY CONSTRUCTION (HybridSpec pins the
+    // precondition pairwise). The oracle fuses the BM25 leg with the
+    // EXACT brute-force leg over the same planted vectors — so the gate
+    // proves the leg-agnostic contract as a fact: an IVF-served fusion
+    // hash-matches the exact-leg fusion whenever the leg meets its
+    // recall contract. Plant margins: dominant coord 3·10^4 vs residual
+    // < 997 keeps same-group cosine ≥ 0.93 vs cross-group ≤ 0.14, and
+    // n2 ≈ 9·10^8 keeps na·nb < 10^18 — inside BIGINT in both engines.
+    "q187_hybrid_ann" -> ((s, dir) => hybridAnnFused(s, dir)),
   )
 
   /** q183/q184's shared legs: (lex top-10 with lex_rank, vector top-10
@@ -1170,6 +1215,69 @@ object Queries {
       Seq(col("sim").desc, col("doc_id").asc), "vec_rank", k)
       .drop("sim")
     (lex, vec, Hybrid.rrfFuse(lex, vec, k))
+  }
+
+  /** q187's PLANTED embeddings: the quantized vectors re-based so group
+    * g = vec_id % 8 dominates coordinate g (value 3·10^4) over a small
+    * per-vector residual (abs(q[i]) % 997 — carried so within-group
+    * rankings stay distinct and data-derived). Consequences, proven
+    * pairwise in HybridSpec: same-group cosine ≥ ~0.93, cross-group
+    * ≤ ~0.14, so with one centroid per group every exact top-10 is
+    * cell-local — the planted-recall precondition q187's gate rests on.
+    * n2 ≈ 9.7·10^8 keeps na·nb < 10^18: inside BIGINT in both engines
+    * (cosineQ multiplies in LONG before the double cast, as does the
+    * oracle — overflow here would silently corrupt sims Spark-side).
+    */
+  private[graft] def plantedVectors(s: SparkSession, dir: String): DataFrame =
+    graft.vector.Queries.prepared(s, dir)
+      .select(col("vec_id"),
+        transform(col("q"), (x, i) =>
+          abs(x) % 997 +
+            when(i === col("vec_id") % 8, lit(30000L)).otherwise(lit(0L)))
+          .as("q"))
+      .withColumn("n2", graft.functions.VectorDot.of(col("q"), col("q")))
+
+  /** q187: q183's fusion with the vector leg served from an IVF index —
+    * q50's deterministic coarse quantizer (centroids = the 8 lowest-id
+    * planted vectors, one per group by construction; cells by argmax
+    * dot, ties to the smaller cid) and nprobe=1 probing: a query is
+    * scored ONLY against its own cell. The corpus never meets an
+    * all-pairs join; the cell equi-join is the one shuffle that grows
+    * with n — the q50/q134 production contract, now inside a gated
+    * fusion.
+    */
+  private def hybridAnnFused(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val lex = Hybrid.addRank(
+      Retrieval.bm25TopKFor(
+        Tables(s, dir).documents
+          .repartition(s.sparkContext.defaultParallelism),
+        probe = col("doc_id") % 5 === 0 && col("doc_id") < 60, k = k),
+      col("query_id"), Seq(col("score_ppt").desc, col("doc_id").asc),
+      "lex_rank", k).drop("score_ppt")
+    val e = plantedVectors(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cid").asc)
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", graft.functions.VectorDot.of(col("q"), col("cq")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("q"), col("n2"), col("cid"))
+    val qs = assigned.filter(col("vec_id") % 5 === 0 && col("vec_id") < 60)
+    val scored = assigned.as("b")
+      .join(broadcast(qs.as("a")), col("a.cid") === col("b.cid"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("doc_id"),
+        graft.vector.VectorOps.cosineQ(
+          graft.functions.VectorDot.of(col("a.q"), col("b.q")),
+          col("a.n2"), col("b.n2")).as("sim"))
+    val vec = Hybrid.addRank(scored, col("query_id"),
+      Seq(col("sim").desc, col("doc_id").asc), "vec_rank", k).drop("sim")
+    Hybrid.rrfFuse(lex, vec, k)
   }
 
   /** Substring-level repeated-span detection — the span-granularity dedup
@@ -1836,15 +1944,21 @@ object Queries {
   // fewer than 3 words contributes ITSELF as its only shingle (so short
   // docs dedup by exact text in BOTH engines — equivalence by
   // construction, not by the generator never emitting short docs)
-  private val docsCte =
-    """docs AS (
-      |  SELECT doc_id, source,
-      |    CASE WHEN len(string_split(text,' ')) >= 3
-      |      THEN list_distinct(list_transform(
-      |        range(1, len(string_split(text,' '))-1),
-      |        i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
-      |      ELSE [text] END AS sh
-      |  FROM documents)""".stripMargin
+  /** `docs` CTE (doc_id, source, sh = distinct 3-shingles, whole-text
+    * fallback under 3 words) over any source relation — `documents` for
+    * the standalone gates, a prior CTE for composed chains (q186).
+    */
+  private def docsCteFrom(src: String) =
+    s"""docs AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN len(string_split(text,' ')) >= 3
+       |      THEN list_distinct(list_transform(
+       |        range(1, len(string_split(text,' '))-1),
+       |        i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
+       |      ELSE [text] END AS sh
+       |  FROM $src)""".stripMargin
+
+  private val docsCte = docsCteFrom("documents")
 
   private val sigEntries = (0 until 16)
     .map { i =>
@@ -1893,9 +2007,11 @@ object Queries {
        |  AND d.doc_id NOT IN (SELECT new_id FROM xdup)
        |  AND d.doc_id NOT IN (SELECT new_id FROM idup)""".stripMargin
 
-  /** Shared CTE chain computing verified near-dup pairs (mirrors Dedup). */
-  private val pairsCtes =
-    s"""$docsCte,
+  /** Shared CTE chain computing verified near-dup pairs (mirrors Dedup)
+    * over any source relation carrying (doc_id, source, text).
+    */
+  private def pairsCtesFrom(src: String) =
+    s"""${docsCteFrom(src)},
        |sigs AS (SELECT doc_id, sh, [
        |    $sigEntries] AS sig FROM docs),
        |bands AS (SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
@@ -1913,6 +2029,8 @@ object Queries {
        |  FROM cand
        |  JOIN docs sa ON doc_a = sa.doc_id
        |  JOIN docs sb ON doc_b = sb.doc_id)""".stripMargin
+
+  private val pairsCtes = pairsCtesFrom("documents")
 
   /** Winnowing CTE chain (mirrors Winnow.fingerprints with k=3, w=4,
     * 1-based positions): `fps` = distinct (doc_id, fp). Shared by the
@@ -2213,7 +2331,14 @@ object Queries {
        |    PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS INT)
        |    AS vec_rank
        |  FROM vr QUALIFY vec_rank <= 10),
-       |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |$rrfFuseCtes""".stripMargin
+
+  /** The RRF fusion tail shared by q183 and q187: CTEs `lexleg`
+    * (query_id, doc_id, lex_rank) and `vecleg` (query_id, doc_id,
+    * vec_rank) → ranked CTE `fr`.
+    */
+  private def rrfFuseCtes: String =
+    s"""fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
        |    l.lex_rank, v.vec_rank,
        |    CAST(coalesce(1000000000 // (60 + l.lex_rank), 0) +
@@ -2225,6 +2350,35 @@ object Queries {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY rrf_ppb DESC, doc_id ASC) AS INT) AS rank
        |  FROM fused)""".stripMargin
+
+  /** q187's replay: the SAME BM25 leg and fusion tail as q183, with the
+    * vector leg computed EXACT (brute force) over the planted vectors —
+    * the Scala side serves that leg from the IVF cells, and the gate
+    * holds because the plant makes cell-restricted top-10 ≡ exact
+    * top-10 (recall 100% by construction, HybridSpec).
+    */
+  private def hybridAnnCtes: String =
+    s"""${bm25Ctes("p.doc_id % 5 = 0 AND p.doc_id < 60")},
+       |lexleg AS (SELECT query_id, doc_id, CAST(r AS INT) AS lex_rank
+       |  FROM rk WHERE r <= 10),
+       |${graft.vector.Queries.quantCte},
+       |pv AS (SELECT vec_id, list_transform(range(1, len(q)+1),
+       |    i -> (abs(q[i]) % 997) +
+       |      CASE WHEN i - 1 = vec_id % 8 THEN 30000 ELSE 0 END) AS q
+       |  FROM n),
+       |pn AS (SELECT vec_id, q, CAST(list_sum(list_transform(
+       |    range(1, len(q)+1), i -> q[i]*q[i])) AS BIGINT) AS n2 FROM pv),
+       |vp AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+       |    ${graft.vector.Queries.dotExpr} AS dot_q, a.n2 na, b.n2 nb
+       |  FROM pn a JOIN pn b ON a.vec_id % 5 = 0 AND a.vec_id < 60),
+       |vr AS (SELECT query_id, doc_id,
+       |    CAST(dot_q AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS sim
+       |  FROM vp),
+       |vecleg AS (SELECT query_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS INT)
+       |    AS vec_rank
+       |  FROM vr QUALIFY vec_rank <= 10),
+       |$rrfFuseCtes""".stripMargin
 
   /** One known-item eval row over self-rank CTE `srcCte` (query_id,
     * srank): found@k count and exact-integer MRR ppb, missing probes
@@ -2346,6 +2500,32 @@ object Queries {
     "q174_dsir_score" ->
       s"""$dsirCtes
          |SELECT doc_id, n_feats, score_ppm FROM scored""".stripMargin,
+    // q188 replays the feature stream keeping the RAW gram alongside its
+    // bucket, then counts both universes per corpus side
+    "q188_dsir_occupancy" ->
+      """WITH tws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |fe AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+        |    THEN list_concat(ws, list_transform(range(1, len(ws)),
+        |      i -> array_to_string(ws[i:i+1], ' ')))
+        |    ELSE ws END AS feats FROM tws),
+        |oc AS (SELECT doc_id, s, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
+        |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe)),
+        |a1 AS (SELECT 'target' AS side, count(*) AS n_occurrences,
+        |    count(DISTINCT s) AS n_distinct_grams,
+        |    count(DISTINCT f) AS occupied
+        |  FROM oc WHERE doc_id % 19 = 0),
+        |a2 AS (SELECT 'raw' AS side, count(*) AS n_occurrences,
+        |    count(DISTINCT s) AS n_distinct_grams,
+        |    count(DISTINCT f) AS occupied
+        |  FROM oc WHERE doc_id % 19 <> 0)
+        |SELECT side, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+        |  CAST(n_distinct_grams AS BIGINT) AS n_distinct_grams,
+        |  CAST(occupied AS BIGINT) AS occupied,
+        |  CAST(n_distinct_grams - occupied AS BIGINT) AS folded,
+        |  CAST(CASE WHEN n_distinct_grams = 0 THEN 0
+        |    ELSE ((n_distinct_grams - occupied) * 1000000) // n_distinct_grams
+        |    END AS BIGINT) AS fold_ppm
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)""".stripMargin,
     "q175_dsir_select" ->
       s"""$dsirCtes,
          |rk AS (SELECT doc_id, n_feats, score_ppm, row_number() OVER (
@@ -2427,6 +2607,107 @@ object Queries {
       s"""WITH $hybridCtes
          |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_ppb, rank
          |FROM fr WHERE rank <= 10""".stripMargin,
+    // q187's oracle fuses the SAME BM25 leg with the EXACT vector leg
+    // over the planted vectors; the Scala side serves the vector leg
+    // from IVF cells — the hash gate IS the leg-agnosticism proof
+    // (valid because the plant pins ANN recall@10 to 100%, HybridSpec)
+    "q187_hybrid_ann" ->
+      s"""WITH $hybridAnnCtes
+         |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_ppb, rank
+         |FROM fr WHERE rank <= 10""".stripMargin,
+    // q186: the six stage oracles (q123 → q26 → q133 → q175 → q66 →
+    // q146) composed as ONE CTE chain, each stage reading the previous
+    // stage's CTE — the cross-stage contract replayed end to end.
+    "q186_curation_spine" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT * FROM documents WHERE doc_id % 19 <> 0),
+         |q0 AS (SELECT doc_id, lang,
+         |    (CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000)
+         |      // len(string_split(text,' ')) AS score_ppt
+         |  FROM corpus),
+         |q1 AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY score_ppt, doc_id) AS BIGINT) AS rnk,
+         |    count(*) OVER (PARTITION BY lang) AS grp_n
+         |  FROM q0),
+         |gated AS (SELECT c.* FROM corpus c JOIN q1 USING (doc_id)
+         |  WHERE q1.rnk * 4 > q1.grp_n),
+         |${pairsCtesFrom("gated")},
+         |losers AS (SELECT DISTINCT doc_b AS doc_id
+         |  FROM pairs WHERE inter_size*10 >= union_size*7),
+         |dd AS (SELECT g.* FROM gated g LEFT JOIN losers l USING (doc_id)
+         |  WHERE l.doc_id IS NULL),
+         |bw AS (SELECT DISTINCT g
+         |  FROM (VALUES ${EvalSuite.shinglesValuesSql}) AS t(g)),
+         |cw AS (SELECT d.doc_id, unnest(d.sh) AS s
+         |  FROM docs d JOIN dd USING (doc_id)),
+         |bad AS (SELECT DISTINCT cw.doc_id FROM cw JOIN bw ON cw.s = bw.g),
+         |clean AS (SELECT dd.* FROM dd LEFT JOIN bad USING (doc_id)
+         |  WHERE bad.doc_id IS NULL),
+         |tws_t AS (SELECT doc_id, string_split(text,' ') AS ws
+         |  FROM documents WHERE doc_id % 19 = 0),
+         |fe_t AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
+         |      i -> array_to_string(ws[i:i+1], ' ')))
+         |    ELSE ws END AS feats FROM tws_t),
+         |occ_t AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
+         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_t)),
+         |tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS tgt FROM occ_t GROUP BY 1),
+         |tws_r AS (SELECT doc_id, string_split(text,' ') AS ws FROM clean),
+         |fe_r AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
+         |      i -> array_to_string(ws[i:i+1], ' ')))
+         |    ELSE ws END AS feats FROM tws_r),
+         |occ_r AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
+         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_r)),
+         |rw AS (SELECT f, CAST(count(*) AS BIGINT) AS raw FROM occ_r GROUP BY 1),
+         |rt AS (SELECT f, ((coalesce(tgt, 0) + 1) * 1000000) //
+         |    (coalesce(raw, 0) + 1) AS r_ppm
+         |  FROM tgt FULL JOIN rw USING (f)),
+         |sc AS (SELECT occ_r.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(coalesce(rt.r_ppm, 1000000)) AS BIGINT) AS rsum
+         |  FROM occ_r LEFT JOIN rt USING (f) GROUP BY 1),
+         |sel AS (SELECT doc_id, score_ppm FROM (
+         |  SELECT doc_id, rsum // n_feats AS score_ppm, row_number() OVER (
+         |    ORDER BY rsum // n_feats DESC, doc_id ASC) AS rr FROM sc)
+         |  WHERE rr <= 100),
+         |pt AS (SELECT s.doc_id,
+         |    CAST(('0x'||substr(md5('pack:'||CAST(s.doc_id AS VARCHAR)),1,7))::BIGINT
+         |      % 8 AS INT) AS shard,
+         |    CAST(len(string_split(c.text,' ')) AS BIGINT) AS n
+         |  FROM sel s JOIN clean c USING (doc_id)),
+         |pr AS (SELECT doc_id, shard, n,
+         |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM pt),
+         |pg AS (
+         |  SELECT doc_id, shard, n, rn, CAST(0 AS BIGINT) AS seq_id,
+         |    CAST(0 AS BIGINT) AS tok_offset
+         |  FROM pr WHERE rn = 1
+         |  UNION ALL
+         |  SELECT pr.doc_id, pr.shard, pr.n, pr.rn,
+         |    CASE WHEN pg.tok_offset + pg.n + pr.n > 256
+         |      THEN pg.seq_id + 1 ELSE pg.seq_id END,
+         |    CASE WHEN pg.tok_offset + pg.n + pr.n > 256 THEN CAST(0 AS BIGINT)
+         |         ELSE pg.tok_offset + pg.n END
+         |  FROM pg JOIN pr ON pr.shard = pg.shard AND pr.rn = pg.rn + 1),
+         |mrows AS (SELECT pg.doc_id, c.lang, se.score_ppm,
+         |    pg.shard AS pack_shard, pg.seq_id, pg.tok_offset,
+         |    pg.n AS n_tokens
+         |  FROM pg JOIN clean c USING (doc_id) JOIN sel se USING (doc_id)),
+         |mf AS (SELECT
+         |  CAST(('0x'||substr(md5('manifest:'||CAST(doc_id AS VARCHAR)),1,7))::BIGINT
+         |    % 8 AS INT) AS shard,
+         |  ('0x'||substr(md5(concat_ws(chr(1),
+         |    coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+         |    coalesce(lang, chr(2)),
+         |    coalesce(CAST(score_ppm AS VARCHAR), chr(2)),
+         |    coalesce(CAST(pack_shard AS VARCHAR), chr(2)),
+         |    coalesce(CAST(seq_id AS VARCHAR), chr(2)),
+         |    coalesce(CAST(tok_offset AS VARCHAR), chr(2)),
+         |    coalesce(CAST(n_tokens AS VARCHAR), chr(2)))),1,15))::BIGINT AS fp
+         |  FROM mrows)
+         |SELECT shard, count(*) AS n_rows, bit_xor(fp) AS xor_fp,
+         |  CAST(sum(fp % 1000003) AS BIGINT) AS sum_fp
+         |FROM mf GROUP BY shard""".stripMargin,
     // q184's known-item eval: for each system, the probe's own doc_id
     // looked up in its top-10; MRR in exact integer ppb.
     "q184_retrieval_eval" ->

@@ -194,6 +194,101 @@ object SketchStore extends graft.operators.DropLedger {
         expr("(greatest(est_drop - novelty_est, 0L) * 1000000) div est_drop"))
   }
 
+  /** Doc-granular PURGE — the max-merge family's takedown-parity recipe
+    * (max cannot subtract, so the ledger REBUILDS): re-sketch drop
+    * `dropId` from its remaining raw docs and swap the drop's register
+    * rows atomically ([[graft.operators.DropLedger.replaceDropRows]]).
+    * Serve afterwards ≡ a from-scratch store whose drop never contained
+    * the purged docs (CliSpec gates this literally). `remainingDocs` is
+    * the drop's raw corpus MINUS the purged docs — the caller owns raw
+    * access (the store holds registers only; that is what makes its
+    * serve metadata-scale); the CLI wires a removal ticket to this via
+    * `--takedown ticket --sketch-store sd --sketch-raw drop=rawDir`.
+    * Cost: one scan of THAT DROP's raw docs — never the history.
+    */
+  def purgeDocs(remainingDocs: DataFrame, storeDir: String, dropId: String,
+                textCol: String = "text"): Unit = {
+    val s = remainingDocs.sparkSession
+    val cfg = storedCfg(s, storeDir)
+    val gram = cfg.drop(1).takeWhile(_ != '-').toInt
+    replaceDropRows(s, storeDir, dropId,
+      partials(remainingDocs, dropId, textCol, gram))
+  }
+
+  /** Admission-GATED ingest — [[admission]] wired into the ingest loop
+    * (the foreachBatch streaming path and the CLI both call this): the
+    * candidate drop is sketched ONCE; if the store already holds its id
+    * the drop is recorded-and-skipped (replay convergence — exactly-once
+    * across foreachBatch retries); if its containment_ppm ≥
+    * `maxContainmentPpm` it is recorded-and-REJECTED (a stale/replayed
+    * crawl never pays ingest or downstream dedup cost); otherwise it is
+    * appended. EVERY verdict — admitted, duplicate-drop, rejected-stale
+    * — lands as one row in the store's admission LOG
+    * (`storeDir/_admissions/<n>-<dropId>/`, read back by
+    * [[admissionLog]]), so the decision trail is auditable state, not
+    * stdout. The log is decision metadata, NOT register rows: a
+    * rejected drop contributes nothing to the serve. Returns true iff
+    * the drop was appended.
+    */
+  def ingestGated(docs: DataFrame, storeDir: String, dropId: String,
+                  maxContainmentPpm: Long = 950000L,
+                  textCol: String = "text"): Boolean = {
+    requireDropId(dropId)
+    val s = docs.sparkSession
+    import s.implicits._
+    def record(verdict: String, adm: Option[org.apache.spark.sql.Row]): Unit = {
+      val seq = admissionLogEntries(s, storeDir).size + 1L
+      val row = adm match {
+        case Some(r) => Seq((seq, dropId, verdict, Some(r.getLong(0)),
+          Some(r.getLong(1)), Some(r.getLong(2)), Some(r.getLong(3)),
+          Some(r.getLong(4))))
+        case None => Seq((seq, dropId, verdict, None: Option[Long],
+          None: Option[Long], None: Option[Long], None: Option[Long],
+          None: Option[Long]))
+      }
+      row.toDF("seq", "drop_id", "verdict", "est_drop", "est_store",
+          "est_union", "novelty_est", "containment_ppm")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"$storeDir/_admissions/$seq%06d-$dropId")
+    }
+    if (!exists(s, storeDir)) {
+      build(docs, storeDir, dropId, textCol); record("admitted-bootstrap", None)
+      true
+    } else if (drops(s, storeDir).contains(dropId)) {
+      record("skipped-duplicate-drop", None)
+      false
+    } else {
+      val adm = admission(docs, storeDir, textCol).collect().head
+      if (adm.getAs[Long]("containment_ppm") >= maxContainmentPpm) {
+        record("rejected-stale", Some(adm))
+        false
+      } else {
+        append(docs, storeDir, dropId, textCol)
+        record("admitted", Some(adm))
+        true
+      }
+    }
+  }
+
+  private def admissionLogEntries(s: SparkSession, storeDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/_admissions")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName).sorted
+  }
+
+  /** The admission decision trail: one row per [[ingestGated]] verdict,
+    * in decision order (`seq`). Estimates are NULL for verdicts that
+    * never scored (bootstrap, duplicate-drop replay).
+    */
+  def admissionLog(s: SparkSession, storeDir: String): DataFrame = {
+    require(admissionLogEntries(s, storeDir).nonEmpty,
+      s"no admission log under $storeDir/_admissions — ingest through " +
+        "ingestGated to record verdicts")
+    s.read.option("recursiveFileLookup", "true")
+      .parquet(s"$storeDir/_admissions")
+  }
+
   /** The saturation curve: one row per ingest PREFIX of the
     * lexicographically-ordered drops (date-shaped ids sort themselves) —
     * (drops_seen, last_drop, occupied, est_distinct). A flattening

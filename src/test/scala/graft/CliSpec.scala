@@ -1027,6 +1027,59 @@ class CliSpec extends AnyFunSuite {
       "post-takedown registers ≡ never saw drop2")
   }
 
+  test("Corpus CLI: --curation-spine runs the q186 pipeline; artifacts match the gate") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("corpus-spine")
+    val d = Tables(spark, "/root/testdata/sf0.001").documents
+    d.filter(col("doc_id") % 19 =!= 0).write.parquet(s"$dir/corpus")
+    d.filter(col("doc_id") % 19 === 0).write.parquet(s"$dir/target")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/corpus", "-O", s"$dir/out",
+      "--curation-spine", "--dsir-target", s"$dir/target"))
+    assert(spark.read.parquet(s"$dir/out/selection").count() === 100)
+    // the CLI's on-disk manifest ≡ the q186 gate over the same split —
+    // the flag runs the exact spine the oracle checks
+    val manifest = spark.read.parquet(s"$dir/out/_manifest")
+      .collect().map(_.toSeq).toSet
+    val gate = SparkEntry.queries("q186_curation_spine")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
+    assert(manifest === gate)
+  }
+
+  test("Corpus CLI: --takedown doc ticket + --sketch-raw rebuilds the drop; serve ≡ never-contained") {
+    import spark.implicits._
+    import graft.text.{DistinctSketch, SketchStore}
+    val dir = Files.createTempDirectory("corpus-sketch-purge")
+    // in-regime cardinalities (the estimator floors below ~640 distinct)
+    val d1 = (1L, (1 to 2000).map(i => s"x$i").mkString(" "))
+    val d2a = (2L, (1 to 2000).map(i => s"y$i").mkString(" "))
+    val d2b = (3L, (1 to 2000).map(i => s"z$i").mkString(" "))
+    docsOf(d1).write.parquet(s"$dir/drop1")
+    docsOf(d2a, d2b).write.parquet(s"$dir/drop2")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop1", "-O", s"$dir/o1", "--sketch-store", s"$dir/sk"))
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/o2", "--sketch-store", s"$dir/sk"))
+    // doc-granular ticket: purge doc 3 from drop2 — max can't subtract,
+    // so the CLI rebuilds drop2's registers from its raw corpus minus
+    // the ticket and swaps atomically
+    Seq(3L).toDF("doc_id").write.parquet(s"$dir/ticket")
+    graft.cli.Corpus.run(spark, Array(
+      "--takedown", s"$dir/ticket", "--sketch-store", s"$dir/sk",
+      "--sketch-raw", s"${novDropId(s"$dir/drop2")}=$dir/drop2"))
+    val served = SketchStore.serveRegisters(spark, s"$dir/sk")
+      .collect().map(_.toSeq).toSet
+    val neverContained = DistinctSketch.registers(
+        DistinctSketch.grams(docsOf(d1, d2a)))
+      .collect().map(_.toSeq).toSet
+    assert(served === neverContained,
+      "post-purge serve must equal a store whose drop2 never held doc 3")
+    // the ledger still lists both drops: purge REBUILT drop2, not removed it
+    assert(SketchStore.drops(spark, s"$dir/sk") ===
+      Set(novDropId(s"$dir/drop1"), novDropId(s"$dir/drop2")))
+  }
+
   test("Corpus CLI: --profile-store accumulates per-drop partials; re-runs idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-profstore")

@@ -65,4 +65,45 @@ class HybridSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(got === Set((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1)))
   }
+
+  // q187's PRECONDITION, pinned: the gate compares an IVF-served vector
+  // leg (Scala) against an exact brute-force leg (oracle), which is only
+  // a leg-agnosticism proof if the planted embeddings make ANN recall@10
+  // exactly 100%. This test states that plant property as two checkable
+  // facts on the actual test data — if TESTDATA changes in a way that
+  // breaks the plant, this fails loudly instead of q187 silently gating
+  // a lossy leg (the r12-advice q171/q106 oracle-precondition lesson).
+  test("q187 planted vectors: every vector assigns to its own group's centroid; exact top-10 is cell-local") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.text.Queries.plantedVectors(spark, dir).cache()
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    // (1) argmax-dot assignment lands every vector in group vec_id % 8
+    val misassigned = e.crossJoin(broadcast(cents))
+      .withColumn("cdot", graft.functions.VectorDot.of(col("q"), col("cq")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("cdot").desc, col("cid").asc)))
+      .filter(col("rn") === 1 && col("cid") =!= col("vec_id") % 8)
+      .count()
+    assert(misassigned === 0L, "the dominant coordinate must decide the cell")
+    // (2) each probe's exact top-10 (self included, q183's contract)
+    // stays inside the probe's own group — so nprobe=1 recall@10 = 100%
+    val qs = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 60)
+    val exact = e.as("b").crossJoin(broadcast(qs.as("a")))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("doc_id"),
+        graft.vector.VectorOps.cosineQ(
+          graft.functions.VectorDot.of(col("a.q"), col("b.q")),
+          col("a.n2"), col("b.n2")).as("sim"))
+    val crossGroupInTop10 = Hybrid.addRank(exact, col("query_id"),
+        Seq(col("sim").desc, col("doc_id").asc), "r", 10)
+      .filter(col("doc_id") % 8 =!= col("query_id") % 8)
+      .count()
+    assert(crossGroupInTop10 === 0L,
+      "an exact top-10 hit outside the query's cell breaks q187's recall-100% plant")
+    // the locality claim must not be vacuous: every group holds >= 10
+    val minGroup = e.groupBy(col("vec_id") % 8).count()
+      .agg(org.apache.spark.sql.functions.min("count")).as[Long].head()
+    assert(minGroup >= 10L, s"groups too small for top-10 locality: $minGroup")
+  }
 }

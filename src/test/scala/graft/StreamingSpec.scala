@@ -518,6 +518,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sketch-store ingest: admission-gated foreachBatch — a stale replayed batch is recorded-and-skipped") {
+    // The q185 decision CLOSED into the ingest loop (r12 verdict #8):
+    // each micro-batch passes SketchStore.ingestGated, which sketches
+    // the candidate ONCE, rejects drops whose containment vs the stored
+    // history crosses the gate, and records EVERY verdict in the store's
+    // _admissions log — so a replayed/stale crawl never joins the
+    // ledger, and the skip is auditable state rather than a lost log line.
+    import graft.text.SketchStore
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-sketchgate").toString
+    def text(prefix: String) = (1 to 2000).map(i => s"$prefix$i").mkString(" ")
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val dropId = f"batch-$epoch%06d"
+        verdicts += dropId ->
+          SketchStore.ingestGated(batch, dir, dropId, maxContainmentPpm = 900000L)
+        ()
+      }
+      .start()
+    try {
+      mem.addData((1L, text("x")))
+      q.processAllAvailable() // epoch 0: bootstrap — admitted
+      mem.addData((2L, text("y")))
+      q.processAllAvailable() // epoch 1: all-new grams — admitted
+      mem.addData((3L, text("y")))
+      q.processAllAvailable() // epoch 2: a STALE replay of epoch 1's
+                              // content under a fresh id — rejected
+      assert(verdicts.toSeq === Seq(
+        "batch-000000" -> true, "batch-000001" -> true,
+        "batch-000002" -> false))
+      // the ledger holds only the admitted drops…
+      assert(SketchStore.drops(spark, dir) ===
+        Set("batch-000000", "batch-000001"))
+      // …and the admission log shows all three verdicts, the rejection
+      // with its measured containment above the gate
+      val log = SketchStore.admissionLog(spark, dir)
+        .orderBy("seq")
+        .select("drop_id", "verdict", "containment_ppm")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+      assert(log.map(x => (x._1, x._2)).toSeq === Seq(
+        ("batch-000000", "admitted-bootstrap"),
+        ("batch-000001", "admitted"),
+        ("batch-000002", "rejected-stale")))
+      assert(log.last._3.exists(_ >= 900000L),
+        s"the rejection must carry the containment that triggered it: ${log.toSeq}")
+      // a foreachBatch RETRY of an already-ingested epoch id converges:
+      // recorded-and-skipped, never a double append
+      assert(!SketchStore.ingestGated(
+        Seq((2L, text("y"))).toDF("doc_id", "text"), dir, "batch-000001"))
+      assert(SketchStore.admissionLog(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("verdict") ===
+          "skipped-duplicate-drop").count() === 1L)
+    } finally q.stop()
+  }
+
   test("span-store ingest: foreachBatch scrubs each batch vs history, appends kept grams") {
     // The streaming half of q151: each micro-batch's text is scrubbed
     // against the store ∪ itself, the KEPT text's gram-df partials join
