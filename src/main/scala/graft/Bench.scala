@@ -201,6 +201,10 @@ object Bench {
       graft.text.Queries.wideStoreFixture(spark, sfDir) }
     prebuild(names.contains("q176_dsir_store")) {
       graft.text.Queries.dsirStoreFixture(spark, sfDir) }
+    prebuild(names.contains("q189_spine_drop")) {
+      graft.text.Queries.storeFixture(spark, sfDir)
+      graft.text.Queries.spineDsirFixture(spark, sfDir)
+      () }
     prebuild(names.contains("q177_dsir_unlearn")) {
       graft.text.Queries.dsirUnlearnFixture(spark, sfDir) }
     prebuild(names.contains("q179_sketch_store") ||

@@ -55,22 +55,7 @@ object Curation {
   def spineSelection(corpus: DataFrame, target: DataFrame, bench: DataFrame,
                      k: Int = 100,
                      barrier: DataFrame => DataFrame = identity): DataFrame = {
-    // stage 1 — q123's per-lang percentile gate: keep each language's
-    // top three quality quartiles (distinct/total tokens, exact ppt;
-    // the cut is rank*4 > n, never a float percentile)
-    val scored = corpus
-      .withColumn("ws", TextOps.words(col("text")))
-      .select(col("doc_id"), col("lang"),
-        size(array_distinct(col("ws"))).as("nd"), size(col("ws")).as("nt"))
-      .withColumn("score_ppt", expr("(CAST(nd AS BIGINT) * 1000) div nt"))
-    val wRank = Window.partitionBy(col("lang"))
-      .orderBy(col("score_ppt").asc, col("doc_id").asc)
-    val keptIds = scored
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .withColumn("grp_n", count(lit(1)).over(Window.partitionBy(col("lang"))))
-      .filter(col("rnk") * 4 > col("grp_n"))
-      .select(col("doc_id"))
-    val gated = barrier(corpus.join(keptIds, Seq("doc_id"), "left_semi"))
+    val gated = barrier(qualityGated(corpus))
 
     // stage 2 — q26's survivorship: a doc is dropped iff it has a
     // verified near-dup partner with a smaller id (banded LSH + exact
@@ -87,14 +72,42 @@ object Curation {
     // the trusted target profile, deterministic top-k by (score, id)
     val picked = barrier(Dsir.selectTopK(Dsir.score(target, clean), k))
 
-    // stage 5 — q66: greedy no-split packing of the selection
+    packAndLabel(clean, picked)
+  }
+
+  /** stage 1 — q123's per-lang percentile gate: keep each language's
+    * top three quality quartiles (distinct/total tokens, exact ppt; the
+    * cut is rank*4 > n, never a float percentile). Shared verbatim by
+    * the batch and incremental spines — the incremental form ranks
+    * WITHIN the drop, which is this same function applied to a smaller
+    * corpus, not different logic.
+    */
+  private def qualityGated(corpus: DataFrame): DataFrame = {
+    val scored = corpus
+      .withColumn("ws", TextOps.words(col("text")))
+      .select(col("doc_id"), col("lang"),
+        size(array_distinct(col("ws"))).as("nd"), size(col("ws")).as("nt"))
+      .withColumn("score_ppt", expr("(CAST(nd AS BIGINT) * 1000) div nt"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("score_ppt").asc, col("doc_id").asc)
+    val keptIds = scored
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("grp_n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rnk") * 4 > col("grp_n"))
+      .select(col("doc_id"))
+    corpus.join(keptIds, Seq("doc_id"), "left_semi")
+  }
+
+  /** stages 5+6's shared tail — q66's greedy no-split packing of the
+    * selection, labeled with its provenance (lang, score, layout).
+    */
+  private def packAndLabel(clean: DataFrame, picked: DataFrame): DataFrame = {
     val withTok = clean.select(col("doc_id"), col("lang"),
       size(TextOps.words(col("text"))).as("n_tokens"))
     val packed = graft.operators.Packing.greedyPack(
       withTok.join(broadcast(picked.select(col("doc_id"))), Seq("doc_id"))
         .select(col("doc_id"), col("n_tokens")),
       "doc_id", "n_tokens", maxTokens = 256, shards = 8)
-
     packed.withColumnRenamed("shard", "pack_shard")
       .join(withTok.select(col("doc_id"), col("lang"), col("n_tokens")),
         Seq("doc_id"))
@@ -103,6 +116,50 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("score_ppm"),
         col("pack_shard"), col("seq_id"), col("tok_offset"))
   }
+
+  /** The spine's DAILY-DROP form (q189) — the batch pipeline above is
+    * how a corpus is curated ONCE; this is how it is curated every day
+    * after: the plan touches ONLY the drop, and the corpus history
+    * participates through two persisted ledgers —
+    *
+    *  - dedup vs the signature STORE ([[Store.dedupNewDropVsCorpusReadOnly]],
+    *    q106's serve): cross-history dups and intra-drop dups drop in
+    *    one banded pass; the history is never re-shingled;
+    *  - DSIR vs the profile STORE ([[DsirStore.scoreVsDrop]], q176's
+    *    serve): the raw side of every ratio counts history ∪ drop from
+    *    a drops×buckets-row scan.
+    *
+    * The quality gate ranks WITHIN the drop (drop-relative quartiles —
+    * the daily decision is "this crawl's best three quartiles");
+    * decontamination, selection, packing and the manifest are the batch
+    * stages unchanged. Cost at 100 TB: one scan of the DROP plus two
+    * metadata-scale store scans — the history re-enters nothing.
+    *
+    * One internal materialization, documented: the dedup serve caches
+    * the drop's signed frame (drop-sized, five plan branches — the
+    * store-serve convention); the DSIR serve runs eager=false so no
+    * job fires at plan time.
+    */
+  def incrementalSpineSelection(drop: DataFrame, target: DataFrame,
+                                bench: DataFrame, dedupStore: String,
+                                dsirStore: String, k: Int = 100): DataFrame = {
+    val gated = qualityGated(drop)
+    val deduped = Store.dedupNewDropVsCorpusReadOnly(gated, dedupStore)
+    val clean = Dedup.decontaminate(deduped, bench).cache()
+    val picked = Dsir.selectTopK(
+      DsirStore.scoreVsDrop(target, clean, dsirStore, eager = false), k)
+    packAndLabel(clean, picked)
+  }
+
+  /** q189's gate face: the manifest certificate of the daily-drop run. */
+  def incrementalSpineManifest(drop: DataFrame, target: DataFrame,
+                               bench: DataFrame, dedupStore: String,
+                               dsirStore: String, k: Int = 100): DataFrame =
+    graft.operators.Audit.manifest(
+      incrementalSpineSelection(drop, target, bench, dedupStore, dsirStore, k),
+      key = "doc_id",
+      cols = Seq("lang", "score_ppm", "pack_shard", "seq_id", "tok_offset",
+        "n_tokens"))
 
   /** stage 6 — q146: the 8-row manifest CERTIFICATE over
     * [[spineSelection]] — the reproducibility statement "these exact

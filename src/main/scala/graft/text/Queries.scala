@@ -1171,6 +1171,30 @@ object Queries {
         bench = EvalSuite.table(s).withColumnRenamed("bench_id", "doc_id"))
     }),
 
+    // The spine's DAILY-DROP form, gated (see Curation
+    // .incrementalSpineSelection): the % 3 == 0 drop is curated against
+    // HISTORY THAT LIVES IN THE LEDGERS — near-dup dedup serves q106's
+    // signature store, DSIR scoring serves the profile store (history ∪
+    // drop by count sum-merge) — while quality gating ranks within the
+    // drop and decontamination/selection/packing/manifest are the batch
+    // stages unchanged. The oracle replays everything from scratch
+    // (drop-scoped quartiles, the 4×4-banded cross+intra dedup of
+    // q106's oracle restricted to the gated drop, raw counts over
+    // history ∪ survivors), so the hash gate simultaneously proves the
+    // composition AND that both store serves equal their from-scratch
+    // definitions inside it. k=50: a real selection cut at every SF.
+    "q189_spine_drop" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      Curation.incrementalSpineManifest(
+        drop = d.filter(col("doc_id") % 3 === 0),
+        target = d.filter(col("doc_id") % 19 === 0),
+        bench = EvalSuite.table(s).withColumnRenamed("bench_id", "doc_id"),
+        dedupStore = storeFixture(s, dir),
+        dsirStore = spineDsirFixture(s, dir),
+        k = 50)
+    }),
+
     // The hybrid's PRODUCTION shape, gated: q183's fusion with the
     // exact-cosine vector leg swapped for an IVF-SERVED leg (q50's
     // deterministic MIPS quantizer, nprobe=1) over PLANTED embeddings —
@@ -1262,12 +1286,16 @@ object Queries {
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("cid").asc)
+    // cache(): the assignment feeds both probe and corpus sides of the
+    // cell join — in production this frame IS the persisted index (the
+    // ClusterStore pattern); caching is its in-query stand-in
     val assigned = e
       .crossJoin(broadcast(cents))
       .withColumn("cdot", graft.functions.VectorDot.of(col("q"), col("cq")))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("q"), col("n2"), col("cid"))
+      .cache()
     val qs = assigned.filter(col("vec_id") % 5 === 0 && col("vec_id") < 60)
     val scored = assigned.as("b")
       .join(broadcast(qs.as("a")), col("a.cid") === col("b.cid"))
@@ -1759,6 +1787,29 @@ object Queries {
         .filter(col("doc_id") % 19 =!= 0 && col("doc_id") % 7 =!= 1)
       DsirStore.build(raw.filter(col("doc_id") % 7 <= 3), storeDir, "a")
       DsirStore.append(raw.filter(col("doc_id") % 7 > 3), storeDir, "b")
+      storeDir
+    })
+
+  /** q189's DSIR history ledger: the % 3 != 0 corpus profiled as two
+    * drops — the SAME history split the q106 signature store holds, so
+    * the daily-drop spine serves both ledgers over one consistent
+    * history.
+    */
+  private[graft] def spineDsirFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#spinedsir"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-spinedsir").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val hist = Tables(s, dir).documents.filter(col("doc_id") % 3 =!= 0)
+      DsirStore.build(hist.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      DsirStore.append(hist.filter(col("doc_id") % 3 === 2), storeDir, "b")
       storeDir
     })
 
@@ -2615,6 +2666,131 @@ object Queries {
       s"""WITH $hybridAnnCtes
          |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_ppb, rank
          |FROM fr WHERE rank <= 10""".stripMargin,
+    // q189: the daily-drop spine replayed FROM SCRATCH — drop-scoped
+    // quality quartiles, then q106's incremental-dedup CTEs (4×4-banded
+    // cross vs the % 3 <> 0 history + intra-drop, exact-Jaccard
+    // verified) restricted to the gated drop, decontamination, DSIR
+    // with raw counts over history ∪ survivors, pack, manifest. The
+    // Scala side serves the dedup and DSIR stages from the persisted
+    // ledgers, so the hash gate proves serve ≡ from-scratch INSIDE the
+    // composition.
+    "q189_spine_drop" ->
+      s"""WITH RECURSIVE drop0 AS (
+         |  SELECT * FROM documents WHERE doc_id % 3 = 0),
+         |q0 AS (SELECT doc_id, lang,
+         |    (CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000)
+         |      // len(string_split(text,' ')) AS score_ppt
+         |  FROM drop0),
+         |q1 AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY score_ppt, doc_id) AS BIGINT) AS rnk,
+         |    count(*) OVER (PARTITION BY lang) AS grp_n
+         |  FROM q0),
+         |gdrop AS (SELECT d.* FROM drop0 d JOIN q1 USING (doc_id)
+         |  WHERE q1.rnk * 4 > q1.grp_n),
+         |${pairsCtesFrom("documents")},
+         |nb AS (SELECT b.* FROM bands b JOIN gdrop USING (doc_id)),
+         |ob AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+         |xc AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM nb n JOIN ob o
+         |  ON n.band_idx = o.band_idx AND n.band_key = o.band_key),
+         |xdup AS (SELECT DISTINCT new_id FROM xc
+         |  JOIN docs sa ON new_id = sa.doc_id
+         |  JOIN docs sb ON old_id = sb.doc_id
+         |  WHERE len(list_intersect(sa.sh, sb.sh))*10 >=
+         |    (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh)))*7),
+         |ic AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM nb a JOIN nb b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  AND a.doc_id < b.doc_id),
+         |idup AS (SELECT DISTINCT doc_b AS new_id FROM ic
+         |  JOIN docs sa ON doc_a = sa.doc_id
+         |  JOIN docs sb ON doc_b = sb.doc_id
+         |  WHERE len(list_intersect(sa.sh, sb.sh))*10 >=
+         |    (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh)))*7),
+         |dd AS (SELECT g.* FROM gdrop g
+         |  WHERE g.doc_id NOT IN (SELECT new_id FROM xdup)
+         |    AND g.doc_id NOT IN (SELECT new_id FROM idup)),
+         |bw AS (SELECT DISTINCT g
+         |  FROM (VALUES ${EvalSuite.shinglesValuesSql}) AS t(g)),
+         |cw AS (SELECT d.doc_id, unnest(d.sh) AS s
+         |  FROM docs d JOIN dd USING (doc_id)),
+         |bad AS (SELECT DISTINCT cw.doc_id FROM cw JOIN bw ON cw.s = bw.g),
+         |clean AS (SELECT dd.* FROM dd LEFT JOIN bad USING (doc_id)
+         |  WHERE bad.doc_id IS NULL),
+         |tws_t AS (SELECT doc_id, string_split(text,' ') AS ws
+         |  FROM documents WHERE doc_id % 19 = 0),
+         |fe_t AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
+         |      i -> array_to_string(ws[i:i+1], ' ')))
+         |    ELSE ws END AS feats FROM tws_t),
+         |occ_t AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
+         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_t)),
+         |tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS tgt FROM occ_t GROUP BY 1),
+         |tws_h AS (SELECT doc_id, string_split(text,' ') AS ws
+         |  FROM documents WHERE doc_id % 3 <> 0),
+         |fe_h AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
+         |      i -> array_to_string(ws[i:i+1], ' ')))
+         |    ELSE ws END AS feats FROM tws_h),
+         |occ_h AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
+         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_h)),
+         |tws_c AS (SELECT doc_id, string_split(text,' ') AS ws FROM clean),
+         |fe_c AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
+         |      i -> array_to_string(ws[i:i+1], ' ')))
+         |    ELSE ws END AS feats FROM tws_c),
+         |occ_c AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
+         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_c)),
+         |rw AS (SELECT f, CAST(count(*) AS BIGINT) AS raw FROM (
+         |  SELECT f FROM occ_h UNION ALL SELECT f FROM occ_c) GROUP BY 1),
+         |rt AS (SELECT f, ((coalesce(tgt, 0) + 1) * 1000000) //
+         |    (coalesce(raw, 0) + 1) AS r_ppm
+         |  FROM tgt FULL JOIN rw USING (f)),
+         |sc AS (SELECT occ_c.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(coalesce(rt.r_ppm, 1000000)) AS BIGINT) AS rsum
+         |  FROM occ_c LEFT JOIN rt USING (f) GROUP BY 1),
+         |sel AS (SELECT doc_id, score_ppm FROM (
+         |  SELECT doc_id, rsum // n_feats AS score_ppm, row_number() OVER (
+         |    ORDER BY rsum // n_feats DESC, doc_id ASC) AS rr FROM sc)
+         |  WHERE rr <= 50),
+         |pt AS (SELECT s.doc_id,
+         |    CAST(('0x'||substr(md5('pack:'||CAST(s.doc_id AS VARCHAR)),1,7))::BIGINT
+         |      % 8 AS INT) AS shard,
+         |    CAST(len(string_split(c.text,' ')) AS BIGINT) AS n
+         |  FROM sel s JOIN clean c USING (doc_id)),
+         |pr AS (SELECT doc_id, shard, n,
+         |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM pt),
+         |pg AS (
+         |  SELECT doc_id, shard, n, rn, CAST(0 AS BIGINT) AS seq_id,
+         |    CAST(0 AS BIGINT) AS tok_offset
+         |  FROM pr WHERE rn = 1
+         |  UNION ALL
+         |  SELECT pr.doc_id, pr.shard, pr.n, pr.rn,
+         |    CASE WHEN pg.tok_offset + pg.n + pr.n > 256
+         |      THEN pg.seq_id + 1 ELSE pg.seq_id END,
+         |    CASE WHEN pg.tok_offset + pg.n + pr.n > 256 THEN CAST(0 AS BIGINT)
+         |         ELSE pg.tok_offset + pg.n END
+         |  FROM pg JOIN pr ON pr.shard = pg.shard AND pr.rn = pg.rn + 1),
+         |mrows AS (SELECT pg.doc_id, c.lang, se.score_ppm,
+         |    pg.shard AS pack_shard, pg.seq_id, pg.tok_offset,
+         |    pg.n AS n_tokens
+         |  FROM pg JOIN clean c USING (doc_id) JOIN sel se USING (doc_id)),
+         |mf AS (SELECT
+         |  CAST(('0x'||substr(md5('manifest:'||CAST(doc_id AS VARCHAR)),1,7))::BIGINT
+         |    % 8 AS INT) AS shard,
+         |  ('0x'||substr(md5(concat_ws(chr(1),
+         |    coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+         |    coalesce(lang, chr(2)),
+         |    coalesce(CAST(score_ppm AS VARCHAR), chr(2)),
+         |    coalesce(CAST(pack_shard AS VARCHAR), chr(2)),
+         |    coalesce(CAST(seq_id AS VARCHAR), chr(2)),
+         |    coalesce(CAST(tok_offset AS VARCHAR), chr(2)),
+         |    coalesce(CAST(n_tokens AS VARCHAR), chr(2)))),1,15))::BIGINT AS fp
+         |  FROM mrows)
+         |SELECT shard, count(*) AS n_rows, bit_xor(fp) AS xor_fp,
+         |  CAST(sum(fp % 1000003) AS BIGINT) AS sum_fp
+         |FROM mf GROUP BY shard""".stripMargin,
     // q186: the six stage oracles (q123 → q26 → q133 → q175 → q66 →
     // q146) composed as ONE CTE chain, each stage reading the previous
     // stage's CTE — the cross-stage contract replayed end to end.
