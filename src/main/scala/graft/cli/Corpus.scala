@@ -194,7 +194,12 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        the decontamination blocklist
   *                                        (default: the built-in eval
   *                                        suite); writes OUT/selection +
-  *                                        OUT/_manifest
+  *                                        OUT/_manifest. With BOTH
+  *                                        --dedup-store and --dsir-store,
+  *                                        -I is a daily DROP and the spine
+  *                                        runs incrementally (q189): the
+  *                                        history serves from the ledgers
+  *                                        and is never re-read
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -832,9 +837,25 @@ object Corpus {
       val bench = a.benchmark.map(spark.read.parquet(_))
         .getOrElse(graft.text.EvalSuite.table(spark))
         .withColumnRenamed("bench_id", "doc_id")
-      graft.text.Curation
-        .spineSelection(docs, spark.read.parquet(target), bench)
-        .write.mode("overwrite").parquet(s"${a.out}/selection")
+      // with BOTH history ledgers configured, -I is a DAILY DROP and the
+      // spine runs its incremental form (q189): dedup serves the
+      // signature store, DSIR serves the profile store — the history is
+      // never re-read. Half-configured ledgers are refused: silently
+      // falling back to the batch form would re-curate the drop as if
+      // history didn't exist.
+      val sel = (a.dedupStore, a.dsirStore) match {
+        case (Some(sig), Some(prof)) =>
+          graft.text.Curation.incrementalSpineSelection(
+            docs, spark.read.parquet(target), bench, sig, prof)
+        case (None, None) =>
+          graft.text.Curation.spineSelection(
+            docs, spark.read.parquet(target), bench)
+        case _ => throw new IllegalArgumentException(
+          "--curation-spine with history needs BOTH --dedup-store and " +
+            "--dsir-store (got one) — a half-served history would " +
+            "silently re-admit known duplicates or mis-scale the ratios")
+      }
+      sel.write.mode("overwrite").parquet(s"${a.out}/selection")
       graft.operators.Audit.manifest(
           spark.read.parquet(s"${a.out}/selection"), key = "doc_id",
           cols = Seq("lang", "score_ppm", "pack_shard", "seq_id",

@@ -364,6 +364,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           eager = false)
         .queryExecution.logical
     }
+    tvf("graft_curation_spine") { args =>
+      require(args.size == 3 || args.size == 4,
+        "usage: graft_curation_spine(<corpus table>, <target table>, " +
+          "<bench table (doc_id, text)>[, k]) — the q186 pipeline: " +
+          "quality gate -> dedup -> decontaminate -> DSIR top-k -> pack")
+      def t(i: Int, what: String) = SparkSession.active.table(
+        strArg("graft_curation_spine", args(i), what))
+      graft.text.Curation.spineSelection(
+          t(0, "corpus table"), t(1, "target table"), t(2, "bench table"),
+          k = if (args.size == 4) intArg("graft_curation_spine", args(3), "k")
+              else 100)
+        .queryExecution.logical
+    }
+    tvf("graft_spine_drop") { args =>
+      require(args.size == 5 || args.size == 6,
+        "usage: graft_spine_drop(<drop table>, <target table>, " +
+          "<bench table (doc_id, text)>, <dedup store dir>, " +
+          "<dsir store dir>[, k]) — the q189 daily-drop spine: history " +
+          "serves from the two ledgers, the plan scans only the drop")
+      def t(i: Int, what: String) = SparkSession.active.table(
+        strArg("graft_spine_drop", args(i), what))
+      graft.text.Curation.incrementalSpineSelection(
+          t(0, "drop table"), t(1, "target table"), t(2, "bench table"),
+          strArg("graft_spine_drop", args(3), "dedup store dir"),
+          strArg("graft_spine_drop", args(4), "dsir store dir"),
+          k = if (args.size == 6) intArg("graft_spine_drop", args(5), "k")
+              else 100,
+          eager = false)
+        .queryExecution.logical
+    }
     tvf("graft_rrf") { args =>
       require(args.size == 3,
         "usage: graft_rrf(<lex table (query_id, doc_id, rank)>, " +

@@ -132,19 +132,27 @@ object Curation {
     * The quality gate ranks WITHIN the drop (drop-relative quartiles —
     * the daily decision is "this crawl's best three quartiles");
     * decontamination, selection, packing and the manifest are the batch
-    * stages unchanged. Cost at 100 TB: one scan of the DROP plus two
-    * metadata-scale store scans — the history re-enters nothing.
+    * stages unchanged. Cost at 100 TB, stated honestly per ledger: one
+    * scan of the DROP; a metadata-scale DSIR profile scan (drops ×
+    * buckets rows); and a SIGNATURE-table scan that is one ~50 B row
+    * per stored doc — doc-count-scale, NOT metadata-scale, but ~2-3
+    * orders cheaper than re-reading and re-shingling the history's
+    * text, and the band join against it is equi-keyed and
+    * partition-parallel. The history's raw bytes re-enter nothing.
     *
-    * One internal materialization, documented: the dedup serve caches
-    * the drop's signed frame (drop-sized, five plan branches — the
-    * store-serve convention); the DSIR serve runs eager=false so no
-    * job fires at plan time.
+    * One internal materialization, documented: the dedup serve
+    * materializes the drop's signed frame (drop-sized, five plan
+    * branches — the store-serve convention). `eager = false` (the TVF
+    * face) demotes it to a lazy cache so ANALYSIS/EXPLAIN never runs a
+    * job; the DSIR serve always runs eager=false here.
     */
   def incrementalSpineSelection(drop: DataFrame, target: DataFrame,
                                 bench: DataFrame, dedupStore: String,
-                                dsirStore: String, k: Int = 100): DataFrame = {
+                                dsirStore: String, k: Int = 100,
+                                eager: Boolean = true): DataFrame = {
     val gated = qualityGated(drop)
-    val deduped = Store.dedupNewDropVsCorpusReadOnly(gated, dedupStore)
+    val deduped = Store.dedupNewDropVsCorpusReadOnly(gated, dedupStore,
+      eager = eager)
     val clean = Dedup.decontaminate(deduped, bench).cache()
     val picked = Dsir.selectTopK(
       DsirStore.scoreVsDrop(target, clean, dsirStore, eager = false), k)

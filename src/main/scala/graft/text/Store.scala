@@ -349,15 +349,17 @@ object Store {
   def dedupNewDropVsCorpusReadOnly(newDocs: DataFrame, storeDir: String,
                                    thresholdTenths: Int = 7,
                                    idCol: String = "doc_id",
-                                   textCol: String = "text"): DataFrame =
-    mine(newDocs, storeDir, thresholdTenths, idCol, textCol)._1
+                                   textCol: String = "text",
+                                   eager: Boolean = true): DataFrame =
+    mine(newDocs, storeDir, thresholdTenths, idCol, textCol, eager)._1
 
   /** The shared mining core: (survivors of `newDocs`, the drop's signed
     * frame, the dup-id frame) — pure computation, no store mutation.
     */
   private def mine(newDocs: DataFrame, storeDir: String,
                    thresholdTenths: Int, idCol: String,
-                   textCol: String): (DataFrame, DataFrame, DataFrame) = {
+                   textCol: String,
+                   eager: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     val s = newDocs.sparkSession
     require(exists(s, storeDir),
       s"no signature store under $storeDir — run Store.build first")
@@ -367,8 +369,11 @@ object Store {
     // only collide between signatures of the same shape, so a drop
     // probed under a different shape would silently match NOTHING — the
     // shape marker is what makes the store's layout self-describing
-    val prep = Dedup.materialize(
-      signed(newDocs, idCol, textCol, storedShape(s, storeDir)))
+    // eager=false (the TVF / fused-plan face): cache() shares the five
+    // branches just as well but lazily — analysis/EXPLAIN must not run
+    // the drop's signing job (the nearDupPairs eager-flag convention)
+    val signedDrop = signed(newDocs, idCol, textCol, storedShape(s, storeDir))
+    val prep = if (eager) Dedup.materialize(signedDrop) else signedDrop.cache()
     val stored = load(s, storeDir)
 
     // BLANK docs are excluded from both band-join sides (their `raw:`

@@ -1047,6 +1047,40 @@ class CliSpec extends AnyFunSuite {
     assert(manifest === gate)
   }
 
+  test("Corpus CLI: --curation-spine with both ledgers runs the q189 incremental form; half-config refused") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("corpus-spine-incr")
+    val d = Tables(spark, "/root/testdata/sf0.001").documents
+    val hist = d.filter(col("doc_id") % 3 =!= 0)
+    d.filter(col("doc_id") % 3 === 0).write.parquet(s"$dir/drop")
+    d.filter(col("doc_id") % 19 === 0).write.parquet(s"$dir/target")
+    graft.text.Store.build(hist, s"$dir/sig")
+    graft.text.DsirStore.build(hist, s"$dir/dsir", "hist")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop", "-O", s"$dir/out", "--curation-spine",
+      "--dsir-target", s"$dir/target",
+      "--dedup-store", s"$dir/sig", "--dsir-store", s"$dir/dsir"))
+    val got = spark.read.parquet(s"$dir/out/_manifest")
+      .collect().map(_.toSeq).toSet
+    val want = graft.text.Curation.incrementalSpineManifest(
+        spark.read.parquet(s"$dir/drop"),
+        spark.read.parquet(s"$dir/target"),
+        graft.text.EvalSuite.table(spark)
+          .withColumnRenamed("bench_id", "doc_id"),
+        s"$dir/sig", s"$dir/dsir")
+      .collect().map(_.toSeq).toSet
+    assert(got === want,
+      "the CLI's incremental spine must route both ledgers into q189's operator")
+    // one ledger without the other is a loud refusal, never a silent
+    // batch fallback that re-admits known duplicates
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/drop", "-O", s"$dir/out2", "--curation-spine",
+        "--dsir-target", s"$dir/target", "--dedup-store", s"$dir/sig"))
+    }
+    assert(e.getMessage.contains("BOTH"))
+  }
+
   test("Corpus CLI: --takedown doc ticket + --sketch-raw rebuilds the drop; serve ≡ never-contained") {
     import spark.implicits._
     import graft.text.{DistinctSketch, SketchStore}

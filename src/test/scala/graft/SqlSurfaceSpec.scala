@@ -344,6 +344,55 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got === Seq((20L, 1), (10L, 2), (30L, 3)))
   }
 
+  test("graft_curation_spine / graft_spine_drop run the curation pipelines from SQL") {
+    def mk(rws: (Long, String, String)*) = rws.toDF("doc_id", "lang", "text")
+    val corpus = mk(
+      // the one low-quality doc: TTR 1/6 — it absorbs the per-lang
+      // bottom-quartile cut so the all-distinct docs below all pass the
+      // gate and the dedup decision on (1, 2) is actually exercised
+      (0L, "en", "pad pad pad pad pad pad"),
+      (1L, "en", "alpha beta gamma delta eps"),
+      (2L, "en", "alpha beta gamma delta eps"), // exact dup of 1 — loses
+      (3L, "en", "one two three four five six"),
+      (4L, "en", "seven eight nine ten eleven"),
+      (5L, "de", "ein zwei drei vier funf"),
+      (6L, "de", "sechs sieben acht neun zehn"),
+      (7L, "en", "red green blue yellow pink"),
+      (8L, "en", "cat dog bird fish cow"))
+    corpus.createOrReplaceTempView("sql_spine_corpus")
+    val target = mk((100L, "en", "one two three cat dog"))
+    target.createOrReplaceTempView("sql_spine_target")
+    val bench = Seq((200L, "zz zz zz zz")).toDF("doc_id", "text")
+    bench.createOrReplaceTempView("sql_spine_bench")
+    val viaSql = spark.sql("SELECT * FROM graft_curation_spine(" +
+      "'sql_spine_corpus', 'sql_spine_target', 'sql_spine_bench', 4)")
+    val direct = graft.text.Curation.spineSelection(
+      corpus, target, bench, k = 4)
+    assert(viaSql.columns === direct.columns)
+    assert(rows(viaSql) === rows(direct))
+    assert(!viaSql.select("doc_id").as[Long].collect().contains(2L),
+      "the exact dup must not survive the spine's dedup stage")
+
+    // the daily-drop form: history lives in the two ledgers
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlspine")
+    graft.text.Store.build(corpus, s"$dir/sig")
+    graft.text.DsirStore.build(corpus, s"$dir/dsir", "hist")
+    val drop = mk(
+      (50L, "en", "alpha beta gamma delta eps"), // re-crawl of history's 1
+      (51L, "en", "totally fresh words here now"),
+      (52L, "en", "more novel text content today"))
+    drop.createOrReplaceTempView("sql_spine_dropt")
+    val gotSql = spark.sql("SELECT * FROM graft_spine_drop(" +
+      s"'sql_spine_dropt', 'sql_spine_target', 'sql_spine_bench', " +
+      s"'$dir/sig', '$dir/dsir', 2)")
+    val gotDirect = graft.text.Curation.incrementalSpineSelection(
+      drop, target, bench, s"$dir/sig", s"$dir/dsir", k = 2)
+    assert(gotSql.columns === gotDirect.columns)
+    assert(rows(gotSql) === rows(gotDirect))
+    assert(!gotSql.select("doc_id").as[Long].collect().contains(50L),
+      "a re-crawl of a stored doc must fall to the store-served dedup")
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(
