@@ -55,6 +55,19 @@ object Curation {
   def spineSelection(corpus: DataFrame, target: DataFrame, bench: DataFrame,
                      k: Int = 100,
                      barrier: DataFrame => DataFrame = identity): DataFrame = {
+    val st = spineFrames(corpus, target, bench, k, barrier)
+    packAndLabel(st.clean, st.picked)
+  }
+
+  /** Every stage's output frame — [[spineSelection]] is `packAndLabel`
+    * over the last two; [[spineFunnel]] censuses all of them.
+    */
+  private final case class SpineFrames(gated: DataFrame, deduped: DataFrame,
+                                       clean: DataFrame, picked: DataFrame)
+
+  private def spineFrames(corpus: DataFrame, target: DataFrame,
+                          bench: DataFrame, k: Int,
+                          barrier: DataFrame => DataFrame): SpineFrames = {
     val gated = barrier(qualityGated(corpus))
 
     // stage 2 — q26's survivorship: a doc is dropped iff it has a
@@ -71,8 +84,56 @@ object Curation {
     // stage 4 — q175: DSIR importance scoring of the survivors against
     // the trusted target profile, deterministic top-k by (score, id)
     val picked = barrier(Dsir.selectTopK(Dsir.score(target, clean), k))
+    SpineFrames(gated, deduped, clean, picked)
+  }
 
-    packAndLabel(clean, picked)
+  /** The spine's ATTRITION FUNNEL (q190) — per-stage census of what
+    * each gate cut: one row per stage, (stage_idx, stage, n_docs,
+    * n_tokens, n_seqs), exact integers. This is the observability a
+    * production curation run is flown by: a drop whose `gated` row
+    * collapses means the quality gate misfired (or the crawl really was
+    * junk); a `deduped` cliff names a template farm; a near-empty
+    * `clean` flags benchmark leakage in the source; `packed`'s n_seqs
+    * against n_tokens states the padding efficiency. n_seqs counts
+    * distinct (shard, seq) pairs at the pack stage and is 0 before it
+    * (docs aren't in sequences yet — 0, not NULL, keeps the column
+    * sum-able).
+    *
+    * Plan shape: six constant-size aggregations unioned, with EVERY
+    * stage frame cached (the barrier hook, passed `_.cache()`): the
+    * censuses re-read stage outputs by construction, so here — unlike
+    * the selection, where only `clean` fans out — caching each boundary
+    * is what makes the funnel cost one spine pass instead of re-running
+    * the prefix per census row. Caches are MEMORY_AND_DISK and
+    * LRU-evictable; a 100 TB caller that cannot afford them trades back
+    * to recompute by censusing the selection artifact on disk instead.
+    */
+  def spineFunnel(corpus: DataFrame, target: DataFrame, bench: DataFrame,
+                  k: Int = 100): DataFrame = {
+    val st = spineFrames(corpus, target, bench, k, barrier = _.cache())
+    def census(idx: Int, stage: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(TextOps.words(col("text"))).cast("long")), lit(0L))
+            .as("n_tokens"))
+        .select(lit(idx).as("stage_idx"), lit(stage).as("stage"),
+          col("n_docs"), col("n_tokens"), lit(0L).as("n_seqs"))
+    val selected = st.clean.join(broadcast(st.picked.select(col("doc_id"))),
+      Seq("doc_id"))
+    val packed = packAndLabel(st.clean, st.picked)
+    val packRow = packed
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        countDistinct(col("pack_shard"), col("seq_id")).as("n_seqs"))
+      .select(lit(5).as("stage_idx"), lit("packed").as("stage"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"))
+    census(0, "corpus", corpus)
+      .unionByName(census(1, "gated", st.gated))
+      .unionByName(census(2, "deduped", st.deduped))
+      .unionByName(census(3, "clean", st.clean))
+      .unionByName(census(4, "selected", selected))
+      .unionByName(packRow)
   }
 
   /** stage 1 — q123's per-lang percentile gate: keep each language's

@@ -1195,6 +1195,20 @@ object Queries {
         k = 50)
     }),
 
+    // The spine's attrition FUNNEL (see Curation.spineFunnel): one row
+    // per stage — exact (n_docs, n_tokens, n_seqs) after each gate —
+    // the observability a production curation run is flown by. Same
+    // stage chain as q186 (shared CTEs in the oracle), different face:
+    // q186 certifies WHAT came out, q190 reports WHERE the rest went.
+    "q190_spine_funnel" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      Curation.spineFunnel(
+        corpus = d.filter(col("doc_id") % 19 =!= 0),
+        target = d.filter(col("doc_id") % 19 === 0),
+        bench = EvalSuite.table(s).withColumnRenamed("bench_id", "doc_id"))
+    }),
+
     // The hybrid's PRODUCTION shape, gated: q183's fusion with the
     // exact-cosine vector leg swapped for an IVF-SERVED leg (q50's
     // deterministic MIPS quantizer, nprobe=1) over PLANTED embeddings —
@@ -2313,6 +2327,82 @@ object Queries {
     * serve ≡ from-scratch-on-union contract. All division `//` on
     * non-negative BIGINTs ≡ Spark `div`.
     */
+  /** The six-stage spine replay shared by q186 (manifest face) and
+    * q190 (funnel face): CTE chain ending at `clean` (the survivors),
+    * `sel` (the DSIR pick) and `pg` (the packed layout).
+    */
+  private def spineOracleCtes: String =
+    s"""corpus AS (
+         |  SELECT * FROM documents WHERE doc_id % 19 <> 0),
+         |q0 AS (SELECT doc_id, lang,
+         |    (CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000)
+         |      // len(string_split(text,' ')) AS score_ppt
+         |  FROM corpus),
+         |q1 AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY score_ppt, doc_id) AS BIGINT) AS rnk,
+         |    count(*) OVER (PARTITION BY lang) AS grp_n
+         |  FROM q0),
+         |gated AS (SELECT c.* FROM corpus c JOIN q1 USING (doc_id)
+         |  WHERE q1.rnk * 4 > q1.grp_n),
+         |${pairsCtesFrom("gated")},
+         |losers AS (SELECT DISTINCT doc_b AS doc_id
+         |  FROM pairs WHERE inter_size*10 >= union_size*7),
+         |dd AS (SELECT g.* FROM gated g LEFT JOIN losers l USING (doc_id)
+         |  WHERE l.doc_id IS NULL),
+         |bw AS (SELECT DISTINCT g
+         |  FROM (VALUES ${EvalSuite.shinglesValuesSql}) AS t(g)),
+         |cw AS (SELECT d.doc_id, unnest(d.sh) AS s
+         |  FROM docs d JOIN dd USING (doc_id)),
+         |bad AS (SELECT DISTINCT cw.doc_id FROM cw JOIN bw ON cw.s = bw.g),
+         |clean AS (SELECT dd.* FROM dd LEFT JOIN bad USING (doc_id)
+         |  WHERE bad.doc_id IS NULL),
+         |tws_t AS (SELECT doc_id, string_split(text,' ') AS ws
+         |  FROM documents WHERE doc_id % 19 = 0),
+         |fe_t AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
+         |      i -> array_to_string(ws[i:i+1], ' ')))
+         |    ELSE ws END AS feats FROM tws_t),
+         |occ_t AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
+         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_t)),
+         |tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS tgt FROM occ_t GROUP BY 1),
+         |tws_r AS (SELECT doc_id, string_split(text,' ') AS ws FROM clean),
+         |fe_r AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
+         |      i -> array_to_string(ws[i:i+1], ' ')))
+         |    ELSE ws END AS feats FROM tws_r),
+         |occ_r AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
+         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_r)),
+         |rw AS (SELECT f, CAST(count(*) AS BIGINT) AS raw FROM occ_r GROUP BY 1),
+         |rt AS (SELECT f, ((coalesce(tgt, 0) + 1) * 1000000) //
+         |    (coalesce(raw, 0) + 1) AS r_ppm
+         |  FROM tgt FULL JOIN rw USING (f)),
+         |sc AS (SELECT occ_r.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(coalesce(rt.r_ppm, 1000000)) AS BIGINT) AS rsum
+         |  FROM occ_r LEFT JOIN rt USING (f) GROUP BY 1),
+         |sel AS (SELECT doc_id, score_ppm FROM (
+         |  SELECT doc_id, rsum // n_feats AS score_ppm, row_number() OVER (
+         |    ORDER BY rsum // n_feats DESC, doc_id ASC) AS rr FROM sc)
+         |  WHERE rr <= 100),
+         |pt AS (SELECT s.doc_id,
+         |    CAST(('0x'||substr(md5('pack:'||CAST(s.doc_id AS VARCHAR)),1,7))::BIGINT
+         |      % 8 AS INT) AS shard,
+         |    CAST(len(string_split(c.text,' ')) AS BIGINT) AS n
+         |  FROM sel s JOIN clean c USING (doc_id)),
+         |pr AS (SELECT doc_id, shard, n,
+         |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM pt),
+         |pg AS (
+         |  SELECT doc_id, shard, n, rn, CAST(0 AS BIGINT) AS seq_id,
+         |    CAST(0 AS BIGINT) AS tok_offset
+         |  FROM pr WHERE rn = 1
+         |  UNION ALL
+         |  SELECT pr.doc_id, pr.shard, pr.n, pr.rn,
+         |    CASE WHEN pg.tok_offset + pg.n + pr.n > 256
+         |      THEN pg.seq_id + 1 ELSE pg.seq_id END,
+         |    CASE WHEN pg.tok_offset + pg.n + pr.n > 256 THEN CAST(0 AS BIGINT)
+         |         ELSE pg.tok_offset + pg.n END
+         |  FROM pg JOIN pr ON pr.shard = pg.shard AND pr.rn = pg.rn + 1)""".stripMargin
+
   private val dsirCtes: String =
     """WITH tws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |fe AS (SELECT doc_id, CASE WHEN len(ws) >= 2
@@ -2791,80 +2881,39 @@ object Queries {
          |SELECT shard, count(*) AS n_rows, bit_xor(fp) AS xor_fp,
          |  CAST(sum(fp % 1000003) AS BIGINT) AS sum_fp
          |FROM mf GROUP BY shard""".stripMargin,
+    // q190: per-stage counts over the SAME shared chain — the funnel
+    // face of q186's certificate.
+    "q190_spine_funnel" ->
+      s"""WITH RECURSIVE $spineOracleCtes,
+         |st0 AS (SELECT CAST(0 AS INT) AS stage_idx, 'corpus' AS stage,
+         |  count(*) AS n_docs,
+         |  CAST(coalesce(sum(len(string_split(text,' '))), 0) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(0 AS BIGINT) AS n_seqs FROM corpus),
+         |st1 AS (SELECT CAST(1 AS INT), 'gated', count(*),
+         |  CAST(coalesce(sum(len(string_split(text,' '))), 0) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM gated),
+         |st2 AS (SELECT CAST(2 AS INT), 'deduped', count(*),
+         |  CAST(coalesce(sum(len(string_split(text,' '))), 0) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM dd),
+         |st3 AS (SELECT CAST(3 AS INT), 'clean', count(*),
+         |  CAST(coalesce(sum(len(string_split(text,' '))), 0) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM clean),
+         |st4 AS (SELECT CAST(4 AS INT), 'selected', count(*),
+         |  CAST(coalesce(sum(len(string_split(c.text,' '))), 0) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM clean c JOIN sel USING (doc_id)),
+         |st5 AS (SELECT CAST(5 AS INT), 'packed', count(*),
+         |  CAST(coalesce(sum(n), 0) AS BIGINT),
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM (SELECT DISTINCT shard, seq_id FROM pg)) FROM pg)
+         |SELECT * FROM st0 UNION ALL SELECT * FROM st1
+         |UNION ALL SELECT * FROM st2 UNION ALL SELECT * FROM st3
+         |UNION ALL SELECT * FROM st4 UNION ALL SELECT * FROM st5""".stripMargin,
     // q186: the six stage oracles (q123 → q26 → q133 → q175 → q66 →
     // q146) composed as ONE CTE chain, each stage reading the previous
     // stage's CTE — the cross-stage contract replayed end to end.
     "q186_curation_spine" ->
-      s"""WITH RECURSIVE corpus AS (
-         |  SELECT * FROM documents WHERE doc_id % 19 <> 0),
-         |q0 AS (SELECT doc_id, lang,
-         |    (CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000)
-         |      // len(string_split(text,' ')) AS score_ppt
-         |  FROM corpus),
-         |q1 AS (SELECT doc_id,
-         |    CAST(row_number() OVER (PARTITION BY lang
-         |      ORDER BY score_ppt, doc_id) AS BIGINT) AS rnk,
-         |    count(*) OVER (PARTITION BY lang) AS grp_n
-         |  FROM q0),
-         |gated AS (SELECT c.* FROM corpus c JOIN q1 USING (doc_id)
-         |  WHERE q1.rnk * 4 > q1.grp_n),
-         |${pairsCtesFrom("gated")},
-         |losers AS (SELECT DISTINCT doc_b AS doc_id
-         |  FROM pairs WHERE inter_size*10 >= union_size*7),
-         |dd AS (SELECT g.* FROM gated g LEFT JOIN losers l USING (doc_id)
-         |  WHERE l.doc_id IS NULL),
-         |bw AS (SELECT DISTINCT g
-         |  FROM (VALUES ${EvalSuite.shinglesValuesSql}) AS t(g)),
-         |cw AS (SELECT d.doc_id, unnest(d.sh) AS s
-         |  FROM docs d JOIN dd USING (doc_id)),
-         |bad AS (SELECT DISTINCT cw.doc_id FROM cw JOIN bw ON cw.s = bw.g),
-         |clean AS (SELECT dd.* FROM dd LEFT JOIN bad USING (doc_id)
-         |  WHERE bad.doc_id IS NULL),
-         |tws_t AS (SELECT doc_id, string_split(text,' ') AS ws
-         |  FROM documents WHERE doc_id % 19 = 0),
-         |fe_t AS (SELECT doc_id, CASE WHEN len(ws) >= 2
-         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
-         |      i -> array_to_string(ws[i:i+1], ' ')))
-         |    ELSE ws END AS feats FROM tws_t),
-         |occ_t AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
-         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_t)),
-         |tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS tgt FROM occ_t GROUP BY 1),
-         |tws_r AS (SELECT doc_id, string_split(text,' ') AS ws FROM clean),
-         |fe_r AS (SELECT doc_id, CASE WHEN len(ws) >= 2
-         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
-         |      i -> array_to_string(ws[i:i+1], ' ')))
-         |    ELSE ws END AS feats FROM tws_r),
-         |occ_r AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
-         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_r)),
-         |rw AS (SELECT f, CAST(count(*) AS BIGINT) AS raw FROM occ_r GROUP BY 1),
-         |rt AS (SELECT f, ((coalesce(tgt, 0) + 1) * 1000000) //
-         |    (coalesce(raw, 0) + 1) AS r_ppm
-         |  FROM tgt FULL JOIN rw USING (f)),
-         |sc AS (SELECT occ_r.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-         |    CAST(sum(coalesce(rt.r_ppm, 1000000)) AS BIGINT) AS rsum
-         |  FROM occ_r LEFT JOIN rt USING (f) GROUP BY 1),
-         |sel AS (SELECT doc_id, score_ppm FROM (
-         |  SELECT doc_id, rsum // n_feats AS score_ppm, row_number() OVER (
-         |    ORDER BY rsum // n_feats DESC, doc_id ASC) AS rr FROM sc)
-         |  WHERE rr <= 100),
-         |pt AS (SELECT s.doc_id,
-         |    CAST(('0x'||substr(md5('pack:'||CAST(s.doc_id AS VARCHAR)),1,7))::BIGINT
-         |      % 8 AS INT) AS shard,
-         |    CAST(len(string_split(c.text,' ')) AS BIGINT) AS n
-         |  FROM sel s JOIN clean c USING (doc_id)),
-         |pr AS (SELECT doc_id, shard, n,
-         |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM pt),
-         |pg AS (
-         |  SELECT doc_id, shard, n, rn, CAST(0 AS BIGINT) AS seq_id,
-         |    CAST(0 AS BIGINT) AS tok_offset
-         |  FROM pr WHERE rn = 1
-         |  UNION ALL
-         |  SELECT pr.doc_id, pr.shard, pr.n, pr.rn,
-         |    CASE WHEN pg.tok_offset + pg.n + pr.n > 256
-         |      THEN pg.seq_id + 1 ELSE pg.seq_id END,
-         |    CASE WHEN pg.tok_offset + pg.n + pr.n > 256 THEN CAST(0 AS BIGINT)
-         |         ELSE pg.tok_offset + pg.n END
-         |  FROM pg JOIN pr ON pr.shard = pg.shard AND pr.rn = pg.rn + 1),
+      s"""WITH RECURSIVE $spineOracleCtes,
          |mrows AS (SELECT pg.doc_id, c.lang, se.score_ppm,
          |    pg.shard AS pack_shard, pg.seq_id, pg.tok_offset,
          |    pg.n AS n_tokens
