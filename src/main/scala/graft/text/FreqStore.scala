@@ -1,0 +1,161 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted frequency sketch ([[FreqSketch]]'s build/serve split) —
+  * the per-item frequency ledger: each drop contributes its own ≤
+  * Depth×Width counter rows, and the served sketch of the whole ingest
+  * history is one per-(depth, slot) SUM over drops×4096 rows —
+  * metadata-scale, history text never re-hashed. Counters of disjoint
+  * drops sum-merge to the union's counters because counts are linear
+  * (drops must PARTITION the docs — the sum-merge family rule shared
+  * with [[ClassifyStore]]/[[DsirStore]]), so serve ≡ from-scratch
+  * bit-for-bit (q192's gate).
+  *
+  * Linearity is also what sets this family's takedown apart: beyond
+  * the drop-level row deletion every sum-merge ledger gets for free,
+  * counters SUBTRACT — purging documents from inside a drop re-derives
+  * that drop's rows as (stored rows) − (the purged docs' own sketch),
+  * computed from ONE SCAN OF THE PURGED DOCS ONLY ([[unlearnDocs]]).
+  * Contrast the max-merge [[SketchStore]], whose doc purge must
+  * re-sketch the drop's REMAINDER ([[SketchStore.purgeDocs]]): here the
+  * removal ticket's own content is the entire cost, however large the
+  * drop it came from. q193 gates the result ≡ a store whose drop never
+  * contained the purged docs.
+  *
+  * What this buys at 100 TB: corpus-wide occurrence counts for any
+  * probe workload — contamination phrases, boilerplate candidates,
+  * stopword drift — answered from drops×4096 stored rows + one
+  * workload-sized join ([[serveEstimates]], q194), with the one-sided
+  * est ≥ exact guarantee and the ε = e/w error band documented on
+  * [[FreqSketch]].
+  *
+  * Storage: one parquet table `freqsketch` (drop_id, cfg, depth, slot,
+  * cnt); `cfg` stamps the gram width + the pinned w/d recipe — counters
+  * over different universes are incommensurable, so append and serve
+  * validate it single-valued and loud (the [[ChunkStore]] rule).
+  * Lifecycle is the shared [[graft.operators.DropLedger]] discipline
+  * (atomic per-drop subdir append, staged commit-last, crash-safe
+  * swaps, loud double-remove).
+  */
+object FreqStore extends graft.operators.DropLedger {
+
+  protected def tableName: String = "freqsketch"
+  protected def kind: String = "frequency-sketch store"
+
+  /** (drop_id, cfg, depth, slot, cnt) for one drop — ≤ 4096 rows. */
+  def partials(docs: DataFrame, dropId: String, textCol: String = "text",
+               gram: Int = 3): DataFrame = {
+    requireDropId(dropId)
+    FreqSketch.counters(FreqSketch.grams(docs, textCol, gram))
+      .select(lit(dropId).as("drop_id"), lit(FreqSketch.cfgOf(gram)).as("cfg"),
+        col("depth"), col("slot"), col("cnt"))
+  }
+
+  /** The store's config stamp — single-valued or loud; a drained store
+    * (every drop removed) refuses here, the family rule.
+    */
+  def storedCfg(s: SparkSession, storeDir: String): String = {
+    requireStore(s, storeDir)
+    val cfgs = load(s, storeDir).select(col("cfg")).distinct()
+      .collect().map(_.getString(0))
+    require(cfgs.nonEmpty,
+      s"$kind $storeDir has no drops (every drop was removed) — " +
+        "build or append before serving")
+    require(cfgs.length == 1,
+      s"$kind $storeDir holds mixed sketch configs " +
+        s"${cfgs.sorted.mkString(", ")} — corrupt")
+    cfgs.head
+  }
+
+  private def gramOf(cfg: String): Int = cfg.drop(1).takeWhile(_ != '-').toInt
+
+  /** Bootstrap from the first drop (overwrites). */
+  def build(docs: DataFrame, storeDir: String, dropId: String,
+            textCol: String = "text", gram: Int = 3): Unit =
+    buildStaged(docs, storeDir, dropId, textCol, gram)()
+
+  def buildStaged(docs: DataFrame, storeDir: String, dropId: String,
+                  textCol: String = "text", gram: Int = 3): () => Unit =
+    stagePartialsBuild(partials(docs, dropId, textCol, gram),
+      storeDir, coalesceTo = Some(1)).commit
+
+  /** Append a new drop's counters (staged, single-rename atomic
+    * commit). Refuses a stored id and inherits the store's gram config —
+    * a caller cannot mix counter universes.
+    */
+  def appendStaged(docs: DataFrame, storeDir: String,
+                   dropId: String, textCol: String = "text"): () => Unit = {
+    val s = docs.sparkSession
+    val gram = gramOf(storedCfg(s, storeDir))
+    requireNewDrop(s, storeDir, dropId)
+    stagePartialsAppend(partials(docs, dropId, textCol, gram),
+      storeDir, dropId, coalesceTo = Some(1)).commit
+  }
+
+  def append(docs: DataFrame, storeDir: String, dropId: String,
+             textCol: String = "text"): Unit =
+    appendStaged(docs, storeDir, dropId, textCol)()
+
+  /** Served counter table: (depth, slot, cnt) sum-merged across
+    * surviving drops — exactly [[FreqSketch.counters]] of the union
+    * corpus (q192's gate). drops×4096 stored rows in, ≤ 4096 out.
+    */
+  def serveCounters(s: SparkSession, storeDir: String): DataFrame = {
+    storedCfg(s, storeDir) // existence + non-drained + single-cfg
+    load(s, storeDir).groupBy(col("depth"), col("slot"))
+      .agg(sum(col("cnt")).as("cnt"))
+      // subtraction can zero a slot no other drop holds; from-scratch
+      // counters never emit an unoccupied slot, so neither does serve
+      .filter(col("cnt") =!= 0L)
+  }
+
+  /** Point estimates for a probe workload served from the store —
+    * (term, est): the corpus never appears, only drops×4096 stored rows
+    * and the workload itself ([[FreqSketch.estimates]]'s plan).
+    */
+  def serveEstimates(s: SparkSession, probes: DataFrame, storeDir: String,
+                     termCol: String = "term"): DataFrame =
+    FreqSketch.estimates(serveCounters(s, storeDir), probes, termCol)
+
+  /** Doc-granular EXACT unlearning by linearity — the sum-merge
+    * family's answer to the removal ticket: sketch the PURGED docs
+    * (one scan of the ticket's own content — never the drop's
+    * remainder, never the history), subtract from the named drop's
+    * stored rows, swap atomically
+    * ([[graft.operators.DropLedger.replaceDropRows]]). Serve afterwards
+    * ≡ a from-scratch store whose drop never contained the purged docs
+    * (q193's gate) — counts are linear, so the subtraction is exact,
+    * not drop-granular like the max-merge [[SketchStore]]'s. Zeroed
+    * slots are dropped so the stored rows stay bit-identical to a
+    * fresh partial of the remainder.
+    */
+  def unlearnDocs(purgedDocs: DataFrame, storeDir: String, dropId: String,
+                  textCol: String = "text"): Unit = {
+    val s = purgedDocs.sparkSession
+    val gram = gramOf(storedCfg(s, storeDir))
+    require(drops(s, storeDir).contains(dropId),
+      s"drop '$dropId' is not in $kind $storeDir — nothing to unlearn")
+    val neg = partials(purgedDocs, dropId, textCol, gram)
+      .withColumn("cnt", -col("cnt"))
+    // materialized: the ≤ Depth×Width-row frame feeds both the negative
+    // guard and the swap without re-scanning the purged docs
+    val fresh = Dedup.materialize(load(s, storeDir)
+      .filter(col("drop_id") === dropId)
+      .unionByName(neg)
+      .groupBy(col("drop_id"), col("cfg"), col("depth"), col("slot"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0L)
+      .select(col("drop_id"), col("cfg"), col("depth"), col("slot"), col("cnt")))
+    // a negative survivor means the ticket named content the drop never
+    // held (subtraction only inverts an ingest it mirrors) — loud, not
+    // a corrupt ledger; the check reads ≤ Depth×Width rows
+    val negRows = fresh.filter(col("cnt") < 0L).count()
+    require(negRows == 0L,
+      s"unlearnDocs for drop '$dropId' in $kind $storeDir drove $negRows " +
+        "counter(s) negative — the purged docs are not a subset of what " +
+        "that drop ingested; purge must mirror the original ingest rows")
+    replaceDropRows(s, storeDir, dropId, fresh)
+  }
+}

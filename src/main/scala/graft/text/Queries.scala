@@ -1224,6 +1224,53 @@ object Queries {
     // < 997 keeps same-group cosine ≥ 0.93 vs cross-group ≤ 0.14, and
     // n2 ≈ 9·10^8 keeps na·nb < 10^18 — inside BIGINT in both engines.
     "q187_hybrid_ann" -> ((s, dir) => hybridAnnFused(s, dir)),
+
+    // Portable Count-Min frequency sketch (see FreqSketch): per-probe
+    // corpus-wide occurrence estimates NEXT TO the exact counts — the
+    // one-sided est ≥ exact guarantee as a visible overcount column.
+    // Probe workload = the distinct 3-grams of the doc_id % 97 slice;
+    // the counter table is ≤ 4×1024 rows however large the corpus (the
+    // exact column is the deliberate audit cost, the q178 discipline).
+    "q191_cms_sketch" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      FreqSketch.audited(d, d.filter(col("doc_id") % 97 === 0))
+    }),
+
+    // Store-served counters: the corpus ingested as three drops of ≤
+    // 4096 counter rows each; the served per-(depth, slot) SUM must be
+    // bit-identical to sketching the union corpus from scratch (counts
+    // are linear and store drops partition the docs — the sum-merge
+    // family contract).
+    "q192_cms_store" -> ((s, dir) =>
+      FreqStore.serveCounters(s, freqStoreFixture(s, dir))),
+
+    // Doc-granular EXACT unlearning by linearity: drop "c" was ingested
+    // WITH junk docs (salted texts at doc_id + 10M); unlearnDocs
+    // subtracts the junk docs' own sketch — one scan of the PURGED
+    // docs, never the drop's remainder — and the serve must restore the
+    // never-ingested counters bit-for-bit. Shares q192's oracle (the
+    // sum-merge contrast to the max-merge family's rebuild, q180).
+    "q193_cms_unlearn" -> ((s, dir) =>
+      FreqStore.serveCounters(s, freqUnlearnFixture(s, dir))),
+
+    // The store's workload face: q191's audited estimates answered from
+    // the PERSISTED counters (drops × 4096 stored rows + the workload —
+    // the corpus appears only in the exact audit column). Store drops
+    // partition the full table, so it shares q191's oracle: the serve ≡
+    // from-scratch gate applied at the estimate surface.
+    "q194_cms_serve" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      val g = Dedup.materialize(FreqSketch.grams(d))
+      val probes = FreqSketch.grams(d.filter(col("doc_id") % 97 === 0))
+        .select(col("g").as("term")).distinct()
+      FreqStore.serveEstimates(s, probes, freqStoreFixture(s, dir))
+        .join(g.groupBy(col("g").as("term"))
+          .agg(count(lit(1)).as("n_exact")), Seq("term"), "left")
+        .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+        .withColumn("overcount", col("est") - col("n_exact"))
+    }),
   )
 
   /** q183/q184's shared legs: (lex top-10 with lex_rank, vector top-10
@@ -1922,6 +1969,60 @@ object Queries {
       storeDir
     })
 
+  /** q192/q194's frequency-sketch store: the corpus as three drops
+    * (a, b, c by doc_id % 3 = 1, 2, 0 — a PARTITION, the sum-merge
+    * rule) of ≤ 4096 counter rows each.
+    */
+  private[graft] def freqStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#freq"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-freqstore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      FreqStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      FreqStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      FreqStore.append(d.filter(col("doc_id") % 3 === 0), storeDir, "c")
+      storeDir
+    })
+
+  /** q193's unlearn store: drop "c" ingested WITH salted junk docs
+    * (novel grams at doc_id + 10M that perturb the served counters),
+    * then the junk docs subtracted back out via
+    * [[FreqStore.unlearnDocs]] — one scan of the purged docs only.
+    * Serve must equal the never-ingested counters bit-for-bit.
+    */
+  private[graft] def freqUnlearnFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#freq-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-freqstore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      val junk = d.withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("text",
+          concat_ws(" ", concat(lit("zq"), col("doc_id").cast("string")),
+            col("text")))
+      FreqStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      FreqStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      FreqStore.append(d.filter(col("doc_id") % 3 === 0).unionByName(junk),
+        storeDir, "c")
+      FreqStore.unlearnDocs(junk, storeDir, "c")
+      storeDir
+    })
+
   /** The sources q141 purges from the signature store — fixed names the
     * oracle mirrors literally (TESTDATA's documents carry src0..src19).
     */
@@ -2433,6 +2534,40 @@ object Queries {
     * docs under 5 words contribute their whole text — TextOps.shingles'
     * fallback).
     */
+  /** q191–q194's Count-Min replay: 3-gram occurrences (TextOps.shingles
+    * semantics incl. the short-doc whole-text fallback), the 4×1024
+    * counter table via the depth-tagged md5 slot recipe, the % 97 probe
+    * workload's min-over-depths estimates, and the exact audit counts —
+    * ending at CTE `audit` (term, est, n_exact, overcount).
+    */
+  private def cmsCtes: String =
+    """tws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |gl AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1),
+      |      i -> array_to_string(ws[i:i+2], ' '))
+      |    ELSE [array_to_string(ws, ' ')] END AS gs FROM tws),
+      |g AS (SELECT doc_id, unnest(gs) AS g FROM gl),
+      |occ AS (SELECT d.depth,
+      |    ('0x'||substr(md5(CAST(d.depth AS VARCHAR)||':'||g),1,8))::BIGINT
+      |      % 1024 AS slot
+      |  FROM g CROSS JOIN (VALUES (1),(2),(3),(4)) AS d(depth)),
+      |cms AS (SELECT CAST(depth AS BIGINT) AS depth, slot,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM occ GROUP BY 1, 2),
+      |probes AS (SELECT DISTINCT g AS term FROM g WHERE doc_id % 97 = 0),
+      |pe AS (SELECT term, d.depth,
+      |    ('0x'||substr(md5(CAST(d.depth AS VARCHAR)||':'||term),1,8))::BIGINT
+      |      % 1024 AS slot
+      |  FROM probes CROSS JOIN (VALUES (1),(2),(3),(4)) AS d(depth)),
+      |est AS (SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+      |  FROM pe LEFT JOIN cms USING (depth, slot) GROUP BY 1),
+      |ex AS (SELECT g AS term, CAST(count(*) AS BIGINT) AS n_exact
+      |  FROM g GROUP BY 1),
+      |audit AS (SELECT e.term, e.est,
+      |    CAST(coalesce(x.n_exact, 0) AS BIGINT) AS n_exact,
+      |    CAST(e.est - coalesce(x.n_exact, 0) AS BIGINT) AS overcount
+      |  FROM est e LEFT JOIN ex x USING (term))""".stripMargin
+
   private def sketchRegsCte(sfx: String, docFilter: String): String =
     s"""gl$sfx AS (SELECT CASE WHEN len(string_split(text,' ')) >= 5
        |    THEN list_transform(range(1, len(string_split(text,' ')) - 3),
@@ -2605,6 +2740,26 @@ object Queries {
          |${sketchOverlapRow("a", "c")}
          |UNION ALL
          |${sketchOverlapRow("b", "c")}""".stripMargin,
+    // q191 audits the sketch against the full corpus; q194 serves the
+    // same estimates from the persisted counters (store drops partition
+    // the full table, so serve ≡ from-scratch at the estimate surface)
+    // — both replay the one CTE chain.
+    "q191_cms_sketch" ->
+      s"""WITH $cmsCtes
+         |SELECT term, est, n_exact, overcount FROM audit""".stripMargin,
+    "q194_cms_serve" ->
+      s"""WITH $cmsCtes
+         |SELECT term, est, n_exact, overcount FROM audit""".stripMargin,
+    // q192 serves the three-drop store's sum-merged counters — store
+    // drops partition the corpus by doc_id % 3, so the oracle replays
+    // the counter table from scratch; q193 shares it: doc-granular
+    // subtraction unlearn ≡ never-ingested.
+    "q192_cms_store" ->
+      s"""WITH $cmsCtes
+         |SELECT depth, slot, cnt FROM cms""".stripMargin,
+    "q193_cms_unlearn" ->
+      s"""WITH $cmsCtes
+         |SELECT depth, slot, cnt FROM cms""".stripMargin,
     "q178_distinct_sketch" ->
       s"""WITH ${sketchRegsCte("", "TRUE")},
          |${sketchEstCte("", 1, "all")},

@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{FreqSketch, FreqStore}
+
+/** Count-Min sketch + store lifecycle: counters are LINEAR, so drops
+  * sum-merge to the union's counters (serve ≡ from-scratch when drops
+  * partition the docs), drop takedown re-sums to the never-ingested
+  * table, and — the family's distinguishing law — documents SUBTRACT
+  * out exactly from one scan of the purged docs alone. Plus the
+  * estimator's one-sided guarantee (est ≥ exact, always) and the
+  * dual-algorithm slot-recipe cross-check (the SketchStoreSpec
+  * discipline applied to the depth-tagged hash).
+  */
+class FreqStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val dropA = docs(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"))
+  private val dropB = docs(
+    (3L, "how vexingly quick daft zebras jump"),
+    (4L, "the quick brown fox jumps over the lazy dog again"))
+
+  private def served(dir: String): Set[(Long, Long, Long)] =
+    FreqStore.serveCounters(spark, dir).as[(Long, Long, Long)]
+      .collect().toSet
+
+  private def scratch(d: DataFrame, n: Int = 3): Set[(Long, Long, Long)] =
+    FreqSketch.counters(FreqSketch.grams(d, n = n))
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("store-served counters == from-scratch on the union; sums are linear") {
+    val dir = Files.createTempDirectory("freqstore").toString
+    FreqStore.build(dropA, dir, "d1")
+    FreqStore.append(dropB, dir, "d2")
+    assert(new java.io.File(s"$dir/freqsketch", "drop-d2").isDirectory,
+      "appends commit as one atomic drop subdir")
+    assert(served(dir) === scratch(dropA.unionByName(dropB)))
+    // linearity: re-ingesting the SAME texts under a new drop id counts
+    // them AGAIN — sum-merge, the opposite of the max-merge family's
+    // idempotence; serve must equal from-scratch of the doubled corpus
+    FreqStore.append(dropA.withColumn("doc_id", col("doc_id") + 100L),
+      dir, "dup")
+    assert(served(dir) ===
+      scratch(dropA.unionByName(dropB).unionByName(dropA)),
+      "a duplicate drop must count twice under a sum-merge")
+  }
+
+  test("drop takedown restores the never-ingested counters; stored id refused") {
+    val dir = Files.createTempDirectory("freqstore-td").toString
+    FreqStore.build(dropA, dir, "d1")
+    FreqStore.append(dropB, dir, "d2")
+    val before = served(dir)
+    val junk = docs((1000L, (1 to 60).map(i => s"zq$i").mkString(" ")))
+    FreqStore.append(junk, dir, "x")
+    assert(served(dir) !== before,
+      "the junk drop's grams must perturb the served counters")
+    FreqStore.removeDrop(spark, dir, "x")
+    assert(served(dir) === before,
+      "removing the drop's counter rows must re-sum to the " +
+        "never-ingested table exactly")
+    assertThrows[IllegalArgumentException] {
+      FreqStore.append(dropB, dir, "d1") // stored id
+    }
+  }
+
+  test("unlearnDocs subtracts exactly from the purged docs alone; non-subset is loud") {
+    val dir = Files.createTempDirectory("freqstore-ul").toString
+    val junk = docs(
+      (1000L, (1 to 40).map(i => s"zq$i").mkString(" ")),
+      (1001L, "the quick brown fox jumps over the lazy dog"))
+    FreqStore.build(dropA, dir, "d1")
+    // the polluted drop: dropB's docs PLUS the junk — note junk doc
+    // 1001 repeats dropA/dropB text, so its counters overlap real mass
+    // and only an exact subtraction can unpick them
+    FreqStore.append(dropB.unionByName(junk), dir, "d2")
+    assert(served(dir) !== scratch(dropA.unionByName(dropB)))
+    FreqStore.unlearnDocs(junk, dir, "d2")
+    assert(served(dir) === scratch(dropA.unionByName(dropB)),
+      "subtracting the purged docs' own sketch must restore the " +
+        "never-ingested counters bit-for-bit")
+    // and the stored drop rows themselves equal a fresh partial of the
+    // remainder (zeroed slots dropped — not just the merged serve)
+    val stored = FreqStore.load(spark, dir)
+      .filter(col("drop_id") === "d2")
+      .select(col("depth"), col("slot"), col("cnt"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === scratch(dropB),
+      "the drop's stored rows must be bit-identical to a fresh partial")
+    // purging content the drop never held drives a counter negative —
+    // loud refusal, not a corrupt ledger
+    val alien = docs((2000L, (1 to 30).map(i => s"xw$i").mkString(" ")))
+    val e = intercept[IllegalArgumentException] {
+      FreqStore.unlearnDocs(alien, dir, "d2")
+    }
+    assert(e.getMessage.contains("negative"))
+    assert(served(dir) === scratch(dropA.unionByName(dropB)),
+      "a refused unlearn must leave the store untouched")
+  }
+
+  test("gram config is stamped, inherited, and validated; drained store refuses") {
+    val dir = Files.createTempDirectory("freqstore-cfg").toString
+    FreqStore.build(dropA, dir, "d1", gram = 2)
+    assert(FreqStore.storedCfg(spark, dir) === "g2-w1024-d4")
+    FreqStore.append(dropB, dir, "d2") // inherits gram = 2
+    assert(served(dir) === scratch(dropA.unionByName(dropB), n = 2),
+      "the inherited config must reproduce the from-scratch 2-gram counters")
+    FreqStore.removeDrop(spark, dir, "d1")
+    FreqStore.removeDrop(spark, dir, "d2")
+    val e = intercept[IllegalArgumentException] {
+      FreqStore.serveCounters(spark, dir)
+    }
+    assert(e.getMessage.contains("no drops"))
+  }
+
+  test("estimator: est >= exact for EVERY probe; zero for never-seen slots") {
+    // 5,000 planted items in 1024 slots per row force real collisions,
+    // so the one-sided guarantee is exercised where overcounts exist
+    // (deterministic: same hashes every run)
+    val items = (1 to 5000).flatMap(i =>
+      Seq.fill(1 + i % 7)(s"item-$i")).toDF("g")
+    val cms = FreqSketch.counters(items)
+    val probes = (1 to 5000 by 97).map(i => s"item-$i").toDF("term")
+    val exact = items.groupBy(col("g").as("term"))
+      .agg(count(lit(1)).as("n_exact"))
+    val got = FreqSketch.estimates(cms, probes)
+      .join(exact, Seq("term")).as[(String, Long, Long)].collect()
+    assert(got.length === 52) // every probe term present (5000/97 + 1)
+    got.foreach { case (t, est, ex) =>
+      assert(est >= ex, s"one-sided guarantee violated for '$t': $est < $ex")
+    }
+    assert(got.exists { case (_, est, ex) => est > ex },
+      "the planted collision regime should show at least one overcount")
+    // a probe the corpus never saw: every depth row still has SOME slot
+    // value, but min over 4 independent rows of a 5k-item table is
+    // near-certainly a small collision mass — assert only the contract:
+    // est >= 0 and the never-seen item's exact is 0
+    val unseen = FreqSketch.estimates(cms, Seq("never-seen-xq").toDF("term"))
+      .as[(String, Long)].collect().head
+    assert(unseen._2 >= 0L)
+  }
+
+  test("slot recipe: dual-algorithm cross-check on 500 values") {
+    // the engine's conv(substring(md5...)) % 1024 recipe vs an
+    // INDEPENDENT JDK MessageDigest implementation — two algorithms,
+    // one answer, for every depth row (the SketchStoreSpec discipline)
+    val vals = (1 to 496).map(i => s"val-$i") ++ Seq("a", "b", "c", "xyz")
+    val cols = (1 to FreqSketch.Depth).map(i =>
+      FreqSketch.slotOf(col("g"), i).as(s"s$i"))
+    val got = vals.toDF("g").select(col("g") +: cols: _*)
+      .collect().map(r => r.getString(0) ->
+        (1 to FreqSketch.Depth).map(i => r.getLong(i))).toMap
+    def ref(v: String, depth: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$depth:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % FreqSketch.Width
+    }
+    vals.foreach { v =>
+      (1 to FreqSketch.Depth).foreach { d =>
+        assert(got(v)(d - 1) === ref(v, d), s"slot_$d('$v')")
+      }
+    }
+    // depth rows must be genuinely independent hashes: the same value
+    // should land on different slots in at least one pair of rows
+    assert(vals.exists(v => got(v).distinct.size > 1))
+  }
+}
