@@ -184,6 +184,16 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        STORE/_admissions (the auditable
   *                                        decision trail — q185's check
   *                                        closed into the ingest loop)
+  *     [--freq-store dir]                 persisted Count-Min frequency
+  *                                        sketch (portable counters, ≤ 4096
+  *                                        rows per drop): the drop's
+  *                                        counters join the store under
+  *                                        --drop-id (sum-merge ≡ sketching
+  *                                        the union from scratch, q192;
+  *                                        drop takedown re-sums survivors
+  *                                        to the never-ingested counters;
+  *                                        doc-granular tickets SUBTRACT
+  *                                        exactly via --freq-raw, q193)
   *     [--curation-spine]                 run the LLM curation spine (q186:
   *                                        quality gate → near-dup dedup →
   *                                        decontaminate → DSIR top-k →
@@ -236,6 +246,17 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        minus the ticket's doc_ids and
   *                                        swapped atomically — serve ≡ a
   *                                        store that never held those docs
+  *     [--freq-raw drop=rawDir]           doc-granular purge for the
+  *                                        sum-merge frequency family (with
+  *                                        --takedown + --freq-store):
+  *                                        counters are LINEAR, so the
+  *                                        ticket's docs (read from rawDir,
+  *                                        pushdown on doc_id) are sketched
+  *                                        once and SUBTRACTED from the
+  *                                        named drop's rows — one scan of
+  *                                        the purged docs, never the drop's
+  *                                        remainder; serve ≡ a store that
+  *                                        never held those docs
   *     [--ledger-report]                  print each configured store's drop
   *                                        ledger, flag drops present in some
   *                                        stores but absent from others (the
@@ -308,6 +329,8 @@ object Corpus {
       sketchStore: Option[String] = None,
       sketchRaw: Option[String] = None,
       sketchAdmitPpm: Option[Long] = None,
+      freqStore: Option[String] = None,
+      freqRaw: Option[String] = None,
       curationSpine: Boolean = false)
 
   private def parseMixture(v: String): Map[String, Int] =
@@ -381,6 +404,10 @@ object Corpus {
       parse(rest, acc.copy(sketchRaw = Some(v)))
     case "--sketch-admit-ppm" :: v :: rest =>
       parse(rest, acc.copy(sketchAdmitPpm = Some(v.toLong)))
+    case "--freq-store" :: v :: rest =>
+      parse(rest, acc.copy(freqStore = Some(v)))
+    case "--freq-raw" :: v :: rest =>
+      parse(rest, acc.copy(freqRaw = Some(v)))
     case "--curation-spine" :: rest =>
       parse(rest, acc.copy(curationSpine = true))
     case "--span-remove-drop" :: v :: rest =>
@@ -505,7 +532,11 @@ object Corpus {
       a.sketchStore.map(sd => ("--sketch-store", sd,
         (s: SparkSession, d: String) => graft.text.SketchStore.drops(s, d),
         (s: SparkSession, d: String, id: String) =>
-          graft.text.SketchStore.removeDrop(s, d, id)))
+          graft.text.SketchStore.removeDrop(s, d, id))),
+      a.freqStore.map(sd => ("--freq-store", sd,
+        (s: SparkSession, d: String) => graft.text.FreqStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.text.FreqStore.removeDrop(s, d, id)))
     ).flatten
 
   private def defaultDropId(input: String): String = {
@@ -917,17 +948,18 @@ object Corpus {
         // refused by a hand-maintained flag list here).
         val docStoresConfigured =
           Seq(a.dedupStore, a.clusterStore, a.annIndex).flatten.nonEmpty ||
-            a.sketchRaw.nonEmpty
+            a.sketchRaw.nonEmpty || a.freqRaw.nonEmpty
         val ledgersConfigured = ledgeredStores(a).nonEmpty
         require(docStoresConfigured || ledgersConfigured,
           "--takedown needs at least one store flag (doc-granular: " +
-            "--dedup-store/--cluster-store/--ann-index, or --sketch-store " +
-            "with --sketch-raw drop=rawDir for the rebuild recipe; " +
-            "drop-ledgered: " +
+            "--dedup-store/--cluster-store/--ann-index, --sketch-store " +
+            "with --sketch-raw drop=rawDir for the rebuild recipe, or " +
+            "--freq-store with --freq-raw drop=rawDir for the " +
+            "subtraction recipe; drop-ledgered: " +
             "--lm-store/--profile-store/--novelty-store/--span-store/" +
             "--manifest-store/--chunk-store/--postings-store/" +
-            "--classifier-store/--dsir-store/--sketch-store) — a ticket " +
-            "applied to nothing must not exit 0")
+            "--classifier-store/--dsir-store/--sketch-store/--freq-store) " +
+            "— a ticket applied to nothing must not exit 0")
         val ticket = spark.read.parquet(ticketPath)
         val cols = ticket.columns.toSet
         require(cols.contains("doc_id") || cols.contains("vec_id") ||
@@ -981,6 +1013,31 @@ object Corpus {
             println(s"takedown: rebuilt sketch drop '$dropId' in $sd " +
               s"from $rawDir minus the ticket's docs")
           }
+          // doc-granular purge for the SUM-MERGE frequency family:
+          // counters are linear, so the ticket's docs are sketched once
+          // and SUBTRACTED from the named drop's rows
+          // (FreqStore.unlearnDocs — one scan of the purged docs, read
+          // from rawDir with doc_id pushdown; the drop's remainder and
+          // the history are never touched). The contrast to --sketch-raw:
+          // same flag shape, opposite recipe — subtract what left, not
+          // rebuild from what stayed.
+          a.freqRaw.foreach { spec =>
+            val sd = a.freqStore.getOrElse(throw new IllegalArgumentException(
+              "--freq-raw needs --freq-store <dir>"))
+            require(cols.contains("doc_id"),
+              "--freq-raw purge needs a doc_id column in the ticket")
+            val (dropId, rawDir) = spec.split("=", 2) match {
+              case Array(d, p) if d.nonEmpty && p.nonEmpty => (d, p)
+              case _ => throw new IllegalArgumentException(
+                s"--freq-raw expects dropId=rawDir, got '$spec'")
+            }
+            val purged = spark.read.parquet(rawDir)
+              .join(ticket.select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_semi")
+            graft.text.FreqStore.unlearnDocs(purged, sd, dropId)
+            println(s"takedown: subtracted the ticket's docs from freq " +
+              s"drop '$dropId' in $sd (read from $rawDir)")
+          }
         }
         if (cols.contains("drop_id")) {
           require(ledgersConfigured,
@@ -988,7 +1045,7 @@ object Corpus {
               "store flag (--lm-store/--profile-store/--novelty-store/" +
               "--span-store/--manifest-store/--chunk-store/" +
               "--postings-store/--classifier-store/--dsir-store/" +
-              "--sketch-store) is set")
+              "--sketch-store/--freq-store) is set")
           // the ticket's drop-id column is driver-sized by nature (one id
           // per ingested drop, not per corpus row)
           val dropIds = ticket.select(col("drop_id")).distinct()
@@ -1134,6 +1191,7 @@ object Corpus {
         "[--manifest-store dir] [--chunk-store dir] [--postings-store dir] " +
         "[--classifier-store dir] [--classifier-label col] " +
         "[--dsir-store dir] [--dsir-target path] [--sketch-store dir] " +
+        "[--freq-store dir] [--freq-raw drop=rawDir] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)
@@ -1337,6 +1395,19 @@ object Corpus {
         }
         SketchStore.growthCurve(spark, kd)
           .write.mode("overwrite").parquet(s"${a.out}/_saturation")
+      }
+      // the frequency-sketch ledger: this drop's ≤ 4096 counter rows
+      // join the store under the same deterministic drop-id discipline
+      // (sum-merge: a re-run of a stored drop is SKIPPED loudly — a
+      // double-append would double-count, unlike the max-merge family)
+      a.freqStore.foreach { fd =>
+        import graft.text.FreqStore
+        val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
+        if (!FreqStore.exists(spark, fd))
+          FreqStore.buildStaged(r.train, fd, dropId)()
+        else if (!FreqStore.drops(spark, fd).contains(dropId))
+          FreqStore.appendStaged(r.train, fd, dropId)()
+        else warnSkippedDrop("--freq-store", dropId, fd)
       }
       // _novelty: per-doc first-occurrence novelty of THIS drop against
       // the gram store's history ∪ the drop (read-only scoring, written

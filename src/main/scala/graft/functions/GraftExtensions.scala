@@ -364,6 +364,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           eager = false)
         .queryExecution.logical
     }
+    tvf("graft_cms_store") { args =>
+      require(args.size == 1,
+        "usage: graft_cms_store(<store dir>)")
+      graft.text.FreqStore.serveCounters(SparkSession.active,
+          strArg("graft_cms_store", args.head, "store dir"))
+        .queryExecution.logical
+    }
+    tvf("graft_cms_estimate") { args =>
+      require(args.size == 2,
+        "usage: graft_cms_estimate(<store dir>, <probe table (term)>)")
+      graft.text.FreqStore.serveEstimates(SparkSession.active,
+          SparkSession.active.table(
+            strArg("graft_cms_estimate", args(1), "probe table")),
+          strArg("graft_cms_estimate", args.head, "store dir"))
+        .queryExecution.logical
+    }
     tvf("graft_curation_spine") { args =>
       require(args.size == 3 || args.size == 4,
         "usage: graft_curation_spine(<corpus table>, <target table>, " +

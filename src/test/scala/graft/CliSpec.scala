@@ -1114,6 +1114,50 @@ class CliSpec extends AnyFunSuite {
       Set(novDropId(s"$dir/drop1"), novDropId(s"$dir/drop2")))
   }
 
+  test("Corpus CLI: --freq-store ingests; --freq-raw subtracts a doc; drop ticket removes") {
+    import spark.implicits._
+    import graft.text.{FreqSketch, FreqStore}
+    val dir = Files.createTempDirectory("corpus-freq")
+    val d1 = (1L, (1 to 200).map(i => s"x${i % 40}").mkString(" "))
+    val d2a = (2L, (1 to 200).map(i => s"y${i % 40}").mkString(" "))
+    val d2b = (3L, (1 to 200).map(i => s"z${i % 40}").mkString(" "))
+    docsOf(d1).write.parquet(s"$dir/drop1")
+    docsOf(d2a, d2b).write.parquet(s"$dir/drop2")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop1", "-O", s"$dir/o1", "--freq-store", s"$dir/cms"))
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/o2", "--freq-store", s"$dir/cms"))
+    def counters(d: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      FreqSketch.counters(FreqSketch.grams(d))
+        .collect().map(_.toSeq).toSet
+    def served: Set[Seq[Any]] =
+      FreqStore.serveCounters(spark, s"$dir/cms")
+        .collect().map(_.toSeq).toSet
+    assert(served === counters(docsOf(d1, d2a, d2b)))
+    // doc-granular ticket: purge doc 3 from drop2 — counters are
+    // LINEAR, so the CLI sketches the ticket's docs (read from the raw
+    // dir with doc_id pushdown) and SUBTRACTS them from the drop's rows
+    Seq(3L).toDF("doc_id").write.parquet(s"$dir/ticket")
+    graft.cli.Corpus.run(spark, Array(
+      "--takedown", s"$dir/ticket", "--freq-store", s"$dir/cms",
+      "--freq-raw", s"${novDropId(s"$dir/drop2")}=$dir/drop2"))
+    assert(served === counters(docsOf(d1, d2a)),
+      "post-subtract serve must equal a store whose drop2 never held doc 3")
+    // the ledger still lists both drops: the purge subtracted rows, not
+    // the drop
+    assert(FreqStore.drops(spark, s"$dir/cms") ===
+      Set(novDropId(s"$dir/drop1"), novDropId(s"$dir/drop2")))
+    // drop-granular ticket through the unified takedown: drop2 removed,
+    // serve re-sums to drop1 alone
+    Seq(novDropId(s"$dir/drop2")).toDF("drop_id")
+      .write.parquet(s"$dir/ticket2")
+    graft.cli.Corpus.run(spark, Array(
+      "--takedown", s"$dir/ticket2", "--freq-store", s"$dir/cms"))
+    assert(served === counters(docsOf(d1)))
+    assert(FreqStore.drops(spark, s"$dir/cms") ===
+      Set(novDropId(s"$dir/drop1")))
+  }
+
   test("Corpus CLI: --profile-store accumulates per-drop partials; re-runs idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-profstore")

@@ -331,6 +331,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(adm.select("containment_ppm").as[Long].head() === 1000000L)
   }
 
+  test("graft_cms_store / graft_cms_estimate read the frequency sketch from SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlcms")
+    val a = Seq((1L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    graft.text.FreqStore.build(a, s"$dir/cms", "a")
+    graft.text.FreqStore.append(b, s"$dir/cms", "b")
+    val cnt = spark.sql(s"SELECT * FROM graft_cms_store('$dir/cms')")
+    val cntDirect = graft.text.FreqStore.serveCounters(spark, s"$dir/cms")
+    assert(cnt.columns === cntDirect.columns)
+    assert(rows(cnt) === rows(cntDirect))
+    Seq("one two three", "never seen xq").toDF("term")
+      .createOrReplaceTempView("sql_cms_probes")
+    val est = spark.sql(
+      s"SELECT * FROM graft_cms_estimate('$dir/cms', 'sql_cms_probes')")
+    val estDirect = graft.text.FreqStore.serveEstimates(spark,
+      spark.table("sql_cms_probes"), s"$dir/cms")
+    assert(est.columns === estDirect.columns)
+    assert(rows(est) === rows(estDirect))
+    // the ingested gram estimates >= 1 (one-sided guarantee); both
+    // probes answered from drops x 4096 stored rows, no corpus scan
+    val byTerm = est.as[(String, Long)].collect().toMap
+    assert(byTerm("one two three") >= 1L)
+    assert(byTerm("never seen xq") >= 0L)
+  }
+
   test("graft_rrf fuses two arbitrary rank-list tables from SQL") {
     Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
       .createOrReplaceTempView("sql_rrf_lex")

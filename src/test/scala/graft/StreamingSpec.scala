@@ -805,6 +805,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("freq-store ingest: foreachBatch appends per-batch counters; serve tracks the union; mid-stream unlearn subtracts") {
+    import graft.text.{FreqSketch, FreqStore}
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-freq").toString
+    val seed = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    FreqStore.build(seed, dir, "seed")
+    var history = seed
+    var lastVsScratch = true
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val dropId = f"batch-$epoch%06d"
+        // per-epoch drop id: a foreachBatch RETRY of the same epoch is
+        // skipped — mandatory for a sum-merge (a replay would double-count)
+        if (!FreqStore.drops(spark, dir).contains(dropId))
+          FreqStore.appendStaged(batch, dir, dropId)()
+        history = history.unionByName(batch)
+        val got = FreqStore.serveCounters(spark, dir)
+          .as[(Long, Long, Long)].collect().toSet
+        val scratch = FreqSketch.counters(FreqSketch.grams(history))
+          .as[(Long, Long, Long)].collect().toSet
+        lastVsScratch = got == scratch
+        ()
+      }
+      .start()
+    try {
+      mem.addData((10L, "zeta eta theta iota kappa"))
+      q.processAllAvailable()
+      assert(lastVsScratch,
+        "served counters must equal from-scratch after batch 0")
+      mem.addData((20L, "lambda mu nu xi omicron pi"),
+        (21L, "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      assert(lastVsScratch,
+        "served counters must equal from-scratch after batch 1 " +
+          "(incl. doc 21 repeating the seed text — sums, not maxes)")
+    } finally q.stop()
+    // a removal ticket arrives for doc 21: subtract its own sketch from
+    // the batch drop it arrived in — the stream's history is untouched
+    val purged = Seq((21L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    FreqStore.unlearnDocs(purged, dir, "batch-000001")
+    val got = FreqStore.serveCounters(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = FreqSketch.counters(FreqSketch.grams(
+        seed.unionByName(Seq(
+          (10L, "zeta eta theta iota kappa"),
+          (20L, "lambda mu nu xi omicron pi")).toDF("doc_id", "text"))))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "post-unlearn serve must equal a stream that never saw doc 21")
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
