@@ -1271,6 +1271,39 @@ object Queries {
         .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
         .withColumn("overcount", col("est") - col("n_exact"))
     }),
+
+    // Bottom-k uniform sample (see KmvSample): the 128 smallest md5
+    // hashes of doc_id — a deterministic without-replacement draw cut
+    // by TakeOrderedAndProject's bounded heap (no global sort at any
+    // corpus size), each row carrying its (lang, n_tokens) payload.
+    "q195_kmv_sample" -> ((s, dir) =>
+      KmvSample.sample(Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism))),
+
+    // Store-served sample: the corpus ingested as three drops of ≤ 128
+    // sample rows each; the served re-cut over drops × k stored rows
+    // must be bit-identical to sampling the union corpus from scratch
+    // (the order-statistic merge: a global bottom-k member is inside
+    // its own drop's bottom-k). Shares q195's oracle.
+    "q196_sample_store" -> ((s, dir) =>
+      SampleStore.serveSample(s, sampleStoreFixture(s, dir))),
+
+    // Sample takedown: a junk drop (salted ids at doc_id + 10M, whose
+    // hashes crack the served bottom-k) ingested then REMOVED — the
+    // re-cut over surviving rows is exactly the never-ingested sample
+    // (the same subset argument as the serve). Shares q195's oracle.
+    "q197_sample_takedown" -> ((s, dir) =>
+      SampleStore.serveSample(s, sampleUnlearnFixture(s, dir))),
+
+    // The sample's USE, audited: corpus mean tokens/doc estimated from
+    // the k stored sample rows (their n_tokens payload — raw text never
+    // touched) NEXT TO the exact corpus scan, err in integer per-mille
+    // (the q178/q191 audit discipline applied to a sample statistic).
+    "q198_sample_audit" -> ((s, dir) =>
+      KmvSample.auditMeanTokens(
+        SampleStore.serveSample(s, sampleStoreFixture(s, dir)),
+        Tables(s, dir).documents
+          .repartition(s.sparkContext.defaultParallelism))),
   )
 
   /** q183/q184's shared legs: (lex top-10 with lex_rank, vector top-10
@@ -2023,6 +2056,55 @@ object Queries {
       storeDir
     })
 
+  /** q196/q198's sample store: the corpus as three drops (a, b, c by
+    * doc_id % 3 = 1, 2, 0 — a PARTITION) of ≤ 128 sample rows each.
+    */
+  private[graft] def sampleStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#kmv"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-samplestore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      SampleStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      SampleStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      SampleStore.append(d.filter(col("doc_id") % 3 === 0), storeDir, "c")
+      storeDir
+    })
+
+  /** q197's takedown store: a junk drop "x" of salted ids (doc_id +
+    * 10M — fresh hashes, some of which crack the served bottom-k)
+    * ingested then removed; the re-cut must restore the never-ingested
+    * sample exactly.
+    */
+  private[graft] def sampleUnlearnFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#kmv-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-samplestore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      SampleStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a")
+      SampleStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      SampleStore.append(d.filter(col("doc_id") % 3 === 0), storeDir, "c")
+      SampleStore.append(
+        d.withColumn("doc_id", col("doc_id") + lit(10000000L)), storeDir, "x")
+      SampleStore.removeDrop(s, storeDir, "x")
+      storeDir
+    })
+
   /** The sources q141 purges from the signature store — fixed names the
     * oracle mirrors literally (TESTDATA's documents carry src0..src19).
     */
@@ -2568,6 +2650,21 @@ object Queries {
       |    CAST(e.est - coalesce(x.n_exact, 0) AS BIGINT) AS overcount
       |  FROM est e LEFT JOIN ex x USING (term))""".stripMargin
 
+  /** q195–q198's bottom-k replay: the 60-bit md5-of-id hash order and
+    * the ranked cut — ending at CTEs `sm` (hv, doc_id, lang, n_tokens)
+    * and `rk` (rank over (hv, doc_id)).
+    */
+  private def kmvCtes: String =
+    """sm AS (SELECT
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hv,
+      |    doc_id, lang,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |rk AS (SELECT
+      |    CAST(row_number() OVER (ORDER BY hv ASC, doc_id ASC)
+      |      AS BIGINT) AS rank,
+      |    hv, doc_id, lang, n_tokens FROM sm)""".stripMargin
+
   private def sketchRegsCte(sfx: String, docFilter: String): String =
     s"""gl$sfx AS (SELECT CASE WHEN len(string_split(text,' ')) >= 5
        |    THEN list_transform(range(1, len(string_split(text,' ')) - 3),
@@ -2760,6 +2857,36 @@ object Queries {
     "q193_cms_unlearn" ->
       s"""WITH $cmsCtes
          |SELECT depth, slot, cnt FROM cms""".stripMargin,
+    // q195 replays the bottom-128 hash cut; q196 shares it (store drops
+    // partition the corpus, the order-statistic merge re-cuts to the
+    // from-scratch sample); q197 shares it too (takedown ≡
+    // never-ingested by the same subset argument).
+    "q195_kmv_sample" ->
+      s"""WITH $kmvCtes
+         |SELECT rank, hv, doc_id, lang, n_tokens FROM rk
+         |WHERE rank <= 128""".stripMargin,
+    "q196_sample_store" ->
+      s"""WITH $kmvCtes
+         |SELECT rank, hv, doc_id, lang, n_tokens FROM rk
+         |WHERE rank <= 128""".stripMargin,
+    "q197_sample_takedown" ->
+      s"""WITH $kmvCtes
+         |SELECT rank, hv, doc_id, lang, n_tokens FROM rk
+         |WHERE rank <= 128""".stripMargin,
+    // q198: the sample-estimated corpus mean vs the exact scan, every
+    // column integer-exact (milli-token units, err in per-mille)
+    "q198_sample_audit" ->
+      s"""WITH $kmvCtes,
+         |est AS (SELECT CAST(count(*) AS BIGINT) AS sample_k,
+         |    sum(n_tokens) AS st FROM rk WHERE rank <= 128),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    sum(n_tokens) AS ct FROM sm)
+         |SELECT sample_k, n_docs,
+         |  CAST((st * 1000) // sample_k AS BIGINT) AS est_mean_tokens_x1000,
+         |  CAST((ct * 1000) // n_docs AS BIGINT) AS exact_mean_tokens_x1000,
+         |  CAST((abs((st * 1000) // sample_k - (ct * 1000) // n_docs) * 1000)
+         |    // ((ct * 1000) // n_docs) AS BIGINT) AS err_pml
+         |FROM est, ex""".stripMargin,
     "q178_distinct_sketch" ->
       s"""WITH ${sketchRegsCte("", "TRUE")},
          |${sketchEstCte("", 1, "all")},
