@@ -194,6 +194,17 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        to the never-ingested counters;
   *                                        doc-granular tickets SUBTRACT
   *                                        exactly via --freq-raw, q193)
+  *     [--sample-store dir]               persisted bottom-k uniform sample
+  *                                        (k smallest md5-of-id hashes, ≤
+  *                                        128 rows per drop with lang +
+  *                                        token-count payload): the drop's
+  *                                        sample rows join the store under
+  *                                        --drop-id (the order-statistic
+  *                                        merge re-cuts to the from-scratch
+  *                                        sample, q196; drop takedown is
+  *                                        exact by the same subset
+  *                                        argument, q197; doc tickets
+  *                                        rebuild via --sample-raw)
   *     [--curation-spine]                 run the LLM curation spine (q186:
   *                                        quality gate → near-dup dedup →
   *                                        decontaminate → DSIR top-k →
@@ -257,6 +268,16 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        the purged docs, never the drop's
   *                                        remainder; serve ≡ a store that
   *                                        never held those docs
+  *     [--sample-raw drop=rawDir]         doc-granular purge for the sample
+  *                                        family (with --takedown +
+  *                                        --sample-store): an order
+  *                                        statistic can't subtract (a
+  *                                        deleted row loses the drop's
+  *                                        (k+1)th candidate), so the named
+  *                                        drop's k rows are RE-CUT from
+  *                                        rawDir minus the ticket's doc_ids
+  *                                        and swapped atomically — serve ≡
+  *                                        a store that never held those docs
   *     [--ledger-report]                  print each configured store's drop
   *                                        ledger, flag drops present in some
   *                                        stores but absent from others (the
@@ -331,6 +352,8 @@ object Corpus {
       sketchAdmitPpm: Option[Long] = None,
       freqStore: Option[String] = None,
       freqRaw: Option[String] = None,
+      sampleStore: Option[String] = None,
+      sampleRaw: Option[String] = None,
       curationSpine: Boolean = false)
 
   private def parseMixture(v: String): Map[String, Int] =
@@ -408,6 +431,10 @@ object Corpus {
       parse(rest, acc.copy(freqStore = Some(v)))
     case "--freq-raw" :: v :: rest =>
       parse(rest, acc.copy(freqRaw = Some(v)))
+    case "--sample-store" :: v :: rest =>
+      parse(rest, acc.copy(sampleStore = Some(v)))
+    case "--sample-raw" :: v :: rest =>
+      parse(rest, acc.copy(sampleRaw = Some(v)))
     case "--curation-spine" :: rest =>
       parse(rest, acc.copy(curationSpine = true))
     case "--span-remove-drop" :: v :: rest =>
@@ -536,7 +563,11 @@ object Corpus {
       a.freqStore.map(sd => ("--freq-store", sd,
         (s: SparkSession, d: String) => graft.text.FreqStore.drops(s, d),
         (s: SparkSession, d: String, id: String) =>
-          graft.text.FreqStore.removeDrop(s, d, id)))
+          graft.text.FreqStore.removeDrop(s, d, id))),
+      a.sampleStore.map(sd => ("--sample-store", sd,
+        (s: SparkSession, d: String) => graft.text.SampleStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.text.SampleStore.removeDrop(s, d, id)))
     ).flatten
 
   private def defaultDropId(input: String): String = {
@@ -948,18 +979,20 @@ object Corpus {
         // refused by a hand-maintained flag list here).
         val docStoresConfigured =
           Seq(a.dedupStore, a.clusterStore, a.annIndex).flatten.nonEmpty ||
-            a.sketchRaw.nonEmpty || a.freqRaw.nonEmpty
+            a.sketchRaw.nonEmpty || a.freqRaw.nonEmpty ||
+            a.sampleRaw.nonEmpty
         val ledgersConfigured = ledgeredStores(a).nonEmpty
         require(docStoresConfigured || ledgersConfigured,
           "--takedown needs at least one store flag (doc-granular: " +
             "--dedup-store/--cluster-store/--ann-index, --sketch-store " +
             "with --sketch-raw drop=rawDir for the rebuild recipe, or " +
             "--freq-store with --freq-raw drop=rawDir for the " +
-            "subtraction recipe; drop-ledgered: " +
+            "subtraction recipe, or --sample-store with --sample-raw " +
+            "drop=rawDir for the re-cut recipe; drop-ledgered: " +
             "--lm-store/--profile-store/--novelty-store/--span-store/" +
             "--manifest-store/--chunk-store/--postings-store/" +
-            "--classifier-store/--dsir-store/--sketch-store/--freq-store) " +
-            "— a ticket applied to nothing must not exit 0")
+            "--classifier-store/--dsir-store/--sketch-store/--freq-store/" +
+            "--sample-store) — a ticket applied to nothing must not exit 0")
         val ticket = spark.read.parquet(ticketPath)
         val cols = ticket.columns.toSet
         require(cols.contains("doc_id") || cols.contains("vec_id") ||
@@ -1038,6 +1071,27 @@ object Corpus {
             println(s"takedown: subtracted the ticket's docs from freq " +
               s"drop '$dropId' in $sd (read from $rawDir)")
           }
+          // doc-granular purge for the SAMPLE family: an order statistic
+          // rebuilds like the max-merge registers (SampleStore.purgeDocs
+          // — re-cut the named drop's k rows from its raw corpus minus
+          // the ticket, one atomic swap; the history is never touched)
+          a.sampleRaw.foreach { spec =>
+            val sd = a.sampleStore.getOrElse(throw new IllegalArgumentException(
+              "--sample-raw needs --sample-store <dir>"))
+            require(cols.contains("doc_id"),
+              "--sample-raw purge needs a doc_id column in the ticket")
+            val (dropId, rawDir) = spec.split("=", 2) match {
+              case Array(d, p) if d.nonEmpty && p.nonEmpty => (d, p)
+              case _ => throw new IllegalArgumentException(
+                s"--sample-raw expects dropId=rawDir, got '$spec'")
+            }
+            val remaining = spark.read.parquet(rawDir)
+              .join(ticket.select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+            graft.text.SampleStore.purgeDocs(remaining, sd, dropId)
+            println(s"takedown: re-cut sample drop '$dropId' in $sd " +
+              s"from $rawDir minus the ticket's docs")
+          }
         }
         if (cols.contains("drop_id")) {
           require(ledgersConfigured,
@@ -1045,7 +1099,7 @@ object Corpus {
               "store flag (--lm-store/--profile-store/--novelty-store/" +
               "--span-store/--manifest-store/--chunk-store/" +
               "--postings-store/--classifier-store/--dsir-store/" +
-              "--sketch-store/--freq-store) is set")
+              "--sketch-store/--freq-store/--sample-store) is set")
           // the ticket's drop-id column is driver-sized by nature (one id
           // per ingested drop, not per corpus row)
           val dropIds = ticket.select(col("drop_id")).distinct()
@@ -1192,6 +1246,7 @@ object Corpus {
         "[--classifier-store dir] [--classifier-label col] " +
         "[--dsir-store dir] [--dsir-target path] [--sketch-store dir] " +
         "[--freq-store dir] [--freq-raw drop=rawDir] " +
+        "[--sample-store dir] [--sample-raw drop=rawDir] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)
@@ -1408,6 +1463,18 @@ object Corpus {
         else if (!FreqStore.drops(spark, fd).contains(dropId))
           FreqStore.appendStaged(r.train, fd, dropId)()
         else warnSkippedDrop("--freq-store", dropId, fd)
+      }
+      // the standing-sample ledger: this drop's ≤ k sample rows join
+      // the store under the same drop-id discipline (re-runs skipped —
+      // a double-append would hand the drop two chances at the cut)
+      a.sampleStore.foreach { pd =>
+        import graft.text.SampleStore
+        val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
+        if (!SampleStore.exists(spark, pd))
+          SampleStore.buildStaged(r.train, pd, dropId)()
+        else if (!SampleStore.drops(spark, pd).contains(dropId))
+          SampleStore.appendStaged(r.train, pd, dropId)()
+        else warnSkippedDrop("--sample-store", dropId, pd)
       }
       // _novelty: per-doc first-occurrence novelty of THIS drop against
       // the gram store's history ∪ the drop (read-only scoring, written

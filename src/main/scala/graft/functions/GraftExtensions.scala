@@ -380,6 +380,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strArg("graft_cms_estimate", args.head, "store dir"))
         .queryExecution.logical
     }
+    tvf("graft_sample_store") { args =>
+      require(args.size == 1,
+        "usage: graft_sample_store(<store dir>)")
+      graft.text.SampleStore.serveSample(SparkSession.active,
+          strArg("graft_sample_store", args.head, "store dir"))
+        .queryExecution.logical
+    }
+    tvf("graft_sample_audit") { args =>
+      require(args.size == 2,
+        "usage: graft_sample_audit(<store dir>, <corpus table>)")
+      graft.text.KmvSample.auditMeanTokens(
+          graft.text.SampleStore.serveSample(SparkSession.active,
+            strArg("graft_sample_audit", args.head, "store dir")),
+          SparkSession.active.table(
+            strArg("graft_sample_audit", args(1), "corpus table")))
+        .queryExecution.logical
+    }
     tvf("graft_curation_spine") { args =>
       require(args.size == 3 || args.size == 4,
         "usage: graft_curation_spine(<corpus table>, <target table>, " +

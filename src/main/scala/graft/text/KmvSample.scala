@@ -63,12 +63,17 @@ object KmvSample {
     * gather) — no global sort at any corpus size; the rank window runs
     * AFTER the cut, over exactly k rows.
     */
-  def sample(docs: DataFrame, k: Int = K): DataFrame =
+  def sample(docs: DataFrame, k: Int = K): DataFrame = {
+    // lang is payload, not contract: a corpus without it samples with a
+    // NULL lang column instead of refusing (CLI corpora vary)
+    val lang = if (docs.columns.contains("lang")) col("lang")
+               else lit(null).cast("string").as("lang")
     withRank(graft.operators.Relational.topK(
       docs.select(
-        hashOf(col("doc_id")).as("hv"), col("doc_id"), col("lang"),
+        hashOf(col("doc_id")).as("hv"), col("doc_id"), lang.as("lang"),
         size(TextOps.words(col("text"))).cast("long").as("n_tokens")),
       k, col("hv").asc, col("doc_id").asc))
+  }
 
   /** Rank 1..k over an ALREADY-CUT k-row frame (the single-partition
     * window is k-bounded by contract — corpus-sized callers must cut

@@ -1158,6 +1158,47 @@ class CliSpec extends AnyFunSuite {
       Set(novDropId(s"$dir/drop1")))
   }
 
+  test("Corpus CLI: --sample-store ingests; --sample-raw re-cuts a drop; drop ticket removes") {
+    import spark.implicits._
+    import graft.text.{KmvSample, SampleStore}
+    val dir = Files.createTempDirectory("corpus-sample")
+    val d1 = (1L to 200L).map(i => (i, s"x$i x$i x$i"))
+    val d2 = (201L to 500L).map(i => (i, s"y$i y$i"))
+    d1.toDF("doc_id", "text").write.parquet(s"$dir/drop1")
+    d2.toDF("doc_id", "text").write.parquet(s"$dir/drop2")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop1", "-O", s"$dir/o1", "--sample-store", s"$dir/kmv"))
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/o2", "--sample-store", s"$dir/kmv"))
+    def served: Set[Seq[Any]] =
+      SampleStore.serveSample(spark, s"$dir/kmv")
+        .collect().map(_.toSeq).toSet
+    def scratchOf(rows: Seq[(Long, String)]): Set[Seq[Any]] =
+      KmvSample.sample(rows.toDF("doc_id", "text"))
+        .collect().map(_.toSeq).toSet
+    assert(served === scratchOf(d1 ++ d2))
+    // doc-granular ticket: the sampled doc with the smallest hash is
+    // purged from drop2 — the CLI re-cuts that drop's rows from its raw
+    // dir minus the ticket (an order statistic can't subtract)
+    val victim = SampleStore.serveSample(spark, s"$dir/kmv")
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 201L)
+      .orderBy("rank").select("doc_id").as[Long].head()
+    Seq(victim).toDF("doc_id").write.parquet(s"$dir/ticket")
+    graft.cli.Corpus.run(spark, Array(
+      "--takedown", s"$dir/ticket", "--sample-store", s"$dir/kmv",
+      "--sample-raw", s"${novDropId(s"$dir/drop2")}=$dir/drop2"))
+    assert(served === scratchOf(d1 ++ d2.filterNot(_._1 == victim)),
+      "post-purge serve must equal a store whose drop2 never held the doc")
+    assert(SampleStore.drops(spark, s"$dir/kmv") ===
+      Set(novDropId(s"$dir/drop1"), novDropId(s"$dir/drop2")))
+    // drop-granular ticket through the unified takedown
+    Seq(novDropId(s"$dir/drop2")).toDF("drop_id")
+      .write.parquet(s"$dir/ticket2")
+    graft.cli.Corpus.run(spark, Array(
+      "--takedown", s"$dir/ticket2", "--sample-store", s"$dir/kmv"))
+    assert(served === scratchOf(d1))
+  }
+
   test("Corpus CLI: --profile-store accumulates per-drop partials; re-runs idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-profstore")

@@ -358,6 +358,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(byTerm("never seen xq") >= 0L)
   }
 
+  test("graft_sample_store / graft_sample_audit read the standing sample from SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlsample")
+    val a = (1L to 50L).map(i => (i, (s"w$i " * 3).trim, "en"))
+      .toDF("doc_id", "text", "lang")
+    val b = (51L to 120L).map(i => (i, (s"w$i " * 3).trim, "de"))
+      .toDF("doc_id", "text", "lang")
+    graft.text.SampleStore.build(a, s"$dir/kmv", "a", k = 16)
+    graft.text.SampleStore.append(b, s"$dir/kmv", "b")
+    val sm = spark.sql(s"SELECT * FROM graft_sample_store('$dir/kmv')")
+    val smDirect = graft.text.SampleStore.serveSample(spark, s"$dir/kmv")
+    assert(sm.columns === smDirect.columns)
+    assert(rows(sm) === rows(smDirect))
+    // and the serve == from-scratch law holds through the SQL face
+    val scratch = graft.text.KmvSample.sample(a.unionByName(b), 16)
+    assert(rows(sm) === rows(scratch))
+    a.unionByName(b).createOrReplaceTempView("sql_sample_corpus")
+    val audit = spark.sql(
+      s"SELECT * FROM graft_sample_audit('$dir/kmv', 'sql_sample_corpus')")
+    val auditDirect = graft.text.KmvSample.auditMeanTokens(
+      smDirect, spark.table("sql_sample_corpus"))
+    assert(audit.columns === auditDirect.columns)
+    assert(rows(audit) === rows(auditDirect))
+    // every doc has exactly 3 tokens: the sample mean is EXACT here
+    assert(rows(audit).head ===
+      Seq(16L, 120L, 3000L, 3000L, 0L))
+  }
+
   test("graft_rrf fuses two arbitrary rank-list tables from SQL") {
     Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
       .createOrReplaceTempView("sql_rrf_lex")

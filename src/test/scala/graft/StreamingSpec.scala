@@ -859,6 +859,45 @@ class StreamingSpec extends AnyFunSuite {
       "post-unlearn serve must equal a stream that never saw doc 21")
   }
 
+  test("sample-store ingest: foreachBatch appends per-batch cuts; serve is the exact union sample") {
+    import graft.text.{KmvSample, SampleStore}
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-sample").toString
+    val seed = (1L to 40L).map(i => (i, s"s$i s$i"))
+    SampleStore.build(seed.toDF("doc_id", "text"), dir, "seed", k = 16)
+    var history = seed
+    var lastVsScratch = true
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val dropId = f"batch-$epoch%06d"
+        // per-epoch drop id: a retry is skipped (a double-append would
+        // hand the epoch's docs two chances at the cut)
+        if (!SampleStore.drops(spark, dir).contains(dropId))
+          SampleStore.appendStaged(batch, dir, dropId)()
+        history = history ++ batch.as[(Long, String)].collect()
+        val got = SampleStore.serveSample(spark, dir)
+          .collect().map(_.toSeq).toSet
+        val scratch = KmvSample.sample(history.toDF("doc_id", "text"), 16)
+          .collect().map(_.toSeq).toSet
+        lastVsScratch = got == scratch
+        ()
+      }
+      .start()
+    try {
+      mem.addData((41L to 80L).map(i => (i, s"t$i")): _*)
+      q.processAllAvailable()
+      assert(lastVsScratch,
+        "served sample must equal from-scratch after batch 0")
+      mem.addData((81L to 160L).map(i => (i, s"u$i u$i u$i")): _*)
+      q.processAllAvailable()
+      assert(lastVsScratch,
+        "served sample must equal from-scratch after batch 1")
+      assert(SampleStore.drops(spark, dir) ===
+        Set("seed", "batch-000000", "batch-000001"))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
