@@ -91,6 +91,37 @@ object Bench {
     (line, spilled.map(_._1))
   }
 
+  /** The FULL-FIDELITY report line: every row (spilled-from-stdout and
+    * store-build rows included) at its full name and full precision,
+    * plus the envelope fields the compact line sheds. Written to
+    * target/bench.json (the judge's per-query file, per round) AND
+    * mirrored to BENCH_FULL.json at the repo root — target/ is
+    * gitignored, so the repo-root mirror is what gives rows that no
+    * longer fit the stdout window a COMMITTED cross-round history (the
+    * r13 structural lever: the stdout line carries the stable prefix;
+    * git history carries everything).
+    *
+    * `queries_max` is the per-query MAX of the same runs — consumers
+    * compute spread = max/min. `controls` are two queries untouched
+    * since round 1 whose cost is pure engine+host (r7 VERDICT #7):
+    * cross-round comparisons normalize by the control ratio before
+    * calling a delta real; a control that errored every run is omitted,
+    * not emitted (a negative "timing" would flip any ratio).
+    */
+  private[graft] def fullLine(rows: Seq[(String, Double, Double)],
+                              total: Double, sfDir: String): String = {
+    val qs = rows.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMax = rows.map { case (k, _, mx) => "\"" + k + "\":" + mx }
+      .mkString("{", ",", "}")
+    val resultMap = rows.map { case (k, mn, _) => (k, mn) }.toMap
+    val ctl = Seq("q01_agg", "q02_sort")
+      .filter(n => resultMap.get(n).exists(_ >= 0))
+      .map(n => "\"" + n + "\":" + resultMap(n))
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"controls":$ctl,"sf":"$sfDir"}"""
+  }
+
   /** Locale.ROOT: a comma decimal separator would corrupt the JSON.
     * Trailing zeros stripped ("0.50" -> "0.5"); one decimal from 0.1 s up
     * (full precision lives in target/bench.json), two decimals only
@@ -279,26 +310,8 @@ object Bench {
 
     val all3 = results ++ buildRow
     val all = all3.map { case (k, mn, _) => (k, mn) }
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // per-query MAX of the same runs — the spread. Full-file only (the
-    // compact stdout line is window-budgeted); consumers compute
-    // spread = max/min per query.
-    val qsMax = all3.map { case (k, _, mx) => "\"" + k + "\":" + mx }
-      .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    // Host-drift calibration (r7 VERDICT #7): two queries untouched since
-    // round 1 whose cost is pure engine+host — cross-round comparisons
-    // should normalize by the control ratio before calling a delta real
-    // (r7's "1.4–1.6× regression" was the box, proven via these shapes).
-    // a control that errored every run (-1 sentinel) is omitted, not
-    // emitted: a negative "timing" would flip any normalization ratio
-    val resultMap = results.map { case (k, mn, _) => (k, mn) }.toMap
-    val controlNames = Seq("q01_agg", "q02_sort")
-      .filter(n => resultMap.get(n).exists(_ >= 0))
-    val ctl = controlNames.map(n => "\"" + n + "\":" + resultMap(n))
-      .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"controls":$ctl,"sf":"$sfDir"}"""
+    val line = fullLine(all3, total, sfDir)
     // The driver stores only a 2000-char TAIL of stdout and parses the
     // JSON out of that window (BENCH_r07/r08 both ended `parsed: null`:
     // the full-name full-precision line is ~6 kB, so its HEAD — including
@@ -327,6 +340,12 @@ object Bench {
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, line + "\n")
+    // the committed mirror (see fullLine): full-suite runs only, so a
+    // SPARK_GRAFT_QUERIES subset iteration never clobbers the round's
+    // committed numbers; the "sf" field identifies scale-check runs
+    if (sys.env.get("SPARK_GRAFT_QUERIES").forall(_.trim.isEmpty))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
     spark.stop()
   }
 }

@@ -21,18 +21,38 @@ class BenchSpec extends AnyFunSuite {
     assert(line.length + 1 <= Bench.StdoutWindowBytes,
       s"compact line is ${line.length}+1 bytes at ${names.size} queries — " +
         "the overflow policy failed to keep it inside the window")
-    // realistic rendering (3-char values): the long-reported prefix of
-    // the suite must still ride the line whole — only rows numbered
-    // q186+ (the r13 additions, which carry no cross-round history yet)
-    // may spill, and spilling more than a handful means the next
-    // structural lever is due.
+    // realistic rendering (3-char values): rows with pre-r13 cross-round
+    // stdout history (q01–q185, the r12 BENCH keys) must still ride the
+    // line whole — the stable-prefix contract. Rows past the window ride
+    // in target/bench.json AND the committed BENCH_FULL.json mirror
+    // (the r13 lever: git history carries what the stdout window
+    // cannot), so growth no longer loses anyone's cross-round trail —
+    // asserted in the full-line test below.
     val (line3, spilled3) = Bench.compactLineSpill(names.map(_ -> 8.8), 888.8)
     assert(line3.length + 1 <= Bench.StdoutWindowBytes)
     def qNum(k: String) = k.drop(1).takeWhile(_.isDigit).toInt
     assert(spilled3.forall(qNum(_) >= 186),
       s"rows with r12 cross-round history spilled from the line: $spilled3")
-    assert(spilled3.size <= 3, s"spill growing past the r13 additions " +
-      s"($spilled3) — design the next lever before the driver loses rows")
+  }
+
+  test("full line carries EVERY row at full name — spilled and build rows included") {
+    import spark.implicits._
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val rows3 = names.map(n => (n, 8.8, 9.9)) :+ (("q106_build", 9.9, 9.9))
+    val full = Bench.fullLine(rows3, 888.8, "/root/testdata/sf0.1")
+    val parsed = spark.read.json(Seq(full).toDS)
+    val fields = parsed.select("queries.*").columns.toSet
+    assert(fields === (names.toSet + "q106_build"),
+      "every suite row must appear in the full-fidelity line verbatim")
+    // the spread companion and the host-drift controls ride along
+    assert(parsed.select("queries_max.*").columns.length === rows3.size)
+    assert(parsed.select("controls.*").columns.toSet ===
+      Set("q01_agg", "q02_sort"))
+    // and specifically: the rows the compact line spills at the current
+    // count are ALL here — the committed mirror is their bench history
+    val (_, spilled) = Bench.compactLineSpill(
+      names.map(_ -> 8.8), 888.8)
+    assert(spilled.toSet.subsetOf(fields))
   }
 
   test("overflow spills only the numerically-highest keys, stable-prefix") {

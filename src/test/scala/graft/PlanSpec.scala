@@ -597,4 +597,41 @@ class PlanSpec extends AnyFunSuite {
     assert(f.contains("partial_max"),
       "the candidate's registers must map-side combine")
   }
+
+  test("q192 CMS serve prunes the store scan to (depth, slot, cnt) and is one partial/final sum") {
+    val f = formatted("q192_cms_store")
+    // drop_id/cfg are ledger metadata the serve never reads
+    assert(f.contains("ReadSchema: struct<depth:bigint,slot:bigint,cnt:bigint>"),
+      s"serve must scan only the counter columns:\n$f")
+    assert(f.contains("partial_sum"),
+      "the sum-merge must combine map-side before the exchange")
+    assert(!f.contains("SortMergeJoin") && !f.contains("Window"),
+      "serve is one aggregation — no join, no window")
+  }
+
+  test("q194 CMS workload estimates broadcast the <= 4096-row counter table") {
+    val f = formatted("q194_cms_serve")
+    assert(f.contains("partial_count") || f.contains("partial_sum"),
+      "counter construction must map-side combine " +
+        "(shuffle <= depth x width x partitions rows)")
+    assert(f.contains("BroadcastHashJoin"),
+      "probe rows must equi-join the BROADCAST counter table — the " +
+        "corpus never shuffles for an estimate")
+  }
+
+  test("q195/q196 sample cut is TakeOrderedAndProject — bounded heap, no global sort") {
+    Seq("q195_kmv_sample", "q196_sample_store").foreach { name =>
+      val f = formatted(name)
+      assert(f.contains("TakeOrderedAndProject"),
+        s"$name: the bottom-k cut must be a per-partition bounded heap " +
+          s"+ k-row gather, never a full Sort+Limit:\n$f")
+      assert(!f.contains("SortMergeJoin"),
+        s"$name must not sort-merge anything")
+    }
+    // the store serve additionally prunes the ledger metadata columns
+    val f = formatted("q196_sample_store")
+    assert(f.contains("ReadSchema: struct<hv:bigint,doc_id:bigint," +
+        "lang:string,n_tokens:bigint>"),
+      s"serve must scan only the sample payload columns:\n$f")
+  }
 }
