@@ -1304,6 +1304,24 @@ object Queries {
         SampleStore.serveSample(s, sampleStoreFixture(s, dir)),
         Tables(s, dir).documents
           .repartition(s.sparkContext.defaultParallelism))),
+
+    // STRATIFIED standing sample: the bottom-16 hash cut PER LANGUAGE —
+    // "k uniform docs per stratum" (balanced eval/labeling batches) by
+    // running the engine's own bounded-heap per-key top-k physical
+    // operator (plans/TopKPerKey, q51's exec) over the KMV hash order:
+    // partial heaps map-side, ≤ k × strata rows shuffle, no
+    // corpus-sized window anywhere.
+    "q199_sample_stratified" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.operators.Relational.topKPerKey(
+        d.select(col("lang"), KmvSample.hashOf(col("doc_id")).as("hv"),
+          col("doc_id"),
+          size(TextOps.words(col("text"))).cast("long").as("n_tokens")),
+        keys = Seq(col("lang")),
+        order = Seq(col("hv").asc, col("doc_id").asc),
+        k = 16)
+    }),
   )
 
   /** q183/q184's shared legs: (lex top-10 with lex_rank, vector top-10
@@ -2873,6 +2891,16 @@ object Queries {
       s"""WITH $kmvCtes
          |SELECT rank, hv, doc_id, lang, n_tokens FROM rk
          |WHERE rank <= 128""".stripMargin,
+    // q199: the per-language bottom-16 cut (the bounded-heap per-key
+    // exec over the KMV hash order)
+    "q199_sample_stratified" ->
+      s"""WITH $kmvCtes,
+         |sr AS (SELECT lang, hv, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY hv ASC, doc_id ASC) AS rn
+         |  FROM sm)
+         |SELECT lang, hv, doc_id, n_tokens FROM sr
+         |WHERE rn <= 16""".stripMargin,
     // q198: the sample-estimated corpus mean vs the exact scan, every
     // column integer-exact (milli-token units, err in per-mille)
     "q198_sample_audit" ->
