@@ -79,7 +79,7 @@ object KmvSample {
     * window is k-bounded by contract — corpus-sized callers must cut
     * with topK first).
     */
-  private[text] def withRank(cut: DataFrame): DataFrame =
+  private[graft] def withRank(cut: DataFrame): DataFrame =
     cut.withColumn("rank", row_number().over(
         Window.orderBy(col("hv").asc, col("doc_id").asc)).cast("long"))
       .select(col("rank"), col("hv"), col("doc_id"), col("lang"),

@@ -298,4 +298,58 @@ class PropertySpec extends AnyFunSuite {
         got == reference
     })
   }
+
+  test("property: CMS counters are linear — counters(a ++ b) == sum-merge of the parts, any split") {
+    // the law FreqStore's serve AND its subtraction unlearn both rest
+    // on: over any random corpus and any random 2-way split, building
+    // per-part counters and sum-merging them equals building over the
+    // union (and therefore subtracting one part's counters from the
+    // union's leaves exactly the other part's)
+    val docGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(1L, 1000L), Gen.choose(0, 1),
+        Gen.listOfN(8, Gen.choose(1, 9)).map(_.mkString("w", " w", ""))))
+    check("cms-linearity", Prop.forAll(docGen) { rows =>
+      import graft.text.FreqSketch
+      val df = rows.map { case (id, part, text) => (id, part, text) }
+        .toDF("doc_id", "part", "text")
+      def counters(d: org.apache.spark.sql.DataFrame) =
+        FreqSketch.counters(FreqSketch.grams(d))
+          .as[(Long, Long, Long)].collect().toSet
+      val whole = counters(df)
+      val merged = FreqSketch.counters(FreqSketch.grams(
+          df.filter(col("part") === 0)))
+        .unionByName(FreqSketch.counters(FreqSketch.grams(
+          df.filter(col("part") === 1))))
+        .groupBy(col("depth"), col("slot")).agg(sum(col("cnt")).as("cnt"))
+        .as[(Long, Long, Long)].collect().toSet
+      merged == whole
+    })
+  }
+
+  test("property: bottom-k merge law — the union's bottom-k survives any drop split") {
+    // SampleStore's serve/takedown correctness: cutting each random
+    // part to its own bottom-k and re-cutting the union of the partials
+    // equals cutting the whole corpus directly, for any split and any k
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.zip(Gen.choose(1L, 100000L), Gen.choose(0, 2))),
+      Gen.choose(1, 12))
+    check("kmv-merge", Prop.forAll(gen) { case (rows, k) =>
+      import graft.text.KmvSample
+      val docs = rows.distinct.map { case (id, part) =>
+        (id, part, s"t$id t$id") }.toDF("doc_id", "part", "text")
+      def cut(d: org.apache.spark.sql.DataFrame) =
+        KmvSample.sample(d, k)
+          .as[(Long, Long, Long, Option[String], Long)].collect().toSeq
+      val whole = cut(docs)
+      val partials = (0 to 2).map(p =>
+          KmvSample.sample(docs.filter(col("part") === p), k)
+            .select(col("hv"), col("doc_id"), col("lang"), col("n_tokens")))
+        .reduce(_ unionByName _)
+      val served = KmvSample.withRank(
+          graft.operators.Relational.topK(partials, k,
+            col("hv").asc, col("doc_id").asc))
+        .as[(Long, Long, Long, Option[String], Long)].collect().toSeq
+      served == whole
+    })
+  }
 }
