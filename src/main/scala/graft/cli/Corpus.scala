@@ -204,7 +204,12 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        sample, q196; drop takedown is
   *                                        exact by the same subset
   *                                        argument, q197; doc tickets
-  *                                        rebuild via --sample-raw)
+  *                                        rebuild via --sample-raw).
+  *                                        With --sample-by-lang at
+  *                                        bootstrap, the store cuts
+  *                                        bottom-k PER LANGUAGE (q200's
+  *                                        balanced sample); appends
+  *                                        inherit the discipline
   *     [--curation-spine]                 run the LLM curation spine (q186:
   *                                        quality gate → near-dup dedup →
   *                                        decontaminate → DSIR top-k →
@@ -354,6 +359,7 @@ object Corpus {
       freqRaw: Option[String] = None,
       sampleStore: Option[String] = None,
       sampleRaw: Option[String] = None,
+      sampleByLang: Boolean = false,
       curationSpine: Boolean = false)
 
   private def parseMixture(v: String): Map[String, Int] =
@@ -435,6 +441,8 @@ object Corpus {
       parse(rest, acc.copy(sampleStore = Some(v)))
     case "--sample-raw" :: v :: rest =>
       parse(rest, acc.copy(sampleRaw = Some(v)))
+    case "--sample-by-lang" :: rest =>
+      parse(rest, acc.copy(sampleByLang = true))
     case "--curation-spine" :: rest =>
       parse(rest, acc.copy(curationSpine = true))
     case "--span-remove-drop" :: v :: rest =>
@@ -1246,7 +1254,7 @@ object Corpus {
         "[--classifier-store dir] [--classifier-label col] " +
         "[--dsir-store dir] [--dsir-target path] [--sketch-store dir] " +
         "[--freq-store dir] [--freq-raw drop=rawDir] " +
-        "[--sample-store dir] [--sample-raw drop=rawDir] " +
+        "[--sample-store dir] [--sample-raw drop=rawDir] [--sample-by-lang] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)
@@ -1471,7 +1479,10 @@ object Corpus {
         import graft.text.SampleStore
         val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
         if (!SampleStore.exists(spark, pd))
-          SampleStore.buildStaged(r.train, pd, dropId)()
+          // --sample-by-lang picks the cut discipline at BOOTSTRAP only;
+          // appends inherit it from the cfg stamp (mixing is impossible)
+          SampleStore.buildStaged(r.train, pd, dropId,
+            stratified = a.sampleByLang)()
         else if (!SampleStore.drops(spark, pd).contains(dropId))
           SampleStore.appendStaged(r.train, pd, dropId)()
         else warnSkippedDrop("--sample-store", dropId, pd)

@@ -387,6 +387,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strArg("graft_sample_store", args.head, "store dir"))
         .queryExecution.logical
     }
+    tvf("graft_sample_strata") { args =>
+      require(args.size == 1,
+        "usage: graft_sample_strata(<store dir built with stratified " +
+          "cuts>) — the served balanced per-language sample")
+      graft.text.SampleStore.serveStratified(SparkSession.active,
+          strArg("graft_sample_strata", args.head, "store dir"))
+        .queryExecution.logical
+    }
     tvf("graft_sample_audit") { args =>
       require(args.size == 2,
         "usage: graft_sample_audit(<store dir>, <corpus table>)")

@@ -1322,6 +1322,15 @@ object Queries {
         order = Seq(col("hv").asc, col("doc_id").asc),
         k = 16)
     }),
+
+    // The stratified cut PERSISTED: a store built per-language keeps ≤
+    // k × strata rows per drop, and the served balanced sample re-cuts
+    // drops × k × strata stored rows per stratum — the order-statistic
+    // merge argument applied within each language independently, so
+    // minority languages keep their k however small their corpus share.
+    // Shares q199's oracle (store drops partition the corpus).
+    "q200_sample_store_strat" -> ((s, dir) =>
+      SampleStore.serveStratified(s, sampleStratFixture(s, dir))),
   )
 
   /** q183/q184's shared legs: (lex top-10 with lex_rank, vector top-10
@@ -2123,6 +2132,29 @@ object Queries {
       storeDir
     })
 
+  /** q200's stratified store: the same three-drop partition, built
+    * per-language at k = 16 (q199's cut, persisted).
+    */
+  private[graft] def sampleStratFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#kmv-st"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-samplestore-st").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      SampleStore.build(d.filter(col("doc_id") % 3 === 1), storeDir, "a",
+        k = 16, stratified = true)
+      SampleStore.append(d.filter(col("doc_id") % 3 === 2), storeDir, "b")
+      SampleStore.append(d.filter(col("doc_id") % 3 === 0), storeDir, "c")
+      storeDir
+    })
+
   /** The sources q141 purges from the signature store — fixed names the
     * oracle mirrors literally (TESTDATA's documents carry src0..src19).
     */
@@ -2892,8 +2924,18 @@ object Queries {
          |SELECT rank, hv, doc_id, lang, n_tokens FROM rk
          |WHERE rank <= 128""".stripMargin,
     // q199: the per-language bottom-16 cut (the bounded-heap per-key
-    // exec over the KMV hash order)
+    // exec over the KMV hash order); q200 serves the same cut from the
+    // stratified store (drops partition the corpus, the merge argument
+    // holds within each stratum) — shared oracle.
     "q199_sample_stratified" ->
+      s"""WITH $kmvCtes,
+         |sr AS (SELECT lang, hv, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY hv ASC, doc_id ASC) AS rn
+         |  FROM sm)
+         |SELECT lang, hv, doc_id, n_tokens FROM sr
+         |WHERE rn <= 16""".stripMargin,
+    "q200_sample_store_strat" ->
       s"""WITH $kmvCtes,
          |sr AS (SELECT lang, hv, doc_id, n_tokens,
          |    row_number() OVER (PARTITION BY lang

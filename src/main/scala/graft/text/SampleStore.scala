@@ -48,18 +48,35 @@ object SampleStore extends graft.operators.DropLedger {
   protected def tableName: String = "kmvsample"
   protected def kind: String = "sample store"
 
-  private def cfgOf(k: Int): String = s"k$k-md5id"
+  private def cfgOf(k: Int, stratified: Boolean): String =
+    s"k$k-md5id" + (if (stratified) "-bylang" else "")
 
   private def kOf(cfg: String): Int = cfg.drop(1).takeWhile(_ != '-').toInt
 
+  private def isStratified(cfg: String): Boolean = cfg.endsWith("-bylang")
+
   /** (drop_id, cfg, hv, doc_id, lang, n_tokens) for one drop — ≤ k
-    * rows (fewer iff the drop holds fewer docs).
+    * rows global (fewer iff the drop holds fewer docs), ≤ k × strata
+    * rows stratified (the per-LANGUAGE bottom-k, cut by the
+    * bounded-heap [[graft.operators.Relational.topKPerKey]] exec — a
+    * standing BALANCED sample: strata keep their k regardless of the
+    * corpus's language mix). Same table schema either way; the cfg
+    * stamp keeps the two cut disciplines incommensurable.
     */
-  def partials(docs: DataFrame, dropId: String, k: Int = KmvSample.K): DataFrame = {
+  def partials(docs: DataFrame, dropId: String, k: Int = KmvSample.K,
+               stratified: Boolean = false): DataFrame = {
     requireDropId(dropId)
-    KmvSample.sample(docs, k)
-      .select(lit(dropId).as("drop_id"), lit(cfgOf(k)).as("cfg"),
-        col("hv"), col("doc_id"), col("lang"), col("n_tokens"))
+    val cut =
+      if (!stratified) KmvSample.sample(docs, k)
+      else graft.operators.Relational.topKPerKey(
+        docs.select(col("lang"), KmvSample.hashOf(col("doc_id")).as("hv"),
+          col("doc_id"),
+          size(TextOps.words(col("text"))).cast("long").as("n_tokens")),
+        keys = Seq(col("lang")),
+        order = Seq(col("hv").asc, col("doc_id").asc), k = k)
+    cut.select(lit(dropId).as("drop_id"),
+      lit(cfgOf(k, stratified)).as("cfg"),
+      col("hv"), col("doc_id"), col("lang"), col("n_tokens"))
   }
 
   /** The store's config stamp — single-valued or loud; a drained store
@@ -80,24 +97,25 @@ object SampleStore extends graft.operators.DropLedger {
 
   /** Bootstrap from the first drop (overwrites). */
   def build(docs: DataFrame, storeDir: String, dropId: String,
-            k: Int = KmvSample.K): Unit =
-    buildStaged(docs, storeDir, dropId, k)()
+            k: Int = KmvSample.K, stratified: Boolean = false): Unit =
+    buildStaged(docs, storeDir, dropId, k, stratified)()
 
   def buildStaged(docs: DataFrame, storeDir: String, dropId: String,
-                  k: Int = KmvSample.K): () => Unit =
-    stagePartialsBuild(partials(docs, dropId, k),
+                  k: Int = KmvSample.K,
+                  stratified: Boolean = false): () => Unit =
+    stagePartialsBuild(partials(docs, dropId, k, stratified),
       storeDir, coalesceTo = Some(1)).commit
 
   /** Append a new drop's sample rows (staged, single-rename atomic
-    * commit). Refuses a stored id and inherits the store's k — a
-    * caller cannot mix cut sizes.
+    * commit). Refuses a stored id and inherits the store's k AND cut
+    * discipline (global vs per-language) — a caller cannot mix either.
     */
   def appendStaged(docs: DataFrame, storeDir: String,
                    dropId: String): () => Unit = {
     val s = docs.sparkSession
-    val k = kOf(storedCfg(s, storeDir))
+    val cfg = storedCfg(s, storeDir)
     requireNewDrop(s, storeDir, dropId)
-    stagePartialsAppend(partials(docs, dropId, k),
+    stagePartialsAppend(partials(docs, dropId, kOf(cfg), isStratified(cfg)),
       storeDir, dropId, coalesceTo = Some(1)).commit
   }
 
@@ -110,11 +128,38 @@ object SampleStore extends graft.operators.DropLedger {
     * rows in, k out.
     */
   def serveSample(s: SparkSession, storeDir: String): DataFrame = {
-    val k = kOf(storedCfg(s, storeDir))
+    val cfg = storedCfg(s, storeDir)
+    require(!isStratified(cfg),
+      s"$kind $storeDir was built per-language ($cfg) — serve it with " +
+        "serveStratified; a global re-cut over per-stratum partials " +
+        "would NOT be the corpus's global bottom-k")
     KmvSample.withRank(graft.operators.Relational.topK(
       load(s, storeDir)
         .select(col("hv"), col("doc_id"), col("lang"), col("n_tokens")),
-      k, col("hv").asc, col("doc_id").asc))
+      kOf(cfg), col("hv").asc, col("doc_id").asc))
+  }
+
+  /** The served BALANCED sample: (lang, hv, doc_id, n_tokens) — the k
+    * smallest hashes PER LANGUAGE over surviving drops' stored rows,
+    * exactly the per-stratum cut of the union corpus (q200's gate —
+    * the order-statistic merge argument applies within each stratum
+    * independently). drops × k × strata rows in, ≤ k × strata out,
+    * re-cut by the same bounded-heap exec. Refuses a global store: a
+    * per-language cut over GLOBAL partials would under-serve minority
+    * languages (their rows lose the global cut before reaching the
+    * stratum heap).
+    */
+  def serveStratified(s: SparkSession, storeDir: String): DataFrame = {
+    val cfg = storedCfg(s, storeDir)
+    require(isStratified(cfg),
+      s"$kind $storeDir was built globally ($cfg) — serve it with " +
+        "serveSample; minority strata are not fully represented in " +
+        "global partials")
+    graft.operators.Relational.topKPerKey(
+      load(s, storeDir)
+        .select(col("lang"), col("hv"), col("doc_id"), col("n_tokens")),
+      keys = Seq(col("lang")),
+      order = Seq(col("hv").asc, col("doc_id").asc), k = kOf(cfg))
   }
 
   /** Doc-granular PURGE — order statistics, like the max-merge
@@ -128,7 +173,8 @@ object SampleStore extends graft.operators.DropLedger {
   def purgeDocs(remainingDocs: DataFrame, storeDir: String,
                 dropId: String): Unit = {
     val s = remainingDocs.sparkSession
-    val k = kOf(storedCfg(s, storeDir))
-    replaceDropRows(s, storeDir, dropId, partials(remainingDocs, dropId, k))
+    val cfg = storedCfg(s, storeDir)
+    replaceDropRows(s, storeDir, dropId,
+      partials(remainingDocs, dropId, kOf(cfg), isStratified(cfg)))
   }
 }

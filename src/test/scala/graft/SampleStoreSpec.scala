@@ -127,6 +127,54 @@ class SampleStoreSpec extends AnyFunSuite {
         s"(err ${audit._5} pml) is outside any plausible sampling error")
   }
 
+  test("stratified mode: per-lang serve == from-scratch per-lang cut; modes refuse each other") {
+    val dir = Files.createTempDirectory("samplestore-strat").toString
+    // two languages with a 10:1 skew — the balanced cut must keep k
+    // rows of the minority language a global cut would mostly drop
+    def mixed(ids: Range): DataFrame =
+      ids.map(i => (i.toLong, (s"w$i " * (1 + i % 3)).trim,
+        if (i % 11 == 0) "de" else "en")).toDF("doc_id", "text", "lang")
+    val a = mixed(1 to 400)
+    val b = mixed(401 to 900)
+    SampleStore.build(a, dir, "d1", k = 8, stratified = true)
+    assert(SampleStore.storedCfg(spark, dir) === "k8-md5id-bylang")
+    SampleStore.append(b, dir, "d2") // inherits k AND the cut discipline
+    def strat(d: DataFrame): Set[(String, Long, Long, Long)] =
+      graft.operators.Relational.topKPerKey(
+        d.select(col("lang"), KmvSample.hashOf(col("doc_id")).as("hv"),
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        keys = Seq(col("lang")),
+        order = Seq(col("hv").asc, col("doc_id").asc), k = 8)
+        .as[(String, Long, Long, Long)].collect().toSet
+    val got = SampleStore.serveStratified(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === strat(a.unionByName(b)),
+      "per-stratum serve must equal the from-scratch per-lang cut")
+    assert(got.count(_._1 == "de") === 8 && got.count(_._1 == "en") === 8,
+      "the minority language must keep its full k — that is the point")
+    // takedown: the same subset argument, within each stratum
+    val junk = mixed(1 to 300)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+    SampleStore.append(junk, dir, "x")
+    assert(SampleStore.serveStratified(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSet !== got)
+    SampleStore.removeDrop(spark, dir, "x")
+    assert(SampleStore.serveStratified(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSet === got)
+    // cross-mode serves are LOUD refusals, never silently-wrong cuts
+    val e1 = intercept[IllegalArgumentException] {
+      SampleStore.serveSample(spark, dir)
+    }
+    assert(e1.getMessage.contains("serveStratified"))
+    val gdir = Files.createTempDirectory("samplestore-glob").toString
+    SampleStore.build(a, gdir, "d1", k = 8)
+    val e2 = intercept[IllegalArgumentException] {
+      SampleStore.serveStratified(spark, gdir)
+    }
+    assert(e2.getMessage.contains("serveSample"))
+  }
+
   test("hash recipe: dual-algorithm cross-check on 500 ids") {
     // conv(substring(md5(cast id))) vs an independent JDK MessageDigest
     // implementation — two algorithms, one answer

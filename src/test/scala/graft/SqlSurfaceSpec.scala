@@ -383,6 +383,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // every doc has exactly 3 tokens: the sample mean is EXACT here
     assert(rows(audit).head ===
       Seq(16L, 120L, 3000L, 3000L, 0L))
+    // the stratified mode through SQL: a per-language store serves the
+    // balanced cut; the global store refuses it loudly
+    graft.text.SampleStore.build(a.unionByName(b), s"$dir/kmvst", "a",
+      k = 4, stratified = true)
+    val st = spark.sql(s"SELECT * FROM graft_sample_strata('$dir/kmvst')")
+    val stDirect = graft.text.SampleStore.serveStratified(spark, s"$dir/kmvst")
+    assert(st.columns === stDirect.columns)
+    assert(rows(st) === rows(stDirect))
+    assert(st.groupBy("lang").count().as[(String, Long)].collect().toMap
+      === Map("en" -> 4L, "de" -> 4L))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_sample_strata('$dir/kmv')").collect()
+    }
+    assert(e.getMessage.contains("serveSample"))
   }
 
   test("graft_rrf fuses two arbitrary rank-list tables from SQL") {
