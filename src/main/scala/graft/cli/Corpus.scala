@@ -226,6 +226,15 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        runs incrementally (q189): the
   *                                        history serves from the ledgers
   *                                        and is never re-read
+  *     [--spine-ingest]                   CLOSE the daily loop: after the
+  *                                        selection + manifest land, the
+  *                                        drop's dedup survivors join the
+  *                                        signature store and its clean
+  *                                        frame's profile joins the DSIR
+  *                                        store (commit-LAST; replays of
+  *                                        an enrolled drop are refused
+  *                                        loudly — re-curating would dedup
+  *                                        the drop against itself)
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -360,7 +369,8 @@ object Corpus {
       sampleStore: Option[String] = None,
       sampleRaw: Option[String] = None,
       sampleByLang: Boolean = false,
-      curationSpine: Boolean = false)
+      curationSpine: Boolean = false,
+      spineIngest: Boolean = false)
 
   private def parseMixture(v: String): Map[String, Int] =
     v.split(",").iterator.map { part =>
@@ -445,6 +455,8 @@ object Corpus {
       parse(rest, acc.copy(sampleByLang = true))
     case "--curation-spine" :: rest =>
       parse(rest, acc.copy(curationSpine = true))
+    case "--spine-ingest" :: rest =>
+      parse(rest, acc.copy(spineIngest = true))
     case "--span-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
@@ -913,13 +925,35 @@ object Corpus {
       // never re-read. Half-configured ledgers are refused: silently
       // falling back to the batch form would re-curate the drop as if
       // history didn't exist.
-      val sel = (a.dedupStore, a.dsirStore) match {
+      require(!a.spineIngest || (a.dedupStore.nonEmpty && a.dsirStore.nonEmpty),
+        "--spine-ingest needs the incremental form (--dedup-store AND " +
+          "--dsir-store) — the batch spine has no ledgers to ingest into")
+      val (sel, commitIngest) = (a.dedupStore, a.dsirStore) match {
+        case (Some(sig), Some(prof)) if a.spineIngest =>
+          // the CLOSED daily loop (Curation.incrementalSpineWithIngest):
+          // curate the drop against the ledgers AND enroll it, with the
+          // store mutations deferred until the selection write lands. A
+          // replay of an already-ingested drop is REFUSED, not re-served:
+          // the history now contains this drop's own survivors, so any
+          // re-run would dedup it against itself and silently select
+          // (near) nothing — the loud error names both ways out.
+          val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
+          if (graft.text.DsirStore.drops(spark, prof).contains(dropId))
+            throw new IllegalArgumentException(
+              s"--spine-ingest: drop '$dropId' is already enrolled in " +
+                s"$prof — its survivors are part of the history now, and " +
+                "re-curating it would dedup the drop against itself " +
+                "(empty selection, no error). Pass --drop-id for a " +
+                "content-versioned re-ingest, or remove the drop first.")
+          val (s0, c0) = graft.text.Curation.incrementalSpineWithIngest(
+            docs, spark.read.parquet(target), bench, sig, prof, dropId)
+          (s0, Some(c0))
         case (Some(sig), Some(prof)) =>
-          graft.text.Curation.incrementalSpineSelection(
-            docs, spark.read.parquet(target), bench, sig, prof)
+          (graft.text.Curation.incrementalSpineSelection(
+            docs, spark.read.parquet(target), bench, sig, prof), None)
         case (None, None) =>
-          graft.text.Curation.spineSelection(
-            docs, spark.read.parquet(target), bench)
+          (graft.text.Curation.spineSelection(
+            docs, spark.read.parquet(target), bench), None)
         case _ => throw new IllegalArgumentException(
           "--curation-spine with history needs BOTH --dedup-store and " +
             "--dsir-store (got one) — a half-served history would " +
@@ -931,6 +965,14 @@ object Corpus {
           cols = Seq("lang", "score_ppm", "pack_shard", "seq_id",
             "tok_offset", "n_tokens"))
         .coalesce(1).write.mode("overwrite").parquet(s"${a.out}/_manifest")
+      // ledger mutations LAST (see Curation.incrementalSpineWithIngest):
+      // only after the selection and its certificate are on disk does
+      // the drop join the history
+      commitIngest.foreach { c =>
+        c()
+        println(s"curation-spine: drop enrolled in ${a.dedupStore.get} " +
+          s"and ${a.dsirStore.get}")
+      }
       println(s"curation-spine: wrote ${a.out}/selection and ${a.out}/_manifest")
       return
     }
@@ -1255,6 +1297,7 @@ object Corpus {
         "[--dsir-store dir] [--dsir-target path] [--sketch-store dir] " +
         "[--freq-store dir] [--freq-raw drop=rawDir] " +
         "[--sample-store dir] [--sample-raw drop=rawDir] [--sample-by-lang] " +
+        "[--curation-spine] [--spine-ingest] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)

@@ -220,6 +220,44 @@ object Curation {
     packAndLabel(clean, picked)
   }
 
+  /** The daily loop CLOSED — q189's incremental spine PLUS the ledger
+    * ingest that makes tomorrow's history include today: returns the
+    * selection frame and ONE deferred commit that (a) publishes the
+    * drop's dedup-surviving signatures into the signature store (staged
+    * by the dedup pass itself — the mining is never re-run) and (b)
+    * appends the drop's CLEAN frame's profile to the DSIR store under
+    * `dropId`. Without this, every `--curation-spine` run is a dry-run
+    * serve: the drop is curated against history but never JOINS it, so
+    * tomorrow would re-admit today's near-dups.
+    *
+    * Commit AFTER the selection write succeeds (the
+    * store-mutation-commits-LAST discipline, [[Store
+    * .dedupNewDropVsCorpusStaged]]'s contract): an eager commit + a
+    * failed output write would make the retry dedup the drop against
+    * its own signatures and silently emit an empty selection.
+    *
+    * What each ledger learns, stated precisely: the signature store
+    * learns the quality-gated dedup SURVIVORS (the docs tomorrow's
+    * near-dup decisions must see); the DSIR store learns the CLEAN
+    * frame (gated + deduped + decontaminated — the retained raw pool
+    * the selection model's ratios should reflect). A decontaminated-away
+    * doc enters neither: the corpus does not retain it, and an
+    * identical doc tomorrow faces the same benchmark blocklist anyway.
+    */
+  def incrementalSpineWithIngest(drop: DataFrame, target: DataFrame,
+                                 bench: DataFrame, dedupStore: String,
+                                 dsirStore: String, dropId: String,
+                                 k: Int = 100): (DataFrame, () => Unit) = {
+    val gated = qualityGated(drop)
+    val (deduped, commitSig) =
+      Store.dedupNewDropVsCorpusStaged(gated, dedupStore)
+    val clean = Dedup.decontaminate(deduped, bench).cache()
+    val picked = Dsir.selectTopK(
+      DsirStore.scoreVsDrop(target, clean, dsirStore, eager = false), k)
+    val commitDsir = DsirStore.appendStaged(clean, dsirStore, dropId)
+    (packAndLabel(clean, picked), () => { commitSig(); commitDsir() })
+  }
+
   /** q189's gate face: the manifest certificate of the daily-drop run. */
   def incrementalSpineManifest(drop: DataFrame, target: DataFrame,
                                bench: DataFrame, dedupStore: String,

@@ -1081,6 +1081,70 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("BOTH"))
   }
 
+  test("Corpus CLI: --spine-ingest closes the daily loop — day 2 sees day 1; replay refused") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-spine-loop")
+    val d = Tables(spark, "/root/testdata/sf0.001").documents
+    val hist = d.filter(col("doc_id") % 3 === 0)
+    val day1 = d.filter(col("doc_id") % 3 === 1)
+    d.filter(col("doc_id") % 19 === 0).write.parquet(s"$dir/target")
+    graft.text.Store.build(hist, s"$dir/sig")
+    graft.text.DsirStore.build(hist, s"$dir/dsir", "hist")
+    day1.write.parquet(s"$dir/day1")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/day1", "-O", s"$dir/out1", "--curation-spine",
+      "--dsir-target", s"$dir/target",
+      "--dedup-store", s"$dir/sig", "--dsir-store", s"$dir/dsir",
+      "--spine-ingest"))
+    // day 1 enrolled: the DSIR ledger gained the drop, the signature
+    // store gained day-1 survivor ids
+    assert(graft.text.DsirStore.drops(spark, s"$dir/dsir").size === 2)
+    val sigIds = graft.text.Store.load(spark, s"$dir/sig")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val day1Selected = spark.read.parquet(s"$dir/out1/selection")
+      .select("doc_id").as[Long].collect().toSet
+    assert(day1Selected.nonEmpty && day1Selected.subsetOf(sigIds),
+      "every selected day-1 doc must be a survivor the store now knows")
+    // day 2 carries a VERBATIM copy of a day-1 survivor under a fresh
+    // id — only a store that learned day 1 can catch it
+    val dupSrc = day1Selected.head
+    val day2 = d.filter(col("doc_id") % 3 === 2).unionByName(
+      day1.filter(col("doc_id") === dupSrc)
+        .withColumn("doc_id", lit(90000001L)))
+    day2.write.parquet(s"$dir/day2")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/day2", "-O", s"$dir/out2", "--curation-spine",
+      "--dsir-target", s"$dir/target",
+      "--dedup-store", s"$dir/sig", "--dsir-store", s"$dir/dsir",
+      "--spine-ingest"))
+    val sigIds2 = graft.text.Store.load(spark, s"$dir/sig")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(!sigIds2.contains(90000001L),
+      "the cross-day verbatim dup must be caught by day-1's enrolled " +
+        "signatures and never enter the store")
+    assert((sigIds2 -- sigIds).nonEmpty,
+      "day 2's genuinely new survivors must have enrolled")
+    // replaying an enrolled drop is a LOUD refusal — the history now
+    // contains the drop's own survivors, so a re-serve would dedup it
+    // against itself and silently select nothing
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/day2", "-O", s"$dir/out3", "--curation-spine",
+        "--dsir-target", s"$dir/target",
+        "--dedup-store", s"$dir/sig", "--dsir-store", s"$dir/dsir",
+        "--spine-ingest"))
+    }
+    assert(e.getMessage.contains("already enrolled"))
+    // and --spine-ingest without the ledgers is refused up front
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/day1", "-O", s"$dir/out4", "--curation-spine",
+        "--dsir-target", s"$dir/target", "--spine-ingest"))
+    }
+    assert(e2.getMessage.contains("incremental form"))
+  }
+
   test("Corpus CLI: --takedown doc ticket + --sketch-raw rebuilds the drop; serve ≡ never-contained") {
     import spark.implicits._
     import graft.text.{DistinctSketch, SketchStore}
