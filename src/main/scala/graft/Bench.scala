@@ -172,8 +172,12 @@ object Bench {
 
     // Optional subset (comma-separated names) for scaling runs — absent in
     // the driver's per-round invocation, so the contract is unchanged.
+    // an empty-but-set SPARK_GRAFT_QUERIES means the full suite, same
+    // as unset — consistent with the BENCH_FULL.json mirror guard (a
+    // "" subset that silently benched NOTHING once clobbered the mirror)
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     subset.foreach { s =>
       val unknown = s -- SparkEntry.queries.keySet
       require(unknown.isEmpty,

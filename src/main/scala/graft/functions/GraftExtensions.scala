@@ -395,6 +395,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strArg("graft_sample_strata", args.head, "store dir"))
         .queryExecution.logical
     }
+    tvf("graft_sample_strata_audit") { args =>
+      require(args.size == 2,
+        "usage: graft_sample_strata_audit(<stratified store dir>, " +
+          "<corpus table>) — per-language sample-vs-exact mean tokens")
+      graft.text.KmvSample.auditMeanTokensByLang(
+          graft.text.SampleStore.serveStratified(SparkSession.active,
+            strArg("graft_sample_strata_audit", args.head, "store dir")),
+          SparkSession.active.table(
+            strArg("graft_sample_strata_audit", args(1), "corpus table")))
+        .queryExecution.logical
+    }
     tvf("graft_sample_audit") { args =>
       require(args.size == 2,
         "usage: graft_sample_audit(<store dir>, <corpus table>)")

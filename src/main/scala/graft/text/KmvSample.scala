@@ -94,6 +94,30 @@ object KmvSample {
     * deliberate audit cost that measures the sampling error instead of
     * assuming the √k bound.
     */
+  /** [[auditMeanTokens]] per STRATUM: one row per language — (lang,
+    * sample_k, n_docs, est_mean_tokens_x1000, exact_mean_tokens_x1000,
+    * err_pml) — the per-language drift monitor a stratified store
+    * serves for k×strata stored rows ("German docs suddenly average
+    * half the tokens" is invisible in the global mean). Same integer
+    * arithmetic; the join is strata-sized on both sides.
+    */
+  def auditMeanTokensByLang(sample: DataFrame, docs: DataFrame): DataFrame = {
+    val est = sample.groupBy(col("lang")).agg(
+      count(lit(1)).as("sample_k"), sum(col("n_tokens")).as("__st"))
+    val exact = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.words(col("text"))).cast("long")).as("__ct"))
+    est.join(broadcast(exact), Seq("lang"))
+      .withColumn("est_mean_tokens_x1000", expr("(__st * 1000) div sample_k"))
+      .withColumn("exact_mean_tokens_x1000", expr("(__ct * 1000) div n_docs"))
+      .withColumn("err_pml",
+        expr("(abs(est_mean_tokens_x1000 - exact_mean_tokens_x1000) " +
+          "* 1000) div exact_mean_tokens_x1000"))
+      .select(col("lang"), col("sample_k"), col("n_docs"),
+        col("est_mean_tokens_x1000"), col("exact_mean_tokens_x1000"),
+        col("err_pml"))
+  }
+
   def auditMeanTokens(sample: DataFrame, docs: DataFrame): DataFrame = {
     val est = sample.agg(
       count(lit(1)).as("sample_k"), sum(col("n_tokens")).as("__st"))

@@ -1331,6 +1331,17 @@ object Queries {
     // Shares q199's oracle (store drops partition the corpus).
     "q200_sample_store_strat" -> ((s, dir) =>
       SampleStore.serveStratified(s, sampleStratFixture(s, dir))),
+
+    // The per-LANGUAGE drift monitor the stratified store exists for:
+    // mean tokens/doc per language estimated from k×strata stored rows
+    // vs the exact per-language scan, err in integer per-mille — the
+    // q198 audit applied per stratum ("German docs suddenly average
+    // half the tokens" is invisible in the global mean).
+    "q201_sample_audit_strat" -> ((s, dir) =>
+      KmvSample.auditMeanTokensByLang(
+        SampleStore.serveStratified(s, sampleStratFixture(s, dir)),
+        Tables(s, dir).documents
+          .repartition(s.sparkContext.defaultParallelism))),
   )
 
   /** q183/q184's shared legs: (lex top-10 with lex_rank, vector top-10
@@ -2943,6 +2954,23 @@ object Queries {
          |  FROM sm)
          |SELECT lang, hv, doc_id, n_tokens FROM sr
          |WHERE rn <= 16""".stripMargin,
+    // q201: q198's audit per stratum over the same served cut
+    "q201_sample_audit_strat" ->
+      s"""WITH $kmvCtes,
+         |sr AS (SELECT lang, hv, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY hv ASC, doc_id ASC) AS rn
+         |  FROM sm),
+         |est AS (SELECT lang, CAST(count(*) AS BIGINT) AS sample_k,
+         |    sum(n_tokens) AS st FROM sr WHERE rn <= 16 GROUP BY 1),
+         |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    sum(n_tokens) AS ct FROM sm GROUP BY 1)
+         |SELECT lang, sample_k, n_docs,
+         |  CAST((st * 1000) // sample_k AS BIGINT) AS est_mean_tokens_x1000,
+         |  CAST((ct * 1000) // n_docs AS BIGINT) AS exact_mean_tokens_x1000,
+         |  CAST((abs((st * 1000) // sample_k - (ct * 1000) // n_docs) * 1000)
+         |    // ((ct * 1000) // n_docs) AS BIGINT) AS err_pml
+         |FROM est JOIN ex USING (lang)""".stripMargin,
     // q198: the sample-estimated corpus mean vs the exact scan, every
     // column integer-exact (milli-token units, err in per-mille)
     "q198_sample_audit" ->

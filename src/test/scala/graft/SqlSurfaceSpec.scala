@@ -397,6 +397,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM graft_sample_strata('$dir/kmv')").collect()
     }
     assert(e.getMessage.contains("serveSample"))
+    // the per-stratum audit through SQL: every doc has exactly 3
+    // tokens, so both languages' estimates are EXACT here
+    val sa = spark.sql("SELECT * FROM graft_sample_strata_audit(" +
+      s"'$dir/kmvst', 'sql_sample_corpus')")
+    assert(rows(sa) === Set(
+      Seq("en", 4L, 50L, 3000L, 3000L, 0L),
+      Seq("de", 4L, 70L, 3000L, 3000L, 0L)))
   }
 
   test("graft_rrf fuses two arbitrary rank-list tables from SQL") {
