@@ -119,6 +119,40 @@ object FreqStore extends graft.operators.DropLedger {
                      termCol: String = "term"): DataFrame =
     FreqSketch.estimates(serveCounters(s, storeDir), probes, termCol)
 
+  /** The FREQUENCY-DRIFT monitor: per-drop point estimates for a probe
+    * workload, answered from stored partials only — (drop_id, term,
+    * est, drop_occ, est_ppm), where est is the term's Count-Min
+    * estimate WITHIN that drop (a drop's stored rows ARE its own
+    * sketch — partials are per-drop by construction), drop_occ is the
+    * drop's total gram occurrences (Σ cnt over one depth row — exact,
+    * also from stored rows), and est_ppm = est·10⁶ div drop_occ
+    * normalizes away drop size so "is 'click here to subscribe'
+    * exploding in this week's crawl?" reads directly across drops of
+    * different sizes. Plan: W probes × Depth × drops rows against the
+    * broadcast drops×4096 stored table — the corpus never appears.
+    */
+  def driftEstimates(s: SparkSession, probes: DataFrame, storeDir: String,
+                     termCol: String = "term"): DataFrame = {
+    storedCfg(s, storeDir)
+    val parts = load(s, storeDir)
+      .select(col("drop_id"), col("depth"), col("slot"), col("cnt"))
+    // exact per-drop occurrence totals: every occurrence contributes 1
+    // to exactly one slot of EACH depth row, so one row's sum is the total
+    val dropTotals = parts.filter(col("depth") === 1L)
+      .groupBy(col("drop_id")).agg(sum(col("cnt")).as("drop_occ"))
+    val rows = (1 to FreqSketch.Depth).map(i => struct(
+      lit(i.toLong).as("depth"), FreqSketch.slotOf(col(termCol), i).as("slot")))
+    probes.select(col(termCol), explode(array(rows: _*)).as("ds"))
+      .select(col(termCol), col("ds.depth"), col("ds.slot"))
+      // drops frame is ledger-sized (one row per drop) — a k-row cross
+      .crossJoin(broadcast(dropTotals.select(col("drop_id"))))
+      .join(broadcast(parts), Seq("drop_id", "depth", "slot"), "left")
+      .groupBy(col("drop_id"), col(termCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .join(broadcast(dropTotals), Seq("drop_id"))
+      .withColumn("est_ppm", expr("(est * 1000000) div drop_occ"))
+  }
+
   /** Doc-granular EXACT unlearning by linearity — the sum-merge
     * family's answer to the removal ticket: sketch the PURGED docs
     * (one scan of the ticket's own content — never the drop's

@@ -1342,6 +1342,19 @@ object Queries {
         SampleStore.serveStratified(s, sampleStratFixture(s, dir)),
         Tables(s, dir).documents
           .repartition(s.sparkContext.defaultParallelism))),
+
+    // Frequency DRIFT across drops: the q191 probe workload estimated
+    // WITHIN each stored drop (a drop's counter rows are its own
+    // sketch), normalized to ppm of the drop's own gram mass so drops
+    // of different sizes read directly against each other — "is this
+    // phrase exploding in the new crawl?" from drops × 4096 stored
+    // rows, the corpus never re-read.
+    "q202_cms_drift" -> ((s, dir) => {
+      val probes = FreqSketch.grams(
+          Tables(s, dir).documents.filter(col("doc_id") % 97 === 0))
+        .select(col("g").as("term")).distinct()
+      FreqStore.driftEstimates(s, probes, freqStoreFixture(s, dir))
+    }),
   )
 
   /** q183/q184's shared legs: (lex top-10 with lex_rank, vector top-10
@@ -2726,6 +2739,37 @@ object Queries {
       |      AS BIGINT) AS rank,
       |    hv, doc_id, lang, n_tokens FROM sm)""".stripMargin
 
+  /** One drop's Count-Min counter table as suffixed CTEs (ending at
+    * `cms$sfx`) — q202's per-drop replay.
+    */
+  private def cmsDropCte(sfx: String, docFilter: String): String =
+    s"""tws$sfx AS (SELECT doc_id, string_split(text,' ') AS ws
+       |  FROM documents WHERE $docFilter),
+       |gl$sfx AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(1, len(ws) - 1),
+       |      i -> array_to_string(ws[i:i+2], ' '))
+       |    ELSE [array_to_string(ws, ' ')] END AS gs FROM tws$sfx),
+       |g$sfx AS (SELECT unnest(gs) AS g FROM gl$sfx),
+       |occ$sfx AS (SELECT d.depth,
+       |    ('0x'||substr(md5(CAST(d.depth AS VARCHAR)||':'||g),1,8))::BIGINT
+       |      % 1024 AS slot
+       |  FROM g$sfx CROSS JOIN (VALUES (1),(2),(3),(4)) AS d(depth)),
+       |cms$sfx AS (SELECT CAST(depth AS BIGINT) AS depth, slot,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM occ$sfx GROUP BY 1, 2)""".stripMargin
+
+  /** One drop's estimate + ppm row set for q202 (reads `pe` from
+    * [[cmsCtes]] and `cms$sfx` from [[cmsDropCte]]).
+    */
+  private def cmsDriftRows(sfx: String): String =
+    s"""SELECT e.drop_id, e.term, e.est, t.drop_occ,
+       |  CAST((e.est * 1000000) // t.drop_occ AS BIGINT) AS est_ppm
+       |FROM (SELECT '$sfx' AS drop_id, term,
+       |    CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+       |  FROM pe LEFT JOIN cms$sfx USING (depth, slot) GROUP BY 2) e,
+       |  (SELECT CAST(sum(cnt) AS BIGINT) AS drop_occ
+       |   FROM cms$sfx WHERE depth = 1) t""".stripMargin
+
   private def sketchRegsCte(sfx: String, docFilter: String): String =
     s"""gl$sfx AS (SELECT CASE WHEN len(string_split(text,' ')) >= 5
        |    THEN list_transform(range(1, len(string_split(text,' ')) - 3),
@@ -2954,6 +2998,18 @@ object Queries {
          |  FROM sm)
          |SELECT lang, hv, doc_id, n_tokens FROM sr
          |WHERE rn <= 16""".stripMargin,
+    // q202: per-drop estimates for the q191 probe workload (pe comes
+    // from the shared cmsCtes; each drop's counters replay suffixed)
+    "q202_cms_drift" ->
+      s"""WITH $cmsCtes,
+         |${cmsDropCte("a", "doc_id % 3 = 1")},
+         |${cmsDropCte("b", "doc_id % 3 = 2")},
+         |${cmsDropCte("c", "doc_id % 3 = 0")}
+         |${cmsDriftRows("a")}
+         |UNION ALL
+         |${cmsDriftRows("b")}
+         |UNION ALL
+         |${cmsDriftRows("c")}""".stripMargin,
     // q201: q198's audit per stratum over the same served cut
     "q201_sample_audit_strat" ->
       s"""WITH $kmvCtes,

@@ -619,6 +619,17 @@ class PlanSpec extends AnyFunSuite {
         "corpus never shuffles for an estimate")
   }
 
+  test("q199/q200 stratified cuts ride the partial/final TopKPerKey exec — no corpus window") {
+    Seq("q199_sample_stratified", "q200_sample_store_strat").foreach { name =>
+      val p = planOf(name)
+      assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+        s"$name: per-stratum cuts must be map-side bounded heaps + a " +
+          s"heads-only shuffle, never a window sort:\n$p")
+      assert(!p.contains("windowspecdefinition"),
+        s"$name must not window anything")
+    }
+  }
+
   test("q195/q196 sample cut is TakeOrderedAndProject — bounded heap, no global sort") {
     Seq("q195_kmv_sample", "q196_sample_store").foreach { name =>
       val f = formatted(name)
