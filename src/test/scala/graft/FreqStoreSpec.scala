@@ -150,6 +150,34 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(unseen._2 >= 0L)
   }
 
+  test("driftEstimates: a phrase planted in one drop reads high there and zero elsewhere") {
+    val dir = Files.createTempDirectory("freqstore-drift").toString
+    // drop d2 is flooded with one boilerplate trigram; d1 never saw it
+    val flood = docs((10L,
+      Seq.fill(50)("click here now").mkString(" ")))
+    FreqStore.build(dropA, dir, "d1")
+    FreqStore.append(dropB.unionByName(flood), dir, "d2")
+    val probes = Seq("click here now", "the quick brown").toDF("term")
+    val got = FreqStore.driftEstimates(spark, probes, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._5))).toMap
+    // est >= exact per drop (the one-sided guarantee, per partial):
+    // the flooded phrase occurs >= 50x in d2 ("click here now click
+    // here now" chains every 3rd-word offset too), none in d1
+    assert(got(("d2", "click here now"))._1 >= 50L)
+    assert(got(("d1", "click here now"))._1 <= 2L,
+      "a phrase d1 never ingested must read ~0 there (collision mass only)")
+    // and the ppm face makes the drift visible regardless of drop size
+    assert(got(("d2", "click here now"))._2 >
+        50L * got(("d1", "click here now"))._2 + 1000L,
+      s"the flooded drop's ppm must dominate: $got")
+    // a phrase only d1 saw: present there, absent in d2
+    assert(got(("d1", "the quick brown"))._1 >= 1L)
+    // every (drop, term) pair is present — missing slots read 0, they
+    // do not drop out
+    assert(got.size === 4)
+  }
+
   test("slot recipe: dual-algorithm cross-check on 500 values") {
     // the engine's conv(substring(md5...)) % 1024 recipe vs an
     // INDEPENDENT JDK MessageDigest implementation — two algorithms,
