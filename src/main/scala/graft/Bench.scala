@@ -346,8 +346,10 @@ object Bench {
     java.nio.file.Files.writeString(out, line + "\n")
     // the committed mirror (see fullLine): full-suite runs only, so a
     // SPARK_GRAFT_QUERIES subset iteration never clobbers the round's
-    // committed numbers; the "sf" field identifies scale-check runs
-    if (sys.env.get("SPARK_GRAFT_QUERIES").forall(_.trim.isEmpty))
+    // committed numbers; the "sf" field identifies scale-check runs.
+    // Driven by the PARSED subset, not the raw env var: ",," parses to
+    // no subset (the full suite runs above), so its run must mirror too
+    if (subset.isEmpty)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
     spark.stop()

@@ -136,12 +136,98 @@ object Curation {
       .unionByName(packRow)
   }
 
+  /** The per-language bottom-quartile verdict, computed WITHOUT a
+    * per-language corpus sort — the scale-safe form of
+    * `row_number() OVER (PARTITION BY lang ORDER BY score_ppt, doc_id)
+    * * 4 > count(*) OVER (PARTITION BY lang)`. A window partition is ONE
+    * task, so the window form single-task-sorts the dominant language's
+    * whole slice (~half a natural crawl is English); this replaces it
+    * with a two-level histogram refinement with IDENTICAL semantics:
+    *
+    *  1. score-class cut: `score_ppt` has ≤ 1001 distinct values, so the
+    *     (lang, score_ppt) histogram is metadata-scale (≤ 1001 rows per
+    *     language). Ranks by (score_ppt, doc_id) assign each class a
+    *     contiguous rank range [cum_prev+1, cum]; with t = ⌊n/4⌋ docs to
+    *     drop, a class is wholly dropped iff cum ≤ t, wholly kept iff
+    *     cum_prev ≥ t, and at most ONE class per language straddles t —
+    *     within it exactly m = t − cum_prev smallest doc_ids drop.
+    *  2. id-bucket cut inside the straddling class: bucket =
+    *     doc_id >> 16 (arithmetic shift = floor division — monotone in
+    *     doc_id for all signed longs), so buckets are contiguous doc_id
+    *     ranges AND each holds ≤ 2^16 rows because doc_id is unique (the
+    *     same uniqueness the window form's total order relied on). The
+    *     per-(lang, bucket) histogram cuts again: whole buckets drop/
+    *     keep by cumulative count, and only the one straddling bucket is
+    *     ranked — a row_number whose partition is ≤ 65536 rows BY
+    *     CONSTRUCTION, whatever the corpus size or skew.
+    *
+    * Every corpus-row-bearing sort is therefore bounded at 2^16 rows;
+    * the only single-task frames are the two count histograms (≤ 1001
+    * rows per language; the bucket histogram is one 24-byte row per
+    * occupied bucket of ONE score class — worst case class-count rows,
+    * ~10^3× smaller than the class's text rows the window form sorted).
+    * The boundary-class shuffle moves ~1/1001 of the corpus.
+    *
+    * Input: (doc_id, lang, score_ppt) with doc_id unique; output: the
+    * same three columns plus `kept` (1/0). The input projection is
+    * cached (MEMORY_AND_DISK, LRU-evictable): the cut reads it three
+    * times (histogram, non-boundary labels, boundary refinement) and at
+    * ~24 B/doc the cache is doc-count-scale, not corpus-scale.
+    */
+  def quartileGateLabels(scored0: DataFrame): DataFrame = {
+    val scored = scored0.select(col("doc_id"), col("lang"), col("score_ppt"))
+      .cache()
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("score_ppt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = scored.groupBy(col("lang"), col("score_ppt"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__t",
+        expr("(sum(__c) OVER (PARTITION BY lang)) div 4"))
+      .withColumn("__cum_prev", col("__cum") - col("__c"))
+      .select(col("lang"), col("score_ppt"),
+        when(col("__cum") <= col("__t"), lit("drop"))
+          .when(col("__cum_prev") >= col("__t"), lit("keep"))
+          .otherwise(lit("edge")).as("__cls"),
+        (col("__t") - col("__cum_prev")).as("__m"))
+    val labeled = scored.join(broadcast(cut), Seq("lang", "score_ppt"))
+    val settled = labeled.filter(col("__cls") =!= "edge")
+      .select(col("doc_id"), col("lang"), col("score_ppt"),
+        when(col("__cls") === "keep", 1).otherwise(0).as("kept"))
+    // level 2 — the one straddling score class per language, re-cut on
+    // doc_id buckets; only its one straddling BUCKET reaches row_number
+    val edge = labeled.filter(col("__cls") === "edge")
+      .withColumn("__bkt", shiftright(col("doc_id"), 16))
+    val wBCum = Window.partitionBy(col("lang")).orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bCut = edge.groupBy(col("lang"), col("__bkt"))
+      .agg(count(lit(1)).as("__bc"), min(col("__m")).as("__m2"))
+      .withColumn("__bcum", sum(col("__bc")).over(wBCum))
+      .withColumn("__bcum_prev", col("__bcum") - col("__bc"))
+      .select(col("lang"), col("__bkt"),
+        when(col("__bcum") <= col("__m2"), lit("drop"))
+          .when(col("__bcum_prev") >= col("__m2"), lit("keep"))
+          .otherwise(lit("edge")).as("__bcls"),
+        (col("__m2") - col("__bcum_prev")).as("__bm"))
+    val wRank = Window.partitionBy(col("lang"), col("__bkt"))
+      .orderBy(col("doc_id").asc)
+    val edgeSettled = edge.join(bCut, Seq("lang", "__bkt"))
+      .withColumn("__rk", row_number().over(wRank).cast("long"))
+      .select(col("doc_id"), col("lang"), col("score_ppt"),
+        when(col("__bcls") === "keep", 1)
+          .when(col("__bcls") === "drop", 0)
+          .otherwise(when(col("__rk") > col("__bm"), 1).otherwise(0))
+          .as("kept"))
+    settled.unionByName(edgeSettled)
+  }
+
   /** stage 1 — q123's per-lang percentile gate: keep each language's
     * top three quality quartiles (distinct/total tokens, exact ppt; the
-    * cut is rank*4 > n, never a float percentile). Shared verbatim by
-    * the batch and incremental spines — the incremental form ranks
-    * WITHIN the drop, which is this same function applied to a smaller
-    * corpus, not different logic.
+    * cut is rank*4 > n, never a float percentile), via the histogram cut
+    * [[quartileGateLabels]] — no per-language corpus sort. Shared
+    * verbatim by the batch and incremental spines — the incremental form
+    * ranks WITHIN the drop, which is this same function applied to a
+    * smaller corpus, not different logic.
     */
   private def qualityGated(corpus: DataFrame): DataFrame = {
     val scored = corpus
@@ -149,13 +235,8 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         size(array_distinct(col("ws"))).as("nd"), size(col("ws")).as("nt"))
       .withColumn("score_ppt", expr("(CAST(nd AS BIGINT) * 1000) div nt"))
-    val wRank = Window.partitionBy(col("lang"))
-      .orderBy(col("score_ppt").asc, col("doc_id").asc)
-    val keptIds = scored
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .withColumn("grp_n", count(lit(1)).over(Window.partitionBy(col("lang"))))
-      .filter(col("rnk") * 4 > col("grp_n"))
-      .select(col("doc_id"))
+    val keptIds = quartileGateLabels(scored)
+      .filter(col("kept") === 1).select(col("doc_id"))
     corpus.join(keptIds, Seq("doc_id"), "left_semi")
   }
 
@@ -222,11 +303,11 @@ object Curation {
 
   /** The daily loop CLOSED — q189's incremental spine PLUS the ledger
     * ingest that makes tomorrow's history include today: returns the
-    * selection frame and ONE deferred commit that (a) publishes the
-    * drop's dedup-surviving signatures into the signature store (staged
-    * by the dedup pass itself — the mining is never re-run) and (b)
-    * appends the drop's CLEAN frame's profile to the DSIR store under
-    * `dropId`. Without this, every `--curation-spine` run is a dry-run
+    * selection frame and ONE deferred commit that (a) appends the drop's
+    * CLEAN frame's profile to the DSIR store under `dropId` and then (b)
+    * publishes the drop's dedup-surviving signatures into the signature
+    * store (staged by the dedup pass itself — the mining is never
+    * re-run). Without this, every `--curation-spine` run is a dry-run
     * serve: the drop is curated against history but never JOINS it, so
     * tomorrow would re-admit today's near-dups.
     *
@@ -255,7 +336,18 @@ object Curation {
     val picked = Dsir.selectTopK(
       DsirStore.scoreVsDrop(target, clean, dsirStore, eager = false), k)
     val commitDsir = DsirStore.appendStaged(clean, dsirStore, dropId)
-    (packAndLabel(clean, picked), () => { commitSig(); commitDsir() })
+    // DSIR ledger commits FIRST: the --spine-ingest replay guard checks
+    // DsirStore enrollment, so committing the GUARDED store before the
+    // signature store means any crash between the two leaves a state the
+    // guard refuses loudly. The reverse order had a silent hole: sigs
+    // enrolled + DSIR absent passes the guard, and the retry dedups the
+    // drop against its own signatures — a (near-)empty selection with no
+    // error, the exact failure the guard exists to prevent.
+    // The clean cache releases after both commits land — the daily CLI
+    // path runs this once per drop inside a potentially long-lived
+    // session, and unreleased per-drop caches would accumulate.
+    (packAndLabel(clean, picked),
+      () => { commitDsir(); commitSig(); clean.unpersist() })
   }
 
   /** q189's gate face: the manifest certificate of the daily-drop run. */

@@ -133,13 +133,24 @@ object FreqStore extends graft.operators.DropLedger {
     */
   def driftEstimates(s: SparkSession, probes: DataFrame, storeDir: String,
                      termCol: String = "term"): DataFrame = {
+    import s.implicits._
     storedCfg(s, storeDir)
     val parts = load(s, storeDir)
       .select(col("drop_id"), col("depth"), col("slot"), col("cnt"))
+    // the drop list comes from the LEDGER (drops() — the canonical
+    // enrollment record), not from which drops happen to hold counter
+    // rows: a drop whose every slot was subtracted to zero (fully
+    // unlearned remainder) must still REPORT in the drift monitor — as
+    // est = 0, est_ppm = 0 — not silently vanish from the output
+    val dropsDf = drops(s, storeDir).toSeq.sorted.toDF("drop_id")
     // exact per-drop occurrence totals: every occurrence contributes 1
-    // to exactly one slot of EACH depth row, so one row's sum is the total
-    val dropTotals = parts.filter(col("depth") === 1L)
-      .groupBy(col("drop_id")).agg(sum(col("cnt")).as("drop_occ"))
+    // to exactly one slot of EACH depth row, so one row's sum is the
+    // total; left-joined so a zero-mass drop totals 0, not a dropped row
+    val dropTotals = dropsDf.join(
+        parts.filter(col("depth") === 1L)
+          .groupBy(col("drop_id")).agg(sum(col("cnt")).as("drop_occ")),
+        Seq("drop_id"), "left")
+      .select(col("drop_id"), coalesce(col("drop_occ"), lit(0L)).as("drop_occ"))
     val rows = (1 to FreqSketch.Depth).map(i => struct(
       lit(i.toLong).as("depth"), FreqSketch.slotOf(col(termCol), i).as("slot")))
     probes.select(col(termCol), explode(array(rows: _*)).as("ds"))
@@ -150,7 +161,10 @@ object FreqStore extends graft.operators.DropLedger {
       .groupBy(col("drop_id"), col(termCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
       .join(broadcast(dropTotals), Seq("drop_id"))
-      .withColumn("est_ppm", expr("(est * 1000000) div drop_occ"))
+      // zero-mass guard: est is necessarily 0 when drop_occ is 0 (no
+      // counter can exceed its row total), so 0 ppm is exact, not a cap
+      .withColumn("est_ppm",
+        expr("CASE WHEN drop_occ = 0 THEN 0L ELSE (est * 1000000) div drop_occ END"))
   }
 
   /** Doc-granular EXACT unlearning by linearity — the sum-merge

@@ -422,12 +422,18 @@ object Queries {
       val tf = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
       val dfreq = tok.groupBy(col("token"))
         .agg(countDistinct(col("doc_id")).as("df"))
+      // top-3 through the engine's bounded-heap TopKPerKey exec — a
+      // row_number window here is a per-source VOCABULARY sort on one
+      // task (10^7-10^8 rows per source at corpus scale); the heap keeps
+      // 3 rows per key map-side and shuffles only partition heads. The
+      // rank label is then a window over the ≤ 3-rows-per-source result.
+      val top3 = graft.operators.Relational.topKPerKey(
+        tf.join(dfreq, "token")
+          .withColumn("score", col("tf").cast("double") / col("df")),
+        Seq(col("source")), Seq(col("score").desc, col("token").asc), 3)
       val w = Window.partitionBy(col("source"))
         .orderBy(col("score").desc, col("token").asc)
-      tf.join(dfreq, "token")
-        .withColumn("score", col("tf").cast("double") / col("df"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
+      top3.withColumn("rk", row_number().over(w))
         .select(col("source"), col("token"), col("tf"), col("df"),
           col("rk").cast("int").as("rk"))
     }),
@@ -726,22 +732,19 @@ object Queries {
     // when quality DISTRIBUTIONS differ by language, so production
     // filters gate on the per-group rank instead. Exact and engine-safe:
     // the score is an integer (type/token ratio in ppt, floor division),
-    // the cut is rank*4 > n (never a float percentile), ranks window per
-    // language partition — no global window, no corpus-wide sort.
+    // the cut is rank*4 > n (never a float percentile). Computed by
+    // Curation.quartileGateLabels' two-level histogram cut — per-lang
+    // window SEMANTICS without a per-lang corpus sort (a window
+    // partition is one task, and half a natural crawl is one language);
+    // the oracle replays the window form, so the hash gate IS the proof
+    // the histogram cut preserves it.
     "q123_quality_gate" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = Tables(s, dir).documents
         .withColumn("ws", TextOps.words(col("text")))
         .select(col("doc_id"), col("lang"),
           size(array_distinct(col("ws"))).as("nd"), size(col("ws")).as("nt"))
         .withColumn("score_ppt", expr("(CAST(nd AS BIGINT) * 1000) div nt"))
-      val wRank = Window.partitionBy(col("lang"))
-        .orderBy(col("score_ppt").asc, col("doc_id").asc)
-      val wGrp = Window.partitionBy(col("lang"))
-      d.withColumn("rnk", row_number().over(wRank).cast("long"))
-        .withColumn("grp_n", count(lit(1)).over(wGrp))
-        .select(col("doc_id"), col("lang"), col("score_ppt"),
-          when(col("rnk") * 4 > col("grp_n"), 1).otherwise(0).as("kept"))
+      Curation.quartileGateLabels(d)
     }),
 
     // Span-level scrub: q120's detection turned into the actual removal —
