@@ -2,7 +2,7 @@ package graft.multimodal
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
@@ -271,6 +271,56 @@ object Binary {
         bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Byte k-shingle set of a HEX-encoded payload column: every k-byte
+    * window (stride 1 byte = 2 hex chars), distinct, as 2k-char hex
+    * strings — the byte-level analog of [[graft.text.TextOps.shingleSet]]
+    * with the same short-input fallback (payloads under k bytes
+    * contribute their whole hex string, so tiny payloads dedup by exact
+    * bytes). `hx` must be a PROJECTED attribute (not an inline
+    * expression): Spark's interpreted higher-order functions re-evaluate
+    * captured expressions per element.
+    */
+  def byteShingles(hx: Column, k: Int = 12): Column = {
+    val nW = greatest(lit(1),
+      (length(hx) / lit(2)).cast("int") - lit(k - 1))
+    array_distinct(transform(sequence(lit(1), nW),
+      i => hx.substr((i - lit(1)) * lit(2) + lit(1), lit(2 * k))))
+  }
+
+  /** Near-duplicate PAYLOAD pairs — the LSH near-dup machinery on the
+    * binary column itself: hex byte shingles → 16-hash MinHash → 4×4
+    * LSH bands → bucket equi-join → exact byte-shingle Jaccard ≥ 0.7,
+    * reusing the text pipeline's band join and verify stage verbatim
+    * ([[graft.text.Dedup.verifiedPairsFromPrep]] — the stages were
+    * always shingle-universe-agnostic). This is the dedup a crawled
+    * binary corpus needs for container-level duplication: re-wrapped/
+    * re-uploaded files, truncations, appended watermarks or metadata
+    * blocks — edits that leave long byte runs intact. Recompression
+    * (new JPEG quality, resample) rewrites every byte and needs the
+    * content-aware leg instead ([[nearDupImagePairs]]' dHash banding);
+    * the two are complementary exactly like exact-hash vs MinHash on
+    * the text side.
+    *
+    * Scale shape = the text near-dup's: shingle/sign map-only, one
+    * fine-grained band-key shuffle, verify only on candidates. Stride-1
+    * shingles fan a P-byte payload to P rows map-side before the
+    * distinct — for multi-MB media payloads run this on the DECODED/
+    * canonical stream or raise k; the gate corpus is doc-sized.
+    */
+  def nearDupPayloadPairs(media: DataFrame, k: Int = 12,
+                          thresholdTenths: Int = 7,
+                          eager: Boolean = true): DataFrame = {
+    val prep = media
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.hex(col("payload")).as("hx"))
+      .select(col("doc_id"), byteShingles(col("hx"), k).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        graft.functions.MinHashSignature.of(col("sh"), 16).as("sig"))
+      .select(col("doc_id"), col("sh"),
+        graft.text.TextOps.lshBands(col("sig"), 4, 4).as("bands"))
+    graft.text.Dedup.verifiedPairsFromPrep(prep, thresholdTenths, eager)
   }
 
   /** Batch feature extraction over (doc_id, payload) partitions. */

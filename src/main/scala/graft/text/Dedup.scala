@@ -86,7 +86,19 @@ object Dedup {
     // TVF builder runs at ANALYSIS time — an EXPLAIN must not execute the
     // pipeline's heaviest stage. cache() shares the branches just as well
     // but lazily (populated at first action, LRU-evictable afterwards).
-    val prep0 = prepared(docs, idCol, textCol)
+    verifiedPairsFromPrep(prepared(docs, idCol, textCol), thresholdTenths,
+      eager)
+  }
+
+  /** Band-join + exact-Jaccard verify over an already-prepared
+    * (doc_id, sh, sig, bands) frame — the shingle-UNIVERSE-agnostic
+    * tail of [[nearDupPairs]]: word shingles (text), hex byte shingles
+    * ([[graft.multimodal.Binary.nearDupPayloadPairs]]), or anything
+    * else set-shaped runs through the same LSH machinery.
+    */
+  private[graft] def verifiedPairsFromPrep(prep0: DataFrame,
+                                           thresholdTenths: Int,
+                                           eager: Boolean): DataFrame = {
     val prep = if (eager) materialize(prep0) else prep0.cache()
     val sh = prep.select(col("doc_id"), col("sh"))
     candidatePairs(prep)

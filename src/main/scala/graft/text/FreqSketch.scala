@@ -59,23 +59,33 @@ object FreqSketch {
     */
   val Depth: Int = 4
 
-  /** Slots per row w — PINNED at 1024 by the 8-hex-char/mod recipe's
-    * oracle replay. ε = e/w ≈ 0.27% of total occurrences per estimate.
+  /** Slots per row w, the DEFAULT — a config knob, not a pin: ε = e/w
+    * of total occurrences per estimate, so the width is chosen per
+    * deployment scale. 1024 (ε ≈ 0.27%) suits the gate-SF fixtures and
+    * heavy-hitter monitoring; at 100 TB (~10^13-10^14 gram occurrences)
+    * the absolute overcount at w=1024 (~10^11) swamps any non-top-1000
+    * probe, so a production store builds at w = 2^20-2^24 — counter
+    * table still ≤ Depth×w rows ≈ MBs, 8 orders under the corpus. The
+    * width is stamped into the store cfg and every serve derives its
+    * probe hashing from the STAMP, so differently-sized deployments
+    * coexist and never cross-read ([[FreqStore.storedCfg]]).
     */
   val Width: Int = 1024
 
   /** Config stamp for [[FreqStore]] — counters over different gram
-    * universes or shapes are incommensurable.
+    * universes or shapes (including width) are incommensurable.
     */
-  def cfgOf(gram: Int): String = s"g$gram-w$Width-d$Depth"
+  def cfgOf(gram: Int, width: Int = Width): String = s"g$gram-w$width-d$Depth"
 
   /** Slot of one item in hash row `depth`: first 8 md5 hex chars of
-    * "depth:item" (≤ 2^32, exact in a long) mod [[Width]]. Pure
-    * string/integer ops — DuckDB replays it bit-identically.
+    * "depth:item" (≤ 2^32, exact in a long) mod `width`. Pure
+    * string/integer ops — DuckDB replays it bit-identically at any
+    * width (the recipe was always parameterized; only the cfg default
+    * pins 1024).
     */
-  def slotOf(item: Column, depth: Int): Column =
+  def slotOf(item: Column, depth: Int, width: Int = Width): Column =
     conv(substring(md5(concat(lit(s"$depth:"), item)), 1, 8), 16, 10)
-      .cast("long") % Width
+      .cast("long") % width
 
   /** One gram-occurrence row per word n-gram ([[TextOps.shingles]]
     * semantics incl. the short-doc whole-text fallback — the same
@@ -94,9 +104,10 @@ object FreqSketch {
     * PARTITION the data — a doc ingested twice counts twice, the
     * sum-merge family rule).
     */
-  def counters(items: DataFrame, itemCol: String = "g"): DataFrame = {
+  def counters(items: DataFrame, itemCol: String = "g",
+               width: Int = Width): DataFrame = {
     val rows = (1 to Depth).map(i => struct(
-      lit(i.toLong).as("depth"), slotOf(col(itemCol), i).as("slot")))
+      lit(i.toLong).as("depth"), slotOf(col(itemCol), i, width).as("slot")))
     items.select(explode(array(rows: _*)).as("ds"))
       .select(col("ds.depth"), col("ds.slot"))
       .groupBy(col("depth"), col("slot")).agg(count(lit(1)).as("cnt"))
@@ -109,9 +120,9 @@ object FreqSketch {
     * W-sized min aggregation — the corpus never appears.
     */
   def estimates(counters: DataFrame, probes: DataFrame,
-                termCol: String = "term"): DataFrame = {
+                termCol: String = "term", width: Int = Width): DataFrame = {
     val rows = (1 to Depth).map(i => struct(
-      lit(i.toLong).as("depth"), slotOf(col(termCol), i).as("slot")))
+      lit(i.toLong).as("depth"), slotOf(col(termCol), i, width).as("slot")))
     probes.select(col(termCol), explode(array(rows: _*)).as("ds"))
       .select(col(termCol), col("ds.depth"), col("ds.slot"))
       .join(broadcast(counters), Seq("depth", "slot"), "left")
@@ -130,7 +141,7 @@ object FreqSketch {
     */
   def audited(docs: DataFrame, probeDocs: DataFrame,
               textCol: String = "text", n: Int = 3,
-              eager: Boolean = true): DataFrame = {
+              eager: Boolean = true, width: Int = Width): DataFrame = {
     val g0 = grams(docs, textCol, n)
     val g = if (eager) Dedup.materialize(g0) else g0
     val probes = grams(probeDocs, textCol, n)
@@ -139,7 +150,7 @@ object FreqSketch {
       .agg(count(lit(1)).as("n_exact"))
     // left + coalesce: a probe gram the corpus never saw reads exact 0
     // (its estimate is pure collision mass) instead of dropping out
-    estimates(counters(g), probes)
+    estimates(counters(g, width = width), probes, width = width)
       .join(exact, Seq("term"), "left")
       .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
       .withColumn("overcount", col("est") - col("n_exact"))

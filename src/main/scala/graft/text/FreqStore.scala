@@ -44,12 +44,17 @@ object FreqStore extends graft.operators.DropLedger {
   protected def tableName: String = "freqsketch"
   protected def kind: String = "frequency-sketch store"
 
-  /** (drop_id, cfg, depth, slot, cnt) for one drop — ≤ 4096 rows. */
+  /** (drop_id, cfg, depth, slot, cnt) for one drop — ≤ Depth×width
+    * rows. `width` sizes the error band (ε = e/width of total
+    * occurrences — see [[FreqSketch.Width]] for the scale guidance) and
+    * is stamped into cfg so serves derive their probe hashing from it.
+    */
   def partials(docs: DataFrame, dropId: String, textCol: String = "text",
-               gram: Int = 3): DataFrame = {
+               gram: Int = 3, width: Int = FreqSketch.Width): DataFrame = {
     requireDropId(dropId)
-    FreqSketch.counters(FreqSketch.grams(docs, textCol, gram))
-      .select(lit(dropId).as("drop_id"), lit(FreqSketch.cfgOf(gram)).as("cfg"),
+    FreqSketch.counters(FreqSketch.grams(docs, textCol, gram), width = width)
+      .select(lit(dropId).as("drop_id"),
+        lit(FreqSketch.cfgOf(gram, width)).as("cfg"),
         col("depth"), col("slot"), col("cnt"))
   }
 
@@ -71,14 +76,21 @@ object FreqStore extends graft.operators.DropLedger {
 
   private def gramOf(cfg: String): Int = cfg.drop(1).takeWhile(_ != '-').toInt
 
-  /** Bootstrap from the first drop (overwrites). */
+  private def widthOf(cfg: String): Int =
+    cfg.split('-').find(_.startsWith("w")).get.drop(1).toInt
+
+  /** Bootstrap from the first drop (overwrites). The width chosen here
+    * is the STORE's width for life — appends inherit it from the stamp.
+    */
   def build(docs: DataFrame, storeDir: String, dropId: String,
-            textCol: String = "text", gram: Int = 3): Unit =
-    buildStaged(docs, storeDir, dropId, textCol, gram)()
+            textCol: String = "text", gram: Int = 3,
+            width: Int = FreqSketch.Width): Unit =
+    buildStaged(docs, storeDir, dropId, textCol, gram, width)()
 
   def buildStaged(docs: DataFrame, storeDir: String, dropId: String,
-                  textCol: String = "text", gram: Int = 3): () => Unit =
-    stagePartialsBuild(partials(docs, dropId, textCol, gram),
+                  textCol: String = "text", gram: Int = 3,
+                  width: Int = FreqSketch.Width): () => Unit =
+    stagePartialsBuild(partials(docs, dropId, textCol, gram, width),
       storeDir, coalesceTo = Some(1)).commit
 
   /** Append a new drop's counters (staged, single-rename atomic
@@ -88,9 +100,9 @@ object FreqStore extends graft.operators.DropLedger {
   def appendStaged(docs: DataFrame, storeDir: String,
                    dropId: String, textCol: String = "text"): () => Unit = {
     val s = docs.sparkSession
-    val gram = gramOf(storedCfg(s, storeDir))
+    val cfg = storedCfg(s, storeDir)
     requireNewDrop(s, storeDir, dropId)
-    stagePartialsAppend(partials(docs, dropId, textCol, gram),
+    stagePartialsAppend(partials(docs, dropId, textCol, gramOf(cfg), widthOf(cfg)),
       storeDir, dropId, coalesceTo = Some(1)).commit
   }
 
@@ -117,7 +129,8 @@ object FreqStore extends graft.operators.DropLedger {
     */
   def serveEstimates(s: SparkSession, probes: DataFrame, storeDir: String,
                      termCol: String = "term"): DataFrame =
-    FreqSketch.estimates(serveCounters(s, storeDir), probes, termCol)
+    FreqSketch.estimates(serveCounters(s, storeDir), probes, termCol,
+      width = widthOf(storedCfg(s, storeDir)))
 
   /** The FREQUENCY-DRIFT monitor: per-drop point estimates for a probe
     * workload, answered from stored partials only — (drop_id, term,
@@ -134,7 +147,7 @@ object FreqStore extends graft.operators.DropLedger {
   def driftEstimates(s: SparkSession, probes: DataFrame, storeDir: String,
                      termCol: String = "term"): DataFrame = {
     import s.implicits._
-    storedCfg(s, storeDir)
+    val width = widthOf(storedCfg(s, storeDir))
     val parts = load(s, storeDir)
       .select(col("drop_id"), col("depth"), col("slot"), col("cnt"))
     // the drop list comes from the LEDGER (drops() — the canonical
@@ -152,7 +165,8 @@ object FreqStore extends graft.operators.DropLedger {
         Seq("drop_id"), "left")
       .select(col("drop_id"), coalesce(col("drop_occ"), lit(0L)).as("drop_occ"))
     val rows = (1 to FreqSketch.Depth).map(i => struct(
-      lit(i.toLong).as("depth"), FreqSketch.slotOf(col(termCol), i).as("slot")))
+      lit(i.toLong).as("depth"),
+      FreqSketch.slotOf(col(termCol), i, width).as("slot")))
     probes.select(col(termCol), explode(array(rows: _*)).as("ds"))
       .select(col(termCol), col("ds.depth"), col("ds.slot"))
       // drops frame is ledger-sized (one row per drop) — a k-row cross
@@ -182,10 +196,10 @@ object FreqStore extends graft.operators.DropLedger {
   def unlearnDocs(purgedDocs: DataFrame, storeDir: String, dropId: String,
                   textCol: String = "text"): Unit = {
     val s = purgedDocs.sparkSession
-    val gram = gramOf(storedCfg(s, storeDir))
+    val cfg = storedCfg(s, storeDir)
     require(drops(s, storeDir).contains(dropId),
       s"drop '$dropId' is not in $kind $storeDir — nothing to unlearn")
-    val neg = partials(purgedDocs, dropId, textCol, gram)
+    val neg = partials(purgedDocs, dropId, textCol, gramOf(cfg), widthOf(cfg))
       .withColumn("cnt", -col("cnt"))
     // materialized: the ≤ Depth×Width-row frame feeds both the negative
     // guard and the swap without re-scanning the purged docs

@@ -69,6 +69,21 @@ object Queries {
       Dedup.nearDupPairs(
         Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism))),
 
+    // Near-dup for the BINARY column (multimodal leg of the dedup
+    // taxonomy): hex byte 12-shingles → the SAME 16-hash/4×4-band LSH +
+    // exact-Jaccard verify the text path runs — container-level dup
+    // detection (re-wrapped/truncated/watermark-appended payloads) that
+    // exact blob digests (q67) miss and that needs no decoder; the
+    // content-aware leg (dHash banding for recompressed images) is
+    // MultimodalSpec-gated since DuckDB can't decode pixels. Payload =
+    // UTF-8 bytes of text (withPayload — TESTDATA has no true media;
+    // the byte path is codec-blind by construction).
+    "q204_binary_neardup" -> ((s, dir) =>
+      graft.multimodal.Binary.nearDupPayloadPairs(
+        graft.multimodal.Binary.withPayload(
+          Tables(s, dir).documents
+            .repartition(s.sparkContext.defaultParallelism)))),
+
     // Source-level triage (the domain-blocklist decision): per source,
     // near-dup doc density + mean doc length → an integer-exact
     // keep/block decision. The thresholds sit INSIDE the corpus's
@@ -1240,6 +1255,21 @@ object Queries {
       FreqSketch.audited(d, d.filter(col("doc_id") % 97 === 0))
     }),
 
+    // The Count-Min width as a SCALE knob (q191 at the production
+    // shape): the same audited recipe at w = 65536 — ε = e/w falls 64×,
+    // and the counter table is still ≤ 4×65536 rows ≈ 2 MB at ANY
+    // corpus size. At 100 TB the w=1024 default's absolute overcount
+    // (~0.27% of 10^13-10^14 occurrences) swamps non-top-1000 probes;
+    // a production store picks w = 2^20-2^24 the same way — nothing in
+    // the recipe pins the width, and the store cfg stamps whichever
+    // was chosen (FreqSpec pins append/serve inheriting it).
+    "q203_cms_wide" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      FreqSketch.audited(d, d.filter(col("doc_id") % 97 === 0),
+        width = 65536)
+    }),
+
     // Store-served counters: the corpus ingested as three drops of ≤
     // 4096 counter rows each; the served per-(depth, slot) SUM must be
     // bit-identical to sketching the union corpus from scratch (counts
@@ -2335,9 +2365,13 @@ object Queries {
   /** Shared CTE chain computing verified near-dup pairs (mirrors Dedup)
     * over any source relation carrying (doc_id, source, text).
     */
-  private def pairsCtesFrom(src: String) =
-    s"""${docsCteFrom(src)},
-       |sigs AS (SELECT doc_id, sh, [
+  /** sigs → bands → cand → pairs over a `docs(doc_id, sh)` CTE — the
+    * shingle-universe-agnostic LSH+verify tail (mirrors
+    * Dedup.verifiedPairsFromPrep): word shingles and q204's hex byte
+    * shingles replay through the same SQL.
+    */
+  private val pairsCteTail =
+    s"""sigs AS (SELECT doc_id, sh, [
        |    $sigEntries] AS sig FROM docs),
        |bands AS (SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
        |  unnest([$bandKeys]) AS band_key FROM sigs
@@ -2354,6 +2388,21 @@ object Queries {
        |  FROM cand
        |  JOIN docs sa ON doc_a = sa.doc_id
        |  JOIN docs sb ON doc_b = sb.doc_id)""".stripMargin
+
+  private def pairsCtesFrom(src: String) =
+    s"""${docsCteFrom(src)},
+       |$pairsCteTail""".stripMargin
+
+  /** q204's docs CTE: hex byte 12-shingles of the payload (= the UTF-8
+    * bytes of `text`, Binary.withPayload's synthesis), stride 1 byte,
+    * short-payload whole-hex fallback — Binary.byteShingles verbatim.
+    */
+  private val binaryPairsCtes =
+    s"""bhx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+       |docs AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(1, len(hx)//2 - 11) + 1),
+       |    i -> substr(hx, (i-1)*2+1, 24))) AS sh FROM bhx),
+       |$pairsCteTail""".stripMargin
 
   private val pairsCtes = pairsCtesFrom("documents")
 
@@ -2694,13 +2743,15 @@ object Queries {
     * fallback).
     */
   /** q191–q194's Count-Min replay: 3-gram occurrences (TextOps.shingles
-    * semantics incl. the short-doc whole-text fallback), the 4×1024
+    * semantics incl. the short-doc whole-text fallback), the 4×`width`
     * counter table via the depth-tagged md5 slot recipe, the % 97 probe
     * workload's min-over-depths estimates, and the exact audit counts —
-    * ending at CTE `audit` (term, est, n_exact, overcount).
+    * ending at CTE `audit` (term, est, n_exact, overcount). Width is a
+    * parameter exactly as in FreqSketch — q203 replays the same chain
+    * at the production width.
     */
-  private def cmsCtes: String =
-    """tws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+  private def cmsCtesW(width: Int): String =
+    s"""tws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |gl AS (SELECT doc_id, CASE WHEN len(ws) >= 3
       |    THEN list_transform(range(1, len(ws) - 1),
       |      i -> array_to_string(ws[i:i+2], ' '))
@@ -2708,7 +2759,7 @@ object Queries {
       |g AS (SELECT doc_id, unnest(gs) AS g FROM gl),
       |occ AS (SELECT d.depth,
       |    ('0x'||substr(md5(CAST(d.depth AS VARCHAR)||':'||g),1,8))::BIGINT
-      |      % 1024 AS slot
+      |      % $width AS slot
       |  FROM g CROSS JOIN (VALUES (1),(2),(3),(4)) AS d(depth)),
       |cms AS (SELECT CAST(depth AS BIGINT) AS depth, slot,
       |    CAST(count(*) AS BIGINT) AS cnt
@@ -2716,7 +2767,7 @@ object Queries {
       |probes AS (SELECT DISTINCT g AS term FROM g WHERE doc_id % 97 = 0),
       |pe AS (SELECT term, d.depth,
       |    ('0x'||substr(md5(CAST(d.depth AS VARCHAR)||':'||term),1,8))::BIGINT
-      |      % 1024 AS slot
+      |      % $width AS slot
       |  FROM probes CROSS JOIN (VALUES (1),(2),(3),(4)) AS d(depth)),
       |est AS (SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
       |  FROM pe LEFT JOIN cms USING (depth, slot) GROUP BY 1),
@@ -2726,6 +2777,8 @@ object Queries {
       |    CAST(coalesce(x.n_exact, 0) AS BIGINT) AS n_exact,
       |    CAST(e.est - coalesce(x.n_exact, 0) AS BIGINT) AS overcount
       |  FROM est e LEFT JOIN ex x USING (term))""".stripMargin
+
+  private def cmsCtes: String = cmsCtesW(1024)
 
   /** q195–q198's bottom-k replay: the 60-bit md5-of-id hash order and
     * the ranked cut — ending at CTEs `sm` (hv, doc_id, lang, n_tokens)
@@ -2954,6 +3007,11 @@ object Queries {
          |SELECT term, est, n_exact, overcount FROM audit""".stripMargin,
     "q194_cms_serve" ->
       s"""WITH $cmsCtes
+         |SELECT term, est, n_exact, overcount FROM audit""".stripMargin,
+    // q203 replays the identical chain at the production width — the
+    // recipe is width-parametric on both sides
+    "q203_cms_wide" ->
+      s"""WITH ${cmsCtesW(65536)}
          |SELECT term, est, n_exact, overcount FROM audit""".stripMargin,
     // q192 serves the three-drop store's sum-merged counters — store
     // drops partition the corpus by doc_id % 3, so the oracle replays
@@ -3503,6 +3561,11 @@ object Queries {
          |  AND d.doc_id NOT IN (SELECT new_id FROM idup)""".stripMargin,
     "q24_minhash_pairs" ->
       s"""WITH $pairsCtes
+         |SELECT doc_a, doc_b, inter_size, union_size,
+         |  CAST(inter_size AS DOUBLE)/union_size AS jaccard
+         |FROM pairs WHERE inter_size*10 >= union_size*7""".stripMargin,
+    "q204_binary_neardup" ->
+      s"""WITH $binaryPairsCtes
          |SELECT doc_a, doc_b, inter_size, union_size,
          |  CAST(inter_size AS DOUBLE)/union_size AS jaccard
          |FROM pairs WHERE inter_size*10 >= union_size*7""".stripMargin,

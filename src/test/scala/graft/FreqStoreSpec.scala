@@ -203,4 +203,47 @@ class FreqStoreSpec extends AnyFunSuite {
     // should land on different slots in at least one pair of rows
     assert(vals.exists(v => got(v).distinct.size > 1))
   }
+
+  test("width is a config knob: builds stamp it, appends inherit it, serves hash by it") {
+    val dir = Files.createTempDirectory("freqstore-w").toString
+    FreqStore.build(dropA, dir, "d1", width = 4096)
+    FreqStore.append(dropB, dir, "d2")
+    assert(FreqStore.storedCfg(spark, dir) === "g3-w4096-d4",
+      "the chosen width stamps the cfg and the append inherited it")
+    // serve ≡ from-scratch at the STORE's width, and the estimate path
+    // must hash probes with that width too (a 1024-hashed probe against
+    // 4096-wide counters would silently read the wrong slots)
+    assert(served(dir) ===
+      FreqSketch.counters(FreqSketch.grams(dropA.unionByName(dropB)),
+        width = 4096).as[(Long, Long, Long)].collect().toSet)
+    val probes = Seq("the quick brown").toDF("term")
+    val est = FreqStore.serveEstimates(spark, probes, dir)
+      .collect().head.getLong(1)
+    val exact = 2L // once in dropA doc 1, once in dropB doc 4
+    assert(est >= exact, "one-sided guarantee holds at the stored width")
+    // a mixed-width append is refused loudly by the cfg stamp: simulate
+    // by building a second store at the default width and checking the
+    // stamps differ (the single-cfg validator is exercised in the gram
+    // config test above)
+    val dir2 = Files.createTempDirectory("freqstore-w2").toString
+    FreqStore.build(dropA, dir2, "d1")
+    assert(FreqStore.storedCfg(spark, dir2) === "g3-w1024-d4")
+  }
+
+  test("wider sketch never estimates worse in aggregate: total overcount shrinks 64x width") {
+    val corpus = docs((1 to 60).map(i =>
+      (i.toLong, s"token$i alpha beta gamma token${i % 7} delta")): _*)
+    val probes = corpus.filter(col("doc_id") % 5 === 0)
+    def totalOvercount(width: Int): Long =
+      FreqSketch.audited(corpus, probes, width = width)
+        .agg(sum(col("overcount"))).collect().head.getLong(0)
+    val (narrow, wide) = (totalOvercount(64), totalOvercount(4096))
+    // per-term monotonicity is NOT guaranteed (different hash slots);
+    // aggregate collision mass on a fixed deterministic corpus is the
+    // honest comparison — and at 64x the width it must strictly shrink
+    // here because the 64-slot table provably collides this vocabulary
+    assert(narrow > wide,
+      s"total overcount: w=64 gives $narrow, w=4096 gives $wide")
+    assert(wide >= 0L, "one-sided: overcount can never be negative")
+  }
 }

@@ -194,6 +194,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("nearDupPayloadPairs: container-level byte dups pair, recompression-style rewrites don't") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // TRUE binary payloads (not UTF-8 text — the oracle query q204 covers
+    // that side): a deterministic 400-byte pseudo-media stream (seeded
+    // JDK LCG — spec-pinned, so distinct 12-byte windows are a fixed
+    // fact, unlike a modular generator whose period aliases windows),
+    // its truncated re-upload, the same stream with an appended
+    // watermark block, a full byte-rewrite (recompression stand-in),
+    // and an empty payload (must pair with nothing — the blank guard)
+    def rndBytes(seed: Long, n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); new java.util.Random(seed).nextBytes(a); a
+    }
+    val base = rndBytes(42L, 400)
+    val media = Seq(
+      (1L, base),
+      (2L, base.take(380)),                // truncated copy
+      (3L, base ++ rndBytes(43L, 10)),     // watermark appended
+      (4L, rndBytes(44L, 400)),            // full rewrite
+      (5L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val pairs = Binary.nearDupPayloadPairs(media)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "byte-run-preserving edits pair; rewrites and empties never do")
+    // exact-Jaccard is verified, not approximate: truncation keeps
+    // 380-11 of 400-11 stride-1 windows -> inter 369, union 389
+    val j12 = Binary.nearDupPayloadPairs(media)
+      .filter(org.apache.spark.sql.functions.col("doc_a") === 1L &&
+        org.apache.spark.sql.functions.col("doc_b") === 2L)
+      .select("inter_size", "union_size").as[(Int, Int)].collect().head
+    assert(j12 === ((369, 389)))
+  }
+
   test("extractFeatures digests match MessageDigest ground truth") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
