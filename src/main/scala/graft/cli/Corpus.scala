@@ -234,7 +234,15 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        store (commit-LAST; replays of
   *                                        an enrolled drop are refused
   *                                        loudly — re-curating would dedup
-  *                                        the drop against itself)
+  *                                        the drop against itself); with
+  *                                        --sketch-store, ADMISSION gates
+  *                                        the spine: a stale/replayed
+  *                                        crawl is rejected from one
+  *                                        register-scale scan before any
+  *                                        curation cost, verdict in the
+  *                                        novelty store's admission log,
+  *                                        and an admitted drop enrolls in
+  *                                        all three ledgers commit-LAST
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -945,9 +953,30 @@ object Corpus {
                 "re-curating it would dedup the drop against itself " +
                 "(empty selection, no error). Pass --drop-id for a " +
                 "content-versioned re-ingest, or remove the drop first.")
-          val (s0, c0) = graft.text.Curation.incrementalSpineWithIngest(
-            docs, spark.read.parquet(target), bench, sig, prof, dropId)
-          (s0, Some(c0))
+          a.sketchStore match {
+            // with a novelty store configured, ADMISSION gates the spine
+            // (Curation.incrementalSpineGated): a stale/replayed crawl is
+            // rejected from one register-scale scan BEFORE the six-stage
+            // pipeline runs, with the verdict in the store's admission
+            // log; an admitted drop enrolls in all THREE ledgers on the
+            // one deferred commit.
+            case Some(nov) =>
+              graft.text.Curation.incrementalSpineGated(
+                  docs, spark.read.parquet(target), bench, sig, prof, nov,
+                  dropId) match {
+                case Left(reason) =>
+                  println(s"curation-spine: ADMISSION REFUSED — $reason")
+                  println("curation-spine: no selection written, no " +
+                    "ledger touched (see the admission log: " +
+                    s"$nov/_admissions)")
+                  return
+                case Right((s0, c0)) => (s0, Some(c0))
+              }
+            case None =>
+              val (s0, c0) = graft.text.Curation.incrementalSpineWithIngest(
+                docs, spark.read.parquet(target), bench, sig, prof, dropId)
+              (s0, Some(c0))
+          }
         case (Some(sig), Some(prof)) =>
           (graft.text.Curation.incrementalSpineSelection(
             docs, spark.read.parquet(target), bench, sig, prof), None)

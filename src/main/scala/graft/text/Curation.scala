@@ -350,6 +350,143 @@ object Curation {
       () => { commitDsir(); commitSig(); clean.unpersist() })
   }
 
+  /** The daily loop with ADMISSION IN FRONT — the missing consult the
+    * gated stores exposed: [[SketchStore.ingestGated]] rejects a stale
+    * drop before INGEST cost, but the spine would still curate any drop
+    * handed to it, paying the full six stages before dedup dropped a
+    * replayed crawl's docs one by one. Here the cheap novelty verdict
+    * (one register-scale scan of the DROP vs the novelty store's
+    * drops×m stored rows — [[SketchStore.admission]]) gates the
+    * expensive pipeline:
+    *
+    *  - `Left(reason)` — the drop is a stored id (replay) or its
+    *    containment_ppm ≥ `maxContainmentPpm` (stale): NO curation cost
+    *    was paid, and the verdict is recorded in the novelty store's
+    *    admission log ([[SketchStore.recordAdmission]] — the same
+    *    auditable trail the ingest loop writes).
+    *  - `Right((selection, commit))` — admitted (or the novelty store
+    *    doesn't exist yet — the bootstrap drop is novel by definition):
+    *    the spine runs as [[incrementalSpineWithIngest]], and the ONE
+    *    deferred commit additionally enrolls the drop in the novelty
+    *    store + logs the admitted verdict — commits-LAST like the other
+    *    two ledgers, so a crashed run leaves no store believing the
+    *    drop landed.
+    *
+    * The admission threshold composes with, not replaces, dedup: a 40%-
+    * contained drop passes admission (most of it is new) and the
+    * signature store still drops its old 40% doc by doc.
+    */
+  def incrementalSpineGated(drop: DataFrame, target: DataFrame,
+                            bench: DataFrame, dedupStore: String,
+                            dsirStore: String, noveltyStore: String,
+                            dropId: String, k: Int = 100,
+                            maxContainmentPpm: Long = 950000L)
+      : Either[String, (DataFrame, () => Unit)] = {
+    val s = drop.sparkSession
+    if (!SketchStore.exists(s, noveltyStore)) {
+      val stageNov = SketchStore.buildStaged(drop, noveltyStore, dropId)
+      val (sel, commit0) = incrementalSpineWithIngest(
+        drop, target, bench, dedupStore, dsirStore, dropId, k)
+      Right((sel, () => {
+        commit0(); stageNov()
+        SketchStore.recordAdmission(s, noveltyStore, dropId,
+          "admitted-bootstrap", None)
+      }))
+    } else if (SketchStore.drops(s, noveltyStore).contains(dropId)) {
+      SketchStore.recordAdmission(s, noveltyStore, dropId,
+        "skipped-duplicate-drop", None)
+      Left(s"drop '$dropId' is already enrolled in the novelty store " +
+        s"$noveltyStore — replay skipped before any curation cost")
+    } else {
+      val adm = SketchStore.admission(drop, noveltyStore).collect().head
+      val containment = adm.getAs[Long]("containment_ppm")
+      if (containment >= maxContainmentPpm) {
+        SketchStore.recordAdmission(s, noveltyStore, dropId,
+          "rejected-stale", Some(adm))
+        Left(s"drop '$dropId' is ${containment / 10000}% contained in the " +
+          s"history (>= ${maxContainmentPpm / 10000}%) — rejected before " +
+          "any curation cost; the verdict is in the admission log")
+      } else {
+        val stageNov = SketchStore.appendStaged(drop, noveltyStore, dropId)
+        val (sel, commit0) = incrementalSpineWithIngest(
+          drop, target, bench, dedupStore, dsirStore, dropId, k)
+        Right((sel, () => {
+          commit0(); stageNov()
+          SketchStore.recordAdmission(s, noveltyStore, dropId,
+            "admitted", Some(adm))
+        }))
+      }
+    }
+  }
+
+  /** The daily spine as a STRUCTURED-STREAMING loop — the last manual
+    * step removed: a production crawl arrives as a stream, and until now
+    * each micro-batch needed its own `--spine-ingest` CLI invocation.
+    * Each epoch of `drops` (a streaming DataFrame of document rows) runs
+    * the ADMISSION-GATED incremental spine ([[incrementalSpineGated]])
+    * as one foreachBatch:
+    *
+    *   1. replay guard first ([[DsirStore]] enrollment — the same check
+    *      the CLI runs): a crash-replayed epoch whose commit already
+    *      landed is recorded-and-skipped, never re-curated (exactly-once
+    *      across checkpoint restarts, the LmStore/SketchStore ingest
+    *      discipline);
+    *   2. admission next: a stale epoch is rejected from one register
+    *      scan before any curation cost, verdict in the admission log;
+    *   3. admitted epochs curate against the ledger-served history,
+    *      write their selection to `outDir/<dropId>/` (overwrite — a
+    *      crash-replayed UNcommitted epoch converges on rewrite), and
+    *      only then commit all three ledgers (DSIR first — the guarded
+    *      store — then signatures, then novelty: any crash inside the
+    *      chain leaves a state step 1 or the DSIR append refuses
+    *      LOUDLY, never a silent self-dedup).
+    *
+    * Epoch ids are the drop ids (`epoch-NNNNNN`, stable across restarts
+    * because the checkpoint owns the numbering). Per-epoch cost is the
+    * batch-path cost: one scan of the EPOCH plus metadata-scale ledger
+    * serves — the history's raw bytes enter nothing, so the loop's cost
+    * tracks the crawl rate, not the corpus size.
+    */
+  def spineStream(drops: DataFrame, target: DataFrame, bench: DataFrame,
+                  dedupStore: String, dsirStore: String,
+                  noveltyStore: String, outDir: String, checkpoint: String,
+                  k: Int = 100, maxContainmentPpm: Long = 950000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    drops.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        spineEpoch(batch, epoch, target, bench, dedupStore, dsirStore,
+          noveltyStore, outDir, k, maxContainmentPpm)
+      }
+      .start()
+
+  /** One epoch of [[spineStream]] — factored so the replay/admission/
+    * commit chain is testable without a running query.
+    */
+  private[graft] def spineEpoch(batch: DataFrame, epoch: Long,
+                                target: DataFrame, bench: DataFrame,
+                                dedupStore: String, dsirStore: String,
+                                noveltyStore: String, outDir: String,
+                                k: Int, maxContainmentPpm: Long): Unit = {
+    val s = batch.sparkSession
+    val dropId = f"epoch-$epoch%06d"
+    if (batch.isEmpty) ()
+    else if (DsirStore.exists(s, dsirStore) &&
+        DsirStore.drops(s, dsirStore).contains(dropId)) {
+      // crash-replay of a committed epoch: the selection is already on
+      // disk and the ledgers hold the drop — converge by skipping, and
+      // leave the skip in the audit trail the admission log provides
+      if (SketchStore.exists(s, noveltyStore))
+        SketchStore.recordAdmission(s, noveltyStore, dropId,
+          "skipped-duplicate-drop", None)
+    } else incrementalSpineGated(batch, target, bench, dedupStore,
+        dsirStore, noveltyStore, dropId, k, maxContainmentPpm) match {
+      case Left(_) => () // verdict already recorded by the gate
+      case Right((sel, commit)) =>
+        sel.write.mode("overwrite").parquet(s"$outDir/$dropId")
+        commit()
+    }
+  }
+
   /** q189's gate face: the manifest certificate of the daily-drop run. */
   def incrementalSpineManifest(drop: DataFrame, target: DataFrame,
                                bench: DataFrame, dedupStore: String,

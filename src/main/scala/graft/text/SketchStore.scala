@@ -235,39 +235,48 @@ object SketchStore extends graft.operators.DropLedger {
                   textCol: String = "text"): Boolean = {
     requireDropId(dropId)
     val s = docs.sparkSession
-    import s.implicits._
-    def record(verdict: String, adm: Option[org.apache.spark.sql.Row]): Unit = {
-      val seq = admissionLogEntries(s, storeDir).size + 1L
-      val row = adm match {
-        case Some(r) => Seq((seq, dropId, verdict, Some(r.getLong(0)),
-          Some(r.getLong(1)), Some(r.getLong(2)), Some(r.getLong(3)),
-          Some(r.getLong(4))))
-        case None => Seq((seq, dropId, verdict, None: Option[Long],
-          None: Option[Long], None: Option[Long], None: Option[Long],
-          None: Option[Long]))
-      }
-      row.toDF("seq", "drop_id", "verdict", "est_drop", "est_store",
-          "est_union", "novelty_est", "containment_ppm")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(f"$storeDir/_admissions/$seq%06d-$dropId")
-    }
     if (!exists(s, storeDir)) {
-      build(docs, storeDir, dropId, textCol); record("admitted-bootstrap", None)
+      build(docs, storeDir, dropId, textCol)
+      recordAdmission(s, storeDir, dropId, "admitted-bootstrap", None)
       true
     } else if (drops(s, storeDir).contains(dropId)) {
-      record("skipped-duplicate-drop", None)
+      recordAdmission(s, storeDir, dropId, "skipped-duplicate-drop", None)
       false
     } else {
       val adm = admission(docs, storeDir, textCol).collect().head
       if (adm.getAs[Long]("containment_ppm") >= maxContainmentPpm) {
-        record("rejected-stale", Some(adm))
+        recordAdmission(s, storeDir, dropId, "rejected-stale", Some(adm))
         false
       } else {
         append(docs, storeDir, dropId, textCol)
-        record("admitted", Some(adm))
+        recordAdmission(s, storeDir, dropId, "admitted", Some(adm))
         true
       }
     }
+  }
+
+  /** One verdict row into the admission log — shared by [[ingestGated]]
+    * and the curation spine's admission gate
+    * ([[Curation.incrementalSpineGated]]), so BOTH decision loops leave
+    * the same auditable trail in the same place.
+    */
+  private[text] def recordAdmission(s: SparkSession, storeDir: String,
+                                    dropId: String, verdict: String,
+                                    adm: Option[org.apache.spark.sql.Row]): Unit = {
+    import s.implicits._
+    val seq = admissionLogEntries(s, storeDir).size + 1L
+    val row = adm match {
+      case Some(r) => Seq((seq, dropId, verdict, Some(r.getLong(0)),
+        Some(r.getLong(1)), Some(r.getLong(2)), Some(r.getLong(3)),
+        Some(r.getLong(4))))
+      case None => Seq((seq, dropId, verdict, None: Option[Long],
+        None: Option[Long], None: Option[Long], None: Option[Long],
+        None: Option[Long]))
+    }
+    row.toDF("seq", "drop_id", "verdict", "est_drop", "est_store",
+        "est_union", "novelty_est", "containment_ppm")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(f"$storeDir/_admissions/$seq%06d-$dropId")
   }
 
   private def admissionLogEntries(s: SparkSession, storeDir: String): Seq[String] = {

@@ -1145,6 +1145,58 @@ class CliSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("incremental form"))
   }
 
+  test("Corpus CLI: --spine-ingest + --sketch-store rejects a stale crawl BEFORE curation cost") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-spine-adm")
+    val d = Tables(spark, "/root/testdata/sf0.001").documents
+    val hist = d.filter(col("doc_id") % 3 === 0)
+    val day1 = d.filter(col("doc_id") % 3 === 1)
+    d.filter(col("doc_id") % 19 === 0).write.parquet(s"$dir/target")
+    graft.text.Store.build(hist, s"$dir/sig")
+    graft.text.DsirStore.build(hist, s"$dir/dsir", "hist")
+    day1.write.parquet(s"$dir/day1")
+    def runSpine(in: String, out: String): Unit =
+      graft.cli.Corpus.run(spark, Array(
+        "-I", in, "-O", out, "--curation-spine",
+        "--dsir-target", s"$dir/target",
+        "--dedup-store", s"$dir/sig", "--dsir-store", s"$dir/dsir",
+        "--sketch-store", s"$dir/nov", "--spine-ingest"))
+    // day 1: novelty store doesn't exist — bootstrap drop is novel by
+    // definition; the spine runs and ALL THREE ledgers enroll on commit
+    runSpine(s"$dir/day1", s"$dir/out1")
+    assert(new java.io.File(s"$dir/out1/selection").isDirectory)
+    assert(graft.text.SketchStore.drops(spark, s"$dir/nov").size === 1)
+    assert(graft.text.DsirStore.drops(spark, s"$dir/dsir").size === 2)
+    val log1 = graft.text.SketchStore.admissionLog(spark, s"$dir/nov")
+      .select("verdict").as[String].collect().toSeq
+    assert(log1 === Seq("admitted-bootstrap"))
+    // day 2: the SAME content re-crawled under fresh doc ids and a new
+    // drop id — a stale crawl. Admission rejects it from one register
+    // scan: no selection, no ledger mutated, verdict in the log
+    day1.withColumn("doc_id", col("doc_id") + 10000000L)
+      .write.parquet(s"$dir/day2")
+    runSpine(s"$dir/day2", s"$dir/out2")
+    assert(!new java.io.File(s"$dir/out2/selection").exists,
+      "a rejected drop must not produce a selection")
+    assert(graft.text.SketchStore.drops(spark, s"$dir/nov").size === 1,
+      "a rejected drop must not enroll in the novelty store")
+    assert(graft.text.DsirStore.drops(spark, s"$dir/dsir").size === 2,
+      "a rejected drop must never reach the DSIR ledger")
+    val log2 = graft.text.SketchStore.admissionLog(spark, s"$dir/nov")
+      .orderBy("seq").select("verdict").as[String].collect().toSeq
+    assert(log2 === Seq("admitted-bootstrap", "rejected-stale"))
+    // day 3: genuinely new content — admitted, curated, all ledgers gain
+    d.filter(col("doc_id") % 3 === 2).write.parquet(s"$dir/day3")
+    runSpine(s"$dir/day3", s"$dir/out3")
+    assert(new java.io.File(s"$dir/out3/selection").isDirectory)
+    assert(graft.text.SketchStore.drops(spark, s"$dir/nov").size === 2)
+    assert(graft.text.DsirStore.drops(spark, s"$dir/dsir").size === 3)
+    val log3 = graft.text.SketchStore.admissionLog(spark, s"$dir/nov")
+      .orderBy("seq").select("verdict").as[String].collect().toSeq
+    assert(log3 === Seq("admitted-bootstrap", "rejected-stale", "admitted"))
+  }
+
   test("Corpus CLI: --takedown doc ticket + --sketch-raw rebuilds the drop; serve ≡ never-contained") {
     import spark.implicits._
     import graft.text.{DistinctSketch, SketchStore}
