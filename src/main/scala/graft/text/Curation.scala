@@ -109,8 +109,35 @@ object Curation {
     * to recompute by censusing the selection artifact on disk instead.
     */
   def spineFunnel(corpus: DataFrame, target: DataFrame, bench: DataFrame,
-                  k: Int = 100): DataFrame = {
-    val st = spineFrames(corpus, target, bench, k, barrier = _.cache())
+                  k: Int = 100): DataFrame =
+    funnelFrom(corpus,
+      spineFrames(corpus, target, bench, k, barrier = _.cache()))
+
+  /** The daily-drop funnel (q205) — q190's per-stage census over the
+    * INCREMENTAL spine's stages: the drop enters, ranks within itself,
+    * dedups against the signature STORE (cross-history and intra-drop
+    * in one banded pass), decontaminates, and is selected by DSIR
+    * scores served from the profile STORE. The row a crawl operator
+    * reads every morning: a `deduped` cliff here means the crawler is
+    * re-fetching yesterday (vs q190's batch funnel, where it means a
+    * template farm inside one corpus); a near-empty `gated` row means
+    * today's crawl was junk. Stage frames cache exactly as the batch
+    * funnel's do and for the same reason — the censuses re-read stage
+    * outputs by construction.
+    */
+  def incrementalSpineFunnel(drop: DataFrame, target: DataFrame,
+                             bench: DataFrame, dedupStore: String,
+                             dsirStore: String, k: Int = 100): DataFrame = {
+    val gated = qualityGated(drop).cache()
+    val deduped = Store.dedupNewDropVsCorpusReadOnly(gated, dedupStore,
+      eager = false).cache()
+    val clean = Dedup.decontaminate(deduped, bench).cache()
+    val picked = Dsir.selectTopK(
+      DsirStore.scoreVsDrop(target, clean, dsirStore, eager = false), k)
+    funnelFrom(drop, SpineFrames(gated, deduped, clean, picked))
+  }
+
+  private def funnelFrom(corpus: DataFrame, st: SpineFrames): DataFrame = {
     def census(idx: Int, stage: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(size(TextOps.words(col("text"))).cast("long")), lit(0L))

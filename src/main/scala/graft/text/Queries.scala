@@ -1227,6 +1227,25 @@ object Queries {
         bench = EvalSuite.table(s).withColumnRenamed("bench_id", "doc_id"))
     }),
 
+    // The DAILY-DROP attrition funnel (q190's face over q189's chain):
+    // per-stage exact (n_docs, n_tokens, n_seqs) for the incremental
+    // spine — the morning read of a production crawl loop. A `deduped`
+    // cliff HERE means the crawler re-fetched yesterday (the store
+    // caught it); near-empty `gated` means the crawl was junk. Both
+    // store serves sit inside the censused chain, so the oracle's
+    // from-scratch replay gates serve ≡ scratch at every stage edge.
+    "q205_drop_funnel" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism)
+      Curation.incrementalSpineFunnel(
+        drop = d.filter(col("doc_id") % 3 === 0),
+        target = d.filter(col("doc_id") % 19 === 0),
+        bench = EvalSuite.table(s).withColumnRenamed("bench_id", "doc_id"),
+        dedupStore = storeFixture(s, dir),
+        dsirStore = spineDsirFixture(s, dir),
+        k = 50)
+    }),
+
     // The hybrid's PRODUCTION shape, gated: q183's fusion with the
     // exact-cosine vector leg swapped for an IVF-SERVED leg (q50's
     // deterministic MIPS quantizer, nprobe=1) over PLANTED embeddings —
@@ -2389,6 +2408,114 @@ object Queries {
        |  JOIN docs sa ON doc_a = sa.doc_id
        |  JOIN docs sb ON doc_b = sb.doc_id)""".stripMargin
 
+  /** q189's incremental-spine replay as ONE shared CTE chain — the
+    * drop-scoped quartile gate, the signature-store dedup serve replayed
+    * from scratch (cross-history + intra-drop), decontamination, DSIR
+    * over history ∪ survivors, the k=50 selection and the greedy pack —
+    * ending at CTEs `drop0`/`gdrop`/`dd`/`clean`/`sel`/`pg`. q189 takes
+    * its manifest face, q205 its per-stage funnel face (the q186/q190
+    * sharing pattern applied to the incremental chain).
+    */
+  private def incrSpineOracleCtes: String =
+    s"""drop0 AS (
+         |  SELECT * FROM documents WHERE doc_id % 3 = 0),
+         |q0 AS (SELECT doc_id, lang,
+         |    (CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000)
+         |      // len(string_split(text,' ')) AS score_ppt
+         |  FROM drop0),
+         |q1 AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY score_ppt, doc_id) AS BIGINT) AS rnk,
+         |    count(*) OVER (PARTITION BY lang) AS grp_n
+         |  FROM q0),
+         |gdrop AS (SELECT d.* FROM drop0 d JOIN q1 USING (doc_id)
+         |  WHERE q1.rnk * 4 > q1.grp_n),
+         |${pairsCtesFrom("documents")},
+         |nb AS (SELECT b.* FROM bands b JOIN gdrop USING (doc_id)),
+         |ob AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+         |xc AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM nb n JOIN ob o
+         |  ON n.band_idx = o.band_idx AND n.band_key = o.band_key),
+         |xdup AS (SELECT DISTINCT new_id FROM xc
+         |  JOIN docs sa ON new_id = sa.doc_id
+         |  JOIN docs sb ON old_id = sb.doc_id
+         |  WHERE len(list_intersect(sa.sh, sb.sh))*10 >=
+         |    (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh)))*7),
+         |ic AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM nb a JOIN nb b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  AND a.doc_id < b.doc_id),
+         |idup AS (SELECT DISTINCT doc_b AS new_id FROM ic
+         |  JOIN docs sa ON doc_a = sa.doc_id
+         |  JOIN docs sb ON doc_b = sb.doc_id
+         |  WHERE len(list_intersect(sa.sh, sb.sh))*10 >=
+         |    (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh)))*7),
+         |dd AS (SELECT g.* FROM gdrop g
+         |  WHERE g.doc_id NOT IN (SELECT new_id FROM xdup)
+         |    AND g.doc_id NOT IN (SELECT new_id FROM idup)),
+         |bw AS (SELECT DISTINCT g
+         |  FROM (VALUES ${EvalSuite.shinglesValuesSql}) AS t(g)),
+         |cw AS (SELECT d.doc_id, unnest(d.sh) AS s
+         |  FROM docs d JOIN dd USING (doc_id)),
+         |bad AS (SELECT DISTINCT cw.doc_id FROM cw JOIN bw ON cw.s = bw.g),
+         |clean AS (SELECT dd.* FROM dd LEFT JOIN bad USING (doc_id)
+         |  WHERE bad.doc_id IS NULL),
+         |tws_t AS (SELECT doc_id, string_split(text,' ') AS ws
+         |  FROM documents WHERE doc_id % 19 = 0),
+         |fe_t AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
+         |      i -> array_to_string(ws[i:i+1], ' ')))
+         |    ELSE ws END AS feats FROM tws_t),
+         |occ_t AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
+         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_t)),
+         |tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS tgt FROM occ_t GROUP BY 1),
+         |tws_h AS (SELECT doc_id, string_split(text,' ') AS ws
+         |  FROM documents WHERE doc_id % 3 <> 0),
+         |fe_h AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
+         |      i -> array_to_string(ws[i:i+1], ' ')))
+         |    ELSE ws END AS feats FROM tws_h),
+         |occ_h AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
+         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_h)),
+         |tws_c AS (SELECT doc_id, string_split(text,' ') AS ws FROM clean),
+         |fe_c AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
+         |      i -> array_to_string(ws[i:i+1], ' ')))
+         |    ELSE ws END AS feats FROM tws_c),
+         |occ_c AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
+         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_c)),
+         |rw AS (SELECT f, CAST(count(*) AS BIGINT) AS raw FROM (
+         |  SELECT f FROM occ_h UNION ALL SELECT f FROM occ_c) GROUP BY 1),
+         |rt AS (SELECT f, ((coalesce(tgt, 0) + 1) * 1000000) //
+         |    (coalesce(raw, 0) + 1) AS r_ppm
+         |  FROM tgt FULL JOIN rw USING (f)),
+         |sc AS (SELECT occ_c.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(coalesce(rt.r_ppm, 1000000)) AS BIGINT) AS rsum
+         |  FROM occ_c LEFT JOIN rt USING (f) GROUP BY 1),
+         |sel AS (SELECT doc_id, score_ppm FROM (
+         |  SELECT doc_id, rsum // n_feats AS score_ppm, row_number() OVER (
+         |    ORDER BY rsum // n_feats DESC, doc_id ASC) AS rr FROM sc)
+         |  WHERE rr <= 50),
+         |pt AS (SELECT s.doc_id,
+         |    CAST(('0x'||substr(md5('pack:'||CAST(s.doc_id AS VARCHAR)),1,7))::BIGINT
+         |      % 8 AS INT) AS shard,
+         |    CAST(len(string_split(c.text,' ')) AS BIGINT) AS n
+         |  FROM sel s JOIN clean c USING (doc_id)),
+         |pr AS (SELECT doc_id, shard, n,
+         |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM pt),
+         |pg AS (
+         |  SELECT doc_id, shard, n, rn, CAST(0 AS BIGINT) AS seq_id,
+         |    CAST(0 AS BIGINT) AS tok_offset
+         |  FROM pr WHERE rn = 1
+         |  UNION ALL
+         |  SELECT pr.doc_id, pr.shard, pr.n, pr.rn,
+         |    CASE WHEN pg.tok_offset + pg.n + pr.n > 256
+         |      THEN pg.seq_id + 1 ELSE pg.seq_id END,
+         |    CASE WHEN pg.tok_offset + pg.n + pr.n > 256 THEN CAST(0 AS BIGINT)
+         |         ELSE pg.tok_offset + pg.n END
+         |  FROM pg JOIN pr ON pr.shard = pg.shard AND pr.rn = pg.rn + 1)"""
+      .stripMargin
+
   private def pairsCtesFrom(src: String) =
     s"""${docsCteFrom(src)},
        |$pairsCteTail""".stripMargin
@@ -3262,103 +3389,7 @@ object Queries {
     // ledgers, so the hash gate proves serve ≡ from-scratch INSIDE the
     // composition.
     "q189_spine_drop" ->
-      s"""WITH RECURSIVE drop0 AS (
-         |  SELECT * FROM documents WHERE doc_id % 3 = 0),
-         |q0 AS (SELECT doc_id, lang,
-         |    (CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000)
-         |      // len(string_split(text,' ')) AS score_ppt
-         |  FROM drop0),
-         |q1 AS (SELECT doc_id,
-         |    CAST(row_number() OVER (PARTITION BY lang
-         |      ORDER BY score_ppt, doc_id) AS BIGINT) AS rnk,
-         |    count(*) OVER (PARTITION BY lang) AS grp_n
-         |  FROM q0),
-         |gdrop AS (SELECT d.* FROM drop0 d JOIN q1 USING (doc_id)
-         |  WHERE q1.rnk * 4 > q1.grp_n),
-         |${pairsCtesFrom("documents")},
-         |nb AS (SELECT b.* FROM bands b JOIN gdrop USING (doc_id)),
-         |ob AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
-         |xc AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-         |  FROM nb n JOIN ob o
-         |  ON n.band_idx = o.band_idx AND n.band_key = o.band_key),
-         |xdup AS (SELECT DISTINCT new_id FROM xc
-         |  JOIN docs sa ON new_id = sa.doc_id
-         |  JOIN docs sb ON old_id = sb.doc_id
-         |  WHERE len(list_intersect(sa.sh, sb.sh))*10 >=
-         |    (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh)))*7),
-         |ic AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM nb a JOIN nb b
-         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |  AND a.doc_id < b.doc_id),
-         |idup AS (SELECT DISTINCT doc_b AS new_id FROM ic
-         |  JOIN docs sa ON doc_a = sa.doc_id
-         |  JOIN docs sb ON doc_b = sb.doc_id
-         |  WHERE len(list_intersect(sa.sh, sb.sh))*10 >=
-         |    (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh)))*7),
-         |dd AS (SELECT g.* FROM gdrop g
-         |  WHERE g.doc_id NOT IN (SELECT new_id FROM xdup)
-         |    AND g.doc_id NOT IN (SELECT new_id FROM idup)),
-         |bw AS (SELECT DISTINCT g
-         |  FROM (VALUES ${EvalSuite.shinglesValuesSql}) AS t(g)),
-         |cw AS (SELECT d.doc_id, unnest(d.sh) AS s
-         |  FROM docs d JOIN dd USING (doc_id)),
-         |bad AS (SELECT DISTINCT cw.doc_id FROM cw JOIN bw ON cw.s = bw.g),
-         |clean AS (SELECT dd.* FROM dd LEFT JOIN bad USING (doc_id)
-         |  WHERE bad.doc_id IS NULL),
-         |tws_t AS (SELECT doc_id, string_split(text,' ') AS ws
-         |  FROM documents WHERE doc_id % 19 = 0),
-         |fe_t AS (SELECT doc_id, CASE WHEN len(ws) >= 2
-         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
-         |      i -> array_to_string(ws[i:i+1], ' ')))
-         |    ELSE ws END AS feats FROM tws_t),
-         |occ_t AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
-         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_t)),
-         |tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS tgt FROM occ_t GROUP BY 1),
-         |tws_h AS (SELECT doc_id, string_split(text,' ') AS ws
-         |  FROM documents WHERE doc_id % 3 <> 0),
-         |fe_h AS (SELECT doc_id, CASE WHEN len(ws) >= 2
-         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
-         |      i -> array_to_string(ws[i:i+1], ' ')))
-         |    ELSE ws END AS feats FROM tws_h),
-         |occ_h AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
-         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_h)),
-         |tws_c AS (SELECT doc_id, string_split(text,' ') AS ws FROM clean),
-         |fe_c AS (SELECT doc_id, CASE WHEN len(ws) >= 2
-         |    THEN list_concat(ws, list_transform(range(1, len(ws)),
-         |      i -> array_to_string(ws[i:i+1], ' ')))
-         |    ELSE ws END AS feats FROM tws_c),
-         |occ_c AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 65536 AS f
-         |  FROM (SELECT doc_id, unnest(feats) AS s FROM fe_c)),
-         |rw AS (SELECT f, CAST(count(*) AS BIGINT) AS raw FROM (
-         |  SELECT f FROM occ_h UNION ALL SELECT f FROM occ_c) GROUP BY 1),
-         |rt AS (SELECT f, ((coalesce(tgt, 0) + 1) * 1000000) //
-         |    (coalesce(raw, 0) + 1) AS r_ppm
-         |  FROM tgt FULL JOIN rw USING (f)),
-         |sc AS (SELECT occ_c.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-         |    CAST(sum(coalesce(rt.r_ppm, 1000000)) AS BIGINT) AS rsum
-         |  FROM occ_c LEFT JOIN rt USING (f) GROUP BY 1),
-         |sel AS (SELECT doc_id, score_ppm FROM (
-         |  SELECT doc_id, rsum // n_feats AS score_ppm, row_number() OVER (
-         |    ORDER BY rsum // n_feats DESC, doc_id ASC) AS rr FROM sc)
-         |  WHERE rr <= 50),
-         |pt AS (SELECT s.doc_id,
-         |    CAST(('0x'||substr(md5('pack:'||CAST(s.doc_id AS VARCHAR)),1,7))::BIGINT
-         |      % 8 AS INT) AS shard,
-         |    CAST(len(string_split(c.text,' ')) AS BIGINT) AS n
-         |  FROM sel s JOIN clean c USING (doc_id)),
-         |pr AS (SELECT doc_id, shard, n,
-         |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM pt),
-         |pg AS (
-         |  SELECT doc_id, shard, n, rn, CAST(0 AS BIGINT) AS seq_id,
-         |    CAST(0 AS BIGINT) AS tok_offset
-         |  FROM pr WHERE rn = 1
-         |  UNION ALL
-         |  SELECT pr.doc_id, pr.shard, pr.n, pr.rn,
-         |    CASE WHEN pg.tok_offset + pg.n + pr.n > 256
-         |      THEN pg.seq_id + 1 ELSE pg.seq_id END,
-         |    CASE WHEN pg.tok_offset + pg.n + pr.n > 256 THEN CAST(0 AS BIGINT)
-         |         ELSE pg.tok_offset + pg.n END
-         |  FROM pg JOIN pr ON pr.shard = pg.shard AND pr.rn = pg.rn + 1),
+      s"""WITH RECURSIVE $incrSpineOracleCtes,
          |mrows AS (SELECT pg.doc_id, c.lang, se.score_ppm,
          |    pg.shard AS pack_shard, pg.seq_id, pg.tok_offset,
          |    pg.n AS n_tokens
@@ -3378,6 +3409,35 @@ object Queries {
          |SELECT shard, count(*) AS n_rows, bit_xor(fp) AS xor_fp,
          |  CAST(sum(fp % 1000003) AS BIGINT) AS sum_fp
          |FROM mf GROUP BY shard""".stripMargin,
+    // q205: per-stage counts over the SAME incremental chain — the
+    // funnel face of q189's certificate (the q186/q190 split applied
+    // to the daily drop).
+    "q205_drop_funnel" ->
+      s"""WITH RECURSIVE $incrSpineOracleCtes,
+         |st0 AS (SELECT CAST(0 AS INT) AS stage_idx, 'corpus' AS stage,
+         |  count(*) AS n_docs,
+         |  CAST(coalesce(sum(len(string_split(text,' '))), 0) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(0 AS BIGINT) AS n_seqs FROM drop0),
+         |st1 AS (SELECT CAST(1 AS INT), 'gated', count(*),
+         |  CAST(coalesce(sum(len(string_split(text,' '))), 0) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM gdrop),
+         |st2 AS (SELECT CAST(2 AS INT), 'deduped', count(*),
+         |  CAST(coalesce(sum(len(string_split(text,' '))), 0) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM dd),
+         |st3 AS (SELECT CAST(3 AS INT), 'clean', count(*),
+         |  CAST(coalesce(sum(len(string_split(text,' '))), 0) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM clean),
+         |st4 AS (SELECT CAST(4 AS INT), 'selected', count(*),
+         |  CAST(coalesce(sum(len(string_split(c.text,' '))), 0) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM clean c JOIN sel USING (doc_id)),
+         |st5 AS (SELECT CAST(5 AS INT), 'packed', count(*),
+         |  CAST(coalesce(sum(n), 0) AS BIGINT),
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM (SELECT DISTINCT shard, seq_id FROM pg)) FROM pg)
+         |SELECT * FROM st0 UNION ALL SELECT * FROM st1
+         |UNION ALL SELECT * FROM st2 UNION ALL SELECT * FROM st3
+         |UNION ALL SELECT * FROM st4 UNION ALL SELECT * FROM st5""".stripMargin,
     // q190: per-stage counts over the SAME shared chain — the funnel
     // face of q186's certificate.
     "q190_spine_funnel" ->
