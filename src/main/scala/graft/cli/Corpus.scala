@@ -243,6 +243,16 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        novelty store's admission log,
   *                                        and an admitted drop enrolls in
   *                                        all three ledgers commit-LAST
+  *     [--spine-stream ckptDir]           the daily loop as a STREAM
+  *                                        drain: -I is a directory drops
+  *                                        land in; each file not yet in
+  *                                        the checkpoint runs the
+  *                                        admission-gated incremental
+  *                                        spine as its own epoch
+  *                                        (selection to OUT/epoch-N,
+  *                                        ledgers commit-LAST), then the
+  *                                        query stops — cron it and the
+  *                                        loop needs no human
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -378,6 +388,7 @@ object Corpus {
       sampleRaw: Option[String] = None,
       sampleByLang: Boolean = false,
       curationSpine: Boolean = false,
+      spineStream: Option[String] = None,
       spineIngest: Boolean = false)
 
   private def parseMixture(v: String): Map[String, Int] =
@@ -465,6 +476,8 @@ object Corpus {
       parse(rest, acc.copy(curationSpine = true))
     case "--spine-ingest" :: rest =>
       parse(rest, acc.copy(spineIngest = true))
+    case "--spine-stream" :: v :: rest =>
+      parse(rest, acc.copy(spineStream = Some(v)))
     case "--span-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
@@ -918,6 +931,47 @@ object Corpus {
     // carrying pick) and OUT/_manifest (the 8-row certificate computed
     // from the WRITTEN artifact, so it certifies what is actually on
     // disk, not the plan that produced it).
+    // the STREAMING daily loop as one drain invocation
+    // (Curation.spineStream, Trigger.AvailableNow): -I is a DIRECTORY
+    // drops land in; every file not yet in the checkpoint runs the
+    // admission-gated incremental spine as its own epoch — replay
+    // guard, novelty gate, curate vs the ledgers, selection to
+    // OUT/epoch-NNNNNN, ledgers commit LAST — then the query stops.
+    // Cron this invocation and the daily loop needs no human: each run
+    // picks up exactly the drops that arrived since the last one.
+    a.spineStream.foreach { ckpt =>
+      require(a.input.nonEmpty && a.out.nonEmpty,
+        "--spine-stream needs -I <drops dir> and -O <out dir>")
+      require(!a.curationSpine,
+        "--spine-stream IS the streaming curation spine — drop " +
+          "--curation-spine/--spine-ingest (batch-form flags)")
+      val target = a.dsirTarget.getOrElse(throw new IllegalArgumentException(
+        "--spine-stream needs --dsir-target <trusted corpus parquet>"))
+      val (sig, prof, nov) = (a.dedupStore, a.dsirStore, a.sketchStore) match {
+        case (Some(s1), Some(s2), Some(s3)) => (s1, s2, s3)
+        case _ => throw new IllegalArgumentException(
+          "--spine-stream needs --dedup-store, --dsir-store AND " +
+            "--sketch-store — the streaming loop is the admission-gated " +
+            "incremental spine, and a half-served history would silently " +
+            "re-admit known duplicates")
+      }
+      val bench = a.benchmark.map(spark.read.parquet(_))
+        .getOrElse(graft.text.EvalSuite.table(spark))
+        .withColumnRenamed("bench_id", "doc_id")
+      // schema from the files already present (the first run needs at
+      // least one drop — an empty dir has nothing to infer or do)
+      val schema = spark.read.parquet(a.input).schema
+      val q = graft.text.Curation.spineStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(a.input),
+        spark.read.parquet(target), bench, sig, prof, nov, a.out, ckpt,
+        availableNow = true)
+      q.awaitTermination()
+      println(s"spine-stream: drained available drops from ${a.input}; " +
+        s"selections under ${a.out}, checkpoint $ckpt (verdicts: " +
+        s"$nov/_admissions)")
+      return
+    }
     if (a.curationSpine) {
       require(a.input.nonEmpty && a.out.nonEmpty,
         "--curation-spine needs -I <documents parquet> and -O <out dir>")
@@ -1326,7 +1380,7 @@ object Corpus {
         "[--dsir-store dir] [--dsir-target path] [--sketch-store dir] " +
         "[--freq-store dir] [--freq-raw drop=rawDir] " +
         "[--sample-store dir] [--sample-raw drop=rawDir] [--sample-by-lang] " +
-        "[--curation-spine] [--spine-ingest] " +
+        "[--curation-spine] [--spine-ingest] [--spine-stream ckpt] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)

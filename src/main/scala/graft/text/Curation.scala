@@ -477,14 +477,22 @@ object Curation {
   def spineStream(drops: DataFrame, target: DataFrame, bench: DataFrame,
                   dedupStore: String, dsirStore: String,
                   noveltyStore: String, outDir: String, checkpoint: String,
-                  k: Int = 100, maxContainmentPpm: Long = 950000L)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    drops.writeStream.option("checkpointLocation", checkpoint)
+                  k: Int = 100, maxContainmentPpm: Long = 950000L,
+                  availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = drops.writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         spineEpoch(batch, epoch, target, bench, dedupStore, dsirStore,
           noveltyStore, outDir, k, maxContainmentPpm)
       }
-      .start()
+    // availableNow: the DRAIN mode — process every pending drop exactly
+    // once, then stop. The cron-or-CLI-driven operational shape: each
+    // invocation picks up where the checkpoint left off (the CLI's
+    // --spine-stream); a standing query passes false and keeps running.
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
 
   /** One epoch of [[spineStream]] — factored so the replay/admission/
     * commit chain is testable without a running query.

@@ -1197,6 +1197,59 @@ class CliSpec extends AnyFunSuite {
     assert(log3 === Seq("admitted-bootstrap", "rejected-stale", "admitted"))
   }
 
+  test("Corpus CLI: --spine-stream drains pending drops exactly-once per invocation") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("corpus-spine-stream")
+    val d = Tables(spark, "/root/testdata/sf0.001").documents
+      .select("doc_id", "source", "lang", "text")
+    val hist = d.filter(col("doc_id") % 3 === 0)
+    graft.text.Store.build(hist, s"$dir/sig")
+    graft.text.DsirStore.build(hist, s"$dir/dsir", "hist")
+    d.filter(col("doc_id") % 19 === 0).write.parquet(s"$dir/target")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def addDrop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val scratch = s"$dir/stage-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    def drain(): Unit = graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/in", "-O", s"$dir/out", "--spine-stream", s"$dir/ckpt",
+      "--dsir-target", s"$dir/target",
+      "--dedup-store", s"$dir/sig", "--dsir-store", s"$dir/dsir",
+      "--sketch-store", s"$dir/nov"))
+    // run 1: one pending drop — curated as epoch 0, query stops
+    addDrop("day1", d.filter(col("doc_id") % 3 === 1))
+    drain()
+    assert(new java.io.File(s"$dir/out/epoch-000000").isDirectory)
+    assert(graft.text.DsirStore.drops(spark, s"$dir/dsir") ===
+      Set("hist", "epoch-000000"))
+    // run 2: nothing new arrived — the checkpoint skips day1, nothing
+    // double-ingests, and the invocation still exits cleanly
+    drain()
+    assert(graft.text.DsirStore.drops(spark, s"$dir/dsir") ===
+      Set("hist", "epoch-000000"))
+    // run 3: a new drop landed since — exactly it is processed
+    addDrop("day2", d.filter(col("doc_id") % 3 === 2))
+    drain()
+    assert(new java.io.File(s"$dir/out/epoch-000001").isDirectory)
+    assert(graft.text.DsirStore.drops(spark, s"$dir/dsir") ===
+      Set("hist", "epoch-000000", "epoch-000001"))
+    assert(graft.text.SketchStore.drops(spark, s"$dir/nov") ===
+      Set("epoch-000000", "epoch-000001"))
+    // flag hygiene: the stream mode refuses the batch-form flags and
+    // demands all three ledgers
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/in", "-O", s"$dir/out", "--spine-stream", s"$dir/ckpt",
+        "--dsir-target", s"$dir/target",
+        "--dedup-store", s"$dir/sig", "--dsir-store", s"$dir/dsir"))
+    }
+    assert(e.getMessage.contains("--sketch-store"))
+  }
+
   test("Corpus CLI: --takedown doc ticket + --sketch-raw rebuilds the drop; serve ≡ never-contained") {
     import spark.implicits._
     import graft.text.{DistinctSketch, SketchStore}
