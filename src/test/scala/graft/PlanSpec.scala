@@ -630,6 +630,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q123 quality gate: two-level histogram cut, never a per-language corpus window") {
+    val p = planOf("q123_quality_gate")
+    // the old form's single window ordered by (score_ppt, doc_id) within
+    // a lang partition — one task sorts the dominant language's whole
+    // corpus slice. The histogram cut's windows are: cumsum over the
+    // (lang, score_ppt) histogram, cumsum over the (lang, bucket)
+    // histogram, and a row_number within (lang, doc_id>>16) — whose
+    // partition holds <= 65536 rows BY doc_id uniqueness. No window spec
+    // may order by (score_ppt, doc_id) together.
+    assert("windowspecdefinition\\([^)]*score_ppt[^)]*doc_id".r
+        .findFirstIn(p).isEmpty,
+      s"the corpus-sorting window form is back:\n$p")
+    assert(p.contains("__bkt"), "the doc_id-bucket refinement must exist")
+    assert(p.contains("Union"), "settled + boundary branches union")
+  }
+
+  test("q72 tfidf top-3-per-source rides the bounded-heap exec, not a vocabulary window") {
+    val p = planOf("q72_tfidf")
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+      s"per-source cut must be the map-side heap operator:\n$p")
+    // the surviving window only ranks the <= 3-rows-per-source result
+    assert("Window".r.findAllIn(p).size <= 2,
+      "only the rank-label window over the heap output may remain")
+  }
+
   test("q195/q196 sample cut is TakeOrderedAndProject — bounded heap, no global sort") {
     Seq("q195_kmv_sample", "q196_sample_store").foreach { name =>
       val f = formatted(name)
