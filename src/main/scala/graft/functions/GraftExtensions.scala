@@ -108,6 +108,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.text.Dedup.nearDupPairs(SparkSession.active.table(t), eager = false)
         .queryExecution.logical
     }
+    tvf("graft_binary_neardup") { args =>
+      require(args.size == 1,
+        "usage: graft_binary_neardup(<table name (doc_id, payload)>) — " +
+          "byte-level near-dup pairs over a BINARY column (q204): hex " +
+          "byte shingles through the same LSH band join + exact-Jaccard " +
+          "verify as the text path")
+      val t = strArg("graft_binary_neardup", args.head, "table name")
+      graft.multimodal.Binary
+        .nearDupPayloadPairs(SparkSession.active.table(t), eager = false)
+        .queryExecution.logical
+    }
     tvf("graft_containment_exact") { args =>
       require(args.size == 1, "usage: graft_containment_exact(<table name>)")
       val t = strArg("graft_containment_exact", args.head, "table name")
@@ -444,6 +455,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           k = if (args.size == 6) intArg("graft_spine_drop", args(5), "k")
               else 100,
           eager = false)
+        .queryExecution.logical
+    }
+    tvf("graft_drop_funnel") { args =>
+      require(args.size == 5 || args.size == 6,
+        "usage: graft_drop_funnel(<drop table>, <target table>, " +
+          "<bench table (doc_id, text)>, <dedup store dir>, " +
+          "<dsir store dir>[, k]) — q205's per-stage attrition census " +
+          "of the daily-drop spine (q189's chain, q190's face)")
+      def t(i: Int, what: String) = SparkSession.active.table(
+        strArg("graft_drop_funnel", args(i), what))
+      graft.text.Curation.incrementalSpineFunnel(
+          t(0, "drop table"), t(1, "target table"), t(2, "bench table"),
+          strArg("graft_drop_funnel", args(3), "dedup store dir"),
+          strArg("graft_drop_funnel", args(4), "dsir store dir"),
+          k = if (args.size == 6) intArg("graft_drop_funnel", args(5), "k")
+              else 100)
         .queryExecution.logical
     }
     tvf("graft_rrf") { args =>

@@ -68,7 +68,14 @@ object Curation {
   private def spineFrames(corpus: DataFrame, target: DataFrame,
                           bench: DataFrame, k: Int,
                           barrier: DataFrame => DataFrame): SpineFrames = {
-    val gated = barrier(qualityGated(corpus))
+    // lazy plan-sharing cache, same move as `clean` below: `gated`
+    // feeds three branches (dedup prep, the anti-join left side, and —
+    // through them — clean's subtree), and since r14's histogram-cut
+    // gate trades the single-task sort for several small stages, a
+    // per-branch re-evaluation would multiply exactly the stage
+    // overhead the cut added. One evaluation, LRU-evictable, populates
+    // inside the first action's DAG — still zero materializations.
+    val gated = barrier(qualityGated(corpus)).cache()
 
     // stage 2 — q26's survivorship: a doc is dropped iff it has a
     // verified near-dup partner with a smaller id (banded LSH + exact
@@ -100,18 +107,23 @@ object Curation {
     * sum-able).
     *
     * Plan shape: six constant-size aggregations unioned, with EVERY
-    * stage frame cached (the barrier hook, passed `_.cache()`): the
-    * censuses re-read stage outputs by construction, so here — unlike
-    * the selection, where only `clean` fans out — caching each boundary
-    * is what makes the funnel cost one spine pass instead of re-running
-    * the prefix per census row. Caches are MEMORY_AND_DISK and
-    * LRU-evictable; a 100 TB caller that cannot afford them trades back
-    * to recompute by censusing the selection artifact on disk instead.
+    * stage frame MATERIALIZED (the barrier hook, passed the reliable-
+    * checkpoint `Dedup.materialize` — localCheckpoint, lineage
+    * truncated): the censuses re-read stage outputs by construction,
+    * and six concurrent census stages over LAZY caches would race the
+    * cold population and re-optimize the full prefix plan per census
+    * (measured 3× the sequential cost at sf0.1 once the r14 histogram
+    * gate grew the prefix subtree), so here — unlike the selection,
+    * which must stay ONE fused lazy plan — the funnel is the place for
+    * real stage barriers: the spine prefix runs exactly once, in
+    * dependency order, and each census reads a lineage-free snapshot.
+    * A 100 TB caller that cannot afford the checkpoint storage trades
+    * back to recompute by censusing the selection artifact on disk.
     */
   def spineFunnel(corpus: DataFrame, target: DataFrame, bench: DataFrame,
                   k: Int = 100): DataFrame =
     funnelFrom(corpus,
-      spineFrames(corpus, target, bench, k, barrier = _.cache()))
+      spineFrames(corpus, target, bench, k, barrier = Dedup.materialize))
 
   /** The daily-drop funnel (q205) — q190's per-stage census over the
     * INCREMENTAL spine's stages: the drop enters, ranks within itself,

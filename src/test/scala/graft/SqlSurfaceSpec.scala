@@ -468,6 +468,58 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "a re-crawl of a stored doc must fall to the store-served dedup")
   }
 
+  test("graft_drop_funnel censuses the daily-drop spine from SQL") {
+    def mk(rws: (Long, String, String)*) = rws.toDF("doc_id", "lang", "text")
+    val hist = mk(
+      (0L, "en", "pad pad pad pad pad pad"),
+      (1L, "en", "alpha beta gamma delta eps"),
+      (3L, "en", "one two three four five six"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlfunnel")
+    graft.text.Store.build(hist, s"$dir/sig")
+    graft.text.DsirStore.build(hist, s"$dir/dsir", "hist")
+    val drop = mk(
+      (50L, "en", "alpha beta gamma delta eps"), // re-crawl — dedup cut
+      (51L, "en", "totally fresh words here now"),
+      (52L, "en", "more novel text content today"),
+      (53L, "en", "low low low low low low"))    // bottom quartile — gate cut
+    drop.createOrReplaceTempView("sql_funnel_drop")
+    mk((100L, "en", "one two three cat dog"))
+      .createOrReplaceTempView("sql_funnel_target")
+    Seq((200L, "zz zz zz zz")).toDF("doc_id", "text")
+      .createOrReplaceTempView("sql_funnel_bench")
+    val viaSql = spark.sql("SELECT * FROM graft_drop_funnel(" +
+      s"'sql_funnel_drop', 'sql_funnel_target', 'sql_funnel_bench', " +
+      s"'$dir/sig', '$dir/dsir', 2)")
+    val direct = graft.text.Curation.incrementalSpineFunnel(
+      drop, spark.table("sql_funnel_target"),
+      spark.table("sql_funnel_bench"), s"$dir/sig", s"$dir/dsir", k = 2)
+    assert(viaSql.columns === direct.columns)
+    assert(rows(viaSql) === rows(direct))
+    val byStage = viaSql.select("stage", "n_docs")
+      .as[(String, Long)].collect().toMap
+    assert(byStage("corpus") === 4L)
+    assert(byStage("gated") === 3L, "the quartile gate cuts doc 53")
+    assert(byStage("deduped") === 2L, "the store serve cuts the re-crawl")
+  }
+
+  test("graft_binary_neardup pairs byte-identical-run payloads from SQL") {
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zet"),   // shared byte runs
+      (3L, "completely different content here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .createOrReplaceTempView("sql_bin_media")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_binary_neardup('sql_bin_media')")
+    val direct = graft.multimodal.Binary.nearDupPayloadPairs(
+      spark.table("sql_bin_media"))
+    assert(viaSql.columns === direct.columns)
+    assert(rows(viaSql) === rows(direct))
+    assert(viaSql.select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .toSet === Set((1L, 2L)))
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(
