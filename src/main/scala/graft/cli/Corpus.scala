@@ -67,6 +67,12 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        intra-drop and append survivors'
   *                                        signatures — the stored corpus is
   *                                        never re-tokenized (daily-drop mode)
+  *     [--payload-col col]                switch --dedup-store to the BYTES
+  *                                        universe: `col` names a binary column
+  *                                        and signatures are byte 12-shingles
+  *                                        (container-level near-dup for media
+  *                                        drops). Recorded in the store marker;
+  *                                        later serves follow it automatically
   *     [--dup-graph-stats col]            emit the per-`col` dup-graph triangle
   *                                        census (nodes/edges/triangles of the
   *                                        near-dup pair graph restricted to
@@ -348,6 +354,7 @@ object Corpus {
       lmStore: Option[String] = None,
       profileStore: Option[String] = None, profileDropId: Option[String] = None,
       dedup: Boolean = false, dedupStore: Option[String] = None,
+      payloadCol: Option[String] = None,
       dupGraphBy: Option[String] = None, spanStats: Boolean = false,
       minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
       bpeMerges: Option[String] = None, bpeLearn: Option[Int] = None,
@@ -425,6 +432,7 @@ object Corpus {
       parse(rest, acc.copy(profileDropId = Some(v)))
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
     case "--dedup-store" :: v :: rest => parse(rest, acc.copy(dedupStore = Some(v)))
+    case "--payload-col" :: v :: rest => parse(rest, acc.copy(payloadCol = Some(v)))
     case "--manifest" :: rest          => parse(rest, acc.copy(manifest = true))
     case "--novelty-store" :: v :: rest =>
       parse(rest, acc.copy(noveltyStore = Some(v)))
@@ -730,9 +738,14 @@ object Corpus {
           readMerges(spark, p)))
       case None => size(TextOps.words(col("text")))
     }
-    corpus = corpus
-      .withColumn("__n_tokens", tokenCount)
-      .filter(col("__n_tokens") >= a.minTokens && col("__n_tokens") <= a.maxTokens)
+    // a binary-only drop (--payload-col, no text column) has no token
+    // denomination — the length gate is a text-stage and is skipped, not
+    // faked; every other text stage below requires `text` and fails
+    // loudly on such a drop if its flag is passed
+    if (a.payloadCol.isEmpty || corpus.columns.contains("text"))
+      corpus = corpus
+        .withColumn("__n_tokens", tokenCount)
+        .filter(col("__n_tokens") >= a.minTokens && col("__n_tokens") <= a.maxTokens)
 
     // LM quality gate (q135/q137's operator, the CCNet shape): score every
     // doc against trigram stupid-backoff counts and keep those scoring
@@ -832,6 +845,14 @@ object Corpus {
     a.dedupStore.foreach { sd =>
       corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached += corpus
+      // --payload-col switches the store to the BYTES universe: the named
+      // binary column is byte-shingled (container-level near-dup — the
+      // media-corpus form of the daily drop), the marker records it, and
+      // every later serve preps incoming drops the same way whether or
+      // not the flag is repeated. Text runs leave it unset.
+      val contentCol = a.payloadCol.getOrElse("text")
+      val universe = if (a.payloadCol.isDefined)
+        Store.Universe.PayloadBytes else Store.Universe.TextWords
       // both arms STAGE the store mutation and defer the commit (see
       // PipelineResult.commitStore): the dedup decisions are final here,
       // but the store must not change until the caller's output write
@@ -840,14 +861,20 @@ object Corpus {
         // bootstrap drop: intra-dedup (smallest-id), then the survivors'
         // signatures BECOME the store — the next drop dedups against them
         // without this drop ever being re-tokenized
-        val losers = Dedup.nearDupPairs(corpus)
-          .select(col("doc_b").as("doc_id")).distinct()
+        val losers = (universe match {
+          case Store.Universe.PayloadBytes =>
+            graft.multimodal.Binary.nearDupPayloadPairs(
+              corpus.withColumnRenamed(contentCol, "payload"))
+          case Store.Universe.TextWords => Dedup.nearDupPairs(corpus)
+        }).select(col("doc_b").as("doc_id")).distinct()
         corpus = corpus.join(losers, Seq("doc_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cached += corpus
-        commitStore = Some(Store.buildStaged(corpus, sd))
+        commitStore = Some(Store.buildStaged(corpus, sd,
+          textCol = contentCol, universe = universe))
       } else {
-        val (survivors, commit) = Store.dedupNewDropVsCorpusStaged(corpus, sd)
+        val (survivors, commit) = Store.dedupNewDropVsCorpusStaged(corpus, sd,
+          textCol = contentCol)
         corpus = survivors
         commitStore = Some(commit)
       }
@@ -990,6 +1017,15 @@ object Corpus {
       require(!a.spineIngest || (a.dedupStore.nonEmpty && a.dsirStore.nonEmpty),
         "--spine-ingest needs the incremental form (--dedup-store AND " +
           "--dsir-store) — the batch spine has no ledgers to ingest into")
+      // scoped release (r13 verdict #8): the spine's plan-sharing caches
+      // (gate projection, gated/clean stage frames, the dedup preps) are
+      // created lazily inside the composition and their handles are
+      // internal to the stages, so the CLI — which OWNS this session for
+      // the duration of the command — releases them wholesale once the
+      // terminal action and ledger commits have landed (or failed). A
+      // long-lived caller running the daily spine in-session therefore
+      // never accumulates MEMORY_AND_DISK blocks across days.
+      try {
       val (sel, commitIngest) = (a.dedupStore, a.dsirStore) match {
         case (Some(sig), Some(prof)) if a.spineIngest =>
           // the CLOSED daily loop (Curation.incrementalSpineWithIngest):
@@ -1057,6 +1093,10 @@ object Corpus {
           s"and ${a.dsirStore.get}")
       }
       println(s"curation-spine: wrote ${a.out}/selection and ${a.out}/_manifest")
+      } finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
       return
     }
     // standalone maintenance invocation: compact an existing store and

@@ -119,6 +119,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .nearDupPayloadPairs(SparkSession.active.table(t), eager = false)
         .queryExecution.logical
     }
+    tvf("graft_store_dedup") { args =>
+      require(args.size == 2 || args.size == 3,
+        "usage: graft_store_dedup(<table name>, <store dir>[, <content col>])" +
+          " — the signature store's read-only serve as SQL: survivors of " +
+          "the drop after cross-history + intra-drop near-dup (q106/q206)." +
+          " The store's marker picks the prep (text word shingles or " +
+          "binary byte shingles); content col defaults to 'text'")
+      val t = strArg("graft_store_dedup", args.head, "table name")
+      val storeDir = strArg("graft_store_dedup", args(1), "store dir")
+      val contentCol = if (args.size == 3)
+        strArg("graft_store_dedup", args(2), "content col") else "text"
+      graft.text.Store.dedupNewDropVsCorpusReadOnly(
+          SparkSession.active.table(t), storeDir,
+          textCol = contentCol, eager = false)
+        .queryExecution.logical
+    }
     tvf("graft_containment_exact") { args =>
       require(args.size == 1, "usage: graft_containment_exact(<table name>)")
       val t = strArg("graft_containment_exact", args.head, "table name")
@@ -437,7 +453,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.text.Curation.spineSelection(
           t(0, "corpus table"), t(1, "target table"), t(2, "bench table"),
           k = if (args.size == 4) intArg("graft_curation_spine", args(3), "k")
-              else 100)
+              else 100,
+          eager = false)
         .queryExecution.logical
     }
     tvf("graft_spine_drop") { args =>

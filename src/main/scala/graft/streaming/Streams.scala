@@ -222,9 +222,30 @@ object Streams {
       .select(col("sig_key").as("__sig_key"))
       .filter(!col("__sig_key").startsWith("raw:"))
       .distinct()
-    docs
-      .withColumn("__sig_key",
-        sigKey(textCol, idCol, graft.text.Store.SigKeyHashes))
+    // the probe key follows the STORE's universe (its marker), exactly
+    // like the batch serve: a bytes store is probed with the byte-shingle
+    // MinHash key over `textCol`-as-payload — probing it with the word
+    // key would silently match nothing, the cross-universe failure the
+    // marker exists to prevent. The hx/sh projections are real columns
+    // (the byteShingles contract: HOF arguments must be projected
+    // attributes, or interpreted lambdas re-evaluate them per element).
+    val keyed = graft.text.Store.storedUniverse(
+        docs.sparkSession, storeDir) match {
+      case graft.text.Store.Universe.TextWords =>
+        docs.withColumn("__sig_key",
+          sigKey(textCol, idCol, graft.text.Store.SigKeyHashes))
+      case graft.text.Store.Universe.PayloadBytes =>
+        docs
+          .withColumn("__hx", hex(col(textCol)))
+          .withColumn("__sh",
+            graft.multimodal.Binary.byteShingles(col("__hx")))
+          .withColumn("__sig_key",
+            when(col("__hx").isNull || length(col("__hx")) === 0,
+              concat(lit("raw:"), col(idCol).cast("string")))
+              .otherwise(graft.text.Store.bytesSigKeyOf(col("__sh"))))
+          .drop("__hx", "__sh")
+    }
+    keyed
       .join(seen, Seq("__sig_key"), "left_anti")
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("__sig_key"))

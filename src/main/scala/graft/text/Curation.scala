@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
   * makes and the next breaks — so the spine's gate is the final
   * manifest: any mis-composition anywhere flips a fingerprint.
   *
-  * No stage materializes to disk and nothing is collected at the
-  * driver. The two caches are lazy plan-sharing, not stage barriers:
-  * `clean` feeds four branches (raw profile, scoring, packing,
-  * manifest provenance) and Catalyst does not dedupe common subtrees;
-  * the dedup prep cache inside `nearDupPairs(eager = false)` is the
-  * same move. Both populate inside the first action's DAG — contrast
-  * the reference's collect()-separated stages (daas-apps
+  * No CORPUS-scale frame materializes and nothing is collected at the
+  * driver. The lazy plan-sharing caches (`clean` — feeding four
+  * branches: raw profile, scoring, packing, manifest provenance — and
+  * the dedup prep inside `nearDupPairs(eager = false)`) populate inside
+  * the first action's DAG. The one eager concession is DOC-COUNT-scale:
+  * the quality gate's keep list (8 B per surviving doc) is a real
+  * barrier, because the spine's concurrent branches would otherwise
+  * race its lazy cache and re-run the multi-stage histogram cut — the
+  * measured shapes are tabled in [[qualityGated]]. Contrast the
+  * reference's corpus-sized collect()-separated stages (daas-apps
   * `SparkCaller.java:125-344`, one barrier per tool).
   *
   * 100 TB shape — each stage keeps its own audited plan:
@@ -54,8 +57,9 @@ object Curation {
     */
   def spineSelection(corpus: DataFrame, target: DataFrame, bench: DataFrame,
                      k: Int = 100,
-                     barrier: DataFrame => DataFrame = identity): DataFrame = {
-    val st = spineFrames(corpus, target, bench, k, barrier)
+                     barrier: DataFrame => DataFrame = identity,
+                     eager: Boolean = true): DataFrame = {
+    val st = spineFrames(corpus, target, bench, k, barrier, eager)
     packAndLabel(st.clean, st.picked)
   }
 
@@ -67,15 +71,18 @@ object Curation {
 
   private def spineFrames(corpus: DataFrame, target: DataFrame,
                           bench: DataFrame, k: Int,
-                          barrier: DataFrame => DataFrame): SpineFrames = {
-    // lazy plan-sharing cache, same move as `clean` below: `gated`
-    // feeds three branches (dedup prep, the anti-join left side, and —
-    // through them — clean's subtree), and since r14's histogram-cut
-    // gate trades the single-task sort for several small stages, a
-    // per-branch re-evaluation would multiply exactly the stage
-    // overhead the cut added. One evaluation, LRU-evictable, populates
-    // inside the first action's DAG — still zero materializations.
-    val gated = barrier(qualityGated(corpus)).cache()
+                          barrier: DataFrame => DataFrame,
+                          eager: Boolean = true): SpineFrames = {
+    // NOT cached: `gated` carries the corpus's TEXT rows, so caching it
+    // columnar-compresses the whole surviving corpus — a cost per byte
+    // of text (r14 tried it: 5.3 → 6.9 s at sf0.1, SpineProbe), and at
+    // 100 TB a guaranteed disk spill. The plan-sharing the branches need
+    // lives one level down, in [[qualityGated]]'s KEEP-LIST barrier —
+    // see the regime table there; each gated consumer then re-reads the
+    // corpus scan + one cheap semi join, the same two-scan shape the
+    // r13 window spine had, while the multi-stage histogram cut runs
+    // exactly once.
+    val gated = barrier(qualityGated(corpus, eager))
 
     // stage 2 — q26's survivorship: a doc is dropped iff it has a
     // verified near-dup partner with a smaller id (banded LSH + exact
@@ -140,7 +147,10 @@ object Curation {
   def incrementalSpineFunnel(drop: DataFrame, target: DataFrame,
                              bench: DataFrame, dedupStore: String,
                              dsirStore: String, k: Int = 100): DataFrame = {
-    val gated = qualityGated(drop).cache()
+    // gate eager=false: the funnel has a TVF face (graft_drop_funnel),
+    // so analysis must not run the keep-list job; `gated`'s own cache
+    // makes the lazy keep list single-consumer — no race to trade
+    val gated = qualityGated(drop, eager = false).cache()
     val deduped = Store.dedupNewDropVsCorpusReadOnly(gated, dedupStore,
       eager = false).cache()
     val clean = Dedup.decontaminate(deduped, bench).cache()
@@ -268,14 +278,30 @@ object Curation {
     * ranks WITHIN the drop, which is this same function applied to a
     * smaller corpus, not different logic.
     */
-  private def qualityGated(corpus: DataFrame): DataFrame = {
+  private def qualityGated(corpus: DataFrame,
+                           eager: Boolean = true): DataFrame = {
     val scored = corpus
       .withColumn("ws", TextOps.words(col("text")))
       .select(col("doc_id"), col("lang"),
         size(array_distinct(col("ws"))).as("nd"), size(col("ws")).as("nt"))
       .withColumn("score_ppt", expr("(CAST(nd AS BIGINT) * 1000) div nt"))
-    val keptIds = quartileGateLabels(scored)
+    val kept0 = quartileGateLabels(scored)
       .filter(col("kept") === 1).select(col("doc_id"))
+    // the keep list is THE barrier of this stage — 8 bytes per surviving
+    // doc, doc-count-scale, never corpus-scale (the dedup serve's
+    // signed-frame materialization is the same concession one stage
+    // later). Every shape was measured at sf0.1 before this one landed
+    // (tools.SpineProbe, min-of-3 over the full six-stage spine):
+    //   keep list materialized  5.0 s   <- this
+    //   r13 window gate         4.1 s   (the single-task-sort baseline)
+    //   gated rows cached       6.9 s   (columnar-compresses corpus text)
+    //   keep list merely cached 10.0 s  (min; 22-25 s typical — the
+    //                                    spine's branches RACE the lazy
+    //                                    cache and re-run the whole
+    //                                    multi-stage cut concurrently)
+    // eager=false (the TVF/EXPLAIN face) keeps the lazy cache — analysis
+    // must never run a job; the race trade is documented there.
+    val keptIds = if (eager) Dedup.materialize(kept0) else kept0.cache()
     corpus.join(keptIds, Seq("doc_id"), "left_semi")
   }
 
@@ -331,7 +357,7 @@ object Curation {
                                 bench: DataFrame, dedupStore: String,
                                 dsirStore: String, k: Int = 100,
                                 eager: Boolean = true): DataFrame = {
-    val gated = qualityGated(drop)
+    val gated = qualityGated(drop, eager)
     val deduped = Store.dedupNewDropVsCorpusReadOnly(gated, dedupStore,
       eager = eager)
     val clean = Dedup.decontaminate(deduped, bench).cache()

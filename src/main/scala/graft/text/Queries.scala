@@ -84,6 +84,35 @@ object Queries {
           Tables(s, dir).documents
             .repartition(s.sparkContext.defaultParallelism)))),
 
+    // q204's dedup as a STORE SERVE — the incremental form a daily media
+    // crawl actually runs: the history's byte-shingle signatures are
+    // persisted once (bytes-universe marker), the new drop alone is
+    // hex-shingled/signed, and survivorship (cross-history + intra-drop,
+    // smallest-id) replays q106's semantics over the binary column. The
+    // oracle recomputes everything from scratch, so the gate proves the
+    // marker-driven prep, the stored-side reuse and the verify land on
+    // the brute-force dup set.
+    "q206_binary_store" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Store.dedupNewDropVsCorpusReadOnly(
+          graft.multimodal.Binary.withPayload(d.filter(col("doc_id") % 3 === 0)),
+          binaryStoreFixture(s, dir), textCol = "payload")
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // q206's serve against the PURGED store (q141 on the bytes
+    // universe): payload near-dups that existed only via a taken-down
+    // source's doc must no longer drop the new doc, and the takedown
+    // rewrite must carry the `v2 … bytes` marker through — the serve
+    // would silently match nothing under a lost universe.
+    "q207_binary_takedown" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Store.dedupNewDropVsCorpusReadOnly(
+          graft.multimodal.Binary.withPayload(d.filter(col("doc_id") % 3 === 0)),
+          binaryPurgedStoreFixture(s, dir), textCol = "payload")
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Source-level triage (the domain-blocklist decision): per source,
     // near-dup doc density + mean doc length → an integer-exact
     // keep/block decision. The thresholds sit INSIDE the corpus's
@@ -2308,6 +2337,63 @@ object Queries {
       storeDir
     })
 
+  /** q206's signature store: [[storeFixture]]'s corpus split, but over
+    * the BINARY payload universe — byte 12-shingle signatures of
+    * `Binary.withPayload`'s blob column, the `v2 … bytes` marker driving
+    * every later serve's prep. The 13th-family leg: incremental
+    * container-level near-dup for a media corpus, served without ever
+    * re-hashing the stored history.
+    */
+  private[graft] def binaryStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#bin"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-binstore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      Store.build(
+        graft.multimodal.Binary.withPayload(
+          Tables(s, dir).documents.filter(col("doc_id") % 3 =!= 0)),
+        storeDir, textCol = "payload",
+        universe = Store.Universe.PayloadBytes)
+      storeDir
+    })
+
+  /** q207's store: [[binaryStoreFixture]]'s corpus with the takedown
+    * sources' signatures removed post-build — the q141 replay on the
+    * bytes universe, proving `removeDocs` preserves the universe marker
+    * (a takedown that silently flipped a bytes store back to text would
+    * make every later serve match nothing).
+    */
+  private[graft] def binaryPurgedStoreFixture(s: SparkSession,
+                                              dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#bin-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-binstore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      Store.build(
+        graft.multimodal.Binary.withPayload(d.filter(col("doc_id") % 3 =!= 0)),
+        storeDir, textCol = "payload",
+        universe = Store.Universe.PayloadBytes)
+      Store.removeDocs(s, storeDir,
+        d.filter(col("source").isin(TakedownSources: _*))
+          .select(col("doc_id")))
+      storeDir
+    })
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   /** Shared CTE: word-3-gram shingle sets per doc (data contract: ≥3 words,
@@ -2345,6 +2431,51 @@ object Queries {
   private val bandKeys = (0 until 4)
     .map(b => s"md5(sig[${b * 4 + 1}]||'|'||sig[${b * 4 + 2}]||'|'||sig[${b * 4 + 3}]||'|'||sig[${b * 4 + 4}])")
     .mkString(", ")
+
+  /** The q106 incremental-dedup replay over the BINARY universe: the
+    * same 4×4-band + exact-Jaccard + smallest-id survivorship chain, but
+    * `docs.sh` = hex byte 12-shingles of the payload (q204's prep — the
+    * LSH tail is shingle-universe-agnostic in BOTH engines). `obFilter`
+    * restricts the stored side (q207 purges the takedown sources);
+    * empty-payload docs fall out of `bands` via the same blank guard
+    * (their sh is the single empty string) the Spark side applies via
+    * the `raw:` sig_key.
+    */
+  private def binaryIncrDedupOracle(obFilter: String): String =
+    s"""WITH bhx AS (SELECT doc_id, source, hex(encode(text)) AS hx
+       |  FROM documents),
+       |docs AS (SELECT doc_id, source, list_distinct(list_transform(
+       |    range(1, greatest(1, len(hx)//2 - 11) + 1),
+       |    i -> substr(hx, (i-1)*2+1, 24))) AS sh FROM bhx),
+       |sigs AS (SELECT doc_id, sh, [
+       |    $sigEntries] AS sig FROM docs),
+       |bands AS (SELECT doc_id, unnest([0,1,2,3]) AS band_idx,
+       |  unnest([$bandKeys]) AS band_key FROM sigs
+       |  WHERE NOT (len(sh) = 1 AND trim(sh[1]) = '')),
+       |nb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+       |ob AS (SELECT b.* FROM bands b JOIN docs sd ON b.doc_id = sd.doc_id
+       |  WHERE b.doc_id % 3 <> 0 $obFilter),
+       |xc AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |  FROM nb n JOIN ob o
+       |  ON n.band_idx = o.band_idx AND n.band_key = o.band_key),
+       |xdup AS (SELECT DISTINCT new_id FROM xc
+       |  JOIN docs sa ON new_id = sa.doc_id
+       |  JOIN docs sb ON old_id = sb.doc_id
+       |  WHERE len(list_intersect(sa.sh, sb.sh))*10 >=
+       |    (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh)))*7),
+       |ic AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM nb a JOIN nb b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  AND a.doc_id < b.doc_id),
+       |idup AS (SELECT DISTINCT doc_b AS new_id FROM ic
+       |  JOIN docs sa ON doc_a = sa.doc_id
+       |  JOIN docs sb ON doc_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.sh, sb.sh))*10 >=
+       |    (len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh)))*7)
+       |SELECT d.doc_id, d.source FROM docs d
+       |WHERE d.doc_id % 3 = 0
+       |  AND d.doc_id NOT IN (SELECT new_id FROM xdup)
+       |  AND d.doc_id NOT IN (SELECT new_id FROM idup)""".stripMargin
 
   /** q106's incremental-dedup replay (4×4 banding + exact-Jaccard verify
     * + brute-force survivorship over the % 3 split) — also q171's oracle:
@@ -3629,6 +3760,9 @@ object Queries {
          |SELECT doc_a, doc_b, inter_size, union_size,
          |  CAST(inter_size AS DOUBLE)/union_size AS jaccard
          |FROM pairs WHERE inter_size*10 >= union_size*7""".stripMargin,
+    "q206_binary_store" -> binaryIncrDedupOracle(""),
+    "q207_binary_takedown" -> binaryIncrDedupOracle(
+      s"AND sd.source NOT IN (${TakedownSources.map("'" + _ + "'").mkString(",")})"),
     "q149_source_triage" ->
       s"""WITH $pairsCtes,
          |vp AS (SELECT doc_a, doc_b FROM pairs

@@ -59,6 +59,40 @@ object Store {
     */
   val LegacyShape: SigShape = SigShape(16, 4, 4)
 
+  /** The shingle UNIVERSE a store's signatures were computed over — the
+    * second half of the store's self-description (the shape says how
+    * signatures band; the universe says what they were hashed FROM).
+    * The banding, candidate-join, verify and survivorship stages were
+    * always universe-agnostic (q204 proved it by running the text LSH
+    * tail over hex byte shingles verbatim); only the PREP differs:
+    *
+    *   - [[Universe.TextWords]]: word 3-gram shingles of a string
+    *     column (the text dedup family, q106/q141/q171).
+    *   - [[Universe.PayloadBytes]]: hex byte 12-shingles of a BINARY
+    *     column ([[graft.multimodal.Binary.byteShingles]]) — the
+    *     container-level near-dup a crawled media corpus needs
+    *     (re-wrapped / truncated / watermark-appended payloads), with
+    *     no decoder in the loop.
+    *
+    * The universe rides in the shape marker, so every serve preps the
+    * incoming drop the way the STORE was built — probing a bytes store
+    * with word shingles would silently match nothing, the exact
+    * cross-shape failure the marker exists to prevent. Serves
+    * additionally type-check the probed column (binary vs string)
+    * so a mis-wired caller fails loudly, not emptily.
+    */
+  sealed abstract class Universe(val tag: String)
+  object Universe {
+    case object TextWords extends Universe("text")
+    case object PayloadBytes extends Universe("bytes")
+    def fromTag(t: String): Universe = t match {
+      case "text"  => TextWords
+      case "bytes" => PayloadBytes
+      case other => throw new IllegalStateException(
+        s"unknown signature universe '$other' — this build understands {text, bytes}")
+    }
+  }
+
   /** Size-derived signature shape — the autoK lesson applied to banding.
     * The failure a fixed shape walks into: false candidates — pairs that
     * band-collide but fail the exact verify — cost ~n²·mass·b·j^r, where
@@ -97,41 +131,58 @@ object Store {
     else SigShape(136, 17, 8)
 
   /** The shape marker rides INSIDE the signatures dir as `_shape` (one
-    * line: `v1 <hashes> <bands> <rows>`): parquet scans skip
+    * line — `v1 <hashes> <bands> <rows>` for text-universe stores, the
+    * unchanged historical format, or `v2 <hashes> <bands> <rows>
+    * <universe>` once the universe is non-default): parquet scans skip
     * underscore-prefixed files, and the build commit's whole-dir rename
-    * publishes data and shape atomically. A store without the marker is
-    * a pre-shape store → [[LegacyShape]].
+    * publishes data, shape and universe atomically. A store without the
+    * marker is a pre-shape store → [[LegacyShape]] over text.
     */
   private def shapeFile(storeDir: String) =
     new org.apache.hadoop.fs.Path(sigPath(storeDir), "_shape")
 
   private def writeShapeMarker(fs: org.apache.hadoop.fs.FileSystem,
-                               dir: String, shape: SigShape): Unit = {
+                               dir: String, shape: SigShape,
+                               universe: Universe = Universe.TextWords): Unit = {
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_shape"), true)
-    try out.write(
-      s"v1 ${shape.numHashes} ${shape.numBands} ${shape.rowsPerBand}\n"
-        .getBytes("UTF-8"))
-    finally out.close()
+    val line = universe match {
+      case Universe.TextWords =>
+        s"v1 ${shape.numHashes} ${shape.numBands} ${shape.rowsPerBand}\n"
+      case u =>
+        s"v2 ${shape.numHashes} ${shape.numBands} ${shape.rowsPerBand} ${u.tag}\n"
+    }
+    try out.write(line.getBytes("UTF-8")) finally out.close()
   }
 
-  /** The shape this store's signatures were built with. */
-  def storedShape(s: SparkSession, storeDir: String): SigShape = {
+  private def readMarker(s: SparkSession,
+                         storeDir: String): (SigShape, Universe) = {
     require(exists(s, storeDir),
       s"no signature store under $storeDir — run Store.build first")
     val f = shapeFile(storeDir)
     val fs = f.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(f)) LegacyShape
+    if (!fs.exists(f)) (LegacyShape, Universe.TextWords)
     else {
       val in = fs.open(f)
       val line = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().next().trim finally in.close()
       line.split(" ") match {
-        case Array("v1", h, b, r) => SigShape(h.toInt, b.toInt, r.toInt)
+        case Array("v1", h, b, r) =>
+          (SigShape(h.toInt, b.toInt, r.toInt), Universe.TextWords)
+        case Array("v2", h, b, r, u) =>
+          (SigShape(h.toInt, b.toInt, r.toInt), Universe.fromTag(u))
         case _ => throw new IllegalStateException(
           s"unreadable shape marker in $storeDir: '$line'")
       }
     }
   }
+
+  /** The shape this store's signatures were built with. */
+  def storedShape(s: SparkSession, storeDir: String): SigShape =
+    readMarker(s, storeDir)._1
+
+  /** The shingle universe this store's signatures were computed over. */
+  def storedUniverse(s: SparkSession, storeDir: String): Universe =
+    readMarker(s, storeDir)._2
 
   /** Hash count of the streaming signature key stored alongside the batch
     * signatures — `Streams.nearDupVsStoreStream` must probe with the SAME
@@ -153,6 +204,71 @@ object Store {
           .as("sig_key")), Seq("doc_id"))
       .select(col("doc_id"), col("sh"), col("bands"), col("sig_key"))
 
+  /** The [[Universe.PayloadBytes]] prep: hex byte 12-shingles
+    * ([[graft.multimodal.Binary.byteShingles]] — stride 1 byte,
+    * whole-hex fallback under 12 bytes) minhashed and banded exactly
+    * like the text prep. The sig_key mirrors `Streams.sigKey`'s policy
+    * bit for bit: null/EMPTY payloads get a per-doc `raw:` key (a
+    * constant key would collapse every unrelated empty blob into one
+    * "near-dup" group), everything else keys on the md5 of its
+    * [[SigKeyHashes]]-hash MinHash signature — so a streaming ingest
+    * probes the bytes store with the SAME near-dup key the text side
+    * uses, and short payloads (whose only shingle is their whole hex —
+    * the byteShingles fallback) key deterministically on exact bytes
+    * through it, the `txt:` behavior without needing the prefix.
+    * Each projection step keeps `hx` a PROJECTED attribute (the
+    * byteShingles contract: interpreted higher-order functions
+    * re-evaluate captured expressions per element).
+    */
+  private def signedBytes(docs: DataFrame, idCol: String,
+                          payloadCol: String, shape: SigShape): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), hex(col(payloadCol)).as("hx"))
+      .select(col("doc_id"), col("hx"),
+        graft.multimodal.Binary.byteShingles(col("hx")).as("sh"))
+      .select(col("doc_id"), col("sh"), col("hx"),
+        graft.functions.MinHashSignature.of(col("sh"), shape.numHashes)
+          .as("sig"))
+      .select(col("doc_id"), col("sh"),
+        TextOps.lshBands(col("sig"), shape.numBands, shape.rowsPerBand)
+          .as("bands"),
+        when(col("hx").isNull || length(col("hx")) === 0,
+          concat(lit("raw:"), col("doc_id").cast("string")))
+          .otherwise(bytesSigKeyOf(col("sh"))).as("sig_key"))
+
+  /** md5 of the [[SigKeyHashes]]-hash MinHash signature of a byte-shingle
+    * set — the non-blank arm of the bytes universe's streaming/dedup key.
+    * One definition shared by the batch prep above and
+    * [[graft.streaming.Streams.nearDupVsStoreStream]]'s probe side: the
+    * key only works if both compute it identically.
+    */
+  private[graft] def bytesSigKeyOf(sh: org.apache.spark.sql.Column) =
+    md5(concat_ws("|", transform(
+      graft.functions.MinHashSignature.of(sh, SigKeyHashes),
+      x => x.cast("string"))))
+
+
+  /** Prep `docs` for this store's universe: the column named by
+    * `contentCol` is tokenized/shingled per the universe, with a loud
+    * type check — a bytes store probed with a string column (or vice
+    * versa) is a mis-wired pipeline, and the silent outcome would be an
+    * empty candidate set, the failure mode the marker exists to stop.
+    */
+  private def signedFor(docs: DataFrame, idCol: String, contentCol: String,
+                        shape: SigShape, universe: Universe): DataFrame = {
+    val dt = docs.schema(contentCol).dataType
+    universe match {
+      case Universe.TextWords =>
+        require(dt == org.apache.spark.sql.types.StringType,
+          s"text-universe store expects a string column, got $contentCol: $dt")
+        signed(docs, idCol, contentCol, shape)
+      case Universe.PayloadBytes =>
+        require(dt == org.apache.spark.sql.types.BinaryType,
+          s"bytes-universe store expects a binary column, got $contentCol: $dt")
+        signedBytes(docs, idCol, contentCol, shape)
+    }
+  }
+
   def exists(s: SparkSession, storeDir: String): Boolean = {
     graft.operators.StoreSwap.requireNotCrashed(s, storeDir, sigPath(storeDir))
     val p = new org.apache.hadoop.fs.Path(sigPath(storeDir))
@@ -165,8 +281,9 @@ object Store {
     */
   def build(docs: DataFrame, storeDir: String,
             idCol: String = "doc_id", textCol: String = "text",
-            shape: Option[SigShape] = None): Unit =
-    buildStaged(docs, storeDir, idCol, textCol, shape)()
+            shape: Option[SigShape] = None,
+            universe: Universe = Universe.TextWords): Unit =
+    buildStaged(docs, storeDir, idCol, textCol, shape, universe)()
 
   /** [[build]] split into compute and commit: the signatures land in a
     * staging dir inside `storeDir` NOW; the store only starts existing
@@ -180,15 +297,17 @@ object Store {
   def buildStaged(docs: DataFrame, storeDir: String,
                   idCol: String = "doc_id",
                   textCol: String = "text",
-                  shape: Option[SigShape] = None): () => Unit = {
+                  shape: Option[SigShape] = None,
+                  universe: Universe = Universe.TextWords): () => Unit = {
     val s = docs.sparkSession
     // shape: explicit > derived-from-corpus-size (one count job, the
     // buildAuto discipline — the caller-free default must not lock a
     // 10^9-doc store into the test-scale shape)
     val sh = shape.getOrElse(derivedShape(docs.count()))
     val staging = stagingPath(storeDir)
-    signed(docs, idCol, textCol, sh).write.mode("overwrite").parquet(staging)
-    writeShapeMarker(fileSystem(s, storeDir), staging, sh)
+    signedFor(docs, idCol, textCol, sh, universe)
+      .write.mode("overwrite").parquet(staging)
+    writeShapeMarker(fileSystem(s, storeDir), staging, sh, universe)
     () => {
       val fs = fileSystem(s, storeDir)
       val sig = new org.apache.hadoop.fs.Path(sigPath(storeDir))
@@ -232,11 +351,11 @@ object Store {
   def compact(s: SparkSession, storeDir: String, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     require(exists(s, storeDir), s"no signature store under $storeDir")
-    val shape = storedShape(s, storeDir)
+    val (shape, universe) = readMarker(s, storeDir)
     val staging = stagingPath(storeDir)
     load(s, storeDir).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging)
-    writeShapeMarker(fileSystem(s, storeDir), staging, shape)
+    writeShapeMarker(fileSystem(s, storeDir), staging, shape, universe)
     graft.operators.StoreSwap.swapIn(s, storeDir, sigPath(storeDir),
       staging, "_compact-old")
   }
@@ -263,12 +382,12 @@ object Store {
     require(exists(s, storeDir), s"no signature store under $storeDir")
     require(docIds.columns.sameElements(Array("doc_id")),
       s"docIds must be a single-column (doc_id) frame, got: ${docIds.columns.mkString(", ")}")
-    val shape = storedShape(s, storeDir)
+    val (shape, universe) = readMarker(s, storeDir)
     val staging = stagingPath(storeDir)
     val before = load(s, storeDir)
     val kept = before.join(docIds, Seq("doc_id"), "left_anti")
     kept.write.mode("overwrite").parquet(staging)
-    writeShapeMarker(fileSystem(s, storeDir), staging, shape)
+    writeShapeMarker(fileSystem(s, storeDir), staging, shape, universe)
     // both counts are parquet footer-metadata reads (count pushdown),
     // not data scans — the audit number is cheap even at store scale
     val removed =
@@ -365,14 +484,16 @@ object Store {
       s"no signature store under $storeDir — run Store.build first")
     // materialized: prep feeds the band join, both intra verify sides,
     // the cross verify side, and the survivor append — five branches.
-    // `signed` with the STORED shape (not a fresh derivation): band keys
-    // only collide between signatures of the same shape, so a drop
-    // probed under a different shape would silently match NOTHING — the
-    // shape marker is what makes the store's layout self-describing
+    // `signedFor` with the STORED shape AND universe (not a fresh
+    // derivation): band keys only collide between signatures of the same
+    // shape over the same shingle universe, so a drop probed under a
+    // different shape/universe would silently match NOTHING — the shape
+    // marker is what makes the store's layout self-describing
     // eager=false (the TVF / fused-plan face): cache() shares the five
     // branches just as well but lazily — analysis/EXPLAIN must not run
     // the drop's signing job (the nearDupPairs eager-flag convention)
-    val signedDrop = signed(newDocs, idCol, textCol, storedShape(s, storeDir))
+    val (shape, universe) = readMarker(s, storeDir)
+    val signedDrop = signedFor(newDocs, idCol, textCol, shape, universe)
     val prep = if (eager) Dedup.materialize(signedDrop) else signedDrop.cache()
     val stored = load(s, storeDir)
 

@@ -90,6 +90,64 @@ class CliSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 11L))
   }
 
+  test("Corpus CLI: --payload-col runs the two-drop store pipeline over the BYTES universe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-binstore")
+    // aperiodic per-seed blobs (StoreSpec's generator): truncations are
+    // near-dups, different seeds share zero byte shingles
+    def blob(seed: Int, n: Int = 400): Array[Byte] = {
+      var x = seed * 0x9E3779B97F4A7C15L
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte
+      }
+    }
+    // binary-only drops: no text column — the token gate is skipped
+    Seq((1L, blob(1)), (2L, blob(1).take(384)), (3L, blob(3)))
+      .toDF("doc_id", "payload").write.parquet(s"$dir/drop1")
+    Seq((10L, blob(1).take(390)), (11L, blob(9)))
+      .toDF("doc_id", "payload").write.parquet(s"$dir/drop2")
+
+    // drop 1 bootstraps: 2 is an intra-drop truncation dup of 1
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop1", "-O", s"$dir/out1",
+      "--dedup-store", s"$dir/store", "--payload-col", "payload"))
+    assert(spark.read.parquet(s"$dir/out1").select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 3L))
+    assert(graft.text.Store.storedUniverse(spark, s"$dir/store") ===
+      graft.text.Store.Universe.PayloadBytes)
+
+    // drop 2: 10 is a truncation of STORED 1 — dropped via the store
+    // (marker-driven byte prep, no flag repetition needed for the
+    // universe); 11 is unrelated — survives and is appended
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop2", "-O", s"$dir/out2",
+      "--dedup-store", s"$dir/store", "--payload-col", "payload"))
+    assert(spark.read.parquet(s"$dir/out2").select("doc_id").as[Long]
+      .collect().toSet === Set(11L))
+    assert(graft.text.Store.load(spark, s"$dir/store")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 11L))
+
+    // one-ticket takedown purges the binary store like any text store
+    // and PRESERVES the universe marker
+    Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$dir/ticket")
+    graft.cli.Corpus.run(spark, Array(
+      "--dedup-store", s"$dir/store", "--takedown-ids", s"$dir/ticket"))
+    assert(graft.text.Store.load(spark, s"$dir/store")
+      .select("doc_id").as[Long].collect().toSet === Set(3L, 11L))
+    assert(graft.text.Store.storedUniverse(spark, s"$dir/store") ===
+      graft.text.Store.Universe.PayloadBytes)
+    // a re-run of 1's truncation now survives — never-ingested semantics
+    Seq((20L, blob(1).take(390))).toDF("doc_id", "payload")
+      .write.parquet(s"$dir/drop3")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/drop3", "-O", s"$dir/out3",
+      "--dedup-store", s"$dir/store", "--payload-col", "payload"))
+    assert(spark.read.parquet(s"$dir/out3").select("doc_id").as[Long]
+      .collect().toSet === Set(20L))
+  }
+
   test("Corpus CLI: --compact-store rewrites the appended store into one file, contents identical") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-compact")
@@ -1037,6 +1095,13 @@ class CliSpec extends AnyFunSuite {
       "-I", s"$dir/corpus", "-O", s"$dir/out",
       "--curation-spine", "--dsir-target", s"$dir/target"))
     assert(spark.read.parquet(s"$dir/out/selection").count() === 100)
+    // scoped caches (r13 verdict #8): the spine's lazy plan-sharing
+    // caches are released when the CLI run ends — a session running the
+    // daily spine must not accumulate MEMORY_AND_DISK blocks across days
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the --curation-spine run must leave no cached plans behind")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the --curation-spine run must leave no persisted RDDs behind")
     // the CLI's on-disk manifest ≡ the q186 gate over the same split —
     // the flag runs the exact spine the oracle checks
     val manifest = spark.read.parquet(s"$dir/out/_manifest")

@@ -520,6 +520,39 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .toSet === Set((1L, 2L)))
   }
 
+  test("graft_store_dedup serves both store universes from SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("sql-store").toString
+    // text store: one long doc; the drop re-sends it plus a fresh doc
+    val corpusText = (1 to 30).map(i => s"s$i").mkString(" ")
+    graft.text.Store.build(
+      Seq((1L, corpusText)).toDF("doc_id", "text"), s"$dir/txt")
+    Seq((10L, corpusText), (11L, (50 to 80).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text").createOrReplaceTempView("sql_store_drop")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_store_dedup('sql_store_drop', '$dir/txt')")
+    assert(viaSql.select("doc_id").as[Long].collect().toSet === Set(11L),
+      "the stored near-dup drops; the fresh doc survives")
+
+    // bytes store: marker-driven byte prep through the SAME TVF, only
+    // the content-col argument changes
+    def blob(seed: Int, n: Int = 400): Array[Byte] = {
+      var x = seed * 0x9E3779B97F4A7C15L
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte
+      }
+    }
+    graft.text.Store.build(
+      Seq((1L, blob(1))).toDF("doc_id", "payload"), s"$dir/bin",
+      textCol = "payload", universe = graft.text.Store.Universe.PayloadBytes)
+    Seq((10L, blob(1).take(384)), (11L, blob(9)))
+      .toDF("doc_id", "payload").createOrReplaceTempView("sql_binstore_drop")
+    val viaSqlBin = spark.sql(
+      s"SELECT * FROM graft_store_dedup('sql_binstore_drop', '$dir/bin', 'payload')")
+    assert(viaSqlBin.select("doc_id").as[Long].collect().toSet === Set(11L),
+      "the truncated payload dedups against the bytes store from SQL")
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(

@@ -251,4 +251,107 @@ class StoreSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Store.build"))
   }
+
+  // ---- bytes universe (the binary near-dup store, q206/q207) -------------
+
+  /** 400 deterministic APERIODIC bytes (LCG per seed — a modular linear
+    * ramp would make every seed a rotation of one cyclic sequence and
+    * every pair a near-dup): long shared byte runs survive the 12-byte
+    * shingling, so a truncation is a near-dup (j ≈ 0.96) while blobs of
+    * different seeds share zero shingles — the container-level edit
+    * model the store exists for.
+    */
+  private def blob(seed: Int, n: Int = 400): Array[Byte] = {
+    var x = seed * 0x9E3779B97F4A7C15L
+    Array.fill(n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 33).toByte
+    }
+  }
+
+  test("bytes universe: build persists the marker, serve preps the drop as bytes") {
+    val dir = Files.createTempDirectory("binstore").toString
+    val corpus = Seq((1L, blob(1)), (2L, blob(2))).toDF("doc_id", "payload")
+    Store.build(corpus, dir, textCol = "payload",
+      universe = Store.Universe.PayloadBytes)
+    assert(Store.storedUniverse(spark, dir) === Store.Universe.PayloadBytes)
+    assert(Store.storedShape(spark, dir) === Store.LegacyShape)
+
+    val drop = Seq(
+      (10L, blob(1).take(384)),     // truncation of stored 1 → near-dup, dropped
+      (11L, blob(9)),               // unrelated → survives
+      (12L, blob(9) :+ 0x55.toByte) // intra-drop near-dup of 11 → dropped
+    ).toDF("doc_id", "payload")
+    val survivors = Store.dedupNewDropVsCorpus(drop, dir, textCol = "payload")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(11L),
+      "truncated payload dedups vs store; appended watermark dedups intra-drop")
+    assert(Store.load(spark, dir).count() === 3L,
+      "only the survivor's signatures were appended")
+  }
+
+  test("bytes universe: mis-wired column types fail loudly, not emptily") {
+    val dir = Files.createTempDirectory("binstore2").toString
+    Store.build(Seq((1L, blob(1))).toDF("doc_id", "payload"), dir,
+      textCol = "payload", universe = Store.Universe.PayloadBytes)
+    // probing a bytes store with a STRING column — the silent outcome
+    // would be hex-of-utf8 shingles that can still collide; refuse instead
+    val e = intercept[IllegalArgumentException] {
+      Store.dedupNewDropVsCorpusReadOnly(
+        Seq((2L, "some text")).toDF("doc_id", "payload"), dir,
+        textCol = "payload")
+    }
+    assert(e.getMessage.contains("binary"))
+    // and a text store refuses a binary column
+    val tdir = Files.createTempDirectory("txtstore").toString
+    Store.build(Seq((1L, textA)).toDF("doc_id", "text"), tdir)
+    val e2 = intercept[IllegalArgumentException] {
+      Store.dedupNewDropVsCorpusReadOnly(
+        Seq((2L, blob(2))).toDF("doc_id", "text"), tdir, textCol = "text")
+    }
+    assert(e2.getMessage.contains("string"))
+    // building with a mismatched universe/column pair refuses too
+    val e3 = intercept[IllegalArgumentException] {
+      Store.build(Seq((1L, textA)).toDF("doc_id", "text"),
+        Files.createTempDirectory("binstore3").toString,
+        universe = Store.Universe.PayloadBytes)
+    }
+    assert(e3.getMessage.contains("binary"))
+  }
+
+  test("bytes universe: takedown and compact preserve the universe marker") {
+    val dir = Files.createTempDirectory("binstore4").toString
+    val corpus = Seq((1L, blob(1)), (2L, blob(2)), (3L, blob(3)))
+      .toDF("doc_id", "payload")
+    Store.build(corpus, dir, textCol = "payload",
+      universe = Store.Universe.PayloadBytes)
+    Store.removeDocs(spark, dir, Seq(Tuple1(2L)).toDF("doc_id"))
+    assert(Store.storedUniverse(spark, dir) === Store.Universe.PayloadBytes,
+      "removeDocs must rewrite the v2 marker, not regress it to text")
+    Store.compact(spark, dir)
+    assert(Store.storedUniverse(spark, dir) === Store.Universe.PayloadBytes,
+      "compact must rewrite the v2 marker, not regress it to text")
+    // a doc whose only near-dup was purged now survives the serve
+    val survivors = Store.dedupNewDropVsCorpusReadOnly(
+        Seq((10L, blob(2).take(384))).toDF("doc_id", "payload"), dir,
+        textCol = "payload")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(10L))
+  }
+
+  test("bytes universe: empty payloads always survive (per-doc raw keys)") {
+    val dir = Files.createTempDirectory("binstore5").toString
+    Store.build(
+      Seq((1L, Array.emptyByteArray), (2L, blob(2)))
+        .toDF("doc_id", "payload"),
+      dir, textCol = "payload", universe = Store.Universe.PayloadBytes)
+    val survivors = Store.dedupNewDropVsCorpusReadOnly(
+        Seq((10L, Array.emptyByteArray), (11L, Array.emptyByteArray))
+          .toDF("doc_id", "payload"),
+        dir, textCol = "payload")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(10L, 11L),
+      "empty blobs carry no content to match on — a shared degenerate " +
+        "shingle must never dedup them against each other or the store")
+  }
 }

@@ -275,6 +275,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-vs-store near-dup over the BYTES universe: the probe key follows the marker") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("binstore-stream").toString
+    // aperiodic per-seed blobs (StoreSpec's generator)
+    def blob(seed: Int, n: Int = 400): Array[Byte] = {
+      var x = seed * 0x9E3779B97F4A7C15L
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte
+      }
+    }
+    graft.text.Store.build(
+      Seq((900L, blob(1))).toDF("doc_id", "payload"), dir,
+      textCol = "payload", universe = graft.text.Store.Universe.PayloadBytes)
+    val mem = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "payload", "ts")
+    val q = Streams.nearDupVsStoreStream(docs, dir, "1 hour",
+        textCol = "payload")
+      .writeStream.format("memory").queryName("neardup_binstore_stream")
+      .outputMode("append").start()
+    try {
+      // 1 re-sends the stored payload byte-identically → its MinHash key
+      // equals the stored sig_key → dropped; 2 is unrelated → kept;
+      // 3/103 are empty payloads → per-doc raw: keys, BOTH pass
+      mem.addData((1L, blob(1), ts(10)), (2L, blob(9), ts(20)),
+        (3L, Array.emptyByteArray, ts(22)), (103L, Array.emptyByteArray, ts(23)))
+      q.processAllAvailable()
+      // 4 repeats 2's exact bytes within the stream → in-stream key dedup
+      mem.addData((4L, blob(9), ts(30)))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_binstore_stream")
+        .select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(2L, 3L, 103L),
+        "stored replay dropped; fresh kept; empty blobs always pass")
+    } finally q.stop()
+  }
+
   test("takedown during a running store stream fails LOUDLY; a restart honors the ticket") {
     // r10 VERDICT #3b / r9 #8: what happens when a removal ticket lands
     // while nearDupVsStoreStream is running? The static store side's
