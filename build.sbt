@@ -37,4 +37,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // extra JVM flags for diagnosis runs (GC logs, code-cache sizing) —
+  // e.g. SPARK_EXTRA_JVM="-Xlog:gc:file=/tmp/gc.log"
+) ++ sys.env.get("SPARK_EXTRA_JVM").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

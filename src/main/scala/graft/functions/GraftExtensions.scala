@@ -487,7 +487,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strArg("graft_drop_funnel", args(3), "dedup store dir"),
           strArg("graft_drop_funnel", args(4), "dsir store dir"),
           k = if (args.size == 6) intArg("graft_drop_funnel", args(5), "k")
-              else 100)
+              else 100,
+          eager = false)
         .queryExecution.logical
     }
     tvf("graft_rrf") { args =>

@@ -146,14 +146,22 @@ object Curation {
     */
   def incrementalSpineFunnel(drop: DataFrame, target: DataFrame,
                              bench: DataFrame, dedupStore: String,
-                             dsirStore: String, k: Int = 100): DataFrame = {
-    // gate eager=false: the funnel has a TVF face (graft_drop_funnel),
-    // so analysis must not run the keep-list job; `gated`'s own cache
-    // makes the lazy keep list single-consumer — no race to trade
-    val gated = qualityGated(drop, eager = false).cache()
-    val deduped = Store.dedupNewDropVsCorpusReadOnly(gated, dedupStore,
-      eager = false).cache()
-    val clean = Dedup.decontaminate(deduped, bench).cache()
+                             dsirStore: String, k: Int = 100,
+                             eager: Boolean = true): DataFrame = {
+    // eager (the query/CLI face): REAL stage barriers, exactly the batch
+    // funnel's reasoning — the census union's six branches would
+    // otherwise race every lazy cache in the chain and re-run the
+    // gate/serve subtrees concurrently (the q190 3× measurement; the
+    // same race grew q205 9.5 → 14.6 s once the r14 histogram gate
+    // deepened the raced subtree). eager=false (graft_drop_funnel — the
+    // TVF face) keeps lazy caches: analysis must never run a job, and
+    // the race trade is documented here.
+    val barrier: DataFrame => DataFrame =
+      if (eager) Dedup.materialize else (df => df.cache())
+    val gated = barrier(qualityGated(drop, eager))
+    val deduped = barrier(Store.dedupNewDropVsCorpusReadOnly(gated,
+      dedupStore, eager = eager))
+    val clean = barrier(Dedup.decontaminate(deduped, bench))
     val picked = Dsir.selectTopK(
       DsirStore.scoreVsDrop(target, clean, dsirStore, eager = false), k)
     funnelFrom(drop, SpineFrames(gated, deduped, clean, picked))

@@ -77,6 +77,39 @@ object FreqSketch {
     */
   def cfgOf(gram: Int, width: Int = Width): String = s"g$gram-w$width-d$Depth"
 
+  /** Data-derived width — the `Retrieval.deriveEssentialDfMax` pattern
+    * applied to the CMS knob: the smallest power-of-two width whose
+    * one-sided Count-Min bound ε·N = (e/w)·totalOccurrences stays within
+    * `targetOvercount` ABSOLUTE counts, floored at the [[Width]] default
+    * and capped at 2^26 (× [[Depth]] = 2.7·10^8 counter rows ≈ low GBs —
+    * past that the sketch stops being "metadata-scale" and an exact
+    * count table is the honest tool). Regimes this derives, stated so a
+    * deployment can sanity-check its knob:
+    *
+    *   N = 2·10^6  (gate SF),  target 10^3  →  w = 8192
+    *   N = 10^10   (~10 GB corpus), target 10^4  →  w = 2^22
+    *   N = 10^13   (100 TB), target 10^6   →  w = 2^25
+    *   N = 10^14   (100 TB, char-grams), target 10^6 → capped at 2^26:
+    *     the bound is then e·10^14/2^26 ≈ 4·10^6 — the cap names the
+    *     point where the one-sided guarantee degrades instead of
+    *     silently inflating the store.
+    *
+    * `totalOccurrences` is a COUNT the caller measures (one agg over the
+    * gram frame, or the stored `total()` of an existing ledger) — the
+    * knob derives from data, never from a guess.
+    */
+  def deriveWidth(targetOvercount: Long, totalOccurrences: Long): Int = {
+    require(targetOvercount > 0,
+      s"targetOvercount must be positive, got $targetOvercount")
+    require(totalOccurrences >= 0,
+      s"totalOccurrences must be non-negative, got $totalOccurrences")
+    val need = math.ceil(
+      math.E * totalOccurrences.toDouble / targetOvercount.toDouble).toLong
+    var w = Width
+    while (w < need && w < (1 << 26)) w <<= 1
+    w
+  }
+
   /** Slot of one item in hash row `depth`: first 8 md5 hex chars of
     * "depth:item" (≤ 2^32, exact in a long) mod `width`. Pure
     * string/integer ops — DuckDB replays it bit-identically at any

@@ -246,4 +246,37 @@ class FreqStoreSpec extends AnyFunSuite {
       s"total overcount: w=64 gives $narrow, w=4096 gives $wide")
     assert(wide >= 0L, "one-sided: overcount can never be negative")
   }
+
+  test("deriveWidth: the data-derived knob honors the bound, the floor and the cap") {
+    import graft.text.FreqSketch.{deriveWidth, Depth, Width}
+    // bound: ε·N = (e/w)·N ≤ target whenever the cap didn't bind
+    for ((target, n) <- Seq((1000L, 2000000L), (10000L, 10000000000L),
+                            (1000000L, 10000000000000L))) {
+      val w = deriveWidth(target, n)
+      assert(math.E * n / w <= target,
+        s"derived w=$w misses the bound for target=$target, n=$n")
+      assert((w & (w - 1)) === 0, "power of two")
+    }
+    // floor: tiny corpora never shrink below the historical default
+    assert(deriveWidth(1000000L, 0L) === Width)
+    assert(deriveWidth(1000000L, 1000L) === Width)
+    // monotone in N, antitone in target
+    assert(deriveWidth(1000L, 1000000000L) >= deriveWidth(1000L, 1000000L))
+    assert(deriveWidth(100L, 1000000000L) >= deriveWidth(10000L, 1000000000L))
+    // cap: the knob refuses to silently inflate past 2^26 — the bound
+    // then DEGRADES and the caller can see it (the scaladoc regime table)
+    val capped = deriveWidth(1000000L, 100000000000000L)
+    assert(capped === (1 << 26))
+    assert(math.E * 1e14 / capped > 1000000L,
+      "past the cap the guarantee honestly degrades rather than the " +
+        "counter table growing past metadata scale")
+    assert(capped.toLong * Depth < 300000000L, "counter rows stay low-GBs")
+    // and a derived-width build is a valid store width end-to-end
+    val dir = java.nio.file.Files.createTempDirectory("freq-derivew").toString
+    val corpus = Seq((1L, "a b c d e f"), (2L, "a b c x y z"))
+      .toDF("doc_id", "text")
+    val w = deriveWidth(1000L, 12L)
+    FreqStore.build(corpus, dir, "d1", width = w)
+    assert(FreqStore.storedCfg(spark, dir).contains(s"w$w"))
+  }
 }
