@@ -323,6 +323,61 @@ object Binary {
     graft.text.Dedup.verifiedPairsFromPrep(prep, thresholdTenths, eager)
   }
 
+  /** Winnowing fingerprints over the BINARY column (Schleimer/Wilkerson/
+    * Aiken's MOSS selection applied to byte k-grams): hash every k-byte
+    * window of the payload, keep the MINIMUM hash of each sliding window
+    * of `w` consecutive grams — guaranteed to detect any shared byte run
+    * of length ≥ k + w − 1 between two payloads while selecting only
+    * ~2/(w+1) of the gram hashes. This is the SCALE PATH of the binary
+    * near-dup taxonomy: [[nearDupPayloadPairs]]' stride-1 shingle prep is
+    * honestly linear in payload bytes (~24 B of shuffle per payload
+    * byte); winnowing keeps the same per-doc window-partitioned shape but
+    * shuffles ~2/(w+1) of the rows at 8 B each, with a detection
+    * GUARANTEE MinHash cannot give (MinHash measures whole-set
+    * similarity; winnowing catches one long verbatim block inside two
+    * otherwise-different payloads — the embedded-copy case).
+    *
+    * Hashes are md5-derived positive longs in [[graft.text.Winnow]]'s
+    * exact domain, and the window-select stage IS Winnow's
+    * (`fingerprintsFromHashes` — the winnowing tail was always
+    * gram-universe-agnostic, like the LSH tail q204 reuses). Payloads
+    * shorter than k + w − 1 bytes yield no fingerprints (no full window
+    * exists). Per-doc window partition = one payload's grams: bounded by
+    * payload size, never corpus size.
+    */
+  def byteFingerprints(media: DataFrame, k: Int = 12, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val base = media
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.hex(col("payload")).as("hx"))
+      .filter(length(col("hx")) >= (k + w - 1) * 2)
+      .select(col("doc_id"),
+        // hx is a PROJECTED attribute (the byteShingles contract); the
+        // per-element md5 is inherent per-gram work, not a re-evaluated
+        // capture
+        transform(
+          sequence(lit(1),
+            (length(col("hx")) / lit(2)).cast("int") - lit(k - 1)),
+          i => conv(substring(md5(
+              col("hx").substr((i - lit(1)) * lit(2) + lit(1), lit(2 * k))),
+            1, 14), 16, 10).cast("long")).as("hs"))
+    graft.text.Winnow.fingerprintsFromHashes(base, "doc_id", w)
+  }
+
+  /** Partial-copy payload pairs by shared winnowing fingerprints —
+    * [[graft.text.Winnow.nearDupPairsByFingerprint]] on the bytes
+    * universe: payloads sharing ≥ `minShared` fingerprints via the equi
+    * self-join on fp, with the stop-fingerprint skew guard (`maxDf`)
+    * dropping boilerplate byte runs (shared file headers, container
+    * magic, padding blocks) BEFORE the join — one hot fp across a
+    * crawled media corpus would otherwise be a single quadratic key.
+    */
+  def nearDupPayloadPairsByFingerprint(media: DataFrame, k: Int = 12,
+                                       w: Int = 8, minShared: Int = 2,
+                                       maxDf: Int = 8): DataFrame =
+    graft.text.Winnow.pairsFromFingerprints(
+      byteFingerprints(media, k, w), "doc_id", minShared, maxDf)
+
   /** Batch feature extraction over (doc_id, payload) partitions. */
   def extractFeatures(media: DataFrame, stride: Int)(implicit s: SparkSession): Dataset[MediaFeature] = {
     import s.implicits._

@@ -100,6 +100,28 @@ object Queries {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Byte-level winnowing fingerprints (q77 on the bytes universe — the
+    // SCALE PATH of the binary dedup taxonomy): min md5-hash per sliding
+    // 8-window of byte 12-grams, guaranteed detection of any shared
+    // ≥ 19-byte run at ~2/9 the stride-1 row volume q204 shuffles. The
+    // window-select stage is Winnow's verbatim; only the gram prep is
+    // byte-universe.
+    "q208_binary_winnow" -> ((s, dir) =>
+      graft.multimodal.Binary.byteFingerprints(
+        graft.multimodal.Binary.withPayload(
+          Tables(s, dir).documents
+            .repartition(s.sparkContext.defaultParallelism)))),
+
+    // Partial-copy payload pairs by shared winnowing fingerprints (q79
+    // on bytes): the embedded-verbatim-block detector MinHash can't
+    // express, with the stop-fingerprint skew guard dropping boilerplate
+    // byte runs before the self-join.
+    "q209_binary_winnow_pairs" -> ((s, dir) =>
+      graft.multimodal.Binary.nearDupPayloadPairsByFingerprint(
+        graft.multimodal.Binary.withPayload(
+          Tables(s, dir).documents
+            .repartition(s.sparkContext.defaultParallelism)))),
+
     // q206's serve against the PURGED store (q141 on the bytes
     // universe): payload near-dups that existed only via a taken-down
     // source's doc must no longer drop the new doc, and the takedown
@@ -2680,6 +2702,26 @@ object Queries {
       |  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM px),
       |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - 3)""".stripMargin
 
+  /** Byte-winnowing CTE chain (mirrors Binary.byteFingerprints with
+    * k=12, w=8, 1-based positions; payload = UTF-8 bytes of text per
+    * Binary.withPayload): `fps` = distinct (doc_id, fp). Shared by the
+    * q208 fingerprint dump and the q209 fingerprint-join pairs — the
+    * byte-universe replay of [[winnowCtes]], full windows only
+    * (pos ≤ n − (w−1) in 1-based terms ≡ Spark's 0-based pos ≤ n − w).
+    */
+  private val binaryWinnowCtes =
+    """bwx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents
+      |  WHERE len(hex(encode(text))) >= 38),
+      |bhs AS (SELECT doc_id, list_transform(
+      |    range(1, len(hx)//2 - 11 + 1),
+      |    i -> ('0x'||substr(md5(substr(hx, (i-1)*2+1, 24)),1,14))::BIGINT)
+      |  AS hl FROM bwx),
+      |px AS (SELECT doc_id, len(hl) AS n, unnest(hl) AS h,
+      |  unnest(range(1, len(hl)+1)) AS pos FROM bhs),
+      |w AS (SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM px),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - 7)""".stripMargin
+
   /** SimHash as a DuckDB expression over a word-hash list column `hs`,
     * one majority-vote CASE term per output bit (mirrors
     * TextOps.simhashFromHashes / the native SimHashBits exactly).
@@ -3763,6 +3805,17 @@ object Queries {
     "q206_binary_store" -> binaryIncrDedupOracle(""),
     "q207_binary_takedown" -> binaryIncrDedupOracle(
       s"AND sd.source NOT IN (${TakedownSources.map("'" + _ + "'").mkString(",")})"),
+    "q208_binary_winnow" ->
+      s"""WITH $binaryWinnowCtes
+         |SELECT doc_id, fp FROM fps""".stripMargin,
+    "q209_binary_winnow_pairs" ->
+      s"""WITH $binaryWinnowCtes,
+         |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 8),
+         |pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q149_source_triage" ->
       s"""WITH $pairsCtes,
          |vp AS (SELECT doc_a, doc_b FROM pairs

@@ -39,11 +39,22 @@ object Winnow {
     */
   def nearDupPairsByFingerprint(docs: DataFrame, idCol: String, textCol: String,
                                 k: Int = 3, w: Int = 4,
-                                minShared: Int = 2, maxDf: Int = 8): DataFrame = {
+                                minShared: Int = 2, maxDf: Int = 8): DataFrame =
+    pairsFromFingerprints(fingerprints(docs, idCol, textCol, k, w), idCol,
+      minShared, maxDf)
+
+  /** The fingerprint-join pair stage over any distinct (idCol, fp) frame —
+    * shared by the word path above and the byte path
+    * ([[graft.multimodal.Binary.byteFingerprints]]): the winnowing tail
+    * was always gram-universe-agnostic, like the LSH tail.
+    */
+  private[graft] def pairsFromFingerprints(fps0: DataFrame, idCol: String,
+                                           minShared: Int,
+                                           maxDf: Int): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, "minShared >= 1, maxDf >= 2")
     // fps feeds three branches (df counts + both self-join sides) —
     // materialize once instead of re-running the window pipeline 3×
-    val fps = Dedup.materialize(fingerprints(docs, idCol, textCol, k, w))
+    val fps = Dedup.materialize(fps0)
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("fp"))
@@ -73,6 +84,16 @@ object Winnow {
       // guard BEFORE windowing: shingles()'s short-doc fallback (the doc
       // itself as one shingle) must not masquerade as a k-gram here
       .filter(size(col("ws")) >= k + w - 1)
+    fingerprintsFromHashes(base, idCol, w)
+  }
+
+  /** The window-select stage over any (idCol, hs: array<long>) frame of
+    * POSITIONAL gram hashes — min per sliding w-window, full windows
+    * only, distinct (idCol, fp). The byte path feeds hex-shingle hashes
+    * through the identical stage.
+    */
+  private[graft] def fingerprintsFromHashes(base: DataFrame, idCol: String,
+                                            w: Int): DataFrame = {
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     base

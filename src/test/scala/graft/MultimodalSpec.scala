@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
 import graft.multimodal.Binary
 
 class MultimodalSpec extends AnyFunSuite {
@@ -225,6 +226,45 @@ class MultimodalSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("doc_b") === 2L)
       .select("inter_size", "union_size").as[(Int, Int)].collect().head
     assert(j12 === ((369, 389)))
+  }
+
+  test("byteFingerprints: the k+w-1 guarantee holds; pairs catch the embedded copy MinHash misses") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    def rndBytes(seed: Long, n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); new java.util.Random(seed).nextBytes(a); a
+    }
+    // the embedded-copy case: two payloads that are UNRELATED except for
+    // one 64-byte verbatim block (>= k+w-1 = 19 bytes) planted at
+    // different offsets. Whole-set Jaccard is ~64/800 — far below any
+    // MinHash verify threshold — but winnowing GUARANTEES >= 1 shared
+    // fingerprint from the shared run.
+    val block = rndBytes(7L, 64)
+    val media = Seq(
+      (1L, rndBytes(1L, 300) ++ block ++ rndBytes(2L, 100)),
+      (2L, rndBytes(3L, 50) ++ block ++ rndBytes(4L, 350)),
+      (3L, rndBytes(5L, 400)),          // unrelated — shares nothing
+      (4L, rndBytes(6L, 10)))           // < 19 bytes: no full window
+      .toDF("doc_id", "payload")
+    val fps = Binary.byteFingerprints(media)
+    val byDoc = fps.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(!byDoc.contains(4L), "sub-window payloads yield no fingerprints")
+    // density: winnowing selects ~2/(w+1) of the n-k+1 gram hashes
+    assert(byDoc(3L) < 400L * 2 / 5,
+      s"selected ${byDoc(3L)} of 389 grams — not winnowed")
+    val shared = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(shared === Set((1L, 2L)),
+      "exactly the embedded-copy pair shares fingerprints")
+    // and MinHash at the 0.7 verify indeed MISSES this pair — the reason
+    // the winnowing leg exists
+    assert(Binary.nearDupPayloadPairs(media).count() === 0L)
+    // the pair surface applies minShared and the maxDf skew guard
+    val pairs = Binary.nearDupPayloadPairsByFingerprint(media)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
   }
 
   test("extractFeatures digests match MessageDigest ground truth") {
