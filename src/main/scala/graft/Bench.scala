@@ -107,19 +107,94 @@ object Bench {
     * cross-round comparisons normalize by the control ratio before
     * calling a delta real; a control that errored every run is omitted,
     * not emitted (a negative "timing" would flip any ratio).
+    * `steal_ppm` is per-row hypervisor CPU steal (parts-per-million of
+    * the billed run's wall window, from /proc/stat field 8 deltas): the
+    * r14 artifact was captured under 2–18% steal and read as a +44%
+    * regression until re-measured, so contamination is now stamped ON
+    * the row it contaminates instead of reconstructed after the fact.
+    * -1 = steal unreadable on this host (non-Linux), never "clean".
     */
-  private[graft] def fullLine(rows: Seq[(String, Double, Double)],
+  private[graft] def fullLine(rows: Seq[(String, Double, Double, Long)],
                               total: Double, sfDir: String): String = {
-    val qs = rows.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = rows.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsMax = rows.map { case (k, _, mx) => "\"" + k + "\":" + mx }
+    val qsMax = rows.map { case (k, _, mx, _) => "\"" + k + "\":" + mx }
       .mkString("{", ",", "}")
-    val resultMap = rows.map { case (k, mn, _) => (k, mn) }.toMap
+    val qsSteal = rows.map { case (k, _, _, sp) => "\"" + k + "\":" + sp }
+      .mkString("{", ",", "}")
+    val resultMap = rows.map { case (k, mn, _, _) => (k, mn) }.toMap
     val ctl = Seq("q01_agg", "q02_sort")
       .filter(n => resultMap.get(n).exists(_ >= 0))
       .map(n => "\"" + n + "\":" + resultMap(n))
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"controls":$ctl,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"steal_ppm":$qsSteal,"controls":$ctl,"sf":"$sfDir"}"""
+  }
+
+  /** (stealJiffies, totalJiffies) from /proc/stat's aggregate cpu line.
+    * Field 8 (0-based index 7 after the "cpu" tag) is time stolen by the
+    * hypervisor — the signal that invalidated the committed r14 bench
+    * (controls 1.33–1.45× over floor; the judge measured 2–18% steal on
+    * this box with vmstat while re-running). None when the file or the
+    * field is absent (non-Linux / ancient kernel): absence must surface
+    * as "unknown", not as "clean".
+    */
+  private[graft] def readCpuStat(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).flatMap { line =>
+        val f = line.trim.split("\\s+").drop(1).flatMap(_.toLongOption)
+        if (f.length >= 8) Some((f(7), f.sum)) else None
+      } finally src.close()
+    } catch { case _: Exception => None }
+
+  /** Steal over a measurement window, in parts-per-million of total CPU
+    * time elapsed in the window. -1 = unknown (either sample missing, or
+    * a zero-width window — sub-jiffy runs can't be attributed either way).
+    */
+  private[graft] def stealPpm(before: Option[(Long, Long)],
+                              after: Option[(Long, Long)]): Long =
+    (before, after) match {
+      case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 && s1 >= s0 =>
+        (s1 - s0) * 1000000L / (t1 - t0)
+      case _ => -1L
+    }
+
+  /** A billed run whose window shows more steal than this is re-run (up
+    * to [[MaxStealReruns]] extra attempts): 2% steal on a 32-thread box
+    * is ~0.6 stolen cores — enough to move a shuffle-bound row double
+    * digits (the judge's r14 re-run cut rows 40–60% at 2–18% steal).
+    */
+  private[graft] val StealThresholdPpm = 20000L
+  private[graft] val MaxStealReruns = 2
+
+  /** Pinned clean-host floors for the two controls (their min-of-3 cost
+    * has sat at 0.26–0.30 / 0.60–0.65 s across every controlled r12–r14
+    * re-measurement) and the slack multiplier above which a full-suite
+    * run is judged contaminated and refused the committed mirror.
+    */
+  private[graft] val ControlFloors = Map("q01_agg" -> 0.30, "q02_sort" -> 0.65)
+  private[graft] val MirrorSlack = 1.15
+
+  /** None = the run is clean enough to commit as cross-round history;
+    * Some(reasons) = refuse the BENCH_FULL.json mirror (target/bench.json
+    * still gets the line — the data isn't discarded, it just doesn't
+    * overwrite the repo's committed steady-state record). A missing or
+    * errored control refuses too: a run that can't certify its host
+    * can't certify its numbers (the r14 lesson — a degraded-phase
+    * artifact committed as history reads as a code regression next
+    * round).
+    */
+  private[graft] def mirrorRefusal(mins: Map[String, Double]): Option[String] = {
+    val reasons = ControlFloors.toSeq.sortBy(_._1).flatMap { case (name, floor) =>
+      mins.get(name) match {
+        case None => Some(s"control $name missing from the run")
+        case Some(v) if v < 0 => Some(s"control $name errored")
+        case Some(v) if v > floor * MirrorSlack =>
+          Some(f"control $name=$v%.3f s exceeds $MirrorSlack%.2fx of its $floor%.2f s floor")
+        case _ => None
+      }
+    }
+    if (reasons.isEmpty) None else Some(reasons.mkString("; "))
   }
 
   /** Locale.ROOT: a comma decimal separator would corrupt the JSON.
@@ -160,14 +235,53 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = Sessions.local(cpus.toInt)
 
-    def exec(name: String, dir: String): Double = {
+    // One timed attempt: (seconds or -1 on error, steal_ppm over the
+    // window or -1 unknown). Steal is sampled OUTSIDE the timer so the
+    // two /proc/stat reads bracket the whole billed window.
+    def attempt(row: String)(body: => Unit): (Double, Long) = {
+      val before = readCpuStat()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); return -1.0 }
+      val ok = try { body; true } catch {
+        case e: Throwable => System.err.println(s"[bench] $row: $e"); false
+      }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val ppm = stealPpm(before, readCpuStat())
+      (if (ok) elapsed else -1.0, ppm)
+    }
+
+    // Row protocol: `runs` attempts, then — if the BEST (min-time)
+    // attempt's window was stolen above threshold — up to MaxStealReruns
+    // extra attempts chasing a clean window. Billed value stays min over
+    // ALL attempts; the row's steal_ppm is the steal of the attempt that
+    // produced the min, i.e. the contamination of the number actually
+    // reported (a clean extra attempt that is also faster replaces both).
+    def measured(row: String)(body: => Unit): (String, Double, Double, Long) = {
+      var attempts = Vector.empty[(Double, Long)]
+      def run(): Unit = { attempts :+= attempt(row)(body); cleanup(spark) }
+      (1 to runs).foreach(_ => run())
+      def best = attempts.filter(_._1 >= 0).sortBy(_._1).headOption
+      var extra = 0
+      while (extra < MaxStealReruns && best.exists(_._2 > StealThresholdPpm)) {
+        run(); extra += 1
+      }
+      if (extra > 0) System.err.println(
+        s"[bench] $row: host steal above ${StealThresholdPpm} ppm on the " +
+          s"best run — re-ran $extra extra time(s); final steal_ppm=" +
+          best.map(_._2).getOrElse(-1L))
+      best match {
+        case None => (row, -1.0, -1.0, -1L)
+        case Some((mn, ppm)) =>
+          (row, mn, attempts.filter(_._1 >= 0).map(_._1).max, ppm)
+      }
+    }
+
+    def execOnce(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    def exec(name: String, dir: String): Double = {
+      val (t, _) = attempt(name)(execOnce(name, dir))
       cleanup(spark)
-      elapsed
+      t
     }
 
     // Optional subset (comma-separated names) for scaling runs — absent in
@@ -251,42 +365,36 @@ object Bench {
     prebuild(names.contains("q185_sketch_admission")) {
       graft.text.Queries.sketchAdmitFixture(spark, sfDir) }
 
-    // (name, min, max) — min is the billed value (intrinsic plan cost,
-    // see the header doc); max rides along in target/bench.json as
-    // variance telemetry (r9 VERDICT #7): a row whose max is a multiple
-    // of its min flags suite-context interference (the r9 q103 28s-vs-7s
-    // artifact) without needing a judge re-measurement to detect.
-    val results = names.map { name =>
-      val times = (1 to runs).map(_ => exec(name, sfDir)).filter(_ >= 0)
-      if (times.isEmpty) (name, -1.0, -1.0) else (name, times.min, times.max)
-    }
+    // (name, min, max, steal_ppm) — min is the billed value (intrinsic
+    // plan cost, see the header doc); max rides along in
+    // target/bench.json as variance telemetry (r9 VERDICT #7): a row
+    // whose max is a multiple of its min flags suite-context
+    // interference (the r9 q103 28s-vs-7s artifact) without needing a
+    // judge re-measurement to detect. steal_ppm stamps the billed run's
+    // hypervisor contention (r14 VERDICT #1) and contaminated rows
+    // auto-rerun inside measured().
+    val results = names.map(name => measured(name)(execOnce(name, sfDir)))
 
     // Store-build benchmark rows: build into a fresh throwaway dir, min of
     // `runs` — the one-time cost the serve paths (q106/q129's rows)
     // amortize away. Same protocol as every other row. Failure → -1.0
     // like exec(): a build crash on one run must not discard the whole
     // sweep's JSON line.
-    def buildBench(row: String, build: String => Unit): Seq[(String, Double, Double)] = {
-      val times = (1 to runs).map { _ =>
-        try {
-          val tmp = java.nio.file.Files.createTempDirectory("graft-bench-store")
-          val t0 = System.nanoTime()
-          build(tmp.toString)
-          val elapsed = (System.nanoTime() - t0) / 1e9
+    def buildBench(row: String, build: String => Unit): Seq[(String, Double, Double, Long)] =
+      Seq(measured(row) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bench-store")
+        try build(tmp.toString)
+        finally {
+          // tmp teardown is billed (it's inside the timed body) but is
+          // millisecond-scale vs the builds it trails; keeping it inside
+          // guarantees every attempt starts from an absent store dir
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
-          cleanup(spark)
-          elapsed
-        } catch {
-          case e: Throwable => System.err.println(s"[bench] $row: $e"); -1.0
         }
-      }.filter(_ >= 0)
-      Seq(if (times.isEmpty) (row, -1.0, -1.0)
-          else (row, times.min, times.max))
-    }
+      })
     import org.apache.spark.sql.functions.col
-    val buildRow: Seq[(String, Double, Double)] =
+    val buildRow: Seq[(String, Double, Double, Long)] =
       (if (!names.contains("q106_incr_dedup")) Seq.empty
        else buildBench("q106_build", tmp => graft.text.Store.build(
          Tables(spark, sfDir).documents.filter(col("doc_id") % 3 =!= 0), tmp))) ++
@@ -313,7 +421,7 @@ object Bench {
        }))
 
     val all3 = results ++ buildRow
-    val all = all3.map { case (k, mn, _) => (k, mn) }
+    val all = all3.map { case (k, mn, _, _) => (k, mn) }
     val total = all.map(_._2).filter(_ >= 0).sum
     val line = fullLine(all3, total, sfDir)
     // The driver stores only a 2000-char TAIL of stdout and parses the
@@ -348,10 +456,22 @@ object Bench {
     // SPARK_GRAFT_QUERIES subset iteration never clobbers the round's
     // committed numbers; the "sf" field identifies scale-check runs.
     // Driven by the PARSED subset, not the raw env var: ",," parses to
-    // no subset (the full suite runs above), so its run must mirror too
-    if (subset.isEmpty)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    // no subset (the full suite runs above), so its run must mirror too.
+    // CONTAMINATION GUARD (r14 VERDICT #1): a run whose controls exceed
+    // MirrorSlack× their pinned clean-host floor is a degraded-phase
+    // capture — it keeps its target/bench.json line (the data is real,
+    // just not steady-state) but is REFUSED the committed mirror, so
+    // git history only ever carries numbers a clean host produced.
+    if (subset.isEmpty) mirrorRefusal(all.toMap) match {
+      case None =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      case Some(reason) =>
+        System.err.println(
+          s"[bench] REFUSING BENCH_FULL.json mirror (host contamination): " +
+            s"$reason — full line kept in target/bench.json; re-run in a " +
+            "clean phase to refresh committed history")
+    }
     spark.stop()
   }
 }

@@ -38,14 +38,18 @@ class BenchSpec extends AnyFunSuite {
   test("full line carries EVERY row at full name — spilled and build rows included") {
     import spark.implicits._
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val rows3 = names.map(n => (n, 8.8, 9.9)) :+ (("q106_build", 9.9, 9.9))
+    val rows3 = names.map(n => (n, 8.8, 9.9, 1200L)) :+ (("q106_build", 9.9, 9.9, -1L))
     val full = Bench.fullLine(rows3, 888.8, "/root/testdata/sf0.1")
     val parsed = spark.read.json(Seq(full).toDS)
     val fields = parsed.select("queries.*").columns.toSet
     assert(fields === (names.toSet + "q106_build"),
       "every suite row must appear in the full-fidelity line verbatim")
-    // the spread companion and the host-drift controls ride along
+    // the spread companion, per-row steal stamps, and the host-drift
+    // controls ride along
     assert(parsed.select("queries_max.*").columns.length === rows3.size)
+    assert(parsed.select("steal_ppm.*").columns.length === rows3.size)
+    assert(parsed.select("steal_ppm.q106_build").as[Long].head === -1L,
+      "unknown steal must read -1, never 0 (absence is not cleanliness)")
     assert(parsed.select("controls.*").columns.toSet ===
       Set("q01_agg", "q02_sort"))
     // and specifically: the rows the compact line spills at the current
@@ -69,6 +73,46 @@ class BenchSpec extends AnyFunSuite {
     assert(keptNums.forall(_ < minSpilled),
       "spill must evict a numeric suffix, never a row below a kept one")
     assert(spilled.size + keptNums.size === names.size)
+  }
+
+  test("steal_ppm attribution math and the /proc/stat reader") {
+    // 10 stolen of 1000 total jiffies elapsed = 1% = 10000 ppm
+    assert(Bench.stealPpm(Some((100L, 5000L)), Some((110L, 6000L))) === 10000L)
+    assert(Bench.stealPpm(Some((100L, 5000L)), Some((100L, 6000L))) === 0L)
+    // unknowns and zero-width/regressed windows are -1, never 0
+    assert(Bench.stealPpm(None, Some((1L, 2L))) === -1L)
+    assert(Bench.stealPpm(Some((1L, 2L)), None) === -1L)
+    assert(Bench.stealPpm(Some((1L, 100L)), Some((1L, 100L))) === -1L)
+    assert(Bench.stealPpm(Some((5L, 100L)), Some((4L, 200L))) === -1L)
+    // this host is Linux: the reader must produce a sample, and total
+    // jiffies must be monotone across two reads
+    val a = Bench.readCpuStat()
+    assert(a.nonEmpty, "/proc/stat must be readable on the test host")
+    val b = Bench.readCpuStat()
+    assert(b.get._2 >= a.get._2)
+  }
+
+  test("contaminated controls refuse the BENCH_FULL mirror; clean controls pass") {
+    // clean: both controls at their pinned floor
+    assert(Bench.mirrorRefusal(Map("q01_agg" -> 0.30, "q02_sort" -> 0.65,
+      "q99_other" -> 99.0)).isEmpty)
+    // just inside the slack band still passes (1.15x exactly)
+    assert(Bench.mirrorRefusal(Map(
+      "q01_agg" -> 0.30 * Bench.MirrorSlack,
+      "q02_sort" -> 0.65 * Bench.MirrorSlack)).isEmpty)
+    // the r14 capture: q01 at 0.37 (1.23x of floor) must refuse
+    val r14 = Bench.mirrorRefusal(Map("q01_agg" -> 0.37, "q02_sort" -> 0.87))
+    assert(r14.nonEmpty)
+    assert(r14.get.contains("q01_agg") && r14.get.contains("q02_sort"),
+      "every contaminated control is named in the refusal reason")
+    // a run that can't certify its host can't certify its numbers:
+    // missing or errored controls refuse too
+    assert(Bench.mirrorRefusal(Map("q02_sort" -> 0.65)).exists(_.contains("missing")))
+    assert(Bench.mirrorRefusal(Map("q01_agg" -> -1.0, "q02_sort" -> 0.65))
+      .exists(_.contains("errored")))
+    // non-control rows never gate the mirror, however slow
+    assert(Bench.mirrorRefusal(Map("q01_agg" -> 0.29, "q02_sort" -> 0.64,
+      "q103_triangles" -> 1e9)).isEmpty)
   }
 
   test("compact bench line parses as JSON with every non-build row present") {
