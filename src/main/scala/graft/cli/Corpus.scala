@@ -73,6 +73,22 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        (container-level near-dup for media
   *                                        drops). Recorded in the store marker;
   *                                        later serves follow it automatically
+  *     [--fp-store dir]                   INCREMENTAL partial-copy detection vs
+  *                                        the persisted winnowing-fingerprint
+  *                                        store: first run bootstraps
+  *                                        (FpStore.build over the drop), later
+  *                                        runs emit the drop's partial-copy
+  *                                        pairs (drop×history + intra-drop,
+  *                                        shared ≥ k+w−1-gram runs — the
+  *                                        embedded-verbatim-block signal
+  *                                        MinHash misses) to OUT/_fppairs and
+  *                                        append the drop's fingerprints. An
+  *                                        AUDIT signal: the corpus is NOT
+  *                                        filtered (quarantine is policy, the
+  *                                        pairs are evidence). --payload-col
+  *                                        switches it to the bytes universe
+  *                                        like --dedup-store; --compact-store
+  *                                        compacts it alongside
   *     [--dup-graph-stats col]            emit the per-`col` dup-graph triangle
   *                                        census (nodes/edges/triangles of the
   *                                        near-dup pair graph restricted to
@@ -273,7 +289,8 @@ import graft.text.{Dedup, Store, TextOps}
   *     [--takedown ticket.parquet]        apply ONE removal ticket to EVERY
   *                                        configured store in one invocation:
   *                                        doc_id rows purge --dedup-store
-  *                                        signatures; doc_id/vec_id rows purge
+  *                                        signatures and --fp-store
+  *                                        fingerprints; doc_id/vec_id rows purge
   *                                        --cluster-store vectors and
   *                                        --ann-index codes; drop_id rows
   *                                        remove drops from every configured
@@ -355,6 +372,7 @@ object Corpus {
       profileStore: Option[String] = None, profileDropId: Option[String] = None,
       dedup: Boolean = false, dedupStore: Option[String] = None,
       payloadCol: Option[String] = None,
+      fpStore: Option[String] = None,
       dupGraphBy: Option[String] = None, spanStats: Boolean = false,
       minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
       bpeMerges: Option[String] = None, bpeLearn: Option[Int] = None,
@@ -433,6 +451,7 @@ object Corpus {
     case "--dedup" :: rest            => parse(rest, acc.copy(dedup = true))
     case "--dedup-store" :: v :: rest => parse(rest, acc.copy(dedupStore = Some(v)))
     case "--payload-col" :: v :: rest => parse(rest, acc.copy(payloadCol = Some(v)))
+    case "--fp-store" :: v :: rest    => parse(rest, acc.copy(fpStore = Some(v)))
     case "--manifest" :: rest          => parse(rest, acc.copy(manifest = true))
     case "--novelty-store" :: v :: rest =>
       parse(rest, acc.copy(noveltyStore = Some(v)))
@@ -645,6 +664,7 @@ object Corpus {
     val r = pipelineFull(spark, a)
     r.commitStore.foreach(_.apply())
     r.commitLm.foreach(_.apply())
+    r.commitFp.foreach(_.apply())
     (r.train, r.cached)
   }
 
@@ -657,9 +677,9 @@ object Corpus {
     */
   final case class PipelineResult(
       train: DataFrame, eval: Option[DataFrame], dupGraph: Option[DataFrame],
-      spanStats: Option[DataFrame],
+      spanStats: Option[DataFrame], fpPairs: Option[DataFrame],
       cached: Seq[DataFrame], commitStore: Option[() => Unit],
-      commitLm: Option[() => Unit])
+      commitLm: Option[() => Unit], commitFp: Option[() => Unit])
 
   /** Full pipeline: (training corpus, optional eval carve-out, persisted
     * frames). The eval set is exactly `--eval-k` docs per `--eval-by`
@@ -673,6 +693,7 @@ object Corpus {
     val cached = Seq.newBuilder[DataFrame]
     var commitStore: Option[() => Unit] = None
     var commitLm: Option[() => Unit] = None
+    var commitFp: Option[() => Unit] = None
     val input = a.format match {
       case "parquet" => spark.read.parquet(a.input)
       case "orc"     => spark.read.orc(a.input)
@@ -746,6 +767,14 @@ object Corpus {
       corpus = corpus
         .withColumn("__n_tokens", tokenCount)
         .filter(col("__n_tokens") >= a.minTokens && col("__n_tokens") <= a.maxTokens)
+    else
+      // fail LOUDLY if the caller explicitly passed token bounds on a
+      // drop that has no text column to denominate them — silently
+      // dropping a requested gate is the one thing a hygiene pipeline
+      // must never do (the skip above is only for the DEFAULT bounds)
+      require(a.minTokens == 1 && a.maxTokens == Int.MaxValue,
+        "--min-tokens/--max-tokens need a text column; this binary-only " +
+          "drop (--payload-col, no 'text') cannot apply them")
 
     // LM quality gate (q135/q137's operator, the CCNet shape): score every
     // doc against trigram stupid-backoff counts and keep those scoring
@@ -863,8 +892,12 @@ object Corpus {
         // without this drop ever being re-tokenized
         val losers = (universe match {
           case Store.Universe.PayloadBytes =>
+            // select, not withColumnRenamed: a drop that already carries
+            // a DIFFERENT column literally named 'payload' alongside the
+            // --payload-col one would otherwise yield two 'payload'
+            // columns and an ambiguous-reference failure downstream
             graft.multimodal.Binary.nearDupPayloadPairs(
-              corpus.withColumnRenamed(contentCol, "payload"))
+              corpus.select(col("doc_id"), col(contentCol).as("payload")))
           case Store.Universe.TextWords => Dedup.nearDupPairs(corpus)
         }).select(col("doc_b").as("doc_id")).distinct()
         corpus = corpus.join(losers, Seq("doc_id"), "left_anti")
@@ -877,6 +910,33 @@ object Corpus {
           textCol = contentCol)
         corpus = survivors
         commitStore = Some(commit)
+      }
+    }
+    // partial-copy audit AFTER dedup: the fingerprint store records (and
+    // pairs against) what the pipeline actually kept — a near-dup loser
+    // already removed above must not also show up as a "partial copy".
+    // The corpus is NOT filtered here: sharing one ≥ k+w−1-gram run is
+    // evidence (quotation, licensing, contamination triage), not a
+    // removal decision — the pairs land in OUT/_fppairs for policy.
+    val fpPairs: Option[DataFrame] = a.fpStore.flatMap { fd =>
+      corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += corpus
+      val contentCol = a.payloadCol.getOrElse("text")
+      val universe = if (a.payloadCol.isDefined)
+        Store.Universe.PayloadBytes else Store.Universe.TextWords
+      if (!graft.text.FpStore.exists(spark, fd)) {
+        // bootstrap: this drop's fingerprints BECOME the history; staged
+        // like every store mutation (a failed output write's retry must
+        // not find a store already containing the drop — it would report
+        // every pair twice, once per orientation)
+        commitFp = Some(graft.text.FpStore.buildStaged(corpus, fd,
+          contentCol = contentCol, universe = universe))
+        None
+      } else {
+        val (pairs, commit) = graft.text.FpStore.pairsVsStoreStaged(
+          corpus, fd, contentCol = contentCol)
+        commitFp = Some(commit)
+        Some(pairs)
       }
     }
     val eval = a.evalK.map { k =>
@@ -945,8 +1005,8 @@ object Corpus {
         corpus.withColumn("shard",
           Sampling.hashBucket(col("doc_id"), a.shards, seed = "pack"))
     }
-    PipelineResult(out.drop("__n_tokens"), eval, dupGraph, spanStats,
-      cached.result(), commitStore, commitLm)
+    PipelineResult(out.drop("__n_tokens"), eval, dupGraph, spanStats, fpPairs,
+      cached.result(), commitStore, commitLm, commitFp)
   }
 
   def run(spark: SparkSession, argv: Array[String]): Unit = {
@@ -1114,9 +1174,11 @@ object Corpus {
         "standalone maintenance invocations — run them without -I/-O")
     if (a.input.isEmpty && a.out.isEmpty && a.compactStore.isDefined &&
         !takedownRequested) {
-      val sd = a.dedupStore.getOrElse(throw new IllegalArgumentException(
-        "--compact-store needs --dedup-store <dir>"))
-      Store.compact(spark, sd, a.compactStore.get)
+      require(a.dedupStore.isDefined || a.fpStore.isDefined,
+        "--compact-store needs --dedup-store or --fp-store <dir>")
+      a.dedupStore.foreach(sd => Store.compact(spark, sd, a.compactStore.get))
+      a.fpStore.foreach(fd =>
+        graft.text.FpStore.compact(spark, fd, a.compactStore.get))
       return
     }
     // standalone TAKEDOWN invocations: honor a removal ticket against the
@@ -1151,13 +1213,14 @@ object Corpus {
         // r10 bug: span/manifest/chunk handled by the loop below but
         // refused by a hand-maintained flag list here).
         val docStoresConfigured =
-          Seq(a.dedupStore, a.clusterStore, a.annIndex).flatten.nonEmpty ||
+          Seq(a.dedupStore, a.fpStore, a.clusterStore, a.annIndex)
+            .flatten.nonEmpty ||
             a.sketchRaw.nonEmpty || a.freqRaw.nonEmpty ||
             a.sampleRaw.nonEmpty
         val ledgersConfigured = ledgeredStores(a).nonEmpty
         require(docStoresConfigured || ledgersConfigured,
           "--takedown needs at least one store flag (doc-granular: " +
-            "--dedup-store/--cluster-store/--ann-index, --sketch-store " +
+            "--dedup-store/--fp-store/--cluster-store/--ann-index, --sketch-store " +
             "with --sketch-raw drop=rawDir for the rebuild recipe, or " +
             "--freq-store with --freq-raw drop=rawDir for the " +
             "subtraction recipe, or --sample-store with --sample-raw " +
@@ -1175,13 +1238,21 @@ object Corpus {
         if (cols.contains("doc_id") || cols.contains("vec_id")) {
           require(docStoresConfigured,
             "--takedown: the ticket carries doc/vec ids but no doc-granular " +
-              "store flag (--dedup-store/--cluster-store/--ann-index) is set")
+              "store flag (--dedup-store/--fp-store/--cluster-store/" +
+              "--ann-index) is set")
           a.dedupStore.foreach { sd =>
             require(cols.contains("doc_id"),
               "--dedup-store takedown needs a doc_id column in the ticket")
             val n = Store.removeDocs(spark, sd,
               ticket.select(col("doc_id")).distinct())
             println(s"takedown: removed $n signature(s) from $sd")
+          }
+          a.fpStore.foreach { fd =>
+            require(cols.contains("doc_id"),
+              "--fp-store takedown needs a doc_id column in the ticket")
+            val n = graft.text.FpStore.removeDocs(spark, fd,
+              ticket.select(col("doc_id")).distinct())
+            println(s"takedown: removed $n fingerprint(s) from $fd")
           }
           lazy val vecIds = (if (cols.contains("vec_id"))
             ticket.select(col("vec_id"))
@@ -1321,9 +1392,10 @@ object Corpus {
         println(s"takedown: removed span-gram drop '$dropId' from $sd")
       }
       a.compactStore.foreach { n =>
-        val sd = a.dedupStore.getOrElse(throw new IllegalArgumentException(
-          "--compact-store needs --dedup-store <dir>"))
-        Store.compact(spark, sd, n)
+        require(a.dedupStore.isDefined || a.fpStore.isDefined,
+          "--compact-store needs --dedup-store or --fp-store <dir>")
+        a.dedupStore.foreach(sd => Store.compact(spark, sd, n))
+        a.fpStore.foreach(fd => graft.text.FpStore.compact(spark, fd, n))
       }
       // CROSS-STORE LEDGER AUDIT: which drops live in which stores. THE
       // recovery tool for a takedown sequence that crashed mid-way (or
@@ -1397,14 +1469,15 @@ object Corpus {
       }
       return
     }
-    a.compactStore.foreach(_ => require(a.dedupStore.isDefined,
-      "--compact-store needs --dedup-store <dir>"))
+    a.compactStore.foreach(_ => require(
+      a.dedupStore.isDefined || a.fpStore.isDefined,
+      "--compact-store needs --dedup-store or --fp-store <dir>"))
     require(a.input.nonEmpty && a.out.nonEmpty,
       "usage: -I <corpus.parquet> -O <out> [--format parquet|orc|json|csv] " +
         "[--scrub-pii] [--remove-boilerplate df] [--boilerplate-w w] " +
         "[--benchmark p] [--lm-trusted p] [--lm-min-ppm n] [--lm-store dir] " +
         "[--profile-store dir] [--drop-id id] " +
-        "[--dedup] [--dedup-store dir] [--dup-graph-stats col] " +
+        "[--dedup] [--dedup-store dir] [--fp-store dir] [--dup-graph-stats col] " +
         "[--span-stats] " +
         "[--min-tokens n] [--max-tokens n] [--bpe-merges path] [--bpe-learn n] " +
         "[--eval-k n] [--eval-by col] " +
@@ -1437,6 +1510,11 @@ object Corpus {
       // only), underscore-skipped like _dupgraph
       r.spanStats.foreach(_.write.mode("overwrite")
         .parquet(s"${a.out}/_spanstats"))
+      // _fppairs: the drop's partial-copy pairs vs the --fp-store history
+      // (doc_a, doc_b, n_shared) — evidence for quarantine policy,
+      // underscore-skipped; absent on the bootstrap run (no history yet)
+      r.fpPairs.foreach(_.write.mode("overwrite")
+        .parquet(s"${a.out}/_fppairs"))
       // _merges: BPE merge table learned from the WRITTEN training corpus
       // (post-filter/dedup — the tokenizer should model the data it will
       // tokenize, not what hygiene removed). Plain 'left right' lines in
@@ -1698,11 +1776,14 @@ object Corpus {
       // and the LM ledger never records a drop whose output was lost
       r.commitStore.foreach(_.apply())
       r.commitLm.foreach(_.apply())
+      r.commitFp.foreach(_.apply())
       // maintenance AFTER the commit: compaction sees the just-appended
       // survivors, and a compaction failure can't lose the append (the
       // swap is crash-safe and contents-identical by construction)
-      a.compactStore.foreach(n => a.dedupStore.foreach(sd =>
-        Store.compact(spark, sd, n)))
+      a.compactStore.foreach { n =>
+        a.dedupStore.foreach(sd => Store.compact(spark, sd, n))
+        a.fpStore.foreach(fd => graft.text.FpStore.compact(spark, fd, n))
+      }
     } finally r.cached.foreach(_.unpersist())
   }
 

@@ -135,6 +135,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           textCol = contentCol, eager = false)
         .queryExecution.logical
     }
+    tvf("graft_fp_store") { args =>
+      require(args.size == 2 || args.size == 3,
+        "usage: graft_fp_store(<drop table>, <store dir>[, <content col>])" +
+          " — partial-copy pairs (doc_a, doc_b, n_shared) of the drop vs " +
+          "the winnowing-fingerprint store (q210): drop×history plus " +
+          "intra-drop, stop-fingerprint guard over history ∪ drop. The " +
+          "store's marker picks k/w and the gram universe (text words or " +
+          "payload bytes); content col defaults to 'text'")
+      val t = strArg("graft_fp_store", args.head, "drop table")
+      val storeDir = strArg("graft_fp_store", args(1), "store dir")
+      val contentCol = if (args.size == 3)
+        strArg("graft_fp_store", args(2), "content col") else "text"
+      graft.text.FpStore.pairsVsStoreReadOnly(
+          SparkSession.active.table(t), storeDir,
+          contentCol = contentCol, eager = false)
+        .queryExecution.logical
+    }
     tvf("graft_containment_exact") { args =>
       require(args.size == 1, "usage: graft_containment_exact(<table name>)")
       val t = strArg("graft_containment_exact", args.head, "table name")

@@ -122,6 +122,33 @@ object Queries {
           Tables(s, dir).documents
             .repartition(s.sparkContext.defaultParallelism)))),
 
+    // The winnow path's INCREMENTAL form (closing r14's "what's missing
+    // #1"): the history's byte fingerprints are persisted once
+    // (bytes-universe marker), the drop alone is fingerprinted, and the
+    // partial-copy pairs (drop×history + intra-drop) come from the
+    // stored table — a daily drop's embedded-verbatim-block check
+    // without re-fingerprinting 100 TB of history. The stop-fingerprint
+    // df guard counts over history ∪ drop, and the oracle replays the
+    // whole mine from scratch, so the gate proves the stored side, the
+    // marker-driven prep and the union-side guard all land on the
+    // from-scratch answer.
+    "q210_fp_store" -> ((s, dir) =>
+      FpStore.pairsVsStoreReadOnly(
+        graft.multimodal.Binary.withPayload(
+          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)),
+        fpStoreFixture(s, dir), contentCol = "payload")),
+
+    // q210's serve against the PURGED fingerprint store: pairs that
+    // existed only via a taken-down source's fingerprints must vanish,
+    // the df guard must recount over the purged history (a fingerprint
+    // that was boilerplate only WITH the removed docs comes back), and
+    // the takedown rewrite must carry the k/w/universe marker through.
+    "q211_fp_takedown" -> ((s, dir) =>
+      FpStore.pairsVsStoreReadOnly(
+        graft.multimodal.Binary.withPayload(
+          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)),
+        fpPurgedStoreFixture(s, dir), contentCol = "payload")),
+
     // q206's serve against the PURGED store (q141 on the bytes
     // universe): payload near-dups that existed only via a taken-down
     // source's doc must no longer drop the new doc, and the takedown
@@ -2416,6 +2443,57 @@ object Queries {
       storeDir
     })
 
+  /** q210's fingerprint store: byte winnowing fingerprints (k=12, w=8,
+    * bytes universe) of the %3≠0 history — the incremental partial-copy
+    * detector's persisted state.
+    */
+  private[graft] def fpStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#fp"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-fpstore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      FpStore.build(
+        graft.multimodal.Binary.withPayload(
+          Tables(s, dir).documents.filter(col("doc_id") % 3 =!= 0)),
+        storeDir, contentCol = "payload",
+        universe = Store.Universe.PayloadBytes)
+      storeDir
+    })
+
+  /** q211's store: [[fpStoreFixture]]'s history with the takedown
+    * sources' fingerprints removed post-build — delete-and-done (rows
+    * are doc-keyed), marker carried through the rewrite.
+    */
+  private[graft] def fpPurgedStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#fp-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-fpstore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      FpStore.build(
+        graft.multimodal.Binary.withPayload(d.filter(col("doc_id") % 3 =!= 0)),
+        storeDir, contentCol = "payload",
+        universe = Store.Universe.PayloadBytes)
+      FpStore.removeDocs(s, storeDir,
+        d.filter(col("source").isin(TakedownSources: _*))
+          .select(col("doc_id")))
+      storeDir
+    })
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   /** Shared CTE: word-3-gram shingle sets per doc (data contract: ≥3 words,
@@ -2721,6 +2799,33 @@ object Queries {
       |w AS (SELECT doc_id, pos, n, min(h) OVER (PARTITION BY doc_id ORDER BY pos
       |  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM px),
       |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - 7)""".stripMargin
+
+  /** q210/q211's from-scratch replay of the fingerprint-store serve:
+    * byte winnowing fingerprints over the effective universe (drop =
+    * %3==0 docs, history = %3≠0 docs minus `histExtra`'s takedown cut),
+    * df guard counted over history ∪ drop (the engine's union-side
+    * guard), then cross (drop×history) + intra-drop pair legs — the
+    * engine's stored side must land exactly where recomputing history
+    * from the corpus does.
+    */
+  private def fpStoreOracle(histExtra: String): String =
+    s"""WITH $binaryWinnowCtes,
+       |eff AS (SELECT f.doc_id, f.fp FROM fps f JOIN documents d USING (doc_id)
+       |  WHERE f.doc_id % 3 = 0 OR (f.doc_id % 3 != 0 $histExtra)),
+       |rare AS (SELECT fp FROM eff GROUP BY fp HAVING count(*) <= 8),
+       |dp AS (SELECT doc_id, fp FROM eff JOIN rare USING (fp)
+       |  WHERE doc_id % 3 = 0),
+       |sp AS (SELECT doc_id, fp FROM eff JOIN rare USING (fp)
+       |  WHERE doc_id % 3 != 0),
+       |xp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM dp a JOIN sp b ON a.fp = b.fp
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM dp a JOIN dp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT * FROM xp UNION ALL SELECT * FROM ip""".stripMargin
 
   /** SimHash as a DuckDB expression over a word-hash list column `hs`,
     * one majority-vote CASE term per output bit (mirrors
@@ -3816,6 +3921,9 @@ object Queries {
          |  CAST(count(*) AS BIGINT) AS n_shared
          |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "q210_fp_store" -> fpStoreOracle(""),
+    "q211_fp_takedown" -> fpStoreOracle(
+      s"AND d.source NOT IN (${TakedownSources.map("'" + _ + "'").mkString(",")})"),
     "q149_source_triage" ->
       s"""WITH $pairsCtes,
          |vp AS (SELECT doc_a, doc_b FROM pairs

@@ -44,6 +44,73 @@ class CliSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("Corpus CLI: --fp-store bootstrap, partial-copy pairs on day 2, ticket takedown") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-fp")
+    val run10 = (1 to 10).map(i => s"fpr$i").mkString(" ")
+    // day 1: one doc carrying the 10-word run, one unrelated
+    Seq(
+      (1L, run10 + " " + (1 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, (100 to 130).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/day1")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/day1", "-O", s"$dir/out1",
+      "--fp-store", s"$dir/fp"))
+    assert(graft.text.FpStore.exists(spark, s"$dir/fp"),
+      "bootstrap run builds the store (committed after the output write)")
+    assert(!new java.io.File(s"$dir/out1/_fppairs").exists(),
+      "no pairs report on the bootstrap run — there is no history yet")
+
+    // day 2: a doc embedding the SAME run inside otherwise-new words —
+    // the partial copy the signature store's whole-set similarity misses
+    Seq(
+      (11L, (200 to 220).map(i => s"c$i").mkString(" ") + " " + run10),
+      (12L, (300 to 330).map(i => s"d$i").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/day2")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/day2", "-O", s"$dir/out2",
+      "--fp-store", s"$dir/fp"))
+    val pairs = spark.read.parquet(s"$dir/out2/_fppairs")
+    assert(pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      === Set((11L, 1L)), "the cross-day partial-copy pair, drop doc first")
+    // the audit signal does NOT filter the corpus — both day-2 docs ship
+    assert(spark.read.parquet(s"$dir/out2").select("doc_id")
+      .as[Long].collect().toSet === Set(11L, 12L))
+    // and the drop was enrolled: the store now serves day-2 docs as history
+    assert(graft.text.FpStore.load(spark, s"$dir/fp")
+      .select("doc_id").distinct().count() === 4L,
+      "day-1 docs 1,2 plus the appended day-2 docs 11,12")
+
+    // one-ticket takedown purges the fingerprint store too
+    Seq(1L).toDF("doc_id").write.parquet(s"$dir/ticket")
+    graft.cli.Corpus.run(spark, Array(
+      "--fp-store", s"$dir/fp", "--takedown", s"$dir/ticket"))
+    assert(graft.text.FpStore.load(spark, s"$dir/fp")
+      .filter(col("doc_id") === 1L).count() === 0L)
+    // compaction maintains the fp store standalone as well
+    graft.cli.Corpus.run(spark, Array(
+      "--fp-store", s"$dir/fp", "--compact-store", "1"))
+    assert(new java.io.File(graft.text.FpStore.fpPath(s"$dir/fp"))
+      .listFiles().count(_.getName.startsWith("part-")) === 1)
+  }
+
+  test("Corpus CLI: explicit token bounds on a binary-only drop refuse loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-binbounds")
+    Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+      .toDF("doc_id", "blob").write.parquet(s"$dir/drop")
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/drop", "-O", s"$dir/out",
+        "--payload-col", "blob", "--min-tokens", "5",
+        "--dedup-store", s"$dir/sig"))
+    }
+    assert(e.getMessage.contains("need a text column"),
+      "a requested gate must never be silently dropped")
+  }
+
   test("Corpus CLI: --manifest certifies byte-identical re-runs via the fingerprint table") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-manifest")

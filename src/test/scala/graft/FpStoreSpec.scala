@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{FpStore, Store, Winnow}
+
+/** Winnowing-fingerprint store lifecycle: the INCREMENTAL form of the
+  * partial-copy detector — fingerprint history once, serve each drop's
+  * pairs from the stored table, append, take down by doc, compact —
+  * across BOTH gram universes.
+  */
+class FpStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rndBytes(seed: Long, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n); new java.util.Random(seed).nextBytes(a); a
+  }
+
+  test("bytes universe: the embedded-copy twin is found ACROSS a drop boundary") {
+    val dir = Files.createTempDirectory("fpstore").toString
+    // one 64-byte verbatim block (>= k+w-1 = 19 bytes) shared between a
+    // HISTORY doc and a later DROP doc, at different offsets, inside
+    // otherwise-unrelated payloads — whole-set Jaccard ~64/800, invisible
+    // to MinHash (MultimodalSpec proves q204 returns zero on this), and
+    // previously only findable by re-fingerprinting all of history.
+    val block = rndBytes(7L, 64)
+    val history = Seq(
+      (1L, rndBytes(1L, 300) ++ block ++ rndBytes(2L, 100)),
+      (3L, rndBytes(5L, 400)))
+      .toDF("doc_id", "payload")
+    FpStore.build(history, dir, contentCol = "payload",
+      universe = Store.Universe.PayloadBytes)
+    assert(FpStore.storedParams(spark, dir) ===
+      FpStore.FpParams(12, 8, Store.Universe.PayloadBytes))
+
+    val drop = Seq(
+      (2L, rndBytes(3L, 50) ++ block ++ rndBytes(4L, 350)),
+      (5L, rndBytes(9L, 400)))
+      .toDF("doc_id", "payload")
+    val (pairs, commit) = FpStore.pairsVsStoreStaged(drop, dir,
+      contentCol = "payload")
+    val got = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 1L)),
+      "exactly the cross-boundary embedded-copy pair, drop doc first")
+    // staged: the store is untouched until commit
+    assert(FpStore.load(spark, dir).select("doc_id").distinct().count() === 2L)
+    commit()
+    assert(FpStore.load(spark, dir).select("doc_id").distinct().count() === 4L,
+      "commit appends the DROP's fingerprints (both drop docs)")
+
+    // day 2: a new drop doc carrying the block now pairs against BOTH
+    // carriers — yesterday's drop is today's history, no rebuild
+    val day2 = Seq((7L, rndBytes(11L, 20) ++ block ++ rndBytes(12L, 200)))
+      .toDF("doc_id", "payload")
+    val got2 = FpStore.pairsVsStoreReadOnly(day2, dir, contentCol = "payload")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got2 === Set((7L, 1L), (7L, 2L)))
+  }
+
+  test("takedown: delete-and-done, pairs vanish, marker survives the rewrite") {
+    val dir = Files.createTempDirectory("fpstore-td").toString
+    val block = rndBytes(7L, 64)
+    val history = Seq(
+      (1L, rndBytes(1L, 300) ++ block ++ rndBytes(2L, 100)),
+      (3L, rndBytes(5L, 400)))
+      .toDF("doc_id", "payload")
+    FpStore.build(history, dir, contentCol = "payload",
+      universe = Store.Universe.PayloadBytes)
+    val nFps1 = FpStore.load(spark, dir).filter(col("doc_id") === 1L).count()
+    assert(nFps1 > 0L)
+    val removed = FpStore.removeDocs(spark, dir, Seq(1L).toDF("doc_id"))
+    assert(removed === nFps1, "the audit count is the removed doc's rows")
+    val drop = Seq((2L, rndBytes(3L, 50) ++ block ++ rndBytes(4L, 350)))
+      .toDF("doc_id", "payload")
+    assert(FpStore.pairsVsStoreReadOnly(drop, dir, contentCol = "payload")
+      .count() === 0L,
+      "a pair that existed only via the taken-down doc is gone")
+    // the marker survived the rewrite: a bytes-universe probe still preps
+    // as bytes (a lost marker would be a loud failure, not empty output)
+    assert(FpStore.storedParams(spark, dir).universe ===
+      Store.Universe.PayloadBytes)
+  }
+
+  test("text universe: store serve == from-scratch Winnow pairs on the drop slice") {
+    val dir = Files.createTempDirectory("fpstore-txt").toString
+    val base = (1 to 40).map(i => s"w$i")
+    // doc 11 shares a 10-word run with history doc 1 (>= k+w-1 = 6 words)
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (100 to 140).map(i => s"x$i").mkString(" ")),
+      (11L, ((200 to 230).map(i => s"y$i") ++ base.slice(5, 15)).mkString(" ")),
+      (12L, (300 to 340).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val history = docs.filter(col("doc_id") < 10L)
+    val drop = docs.filter(col("doc_id") >= 10L)
+    FpStore.build(history, dir)
+    val served = FpStore.pairsVsStoreReadOnly(drop, dir)
+      .select("doc_a", "doc_b", "n_shared").as[(Long, Long, Long)]
+      .collect().map { case (a, b, n) => (math.min(a, b), math.max(a, b), n) }
+      .toSet
+    // ground truth: the from-scratch miner over history ∪ drop, keeping
+    // pairs with at least one drop-side doc
+    val scratch = Winnow.nearDupPairsByFingerprint(docs, "doc_id", "text",
+        minShared = 2, maxDf = 8)
+      .filter(col("doc_a") >= 10L || col("doc_b") >= 10L)
+      .select("doc_a", "doc_b", "n_shared").as[(Long, Long, Long)]
+      .collect().map { case (a, b, n) => (math.min(a, b), math.max(a, b), n) }
+      .toSet
+    assert(served === scratch && served.nonEmpty,
+      s"store serve must land on the from-scratch answer, got $served vs $scratch")
+  }
+
+  test("stop-fingerprint guard counts over history UNION drop") {
+    val dir = Files.createTempDirectory("fpstore-df").toString
+    val block = rndBytes(7L, 64)
+    // block is rare in history (2 carriers) but the drop adds 7 more —
+    // df = 9 > maxDf = 8 over the union, so the guard must kill it even
+    // though a history-only count (2) would have let it through
+    val history = Seq(
+      (1L, rndBytes(1L, 200) ++ block),
+      (2L, rndBytes(2L, 200) ++ block))
+      .toDF("doc_id", "payload")
+    FpStore.build(history, dir, contentCol = "payload",
+      universe = Store.Universe.PayloadBytes)
+    val drop = (10L to 16L).map(i =>
+        (i, rndBytes(i * 31L, 100) ++ block))
+      .toDF("doc_id", "payload")
+    val pairs = FpStore.pairsVsStoreReadOnly(drop, dir, contentCol = "payload")
+    // every pair here shares ONLY block-derived fingerprints; with the
+    // union-side df at 9 they are all stop-fingerprints → zero pairs.
+    // (The block sits at a different random-prefix boundary per doc, so
+    // a handful of boundary-window fps can differ per doc — but every
+    // SHARED fp comes from the block's interior, carried by all 9 docs.)
+    assert(pairs.count() === 0L,
+      "a run that turns boilerplate only once the drop lands must be guarded")
+  }
+
+  test("cross-universe probes and builds refuse loudly") {
+    val dir = Files.createTempDirectory("fpstore-x").toString
+    FpStore.build(Seq((1L, "a b c d e f g h")).toDF("doc_id", "text"), dir)
+    // text store probed with a binary column
+    val binDrop = Seq((2L, rndBytes(1L, 40))).toDF("doc_id", "payload")
+    val e1 = intercept[IllegalArgumentException] {
+      FpStore.pairsVsStoreReadOnly(binDrop, dir, contentCol = "payload").count()
+    }
+    assert(e1.getMessage.contains("string column"))
+    // bytes store probed with a string column
+    val dirB = Files.createTempDirectory("fpstore-xb").toString
+    FpStore.build(binDrop, dirB, contentCol = "payload",
+      universe = Store.Universe.PayloadBytes)
+    val e2 = intercept[IllegalArgumentException] {
+      FpStore.pairsVsStoreReadOnly(
+        Seq((3L, "a b c")).toDF("doc_id", "text"), dirB).count()
+    }
+    assert(e2.getMessage.contains("binary column"))
+    // and a build whose declared universe contradicts the column type
+    val e3 = intercept[IllegalArgumentException] {
+      FpStore.build(binDrop, dir, contentCol = "payload")
+    }
+    assert(e3.getMessage.contains("string column"))
+  }
+
+  test("compact: contents identical, marker preserved, file count bounded") {
+    val dir = Files.createTempDirectory("fpstore-c").toString
+    val docs = (1L to 6L).map(i =>
+        (i, (1 to 30).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text").repartition(6)
+    FpStore.build(docs, dir)
+    val before = FpStore.load(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    FpStore.compact(spark, dir, targetFiles = 1)
+    val after = FpStore.load(spark, dir).as[(Long, Long)].collect().toSet
+    assert(after === before, "compaction must not disturb contents")
+    assert(FpStore.storedParams(spark, dir) ===
+      FpStore.FpParams(3, 4, Store.Universe.TextWords))
+    val files = new java.io.File(FpStore.fpPath(dir))
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(files === 1)
+  }
+}

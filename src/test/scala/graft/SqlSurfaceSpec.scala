@@ -553,6 +553,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "the truncated payload dedups against the bytes store from SQL")
   }
 
+  test("graft_fp_store serves partial-copy pairs from SQL, both universes") {
+    val dir = java.nio.file.Files.createTempDirectory("sql-fpstore").toString
+    def blob(seed: Int, n: Int = 300): Array[Byte] = {
+      var x = seed * 0x9E3779B97F4A7C15L
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte
+      }
+    }
+    // bytes store: history doc 1 carries a 64-byte block; the drop doc
+    // embeds the same block inside otherwise-unrelated bytes — the
+    // partial-copy case the signature store (whole-set similarity) misses
+    val block = blob(7, 64)
+    graft.text.FpStore.build(
+      Seq((1L, blob(1) ++ block)).toDF("doc_id", "payload"), s"$dir/bin",
+      contentCol = "payload",
+      universe = graft.text.Store.Universe.PayloadBytes)
+    Seq((10L, block ++ blob(9)), (11L, blob(5)))
+      .toDF("doc_id", "payload").createOrReplaceTempView("sql_fp_drop")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_fp_store('sql_fp_drop', '$dir/bin', 'payload')")
+    assert(viaSql.columns === Array("doc_a", "doc_b", "n_shared"))
+    assert(viaSql.select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .toSet === Set((10L, 1L)),
+      "the embedded-copy pair, drop doc first; the fresh doc pairs nothing")
+    // text store through the SAME TVF — marker-driven prep
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    graft.text.FpStore.build(
+      Seq((1L, run + " " + (1 to 20).map(i => s"a$i").mkString(" ")))
+        .toDF("doc_id", "text"), s"$dir/txt")
+    Seq((10L, (1 to 20).map(i => s"z$i").mkString(" ") + " " + run))
+      .toDF("doc_id", "text").createOrReplaceTempView("sql_fp_drop_txt")
+    val viaSqlTxt = spark.sql(
+      s"SELECT * FROM graft_fp_store('sql_fp_drop_txt', '$dir/txt')")
+    assert(viaSqlTxt.select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .toSet === Set((10L, 1L)),
+      "the shared 12-word run pairs through the text-universe marker")
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(
