@@ -67,11 +67,14 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        intra-drop and append survivors'
   *                                        signatures — the stored corpus is
   *                                        never re-tokenized (daily-drop mode)
-  *     [--payload-col col]                switch --dedup-store to the BYTES
-  *                                        universe: `col` names a binary column
-  *                                        and signatures are byte 12-shingles
-  *                                        (container-level near-dup for media
-  *                                        drops). Recorded in the store marker;
+  *     [--payload-col col]                switch --dedup-store, --fp-store AND
+  *                                        --sketch-store to the BYTES universe:
+  *                                        `col` names a binary column;
+  *                                        signatures/fingerprints/novelty
+  *                                        registers are computed over byte
+  *                                        grams (container-level near-dup +
+  *                                        admission for media drops). Recorded
+  *                                        in each store's marker/cfg stamp;
   *                                        later serves follow it automatically
   *     [--fp-store dir]                   INCREMENTAL partial-copy detection vs
   *                                        the persisted winnowing-fingerprint
@@ -1678,6 +1681,13 @@ object Corpus {
       a.sketchStore.foreach { kd =>
         import graft.text.SketchStore
         val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
+        // --payload-col routes the novelty registers to the BYTES
+        // universe (byte 12-grams of the binary column) — a media drop
+        // gets the same front gate; the cfg stamp makes every later
+        // append/probe inherit the universe without re-declaring it
+        val sketchCol = a.payloadCol.getOrElse("text")
+        val sketchUniverse = if (a.payloadCol.isDefined)
+          Store.Universe.PayloadBytes else Store.Universe.TextWords
         a.sketchAdmitPpm match {
           // admission-GATED ingest: the verdict (admitted / rejected-
           // stale / skipped-duplicate) is recorded in the store's own
@@ -1685,18 +1695,21 @@ object Corpus {
           // drop never joins the ledger (q185's decision, closed into
           // the loop)
           case Some(ppm) =>
-            val admitted = SketchStore.ingestGated(r.train, kd, dropId, ppm)
+            val admitted = SketchStore.ingestGated(r.train, kd, dropId, ppm,
+              textCol = sketchCol, universe = sketchUniverse)
             println(s"sketch admission: drop '$dropId' " +
               (if (admitted) "admitted" else "skipped") +
               s" — verdict recorded under $kd/_admissions")
           case None =>
             if (!SketchStore.exists(spark, kd)) {
-              SketchStore.buildStaged(r.train, kd, dropId)()
+              SketchStore.buildStaged(r.train, kd, dropId,
+                textCol = sketchCol, universe = sketchUniverse)()
             } else {
-              SketchStore.admission(r.train, kd)
+              SketchStore.admission(r.train, kd, textCol = sketchCol)
                 .write.mode("overwrite").parquet(s"${a.out}/_admission")
               if (!SketchStore.drops(spark, kd).contains(dropId))
-                SketchStore.appendStaged(r.train, kd, dropId)()
+                SketchStore.appendStaged(r.train, kd, dropId,
+                  textCol = sketchCol)()
               else warnSkippedDrop("--sketch-store", dropId, kd)
             }
         }

@@ -229,12 +229,22 @@ object Streams {
     // marker exists to prevent. The hx/sh projections are real columns
     // (the byteShingles contract: HOF arguments must be projected
     // attributes, or interpreted lambdas re-evaluate them per element).
+    val probeType = docs.schema(textCol).dataType
     val keyed = graft.text.Store.storedUniverse(
         docs.sparkSession, storeDir) match {
       case graft.text.Store.Universe.TextWords =>
+        // the batch serve's loud type check, mirrored: a bytes column
+        // keyed through words() would mis-key every row and silently
+        // suppress nothing/everything
+        require(probeType == org.apache.spark.sql.types.StringType,
+          s"text-universe store expects a string column, got $textCol: $probeType")
         docs.withColumn("__sig_key",
           sigKey(textCol, idCol, graft.text.Store.SigKeyHashes))
       case graft.text.Store.Universe.PayloadBytes =>
+        // a STRING column hex()ed here would be the UTF-8 bytes of the
+        // text — a silently different universe than the store's payloads
+        require(probeType == org.apache.spark.sql.types.BinaryType,
+          s"bytes-universe store expects a binary column, got $textCol: $probeType")
         docs
           .withColumn("__hx", hex(col(textCol)))
           .withColumn("__sh",

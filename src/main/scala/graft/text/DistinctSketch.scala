@@ -116,6 +116,19 @@ object DistinctSketch {
     docs.select(col(textCol)).withColumn("__ws", TextOps.words(col(textCol)))
       .select(explode(TextOps.shingles(col("__ws"), n)).as("g"))
 
+  /** Byte n-gram stream of a BINARY column — the bytes-universe analog
+    * of [[grams]] for media drops: hex byte shingles
+    * ([[graft.multimodal.Binary.byteShingles]] — stride 1, whole-hex
+    * fallback under n bytes). Distinct-per-doc where [[grams]] is
+    * positional; register values are unaffected (the sketch distincts
+    * globally), and the per-doc distinct only shrinks the explode.
+    */
+  def byteGrams(docs: DataFrame, payloadCol: String = "payload",
+                n: Int = 12): DataFrame =
+    docs.select(hex(col(payloadCol)).as("__hx"))
+      .select(explode(
+        graft.multimodal.Binary.byteShingles(col("__hx"), n)).as("g"))
+
   /** The integer-exact estimate aggregation over grouped registers —
     * shared by [[estimate]] and [[SketchStore.growthCurve]]'s per-prefix
     * variant. Adds (occupied, est_distinct) after the given grouping.

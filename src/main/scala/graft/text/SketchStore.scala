@@ -41,15 +41,69 @@ object SketchStore extends graft.operators.DropLedger {
   protected def tableName: String = "distinctsketch"
   protected def kind: String = "sketch store"
 
-  private def cfgOf(gram: Int): String =
-    s"g$gram-m${DistinctSketch.Buckets}-r${DistinctSketch.MaxRho}"
+  /** cfg's leading letter is the GRAM UNIVERSE: `g` = word grams of a
+    * string column (the unchanged historical format), `b` = byte grams
+    * of a binary column — the media-drop form, so a crawled binary
+    * corpus gets the same one-register-scan admission gate the text
+    * pipeline has. Universes are incommensurable; the stamp is what
+    * makes every later append/probe prep the SAME way.
+    */
+  private def cfgOf(gram: Int,
+                    universe: Store.Universe = Store.Universe.TextWords): String =
+    universe match {
+      case Store.Universe.TextWords =>
+        s"g$gram-m${DistinctSketch.Buckets}-r${DistinctSketch.MaxRho}"
+      case Store.Universe.PayloadBytes =>
+        s"b$gram-m${DistinctSketch.Buckets}-r${DistinctSketch.MaxRho}"
+    }
 
-  /** (drop_id, cfg, bucket, rho) for one drop — ≤ m rows. */
+  private def parseCfg(cfg: String): (Int, Store.Universe) = {
+    val u = cfg.head match {
+      case 'g' => Store.Universe.TextWords
+      case 'b' => Store.Universe.PayloadBytes
+      case _ => throw new IllegalStateException(
+        s"unreadable sketch cfg '$cfg' — this build understands g*/b*")
+    }
+    (cfg.drop(1).takeWhile(_ != '-').toInt, u)
+  }
+
+  /** Per-universe default gram width: word 5-grams (the historical
+    * default) / byte 12-grams (the byte-shingle family's k).
+    */
+  private def defaultGram(universe: Store.Universe): Int = universe match {
+    case Store.Universe.TextWords    => 5
+    case Store.Universe.PayloadBytes => 12
+  }
+
+  /** Gram stream per universe, with the loud column-type check every
+    * marker-driven prep carries (probing a bytes store with a string
+    * column would silently hex the text and match nothing).
+    */
+  private def gramsFor(docs: DataFrame, contentCol: String, gram: Int,
+                       universe: Store.Universe): DataFrame = {
+    val dt = docs.schema(contentCol).dataType
+    universe match {
+      case Store.Universe.TextWords =>
+        require(dt == org.apache.spark.sql.types.StringType,
+          s"text-universe sketch store expects a string column, got $contentCol: $dt")
+        DistinctSketch.grams(docs, contentCol, gram)
+      case Store.Universe.PayloadBytes =>
+        require(dt == org.apache.spark.sql.types.BinaryType,
+          s"bytes-universe sketch store expects a binary column, got $contentCol: $dt")
+        DistinctSketch.byteGrams(docs, contentCol, gram)
+    }
+  }
+
+  /** (drop_id, cfg, bucket, rho) for one drop — ≤ m rows. gram = 0
+    * means the universe's default ([[defaultGram]]).
+    */
   def partials(docs: DataFrame, dropId: String, textCol: String = "text",
-               gram: Int = 5): DataFrame = {
+               gram: Int = 0,
+               universe: Store.Universe = Store.Universe.TextWords): DataFrame = {
     requireDropId(dropId)
-    DistinctSketch.registers(DistinctSketch.grams(docs, textCol, gram))
-      .select(lit(dropId).as("drop_id"), lit(cfgOf(gram)).as("cfg"),
+    val g = if (gram > 0) gram else defaultGram(universe)
+    DistinctSketch.registers(gramsFor(docs, textCol, g, universe))
+      .select(lit(dropId).as("drop_id"), lit(cfgOf(g, universe)).as("cfg"),
         col("bucket"), col("rho"))
   }
 
@@ -71,12 +125,14 @@ object SketchStore extends graft.operators.DropLedger {
 
   /** Bootstrap from the first drop (overwrites). */
   def build(docs: DataFrame, storeDir: String, dropId: String,
-            textCol: String = "text", gram: Int = 5): Unit =
-    buildStaged(docs, storeDir, dropId, textCol, gram)()
+            textCol: String = "text", gram: Int = 0,
+            universe: Store.Universe = Store.Universe.TextWords): Unit =
+    buildStaged(docs, storeDir, dropId, textCol, gram, universe)()
 
   def buildStaged(docs: DataFrame, storeDir: String, dropId: String,
-                  textCol: String = "text", gram: Int = 5): () => Unit =
-    stagePartialsBuild(partials(docs, dropId, textCol, gram),
+                  textCol: String = "text", gram: Int = 0,
+                  universe: Store.Universe = Store.Universe.TextWords): () => Unit =
+    stagePartialsBuild(partials(docs, dropId, textCol, gram, universe),
       storeDir, coalesceTo = Some(1)).commit
 
   /** Append a new drop's registers (staged, single-rename atomic
@@ -86,10 +142,9 @@ object SketchStore extends graft.operators.DropLedger {
   def appendStaged(docs: DataFrame, storeDir: String,
                    dropId: String, textCol: String = "text"): () => Unit = {
     val s = docs.sparkSession
-    val cfg = storedCfg(s, storeDir)
-    val gram = cfg.drop(1).takeWhile(_ != '-').toInt
+    val (gram, universe) = parseCfg(storedCfg(s, storeDir))
     requireNewDrop(s, storeDir, dropId)
-    stagePartialsAppend(partials(docs, dropId, textCol, gram),
+    stagePartialsAppend(partials(docs, dropId, textCol, gram, universe),
       storeDir, dropId, coalesceTo = Some(1)).commit
   }
 
@@ -174,10 +229,9 @@ object SketchStore extends graft.operators.DropLedger {
   def admission(docs: DataFrame, storeDir: String, textCol: String = "text",
                 eager: Boolean = true): DataFrame = {
     val s = docs.sparkSession
-    val cfg = storedCfg(s, storeDir)
-    val gram = cfg.drop(1).takeWhile(_ != '-').toInt
+    val (gram, universe) = parseCfg(storedCfg(s, storeDir))
     val dropRegs0 = DistinctSketch.registers(
-      DistinctSketch.grams(docs, textCol, gram))
+      gramsFor(docs, textCol, gram, universe))
     val dropRegs = if (eager) Dedup.materialize(dropRegs0) else dropRegs0
     val storeRegs = serveRegisters(s, storeDir)
     val estOf = (regs: DataFrame, name: String) =>
@@ -209,10 +263,9 @@ object SketchStore extends graft.operators.DropLedger {
   def purgeDocs(remainingDocs: DataFrame, storeDir: String, dropId: String,
                 textCol: String = "text"): Unit = {
     val s = remainingDocs.sparkSession
-    val cfg = storedCfg(s, storeDir)
-    val gram = cfg.drop(1).takeWhile(_ != '-').toInt
+    val (gram, universe) = parseCfg(storedCfg(s, storeDir))
     replaceDropRows(s, storeDir, dropId,
-      partials(remainingDocs, dropId, textCol, gram))
+      partials(remainingDocs, dropId, textCol, gram, universe))
   }
 
   /** Admission-GATED ingest — [[admission]] wired into the ingest loop
@@ -232,11 +285,14 @@ object SketchStore extends graft.operators.DropLedger {
     */
   def ingestGated(docs: DataFrame, storeDir: String, dropId: String,
                   maxContainmentPpm: Long = 950000L,
-                  textCol: String = "text"): Boolean = {
+                  textCol: String = "text",
+                  universe: Store.Universe = Store.Universe.TextWords): Boolean = {
     requireDropId(dropId)
     val s = docs.sparkSession
     if (!exists(s, storeDir)) {
-      build(docs, storeDir, dropId, textCol)
+      // only the bootstrap consults the universe arg — every later call
+      // inherits the cfg stamp, so a caller can't flip it mid-ledger
+      build(docs, storeDir, dropId, textCol, universe = universe)
       recordAdmission(s, storeDir, dropId, "admitted-bootstrap", None)
       true
     } else if (drops(s, storeDir).contains(dropId)) {

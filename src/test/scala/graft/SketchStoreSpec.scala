@@ -180,6 +180,48 @@ class SketchStoreSpec extends AnyFunSuite {
       s"novelty_est must be a large share of the fresh drop's estimate: $fresh")
   }
 
+  test("bytes universe: a replayed binary drop is rejected from one register scan") {
+    val dir = Files.createTempDirectory("sketchstore-bin").toString
+    def rndBytes(seed: Long, n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); new java.util.Random(seed).nextBytes(a); a
+    }
+    def blobs(name: String, seeds: Range): DataFrame =
+      seeds.map(i => (i.toLong, rndBytes(name.hashCode * 1000L + i, 400)))
+        .toDF("doc_id", "payload")
+    // history: a media drop's byte 12-gram registers, universe stamped
+    SketchStore.build(blobs("x", 1 to 50), dir, "day1",
+      textCol = "payload", universe = graft.text.Store.Universe.PayloadBytes)
+    // the replayed crawl: identical bytes — fully contained, REJECTED by
+    // the gated ingest before any curation/dedup cost, verdict logged
+    val admitted = SketchStore.ingestGated(blobs("x", 1 to 50), dir, "day1b",
+      textCol = "payload")
+    assert(!admitted, "a byte-identical re-crawl must be rejected")
+    assert(SketchStore.drops(spark, dir).toSet === Set("day1"),
+      "the rejected drop contributed no registers")
+    val log = SketchStore.admissionLog(spark, dir)
+      .filter(col("drop_id") === "day1b")
+      .select("verdict").as[String].collect()
+    assert(log.length === 1 && log.head === "rejected-stale")
+    // a genuinely fresh media drop passes the same gate and appends —
+    // universe inherited from the cfg stamp, never re-declared
+    assert(SketchStore.ingestGated(blobs("y", 1 to 50), dir, "day2",
+      textCol = "payload"))
+    assert(SketchStore.drops(spark, dir).toSet === Set("day1", "day2"))
+    // cross-universe probes refuse loudly in BOTH directions
+    val e1 = intercept[IllegalArgumentException] {
+      SketchStore.admission(
+        Seq((1L, "some text")).toDF("doc_id", "text"), dir).collect()
+    }
+    assert(e1.getMessage.contains("binary column"))
+    val dirT = Files.createTempDirectory("sketchstore-txt").toString
+    SketchStore.build(dropA, dirT, "a")
+    val e2 = intercept[IllegalArgumentException] {
+      SketchStore.admission(blobs("x", 1 to 3), dirT,
+        textCol = "payload").collect()
+    }
+    assert(e2.getMessage.contains("string column"))
+  }
+
   test("rho recipe: bit-granular positions and the cap") {
     // reference values computed from the md5 hex by hand: for value v,
     // rho = 1 + (leading zero bits of md5[3..15] as 52 bits), capped 32
