@@ -464,7 +464,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.size == 3 || args.size == 4,
         "usage: graft_curation_spine(<corpus table>, <target table>, " +
           "<bench table (doc_id, text)>[, k]) — the q186 pipeline: " +
-          "quality gate -> dedup -> decontaminate -> DSIR top-k -> pack")
+          "quality gate -> dedup -> decontaminate -> DSIR top-k -> pack. " +
+          "EXPLAIN-safe (analysis runs no job); EXECUTION shares stage " +
+          "state via lazy caches, so concurrent plan branches may " +
+          "recompute the gate subtree — the CLI --curation-spine face " +
+          "uses real barriers and is the cheaper way to RUN it")
       def t(i: Int, what: String) = SparkSession.active.table(
         strArg("graft_curation_spine", args(i), what))
       graft.text.Curation.spineSelection(
@@ -496,7 +500,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "usage: graft_drop_funnel(<drop table>, <target table>, " +
           "<bench table (doc_id, text)>, <dedup store dir>, " +
           "<dsir store dir>[, k]) — q205's per-stage attrition census " +
-          "of the daily-drop spine (q189's chain, q190's face)")
+          "of the daily-drop spine (q189's chain, q190's face). " +
+          "Single-pass: one labeled aggregation emits every stage row. " +
+          "EXPLAIN-safe; execution shares only id-scale stage sets " +
+          "via lazy caches (the corpus-frame race of the 6-census " +
+          "shape is gone by construction)")
       def t(i: Int, what: String) = SparkSession.active.table(
         strArg("graft_drop_funnel", args(i), what))
       graft.text.Curation.incrementalSpineFunnel(

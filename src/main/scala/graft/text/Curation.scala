@@ -113,24 +113,35 @@ object Curation {
     * (docs aren't in sequences yet — 0, not NULL, keeps the column
     * sum-able).
     *
-    * Plan shape: six constant-size aggregations unioned, with EVERY
-    * stage frame MATERIALIZED (the barrier hook, passed the reliable-
-    * checkpoint `Dedup.materialize` — localCheckpoint, lineage
-    * truncated): the censuses re-read stage outputs by construction,
-    * and six concurrent census stages over LAZY caches would race the
-    * cold population and re-optimize the full prefix plan per census
-    * (measured 3× the sequential cost at sf0.1 once the r14 histogram
-    * gate grew the prefix subtree), so here — unlike the selection,
-    * which must stay ONE fused lazy plan — the funnel is the place for
-    * real stage barriers: the spine prefix runs exactly once, in
-    * dependency order, and each census reads a lineage-free snapshot.
-    * A 100 TB caller that cannot afford the checkpoint storage trades
-    * back to recompute by censusing the selection artifact on disk.
+    * Plan shape — SINGLE-PASS (r15; replaces r14's six unioned censuses
+    * over checkpointed stage frames): each stage's DECISION is captured
+    * as a doc-id set (8 B/doc — the keep list, the dedup losers, the
+    * clean ids, the k picked rows), materialized in dependency order so
+    * each gate's subtree runs exactly once; then every doc is labeled
+    * with the furthest stage it survived and ONE conditional
+    * aggregation over that labeled frame emits all five census rows at
+    * once ([[funnelSingle]]). No corpus-text frame is ever checkpointed
+    * (r14 localCheckpointed four text snapshots — corpus-scale writes
+    * the census never needed), no census union races a lazy cache (the
+    * r14 3× measurement — the reason those barriers existed), and the
+    * TVF face no longer carries a racing-cache trade: the only shared
+    * frames are the id sets.
     */
   def spineFunnel(corpus: DataFrame, target: DataFrame, bench: DataFrame,
-                  k: Int = 100): DataFrame =
-    funnelFrom(corpus,
-      spineFrames(corpus, target, bench, k, barrier = Dedup.materialize))
+                  k: Int = 100, eager: Boolean = true): DataFrame = {
+    val mat: DataFrame => DataFrame =
+      if (eager) Dedup.materialize else (df => df.cache())
+    val gIds = qualityKeptIds(corpus, eager)
+    val gated = corpus.join(gIds, Seq("doc_id"), "left_semi")
+    val lIds = mat(Dedup.nearDupPairs(gated, eager = false)
+      .select(col("doc_b").as("doc_id")).distinct())
+    val dIds = gIds.join(lIds, Seq("doc_id"), "left_anti")
+    val deduped = gated.join(lIds, Seq("doc_id"), "left_anti")
+    val cIds = mat(Dedup.decontaminate(deduped, bench).select(col("doc_id")))
+    val clean = deduped.join(cIds, Seq("doc_id"), "left_semi")
+    val picked = mat(Dsir.selectTopK(Dsir.score(target, clean), k))
+    funnelSingle(corpus, gIds, dIds, cIds, picked, clean)
+  }
 
   /** The daily-drop funnel (q205) — q190's per-stage census over the
     * INCREMENTAL spine's stages: the drop enters, ranks within itself,
@@ -140,44 +151,70 @@ object Curation {
     * reads every morning: a `deduped` cliff here means the crawler is
     * re-fetching yesterday (vs q190's batch funnel, where it means a
     * template farm inside one corpus); a near-empty `gated` row means
-    * today's crawl was junk. Stage frames cache exactly as the batch
-    * funnel's do and for the same reason — the censuses re-read stage
-    * outputs by construction.
+    * today's crawl was junk. Same single-pass shape as [[spineFunnel]]:
+    * per-stage id sets in dependency order, one labeled aggregation.
     */
   def incrementalSpineFunnel(drop: DataFrame, target: DataFrame,
                              bench: DataFrame, dedupStore: String,
                              dsirStore: String, k: Int = 100,
                              eager: Boolean = true): DataFrame = {
-    // eager (the query/CLI face): REAL stage barriers, exactly the batch
-    // funnel's reasoning — the census union's six branches would
-    // otherwise race every lazy cache in the chain and re-run the
-    // gate/serve subtrees concurrently (the q190 3× measurement; the
-    // same race grew q205 9.5 → 14.6 s once the r14 histogram gate
-    // deepened the raced subtree). eager=false (graft_drop_funnel — the
-    // TVF face) keeps lazy caches: analysis must never run a job, and
-    // the race trade is documented here.
-    val barrier: DataFrame => DataFrame =
+    val mat: DataFrame => DataFrame =
       if (eager) Dedup.materialize else (df => df.cache())
-    val gated = barrier(qualityGated(drop, eager))
-    val deduped = barrier(Store.dedupNewDropVsCorpusReadOnly(gated,
-      dedupStore, eager = eager))
-    val clean = barrier(Dedup.decontaminate(deduped, bench))
-    val picked = Dsir.selectTopK(
-      DsirStore.scoreVsDrop(target, clean, dsirStore, eager = false), k)
-    funnelFrom(drop, SpineFrames(gated, deduped, clean, picked))
+    val gIds = qualityKeptIds(drop, eager)
+    val gated = drop.join(gIds, Seq("doc_id"), "left_semi")
+    val dIds = mat(Store.dedupNewDropVsCorpusReadOnly(gated, dedupStore,
+      eager = eager).select(col("doc_id")))
+    val deduped = gated.join(dIds, Seq("doc_id"), "left_semi")
+    val cIds = mat(Dedup.decontaminate(deduped, bench).select(col("doc_id")))
+    val clean = deduped.join(cIds, Seq("doc_id"), "left_semi")
+    val picked = mat(Dsir.selectTopK(
+      DsirStore.scoreVsDrop(target, clean, dsirStore, eager = false), k))
+    funnelSingle(drop, gIds, dIds, cIds, picked, clean)
   }
 
-  private def funnelFrom(corpus: DataFrame, st: SpineFrames): DataFrame = {
-    def census(idx: Int, stage: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(size(TextOps.words(col("text"))).cast("long")), lit(0L))
-            .as("n_tokens"))
-        .select(lit(idx).as("stage_idx"), lit(stage).as("stage"),
-          col("n_docs"), col("n_tokens"), lit(0L).as("n_seqs"))
-    val selected = st.clean.join(broadcast(st.picked.select(col("doc_id"))),
-      Seq("doc_id"))
-    val packed = packAndLabel(st.clean, st.picked)
-    val packRow = packed
+  /** ONE conditional aggregation produces every census row: docs are
+    * labeled with the furthest stage they survived (stage membership
+    * frames are nested subsets by construction — picked ⊆ cleanIds ⊆
+    * dedupedIds ⊆ gatedIds), and row i of the funnel is
+    * `sum(last_stage >= i)` over the labeled frame. The whole census is
+    * then one corpus-column scan + four id-scale joins + one
+    * constant-state aggregation — no 6-branch union, no stage frame
+    * read twice, and a SQL user executing the TVF face pays the same
+    * plan the eager face runs. The packed row (stage 5) keeps its own
+    * tiny aggregation over the k-row packed frame.
+    */
+  private def funnelSingle(corpus: DataFrame, gatedIds: DataFrame,
+                           dedupedIds: DataFrame, cleanIds: DataFrame,
+                           picked: DataFrame, clean: DataFrame): DataFrame = {
+    val stages = Seq("corpus", "gated", "deduped", "clean", "selected")
+    val labeled = corpus
+      .select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("__tok"))
+      .join(gatedIds.select(col("doc_id"), lit(1).as("__g")),
+        Seq("doc_id"), "left")
+      .join(dedupedIds.select(col("doc_id"), lit(1).as("__d")),
+        Seq("doc_id"), "left")
+      .join(cleanIds.select(col("doc_id"), lit(1).as("__c")),
+        Seq("doc_id"), "left")
+      .join(broadcast(picked.select(col("doc_id"), lit(1).as("__p"))),
+        Seq("doc_id"), "left")
+      .withColumn("__last",
+        when(col("__p") === 1, 4).when(col("__c") === 1, 3)
+          .when(col("__d") === 1, 2).when(col("__g") === 1, 1)
+          .otherwise(0))
+    val sums = (0 to 4).flatMap { i =>
+      Seq(sum(when(col("__last") >= i, 1L).otherwise(0L)).as(s"__nd$i"),
+        sum(when(col("__last") >= i, col("__tok")).otherwise(0L))
+          .as(s"__nt$i"))
+    }
+    val censusRows = labeled.agg(sums.head, sums.tail: _*)
+      .select(explode(array((0 to 4).map(i => struct(
+          lit(i).as("stage_idx"), lit(stages(i)).as("stage"),
+          coalesce(col(s"__nd$i"), lit(0L)).as("n_docs"),
+          coalesce(col(s"__nt$i"), lit(0L)).as("n_tokens"),
+          lit(0L).as("n_seqs"))): _*)).as("__r"))
+      .select(col("__r.*"))
+    val packRow = packAndLabel(clean, picked)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("n_tokens"),
         countDistinct(col("pack_shard"), col("seq_id")).as("n_seqs"))
@@ -185,12 +222,7 @@ object Curation {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_seqs"), lit(0L)).as("n_seqs"))
-    census(0, "corpus", corpus)
-      .unionByName(census(1, "gated", st.gated))
-      .unionByName(census(2, "deduped", st.deduped))
-      .unionByName(census(3, "clean", st.clean))
-      .unionByName(census(4, "selected", selected))
-      .unionByName(packRow)
+    censusRows.unionByName(packRow)
   }
 
   /** The per-language bottom-quartile verdict, computed WITHOUT a
@@ -287,7 +319,28 @@ object Curation {
     * smaller corpus, not different logic.
     */
   private def qualityGated(corpus: DataFrame,
-                           eager: Boolean = true): DataFrame = {
+                           eager: Boolean = true): DataFrame =
+    corpus.join(qualityKeptIds(corpus, eager), Seq("doc_id"), "left_semi")
+
+  /** The gate's KEEP LIST (doc_id of every surviving doc) — the stage's
+    * barrier, exposed separately because the funnel labels against it
+    * directly. 8 bytes per surviving doc, doc-count-scale, never
+    * corpus-scale (the dedup serve's signed-frame materialization is
+    * the same concession one stage later). Every shape was measured at
+    * sf0.1 before this one landed (tools.SpineProbe, min-of-3 over the
+    * full six-stage spine):
+    *   keep list materialized  5.0 s   <- this
+    *   r13 window gate         4.1 s   (the single-task-sort baseline)
+    *   gated rows cached       6.9 s   (columnar-compresses corpus text)
+    *   keep list merely cached 10.0 s  (min; 22-25 s typical — the
+    *                                    spine's branches RACE the lazy
+    *                                    cache and re-run the whole
+    *                                    multi-stage cut concurrently)
+    * eager=false (the TVF/EXPLAIN face) keeps the lazy cache — analysis
+    * must never run a job; the race trade is documented there.
+    */
+  private def qualityKeptIds(corpus: DataFrame,
+                             eager: Boolean = true): DataFrame = {
     val scored = corpus
       .withColumn("ws", TextOps.words(col("text")))
       .select(col("doc_id"), col("lang"),
@@ -295,22 +348,7 @@ object Curation {
       .withColumn("score_ppt", expr("(CAST(nd AS BIGINT) * 1000) div nt"))
     val kept0 = quartileGateLabels(scored)
       .filter(col("kept") === 1).select(col("doc_id"))
-    // the keep list is THE barrier of this stage — 8 bytes per surviving
-    // doc, doc-count-scale, never corpus-scale (the dedup serve's
-    // signed-frame materialization is the same concession one stage
-    // later). Every shape was measured at sf0.1 before this one landed
-    // (tools.SpineProbe, min-of-3 over the full six-stage spine):
-    //   keep list materialized  5.0 s   <- this
-    //   r13 window gate         4.1 s   (the single-task-sort baseline)
-    //   gated rows cached       6.9 s   (columnar-compresses corpus text)
-    //   keep list merely cached 10.0 s  (min; 22-25 s typical — the
-    //                                    spine's branches RACE the lazy
-    //                                    cache and re-run the whole
-    //                                    multi-stage cut concurrently)
-    // eager=false (the TVF/EXPLAIN face) keeps the lazy cache — analysis
-    // must never run a job; the race trade is documented there.
-    val keptIds = if (eager) Dedup.materialize(kept0) else kept0.cache()
-    corpus.join(keptIds, Seq("doc_id"), "left_semi")
+    if (eager) Dedup.materialize(kept0) else kept0.cache()
   }
 
   /** stages 5+6's shared tail — q66's greedy no-split packing of the

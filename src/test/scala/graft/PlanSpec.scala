@@ -646,6 +646,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"), "settled + boundary branches union")
   }
 
+  test("q190/q205 funnel is single-pass: one labeled aggregation, a 2-branch union") {
+    // r14's funnel unioned SIX per-stage censuses over checkpointed
+    // stage frames; the single-pass form labels each doc with the
+    // furthest stage it survived and ONE conditional aggregation emits
+    // all five census rows, plus the k-row packed census — so the
+    // top-level Union must have exactly 2 children, not 6. (Logical
+    // plan: adjacent unions flatten, so arity IS the branch count.)
+    Seq("q190_spine_funnel", "q205_drop_funnel").foreach { name =>
+      val unions = q(name).queryExecution.optimizedPlan.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }
+      assert(unions.nonEmpty, s"$name: census rows + packed row union")
+      val top = unions.head
+      assert(top.children.size === 2,
+        s"$name: the funnel must be ONE labeled aggregation + the packed " +
+          s"row — got a ${top.children.size}-branch union (the 6-census " +
+          "shape is back)")
+    }
+  }
+
   test("q72 tfidf top-3-per-source rides the bounded-heap exec, not a vocabulary window") {
     val p = planOf("q72_tfidf")
     assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),

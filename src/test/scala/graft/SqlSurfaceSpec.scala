@@ -553,6 +553,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "the truncated payload dedups against the bytes store from SQL")
   }
 
+  test("spine/funnel TVF usage strings state the execute-cost model") {
+    // the SQL user's only doc surface is the usage string — the cost
+    // model (EXPLAIN-safe analysis; how execution shares stage state)
+    // must live THERE, not only in scaladoc a SQL user never sees
+    def usageOf(sqlText: String): String =
+      intercept[Exception](spark.sql(sqlText).collect()).getMessage
+    val spine = usageOf("SELECT * FROM graft_curation_spine('x')")
+    assert(spine.contains("EXPLAIN-safe") && spine.contains("lazy caches"))
+    val funnel = usageOf("SELECT * FROM graft_drop_funnel('x')")
+    assert(funnel.contains("EXPLAIN-safe") && funnel.contains("Single-pass"))
+  }
+
   test("graft_fp_store serves partial-copy pairs from SQL, both universes") {
     val dir = java.nio.file.Files.createTempDirectory("sql-fpstore").toString
     def blob(seed: Int, n: Int = 300): Array[Byte] = {
