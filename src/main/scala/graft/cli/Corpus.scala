@@ -219,6 +219,20 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        to the never-ingested counters;
   *                                        doc-granular tickets SUBTRACT
   *                                        exactly via --freq-raw, q193)
+  *     [--freq-width n|auto[:target]]     the CMS width knob (error band
+  *                                        ε = e/w of total occurrences —
+  *                                        q203's w parameter, reachable
+  *                                        without writing Scala). Bootstrap
+  *                                        only: `n` builds at that width;
+  *                                        `auto` derives it from a one-pass
+  *                                        occurrence count (deriveWidth,
+  *                                        default target overcount 1000;
+  *                                        auto:<t> overrides). On append an
+  *                                        explicit n that contradicts the
+  *                                        stamp REFUSES (widths are
+  *                                        incommensurable); `auto` warns
+  *                                        when the grown total has outsized
+  *                                        the stamp — the rebuild signal
   *     [--sample-store dir]               persisted bottom-k uniform sample
   *                                        (k smallest md5-of-id hashes, ≤
   *                                        128 rows per drop with lang +
@@ -411,6 +425,7 @@ object Corpus {
       sketchRaw: Option[String] = None,
       sketchAdmitPpm: Option[Long] = None,
       freqStore: Option[String] = None,
+      freqWidth: Option[String] = None,
       freqRaw: Option[String] = None,
       sampleStore: Option[String] = None,
       sampleRaw: Option[String] = None,
@@ -494,6 +509,8 @@ object Corpus {
       parse(rest, acc.copy(sketchAdmitPpm = Some(v.toLong)))
     case "--freq-store" :: v :: rest =>
       parse(rest, acc.copy(freqStore = Some(v)))
+    case "--freq-width" :: v :: rest =>
+      parse(rest, acc.copy(freqWidth = Some(v)))
     case "--freq-raw" :: v :: rest =>
       parse(rest, acc.copy(freqRaw = Some(v)))
     case "--sample-store" :: v :: rest =>
@@ -1494,7 +1511,7 @@ object Corpus {
         "[--manifest-store dir] [--chunk-store dir] [--postings-store dir] " +
         "[--classifier-store dir] [--classifier-label col] " +
         "[--dsir-store dir] [--dsir-target path] [--sketch-store dir] " +
-        "[--freq-store dir] [--freq-raw drop=rawDir] " +
+        "[--freq-store dir] [--freq-width n|auto[:target]] [--freq-raw drop=rawDir] " +
         "[--sample-store dir] [--sample-raw drop=rawDir] [--sample-by-lang] " +
         "[--curation-spine] [--spine-ingest] [--spine-stream ckpt] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
@@ -1721,13 +1738,65 @@ object Corpus {
       // (sum-merge: a re-run of a stored drop is SKIPPED loudly — a
       // double-append would double-count, unlike the max-merge family)
       a.freqStore.foreach { fd =>
-        import graft.text.FreqStore
+        import graft.text.{FreqSketch, FreqStore}
         val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
-        if (!FreqStore.exists(spark, fd))
-          FreqStore.buildStaged(r.train, fd, dropId)()
-        else if (!FreqStore.drops(spark, fd).contains(dropId))
+        // --freq-width <n|auto|auto:target>: the CMS width knob, CLI-
+        // reachable (the store's error band ε = e/w of total
+        // occurrences is a per-deployment decision — see
+        // FreqSketch.Width's regime table). Only the BOOTSTRAP sets the
+        // width (appends inherit the stamp); `auto` derives it from a
+        // one-pass occurrence count of THIS drop via deriveWidth.
+        def autoTarget(spec: String): Long =
+          if (spec == "auto") 1000L
+          else {
+            val t = spec.stripPrefix("auto:")
+            require(t.nonEmpty && t.forall(_.isDigit),
+              s"--freq-width: expected <n>, auto, or auto:<targetOvercount>, got '$spec'")
+            t.toLong
+          }
+        if (!FreqStore.exists(spark, fd)) {
+          val width = a.freqWidth match {
+            case None => FreqSketch.Width
+            case Some(spec) if spec.startsWith("auto") =>
+              val n = FreqSketch.grams(r.train).count()
+              val w = FreqSketch.deriveWidth(autoTarget(spec), n)
+              println(s"freq-store: derived width $w from $n gram " +
+                s"occurrences (target overcount ${autoTarget(spec)})")
+              w
+            case Some(spec) =>
+              require(spec.forall(_.isDigit) && spec.toLong > 0,
+                s"--freq-width: expected <n>, auto, or auto:<targetOvercount>, got '$spec'")
+              spec.toInt
+          }
+          FreqStore.buildStaged(r.train, fd, dropId, width = width)()
+        } else if (!FreqStore.drops(spark, fd).contains(dropId)) {
+          val stamped = FreqStore.storedWidth(spark, fd)
+          a.freqWidth.foreach {
+            case spec if spec.startsWith("auto") =>
+              // advisory on append: the width is the store's for life,
+              // but auto recomputes the recommendation over the GROWN
+              // total (stored exact total + this drop) and says loudly
+              // when the stamp is now undersized — the monitoring read
+              // that tells an operator to schedule a rebuild
+              val n = FreqStore.storedTotal(spark, fd) +
+                FreqSketch.grams(r.train).count()
+              val rec = FreqSketch.deriveWidth(autoTarget(spec), n)
+              if (rec > stamped)
+                println(s"freq-store: WARNING width $stamped is undersized " +
+                  s"for $n total occurrences (derived recommendation $rec " +
+                  s"at target ${autoTarget(spec)}) — appends continue at " +
+                  "the stamp; schedule a rebuild to resize")
+            case spec =>
+              // an explicit width that contradicts the stamp is a
+              // mis-wired pipeline, not a request — refuse, never
+              // silently inherit
+              require(spec.forall(_.isDigit) && spec.toInt == stamped,
+                s"--freq-width $spec contradicts the store's stamped " +
+                  s"width $stamped — counters of different widths are " +
+                  "incommensurable; rebuild the store to resize")
+          }
           FreqStore.appendStaged(r.train, fd, dropId)()
-        else warnSkippedDrop("--freq-store", dropId, fd)
+        } else warnSkippedDrop("--freq-store", dropId, fd)
       }
       // the standing-sample ledger: this drop's ≤ k sample rows join
       // the store under the same drop-id discipline (re-runs skipped —

@@ -79,6 +79,24 @@ object FreqStore extends graft.operators.DropLedger {
   private def widthOf(cfg: String): Int =
     cfg.split('-').find(_.startsWith("w")).get.drop(1).toInt
 
+  /** The width this store's counters were built at — the stamp every
+    * serve/append derives its hashing from, exposed so the CLI's
+    * `--freq-width` knob can refuse a contradicting append loudly.
+    */
+  def storedWidth(s: SparkSession, storeDir: String): Int =
+    widthOf(storedCfg(s, storeDir))
+
+  /** The store's EXACT total gram-occurrence count, from stored rows
+    * only: every occurrence contributes 1 to exactly one slot of each
+    * depth row, so one depth row's Σcnt is the total (and unlearned
+    * occurrences subtract out). The `totalOccurrences` input
+    * [[FreqSketch.deriveWidth]] wants on an append-time re-derivation —
+    * drops×width stored rows in, one long out, the corpus never read.
+    */
+  def storedTotal(s: SparkSession, storeDir: String): Long =
+    serveCounters(s, storeDir).filter(col("depth") === 0)
+      .agg(coalesce(sum(col("cnt")), lit(0L))).collect().head.getLong(0)
+
   /** Bootstrap from the first drop (overwrites). The width chosen here
     * is the STORE's width for life — appends inherit it from the stamp.
     */

@@ -95,6 +95,56 @@ class CliSpec extends AnyFunSuite {
       .listFiles().count(_.getName.startsWith("part-")) === 1)
   }
 
+  test("Corpus CLI: --freq-width builds at a non-default width, serves by the stamp, refuses a mixed-width append") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-freqw")
+    def drop(name: String, ids: Range) = ids.map(i =>
+        (i.toLong, (1 to 25).map(j => s"$name${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    drop("a", 1 to 8).write.parquet(s"$dir/day1")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/day1", "-O", s"$dir/out1",
+      "--freq-store", s"$dir/freq", "--freq-width", "4096",
+      "--drop-id", "d1"))
+    assert(graft.text.FreqStore.storedWidth(spark, s"$dir/freq") === 4096,
+      "the bootstrap width is the store's width for life")
+    // serve derives its probe hashing from the STAMP: a point estimate
+    // through the store equals the from-scratch sketch at w=4096
+    val probes = Seq("a1_1 a1_2 a1_3").toDF("term")
+    val viaStore = graft.text.FreqStore.serveEstimates(spark, probes,
+      s"$dir/freq").select("est").as[Long].head()
+    val scratch = graft.text.FreqSketch.estimates(
+      graft.text.FreqSketch.counters(
+        graft.text.FreqSketch.grams(spark.read.parquet(s"$dir/day1")),
+        width = 4096),
+      probes, width = 4096).select("est").as[Long].head()
+    assert(viaStore === scratch && viaStore >= 1L)
+    // a contradicting explicit width on append refuses loudly
+    drop("b", 100 to 107).write.parquet(s"$dir/day2")
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Corpus.run(spark, Array(
+        "-I", s"$dir/day2", "-O", s"$dir/out2",
+        "--freq-store", s"$dir/freq", "--freq-width", "1024",
+        "--drop-id", "d2"))
+    }
+    assert(e.getMessage.contains("contradicts the store's stamped width"))
+    // same width (or no flag) appends normally
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/day2", "-O", s"$dir/out2",
+      "--freq-store", s"$dir/freq", "--freq-width", "4096",
+      "--drop-id", "d2"))
+    assert(graft.text.FreqStore.drops(spark, s"$dir/freq").toSet ===
+      Set("d1", "d2"))
+    // auto derives a floored width on a tiny bootstrap corpus
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/day1", "-O", s"$dir/out3",
+      "--freq-store", s"$dir/freq-auto", "--freq-width", "auto",
+      "--drop-id", "d1"))
+    assert(graft.text.FreqStore.storedWidth(spark, s"$dir/freq-auto") === 1024,
+      "200 occurrences at target 1000 floors at the 1024 default")
+  }
+
   test("Corpus CLI: explicit token bounds on a binary-only drop refuse loudly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
