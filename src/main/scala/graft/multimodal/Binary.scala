@@ -306,21 +306,51 @@ object Binary {
     * Scale shape = the text near-dup's: shingle/sign map-only, one
     * fine-grained band-key shuffle, verify only on candidates. Stride-1
     * shingles fan a P-byte payload to P rows map-side before the
-    * distinct — for multi-MB media payloads run this on the DECODED/
-    * canonical stream or raise k; the gate corpus is doc-sized.
+    * distinct (~24 B of shuffle per payload byte) — honest-linear, and
+    * a scale-killer on multi-MB media. The SIZE GUARD routes around it:
+    * payloads over `maxStride1Bytes` take the BOUNDED path — their
+    * shingle set is the winnowed FINGERPRINT set ([[byteFingerprints]],
+    * ~2/(w+1) of the gram hashes) fed through the identical LSH band +
+    * exact-Jaccard tail, so a 100 MB video costs ~2/9 of its grams in
+    * 8 B rows instead of 24 B per byte. Within-cohort semantics:
+    * small×small pairs verify on exact byte-shingle Jaccard (unchanged
+    * — the gate-corpus path, bit-for-bit); large×large pairs verify on
+    * winnow-fingerprint-set Jaccard — a locally-consistent sample of
+    * the same shingle universe, so container-level edits (truncation,
+    * appended watermark) that keep long byte runs keep most
+    * fingerprints. CROSS-boundary pairs (a doc truncated across the
+    * threshold) are deliberately NOT auto-mined — that is the
+    * partial-copy question, and [[nearDupPayloadPairsByFingerprint]] /
+    * [[graft.text.FpStore]] is its dedicated leg; raise
+    * `maxStride1Bytes` to force one cohort when the corpus straddles.
     */
   def nearDupPayloadPairs(media: DataFrame, k: Int = 12,
                           thresholdTenths: Int = 7,
-                          eager: Boolean = true): DataFrame = {
-    val prep = media
+                          eager: Boolean = true,
+                          maxStride1Bytes: Int = 1 << 20): DataFrame = {
+    require(maxStride1Bytes >= k, s"threshold under k=$k shingles nothing")
+    val hexed = media
       .select(col("doc_id"),
         org.apache.spark.sql.functions.hex(col("payload")).as("hx"))
+    val smallPrep = hexed
+      .filter(length(col("hx")) <= maxStride1Bytes * 2)
       .select(col("doc_id"), byteShingles(col("hx"), k).as("sh"))
+    // large cohort: distinct fingerprints reassembled into a per-doc
+    // SET (sorted strings — array_intersect's element domain), then the
+    // same sign/band/verify tail as the small cohort
+    val largePrep = byteFingerprints(
+        media.filter(length(col("payload")) > maxStride1Bytes), k)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("fp").cast("string"))).as("sh"))
+    def banded(prep: DataFrame): DataFrame = prep
       .select(col("doc_id"), col("sh"),
         graft.functions.MinHashSignature.of(col("sh"), 16).as("sig"))
       .select(col("doc_id"), col("sh"),
         graft.text.TextOps.lshBands(col("sig"), 4, 4).as("bands"))
-    graft.text.Dedup.verifiedPairsFromPrep(prep, thresholdTenths, eager)
+    graft.text.Dedup.verifiedPairsFromPrep(banded(smallPrep),
+        thresholdTenths, eager)
+      .unionByName(graft.text.Dedup.verifiedPairsFromPrep(banded(largePrep),
+        thresholdTenths, eager))
   }
 
   /** Winnowing fingerprints over the BINARY column (Schleimer/Wilkerson/

@@ -267,6 +267,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("nearDupPayloadPairs size guard: large payloads take the bounded winnow path") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    def rndBytes(seed: Long, n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); new java.util.Random(seed).nextBytes(a); a
+    }
+    // two "large" payloads (over the 1000-byte test threshold): a copy
+    // with an appended watermark — the container-level dup. Two small
+    // docs: exact stride-1 cohort, one near-dup pair. Threshold 1000 so
+    // the test is fast; production default is 1 MiB.
+    val big = rndBytes(1L, 2000)
+    val small = rndBytes(5L, 400)
+    val media = Seq(
+      (1L, big),
+      (2L, big ++ rndBytes(2L, 60)),     // watermarked copy of 1
+      (3L, rndBytes(3L, 2100)),          // unrelated large
+      (10L, small),
+      (11L, small.take(380)),            // truncated copy of 10
+      (12L, rndBytes(6L, 400)))          // unrelated small
+      .toDF("doc_id", "payload")
+    val pairs = graft.multimodal.Binary.nearDupPayloadPairs(media,
+      maxStride1Bytes = 1000)
+    val got = pairs.select("doc_a", "doc_b", "union_size")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet === Set((1L, 2L), (10L, 11L)),
+      "each cohort finds its pair; cross-boundary is the FpStore leg's job")
+    // the BOUNDED-path proof: stride-1 sets for 2000-byte payloads would
+    // union to ~2049 shingles; the winnow fingerprint sets are ~2/(w+1)
+    // of the grams — a union over 2049 means the guard didn't route
+    assert(got((1L, 2L)) < 800,
+      s"large pair verified on winnowed sets, got union ${got((1L, 2L))}")
+    assert(got((10L, 11L)) > 300,
+      s"small pair stays on exact stride-1 sets, got union ${got((10L, 11L))}")
+    // and the small cohort's numbers are BIT-IDENTICAL to the unguarded
+    // operator over the same small docs (the q204 hash-stability claim)
+    val smallOnly = media.filter(col("doc_id") >= 10L)
+    val guarded = graft.multimodal.Binary.nearDupPayloadPairs(smallOnly,
+      maxStride1Bytes = 1000).orderBy("doc_a").collect().toSeq
+    val unguarded = graft.multimodal.Binary.nearDupPayloadPairs(smallOnly)
+      .orderBy("doc_a").collect().toSeq
+    assert(guarded === unguarded)
+  }
+
   test("extractFeatures digests match MessageDigest ground truth") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
