@@ -252,26 +252,168 @@ object Binary {
     * stop-key guard applies if a corpus hits it.
     */
   def nearDupImagePairs(media: DataFrame, maxHamming: Int = 3)(
-      implicit s: SparkSession): DataFrame = {
+      implicit s: SparkSession): DataFrame =
+    bandedHammingPairs(
+      extractImageHashes(media).toDF().filter(col("is_image"))
+        .select(col("doc_id"), col("dhash").as("h")),
+      maxHamming)
+
+  /** The banded 64-bit-Hamming pair tail shared by the image (dHash)
+    * and audio (aHash) perceptual legs: 4 × 16-bit bands, so any pair
+    * within Hamming ≤ 3 has ≥ 1 identical band (pigeonhole) and is
+    * found by the banded EQUI join — never an all-pairs comparison.
+    * Candidates verified exactly by bit_count(xor). Shuffle = |rows|×4
+    * band rows; a degenerate band (flat-color corpora, silence hashing
+    * to 0) concentrates candidates the way hot shingles do — the
+    * SimHash stop-key guard applies if a corpus hits it.
+    */
+  private def bandedHammingPairs(hashes: DataFrame,
+                                 maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 bands guarantee detection only to hamming 3, got $maxHamming")
-    val hs = extractImageHashes(media).toDF().filter(col("is_image"))
-    val banded = hs.select(col("doc_id"), col("dhash"),
+    val banded = hashes.select(col("doc_id"), col("h"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band_idx"),
-        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val"))): _*))
+        shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val"))): _*))
         .as("band"))
-      .select(col("doc_id"), col("dhash"),
+      .select(col("doc_id"), col("h"),
         col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
     banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  final case class AudioHash(doc_id: Long, is_audio: Boolean, ahash: Long)
+
+  /** Mono amplitude series of a decoded PCM stream in the signed 16-bit
+    * domain: 8/16-bit samples, signed or unsigned, either endianness,
+    * any channel count (integer-average downmix); 8-bit samples lift
+    * ×256. None for encodings outside plain PCM (A-law/float) — the
+    * caller falls back to the flagged-row path, never a task failure.
+    * Integer ops end to end (the audit property).
+    */
+  def pcmMonoSamples(ais: javax.sound.sampled.AudioInputStream): Option[Array[Long]] = {
+    import javax.sound.sampled.AudioFormat.Encoding
+    val fmt = ais.getFormat
+    val bits = fmt.getSampleSizeInBits
+    val enc = fmt.getEncoding
+    if ((bits != 8 && bits != 16) ||
+        (enc != Encoding.PCM_SIGNED && enc != Encoding.PCM_UNSIGNED)) None
+    else {
+      val bytes = ais.readAllBytes()
+      val ch = fmt.getChannels
+      val frameSize = fmt.getFrameSize
+      val n = bytes.length / frameSize
+      val out = new Array[Long](n)
+      val be = fmt.isBigEndian
+      var f = 0
+      while (f < n) {
+        var acc = 0L
+        var c = 0
+        while (c < ch) {
+          val off = f * frameSize + c * (bits / 8)
+          acc +=
+            (if (bits == 8) {
+              (if (enc == Encoding.PCM_UNSIGNED) (bytes(off) & 0xff) - 128
+               else bytes(off).toInt).toLong << 8
+            } else {
+              val hi = if (be) bytes(off) else bytes(off + 1)
+              val lo = if (be) bytes(off + 1) else bytes(off)
+              val raw = ((hi & 0xff) << 8) | (lo & 0xff)
+              (if (enc == Encoding.PCM_UNSIGNED) raw - 32768
+               else raw.toShort.toInt).toLong
+            })
+          c += 1
+        }
+        out(f) = acc / ch
+        f += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** 64-bit audio difference hash — dHash's recipe on the TIME axis
+    * (the content-aware audio fingerprint the dedup taxonomy was
+    * missing): the mono amplitude series is cut into 65 proportional
+    * windows, each window's mean |amplitude| is its energy, and bit i
+    * is 1 iff window i+1 is louder than window i. The energy-envelope
+    * GRADIENT survives exactly the re-encodes that rewrite every byte:
+    * resampling (windows are proportional, not fixed-length),
+    * requantization 16↔8 bit (means scale together), and uniform
+    * volume change (comparisons are scale-invariant) — while
+    * byte-exact digests and byte-shingle MinHash both see a different
+    * file. What it deliberately does NOT survive: trimming or
+    * time-shifting (windows re-align) — that is a retrieval problem
+    * (chromaprint-style subfingerprint search), not a dedup hash.
+    * Comparisons are exact integer cross-multiplies
+    * (mean_a > mean_b ⟺ e_a·n_b > e_b·n_a); e·n stays inside a long
+    * up to ~10^9 samples (~6 h at 48 kHz mono). None under 65 samples —
+    * no meaningful envelope exists.
+    */
+  def aHash64(samples: Array[Long]): Option[Long] = {
+    val n = samples.length
+    if (n < 65) None
+    else {
+      val e = new Array[Long](65)
+      val cnt = new Array[Long](65)
+      var j = 0
+      while (j < 65) {
+        var i = (j.toLong * n / 65).toInt
+        val end = ((j + 1).toLong * n / 65).toInt
+        cnt(j) = end - i
+        var sum = 0L
+        while (i < end) { sum += math.abs(samples(i)); i += 1 }
+        e(j) = sum
+        j += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (e(b + 1) * cnt(b) > e(b) * cnt(b + 1)) h |= 1L << b
+        b += 1
+      }
+      Some(h)
+    }
+  }
+
+  /** Per-payload aHash over (doc_id, payload) partitions — map-only.
+    * Payloads that don't decode to plain PCM (or are shorter than one
+    * envelope) come through flagged, never dropped.
+    */
+  def extractAudioHashes(media: DataFrame)(implicit s: SparkSession): Dataset[AudioHash] = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { batch =>
+        batch.map { row =>
+          decodeAudio(row.payload).flatMap { ais =>
+            try pcmMonoSamples(ais).flatMap(aHash64)
+            finally ais.close()
+          } match {
+            case Some(h) => AudioHash(row.doc_id, is_audio = true, h)
+            case None    => AudioHash(row.doc_id, is_audio = false, 0L)
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate audio pairs — the content-aware leg for the audio
+    * modality, banded exactly like [[nearDupImagePairs]]: a re-encoded
+    * clip (resampled, requantized, volume-normalized) passes every
+    * byte-level check ([[nearDupPayloadPairs]] included — re-encoding
+    * rewrites every byte) but lands within a few Hamming bits here.
+    * Complementary to the byte path the way dHash is for images.
+    */
+  def nearDupAudioPairs(media: DataFrame, maxHamming: Int = 3)(
+      implicit s: SparkSession): DataFrame =
+    bandedHammingPairs(
+      extractAudioHashes(media).toDF().filter(col("is_audio"))
+        .select(col("doc_id"), col("ahash").as("h")),
+      maxHamming)
 
   /** Byte k-shingle set of a HEX-encoded payload column: every k-byte
     * window (stride 1 byte = 2 hex chars), distinct, as 2k-char hex

@@ -267,6 +267,82 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("nearDupAudioPairs finds the re-encoded twin byte-level digests miss") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import javax.sound.sampled._
+    // a deterministic waveform with a strong per-window energy
+    // envelope: amplitude A(w) steps pseudo-randomly every 100 frames,
+    // carrier is a fixed 17-sample ramp — adjacent envelope windows
+    // differ decisively, so the gradient bits are stable under
+    // re-encode. f(i) in the signed 16-bit domain.
+    def amp(w: Int): Long = (w * 2654435761L % 97) + 3
+    def f(i: Int): Int = (amp(i / 100) * ((i % 17) - 8) * 16).toInt
+    val nFrames = 6500
+    def wav16(rate: Float, upsample: Int): Array[Byte] = {
+      val n = nFrames * upsample
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = f(i / upsample) // nearest-neighbor upsample of the SAME signal
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(rate, 16, 1, true, false), n.toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    // the requantized twin: SAME waveform truncated to 8-bit unsigned
+    def wav8: Array[Byte] = {
+      val pcm = Array.tabulate[Byte](nFrames)(i => ((f(i) >> 8) + 128).toByte)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(8000f, 8, 1, false, false), nFrames.toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    // an unrelated clip: different envelope sequence
+    def wavOther: Array[Byte] = {
+      val pcm = new Array[Byte](nFrames * 2)
+      var i = 0
+      while (i < nFrames) {
+        val v = (((i / 100 * 40503L + 7) % 101) * (((i % 23) - 11)) * 16).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(8000f, 16, 1, true, false), nFrames.toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      (1L, wav16(8000f, 1)),       // the original
+      (2L, wav8),                  // requantized 16 -> 8 bit unsigned
+      (3L, wav16(16000f, 2)),      // resampled 2x (same signal, new rate)
+      (4L, wavOther),              // unrelated content
+      (5L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    // every re-encode rewrites the bytes: the byte-level near-dup leg
+    // (stride-1 shingles + MinHash) sees nothing — the reason the
+    // content-aware leg exists
+    assert(Binary.nearDupPayloadPairs(media).count() === 0L)
+    val pairs = Binary.nearDupAudioPairs(media)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (1L, 3L)).subsetOf(pairs),
+      s"requantized and resampled twins must pair with the original: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated content must not pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "non-audio payloads are flagged out of the banded join")
+  }
+
   test("nearDupPayloadPairs size guard: large payloads take the bounded winnow path") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     def rndBytes(seed: Long, n: Int): Array[Byte] = {
