@@ -1097,14 +1097,19 @@ object Corpus {
       require(!a.spineIngest || (a.dedupStore.nonEmpty && a.dsirStore.nonEmpty),
         "--spine-ingest needs the incremental form (--dedup-store AND " +
           "--dsir-store) — the batch spine has no ledgers to ingest into")
-      // scoped release (r13 verdict #8): the spine's plan-sharing caches
-      // (gate projection, gated/clean stage frames, the dedup preps) are
-      // created lazily inside the composition and their handles are
-      // internal to the stages, so the CLI — which OWNS this session for
-      // the duration of the command — releases them wholesale once the
-      // terminal action and ledger commits have landed (or failed). A
-      // long-lived caller running the daily spine in-session therefore
-      // never accumulates MEMORY_AND_DISK blocks across days.
+      // scoped release (r13 verdict #8, DELTA-scoped per r14 advice): the
+      // spine's plan-sharing caches (gate projection, clean stage frame,
+      // the dedup preps) are created lazily inside the composition and
+      // their handles are internal to the stages, so the cleanup
+      // snapshots the session's cache state BEFORE the spine and
+      // releases exactly what appeared — never `clearCache()` +
+      // unpersist-all, which on a shared context would clear other
+      // callers' cached plans and kill unrelated localCheckpoint blocks
+      // (those fail with missing blocks rather than recompute). A
+      // long-lived caller running the daily spine in-session keeps its
+      // own caches and never accumulates the spine's across days.
+      val cacheScope = org.apache.spark.sql.graftx.Bridge
+        .cacheScopeSnapshot(spark)
       try {
       val (sel, commitIngest) = (a.dedupStore, a.dsirStore) match {
         case (Some(sig), Some(prof)) if a.spineIngest =>
@@ -1173,10 +1178,8 @@ object Corpus {
           s"and ${a.dsirStore.get}")
       }
       println(s"curation-spine: wrote ${a.out}/selection and ${a.out}/_manifest")
-      } finally {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      }
+      } finally org.apache.spark.sql.graftx.Bridge
+        .releaseCacheScopeDelta(spark, cacheScope)
       return
     }
     // standalone maintenance invocation: compact an existing store and

@@ -1208,17 +1208,30 @@ class CliSpec extends AnyFunSuite {
     val d = Tables(spark, "/root/testdata/sf0.001").documents
     d.filter(col("doc_id") % 19 =!= 0).write.parquet(s"$dir/corpus")
     d.filter(col("doc_id") % 19 === 0).write.parquet(s"$dir/target")
+    // scoped caches (r13 verdict #8, DELTA-scoped r15): assert the run
+    // ADDED nothing, not that context-global state is empty — under
+    // parallel suites another test's cache landing between the CLI's
+    // finally and this assert made the absolute form flaky, and the
+    // absolute CLEANUP it asserted had the same blast radius (it would
+    // clear that other test's caches). Pre-existing state must also
+    // SURVIVE the run: the session is shared.
+    import spark.implicits._
+    val bystander = Seq((1L, "bystander")).toDF("doc_id", "text").cache()
+    assert(bystander.count() === 1L) // materialize the bystander entry
+    import org.apache.spark.sql.graftx.Bridge
+    val cachedBefore = Bridge.numCachedEntries(spark)
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     graft.cli.Corpus.run(spark, Array(
       "-I", s"$dir/corpus", "-O", s"$dir/out",
       "--curation-spine", "--dsir-target", s"$dir/target"))
     assert(spark.read.parquet(s"$dir/out/selection").count() === 100)
-    // scoped caches (r13 verdict #8): the spine's lazy plan-sharing
-    // caches are released when the CLI run ends — a session running the
-    // daily spine must not accumulate MEMORY_AND_DISK blocks across days
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "the --curation-spine run must leave no cached plans behind")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "the --curation-spine run must leave no persisted RDDs behind")
+    assert(Bridge.numCachedEntries(spark) === cachedBefore,
+      "the --curation-spine run must leave no cached plans OF ITS OWN behind")
+    assert(spark.sparkContext.getPersistentRDDs.keySet === rddsBefore,
+      "the --curation-spine run must add no persisted RDDs and kill none")
+    assert(Bridge.isCached(bystander),
+      "a bystander's cache must survive the spine's cleanup")
+    bystander.unpersist()
     // the CLI's on-disk manifest ≡ the q186 gate over the same split —
     // the flag runs the exact spine the oracle checks
     val manifest = spark.read.parquet(s"$dir/out/_manifest")
