@@ -207,12 +207,24 @@ object FpStore {
   def pairsVsStoreStaged(drop: DataFrame, storeDir: String,
                          minShared: Int = 2, maxDf: Int = 8,
                          idCol: String = "doc_id",
-                         contentCol: String = "text"): (DataFrame, () => Unit) = {
+                         contentCol: String = "text",
+                         dropId: Option[String] = None): (DataFrame, () => Unit) = {
     val s = drop.sparkSession
+    dropId.foreach(id => require(!drops(s, storeDir).contains(id),
+      s"drop '$id' is already enrolled in the fingerprint store $storeDir — " +
+        "a re-append would double its fingerprint rows and skew the df guard"))
     val (pairs, dropFps) =
       mine(drop, storeDir, minShared, maxDf, idCol, contentCol)
     val staging = stagingPath(storeDir)
-    dropFps.write.mode("overwrite").parquet(staging)
+    // append-once PER DOC: ids already in the store stage nothing, so a
+    // crash-replayed serve (or a caller re-serving yesterday's drop)
+    // converges instead of doubling those docs' rows and skewing every
+    // later df guard. Ids are immutable identities here — re-ingesting
+    // CHANGED content under an old id is an upstream versioning bug this
+    // store will not paper over.
+    dropFps.join(load(s, storeDir).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(staging)
     val commit = () => {
       val fs = fileSystem(s, storeDir)
       val live = new org.apache.hadoop.fs.Path(fpPath(storeDir))
@@ -224,9 +236,77 @@ object FpStore {
             s"could not commit staged fingerprint append ${f.getPath} -> $live")
       }
       fs.delete(src, true)
-      ()
+      dropId.foreach(writeDropMarker(fs, storeDir, _))
     }
     (pairs, commit)
+  }
+
+  /** Optional drop-enrollment markers (`_drops/<id>` — empty files):
+    * written only when a caller supplies a dropId (the streaming face's
+    * replay guard; plain API appends stay marker-free). Markers record
+    * ENROLLMENT, not rows — takedown stays doc-keyed and never consults
+    * them.
+    */
+  private def dropsDir(storeDir: String) =
+    new org.apache.hadoop.fs.Path(s"$storeDir/_drops")
+
+  private def writeDropMarker(fs: org.apache.hadoop.fs.FileSystem,
+                              storeDir: String, dropId: String): Unit = {
+    require(dropId.nonEmpty && !dropId.contains("/"),
+      s"bad drop id '$dropId'")
+    fs.create(new org.apache.hadoop.fs.Path(dropsDir(storeDir), dropId), true)
+      .close()
+  }
+
+  /** Drop ids enrolled through the marker-writing faces. */
+  def drops(s: SparkSession, storeDir: String): Seq[String] = {
+    val d = dropsDir(storeDir)
+    val fs = d.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** The partial-copy detector as a STRUCTURED-STREAMING loop — each
+    * epoch of `dropStream` (a streaming DataFrame of document rows)
+    * serves its pairs against the store, writes them to
+    * `outDir/<dropId>/`, and only then appends its fingerprints
+    * (commit-LAST — a crash before the commit leaves the store
+    * untouched and the rewritten pairs converge on replay; a crash
+    * after it leaves the `_drops` marker, and the replayed epoch is
+    * skipped — its pairs are already on disk). Bootstrap epoch builds
+    * the store (no history ⇒ no pairs dir). `availableNow` = the
+    * cron-able drain, the [[Curation.spineStream]] shape.
+    */
+  def pairsStream(dropStream: DataFrame, storeDir: String, outDir: String,
+                  checkpoint: String, contentCol: String = "text",
+                  universe: Store.Universe = Store.Universe.TextWords,
+                  minShared: Int = 2, maxDf: Int = 8,
+                  availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = dropStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val s = batch.sparkSession
+        val dropId = f"epoch-$epoch%06d"
+        if (batch.isEmpty) ()
+        else if (!exists(s, storeDir)) {
+          buildStaged(batch, storeDir, contentCol = contentCol,
+            universe = universe)()
+          writeDropMarker(
+            dropsDir(storeDir).getFileSystem(s.sparkContext.hadoopConfiguration),
+            storeDir, dropId)
+        } else if (drops(s, storeDir).contains(dropId)) {
+          () // crash-replay of a committed epoch: pairs already on disk
+        } else {
+          val (pairs, commit) = pairsVsStoreStaged(batch, storeDir,
+            minShared, maxDf, "doc_id", contentCol, dropId = Some(dropId))
+          pairs.write.mode("overwrite").parquet(s"$outDir/$dropId")
+          commit()
+        }
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
   }
 
   /** Serve-only: same pairs as [[pairsVsStore]], the store never touched —

@@ -164,6 +164,68 @@ class FpStoreSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("string column"))
   }
 
+  test("pairsStream: epoch serve + enroll, exactly-once across a crash replay") {
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory("fpstream")
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val run = (1 to 12).map(i => s"s$i").mkString(" ")
+    def addDrop(name: String, df: DataFrame): Unit = {
+      val scratch = s"$root/stage-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+    def start() = FpStore.pairsStream(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      s"$root/fp", s"$root/out", ckpt)
+
+    // epoch 0 bootstraps the store; epoch 1 carries a partial copy of a
+    // day-1 doc (the shared 12-word run) plus an unrelated doc
+    addDrop("day1", Seq(
+      (1L, run + " " + (1 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, (100 to 130).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text"))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      addDrop("day2", Seq(
+        (11L, (200 to 220).map(i => s"c$i").mkString(" ") + " " + run),
+        (12L, (300 to 330).map(i => s"d$i").mkString(" ")))
+        .toDF("doc_id", "text"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(!new java.io.File(s"$root/out/epoch-000000").exists,
+      "the bootstrap epoch has no history to pair against")
+    val pairs = spark.read.parquet(s"$root/out/epoch-000001")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((11L, 1L)))
+    assert(FpStore.drops(spark, s"$root/fp") ===
+      Seq("epoch-000000", "epoch-000001"))
+    val rowsAfter = FpStore.load(spark, s"$root/fp").count()
+
+    // crash replay: delete the last checkpoint commit marker so the
+    // restarted query re-runs epoch 1 — the marker guard must skip it
+    // (pairs already on disk) and the store must not double
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete(), "crash simulation: drop the last commit")
+    // the local FS keeps a .crc sidecar per commit file; leaving it
+    // behind makes the re-commit's rename fail as a phantom concurrent
+    // writer — a real crash loses both together
+    new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc").delete()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(FpStore.load(spark, s"$root/fp").count() === rowsAfter,
+      "a replayed epoch must not re-append fingerprint rows")
+    assert(FpStore.drops(spark, s"$root/fp") ===
+      Seq("epoch-000000", "epoch-000001"))
+  }
+
   test("compact: contents identical, marker preserved, file count bounded") {
     val dir = Files.createTempDirectory("fpstore-c").toString
     val docs = (1L to 6L).map(i =>
