@@ -87,6 +87,23 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // InferFiltersFromGenerate copies a Generate's input expression
+      // into an inferred `size(e) > 0 AND isnotnull(e)` filter; filter
+      // pushdown then substitutes the DEFINING expression through the
+      // adjacent Project, so an explode over a computed array (the
+      // winnow family's per-gram md5 transform) re-evaluates the whole
+      // array computation PER INPUT ROW inside the scan filter — even
+      // for rows an earlier cheap predicate already excluded
+      // (subexpression elimination hoists it above the short-circuit).
+      // Measured at sf0.1 (tools.GuardProbe, min-of-3): q208's shape
+      // 8.9 -> 1.65 s with the rule excluded; an empty-cohort branch
+      // 7.9 -> 0.5 s. What the rule buys elsewhere — pruning empty
+      // arrays BEFORE a generate — is near-zero here: exploding an
+      // empty array already emits nothing, and `size(col) > 0` never
+      // reaches parquet footer stats. Cluster deployments should carry
+      // this conf alongside spark.sql.extensions (README).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

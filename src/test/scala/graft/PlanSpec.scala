@@ -646,6 +646,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"), "settled + boundary branches union")
   }
 
+  test("winnow explodes never re-evaluate the gram transform inside a filter") {
+    // InferFiltersFromGenerate (excluded in Sessions.local) would copy
+    // the per-gram md5 transform into an inferred size/isnotnull filter
+    // that filter-pushdown substitutes through the defining Project —
+    // re-computing the WHOLE gram array per input row (measured 5.4x on
+    // q208's shape, tools.GuardProbe). Pin that no Filter condition in
+    // the winnow family carries a higher-order transform.
+    Seq("q208_binary_winnow", "q77_winnow", "q209_binary_winnow_pairs")
+      .foreach { name =>
+        val filters = q(name).queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.toString
+        }
+        assert(!filters.exists(_.contains("lambdafunction")),
+          s"$name: an inferred filter re-computes the gram array per input row")
+      }
+  }
+
   test("q190/q205 funnel is single-pass: one labeled aggregation, a 2-branch union") {
     // r14's funnel unioned SIX per-stage censuses over checkpointed
     // stage frames; the single-pass form labels each doc with the
