@@ -14,19 +14,64 @@ import org.apache.spark.sql.functions._
   * the only signal with a detection GUARANTEE (any shared run of
   * ≥ k + w − 1 grams) — re-fingerprinted the entire history per question.
   *
+  * Three tables, committed TOGETHER (see the commit layout below):
+  *
+  *  - `fps`  — (doc_id, fp), distinct per doc: the fingerprint rows.
+  *  - `df`   — (fp, cnt) document-frequency PARTIALS: each commit carries
+  *    the per-fp doc count of ITS OWN fps rows, so summing partials per
+  *    fp reproduces `fps.groupBy(fp).count` exactly (fp rows are
+  *    doc-distinct). The serve's stop-fingerprint guard reads THIS table
+  *    instead of re-aggregating the corpus-scale fps table per drop —
+  *    the same persisted-counter recipe as [[FreqStore]]'s sum-merge,
+  *    and the record-level analog of the reference persisting its `.bai`
+  *    index instead of rescanning (SparkCaller.java:205-214).
+  *  - `docs` — (doc_id), one row per enrolled doc: the append's
+  *    seen-before anti-join reads this metadata-scale table instead of
+  *    `fps.select(doc_id).distinct` over all of history.
+  *
+  * With those two side tables, a daily serve touches the corpus-scale
+  * fps table EXACTLY ONCE (the history leg of the pair join); the rare
+  * set is built from the drop's own fingerprint counts joined against
+  * the df counters — no Exchange over, and no scan of, the full-history
+  * fps table feeds it ([[graft.PlanSpec]] pins the single-scan shape).
+  *
+  * Commit layout — every mutation of the store is ONE atomic directory
+  * rename (`StoreSwap.commitDropDir` discipline), fixing the r15
+  * per-part-file rename loop whose mid-crash window permanently lost the
+  * tail of a drop's rows (the doc-level replay anti-join saw the doc as
+  * enrolled and staged nothing):
+  *
+  * {{{
+  * storeDir/commits/
+  *   base-<tag>/   _shape  fps/  df/  docs/     (build / takedown / compact)
+  *   drop-<id>/    _shape [fps/  df/  docs/]    (appends with a drop id;
+  *                                               bare `_shape` = tombstone)
+  *   append-<tag>/ _shape  fps/  df/  docs/     (appends without one)
+  * }}}
+  *
+  * A commit stages all three tables plus the `_shape` recipe marker in
+  * one staging dir and renames it into `commits/` in a single atomic
+  * move — fps rows, df partials, doc enrollment and (for `drop-<id>`
+  * commits) the streaming replay marker become visible TOGETHER, so no
+  * crash ordering can make the three tables disagree or lose the
+  * enrollment marker separately from the rows (the r15 stream bootstrap
+  * wrote them in two steps). Takedown/compact rewrite the whole
+  * `commits/` tree behind the crash-safe [[graft.operators.StoreSwap]]
+  * markers, preserving enrolled drop ids as `_shape`-only tombstones so
+  * a crash-replayed epoch is still skipped after a compaction.
+  *
   * Daily-drop cost shape at 100 TB: fingerprinting is O(drop) map work;
-  * the history side is one columnar scan of an 16-byte-per-row
+  * the history side is one columnar scan of a 16-byte-per-row
   * (doc_id, fp) table that is itself only ~2/(w+1) of the corpus's gram
-  * count; the pair mine is the [[Winnow.pairsFromFingerprints]] equi
-  * join with the stop-fingerprint guard, whose df counts are computed
-  * over history ∪ drop so a boilerplate run that only becomes hot once
-  * the drop lands is still killed BEFORE the join.
+  * count, filtered by the drop's rare-fp set (AQE broadcasts it for
+  * daily-sized drops — no history shuffle); the df counters are
+  * one-row-per-fp after compaction, read only to look up the DROP's fps.
   *
   * Takedown is delete-and-done: fingerprint rows are doc-keyed with no
   * cross-doc rollup, so removing a doc's rows makes every later serve
-  * behave exactly as if it was never ingested — the Freq-family
-  * subtract/rebuild recipes aren't even needed (the same exactness
-  * argument as [[Store.removeDocs]], at one table rewrite).
+  * behave exactly as if it was never ingested; the df/docs tables are
+  * re-derived from the surviving rows in the same rewrite (a full
+  * recount, exact by construction).
   *
   * The `_shape` marker (`v1 <k> <w> <universe>`) makes the store
   * self-describing across BOTH gram universes: `text` = word k-grams
@@ -35,14 +80,27 @@ import org.apache.spark.sql.functions._
   * the STORED parameters with a loud column-type check — probing a
   * bytes store with a string column would otherwise silently share
   * nothing, the empty-candidate failure the [[Store]] marker exists to
-  * prevent. Reference lineage: the reference's only "index" is a
-  * file-level BAM index rebuild per pass (SparkCaller.java:205-214);
-  * persisting derived per-record state so later passes skip the rescan
-  * is exactly the record-level re-expression this store family is.
+  * prevent.
   */
 object FpStore {
 
-  def fpPath(storeDir: String): String = s"$storeDir/fingerprints"
+  /** The live ledger of commit directories. */
+  def commitsPath(storeDir: String): String = s"$storeDir/commits"
+
+  /** The concrete per-commit paths of one table (`fps`/`df`/`docs`),
+    * resolved driver-side (a metadata-scale listing) — tombstone commits
+    * carry none and drop out here.
+    */
+  private def tablePaths(s: SparkSession, storeDir: String,
+                         table: String): Seq[String] = {
+    val fs = fileSystem(s, storeDir)
+    val paths = commitDirs(s, storeDir)
+      .map(c => new org.apache.hadoop.fs.Path(c, table))
+      .filter(fs.exists).map(_.toString)
+    require(paths.nonEmpty,
+      s"fingerprint store $storeDir has no $table data — run FpStore.build first")
+    paths
+  }
 
   /** A store's fingerprint recipe: gram width k, window w (detection
     * guarantee = any shared run of ≥ k + w − 1 grams), and the gram
@@ -63,26 +121,28 @@ object FpStore {
     case Store.Universe.PayloadBytes => FpParams(12, 8, universe)
   }
 
-  private def shapeFile(storeDir: String) =
-    new org.apache.hadoop.fs.Path(fpPath(storeDir), "_shape")
-
   private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
-                          dir: String, p: FpParams): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_shape"), true)
+                          commitDir: String, p: FpParams): Unit = {
+    val out =
+      fs.create(new org.apache.hadoop.fs.Path(commitDir, "_shape"), true)
     try out.write(s"v1 ${p.k} ${p.w} ${p.universe.tag}\n".getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** The recipe this store's fingerprints were selected with. Unlike
-    * [[Store]] there is no markerless legacy cohort — the family was
-    * born with the marker, so a missing one is corruption, not history.
+  /** The recipe this store's fingerprints were selected with, read from
+    * any commit's `_shape` (every commit carries one — identical by
+    * construction, appends copy the stored recipe). Unlike [[Store]]
+    * there is no markerless legacy cohort — the family was born with the
+    * marker, so a commit missing one is corruption, not history.
     */
   def storedParams(s: SparkSession, storeDir: String): FpParams = {
     require(exists(s, storeDir),
       s"no fingerprint store under $storeDir — run FpStore.build first")
-    val f = shapeFile(storeDir)
-    val fs = f.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(fs.exists(f), s"fingerprint store $storeDir has no _shape marker")
+    val fs = fileSystem(s, storeDir)
+    val commit = commitDirs(s, storeDir).head
+    val f = new org.apache.hadoop.fs.Path(commit, "_shape")
+    require(fs.exists(f),
+      s"fingerprint-store commit $commit has no _shape marker")
     val in = fs.open(f)
     val line = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().next().trim finally in.close()
@@ -90,7 +150,7 @@ object FpStore {
       case Array("v1", k, w, u) =>
         FpParams(k.toInt, w.toInt, Store.Universe.fromTag(u))
       case _ => throw new IllegalStateException(
-        s"unreadable fingerprint-store marker in $storeDir: '$line'")
+        s"unreadable fingerprint-store marker in $commit: '$line'")
     }
   }
 
@@ -119,13 +179,24 @@ object FpStore {
   }
 
   def exists(s: SparkSession, storeDir: String): Boolean = {
-    graft.operators.StoreSwap.requireNotCrashed(s, storeDir, fpPath(storeDir))
-    val p = new org.apache.hadoop.fs.Path(fpPath(storeDir))
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    graft.operators.StoreSwap.requireNotCrashed(s, storeDir,
+      commitsPath(storeDir))
+    commitDirs(s, storeDir).nonEmpty
   }
 
-  /** Fingerprint the corpus once; persist (doc_id, fp). Overwrites —
-    * build is the scheduled full (re)bootstrap. k/w default per universe
+  /** The commit directories under the live ledger, sorted by name. */
+  private def commitDirs(s: SparkSession,
+                         storeDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val c = new org.apache.hadoop.fs.Path(commitsPath(storeDir))
+    val fs = fileSystem(s, storeDir)
+    if (!fs.exists(c)) Seq.empty
+    else fs.listStatus(c).filter(_.isDirectory).map(_.getPath)
+      .sortBy(_.getName).toSeq
+  }
+
+  /** Fingerprint the corpus once; persist (doc_id, fp) plus the df
+    * counter and doc-enrollment side tables. Overwrites — build is the
+    * scheduled full (re)bootstrap. k/w default per universe
     * ([[defaultParams]]); 0 = "use the default" so a caller overriding
     * only the universe never silently mixes recipes.
     */
@@ -136,31 +207,59 @@ object FpStore {
     buildStaged(docs, storeDir, idCol, contentCol, universe, k, w)()
 
   /** [[build]] split into compute and commit (the [[Store.buildStaged]]
-    * discipline): fingerprints land in a staging dir now, the store only
-    * starts existing when the returned thunk runs — pipelines that
-    * bootstrap the store as a side effect of another output commit after
-    * THAT output succeeds, so a failed run's retry never finds a store
-    * already containing the drop (which would report every re-run pair
-    * in both orientations).
+    * discipline): the bootstrap commit lands in a staging dir now, the
+    * store only starts existing when the returned thunk runs — pipelines
+    * that bootstrap the store as a side effect of another output commit
+    * after THAT output succeeds, so a failed run's retry never finds a
+    * store already containing the drop (which would report every re-run
+    * pair in both orientations). `dropId` names the bootstrap commit
+    * `drop-<id>` so streaming enrollment is atomic with the build — the
+    * r15 two-step (build, then marker) window is gone.
     */
   def buildStaged(docs: DataFrame, storeDir: String,
                   idCol: String = "doc_id", contentCol: String = "text",
                   universe: Store.Universe = Store.Universe.TextWords,
-                  k: Int = 0, w: Int = 0): () => Unit = {
+                  k: Int = 0, w: Int = 0,
+                  dropId: Option[String] = None): () => Unit = {
     val d = defaultParams(universe)
     val p = FpParams(if (k > 0) k else d.k, if (w > 0) w else d.w, universe)
     val s = docs.sparkSession
     val staging = stagingPath(storeDir)
-    fingerprintsFor(docs, idCol, contentCol, p)
-      .write.mode("overwrite").parquet(staging)
-    writeMarker(fileSystem(s, storeDir), staging, p)
+    stageCommit(s, staging, p,
+      fingerprintsFor(docs, idCol, contentCol, p))
+    val name = commitName(dropId, "base")
     () => {
       val fs = fileSystem(s, storeDir)
-      val live = new org.apache.hadoop.fs.Path(fpPath(storeDir))
-      fs.delete(live, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-        s"could not commit staged fingerprint store $staging -> $live")
+      val commits = new org.apache.hadoop.fs.Path(commitsPath(storeDir))
+      fs.delete(commits, true)
+      fs.mkdirs(commits)
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging),
+          new org.apache.hadoop.fs.Path(commits, name)),
+        s"could not commit staged fingerprint store $staging -> $commits/$name")
     }
+  }
+
+  /** Write one commit's three tables + marker into `staging`: fps as
+    * given, then df partials and doc enrollment DERIVED BY READING THE
+    * STAGED fps BACK — the side tables describe exactly the rows that
+    * were persisted, never a recomputation that could diverge.
+    */
+  private def stageCommit(s: SparkSession, staging: String, p: FpParams,
+                          fps: DataFrame): Unit = {
+    fps.write.mode("overwrite").parquet(s"$staging/fps")
+    val staged = s.read.parquet(s"$staging/fps")
+    staged.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$staging/df")
+    staged.select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$staging/docs")
+    writeMarker(fileSystem(s, staging), staging, p)
+  }
+
+  private def commitName(dropId: Option[String], prefix: String): String = {
+    dropId.foreach(id => require(
+      id.nonEmpty && id.matches("[A-Za-z0-9._-]+"), s"bad drop id '$id'"))
+    dropId.map(id => s"drop-$id").getOrElse(
+      s"$prefix-${java.util.UUID.randomUUID().toString.take(8)}")
   }
 
   private def stagingPath(storeDir: String): String =
@@ -170,9 +269,20 @@ object FpStore {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** The stored fingerprint table: (doc_id, fp). */
+  /** The stored fingerprint table: (doc_id, fp) across every commit. */
   def load(s: SparkSession, storeDir: String): DataFrame =
-    s.read.parquet(fpPath(storeDir))
+    s.read.parquet(tablePaths(s, storeDir, "fps"): _*)
+
+  /** The stored df partials: (fp, cnt); Σcnt per fp ≡ document frequency
+    * (fps rows are doc-distinct, each commit counts only its own rows).
+    * One row per fp after [[compact]].
+    */
+  def counters(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(tablePaths(s, storeDir, "df"): _*)
+
+  /** The enrolled documents: (doc_id), one row per doc with stored rows. */
+  def enrolledDocs(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(tablePaths(s, storeDir, "docs"): _*)
 
   /** Partial-copy pairs of a NEW drop vs the stored history (plus
     * intra-drop pairs), then append the drop's fingerprints — the daily
@@ -216,55 +326,37 @@ object FpStore {
     val (pairs, dropFps) =
       mine(drop, storeDir, minShared, maxDf, idCol, contentCol)
     val staging = stagingPath(storeDir)
-    // append-once PER DOC: ids already in the store stage nothing, so a
+    // append-once PER DOC: ids already enrolled (the metadata-scale docs
+    // table, NOT a full-history distinct) stage nothing, so a
     // crash-replayed serve (or a caller re-serving yesterday's drop)
     // converges instead of doubling those docs' rows and skewing every
     // later df guard. Ids are immutable identities here — re-ingesting
     // CHANGED content under an old id is an upstream versioning bug this
-    // store will not paper over.
-    dropFps.join(load(s, storeDir).select(col("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(staging)
+    // store will not paper over. Safe at doc granularity because the
+    // commit below is ONE rename: a drop is never half-visible.
+    stageCommit(s, staging, storedParams(s, storeDir),
+      dropFps.join(enrolledDocs(s, storeDir), Seq("doc_id"), "left_anti"))
+    val name = commitName(dropId, "append")
     val commit = () => {
       val fs = fileSystem(s, storeDir)
-      val live = new org.apache.hadoop.fs.Path(fpPath(storeDir))
-      val src = new org.apache.hadoop.fs.Path(staging)
-      fs.listStatus(src).foreach { f =>
-        if (f.getPath.getName.startsWith("part-"))
-          require(fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(live, f.getPath.getName)),
-            s"could not commit staged fingerprint append ${f.getPath} -> $live")
-      }
-      fs.delete(src, true)
-      dropId.foreach(writeDropMarker(fs, storeDir, _))
+      val dest =
+        new org.apache.hadoop.fs.Path(commitsPath(storeDir), name)
+      require(!fs.exists(dest),
+        s"fingerprint-store commit $dest already exists — a concurrent or " +
+          "retried append must be refused, not overlaid")
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging), dest),
+        s"could not commit staged fingerprint append $staging -> $dest")
     }
     (pairs, commit)
   }
 
-  /** Optional drop-enrollment markers (`_drops/<id>` — empty files):
-    * written only when a caller supplies a dropId (the streaming face's
-    * replay guard; plain API appends stay marker-free). Markers record
-    * ENROLLMENT, not rows — takedown stays doc-keyed and never consults
-    * them.
+  /** Drop ids enrolled through the dropId-supplying faces (the streaming
+    * replay guard): the `drop-<id>` commit names — atomic with the rows
+    * they enroll, preserved as tombstones through takedown/compaction.
     */
-  private def dropsDir(storeDir: String) =
-    new org.apache.hadoop.fs.Path(s"$storeDir/_drops")
-
-  private def writeDropMarker(fs: org.apache.hadoop.fs.FileSystem,
-                              storeDir: String, dropId: String): Unit = {
-    require(dropId.nonEmpty && !dropId.contains("/"),
-      s"bad drop id '$dropId'")
-    fs.create(new org.apache.hadoop.fs.Path(dropsDir(storeDir), dropId), true)
-      .close()
-  }
-
-  /** Drop ids enrolled through the marker-writing faces. */
-  def drops(s: SparkSession, storeDir: String): Seq[String] = {
-    val d = dropsDir(storeDir)
-    val fs = d.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).map(_.getPath.getName).toSeq.sorted
-  }
+  def drops(s: SparkSession, storeDir: String): Seq[String] =
+    commitDirs(s, storeDir).map(_.getName)
+      .filter(_.startsWith("drop-")).map(_.stripPrefix("drop-")).sorted
 
   /** The partial-copy detector as a STRUCTURED-STREAMING loop — each
     * epoch of `dropStream` (a streaming DataFrame of document rows)
@@ -272,10 +364,12 @@ object FpStore {
     * `outDir/<dropId>/`, and only then appends its fingerprints
     * (commit-LAST — a crash before the commit leaves the store
     * untouched and the rewritten pairs converge on replay; a crash
-    * after it leaves the `_drops` marker, and the replayed epoch is
-    * skipped — its pairs are already on disk). Bootstrap epoch builds
-    * the store (no history ⇒ no pairs dir). `availableNow` = the
-    * cron-able drain, the [[Curation.spineStream]] shape.
+    * after it leaves the `drop-<id>` commit, and the replayed epoch is
+    * skipped — its pairs are already on disk). The bootstrap epoch
+    * writes its INTRA-batch pairs (no history yet, but the batch can
+    * carry partial copies of itself) and then builds the store, with
+    * enrollment atomic in the build's single rename. `availableNow` =
+    * the cron-able drain, the [[Curation.spineStream]] shape.
     */
   def pairsStream(dropStream: DataFrame, storeDir: String, outDir: String,
                   checkpoint: String, contentCol: String = "text",
@@ -290,11 +384,11 @@ object FpStore {
         val dropId = f"epoch-$epoch%06d"
         if (batch.isEmpty) ()
         else if (!exists(s, storeDir)) {
+          intraPairs(batch, defaultParams(universe), minShared, maxDf,
+              "doc_id", contentCol)
+            .write.mode("overwrite").parquet(s"$outDir/$dropId")
           buildStaged(batch, storeDir, contentCol = contentCol,
-            universe = universe)()
-          writeDropMarker(
-            dropsDir(storeDir).getFileSystem(s.sparkContext.hadoopConfiguration),
-            storeDir, dropId)
+            universe = universe, dropId = Some(dropId))()
         } else if (drops(s, storeDir).contains(dropId)) {
           () // crash-replay of a committed epoch: pairs already on disk
         } else {
@@ -322,10 +416,17 @@ object FpStore {
     mine(drop, storeDir, minShared, maxDf, idCol, contentCol, eager)._1
 
   /** The shared mine: (pairs, the drop's fingerprint frame). The drop
-    * frame feeds four branches (df counts, both drop-side joins, the
-    * append), so it gets the real barrier; the STORED side is read
-    * per-branch from parquet — a columnar scan per branch beats caching
-    * a corpus-sized table (the store is the barrier).
+    * frame feeds four branches (its fp counts, both drop-side joins, the
+    * append), so it gets the real barrier. The stored side is touched
+    * exactly once at corpus scale — the history leg of the pair join —
+    * because the stop-fingerprint guard's df comes from the PERSISTED
+    * counters: df(fp over history ∪ drop) = Σ stored partials + the
+    * drop's own count, looked up only for fps the drop actually carries
+    * (fps unique to history can't pair with anything). Both lookups are
+    * plans whose big side is scanned, never shuffled, when the drop is
+    * daily-sized — AQE broadcasts the drop-scale side at runtime; for a
+    * backfill-sized "drop" it degrades to a shuffle join on fp of the
+    * metadata-scale df table, still never the fps table.
     */
   private def mine(drop: DataFrame, storeDir: String, minShared: Int,
                    maxDf: Int, idCol: String, contentCol: String,
@@ -335,16 +436,23 @@ object FpStore {
     val p = storedParams(s, storeDir)
     val fps0 = fingerprintsFor(drop, idCol, contentCol, p)
     val dropFps = if (eager) Dedup.materialize(fps0) else fps0.cache()
-    val stored = load(s, storeDir)
-    // stop-fingerprint guard over history ∪ drop: rows are distinct per
-    // doc on both sides, so the count per fp IS its document frequency
-    // (a re-ingested id double-counts itself — the NEW-ids assumption)
-    val rare = stored.unionByName(dropFps)
-      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+    // drop-side document frequency per fp (rows are doc-distinct)
+    val dropDf = dropFps.groupBy(col("fp")).agg(count(lit(1)).as("drop_cnt"))
+    // history-side df for the drop's fps only: counter partials summed
+    // AFTER the semi restriction to the drop's fp set
+    val histDf = counters(s, storeDir)
+      .join(dropDf.select(col("fp")), Seq("fp"), "left_semi")
+      .groupBy(col("fp")).agg(sum(col("cnt")).as("hist_cnt"))
+    // stop-fingerprint guard over history ∪ drop: a re-ingested id
+    // double-counts itself — the NEW-ids assumption, as before.
+    // Materialized: it feeds four join legs, which would otherwise
+    // re-instantiate the counter lookup per leg (4 df scans).
+    val rare0 = dropDf.join(histDf, Seq("fp"), "left")
+      .filter(col("drop_cnt") + coalesce(col("hist_cnt"), lit(0L)) <= maxDf)
       .select(col("fp"))
+    val rare = if (eager) Dedup.materialize(rare0) else rare0.cache()
     val dp = dropFps.join(rare, "fp")
-    val sp = stored.join(rare, "fp")
+    val sp = load(s, storeDir).join(rare, "fp")
     def paired(a: DataFrame, b: DataFrame,
                cond: org.apache.spark.sql.Column): DataFrame =
       a.as("a").join(b.as("b"), col("a.fp") === col("b.fp") && cond)
@@ -359,41 +467,74 @@ object FpStore {
     (pairs, dropFps)
   }
 
+  /** Intra-batch pairs with NO store — the streaming bootstrap's epoch-0
+    * serve (the batch can carry partial copies of itself even before any
+    * history exists). Same guard and join shape as [[mine]]'s intra leg.
+    */
+  private def intraPairs(batch: DataFrame, p: FpParams, minShared: Int,
+                         maxDf: Int, idCol: String,
+                         contentCol: String): DataFrame = {
+    val fps = Dedup.materialize(fingerprintsFor(batch, idCol, contentCol, p))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    val dp = fps.join(rare, "fp")
+    dp.as("a").join(dp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Takedown: remove the given documents' fingerprints — one
-    * left-anti table rewrite, crash-safe swap, marker carried through.
-    * Returns the number of fingerprint rows removed (the audit line).
-    * Exact by construction: rows are doc-keyed, no cross-doc state.
+    * left-anti rewrite of the whole ledger (fps, df and docs re-derived
+    * from the surviving rows — an exact recount), crash-safe swap,
+    * marker and enrolled-drop tombstones carried through. Returns the
+    * number of fingerprint rows removed (the audit line). Exact by
+    * construction: rows are doc-keyed, no cross-doc state.
     */
   def removeDocs(s: SparkSession, storeDir: String, docIds: DataFrame): Long = {
     require(exists(s, storeDir), s"no fingerprint store under $storeDir")
     require(docIds.columns.sameElements(Array("doc_id")),
       s"docIds must be a single-column (doc_id) frame, got: ${docIds.columns.mkString(", ")}")
-    val p = storedParams(s, storeDir)
-    val staging = stagingPath(storeDir)
-    val before = load(s, storeDir)
-    before.join(docIds, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(staging)
-    writeMarker(fileSystem(s, storeDir), staging, p)
-    val removed = before.count() - s.read.parquet(staging).count()
-    graft.operators.StoreSwap.swapIn(s, storeDir, fpPath(storeDir),
-      staging, "_takedown-old")
-    removed
+    rewrite(s, storeDir, "_takedown-old",
+      load(s, storeDir).join(docIds, Seq("doc_id"), "left_anti"))
   }
 
-  /** Maintenance compaction — contents identical, `targetFiles` files;
-    * daily appends otherwise accumulate part-files until footer/open
-    * overhead dominates the serve scan. coalesce (no shuffle), the
-    * [[Store.compact]] discipline and crash-safe swap.
+  /** Maintenance compaction — contents identical, fps in `targetFiles`
+    * files and the df partials folded to ONE row per fp; daily appends
+    * otherwise accumulate part-files and per-fp partial rows until
+    * footer/open overhead dominates the serve scan.
     */
   def compact(s: SparkSession, storeDir: String, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     require(exists(s, storeDir), s"no fingerprint store under $storeDir")
+    rewrite(s, storeDir, "_compact-old",
+      load(s, storeDir).coalesce(targetFiles))
+    ()
+  }
+
+  /** Rewrite the whole ledger from `newFps`: one fresh base commit (df
+    * and docs re-derived from the staged rows) plus `_shape`-only
+    * tombstones for every enrolled drop id, swapped in crash-safely.
+    * Returns the number of fps rows removed.
+    */
+  private def rewrite(s: SparkSession, storeDir: String, marker: String,
+                      newFps: DataFrame): Long = {
     val p = storedParams(s, storeDir)
+    val enrolled = drops(s, storeDir)
     val staging = stagingPath(storeDir)
-    load(s, storeDir).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(staging)
-    writeMarker(fileSystem(s, storeDir), staging, p)
-    graft.operators.StoreSwap.swapIn(s, storeDir, fpPath(storeDir),
-      staging, "_compact-old")
+    val base = s"$staging/${commitName(None, "base")}"
+    stageCommit(s, base, p, newFps)
+    val fs = fileSystem(s, storeDir)
+    enrolled.foreach { id =>
+      val t = s"$staging/drop-$id"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(t))
+      writeMarker(fs, t, p)
+    }
+    val before = load(s, storeDir).count()
+    val after = s.read.parquet(s"$base/fps").count()
+    graft.operators.StoreSwap.swapIn(s, storeDir, commitsPath(storeDir),
+      staging, marker)
+    before - after
   }
 }

@@ -198,8 +198,10 @@ class FpStoreSpec extends AnyFunSuite {
         .toDF("doc_id", "text"))
       q1.processAllAvailable()
     } finally q1.stop()
-    assert(!new java.io.File(s"$root/out/epoch-000000").exists,
-      "the bootstrap epoch has no history to pair against")
+    // the bootstrap epoch emits its INTRA-batch pairs (none here — the
+    // two day-1 docs share nothing) rather than silently writing no dir
+    assert(spark.read.parquet(s"$root/out/epoch-000000").count() === 0L,
+      "bootstrap epoch serves intra-batch pairs; this batch has none")
     val pairs = spark.read.parquet(s"$root/out/epoch-000001")
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((11L, 1L)))
@@ -239,8 +241,74 @@ class FpStoreSpec extends AnyFunSuite {
     assert(after === before, "compaction must not disturb contents")
     assert(FpStore.storedParams(spark, dir) ===
       FpStore.FpParams(3, 4, Store.Universe.TextWords))
-    val files = new java.io.File(FpStore.fpPath(dir))
-      .listFiles().count(_.getName.startsWith("part-"))
-    assert(files === 1)
+    val files = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(FpStore.commitsPath(dir)))
+      .iterator()
+    val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+      .asScala.count(p => p.toString.contains("/fps/") &&
+        p.getFileName.toString.startsWith("part-"))
+    assert(parts === 1)
+    // the df partials folded to one row per fp: Σcnt per fp over every
+    // commit ≡ the fps table's own per-fp doc count (the counter
+    // invariant every serve's stop-fingerprint guard depends on)
+    val fromCounters = FpStore.counters(spark, dir)
+      .groupBy("fp").agg(sum("cnt").as("df"))
+      .as[(Long, Long)].collect().toMap
+    val fromRows = FpStore.load(spark, dir)
+      .groupBy("fp").count().as[(Long, Long)].collect().toMap
+    assert(fromCounters === fromRows)
+  }
+
+  test("append commit is ONE atomic rename carrying fps, df and docs together") {
+    val dir = Files.createTempDirectory("fpstore-atomic").toString
+    val base = (1 to 40).map(i => s"w$i")
+    FpStore.build(Seq((1L, base.mkString(" "))).toDF("doc_id", "text"), dir)
+    val drop = Seq(
+      (11L, ((200 to 230).map(i => s"y$i") ++ base.slice(5, 15)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val (pairs, commit) = FpStore.pairsVsStoreStaged(drop, dir,
+      dropId = Some("d1"))
+    assert(pairs.count() === 1L)
+    // before the commit: nothing visible — no rows, no counters, no
+    // enrollment (staging lives OUTSIDE the commits ledger)
+    assert(FpStore.load(spark, dir).select("doc_id").distinct().count() === 1L)
+    assert(FpStore.drops(spark, dir) === Seq.empty)
+    val dfBefore = FpStore.counters(spark, dir)
+      .agg(sum("cnt")).as[Long].head()
+    commit()
+    // after: all three tables and the enrollment marker appeared together
+    assert(FpStore.load(spark, dir).select("doc_id").distinct().count() === 2L)
+    assert(FpStore.drops(spark, dir) === Seq("d1"))
+    assert(FpStore.counters(spark, dir).agg(sum("cnt")).as[Long].head()
+      > dfBefore)
+    assert(FpStore.enrolledDocs(spark, dir).as[Long].collect().toSet ===
+      Set(1L, 11L))
+    // a replayed serve of the SAME docs stages only empty tables — the
+    // doc-level anti-join against the enrolled set converges exactly
+    val (_, commit2) = FpStore.pairsVsStoreStaged(drop, dir,
+      dropId = Some("d2"))
+    val rowsBefore = FpStore.load(spark, dir).count()
+    commit2()
+    assert(FpStore.load(spark, dir).count() === rowsBefore,
+      "already-enrolled docs must not re-append rows")
+  }
+
+  test("takedown recounts the df guard: boilerplate-only-with-removed-docs returns") {
+    val dir = Files.createTempDirectory("fpstore-recount").toString
+    val block = rndBytes(7L, 64)
+    // 8 history carriers + the drop's 1 ⇒ df 9 > maxDf 8: guarded out;
+    // after taking down 5 carriers, df 3 + 1 ⇒ the pairs come back
+    val history = (1L to 8L).map(i => (i, rndBytes(i * 17L, 100) ++ block))
+      .toDF("doc_id", "payload")
+    FpStore.build(history, dir, contentCol = "payload",
+      universe = Store.Universe.PayloadBytes)
+    val drop = Seq((20L, rndBytes(99L, 80) ++ block)).toDF("doc_id", "payload")
+    assert(FpStore.pairsVsStoreReadOnly(drop, dir, contentCol = "payload")
+      .count() === 0L)
+    FpStore.removeDocs(spark, dir, (4L to 8L).toDF("doc_id"))
+    val got = FpStore.pairsVsStoreReadOnly(drop, dir, contentCol = "payload")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((20L, 1L), (20L, 2L), (20L, 3L)),
+      "the purged history's df guard must recount from the counters")
   }
 }

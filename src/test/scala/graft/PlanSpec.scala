@@ -664,6 +664,25 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("q210 fp-store serve: history scanned ONCE, rare set from the persisted counters") {
+    // r15 computed the stop-fingerprint df guard by unionByName(stored,
+    // drop).groupBy(fp) — a full scan + hash-aggregate of the
+    // corpus-scale fps table per daily serve, plus the pair-leg scan
+    // (two history scans). With the persisted (fp, cnt) counters the
+    // rare set is a drop-scale lookup against the metadata-scale df
+    // table (materialized before this plan), so the serve's plan must
+    // reference the corpus-scale fps table EXACTLY once — the history
+    // leg of the pair join — and the df counter table not at all (its
+    // lookup ran at rare-set materialization, never over fps rows).
+    val f = formatted("q210_fp_store")
+    val fpsScans = "commits/[A-Za-z0-9_.-]+/fps".r.findAllIn(f).size
+    assert(fpsScans === 1,
+      s"the corpus-scale fps table must feed exactly one scan, got $fpsScans")
+    val dfScans = "commits/[A-Za-z0-9_.-]+/df".r.findAllIn(f).size
+    assert(dfScans === 0,
+      s"the rare set must be resolved before the serve plan (got $dfScans df scans)")
+  }
+
   test("q190/q205 funnel is single-pass: one labeled aggregation, a 2-branch union") {
     // r14's funnel unioned SIX per-stage censuses over checkpointed
     // stage frames; the single-pass form labels each doc with the
