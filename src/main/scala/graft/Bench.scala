@@ -167,6 +167,44 @@ object Bench {
   private[graft] val StealThresholdPpm = 20000L
   private[graft] val MaxStealReruns = 2
 
+  /** Between steal-triggered reruns the bench WAITS for a clean host
+    * window instead of immediately re-rolling the dice (r15 lesson: under
+    * sustained steal both reruns land dirty and the contaminated min is
+    * kept — 53 of 216 committed rows carried stamps up to 13%). A window
+    * is clean when a [[CleanSampleSec]]-second /proc/stat sample reads
+    * ≤ [[CleanWindowPpm]] (0.5%). The wait draws on ONE global budget for
+    * the whole run ([[CleanWaitBudgetSec]]): a host stuck in a steal
+    * phase costs at most that bound extra wall-clock, after which reruns
+    * proceed immediately (status quo ante) and the stamps tell the story.
+    */
+  private[graft] val CleanWindowPpm = 5000L
+  private[graft] val CleanSampleSec = 10
+  private[graft] val CleanWaitBudgetSec = 600L
+
+  /** Sample host steal over `sec` seconds (blocking). */
+  private def sampleSteal(sec: Int): Long = {
+    val before = readCpuStat()
+    Thread.sleep(sec * 1000L)
+    stealPpm(before, readCpuStat())
+  }
+
+  /** Poll until one sample window is clean or the shared budget runs
+    * out; returns whether a clean window was found. The sampler is
+    * injectable for the spec — the real one blocks `sampleSec` seconds
+    * per call.
+    */
+  private[graft] def awaitCleanWindow(
+      budget: java.util.concurrent.atomic.AtomicLong,
+      sampleSec: Int = CleanSampleSec,
+      sample: Int => Long = sampleSteal): Boolean = {
+    while (budget.get() >= sampleSec) {
+      budget.addAndGet(-sampleSec)
+      val ppm = sample(sampleSec)
+      if (ppm >= 0 && ppm <= CleanWindowPpm) return true
+    }
+    false
+  }
+
   /** Pinned clean-host floors for the two controls (their min-of-3 cost
     * has sat at 0.26–0.30 / 0.60–0.65 s across every controlled r12–r14
     * re-measurement) and the slack multiplier above which a full-suite
@@ -196,6 +234,61 @@ object Bench {
     }
     if (reasons.isEmpty) None else Some(reasons.mkString("; "))
   }
+
+  /** The r16 row-level gate on top of the control gate: r15's committed
+    * mirror had CLEAN controls but 53 of 216 rows stamped above the 2%
+    * per-row threshold, carrying 128 of its 253 total seconds — honest
+    * (the stamps mark them) but a phantom-regression trap for any
+    * consumer reading `queries` without filtering on `steal_ppm`. A run
+    * whose stamped rows carry more than this fraction of total billed
+    * seconds is a degraded-phase capture, refused the committed mirror.
+    */
+  private[graft] val StampedSecondsMaxFraction = 0.10
+
+  /** Full mirror gate: control floors (host-level drift) AND the
+    * stamped-seconds fraction (row-level contamination the controls can
+    * miss when steal is bursty).
+    */
+  private[graft] def mirrorRefusalFull(
+      rows: Seq[(String, Double, Double, Long)]): Option[String] = {
+    val mins = rows.map { case (k, mn, _, _) => (k, mn) }.toMap
+    val timed = rows.filter(_._2 >= 0)
+    val total = timed.map(_._2).sum
+    val stamped = timed.filter(_._4 > StealThresholdPpm)
+    val stampedSec = stamped.map(_._2).sum
+    val rowReason =
+      if (total > 0 && stampedSec > total * StampedSecondsMaxFraction)
+        Some(f"${stamped.size} rows stamped above $StealThresholdPpm ppm " +
+          f"steal carry $stampedSec%.1f of $total%.1f billed seconds " +
+          f"(> ${(StampedSecondsMaxFraction * 100).toInt}%% — not steady-state)")
+      else None
+    (mirrorRefusal(mins), rowReason) match {
+      case (None, None) => None
+      case (a, b) => Some((a.toSeq ++ b.toSeq).mkString("; "))
+    }
+  }
+
+  /** The ordered final emission: every pending stderr notice FIRST, the
+    * compact JSON line to raw fd 1 LAST — nothing after it. The driver
+    * parses a merged 2000-char tail of the process output; r15's mirror
+    * refusal was printed AFTER the raw stdout write and its ~250 bytes
+    * pushed the line's opening brace out of the window — the round's
+    * driver artifact recorded `parsed: null` even though the line was
+    * emitted. [[graft.BenchSpec]] pins the ordering.
+    */
+  private[graft] def emissionPlan(notices: Seq[String],
+                                  compact: String): Seq[(String, String)] =
+    notices.map(("stderr", _)) :+ (("stdout", compact + "\n"))
+
+  private def emit(notices: Seq[String], compact: String): Unit =
+    emissionPlan(notices, compact).foreach {
+      case ("stderr", m) => System.err.println(m)
+      case (_, payload) =>
+        System.err.flush()
+        val rawOut = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+        rawOut.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        rawOut.flush()
+    }
 
   /** Locale.ROOT: a comma decimal separator would corrupt the JSON.
     * Trailing zeros stripped ("0.50" -> "0.5"); one decimal from 0.1 s up
@@ -251,10 +344,15 @@ object Bench {
 
     // Row protocol: `runs` attempts, then — if the BEST (min-time)
     // attempt's window was stolen above threshold — up to MaxStealReruns
-    // extra attempts chasing a clean window. Billed value stays min over
-    // ALL attempts; the row's steal_ppm is the steal of the attempt that
-    // produced the min, i.e. the contamination of the number actually
-    // reported (a clean extra attempt that is also faster replaces both).
+    // extra attempts chasing a clean window, each preceded by a WAIT for
+    // the host to actually read clean (r16: an immediate rerun under
+    // sustained steal just lands dirty again — r15 kept 53 contaminated
+    // mins that way; the wait draws on one bounded global budget).
+    // Billed value stays min over ALL attempts; the row's steal_ppm is
+    // the steal of the attempt that produced the min, i.e. the
+    // contamination of the number actually reported (a clean extra
+    // attempt that is also faster replaces both).
+    val cleanWait = new java.util.concurrent.atomic.AtomicLong(CleanWaitBudgetSec)
     def measured(row: String)(body: => Unit): (String, Double, Double, Long) = {
       var attempts = Vector.empty[(Double, Long)]
       def run(): Unit = { attempts :+= attempt(row)(body); cleanup(spark) }
@@ -262,6 +360,9 @@ object Bench {
       def best = attempts.filter(_._1 >= 0).sortBy(_._1).headOption
       var extra = 0
       while (extra < MaxStealReruns && best.exists(_._2 > StealThresholdPpm)) {
+        if (!awaitCleanWindow(cleanWait)) System.err.println(
+          s"[bench] $row: clean-window wait budget exhausted — rerunning " +
+            "under whatever the host gives (the stamp records it)")
         run(); extra += 1
       }
       if (extra > 0) System.err.println(
@@ -442,13 +543,11 @@ object Bench {
     // alike; it is also the LAST stdout this main produces, so it sits at
     // the very end of the tail window.
     val (compact, spilled) = compactLineSpill(all, total)
+    val notices = Seq.newBuilder[String]
     if (spilled.nonEmpty)
-      System.err.println(s"[bench] stdout line at window budget: " +
+      notices += (s"[bench] stdout line at window budget: " +
         s"${spilled.size} newest rows spilled to target/bench.json only: " +
         spilled.mkString(", "))
-    val rawOut = new java.io.FileOutputStream(java.io.FileDescriptor.out)
-    rawOut.write((compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    rawOut.flush()
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, line + "\n")
@@ -457,21 +556,27 @@ object Bench {
     // committed numbers; the "sf" field identifies scale-check runs.
     // Driven by the PARSED subset, not the raw env var: ",," parses to
     // no subset (the full suite runs above), so its run must mirror too.
-    // CONTAMINATION GUARD (r14 VERDICT #1): a run whose controls exceed
-    // MirrorSlack× their pinned clean-host floor is a degraded-phase
-    // capture — it keeps its target/bench.json line (the data is real,
-    // just not steady-state) but is REFUSED the committed mirror, so
-    // git history only ever carries numbers a clean host produced.
-    if (subset.isEmpty) mirrorRefusal(all.toMap) match {
+    // CONTAMINATION GUARD (r14 VERDICT #1, row-level r16): a run whose
+    // controls exceed MirrorSlack× their pinned clean-host floor, or
+    // whose steal-stamped rows carry more than 10% of total billed
+    // seconds, is a degraded-phase capture — it keeps its
+    // target/bench.json line (the data is real, just not steady-state)
+    // but is REFUSED the committed mirror, so git history only ever
+    // carries numbers a clean host produced.
+    if (subset.isEmpty) mirrorRefusalFull(all3) match {
       case None =>
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
       case Some(reason) =>
-        System.err.println(
-          s"[bench] REFUSING BENCH_FULL.json mirror (host contamination): " +
-            s"$reason — full line kept in target/bench.json; re-run in a " +
-            "clean phase to refresh committed history")
+        notices += (s"[bench] REFUSING BENCH_FULL.json mirror (host " +
+          s"contamination): $reason — full line kept in target/bench.json; " +
+          "re-run in a clean phase to refresh committed history")
     }
+    // the compact JSON line must be this process's LAST output (emit's
+    // contract — the r15 refusal notice printed after it cost the round
+    // its driver artifact), so Spark's shutdown logging and every
+    // pending notice flush first
     spark.stop()
+    emit(notices.result(), compact)
   }
 }

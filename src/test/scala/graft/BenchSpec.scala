@@ -115,6 +115,72 @@ class BenchSpec extends AnyFunSuite {
       "q103_triangles" -> 1e9)).isEmpty)
   }
 
+  test("the compact JSON line is the process's LAST output — notices precede it") {
+    // r15: the mirror-refusal notice was printed AFTER the raw stdout
+    // write; the driver parses a merged 2000-char tail, so the ~250-byte
+    // notice pushed the line's opening brace out of the window and the
+    // round's BENCH_r15.json recorded `parsed: null`. The emission plan
+    // must order every pending notice first and the stdout line last.
+    val refusal = "[bench] REFUSING BENCH_FULL.json mirror (host " +
+      "contamination): control q01_agg=0.636 s exceeds 1.15x of its " +
+      "0.30 s floor; control q02_sort=0.843 s exceeds 1.15x of its " +
+      "0.65 s floor — full line kept in target/bench.json"
+    val plan = Bench.emissionPlan(
+      Seq("[bench] stdout line at window budget: 1 rows spilled", refusal),
+      """{"queries":{"q01":0.3}}""")
+    assert(plan.last._1 === "stdout",
+      "the JSON line must be the final emission, even on a refused run")
+    assert(plan.last._2.endsWith("\n") &&
+      plan.last._2.startsWith("""{"queries":"""))
+    assert(plan.init.forall(_._1 === "stderr"),
+      "every notice rides stderr and precedes the line")
+    // the degenerate case: no notices — the line is the whole plan
+    assert(Bench.emissionPlan(Nil, "{}") === Seq(("stdout", "{}\n")))
+  }
+
+  test("steal-stamped rows carrying >10% of billed seconds refuse the mirror") {
+    def rows(stampedSec: Double, cleanSec: Double) = Seq(
+      ("q01_agg", 0.29, 0.3, 100L), ("q02_sort", 0.64, 0.7, 100L),
+      ("q10_stamped", stampedSec, stampedSec, 130000L), // 13% steal stamp
+      ("q11_clean", cleanSec, cleanSec, 300L),
+      ("q17_err", -1.0, -1.0, -1L)) // errored rows don't count either way
+    // the r15 committed-mirror shape: clean controls, but stamped rows
+    // carry half the suite's seconds — must refuse
+    assert(Bench.mirrorRefusalFull(rows(128.0, 124.0)).exists(_.contains("stamped")),
+      "clean controls must not launder row-level contamination")
+    // same stamps on a sliver of total seconds: pass (stamps tell the story)
+    assert(Bench.mirrorRefusalFull(rows(1.0, 124.0)).isEmpty)
+    // -1 (unknown) steal is not "stamped above threshold"
+    assert(Bench.mirrorRefusalFull(Seq(
+      ("q01_agg", 0.29, 0.3, -1L), ("q02_sort", 0.64, 0.7, -1L),
+      ("q10_x", 100.0, 100.0, -1L))).isEmpty)
+    // control refusal still fires with clean rows, reasons compose
+    val both = Bench.mirrorRefusalFull(Seq(
+      ("q01_agg", 0.636, 0.7, 90000L), ("q02_sort", 0.843, 0.9, 90000L)))
+    assert(both.exists(r => r.contains("q01_agg") && r.contains("stamped")),
+      "control and row-level reasons must both be named")
+  }
+
+  test("awaitCleanWindow: waits through dirty samples, stops on a clean one or the budget") {
+    import java.util.concurrent.atomic.AtomicLong
+    // dirty, dirty, clean: returns true after three samples, budget drawn
+    val seq = Iterator(90000L, 30000L, 400L)
+    val b1 = new AtomicLong(100L)
+    assert(Bench.awaitCleanWindow(b1, sampleSec = 10, sample = _ => seq.next()))
+    assert(b1.get() === 70L, "three 10 s samples draw 30 s of budget")
+    // never clean: exhausts the budget and returns false
+    val b2 = new AtomicLong(35L)
+    assert(!Bench.awaitCleanWindow(b2, sampleSec = 10, sample = _ => 90000L))
+    assert(b2.get() < 10L, "the budget must be spent, not bypassed")
+    // unknown steal (-1) is never treated as clean
+    val b3 = new AtomicLong(20L)
+    assert(!Bench.awaitCleanWindow(b3, sampleSec = 10, sample = _ => -1L))
+    // an exhausted budget short-circuits without sampling
+    val b4 = new AtomicLong(0L)
+    assert(!Bench.awaitCleanWindow(b4, sampleSec = 10,
+      sample = _ => fail("must not sample with no budget")))
+  }
+
   test("compact bench line parses as JSON with every non-build row present") {
     import spark.implicits._
     val rows = Seq("q01_agg" -> 0.3, "q106_incr_dedup" -> 1.25,
