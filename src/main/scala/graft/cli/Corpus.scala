@@ -90,6 +90,19 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        filtered (quarantine is policy, the
   *                                        pairs are evidence). --payload-col
   *                                        switches it to the bytes universe
+  *     [--hash-store dir]                 INCREMENTAL perceptual re-encode
+  *                                        detection vs the persisted
+  *                                        (doc_id, modality, hash64) store
+  *                                        (dHash images / aHash audio /
+  *                                        byte-simhash payloads): first run
+  *                                        bootstraps, later runs emit the
+  *                                        drop's banded-Hamming pairs vs
+  *                                        history (+ intra-drop) to
+  *                                        OUT/_hashpairs and append the
+  *                                        drop's hashes — history is a
+  *                                        17 B/row scan, never a corpus
+  *                                        re-decode. Audit signal like
+  *                                        --fp-store; needs --payload-col
   *                                        like --dedup-store; --compact-store
   *                                        compacts it alongside
   *     [--dup-graph-stats col]            emit the per-`col` dup-graph triangle
@@ -292,6 +305,20 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        ledgers commit-LAST), then the
   *                                        query stops — cron it and the
   *                                        loop needs no human
+  *     [--fp-stream ckptDir]              the partial-copy detector as the
+  *                                        same cron-able drain: -I is a
+  *                                        directory drops land in; each
+  *                                        file not yet in the checkpoint
+  *                                        serves its pairs vs the
+  *                                        --fp-store history (bootstrap
+  *                                        epoch: intra-batch pairs, then
+  *                                        the store builds) into
+  *                                        OUT/_fppairs/epoch-NNNNNN and
+  *                                        only then enrolls, atomically —
+  *                                        a crash-replayed epoch is
+  *                                        skipped, its pairs are already
+  *                                        on disk. --payload-col switches
+  *                                        the gram universe to bytes
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -390,6 +417,7 @@ object Corpus {
       dedup: Boolean = false, dedupStore: Option[String] = None,
       payloadCol: Option[String] = None,
       fpStore: Option[String] = None,
+      hashStore: Option[String] = None,
       dupGraphBy: Option[String] = None, spanStats: Boolean = false,
       minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
       bpeMerges: Option[String] = None, bpeLearn: Option[Int] = None,
@@ -432,6 +460,7 @@ object Corpus {
       sampleByLang: Boolean = false,
       curationSpine: Boolean = false,
       spineStream: Option[String] = None,
+      fpStream: Option[String] = None,
       spineIngest: Boolean = false)
 
   private def parseMixture(v: String): Map[String, Int] =
@@ -470,6 +499,7 @@ object Corpus {
     case "--dedup-store" :: v :: rest => parse(rest, acc.copy(dedupStore = Some(v)))
     case "--payload-col" :: v :: rest => parse(rest, acc.copy(payloadCol = Some(v)))
     case "--fp-store" :: v :: rest    => parse(rest, acc.copy(fpStore = Some(v)))
+    case "--hash-store" :: v :: rest  => parse(rest, acc.copy(hashStore = Some(v)))
     case "--manifest" :: rest          => parse(rest, acc.copy(manifest = true))
     case "--novelty-store" :: v :: rest =>
       parse(rest, acc.copy(noveltyStore = Some(v)))
@@ -525,6 +555,8 @@ object Corpus {
       parse(rest, acc.copy(spineIngest = true))
     case "--spine-stream" :: v :: rest =>
       parse(rest, acc.copy(spineStream = Some(v)))
+    case "--fp-stream" :: v :: rest =>
+      parse(rest, acc.copy(fpStream = Some(v)))
     case "--span-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
@@ -679,12 +711,25 @@ object Corpus {
     * Commits any staged `--dedup-store` mutation immediately — direct API
     * callers have no output write to sequence the commit after; only
     * [[run]] defers it until the training output lands.
+    *
+    * `--fp-store` is REFUSED on this face: the convenience tuple has no
+    * slot for the partial-copy pairs, so committing the enrollment here
+    * would discard the drop's evidence unrecoverably (once enrolled, a
+    * re-serve reports each surviving pair in both orientations) and
+    * would mutate the store before any caller-side output write — the
+    * opposite of the commit-LAST discipline the store requires. Use
+    * [[pipelineFull]] (surfaces `fpPairs` plus the deferred `commitFp`
+    * thunk) or [[run]].
     */
   def pipelineWithHandles(spark: SparkSession, a: Args): (DataFrame, Seq[DataFrame]) = {
+    require(a.fpStore.isEmpty,
+      "--fp-store is not supported on the pipeline()/pipelineWithHandles() " +
+        "faces: they would enroll the drop while discarding its partial-copy " +
+        "pairs, and commit the store before the caller's own output write. " +
+        "Use pipelineFull (fpPairs + deferred commitFp) or run().")
     val r = pipelineFull(spark, a)
     r.commitStore.foreach(_.apply())
     r.commitLm.foreach(_.apply())
-    r.commitFp.foreach(_.apply())
     (r.train, r.cached)
   }
 
@@ -1079,6 +1124,37 @@ object Corpus {
         s"$nov/_admissions)")
       return
     }
+    // the partial-copy detector's cron-able drain (FpStore.pairsStream,
+    // Trigger.AvailableNow): -I is a DIRECTORY drops land in; every file
+    // not yet in the checkpoint serves its pairs vs the --fp-store
+    // history into OUT/_fppairs/epoch-NNNNNN (the bootstrap epoch emits
+    // its intra-batch pairs, then the store builds), enrollment atomic
+    // with the fingerprint commit — a crash-replayed epoch is skipped
+    // because its pairs are already on disk.
+    a.fpStream.foreach { ckpt =>
+      require(a.input.nonEmpty && a.out.nonEmpty,
+        "--fp-stream needs -I <drops dir> and -O <out dir>")
+      val fd = a.fpStore.getOrElse(throw new IllegalArgumentException(
+        "--fp-stream needs --fp-store <dir> — the stream serves and " +
+          "appends that ledger"))
+      require(a.spineStream.isEmpty && !a.curationSpine,
+        "--fp-stream is a standalone drain — run the spine faces separately")
+      val contentCol = a.payloadCol.getOrElse("text")
+      val universe = if (a.payloadCol.isDefined)
+        Store.Universe.PayloadBytes else Store.Universe.TextWords
+      // schema from the files already present (the first run needs at
+      // least one drop — an empty dir has nothing to infer or do)
+      val schema = spark.read.parquet(a.input).schema
+      val q = graft.text.FpStore.pairsStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(a.input),
+        fd, s"${a.out}/_fppairs", ckpt, contentCol = contentCol,
+        universe = universe, availableNow = true)
+      q.awaitTermination()
+      println(s"fp-stream: drained available drops from ${a.input}; " +
+        s"pairs under ${a.out}/_fppairs, store $fd, checkpoint $ckpt")
+      return
+    }
     if (a.curationSpine) {
       require(a.input.nonEmpty && a.out.nonEmpty,
         "--curation-spine needs -I <documents parquet> and -O <out dir>")
@@ -1197,11 +1273,14 @@ object Corpus {
         "standalone maintenance invocations — run them without -I/-O")
     if (a.input.isEmpty && a.out.isEmpty && a.compactStore.isDefined &&
         !takedownRequested) {
-      require(a.dedupStore.isDefined || a.fpStore.isDefined,
-        "--compact-store needs --dedup-store or --fp-store <dir>")
+      require(a.dedupStore.isDefined || a.fpStore.isDefined ||
+          a.hashStore.isDefined,
+        "--compact-store needs --dedup-store, --fp-store or --hash-store <dir>")
       a.dedupStore.foreach(sd => Store.compact(spark, sd, a.compactStore.get))
       a.fpStore.foreach(fd =>
         graft.text.FpStore.compact(spark, fd, a.compactStore.get))
+      a.hashStore.foreach(hd =>
+        graft.multimodal.HashStore.compact(spark, hd, a.compactStore.get))
       return
     }
     // standalone TAKEDOWN invocations: honor a removal ticket against the
@@ -1236,7 +1315,8 @@ object Corpus {
         // r10 bug: span/manifest/chunk handled by the loop below but
         // refused by a hand-maintained flag list here).
         val docStoresConfigured =
-          Seq(a.dedupStore, a.fpStore, a.clusterStore, a.annIndex)
+          Seq(a.dedupStore, a.fpStore, a.hashStore, a.clusterStore,
+              a.annIndex)
             .flatten.nonEmpty ||
             a.sketchRaw.nonEmpty || a.freqRaw.nonEmpty ||
             a.sampleRaw.nonEmpty
@@ -1276,6 +1356,13 @@ object Corpus {
             val n = graft.text.FpStore.removeDocs(spark, fd,
               ticket.select(col("doc_id")).distinct())
             println(s"takedown: removed $n fingerprint(s) from $fd")
+          }
+          a.hashStore.foreach { hd =>
+            require(cols.contains("doc_id"),
+              "--hash-store takedown needs a doc_id column in the ticket")
+            val n = graft.multimodal.HashStore.removeDocs(spark, hd,
+              ticket.select(col("doc_id")).distinct())
+            println(s"takedown: removed $n perceptual hash(es) from $hd")
           }
           lazy val vecIds = (if (cols.contains("vec_id"))
             ticket.select(col("vec_id"))
@@ -1415,10 +1502,12 @@ object Corpus {
         println(s"takedown: removed span-gram drop '$dropId' from $sd")
       }
       a.compactStore.foreach { n =>
-        require(a.dedupStore.isDefined || a.fpStore.isDefined,
-          "--compact-store needs --dedup-store or --fp-store <dir>")
+        require(a.dedupStore.isDefined || a.fpStore.isDefined ||
+            a.hashStore.isDefined,
+          "--compact-store needs --dedup-store, --fp-store or --hash-store <dir>")
         a.dedupStore.foreach(sd => Store.compact(spark, sd, n))
         a.fpStore.foreach(fd => graft.text.FpStore.compact(spark, fd, n))
+        a.hashStore.foreach(hd => graft.multimodal.HashStore.compact(spark, hd, n))
       }
       // CROSS-STORE LEDGER AUDIT: which drops live in which stores. THE
       // recovery tool for a takedown sequence that crashed mid-way (or
@@ -1493,14 +1582,15 @@ object Corpus {
       return
     }
     a.compactStore.foreach(_ => require(
-      a.dedupStore.isDefined || a.fpStore.isDefined,
-      "--compact-store needs --dedup-store or --fp-store <dir>"))
+      a.dedupStore.isDefined || a.fpStore.isDefined || a.hashStore.isDefined,
+      "--compact-store needs --dedup-store, --fp-store or --hash-store <dir>"))
     require(a.input.nonEmpty && a.out.nonEmpty,
       "usage: -I <corpus.parquet> -O <out> [--format parquet|orc|json|csv] " +
         "[--scrub-pii] [--remove-boilerplate df] [--boilerplate-w w] " +
         "[--benchmark p] [--lm-trusted p] [--lm-min-ppm n] [--lm-store dir] " +
         "[--profile-store dir] [--drop-id id] " +
-        "[--dedup] [--dedup-store dir] [--fp-store dir] [--dup-graph-stats col] " +
+        "[--dedup] [--dedup-store dir] [--fp-store dir] [--hash-store dir] " +
+        "[--dup-graph-stats col] " +
         "[--span-stats] " +
         "[--min-tokens n] [--max-tokens n] [--bpe-merges path] [--bpe-learn n] " +
         "[--eval-k n] [--eval-by col] " +
@@ -1625,6 +1715,29 @@ object Corpus {
             ChunkStore.appendStaged(r.train, cd, dropId)()
           else warnSkippedDrop("--chunk-store", dropId, cd)
         }
+      }
+      // _hashpairs: perceptual re-encode pairs of THIS drop vs the hash
+      // store's history plus intra-drop (HashStore.pairsVsStoreStaged —
+      // the read-only pairs land before the append commits, the
+      // store-mutation-commits-LAST discipline), then the drop's
+      // (doc_id, modality, hash64) rows join the store under the drop-id
+      // discipline. History is served from the persisted 17 B/row hash
+      // table — never a corpus re-decode. Requires --payload-col: the
+      // hashes are computed from the binary payload.
+      a.hashStore.foreach { hd =>
+        import graft.multimodal.HashStore
+        val dropId = a.profileDropId.getOrElse(defaultDropId(a.input))
+        val pc = a.payloadCol.getOrElse(throw new IllegalArgumentException(
+          "--hash-store needs --payload-col <binary column> — perceptual " +
+            "hashes are computed from the payload"))
+        val media = r.train.select(col("doc_id"), col(pc).as("payload"))
+        if (!HashStore.exists(spark, hd))
+          HashStore.buildStaged(media, hd, dropId)()
+        else if (!HashStore.drops(spark, hd).contains(dropId)) {
+          val (pairs, commit) = HashStore.pairsVsStoreStaged(media, hd, dropId)
+          pairs.write.mode("overwrite").parquet(s"${a.out}/_hashpairs")
+          commit()
+        } else warnSkippedDrop("--hash-store", dropId, hd)
       }
       // Postings: the drop's inverted-index rows join the store under the
       // drop-id discipline — no read-only scoring artifact, because a

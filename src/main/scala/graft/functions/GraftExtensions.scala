@@ -152,6 +152,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           contentCol = contentCol, eager = false)
         .queryExecution.logical
     }
+    tvf("graft_hash_store") { args =>
+      require(args.size == 2 || args.size == 3,
+        "usage: graft_hash_store(<drop table>, <store dir>[, <modalities " +
+          "csv>]) — perceptual re-encode pairs (doc_a, doc_b, modality, " +
+          "hamming) of the drop vs the persisted hash store (q212): " +
+          "banded 64-bit-Hamming ≤ 3 over drop×history plus intra-drop; " +
+          "the drop table needs (doc_id, payload). Modalities default to " +
+          "image,audio,bytes")
+      val t = strArg("graft_hash_store", args.head, "drop table")
+      val storeDir = strArg("graft_hash_store", args(1), "store dir")
+      val mods = if (args.size == 3)
+        strArg("graft_hash_store", args(2), "modalities csv")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else graft.multimodal.HashStore.Modalities
+      graft.multimodal.HashStore.pairsVsStoreReadOnly(
+          SparkSession.active.table(t), storeDir, modalities = mods,
+          eager = false)
+        .queryExecution.logical
+    }
     tvf("graft_containment_exact") { args =>
       require(args.size == 1, "usage: graft_containment_exact(<table name>)")
       val t = strArg("graft_containment_exact", args.head, "table name")

@@ -431,6 +431,32 @@ object Binary {
       i => hx.substr((i - lit(1)) * lit(2) + lit(1), lit(2 * k))))
   }
 
+  /** 56-bit SimHash over DISTINCT byte k-grams of the payload — the
+    * opaque-payload member of the 64-bit-Hamming perceptual family
+    * ([[dHash64]] images / [[aHash64]] audio): container-level edits
+    * that keep most byte k-grams (truncation, appended watermark,
+    * re-wrap) keep most gram votes, so the hashes land within a few
+    * Hamming bits. 56 bits because the gram hashes are the repo's
+    * oracle-checkable 14-hex-md5 positive-long domain and a SimHash bit
+    * can only vote on a bit its gram hashes carry ([[graft.text.TextOps
+    * .simhashFromHashes]]'s width contract) — this is also what makes
+    * the [[HashStore]] gate DuckDB-replayable where the decode-dependent
+    * dHash/aHash legs are spec-pinned instead. Native one-pass
+    * [[graft.functions.SimHashBits]], the q25/q49 hot path.
+    */
+  def byteSimHash(media: DataFrame, k: Int = 12): DataFrame =
+    media
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.hex(col("payload")).as("hx"))
+      .select(col("doc_id"), byteShingles(col("hx"), k).as("sh"))
+      .select(col("doc_id"),
+        // element-only lambda: per-gram md5 is inherent work, never a
+        // re-evaluated capture (the byteShingles contract)
+        transform(col("sh"), g =>
+          conv(substring(md5(g), 1, 14), 16, 10).cast("long")).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.SimHashBits.of(col("hs"), 56).as("h"))
+
   /** Near-duplicate PAYLOAD pairs — the LSH near-dup machinery on the
     * binary column itself: hex byte shingles → 16-hash MinHash → 4×4
     * LSH bands → bucket equi-join → exact byte-shingle Jaccard ≥ 0.7,
@@ -474,8 +500,12 @@ object Binary {
     val hexed = media
       .select(col("doc_id"),
         org.apache.spark.sql.functions.hex(col("payload")).as("hx"))
+    // hex doubles the length; the cutoff must be computed in Long — the
+    // docstring advises raising maxStride1Bytes to force one cohort, and
+    // an Int `* 2` above Int.MaxValue/2 would overflow negative, silently
+    // emptying the small cohort and stranding mid-size payloads in neither
     val smallPrep = hexed
-      .filter(length(col("hx")) <= maxStride1Bytes * 2)
+      .filter(length(col("hx")) <= lit(maxStride1Bytes.toLong * 2L))
       .select(col("doc_id"), byteShingles(col("hx"), k).as("sh"))
     // large cohort: distinct fingerprints reassembled into a per-doc
     // SET (sorted strings — array_intersect's element domain), then the

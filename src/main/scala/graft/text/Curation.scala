@@ -339,8 +339,8 @@ object Curation {
     * eager=false (the TVF/EXPLAIN face) keeps the lazy cache — analysis
     * must never run a job; the race trade is documented there.
     */
-  private def qualityKeptIds(corpus: DataFrame,
-                             eager: Boolean = true): DataFrame = {
+  private[graft] def qualityKeptIds(corpus: DataFrame,
+                                    eager: Boolean = true): DataFrame = {
     val scored = corpus
       .withColumn("ws", TextOps.words(col("text")))
       .select(col("doc_id"), col("lang"),

@@ -149,6 +149,31 @@ object Queries {
           Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)),
         fpPurgedStoreFixture(s, dir), contentCol = "payload")),
 
+    // The perceptual-hash STORE's serve (closing r15's "what's missing
+    // #2"): history is hashed ONCE into a persisted (doc_id, modality,
+    // h) table — 17 B/row — and a drop's "is this a re-encode of
+    // anything in history?" question is the banded 64-bit-Hamming
+    // equi-join against that scan, never a corpus re-decode. The gate
+    // runs the oracle-checkable bytes leg (56-bit SimHash over byte
+    // 12-grams); the decode-dependent dHash/aHash legs share every line
+    // of the store and the band join and are spec-pinned bit-exact
+    // (MultimodalSpec), since no SQL engine can decode a PNG.
+    "q212_hash_store" -> ((s, dir) =>
+      graft.multimodal.HashStore.pairsVsStoreReadOnly(
+        graft.multimodal.Binary.withPayload(
+          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)),
+        hashStoreFixture(s, dir), modalities = Seq("bytes"))),
+
+    // q212's serve against the PURGED hash store: pairs that existed
+    // only via a taken-down source's doc must vanish — doc-keyed
+    // delete-and-done, the same takedown recipe as every doc-keyed
+    // ledger (rows carry no cross-doc state, so removal is exact).
+    "q213_hash_takedown" -> ((s, dir) =>
+      graft.multimodal.HashStore.pairsVsStoreReadOnly(
+        graft.multimodal.Binary.withPayload(
+          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)),
+        hashPurgedStoreFixture(s, dir), modalities = Seq("bytes"))),
+
     // q206's serve against the PURGED store (q141 on the bytes
     // universe): payload near-dups that existed only via a taken-down
     // source's doc must no longer drop the new doc, and the takedown
@@ -2467,6 +2492,54 @@ object Queries {
       storeDir
     })
 
+  /** q212's perceptual-hash store: 56-bit byte simhashes of the %3≠0
+    * history (the oracle-checkable `bytes` modality) under the
+    * drop-ledgered lifecycle.
+    */
+  private[graft] def hashStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#hash"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-hashstore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      graft.multimodal.HashStore.build(
+        graft.multimodal.Binary.withPayload(
+          Tables(s, dir).documents.filter(col("doc_id") % 3 =!= 0)),
+        storeDir, modalities = Seq("bytes"))
+      storeDir
+    })
+
+  /** q213's store: [[hashStoreFixture]]'s history with the takedown
+    * sources' hash rows removed post-build (doc-keyed delete-and-done).
+    */
+  private[graft] def hashPurgedStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#hash-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-hashstore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      graft.multimodal.HashStore.build(
+        graft.multimodal.Binary.withPayload(d.filter(col("doc_id") % 3 =!= 0)),
+        storeDir, modalities = Seq("bytes"))
+      graft.multimodal.HashStore.removeDocs(s, storeDir,
+        d.filter(col("source").isin(TakedownSources: _*))
+          .select(col("doc_id")))
+      storeDir
+    })
+
   /** q211's store: [[fpStoreFixture]]'s history with the takedown
     * sources' fingerprints removed post-build — delete-and-done (rows
     * are doc-keyed), marker carried through the rewrite.
@@ -2825,6 +2898,38 @@ object Queries {
        |    CAST(count(*) AS BIGINT) AS n_shared
        |  FROM dp a JOIN dp b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT * FROM xp UNION ALL SELECT * FROM ip""".stripMargin
+
+  /** The perceptual-hash store's oracle (q212/q213): replays the WHOLE
+    * serve from scratch — byte-12-gram 56-bit simhash per doc (the
+    * store's oracle-checkable `bytes` modality, mirroring
+    * Binary.byteSimHash: hex grams with the short-payload fallback,
+    * DISTINCT grams voting once, 14-hex-md5 gram hashes), then pairs by
+    * BRUTE-FORCE Hamming ≤ 3 over drop×history and intra-drop — so the
+    * gate also proves the store's 4-band pigeonhole recall, not just
+    * replays it (q49's oracle mirrors the banding; this one checks it).
+    */
+  private def hashStoreOracle(histExtra: String): String =
+    s"""WITH bx AS (SELECT doc_id, source, hex(encode(text)) AS hx
+       |  FROM documents),
+       |g AS (SELECT doc_id, source, list_distinct(list_transform(
+       |    range(1, greatest(1, len(hx)//2 - 11) + 1),
+       |    i -> substr(hx, (i-1)*2+1, 24))) AS gs FROM bx),
+       |t AS (SELECT doc_id, source, list_transform(gs,
+       |    s -> ('0x'||substr(md5(s),1,14))::BIGINT) AS hs FROM g),
+       |sims AS (SELECT doc_id, source,
+       |  CAST(${simhashSql(56)} AS BIGINT) AS h FROM t),
+       |dp AS (SELECT doc_id, h FROM sims WHERE doc_id % 3 = 0),
+       |sp AS (SELECT doc_id, h FROM sims
+       |  WHERE doc_id % 3 != 0 $histExtra),
+       |xp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    'bytes' AS modality, CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+       |  FROM dp a JOIN sp b
+       |  ON a.doc_id != b.doc_id AND bit_count(xor(a.h, b.h)) <= 3),
+       |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    'bytes' AS modality, CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+       |  FROM dp a JOIN dp b
+       |  ON a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 3)
        |SELECT * FROM xp UNION ALL SELECT * FROM ip""".stripMargin
 
   /** SimHash as a DuckDB expression over a word-hash list column `hs`,
@@ -3924,6 +4029,9 @@ object Queries {
     "q210_fp_store" -> fpStoreOracle(""),
     "q211_fp_takedown" -> fpStoreOracle(
       s"AND d.source NOT IN (${TakedownSources.map("'" + _ + "'").mkString(",")})"),
+    "q212_hash_store" -> hashStoreOracle(""),
+    "q213_hash_takedown" -> hashStoreOracle(
+      s"AND source NOT IN (${TakedownSources.map("'" + _ + "'").mkString(",")})"),
     "q149_source_triage" ->
       s"""WITH $pairsCtes,
          |vp AS (SELECT doc_a, doc_b FROM pairs

@@ -91,8 +91,73 @@ class CliSpec extends AnyFunSuite {
     // compaction maintains the fp store standalone as well
     graft.cli.Corpus.run(spark, Array(
       "--fp-store", s"$dir/fp", "--compact-store", "1"))
-    assert(new java.io.File(graft.text.FpStore.fpPath(s"$dir/fp"))
-      .listFiles().count(_.getName.startsWith("part-")) === 1)
+    val fpParts = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(graft.text.FpStore.commitsPath(s"$dir/fp")))
+      .iterator()
+    assert(scala.jdk.CollectionConverters.IteratorHasAsScala(fpParts)
+      .asScala.count(p => p.toString.contains("/fps/") &&
+        p.getFileName.toString.startsWith("part-")) === 1)
+  }
+
+  test("Corpus CLI: --fp-stream drains drops as epochs; a restart skips the enrolled ones") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-fpstream")
+    val inDir = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val run10 = (1 to 10).map(i => s"fsr$i").mkString(" ")
+    def addDrop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val scratch = s"$dir/stage-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+    def drain(): Unit = graft.cli.Corpus.run(spark, Array(
+      "-I", inDir, "-O", s"$dir/out",
+      "--fp-store", s"$dir/fp", "--fp-stream", s"$dir/ckpt"))
+
+    // epoch 0 bootstraps the store (intra-batch pairs: none here)
+    addDrop("day1", Seq(
+      (1L, run10 + " " + (1 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, (100 to 130).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text"))
+    drain()
+    assert(spark.read.parquet(s"$dir/out/_fppairs/epoch-000000").count() === 0L)
+    assert(graft.text.FpStore.drops(spark, s"$dir/fp") === Seq("epoch-000000"))
+
+    // day 2 lands later; a fresh cron invocation picks up ONLY it
+    addDrop("day2", Seq(
+      (11L, (200 to 220).map(i => s"c$i").mkString(" ") + " " + run10),
+      (12L, (300 to 330).map(i => s"d$i").mkString(" ")))
+      .toDF("doc_id", "text"))
+    drain()
+    val pairs = spark.read.parquet(s"$dir/out/_fppairs/epoch-000001")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((11L, 1L)), "cross-epoch partial copy, drop doc first")
+    assert(graft.text.FpStore.drops(spark, s"$dir/fp") ===
+      Seq("epoch-000000", "epoch-000001"))
+    val rows = graft.text.FpStore.load(spark, s"$dir/fp").count()
+
+    // a third drain with nothing new: no epochs, no store growth
+    drain()
+    assert(graft.text.FpStore.load(spark, s"$dir/fp").count() === rows)
+    assert(graft.text.FpStore.drops(spark, s"$dir/fp") ===
+      Seq("epoch-000000", "epoch-000001"))
+  }
+
+  test("Corpus CLI: --fp-store is refused on the convenience pipeline faces") {
+    // pipelineWithHandles has no slot for the pairs and commits before
+    // any caller output write — enrolling there would discard the drop's
+    // evidence unrecoverably (ADVICE r15): loud refusal, not a silent
+    // commit-first append
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Corpus.pipelineWithHandles(spark, graft.cli.Corpus.Args(
+        input = "/nonexistent", out = "/nonexistent-out",
+        fpStore = Some("/nonexistent-store")))
+    }
+    assert(e.getMessage.contains("pipelineFull"))
   }
 
   test("Corpus CLI: --freq-width builds at a non-default width, serves by the stamp, refuses a mixed-width append") {

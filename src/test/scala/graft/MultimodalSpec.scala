@@ -195,6 +195,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("HashStore: the re-encoded twin is found ACROSS a drop boundary; takedown recounts") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.multimodal.HashStore
+    def textured(brighten: Int, invert: Boolean) = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val base = ((x * 7 + y * 13) % 97) * 2
+        val g = math.min(255, (if (invert) 192 - base else base) + brighten)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val dir = java.nio.file.Files.createTempDirectory("hashstore").toString
+    // history: the original texture + an unrelated (inverted) image — the
+    // hashes persist ONCE; the serve below never re-decodes them
+    val history = Seq(
+      (1L, png(textured(0, invert = false))),
+      (3L, png(textured(0, invert = true))))
+      .toDF("doc_id", "payload")
+    HashStore.build(history, dir, modalities = Seq("image", "bytes"))
+    // drop: a BRIGHTENED RE-ENCODE of doc 1 — every payload byte differs
+    // (PNG recompresses the shifted pixels), so the byte legs (digest,
+    // byte simhash) miss it; only the dHash leg pairs it, across the
+    // drop boundary, from the stored 17 B/row hash table
+    val twin = png(textured(20, invert = false))
+    assert(!java.util.Arrays.equals(twin, png(textured(0, invert = false))))
+    val drop = Seq((2L, twin), (5L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val (pairs, commit) = HashStore.pairsVsStoreStaged(drop, dir, "day2",
+      modalities = Seq("image", "bytes"))
+    val got = pairs.select("doc_a", "doc_b", "modality")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set((2L, 1L, "image")),
+      "exactly the cross-boundary re-encode pair, drop doc first, image leg only")
+    // staged: the store is untouched until commit
+    assert(HashStore.load(spark, dir).select("doc_id").distinct().count() === 2L)
+    commit()
+    assert(HashStore.drops(spark, dir) === Set("base", "day2"))
+    // day 3: a fresh twin pairs against BOTH carriers — yesterday's drop
+    // is today's history, no rebuild
+    val day3 = Seq((7L, png(textured(40, invert = false))))
+      .toDF("doc_id", "payload")
+    val got3 = HashStore.pairsVsStoreReadOnly(day3, dir,
+        modalities = Seq("image"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got3 === Set((7L, 1L), (7L, 2L)))
+    // doc-keyed takedown: pairs that existed only via doc 1 vanish
+    val removed = HashStore.removeDocs(spark, dir, Seq(1L).toDF("doc_id"))
+    assert(removed === 2L, "doc 1 carried an image row and a bytes row")
+    val got4 = HashStore.pairsVsStoreReadOnly(day3, dir,
+        modalities = Seq("image"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got4 === Set((7L, 2L)))
+    // a replayed drop id is refused, not overlaid
+    val e = intercept[IllegalArgumentException] {
+      HashStore.pairsVsStoreStaged(drop, dir, "day2")
+    }
+    assert(e.getMessage.contains("already ingested"))
+  }
+
   test("nearDupPayloadPairs: container-level byte dups pair, recompression-style rewrites don't") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     // TRUE binary payloads (not UTF-8 text — the oracle query q204 covers
@@ -383,6 +444,15 @@ class MultimodalSpec extends AnyFunSuite {
     val unguarded = graft.multimodal.Binary.nearDupPayloadPairs(smallOnly)
       .orderBy("doc_a").collect().toSeq
     assert(guarded === unguarded)
+    // the force-one-cohort escape hatch the docstring advertises: any
+    // threshold above Int.MaxValue/2 used to overflow the hex-length
+    // cutoff (`* 2` in Int) negative, silently emptying the small cohort —
+    // the Long cutoff must keep every payload in it (ADVICE r15)
+    val forced = graft.multimodal.Binary.nearDupPayloadPairs(smallOnly,
+      maxStride1Bytes = Int.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(forced === Set((10L, 11L)),
+      "maxStride1Bytes = Int.MaxValue must force ONE stride-1 cohort, not zero pairs")
   }
 
   test("extractFeatures digests match MessageDigest ground truth") {
