@@ -401,6 +401,52 @@ object Binary {
       }
   }
 
+  final case class AudioSubFp(doc_id: Long, is_audio: Boolean,
+      win_idx: Int, subhash: Long)
+
+  /** Windowed audio SUBFINGERPRINTS — the RETRIEVAL leg the whole-clip
+    * [[aHash64]] deliberately is not (its doc says trimming/time-shift
+    * re-aligns the proportional windows and defeats the hash): the
+    * sample series is cut into FIXED-length windows of `winSamples` at
+    * hop = winSamples/2 (50% overlap), each hashed with the same
+    * integer energy-envelope recipe — the chromaprint shape on this
+    * codebase's primitives. A clip trimmed or shifted by a MULTIPLE of
+    * the hop aligns exactly with a run of the track's windows
+    * (identical hashes, Hamming 0); a sub-hop shift still shares ≥ 3/4
+    * of every window's content, so the envelope gradients mostly
+    * survive and the Hamming distance grows gracefully instead of
+    * re-randomizing. Integer ops end to end (the audit property).
+    * Payloads shorter than one window (or non-PCM) come through
+    * flagged, never dropped — a probe clip must be at least one window
+    * long to be findable, which is the same contract chromaprint has.
+    */
+  def extractAudioSubFingerprints(media: DataFrame,
+                                  winSamples: Int = 1 << 15)(
+      implicit s: SparkSession): Dataset[AudioSubFp] = {
+    require(winSamples >= 130,
+      s"a window must hold an envelope (>= 130 samples), got $winSamples")
+    import s.implicits._
+    val win = winSamples
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { batch =>
+        batch.flatMap { row =>
+          val samples = decodeAudio(row.payload).flatMap { ais =>
+            try pcmMonoSamples(ais) finally ais.close()
+          }
+          samples match {
+            case Some(sm) if sm.length >= win =>
+              val hop = win / 2
+              Iterator.range(0, sm.length - win + 1, hop).zipWithIndex
+                .flatMap { case (o, i) =>
+                  aHash64(java.util.Arrays.copyOfRange(sm, o, o + win))
+                    .map(h => AudioSubFp(row.doc_id, is_audio = true, i, h))
+                }.toSeq
+            case _ => Seq(AudioSubFp(row.doc_id, is_audio = false, -1, 0L))
+          }
+        }
+      }
+  }
+
   /** Near-duplicate audio pairs — the content-aware leg for the audio
     * modality, banded exactly like [[nearDupImagePairs]]: a re-encoded
     * clip (resampled, requantized, volume-normalized) passes every

@@ -47,18 +47,27 @@ object HashStore extends graft.operators.DropLedger {
   protected def tableName: String = "hashes"
   protected def kind: String = "perceptual-hash store"
 
-  /** The three hash legs; build/serve default to all — a doc contributes
-    * a row per modality that DECODES (a PNG payload yields image only;
-    * every payload yields its byte simhash).
+  /** The three whole-doc hash legs; build/serve default to all — a doc
+    * contributes a row per modality that DECODES (a PNG payload yields
+    * image only; every payload yields its byte simhash).
     */
   val Modalities: Seq[String] = Seq("image", "audio", "bytes")
+
+  /** The RETRIEVAL leg (opt-in, never in the default build): windowed
+    * audio subfingerprints ([[Binary.extractAudioSubFingerprints]]) —
+    * many rows per doc, one per fixed-length window, served by
+    * [[retrieveClips]] for the trim/shift question the whole-clip
+    * `audio` hash deliberately does not answer.
+    */
+  val RetrievalModality: String = "audio_win"
 
   /** Band width per modality: 4 bands over the hash width, so Hamming
     * ≤ 3 implies ≥ 1 equal band. dHash/aHash are 64-bit (4×16); the
     * byte simhash is 56 (4×14 — a 16-bit top band would have only 8
     * live bits and degenerate into a hot key).
     */
-  private val BandBits = Map("image" -> 16, "audio" -> 16, "bytes" -> 14)
+  private val BandBits =
+    Map("image" -> 16, "audio" -> 16, "audio_win" -> 16, "bytes" -> 14)
 
   /** Hamming ≤ 3 is the 4-band detection guarantee (pigeonhole). */
   val MaxGuaranteedHamming = 3
@@ -66,12 +75,13 @@ object HashStore extends graft.operators.DropLedger {
   /** (doc_id, modality, h) for the requested modalities — the decode/
     * hash map-only pass every face routes through.
     */
-  def hashesFor(media: DataFrame, modalities: Seq[String] = Modalities)
-      : DataFrame = {
+  def hashesFor(media: DataFrame, modalities: Seq[String] = Modalities,
+                winSamples: Int = 1 << 15): DataFrame = {
     implicit val s: SparkSession = media.sparkSession
-    val bad = modalities.filterNot(Modalities.contains)
+    val known = Modalities :+ RetrievalModality
+    val bad = modalities.filterNot(known.contains)
     require(bad.isEmpty && modalities.nonEmpty,
-      s"unknown modalities ${bad.mkString(", ")} — pick from $Modalities")
+      s"unknown modalities ${bad.mkString(", ")} — pick from $known")
     val dt = media.schema("payload").dataType
     require(dt == org.apache.spark.sql.types.BinaryType,
       s"perceptual hashes are computed from a BINARY payload column, got $dt" +
@@ -87,21 +97,28 @@ object HashStore extends graft.operators.DropLedger {
           col("ahash").as("h"))
       case "bytes" => Binary.byteSimHash(media)
         .select(col("doc_id"), lit("bytes").as("modality"), col("h"))
+      case "audio_win" => Binary.extractAudioSubFingerprints(media, winSamples)
+        .toDF().filter(col("is_audio"))
+        .select(col("doc_id"), lit("audio_win").as("modality"),
+          col("subhash").as("h"))
     }
     legs.reduce(_.unionByName(_))
   }
 
   /** Bootstrap from the first drop (overwrites). */
   def build(media: DataFrame, storeDir: String, dropId: String = "base",
-            modalities: Seq[String] = Modalities): Unit =
-    buildStaged(media, storeDir, dropId, modalities)()
+            modalities: Seq[String] = Modalities,
+            winSamples: Int = 1 << 15): Unit =
+    buildStaged(media, storeDir, dropId, modalities, winSamples)()
 
   def buildStaged(media: DataFrame, storeDir: String,
                   dropId: String = "base",
-                  modalities: Seq[String] = Modalities): () => Unit = {
+                  modalities: Seq[String] = Modalities,
+                  winSamples: Int = 1 << 15): () => Unit = {
     requireDropId(dropId)
     stagePartialsBuild(
-      hashesFor(media, modalities).withColumn("drop_id", lit(dropId)),
+      hashesFor(media, modalities, winSamples)
+        .withColumn("drop_id", lit(dropId)),
       storeDir).commit
   }
 
@@ -110,19 +127,22 @@ object HashStore extends graft.operators.DropLedger {
     * every later pair in both orientations.
     */
   def appendStaged(media: DataFrame, storeDir: String, dropId: String,
-                   modalities: Seq[String] = Modalities): () => Unit = {
+                   modalities: Seq[String] = Modalities,
+                   winSamples: Int = 1 << 15): () => Unit = {
     requireDropId(dropId)
     val s = media.sparkSession
     requireStore(s, storeDir)
     requireNewDrop(s, storeDir, dropId)
     stagePartialsAppend(
-      hashesFor(media, modalities).withColumn("drop_id", lit(dropId)),
+      hashesFor(media, modalities, winSamples)
+        .withColumn("drop_id", lit(dropId)),
       storeDir, dropId).commit
   }
 
   def append(media: DataFrame, storeDir: String, dropId: String,
-             modalities: Seq[String] = Modalities): Unit =
-    appendStaged(media, storeDir, dropId, modalities)()
+             modalities: Seq[String] = Modalities,
+             winSamples: Int = 1 << 15): Unit =
+    appendStaged(media, storeDir, dropId, modalities, winSamples)()
 
   /** Explode (doc_id, modality, h) into 4 band rows keyed
     * (modality, band_idx, band_val) — the equi-join key; band width per
@@ -222,6 +242,49 @@ object HashStore extends graft.operators.DropLedger {
     pairsFromBands(dp, sp, col("a.doc_id") =!= col("b.doc_id"), maxHamming)
       .unionByName(
         pairsFromBands(dp, dp, col("a.doc_id") < col("b.doc_id"), maxHamming))
+  }
+
+  /** Trim/shift-robust audio retrieval: which stored tracks CONTAIN
+    * this probe clip? The probe's windowed subfingerprints
+    * ([[RetrievalModality]] — the store must have been built/appended
+    * with it, same `winSamples`) run through the same banded Hamming
+    * join as the dedup serve, but instead of collapsing to a pair row
+    * the matches are COUNTED: n_matched = distinct (probe-window hash,
+    * track-window hash) matches within `maxHamming`, so a clip that is
+    * really a sub-run of a track scores once per aligned window while a
+    * single-window coincidence stays below `minMatched`. A clip trimmed
+    * at a hop multiple aligns exactly (Hamming 0 per window); sub-hop
+    * trims degrade gracefully (the [[Binary.extractAudioSubFingerprints]]
+    * overlap argument). Output: (probe_id, doc_id, n_matched).
+    *
+    * 100 TB shape: the probe side is clip-scale; the stored side is one
+    * columnar scan of the subfingerprint rows (≈ 2 rows per window
+    * second at 48 kHz and the default window — still ~17 B/row), banded
+    * 4× — never a decode, never all-pairs.
+    */
+  def retrieveClips(probe: DataFrame, storeDir: String,
+                    maxHamming: Int = MaxGuaranteedHamming,
+                    minMatched: Int = 2,
+                    winSamples: Int = 1 << 15): DataFrame = {
+    require(minMatched >= 1, s"minMatched must be >= 1, got $minMatched")
+    require(maxHamming >= 0 && maxHamming <= MaxGuaranteedHamming,
+      s"4 bands guarantee detection only to hamming $MaxGuaranteedHamming")
+    val s = probe.sparkSession
+    requireStore(s, storeDir)
+    val probeFps = graft.text.Dedup.materialize(
+      hashesFor(probe, Seq(RetrievalModality), winSamples))
+    val dp = banded(probeFps)
+    val sp = banded(load(s, storeDir)
+      .filter(col("modality") === RetrievalModality)
+      .select(col("doc_id"), col("modality"), col("h")))
+    dp.as("a").join(sp.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .filter(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= maxHamming)
+      .groupBy(col("a.doc_id").as("probe_id"), col("b.doc_id").as("doc_id"))
+      .agg(countDistinct(struct(col("a.h"), col("b.h"))).as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
   }
 
   /** Doc-keyed takedown: remove the given documents' hash rows — one

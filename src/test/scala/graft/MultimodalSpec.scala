@@ -404,6 +404,64 @@ class MultimodalSpec extends AnyFunSuite {
       "non-audio payloads are flagged out of the banded join")
   }
 
+  test("HashStore.retrieveClips: a TRIMMED clip retrieves its track; the whole-clip hash misses") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import javax.sound.sampled._
+    import graft.multimodal.HashStore
+    // same deterministic waveform family as the aHash test: amplitude
+    // steps every 100 frames, fixed 17-sample carrier
+    def amp(w: Int): Long = (w * 2654435761L % 97) + 3
+    def fa(i: Int): Int = (amp(i / 100) * ((i % 17) - 8) * 16).toInt
+    def fb(i: Int): Int =
+      (((i / 100 * 40503L + 7) % 101) * ((i % 23) - 11) * 16).toInt
+    def wavOf(f: Int => Int, from: Int, until: Int): Array[Byte] = {
+      val n = until - from
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = f(from + i)
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(8000f, 16, 1, true, false), n.toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val win = 2048 // hop 1024
+    val dir = java.nio.file.Files.createTempDirectory("hashstore-ret").toString
+    // two stored tracks: the target and an unrelated envelope sequence
+    val tracks = Seq(
+      (1L, wavOf(fa, 0, 6500)),
+      (3L, wavOf(fb, 0, 6500)))
+      .toDF("doc_id", "payload")
+    HashStore.build(tracks, dir,
+      modalities = Seq("audio", "audio_win"), winSamples = win)
+    // the probe: track 1 TRIMMED at exactly two hops (samples 2048..6500)
+    // — the edit the whole-clip aHash documents it cannot survive (its
+    // 65 proportional windows re-align over the shorter signal)
+    val probe = Seq((100L, wavOf(fa, 2048, 6500))).toDF("doc_id", "payload")
+    assert(HashStore.pairsVsStoreReadOnly(probe, dir,
+        modalities = Seq("audio")).count() === 0L,
+      "the whole-clip hash must miss the trim (the documented dedup contract)")
+    // the retrieval leg: the clip's fixed windows align with the track's
+    // at offsets 2048/3072/4096 — three exact (Hamming 0) matches
+    val got = HashStore.retrieveClips(probe, dir, winSamples = win)
+      .select("probe_id", "doc_id", "n_matched")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((100L, 1L)),
+      s"exactly the containing track, never the unrelated one: ${got.toSeq}")
+    assert(got.head._3 >= 2 && got.head._3 <= 5,
+      s"aligned-window match count, got ${got.head._3}")
+    // a clip of the UNRELATED signal family retrieves nothing from track 1
+    val miss = Seq((101L, wavOf(fb, 1024, 5000))).toDF("doc_id", "payload")
+    assert(HashStore.retrieveClips(miss, dir, winSamples = win)
+      .filter(col("doc_id") === 1L).count() === 0L)
+  }
+
   test("nearDupPayloadPairs size guard: large payloads take the bounded winnow path") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     def rndBytes(seed: Long, n: Int): Array[Byte] = {
