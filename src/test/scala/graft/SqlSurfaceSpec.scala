@@ -604,6 +604,46 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "the shared 12-word run pairs through the text-universe marker")
   }
 
+  test("graft_hash_store serves re-encode pairs from SQL; usage names the contract") {
+    val dir = java.nio.file.Files.createTempDirectory("sql-hashstore").toString
+    def blob(seed: Int, n: Int = 300): Array[Byte] = {
+      var x = seed * 0x9E3779B97F4A7C15L
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte
+      }
+    }
+    // bytes leg, an exact re-upload (Hamming 0): the TVF test gates the
+    // SQL plumbing — drop-vs-store orientation, schema, laziness, usage;
+    // the hash ROBUSTNESS semantics are q212's oracle gate and
+    // MultimodalSpec's planted twins (random blobs are simhash's
+    // adversarial case: every vote margin is ~√n, so small edits flip
+    // bits — real payloads share grams, random ones share nothing)
+    val base = blob(1, 400)
+    graft.multimodal.HashStore.build(
+      Seq((1L, base), (3L, blob(5, 400))).toDF("doc_id", "payload"),
+      s"$dir/hs", modalities = Seq("bytes"))
+    Seq((10L, base.clone()), (11L, blob(9, 400)))
+      .toDF("doc_id", "payload").createOrReplaceTempView("sql_hash_drop")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_hash_store('sql_hash_drop', '$dir/hs', 'bytes')")
+    assert(viaSql.columns === Array("doc_a", "doc_b", "modality", "hamming"))
+    assert(viaSql.select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet === Set((10L, 1L, 0)),
+      "the re-uploaded twin pairs at Hamming 0, drop doc first")
+    // the TVF face must never run the drop's decode/hash job at analysis
+    // time (eager = false): explain alone is safe
+    spark.sql(
+      s"EXPLAIN SELECT * FROM graft_hash_store('sql_hash_drop', '$dir/hs')")
+      .collect()
+    // usage string states the contract loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_hash_store('x')").collect()
+    }
+    assert(e.getMessage.contains("banded 64-bit-Hamming") &&
+      e.getMessage.contains("image,audio,bytes"))
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(
