@@ -687,7 +687,14 @@ object Corpus {
       a.sampleStore.map(sd => ("--sample-store", sd,
         (s: SparkSession, d: String) => graft.text.SampleStore.drops(s, d),
         (s: SparkSession, d: String, id: String) =>
-          graft.text.SampleStore.removeDrop(s, d, id)))
+          graft.text.SampleStore.removeDrop(s, d, id))),
+      // doc-granular takedown (doc_id tickets) is wired separately; this
+      // registration adds drop_id-ticket removal and --ledger-report
+      a.hashStore.map(sd => ("--hash-store", sd,
+        (s: SparkSession, d: String) =>
+          graft.multimodal.HashStore.drops(s, d),
+        (s: SparkSession, d: String, id: String) =>
+          graft.multimodal.HashStore.removeDrop(s, d, id)))
     ).flatten
 
   private def defaultDropId(input: String): String = {

@@ -99,6 +99,69 @@ class CliSpec extends AnyFunSuite {
         p.getFileName.toString.startsWith("part-")) === 1)
   }
 
+  test("Corpus CLI: --hash-store bootstrap, re-upload pairs on day 2, both ticket kinds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.multimodal.HashStore
+    val dir = Files.createTempDirectory("corpus-hash")
+    def blob(seed: Int): Array[Byte] = {
+      var x = seed * 0x9E3779B97F4A7C15L
+      Array.fill(300) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte
+      }
+    }
+    // day 1: two docs with binary payloads (text rides along for the
+    // pipeline's token accounting)
+    Seq(
+      (1L, "alpha doc one " + (1 to 20).map(i => s"a$i").mkString(" "), blob(1)),
+      (2L, "beta doc two " + (1 to 20).map(i => s"b$i").mkString(" "), blob(2)))
+      .toDF("doc_id", "text", "payload").write.parquet(s"$dir/day1")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/day1", "-O", s"$dir/out1",
+      "--hash-store", s"$dir/hs", "--payload-col", "payload"))
+    assert(HashStore.exists(spark, s"$dir/hs"),
+      "bootstrap run builds the hash store")
+    assert(!new java.io.File(s"$dir/out1/_hashpairs").exists(),
+      "no pairs report on the bootstrap run — there is no history yet")
+
+    // day 2: doc 11 re-uploads doc 1's exact payload under a new id
+    Seq(
+      (11L, "gamma doc " + (1 to 20).map(i => s"c$i").mkString(" "), blob(1)),
+      (12L, "delta doc " + (1 to 20).map(i => s"d$i").mkString(" "), blob(9)))
+      .toDF("doc_id", "text", "payload").write.parquet(s"$dir/day2")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/day2", "-O", s"$dir/out2",
+      "--hash-store", s"$dir/hs", "--payload-col", "payload"))
+    val pairs = spark.read.parquet(s"$dir/out2/_hashpairs")
+      .select("doc_a", "doc_b", "modality").as[(Long, Long, String)]
+      .collect().toSet
+    assert(pairs.contains((11L, 1L, "bytes")),
+      s"the re-uploaded payload pairs against day-1 history: $pairs")
+    assert(HashStore.load(spark, s"$dir/hs")
+      .select("doc_id").distinct().count() === 4L,
+      "day-2 docs enrolled after the pairs report")
+
+    // doc_id ticket purges the doc's hash rows
+    Seq(1L).toDF("doc_id").write.parquet(s"$dir/ticket-doc")
+    graft.cli.Corpus.run(spark, Array(
+      "--hash-store", s"$dir/hs", "--takedown", s"$dir/ticket-doc"))
+    assert(HashStore.load(spark, s"$dir/hs")
+      .filter(col("doc_id") === 1L).count() === 0L)
+
+    // drop_id ticket removes a whole enrolled drop (the ledgered surface)
+    val dropIds = HashStore.load(spark, s"$dir/hs")
+      .filter(col("doc_id") === 11L).select("drop_id")
+      .as[String].distinct().collect()
+    assert(dropIds.length === 1, "doc 11 belongs to exactly the day-2 drop")
+    Seq(dropIds.head).toDF("drop_id").write.parquet(s"$dir/ticket-drop")
+    graft.cli.Corpus.run(spark, Array(
+      "--hash-store", s"$dir/hs", "--takedown", s"$dir/ticket-drop"))
+    assert(HashStore.load(spark, s"$dir/hs")
+      .filter(col("doc_id") === 11L).count() === 0L,
+      "a drop_id ticket removes the enrolled drop's rows")
+  }
+
   test("Corpus CLI: --fp-stream drains drops as epochs; a restart skips the enrolled ones") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
