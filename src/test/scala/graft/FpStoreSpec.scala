@@ -228,6 +228,38 @@ class FpStoreSpec extends AnyFunSuite {
       Seq("epoch-000000", "epoch-000001"))
   }
 
+  test("pairsStream bootstrap epoch emits INTRA-batch pairs before the store exists") {
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory("fpstream-b0")
+    val inDir = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val run = (1 to 12).map(i => s"p$i").mkString(" ")
+    // the very first batch carries a partial copy of ITSELF: doc 2 embeds
+    // doc 1's 12-word run — r15 wrote no epoch-0 dir at all, conflating
+    // "no history ⇒ no cross pairs" with "no pairs"
+    val scratch = s"$root/stage"
+    Seq(
+      (1L, run + " " + (1 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, (100 to 120).map(i => s"b$i").mkString(" ") + " " + run),
+      (3L, (200 to 230).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$inDir/day1.parquet"))
+    val q = FpStore.pairsStream(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir),
+      s"$root/fp", s"$root/out", s"$root/ckpt", availableNow = true)
+    try q.awaitTermination() finally q.stop()
+    val pairs = spark.read.parquet(s"$root/out/epoch-000000")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)),
+      "the intra-batch partial copy, ordered doc_a < doc_b")
+    assert(FpStore.drops(spark, s"$root/fp") === Seq("epoch-000000"),
+      "enrollment is atomic with the bootstrap commit")
+  }
+
   test("compact: contents identical, marker preserved, file count bounded") {
     val dir = Files.createTempDirectory("fpstore-c").toString
     val docs = (1L to 6L).map(i =>
