@@ -62,9 +62,17 @@ object Bench {
     */
   private[graft] val LineSafetyBytes = 8
 
-  /** [[compactLine]] plus the list of spilled (evicted) row keys. */
+  /** [[compactLine]] plus the list of spilled (evicted) row keys.
+    * `reservedBytes` shrinks the line's budget by bytes some OTHER
+    * emission will spend inside the same window — see [[planEmission]]:
+    * r16 proved the driver merges stderr after stdout regardless of
+    * emission order, so every pending end-of-run notice eats the
+    * 2000-byte tail from the BACK and the line must cede that space
+    * up front.
+    */
   private[graft] def compactLineSpill(rows: Seq[(String, Double)],
-                                      total: Double): (String, Seq[String]) = {
+                                      total: Double,
+                                      reservedBytes: Int = 0): (String, Seq[String]) = {
     val shortKeys = rows.foldLeft(Map.empty[String, String]) { case (acc, (k, _)) =>
       val digits = k.takeWhile(c => c == 'q' || c.isDigit)
       // store-build rows compress to "qNNb" (q106_build -> q106b): at
@@ -80,7 +88,8 @@ object Bench {
       .map { case (k, v) => (k, "\"" + shortKeys(k) + "\":" + ms(v)) }
       .sortBy { case (k, _) => (qNum(k), k) }
     val wrapperLen = """{"queries":{}}""".length
-    val budget = StdoutWindowBytes - 1 - LineSafetyBytes // -1: the newline
+    // -1: the newline
+    val budget = StdoutWindowBytes - 1 - LineSafetyBytes - reservedBytes
     def lineLen(n: Int): Int =
       wrapperLen + rendered.take(n).map(_._2.length).sum + math.max(0, n - 1)
     var keep = rendered.size
@@ -89,6 +98,66 @@ object Bench {
     val _ = total // reserved: re-add "value" if the window ever widens
     val line = "{\"queries\":" + kept.map(_._2).mkString("{", ",", "}") + "}"
     (line, spilled.map(_._1))
+  }
+
+  /** Fixed reservation for the spill notice inside the window budget.
+    * The notice itself is count-only (~45 bytes — [[spillNotice]]
+    * asserts it fits): r16's 532-byte name-listing notice trailed the
+    * JSON line in the driver's merged tail and pushed the line's head
+    * out of the 2000-char window — the round's SECOND `parsed: null`.
+    * The names it listed already live in target/bench.json (every row
+    * does), so the notice carries only the count. Reserved
+    * unconditionally: whether a given row set spills depends on the
+    * budget, which would depend on the notice, which depends on the
+    * spill — a fixed reserve breaks the cycle. Sized to the notice's
+    * true worst case (4-digit count + newline = 42 bytes) so it costs
+    * the line as few rows as possible: at 42 the spill boundary stays
+    * at q186 (3-char values) — every row with pre-r13 cross-round
+    * stdout history still rides the line whole.
+    */
+  private[graft] val SpillNoticeReserveBytes = 42
+
+  private[graft] def spillNotice(n: Int): String = {
+    val msg = s"[bench] $n spilled -> target/bench.json"
+    require(msg.length + 1 <= SpillNoticeReserveBytes,
+      s"spill notice outgrew its reserve: ${msg.length}+1 > $SpillNoticeReserveBytes")
+    msg
+  }
+
+  /** Refusal reasons are bounded in practice (~300 bytes: two control
+    * clauses + the stamped-rows clause) but the budget math must hold
+    * for ANY reason string — a runaway reason is truncated here rather
+    * than allowed to starve the line to nothing.
+    */
+  private[graft] val RefusalNoticeMaxBytes = 600
+
+  /** Everything the process emits at the end of a run, sized TOGETHER:
+    * (compact stdout line, stderr notices, spilled row keys) such that
+    * rendered line + rendered notices ≤ [[StdoutWindowBytes]] (each
+    * rendering includes its newline, minus [[LineSafetyBytes]] slack).
+    * The driver keeps a merged 2000-char tail of the process output and
+    * r15/r16 showed the merge can place the stderr capture AFTER the
+    * stdout line whatever order this process wrote them in — so the
+    * only safe invariant is total SIZE: the line's budget cedes the
+    * rendered length of every pending notice up front.
+    * [[graft.BenchSpec]] pins the sum for spill-free, spilling, and
+    * refusal-bearing runs alike.
+    */
+  private[graft] def planEmission(rows: Seq[(String, Double)], total: Double,
+                                  refusalReason: Option[String])
+      : (String, Seq[String], Seq[String]) = {
+    val refusalNotice = refusalReason.map { r =>
+      val msg = s"[bench] REFUSING BENCH_FULL.json mirror (host " +
+        s"contamination): $r — full line kept in target/bench.json"
+      if (msg.length <= RefusalNoticeMaxBytes) msg
+      else msg.take(RefusalNoticeMaxBytes - 3) + "..."
+    }
+    val reserved = SpillNoticeReserveBytes +
+      refusalNotice.map(_.length + 1).getOrElse(0)
+    val (line, spilled) = compactLineSpill(rows, total, reserved)
+    val notices = refusalNotice.toSeq ++
+      (if (spilled.nonEmpty) Seq(spillNotice(spilled.size)) else Nil)
+    (line, notices, spilled)
   }
 
   /** The FULL-FIDELITY report line: every row (spilled-from-stdout and
@@ -542,12 +611,6 @@ object Bench {
     // reaches the process's real fd 1 bare, under sbt and plain java
     // alike; it is also the LAST stdout this main produces, so it sits at
     // the very end of the tail window.
-    val (compact, spilled) = compactLineSpill(all, total)
-    val notices = Seq.newBuilder[String]
-    if (spilled.nonEmpty)
-      notices += (s"[bench] stdout line at window budget: " +
-        s"${spilled.size} newest rows spilled to target/bench.json only: " +
-        spilled.mkString(", "))
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, line + "\n")
@@ -563,20 +626,20 @@ object Bench {
     // target/bench.json line (the data is real, just not steady-state)
     // but is REFUSED the committed mirror, so git history only ever
     // carries numbers a clean host produced.
-    if (subset.isEmpty) mirrorRefusalFull(all3) match {
-      case None =>
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-      case Some(reason) =>
-        notices += (s"[bench] REFUSING BENCH_FULL.json mirror (host " +
-          s"contamination): $reason — full line kept in target/bench.json; " +
-          "re-run in a clean phase to refresh committed history")
-    }
+    val refusal = if (subset.isEmpty) mirrorRefusalFull(all3) else None
+    if (subset.isEmpty && refusal.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    // line + notices sized TOGETHER (planEmission): the r16 artifact
+    // died to SIZE, not order — the driver's merged tail put the spill
+    // notice after the JSON line, so the line's budget must cede every
+    // pending notice's bytes whatever the merge order.
+    val (compact, notices, _) = planEmission(all, total, refusal)
     // the compact JSON line must be this process's LAST output (emit's
     // contract — the r15 refusal notice printed after it cost the round
     // its driver artifact), so Spark's shutdown logging and every
     // pending notice flush first
     spark.stop()
-    emit(notices.result(), compact)
+    emit(notices, compact)
   }
 }

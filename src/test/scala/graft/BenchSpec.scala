@@ -75,6 +75,55 @@ class BenchSpec extends AnyFunSuite {
     assert(spilled.size + keptNums.size === names.size)
   }
 
+  test("line + every pending notice fit the driver's merged tail TOGETHER") {
+    // r16 (the second consecutive `parsed: null`): the 532-byte spill
+    // notice TRAILED the JSON line in the driver's merged 2000-char tail
+    // and pushed the line's head out of the window — emission ORDER was
+    // already fixed in r15, so the only safe invariant is SIZE. The
+    // emission is now planned as a unit: for ANY notice set,
+    // rendered(line) + Σ rendered(notices) ≤ the window, so the line
+    // survives either stream-merge order.
+    def bytes(line: String, notices: Seq[String]): Int =
+      (line.length + 1) + notices.map(_.length + 1).sum
+    def qNum(k: String) = k.drop(1).takeWhile(_.isDigit).toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // refusal-free run at the current suite, pessimistic 4-char values
+    val (l1, n1, _) = Bench.planEmission(names.map(_ -> 88.8), 888.8, None)
+    assert(bytes(l1, n1) <= Bench.StdoutWindowBytes,
+      s"line+notices = ${bytes(l1, n1)} bytes — overruns the merged tail")
+    // realistic values: the stable-prefix contract still holds under the
+    // spill-notice reserve (rows with r12 cross-round stdout history,
+    // q01–q185, ride the line whole)
+    val (l2, n2, s2) = Bench.planEmission(names.map(_ -> 8.8), 888.8, None)
+    assert(bytes(l2, n2) <= Bench.StdoutWindowBytes)
+    assert(s2.forall(qNum(_) >= 186),
+      s"reserve pushed r12-history rows off the line: $s2")
+    // deliberately notice-bearing: oversized suite (forced spill) PLUS a
+    // worst-case real refusal reason — both notices and the line fit
+    val oversized = (1 to 400).map(i => f"q$i%02d_synthetic" -> 8.8)
+    val reason = "control q01_agg=0.636 s exceeds 1.15x of its 0.30 s " +
+      "floor; control q02_sort=0.843 s exceeds 1.15x of its 0.65 s " +
+      "floor; 53 rows stamped above 20000 ppm steal carry 128.0 of " +
+      "253.0 billed seconds (> 10% — not steady-state)"
+    val (l3, n3, s3) = Bench.planEmission(oversized, 0.0, Some(reason))
+    assert(s3.nonEmpty && n3.size === 2)
+    assert(bytes(l3, n3) <= Bench.StdoutWindowBytes,
+      s"line+notices = ${bytes(l3, n3)} bytes on a refused+spilling run")
+    // the spill notice is the fixed count-only form (names live in
+    // target/bench.json), inside its reserve
+    val spillN = n3.filter(_.contains("spilled"))
+    assert(spillN.size === 1 &&
+      spillN.head.matches("""\[bench\] \d+ spilled -> target/bench\.json"""),
+      s"spill notice must be the fixed count-only form, got: $spillN")
+    assert(spillN.head.length + 1 <= Bench.SpillNoticeReserveBytes)
+    // a runaway refusal reason is truncated — it may cost rows but can
+    // never starve the line to nothing or break the budget
+    val (l4, n4, _) =
+      Bench.planEmission(names.take(50).map(_ -> 8.8), 0.0, Some("x" * 5000))
+    assert(bytes(l4, n4) <= Bench.StdoutWindowBytes)
+    assert(l4.contains("\"q"), "line keeps rows under a runaway reason")
+  }
+
   test("steal_ppm attribution math and the /proc/stat reader") {
     // 10 stolen of 1000 total jiffies elapsed = 1% = 10000 ppm
     assert(Bench.stealPpm(Some((100L, 5000L)), Some((110L, 6000L))) === 10000L)
