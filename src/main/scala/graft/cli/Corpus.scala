@@ -104,7 +104,29 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        re-decode. Audit signal like
   *                                        --fp-store; needs --payload-col
   *                                        like --dedup-store; --compact-store
-  *                                        compacts it alongside
+  *                                        compacts it alongside. The
+  *                                        bootstrap run emits the first
+  *                                        drop's INTRA-drop pairs (a day-1
+  *                                        drop can carry re-encodes of
+  *                                        itself) before the build commits
+  *     [--hash-modalities csv]            the --hash-store legs to enroll
+  *                                        (default image,audio,bytes; add
+  *                                        audio_win to enable clip
+  *                                        retrieval — the store stamps the
+  *                                        recipe in its _shape marker)
+  *     [--hash-win n]                     audio_win window size in samples
+  *                                        at enrollment (default 2^15); on
+  *                                        --retrieve-clips it must MATCH
+  *                                        the stamp (omit to read it)
+  *     [--retrieve-clips dir]             probe the hash store's audio_win
+  *                                        leg: which stored tracks CONTAIN
+  *                                        this run's clips (trim/shift-
+  *                                        robust)? (probe_id, doc_id,
+  *                                        n_matched) rows to OUT/_retrieved;
+  *                                        read-only — probes never enroll;
+  *                                        window size from the stamped
+  *                                        recipe, loud refusal on a store
+  *                                        without the leg
   *     [--dup-graph-stats col]            emit the per-`col` dup-graph triangle
   *                                        census (nodes/edges/triangles of the
   *                                        near-dup pair graph restricted to
@@ -418,6 +440,9 @@ object Corpus {
       payloadCol: Option[String] = None,
       fpStore: Option[String] = None,
       hashStore: Option[String] = None,
+      hashModalities: Option[String] = None,
+      hashWin: Int = 0,
+      retrieveClips: Option[String] = None,
       dupGraphBy: Option[String] = None, spanStats: Boolean = false,
       minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
       bpeMerges: Option[String] = None, bpeLearn: Option[Int] = None,
@@ -500,6 +525,11 @@ object Corpus {
     case "--payload-col" :: v :: rest => parse(rest, acc.copy(payloadCol = Some(v)))
     case "--fp-store" :: v :: rest    => parse(rest, acc.copy(fpStore = Some(v)))
     case "--hash-store" :: v :: rest  => parse(rest, acc.copy(hashStore = Some(v)))
+    case "--hash-modalities" :: v :: rest =>
+      parse(rest, acc.copy(hashModalities = Some(v)))
+    case "--hash-win" :: v :: rest    => parse(rest, acc.copy(hashWin = v.toInt))
+    case "--retrieve-clips" :: v :: rest =>
+      parse(rest, acc.copy(retrieveClips = Some(v)))
     case "--manifest" :: rest          => parse(rest, acc.copy(manifest = true))
     case "--novelty-store" :: v :: rest =>
       parse(rest, acc.copy(noveltyStore = Some(v)))
@@ -523,6 +553,14 @@ object Corpus {
       parse(rest, acc.copy(chunkStore = Some(v)))
     case "--postings-store" :: v :: rest =>
       parse(rest, acc.copy(postingsStore = Some(v)))
+    case other => parseStoreArgs(other, acc)
+  }
+
+  /** Continuation of [[parse]] — the flag list outgrew the JVM's 64 KB
+    * method limit as one pattern match; the two halves recurse into
+    * each other, so flag order on the command line is unaffected.
+    */
+  private def parseStoreArgs(argv: List[String], acc: Args): Args = argv match {
     case "--classifier-store" :: v :: rest =>
       parse(rest, acc.copy(classifierStore = Some(v)))
     case "--classifier-label" :: v :: rest =>
@@ -1597,6 +1635,7 @@ object Corpus {
         "[--benchmark p] [--lm-trusted p] [--lm-min-ppm n] [--lm-store dir] " +
         "[--profile-store dir] [--drop-id id] " +
         "[--dedup] [--dedup-store dir] [--fp-store dir] [--hash-store dir] " +
+        "[--hash-modalities csv] [--hash-win n] [--retrieve-clips dir] " +
         "[--dup-graph-stats col] " +
         "[--span-stats] " +
         "[--min-tokens n] [--max-tokens n] [--bpe-merges path] [--bpe-learn n] " +
@@ -1738,13 +1777,41 @@ object Corpus {
           "--hash-store needs --payload-col <binary column> — perceptual " +
             "hashes are computed from the payload"))
         val media = r.train.select(col("doc_id"), col(pc).as("payload"))
-        if (!HashStore.exists(spark, hd))
-          HashStore.buildStaged(media, hd, dropId)()
-        else if (!HashStore.drops(spark, hd).contains(dropId)) {
-          val (pairs, commit) = HashStore.pairsVsStoreStaged(media, hd, dropId)
+        val mods = a.hashModalities
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(HashStore.Modalities)
+        val win = if (a.hashWin > 0) a.hashWin else 1 << 15
+        if (!HashStore.exists(spark, hd)) {
+          // the bootstrap drop has no history but can carry re-encodes
+          // of ITSELF (the FpStore epoch-0 argument): its intra-drop
+          // banded pairs land in OUT/_hashpairs BEFORE the build
+          // commits — store-mutation-commits-LAST, and a day-1 copy is
+          // no longer silently lost
+          val commit = HashStore.buildStaged(media, hd, dropId, mods, win)
+          HashStore.intraPairs(media, modalities = mods, winSamples = win)
+            .write.mode("overwrite").parquet(s"${a.out}/_hashpairs")
+          commit()
+        } else if (!HashStore.drops(spark, hd).contains(dropId)) {
+          val (pairs, commit) =
+            HashStore.pairsVsStoreStaged(media, hd, dropId, modalities = mods)
           pairs.write.mode("overwrite").parquet(s"${a.out}/_hashpairs")
           commit()
         } else warnSkippedDrop("--hash-store", dropId, hd)
+      }
+      // _retrieved: which stored tracks CONTAIN this run's clips? The
+      // probe face of the hash store's audio_win retrieval leg —
+      // read-only (probes never enroll), the window size read from the
+      // store's stamped _shape recipe; a store without the leg (or a
+      // contradicting --hash-win) refuses loudly instead of silently
+      // retrieving nothing.
+      a.retrieveClips.foreach { hd =>
+        import graft.multimodal.HashStore
+        val pc = a.payloadCol.getOrElse(throw new IllegalArgumentException(
+          "--retrieve-clips needs --payload-col <binary column> — probe " +
+            "clips are hashed from the payload"))
+        val media = r.train.select(col("doc_id"), col(pc).as("payload"))
+        HashStore.retrieveClips(media, hd, winSamples = a.hashWin)
+          .write.mode("overwrite").parquet(s"${a.out}/_retrieved")
       }
       // Postings: the drop's inverted-index rows join the store under the
       // drop-id discipline — no read-only scoring artifact, because a

@@ -69,6 +69,107 @@ object HashStore extends graft.operators.DropLedger {
   private val BandBits =
     Map("image" -> 16, "audio" -> 16, "audio_win" -> 16, "bytes" -> 14)
 
+  /** The store's self-describing recipe, read back from the `_shape`
+    * markers (r16 "what's wrong #2" — the one family without the
+    * loud-marker discipline): the union of enrolled modality legs, and
+    * the audio_win window size when that leg is enrolled. A probe
+    * hashed at a different `winSamples`, or against a store that never
+    * enrolled the leg, matches NOTHING — silently, which is exactly the
+    * empty-candidate failure the [[graft.text.FpStore]] `_shape` marker
+    * exists to prevent (its own words, FpStore.scala) — so every
+    * audio_win face resolves the window from this stamp and refuses a
+    * contradiction loudly.
+    */
+  final case class Recipe(modalities: Set[String], winSamples: Option[Int])
+
+  private val ShapeFile = "_shape"
+
+  private def markerLine(modalities: Seq[String], winSamples: Int): String = {
+    val mods = modalities.distinct.sorted
+    val win =
+      if (mods.contains(RetrievalModality)) s" win=$winSamples" else ""
+    // "-" = no legs (a takedown can empty the store; the marker must
+    // still parse so the next append re-stamps cleanly)
+    s"v1 ${if (mods.isEmpty) "-" else mods.mkString(",")}$win\n"
+  }
+
+  /** Write a commit's `_shape` into its staging dir — it rides the same
+    * atomic rename as the rows it describes, so marker and data can
+    * never disagree about what was enrolled.
+    */
+  private def writeMarker(s: SparkSession, dir: String,
+                          modalities: Seq[String], winSamples: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, ShapeFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(markerLine(modalities, winSamples).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The stamped recipe: `_shape` at the table root (bootstrap /
+    * post-rewrite cohort) plus one per `drop-<id>/` commit. None =
+    * a pre-marker legacy store — audio_win faces refuse it loudly;
+    * the whole-doc dedup legs keep working (their recipe is fixed).
+    */
+  def storedRecipe(s: SparkSession, storeDir: String): Option[Recipe] = {
+    requireStore(s, storeDir)
+    val root = new org.apache.hadoop.fs.Path(tablePath(storeDir))
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val markers = (fs.listStatus(root)
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("drop-"))
+      .map(e => new org.apache.hadoop.fs.Path(e.getPath, ShapeFile))
+      :+ new org.apache.hadoop.fs.Path(root, ShapeFile))
+      .filter(fs.exists).toSeq
+    if (markers.isEmpty) None
+    else {
+      val parsed = markers.map { f =>
+        val in = fs.open(f)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().trim finally in.close()
+        def modsOf(m: String): Set[String] =
+          if (m == "-") Set.empty else m.split(",").toSet
+        line.split(" ") match {
+          case Array("v1", mods) => (modsOf(mods), None)
+          case Array("v1", mods, w) if w.startsWith("win=") =>
+            (modsOf(mods), Some(w.stripPrefix("win=").toInt))
+          case _ => throw new IllegalStateException(
+            s"unreadable $kind marker in $f: '$line'")
+        }
+      }
+      val wins = parsed.flatMap(_._2).distinct
+      require(wins.size <= 1,
+        s"$kind $storeDir carries contradictory audio_win window stamps " +
+          s"(win=${wins.mkString(", ")}) — the store is corrupt; rebuild it")
+      Some(Recipe(parsed.flatMap(_._1).toSet, wins.headOption))
+    }
+  }
+
+  /** Resolve the audio_win window size for a serve: the leg must be
+    * enrolled and stamped; an explicit caller value (non-zero) must
+    * MATCH the stamp. Refusals are loud — a silent empty retrieval is
+    * the failure mode this guard exists for.
+    */
+  private def resolveWin(s: SparkSession, storeDir: String,
+                         explicit: Int): Int = {
+    val r = storedRecipe(s, storeDir)
+    require(r.isDefined,
+      s"$kind $storeDir has no _shape recipe marker (pre-marker layout) — " +
+        "rebuild it (or append one drop) with current code before serving " +
+        s"the '$RetrievalModality' leg")
+    require(r.get.modalities.contains(RetrievalModality) &&
+        r.get.winSamples.isDefined,
+      s"$kind $storeDir was built without the '$RetrievalModality' leg " +
+        s"(enrolled: ${r.get.modalities.toSeq.sorted.mkString(", ")}) — its " +
+        "stored rows can match no clip window; build/append with " +
+        s"modalities including '$RetrievalModality' first")
+    val stored = r.get.winSamples.get
+    require(explicit == 0 || explicit == stored,
+      s"probe winSamples=$explicit contradicts the store's stamped " +
+        s"win=$stored — windows hashed at different sizes never match; " +
+        "pass winSamples=0 (or omit it) to use the stamp")
+    stored
+  }
+
   /** Hamming ≤ 3 is the 4-band detection guarantee (pigeonhole). */
   val MaxGuaranteedHamming = 3
 
@@ -116,15 +217,23 @@ object HashStore extends graft.operators.DropLedger {
                   modalities: Seq[String] = Modalities,
                   winSamples: Int = 1 << 15): () => Unit = {
     requireDropId(dropId)
-    stagePartialsBuild(
+    val staged = stagePartialsBuild(
       hashesFor(media, modalities, winSamples)
         .withColumn("drop_id", lit(dropId)),
-      storeDir).commit
+      storeDir)
+    writeMarker(media.sparkSession, staged.stagingDir, modalities, winSamples)
+    staged.commit
   }
 
   /** Append a new drop's hash rows (staged, single-rename atomic
     * commit); a stored drop id is refused — re-appending would report
-    * every later pair in both orientations.
+    * every later pair in both orientations. Appends are also
+    * append-once per (doc, modality): rows whose (doc_id, modality) is
+    * already enrolled stage nothing ([[newLegHashes]]), so re-ingesting
+    * a doc under a new drop id can't bloat the store or skew its band
+    * buckets — while enrolling a NEW leg (the audio_win opt-in) for
+    * already-stored docs still lands. An audio_win append must match
+    * the store's stamped window size (checked BEFORE the decode work).
     */
   def appendStaged(media: DataFrame, storeDir: String, dropId: String,
                    modalities: Seq[String] = Modalities,
@@ -133,11 +242,32 @@ object HashStore extends graft.operators.DropLedger {
     val s = media.sparkSession
     requireStore(s, storeDir)
     requireNewDrop(s, storeDir, dropId)
-    stagePartialsAppend(
-      hashesFor(media, modalities, winSamples)
+    if (modalities.contains(RetrievalModality))
+      storedRecipe(s, storeDir).flatMap(_.winSamples).foreach(w =>
+        require(w == winSamples,
+          s"append winSamples=$winSamples contradicts the store's stamped " +
+            s"win=$w — mixed window sizes would make retrieval silently " +
+            "miss; hash this drop at the stamped size"))
+    val staged = stagePartialsAppend(
+      newLegHashes(s, storeDir, hashesFor(media, modalities, winSamples))
         .withColumn("drop_id", lit(dropId)),
-      storeDir, dropId).commit
+      storeDir, dropId)
+    writeMarker(s, staged.stagingDir, modalities, winSamples)
+    staged.commit
   }
+
+  /** Rows whose (doc_id, modality) leg is already enrolled stage
+    * nothing — the [[graft.text.FpStore]] append-once discipline at leg
+    * granularity. Costs one two-column scan of the hash table per
+    * append: the table is ~17 B/row, one row per doc per leg
+    * (metadata-scale next to the media it indexes), and AQE broadcasts
+    * the drop-sized left side.
+    */
+  private def newLegHashes(s: SparkSession, storeDir: String,
+                           hashes: DataFrame): DataFrame =
+    hashes.join(
+      load(s, storeDir).select(col("doc_id"), col("modality")).distinct(),
+      Seq("doc_id", "modality"), "left_anti")
 
   def append(media: DataFrame, storeDir: String, dropId: String,
              modalities: Seq[String] = Modalities,
@@ -147,10 +277,11 @@ object HashStore extends graft.operators.DropLedger {
   /** Explode (doc_id, modality, h) into 4 band rows keyed
     * (modality, band_idx, band_val) — the equi-join key; band width per
     * modality ([[BandBits]]), and modality rides the key, so hashes of
-    * different legs can never collide.
+    * different legs can never collide. Any extra input columns (the
+    * retrieval probe's win_idx) ride along untouched.
     */
   private def banded(hashes: DataFrame): DataFrame = hashes
-    .select(col("doc_id"), col("modality"), col("h"),
+    .withColumn("band",
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band_idx"),
           when(col("modality") === "bytes",
@@ -159,10 +290,10 @@ object HashStore extends graft.operators.DropLedger {
             .otherwise(shiftright(col("h"), b * BandBits("image"))
               .bitwiseAND(lit((1L << BandBits("image")) - 1)))
             .as("band_val"))
-      }: _*)).as("band"))
-    .select(col("doc_id"), col("modality"), col("h"),
-      col("band.band_idx").as("band_idx"),
-      col("band.band_val").as("band_val"))
+      }: _*)))
+    .withColumn("band_idx", col("band.band_idx"))
+    .withColumn("band_val", col("band.band_val"))
+    .drop("band")
 
   private def pairsFromBands(a: DataFrame, b: DataFrame, cond: Column,
                              maxHamming: Int): DataFrame =
@@ -203,11 +334,43 @@ object HashStore extends graft.operators.DropLedger {
     requireStore(s, storeDir)
     requireNewDrop(s, storeDir, dropId)
     val dropHashes =
-      graft.text.Dedup.materialize(hashesFor(drop, modalities))
+      graft.text.Dedup.materialize(serveHashes(drop, storeDir, modalities))
     val pairs = minePairs(s, storeDir, dropHashes, maxHamming)
     val staged = stagePartialsAppend(
-      dropHashes.withColumn("drop_id", lit(dropId)), storeDir, dropId)
+      newLegHashes(s, storeDir, dropHashes)
+        .withColumn("drop_id", lit(dropId)), storeDir, dropId)
+    writeMarker(s, staged.stagingDir, modalities,
+      storedRecipe(s, storeDir).flatMap(_.winSamples).getOrElse(1 << 15))
     (pairs, staged.commit)
+  }
+
+  /** The drop-side hash pass for a serve: an audio_win request resolves
+    * its window size from the store's stamped recipe (and refuses a
+    * store without the leg) — a drop hashed at a different window than
+    * the history it probes would silently match nothing.
+    */
+  private def serveHashes(drop: DataFrame, storeDir: String,
+                          modalities: Seq[String]): DataFrame = {
+    val s = drop.sparkSession
+    val ws =
+      if (modalities.contains(RetrievalModality)) resolveWin(s, storeDir, 0)
+      else 1 << 15
+    hashesFor(drop, modalities, ws)
+  }
+
+  /** Intra-drop re-encode pairs with NO store — the bootstrap drop can
+    * carry re-encoded copies of itself before any history exists (the
+    * [[graft.text.FpStore.pairsStream]] epoch-0 argument). Same banded
+    * join shape as the serve's intra leg; doc_a < doc_b.
+    */
+  def intraPairs(drop: DataFrame, maxHamming: Int = MaxGuaranteedHamming,
+                 modalities: Seq[String] = Modalities,
+                 winSamples: Int = 1 << 15): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= MaxGuaranteedHamming,
+      s"4 bands guarantee detection only to hamming $MaxGuaranteedHamming")
+    val dp = banded(graft.text.Dedup.materialize(
+      hashesFor(drop, modalities, winSamples)))
+    pairsFromBands(dp, dp, col("a.doc_id") < col("b.doc_id"), maxHamming)
   }
 
   /** Serve-only: same pairs as [[pairsVsStore]], the store never
@@ -221,7 +384,7 @@ object HashStore extends graft.operators.DropLedger {
                            eager: Boolean = true): DataFrame = {
     val s = drop.sparkSession
     requireStore(s, storeDir)
-    val h0 = hashesFor(drop, modalities)
+    val h0 = serveHashes(drop, storeDir, modalities)
     val dropHashes =
       if (eager) graft.text.Dedup.materialize(h0) else h0.cache()
     minePairs(s, storeDir, dropHashes, maxHamming)
@@ -246,16 +409,23 @@ object HashStore extends graft.operators.DropLedger {
 
   /** Trim/shift-robust audio retrieval: which stored tracks CONTAIN
     * this probe clip? The probe's windowed subfingerprints
-    * ([[RetrievalModality]] — the store must have been built/appended
-    * with it, same `winSamples`) run through the same banded Hamming
-    * join as the dedup serve, but instead of collapsing to a pair row
-    * the matches are COUNTED: n_matched = distinct (probe-window hash,
-    * track-window hash) matches within `maxHamming`, so a clip that is
-    * really a sub-run of a track scores once per aligned window while a
-    * single-window coincidence stays below `minMatched`. A clip trimmed
-    * at a hop multiple aligns exactly (Hamming 0 per window); sub-hop
-    * trims degrade gracefully (the [[Binary.extractAudioSubFingerprints]]
-    * overlap argument). Output: (probe_id, doc_id, n_matched).
+    * ([[RetrievalModality]]) run through the same banded Hamming join
+    * as the dedup serve, but instead of collapsing to a pair row the
+    * matches are COUNTED: n_matched = distinct PROBE WINDOWS (win_idx)
+    * that matched the track within `maxHamming` — counting probe
+    * windows rather than (probe hash, track hash) pairs keeps a
+    * genuinely contained clip whose windows hash identically (constant
+    * tone, silence padding, looped audio) at its full window count
+    * instead of collapsing to 1 and dying on `minMatched`. A clip
+    * trimmed at a hop multiple aligns exactly (Hamming 0 per window);
+    * sub-hop trims degrade gracefully (the
+    * [[Binary.extractAudioSubFingerprints]] overlap argument).
+    * Output: (probe_id, doc_id, n_matched).
+    *
+    * The window size comes from the store's stamped recipe
+    * ([[storedRecipe]]): a store without the audio_win leg, or a
+    * non-zero `winSamples` that contradicts the stamp, is REFUSED —
+    * both would otherwise retrieve nothing, silently.
     *
     * 100 TB shape: the probe side is clip-scale; the stored side is one
     * columnar scan of the subfingerprint rows (≈ 2 rows per window
@@ -265,14 +435,18 @@ object HashStore extends graft.operators.DropLedger {
   def retrieveClips(probe: DataFrame, storeDir: String,
                     maxHamming: Int = MaxGuaranteedHamming,
                     minMatched: Int = 2,
-                    winSamples: Int = 1 << 15): DataFrame = {
+                    winSamples: Int = 0): DataFrame = {
     require(minMatched >= 1, s"minMatched must be >= 1, got $minMatched")
     require(maxHamming >= 0 && maxHamming <= MaxGuaranteedHamming,
       s"4 bands guarantee detection only to hamming $MaxGuaranteedHamming")
-    val s = probe.sparkSession
+    implicit val s: SparkSession = probe.sparkSession
     requireStore(s, storeDir)
+    val ws = resolveWin(s, storeDir, winSamples)
     val probeFps = graft.text.Dedup.materialize(
-      hashesFor(probe, Seq(RetrievalModality), winSamples))
+      Binary.extractAudioSubFingerprints(probe, ws).toDF()
+        .filter(col("is_audio"))
+        .select(col("doc_id"), lit(RetrievalModality).as("modality"),
+          col("win_idx"), col("subhash").as("h")))
     val dp = banded(probeFps)
     val sp = banded(load(s, storeDir)
       .filter(col("modality") === RetrievalModality)
@@ -283,24 +457,53 @@ object HashStore extends graft.operators.DropLedger {
           col("a.doc_id") =!= col("b.doc_id"))
       .filter(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= maxHamming)
       .groupBy(col("a.doc_id").as("probe_id"), col("b.doc_id").as("doc_id"))
-      .agg(countDistinct(struct(col("a.h"), col("b.h"))).as("n_matched"))
+      .agg(countDistinct(col("a.win_idx")).as("n_matched"))
       .filter(col("n_matched") >= minMatched)
+  }
+
+  /** Flat rewrites (takedown / purge / compact) re-stamp the `_shape`
+    * from the STAGED rows' surviving modality legs — a takedown that
+    * removes the last audio_win row must stop claiming the leg, or
+    * [[retrieveClips]] would pass its guard and silently retrieve
+    * nothing — with the window stamp carried from the live recipe.
+    */
+  override protected def rewriteSidecar(s: SparkSession, storeDir: String,
+                                        stagingDir: String): Unit = {
+    val mods =
+      if (!stagingHasData(s, stagingDir)) Seq.empty[String]
+      else s.read.parquet(stagingDir).select(col("modality"))
+        .distinct().collect().map(_.getString(0)).toSeq
+    val win = storedRecipe(s, storeDir).flatMap(_.winSamples)
+    writeMarker(s, stagingDir, mods, win.getOrElse(1 << 15))
   }
 
   /** Doc-keyed takedown: remove the given documents' hash rows — one
     * left-anti rewrite, crash-safe swap. Exact by construction (no
-    * cross-doc state). Returns removed-row count (the audit line).
-    * Drop-granular removal is the inherited [[removeDrop]].
+    * cross-doc state). Returns removed-row count (the audit line),
+    * observed ON the rewrite plan itself (input count minus surviving
+    * count, collected by the staged write's own job) — the r16 shape
+    * paid two extra full scans (`before.count() − after.count()`) for
+    * the same number. Drop-granular removal is the inherited
+    * [[removeDrop]].
     */
   def removeDocs(s: SparkSession, storeDir: String, docIds: DataFrame): Long = {
     requireStore(s, storeDir)
     require(docIds.columns.sameElements(Array("doc_id")),
       s"docIds must be a single-column (doc_id) frame, got: ${docIds.columns.mkString(", ")}")
     val staging = stagingPath(storeDir)
-    val before = load(s, storeDir)
-    before.join(docIds, Seq("doc_id"), "left_anti")
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsOut = org.apache.spark.sql.Observation()
+    load(s, storeDir).observe(obsIn, count(lit(1)).as("n"))
+      .join(docIds, Seq("doc_id"), "left_anti")
+      .observe(obsOut, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(staging)
-    val removed = before.count() - s.read.parquet(staging).count()
+    // doc-keyed removal never un-enrolls a drop id: the FpStore
+    // tombstone semantics — a crash-replayed epoch stays skipped even
+    // after its every row was taken down
+    writeDropsSidecar(s, staging, drops(s, storeDir))
+    rewriteSidecar(s, storeDir, staging)
+    val removed = obsIn.get("n").asInstanceOf[Long] -
+      obsOut.get("n").asInstanceOf[Long]
     graft.operators.StoreSwap.swapIn(s, storeDir, tablePath(storeDir),
       staging, "_takedown-old")
     removed

@@ -52,11 +52,90 @@ trait DropLedger {
   def load(s: SparkSession, storeDir: String): DataFrame =
     s.read.option("recursiveFileLookup", "true").parquet(tablePath(storeDir))
 
-  /** Drop ids already ingested (driver-sized: one string per drop). */
+  /** Sidecar naming the drop ids whose rows live FLAT at the table root
+    * (the bootstrap cohort and post-takedown/compact rewrites): one id
+    * per line, written atomically with the data it describes (inside
+    * the staging dir the commit renames / the rewrite swaps in).
+    * Appended drops are named by their `drop-<id>/` directory instead,
+    * so [[drops]] never reads the partials table.
+    */
+  private val DropsFile = "_drops"
+
+  /** Drop ids already ingested (driver-sized: one string per drop).
+    * METADATA-SCALE (r16 "what's missing #3"): the `drop-<id>/`
+    * directory listing plus the flat cohort's [[DropsFile]] sidecar —
+    * [[requireNewDrop]] sits on every append across all 13 ledgered
+    * families, and the previous implementation paid a
+    * linear-in-history drop_id scan of the partials table per append.
+    * The distinct scan survives only as the fallback for pre-sidecar
+    * flat layouts (stores written before the sidecar existed).
+    */
   def drops(s: SparkSession, storeDir: String): Set[String] =
     if (!exists(s, storeDir)) Set.empty
-    else load(s, storeDir).select(col("drop_id")).distinct()
+    else {
+      val fs = fileSystem(s, storeDir)
+      val root = new org.apache.hadoop.fs.Path(tablePath(storeDir))
+      val entries = fs.listStatus(root)
+      val subIds = entries.filter(e => e.isDirectory &&
+          e.getPath.getName.startsWith("drop-"))
+        .map(_.getPath.getName.stripPrefix("drop-")).toSet
+      val sidecar = new org.apache.hadoop.fs.Path(root, DropsFile)
+      val flat: Set[String] =
+        if (fs.exists(sidecar)) {
+          val in = fs.open(sidecar)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.trim).filter(_.nonEmpty).toSet
+          finally in.close()
+        } else
+          // legacy pre-sidecar flat layout — the one remaining scan;
+          // any rewrite or rebuild with current code retires it
+          load(s, storeDir).select(col("drop_id")).distinct()
+            .collect().map(_.getString(0)).toSet
+      flat ++ subIds
+    }
+
+  /** Write [[DropsFile]] into a flat staging dir. The rewrite paths
+    * pass the surviving id set explicitly (carried forward from the
+    * pre-rewrite ledger — an enrolled drop whose every row was
+    * deduplicated or taken down stays enrolled, the FpStore tombstone
+    * semantics, so a crash-replayed epoch is still skipped after a
+    * compaction); the bootstrap derives it from the staged partials
+    * with one column-pruned scan (build time, never the append path).
+    */
+  protected def writeDropsSidecar(s: SparkSession, stagingDir: String,
+                                  ids: Set[String]): Unit = {
+    val fs = fileSystem(s, stagingDir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(stagingDir, DropsFile), true)
+    try out.write((ids.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def stagedDropIds(s: SparkSession, stagingDir: String): Set[String] =
+    if (!stagingHasData(s, stagingDir)) Set.empty
+    else s.read.parquet(stagingDir).select(col("drop_id")).distinct()
       .collect().map(_.getString(0)).toSet
+
+  /** A staged write of a 0-partition frame leaves only _SUCCESS — a
+    * read-back would die on schema inference, so sidecar derivation
+    * checks for data files first.
+    */
+  protected def stagingHasData(s: SparkSession, stagingDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(stagingDir)
+    fileSystem(s, stagingDir).listStatus(p).exists { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Hook for stores that keep their own sidecar metadata next to the
+    * partials (HashStore's `_shape` recipe marker): called on every
+    * FLAT rewrite's staging dir — takedown, purge, compaction — after
+    * the data lands and before the swap, while the pre-rewrite store is
+    * still live to read. Default: nothing.
+    */
+  protected def rewriteSidecar(s: SparkSession, storeDir: String,
+                               stagingDir: String): Unit = ()
 
   protected def requireDropId(dropId: String): Unit =
     require(dropId.matches("[A-Za-z0-9._-]+"),
@@ -89,6 +168,7 @@ trait DropLedger {
     val staging = stagingPath(storeDir)
     coalesceTo.fold(partials)(partials.coalesce)
       .write.mode("overwrite").parquet(staging)
+    writeDropsSidecar(s, staging, stagedDropIds(s, staging))
     StagedWrite(staging, () => {
       val fs = fileSystem(s, storeDir)
       val live = new org.apache.hadoop.fs.Path(tablePath(storeDir))
@@ -122,9 +202,12 @@ trait DropLedger {
     requireStore(s, storeDir)
     require(drops(s, storeDir).contains(dropId),
       s"drop '$dropId' is not in $kind $storeDir — nothing to remove")
+    val survivors = drops(s, storeDir) - dropId
     val staging = stagingPath(storeDir)
     load(s, storeDir).filter(col("drop_id") =!= dropId)
       .write.mode("overwrite").parquet(staging)
+    writeDropsSidecar(s, staging, survivors)
+    rewriteSidecar(s, storeDir, staging)
     StoreSwap.swapIn(s, storeDir, tablePath(storeDir), staging, "_takedown-old")
   }
 
@@ -144,10 +227,13 @@ trait DropLedger {
     requireStore(s, storeDir)
     require(drops(s, storeDir).contains(dropId),
       s"drop '$dropId' is not in $kind $storeDir — nothing to purge")
+    val survivors = drops(s, storeDir)
     val staging = stagingPath(storeDir)
     load(s, storeDir).filter(col("drop_id") =!= dropId)
       .unionByName(freshPartials)
       .write.mode("overwrite").parquet(staging)
+    writeDropsSidecar(s, staging, survivors)
+    rewriteSidecar(s, storeDir, staging)
     StoreSwap.swapIn(s, storeDir, tablePath(storeDir), staging, "_purge-old")
   }
 
@@ -157,9 +243,12 @@ trait DropLedger {
   def compact(s: SparkSession, storeDir: String, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     requireStore(s, storeDir)
+    val survivors = drops(s, storeDir)
     val staging = stagingPath(storeDir)
     load(s, storeDir).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging)
+    writeDropsSidecar(s, staging, survivors)
+    rewriteSidecar(s, storeDir, staging)
     StoreSwap.swapIn(s, storeDir, tablePath(storeDir), staging, "_compact-old")
   }
 

@@ -181,6 +181,21 @@ object FpStore {
   def exists(s: SparkSession, storeDir: String): Boolean = {
     graft.operators.StoreSwap.requireNotCrashed(s, storeDir,
       commitsPath(storeDir))
+    // a pre-ledger (r15-layout) store kept its rows in
+    // storeDir/fingerprints + a _drops marker; treating one as
+    // "no store" would let every exists-gated face (pairsStream's
+    // bootstrap branch, the CLI --fp-store path) silently re-bootstrap
+    // a FRESH store and serve every later drop against empty history —
+    // no error, just missing pairs. There is no in-place migration
+    // (the ledger needs per-commit df/docs partials the old layout
+    // never kept): rebuild from the corpus, loudly.
+    val legacy = new org.apache.hadoop.fs.Path(storeDir, "fingerprints")
+    require(!fileSystem(s, storeDir).exists(legacy),
+      s"$storeDir holds a legacy (pre-commit-ledger) fingerprint store " +
+        "layout (fingerprints/ at the root) — rebuild it with " +
+        "FpStore.build into the commits/ ledger, or remove the legacy " +
+        "dir explicitly; treating it as absent would silently serve " +
+        "drops against empty history")
     commitDirs(s, storeDir).nonEmpty
   }
 
@@ -496,8 +511,17 @@ object FpStore {
     require(exists(s, storeDir), s"no fingerprint store under $storeDir")
     require(docIds.columns.sameElements(Array("doc_id")),
       s"docIds must be a single-column (doc_id) frame, got: ${docIds.columns.mkString(", ")}")
+    // the audit count is observed ON the rewrite plan (rows in minus
+    // rows surviving, collected by the staged write's own job) — the
+    // r16 shape paid two extra full ledger scans (before.count() −
+    // after.count()) to produce the same number
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsOut = org.apache.spark.sql.Observation()
     rewrite(s, storeDir, "_takedown-old",
-      load(s, storeDir).join(docIds, Seq("doc_id"), "left_anti"))
+      load(s, storeDir).observe(obsIn, count(lit(1)).as("n"))
+        .join(docIds, Seq("doc_id"), "left_anti")
+        .observe(obsOut, count(lit(1)).as("n")))
+    obsIn.get("n").asInstanceOf[Long] - obsOut.get("n").asInstanceOf[Long]
   }
 
   /** Maintenance compaction — contents identical, fps in `targetFiles`
@@ -510,16 +534,16 @@ object FpStore {
     require(exists(s, storeDir), s"no fingerprint store under $storeDir")
     rewrite(s, storeDir, "_compact-old",
       load(s, storeDir).coalesce(targetFiles))
-    ()
   }
 
   /** Rewrite the whole ledger from `newFps`: one fresh base commit (df
     * and docs re-derived from the staged rows) plus `_shape`-only
     * tombstones for every enrolled drop id, swapped in crash-safely.
-    * Returns the number of fps rows removed.
+    * Audit counts are the caller's business — [[removeDocs]] observes
+    * them on the `newFps` plan it passes in.
     */
   private def rewrite(s: SparkSession, storeDir: String, marker: String,
-                      newFps: DataFrame): Long = {
+                      newFps: DataFrame): Unit = {
     val p = storedParams(s, storeDir)
     val enrolled = drops(s, storeDir)
     val staging = stagingPath(storeDir)
@@ -531,10 +555,7 @@ object FpStore {
       fs.mkdirs(new org.apache.hadoop.fs.Path(t))
       writeMarker(fs, t, p)
     }
-    val before = load(s, storeDir).count()
-    val after = s.read.parquet(s"$base/fps").count()
     graft.operators.StoreSwap.swapIn(s, storeDir, commitsPath(storeDir),
       staging, marker)
-    before - after
   }
 }

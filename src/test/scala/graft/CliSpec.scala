@@ -122,8 +122,11 @@ class CliSpec extends AnyFunSuite {
       "--hash-store", s"$dir/hs", "--payload-col", "payload"))
     assert(HashStore.exists(spark, s"$dir/hs"),
       "bootstrap run builds the hash store")
-    assert(!new java.io.File(s"$dir/out1/_hashpairs").exists(),
-      "no pairs report on the bootstrap run — there is no history yet")
+    // the bootstrap emits its INTRA-drop pairs (a day-1 drop can carry
+    // re-encodes of itself — ADVICE r16); day 1's payloads are distinct,
+    // so the report exists and is empty
+    assert(spark.read.parquet(s"$dir/out1/_hashpairs").count() === 0L,
+      "bootstrap pairs report must exist (intra-drop mine) and be empty here")
 
     // day 2: doc 11 re-uploads doc 1's exact payload under a new id
     Seq(
@@ -160,6 +163,80 @@ class CliSpec extends AnyFunSuite {
     assert(HashStore.load(spark, s"$dir/hs")
       .filter(col("doc_id") === 11L).count() === 0L,
       "a drop_id ticket removes the enrolled drop's rows")
+  }
+
+  test("Corpus CLI: bootstrap intra-drop pairs; --retrieve-clips probes the stamped audio_win leg") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.multimodal.HashStore
+    import javax.sound.sampled._
+    // the MultimodalSpec retrieval waveform family: deterministic
+    // amplitude envelope over a fixed carrier, 8 kHz 16-bit mono WAV
+    def fa(i: Int): Int =
+      (((i / 100) * 2654435761L % 97 + 3) * ((i % 17) - 8) * 16).toInt
+    def fb(i: Int): Int =
+      (((i / 100 * 40503L + 7) % 101) * ((i % 23) - 11) * 16).toInt
+    def wavOf(f: Int => Int, from: Int, until: Int): Array[Byte] = {
+      val n = until - from
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = f(from + i)
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(8000f, 16, 1, true, false), n.toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val dir = Files.createTempDirectory("corpus-clips")
+    // day 1 bootstrap: track 2 is a byte-identical copy of track 1 — the
+    // intra-drop mine must surface it even though there is no history yet
+    val t1 = wavOf(fa, 0, 6500)
+    Seq(
+      (1L, "track one " + (1 to 20).map(i => s"a$i").mkString(" "), t1),
+      (2L, "track two " + (1 to 20).map(i => s"b$i").mkString(" "), t1),
+      (3L, "track three " + (1 to 20).map(i => s"c$i").mkString(" "),
+        wavOf(fb, 0, 6500)))
+      .toDF("doc_id", "text", "payload").write.parquet(s"$dir/day1")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/day1", "-O", s"$dir/out1",
+      "--hash-store", s"$dir/hs", "--payload-col", "payload",
+      "--hash-modalities", "audio,bytes,audio_win", "--hash-win", "2048"))
+    val boot = spark.read.parquet(s"$dir/out1/_hashpairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(boot.contains((1L, 2L)),
+      s"the day-1 twin must surface in the bootstrap intra-drop mine: $boot")
+    assert(!boot.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the unrelated track must not pair: $boot")
+    // the recipe is stamped: enrolled legs + the audio_win window size
+    assert(HashStore.storedRecipe(spark, s"$dir/hs") ===
+      Some(HashStore.Recipe(Set("audio", "bytes", "audio_win"), Some(2048))))
+    // the probe: track 1 TRIMMED at two hops — whole-clip hashes miss it,
+    // the retrieval leg finds both byte-identical enrolled copies; the
+    // window size comes from the stamp (no --hash-win on the probe run)
+    Seq((100L, "probe clip " + (1 to 20).map(i => s"p$i").mkString(" "),
+        wavOf(fa, 2048, 6500)))
+      .toDF("doc_id", "text", "payload").write.parquet(s"$dir/clips")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/clips", "-O", s"$dir/outp",
+      "--retrieve-clips", s"$dir/hs", "--payload-col", "payload"))
+    val got = spark.read.parquet(s"$dir/outp/_retrieved")
+      .select("probe_id", "doc_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((100L, 1L), (100L, 2L)),
+      s"the trimmed clip retrieves exactly its track (and its enrolled " +
+        s"byte-identical copy): $got")
+    // a contradicting --hash-win on the probe run refuses loudly instead
+    // of silently retrieving nothing
+    val e = intercept[IllegalArgumentException](graft.cli.Corpus.run(spark,
+      Array("-I", s"$dir/clips", "-O", s"$dir/outp2",
+        "--retrieve-clips", s"$dir/hs", "--payload-col", "payload",
+        "--hash-win", "4096")))
+    assert(e.getMessage.contains("2048"), s"got: ${e.getMessage}")
   }
 
   test("Corpus CLI: --fp-stream drains drops as epochs; a restart skips the enrolled ones") {

@@ -164,6 +164,31 @@ class FpStoreSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("string column"))
   }
 
+  test("a legacy pre-ledger layout refuses loudly instead of reading as absent") {
+    // the r15 layout kept rows in storeDir/fingerprints + _drops; the
+    // commit ledger can't read it, and exists() returning false would
+    // let every exists-gated face (pairsStream's bootstrap branch, the
+    // CLI --fp-store path) silently re-bootstrap a FRESH store and
+    // serve all later drops against empty history — no error, just
+    // missing pairs (ADVICE r16)
+    val dir = Files.createTempDirectory("fpstore-legacy").toString
+    Seq((1L, 100L)).toDF("doc_id", "fp")
+      .write.parquet(s"$dir/fingerprints")
+    val e = intercept[IllegalArgumentException](FpStore.exists(spark, dir))
+    assert(e.getMessage.contains("legacy") &&
+      e.getMessage.contains("rebuild"), s"got: ${e.getMessage}")
+    // the serve faces route through the same guard
+    val e2 = intercept[IllegalArgumentException] {
+      FpStore.pairsVsStoreReadOnly(
+        Seq((2L, "a b c")).toDF("doc_id", "text"), dir)
+    }
+    assert(e2.getMessage.contains("legacy"))
+    // a REAL (ledgered) store next to an unrelated dir is unaffected
+    val ok = Files.createTempDirectory("fpstore-ok").toString
+    FpStore.build(Seq((1L, "a b c d e f g h")).toDF("doc_id", "text"), ok)
+    assert(FpStore.exists(spark, ok))
+  }
+
   test("pairsStream: epoch serve + enroll, exactly-once across a crash replay") {
     import org.apache.spark.sql.DataFrame
     val root = Files.createTempDirectory("fpstream")
