@@ -111,13 +111,25 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        itself) before the build commits
   *     [--hash-modalities csv]            the --hash-store legs to enroll
   *                                        (default image,audio,bytes; add
-  *                                        audio_win to enable clip
-  *                                        retrieval — the store stamps the
-  *                                        recipe in its _shape marker)
+  *                                        audio_win / image_tile to enable
+  *                                        clip / crop retrieval — the
+  *                                        store stamps the recipe in its
+  *                                        _shape marker)
   *     [--hash-win n]                     audio_win window size in samples
   *                                        at enrollment (default 2^15); on
   *                                        --retrieve-clips it must MATCH
   *                                        the stamp (omit to read it)
+  *     [--hash-tile n]                    image_tile tile size in pixels
+  *                                        at enrollment (default 64); on
+  *                                        --retrieve-crops it must MATCH
+  *                                        the stamp (omit to read it)
+  *     [--retrieve-crops dir]             probe the hash store's
+  *                                        image_tile leg: which stored
+  *                                        images CONTAIN this run's crops?
+  *                                        (probe_id, doc_id, n_matched)
+  *                                        rows to OUT/_retrieved_img;
+  *                                        read-only, same refusal
+  *                                        discipline as --retrieve-clips
   *     [--retrieve-clips dir]             probe the hash store's audio_win
   *                                        leg: which stored tracks CONTAIN
   *                                        this run's clips (trim/shift-
@@ -442,7 +454,9 @@ object Corpus {
       hashStore: Option[String] = None,
       hashModalities: Option[String] = None,
       hashWin: Int = 0,
+      hashTile: Int = 0,
       retrieveClips: Option[String] = None,
+      retrieveCrops: Option[String] = None,
       dupGraphBy: Option[String] = None, spanStats: Boolean = false,
       minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
       bpeMerges: Option[String] = None, bpeLearn: Option[Int] = None,
@@ -528,8 +542,11 @@ object Corpus {
     case "--hash-modalities" :: v :: rest =>
       parse(rest, acc.copy(hashModalities = Some(v)))
     case "--hash-win" :: v :: rest    => parse(rest, acc.copy(hashWin = v.toInt))
+    case "--hash-tile" :: v :: rest   => parse(rest, acc.copy(hashTile = v.toInt))
     case "--retrieve-clips" :: v :: rest =>
       parse(rest, acc.copy(retrieveClips = Some(v)))
+    case "--retrieve-crops" :: v :: rest =>
+      parse(rest, acc.copy(retrieveCrops = Some(v)))
     case "--manifest" :: rest          => parse(rest, acc.copy(manifest = true))
     case "--novelty-store" :: v :: rest =>
       parse(rest, acc.copy(noveltyStore = Some(v)))
@@ -1635,7 +1652,8 @@ object Corpus {
         "[--benchmark p] [--lm-trusted p] [--lm-min-ppm n] [--lm-store dir] " +
         "[--profile-store dir] [--drop-id id] " +
         "[--dedup] [--dedup-store dir] [--fp-store dir] [--hash-store dir] " +
-        "[--hash-modalities csv] [--hash-win n] [--retrieve-clips dir] " +
+        "[--hash-modalities csv] [--hash-win n] [--hash-tile n] " +
+        "[--retrieve-clips dir] [--retrieve-crops dir] " +
         "[--dup-graph-stats col] " +
         "[--span-stats] " +
         "[--min-tokens n] [--max-tokens n] [--bpe-merges path] [--bpe-learn n] " +
@@ -1781,14 +1799,16 @@ object Corpus {
           .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
           .getOrElse(HashStore.Modalities)
         val win = if (a.hashWin > 0) a.hashWin else 1 << 15
+        val tile = if (a.hashTile > 0) a.hashTile else 64
         if (!HashStore.exists(spark, hd)) {
           // the bootstrap drop has no history but can carry re-encodes
           // of ITSELF (the FpStore epoch-0 argument): its intra-drop
           // banded pairs land in OUT/_hashpairs BEFORE the build
           // commits — store-mutation-commits-LAST, and a day-1 copy is
           // no longer silently lost
-          val commit = HashStore.buildStaged(media, hd, dropId, mods, win)
-          HashStore.intraPairs(media, modalities = mods, winSamples = win)
+          val commit = HashStore.buildStaged(media, hd, dropId, mods, win, tile)
+          HashStore.intraPairs(media, modalities = mods, winSamples = win,
+              tilePx = tile)
             .write.mode("overwrite").parquet(s"${a.out}/_hashpairs")
           commit()
         } else if (!HashStore.drops(spark, hd).contains(dropId)) {
@@ -1812,6 +1832,18 @@ object Corpus {
         val media = r.train.select(col("doc_id"), col(pc).as("payload"))
         HashStore.retrieveClips(media, hd, winSamples = a.hashWin)
           .write.mode("overwrite").parquet(s"${a.out}/_retrieved")
+      }
+      // _retrieved_img: the image analog — which stored images CONTAIN
+      // this run's crops? Same read-only probe discipline; tile size
+      // from the stamped recipe (--hash-tile must match if given).
+      a.retrieveCrops.foreach { hd =>
+        import graft.multimodal.HashStore
+        val pc = a.payloadCol.getOrElse(throw new IllegalArgumentException(
+          "--retrieve-crops needs --payload-col <binary column> — probe " +
+            "crops are hashed from the payload"))
+        val media = r.train.select(col("doc_id"), col(pc).as("payload"))
+        HashStore.retrieveCrops(media, hd, tilePx = a.hashTile)
+          .write.mode("overwrite").parquet(s"${a.out}/_retrieved_img")
       }
       // Postings: the drop's inverted-index rows join the store under the
       // drop-id discipline — no read-only scoring artifact, because a

@@ -242,6 +242,51 @@ object Binary {
       }
   }
 
+  final case class ImageTileHash(doc_id: Long, is_image: Boolean,
+      win_idx: Int, subhash: Long)
+
+  /** Tiled image SUBFINGERPRINTS — the image RETRIEVAL leg the
+    * whole-image [[dHash64]] deliberately is not: a crop changes the
+    * support of EVERY bit of the 9×8-resized hash (the same argument as
+    * trimming vs the proportional audio windows), so "which stored
+    * image CONTAINS this crop?" needs fixed-frame sub-hashes. The luma
+    * plane is cut into FIXED `tilePx`-square tiles at stride `tilePx`
+    * from the top-left, each tile dHashed independently (same 9×8
+    * integer recipe — [[resizeImage]]/[[lumaPlane]], bit-reproducible).
+    * A crop at a tile-size multiple aligns exactly with a block of the
+    * original's tiles (identical hashes, Hamming 0); an arbitrary crop
+    * still shares most of each interior tile's content, so the row
+    * gradients mostly survive and Hamming grows gracefully — the
+    * [[extractAudioSubFingerprints]] overlap argument in 2-D. Images
+    * smaller than one tile (or non-decodable payloads) come through
+    * flagged, never dropped: a probe crop must be at least one tile to
+    * be findable, the same contract the audio leg has.
+    */
+  def extractImageTileHashes(media: DataFrame, tilePx: Int = 64)(
+      implicit s: SparkSession): Dataset[ImageTileHash] = {
+    require(tilePx >= 9,
+      s"a tile must hold the 9-wide dHash grid, got $tilePx")
+    import s.implicits._
+    val tile = tilePx
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.flatMap { row =>
+          decodeImage(row.payload) match {
+            case Some(img) if img.getWidth >= tile && img.getHeight >= tile =>
+              val (cols, rows) = (img.getWidth / tile, img.getHeight / tile)
+              for {
+                ty <- 0 until rows
+                tx <- 0 until cols
+              } yield ImageTileHash(row.doc_id, is_image = true,
+                ty * cols + tx,
+                dHash64(img.getSubimage(tx * tile, ty * tile, tile, tile)))
+            case _ => Seq(ImageTileHash(row.doc_id, is_image = false, -1, 0L))
+          }
+        }
+      }
+  }
+
   /** Near-duplicate image pairs: dHash banded into 4 × 16-bit keys, so a
     * pair within `maxHamming` ≤ 3 differing bits has ≥ 1 identical band
     * (pigeonhole) and is found by the banded EQUI join — the q49 SimHash

@@ -53,13 +53,23 @@ object HashStore extends graft.operators.DropLedger {
     */
   val Modalities: Seq[String] = Seq("image", "audio", "bytes")
 
-  /** The RETRIEVAL leg (opt-in, never in the default build): windowed
-    * audio subfingerprints ([[Binary.extractAudioSubFingerprints]]) —
-    * many rows per doc, one per fixed-length window, served by
-    * [[retrieveClips]] for the trim/shift question the whole-clip
-    * `audio` hash deliberately does not answer.
+  /** The audio RETRIEVAL leg (opt-in, never in the default build):
+    * windowed audio subfingerprints
+    * ([[Binary.extractAudioSubFingerprints]]) — many rows per doc, one
+    * per fixed-length window, served by [[retrieveClips]] for the
+    * trim/shift question the whole-clip `audio` hash deliberately does
+    * not answer.
     */
   val RetrievalModality: String = "audio_win"
+
+  /** The image RETRIEVAL leg (opt-in, r16 verdict #8): fixed-pixel
+    * tiled dHashes ([[Binary.extractImageTileHashes]]) — one row per
+    * tile, served by [[retrieveCrops]] for the crop/shift question the
+    * whole-image `image` dHash deliberately does not answer (a crop
+    * re-aligns the proportional 9×8 grid the way trimming re-aligns
+    * the proportional audio windows).
+    */
+  val ImageRetrievalModality: String = "image_tile"
 
   /** Band width per modality: 4 bands over the hash width, so Hamming
     * ≤ 3 implies ≥ 1 equal band. dHash/aHash are 64-bit (4×16); the
@@ -67,30 +77,35 @@ object HashStore extends graft.operators.DropLedger {
     * live bits and degenerate into a hot key).
     */
   private val BandBits =
-    Map("image" -> 16, "audio" -> 16, "audio_win" -> 16, "bytes" -> 14)
+    Map("image" -> 16, "audio" -> 16, "audio_win" -> 16,
+      "image_tile" -> 16, "bytes" -> 14)
 
   /** The store's self-describing recipe, read back from the `_shape`
     * markers (r16 "what's wrong #2" — the one family without the
-    * loud-marker discipline): the union of enrolled modality legs, and
-    * the audio_win window size when that leg is enrolled. A probe
-    * hashed at a different `winSamples`, or against a store that never
-    * enrolled the leg, matches NOTHING — silently, which is exactly the
-    * empty-candidate failure the [[graft.text.FpStore]] `_shape` marker
-    * exists to prevent (its own words, FpStore.scala) — so every
-    * audio_win face resolves the window from this stamp and refuses a
-    * contradiction loudly.
+    * loud-marker discipline): the union of enrolled modality legs, the
+    * audio_win window size, and the image_tile tile size when those
+    * legs are enrolled. A probe hashed at a different window/tile, or
+    * against a store that never enrolled the leg, matches NOTHING —
+    * silently, which is exactly the empty-candidate failure the
+    * [[graft.text.FpStore]] `_shape` marker exists to prevent (its own
+    * words, FpStore.scala) — so every retrieval face resolves its
+    * geometry from this stamp and refuses a contradiction loudly.
     */
-  final case class Recipe(modalities: Set[String], winSamples: Option[Int])
+  final case class Recipe(modalities: Set[String], winSamples: Option[Int],
+                          tilePx: Option[Int])
 
   private val ShapeFile = "_shape"
 
-  private def markerLine(modalities: Seq[String], winSamples: Int): String = {
+  private def markerLine(modalities: Seq[String], winSamples: Int,
+                         tilePx: Int): String = {
     val mods = modalities.distinct.sorted
     val win =
       if (mods.contains(RetrievalModality)) s" win=$winSamples" else ""
+    val tile =
+      if (mods.contains(ImageRetrievalModality)) s" tile=$tilePx" else ""
     // "-" = no legs (a takedown can empty the store; the marker must
     // still parse so the next append re-stamps cleanly)
-    s"v1 ${if (mods.isEmpty) "-" else mods.mkString(",")}$win\n"
+    s"v1 ${if (mods.isEmpty) "-" else mods.mkString(",")}$win$tile\n"
   }
 
   /** Write a commit's `_shape` into its staging dir — it rides the same
@@ -98,17 +113,18 @@ object HashStore extends graft.operators.DropLedger {
     * never disagree about what was enrolled.
     */
   private def writeMarker(s: SparkSession, dir: String,
-                          modalities: Seq[String], winSamples: Int): Unit = {
+                          modalities: Seq[String], winSamples: Int,
+                          tilePx: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, ShapeFile)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(markerLine(modalities, winSamples).getBytes("UTF-8"))
+    try out.write(markerLine(modalities, winSamples, tilePx).getBytes("UTF-8"))
     finally out.close()
   }
 
   /** The stamped recipe: `_shape` at the table root (bootstrap /
     * post-rewrite cohort) plus one per `drop-<id>/` commit. None =
-    * a pre-marker legacy store — audio_win faces refuse it loudly;
+    * a pre-marker legacy store — the retrieval faces refuse it loudly;
     * the whole-doc dedup legs keep working (their recipe is fixed).
     */
   def storedRecipe(s: SparkSession, storeDir: String): Option[Recipe] = {
@@ -128,47 +144,67 @@ object HashStore extends graft.operators.DropLedger {
           .getLines().next().trim finally in.close()
         def modsOf(m: String): Set[String] =
           if (m == "-") Set.empty else m.split(",").toSet
-        line.split(" ") match {
-          case Array("v1", mods) => (modsOf(mods), None)
-          case Array("v1", mods, w) if w.startsWith("win=") =>
-            (modsOf(mods), Some(w.stripPrefix("win=").toInt))
+        line.split(" ").toSeq match {
+          case Seq("v1", mods, stamps @ _*)
+              if stamps.forall(t =>
+                t.startsWith("win=") || t.startsWith("tile=")) =>
+            (modsOf(mods),
+              stamps.find(_.startsWith("win="))
+                .map(_.stripPrefix("win=").toInt),
+              stamps.find(_.startsWith("tile="))
+                .map(_.stripPrefix("tile=").toInt))
           case _ => throw new IllegalStateException(
             s"unreadable $kind marker in $f: '$line'")
         }
       }
-      val wins = parsed.flatMap(_._2).distinct
-      require(wins.size <= 1,
-        s"$kind $storeDir carries contradictory audio_win window stamps " +
-          s"(win=${wins.mkString(", ")}) — the store is corrupt; rebuild it")
-      Some(Recipe(parsed.flatMap(_._1).toSet, wins.headOption))
+      def one(name: String, vs: Seq[Int]): Option[Int] = {
+        require(vs.distinct.size <= 1,
+          s"$kind $storeDir carries contradictory $name stamps " +
+            s"(${vs.distinct.mkString(", ")}) — the store is corrupt; rebuild it")
+        vs.headOption
+      }
+      Some(Recipe(parsed.flatMap(_._1).toSet,
+        one("audio_win window", parsed.flatMap(_._2)),
+        one("image_tile size", parsed.flatMap(_._3))))
     }
   }
 
-  /** Resolve the audio_win window size for a serve: the leg must be
+  /** Resolve a retrieval leg's stamped geometry (audio_win's window
+    * size / image_tile's tile size) for a serve: the leg must be
     * enrolled and stamped; an explicit caller value (non-zero) must
     * MATCH the stamp. Refusals are loud — a silent empty retrieval is
     * the failure mode this guard exists for.
     */
-  private def resolveWin(s: SparkSession, storeDir: String,
-                         explicit: Int): Int = {
+  private def resolveStamp(s: SparkSession, storeDir: String, leg: String,
+                           stampName: String, explicit: Int,
+                           stampOf: Recipe => Option[Int]): Int = {
     val r = storedRecipe(s, storeDir)
     require(r.isDefined,
       s"$kind $storeDir has no _shape recipe marker (pre-marker layout) — " +
         "rebuild it (or append one drop) with current code before serving " +
-        s"the '$RetrievalModality' leg")
-    require(r.get.modalities.contains(RetrievalModality) &&
-        r.get.winSamples.isDefined,
-      s"$kind $storeDir was built without the '$RetrievalModality' leg " +
+        s"the '$leg' leg")
+    require(r.get.modalities.contains(leg) && stampOf(r.get).isDefined,
+      s"$kind $storeDir was built without the '$leg' leg " +
         s"(enrolled: ${r.get.modalities.toSeq.sorted.mkString(", ")}) — its " +
-        "stored rows can match no clip window; build/append with " +
-        s"modalities including '$RetrievalModality' first")
-    val stored = r.get.winSamples.get
+        "stored rows can match no probe; build/append with " +
+        s"modalities including '$leg' first")
+    val stored = stampOf(r.get).get
     require(explicit == 0 || explicit == stored,
-      s"probe winSamples=$explicit contradicts the store's stamped " +
-        s"win=$stored — windows hashed at different sizes never match; " +
-        "pass winSamples=0 (or omit it) to use the stamp")
+      s"probe $stampName=$explicit contradicts the store's stamped " +
+        s"$stampName=$stored — hashes of different geometry never match; " +
+        s"pass $stampName=0 (or omit it) to use the stamp")
     stored
   }
+
+  private def resolveWin(s: SparkSession, storeDir: String,
+                         explicit: Int): Int =
+    resolveStamp(s, storeDir, RetrievalModality, "winSamples", explicit,
+      _.winSamples)
+
+  private def resolveTile(s: SparkSession, storeDir: String,
+                          explicit: Int): Int =
+    resolveStamp(s, storeDir, ImageRetrievalModality, "tilePx", explicit,
+      _.tilePx)
 
   /** Hamming ≤ 3 is the 4-band detection guarantee (pigeonhole). */
   val MaxGuaranteedHamming = 3
@@ -177,9 +213,9 @@ object HashStore extends graft.operators.DropLedger {
     * hash map-only pass every face routes through.
     */
   def hashesFor(media: DataFrame, modalities: Seq[String] = Modalities,
-                winSamples: Int = 1 << 15): DataFrame = {
+                winSamples: Int = 1 << 15, tilePx: Int = 64): DataFrame = {
     implicit val s: SparkSession = media.sparkSession
-    val known = Modalities :+ RetrievalModality
+    val known = Modalities :+ RetrievalModality :+ ImageRetrievalModality
     val bad = modalities.filterNot(known.contains)
     require(bad.isEmpty && modalities.nonEmpty,
       s"unknown modalities ${bad.mkString(", ")} — pick from $known")
@@ -202,6 +238,10 @@ object HashStore extends graft.operators.DropLedger {
         .toDF().filter(col("is_audio"))
         .select(col("doc_id"), lit("audio_win").as("modality"),
           col("subhash").as("h"))
+      case "image_tile" => Binary.extractImageTileHashes(media, tilePx)
+        .toDF().filter(col("is_image"))
+        .select(col("doc_id"), lit("image_tile").as("modality"),
+          col("subhash").as("h"))
     }
     legs.reduce(_.unionByName(_))
   }
@@ -209,19 +249,20 @@ object HashStore extends graft.operators.DropLedger {
   /** Bootstrap from the first drop (overwrites). */
   def build(media: DataFrame, storeDir: String, dropId: String = "base",
             modalities: Seq[String] = Modalities,
-            winSamples: Int = 1 << 15): Unit =
-    buildStaged(media, storeDir, dropId, modalities, winSamples)()
+            winSamples: Int = 1 << 15, tilePx: Int = 64): Unit =
+    buildStaged(media, storeDir, dropId, modalities, winSamples, tilePx)()
 
   def buildStaged(media: DataFrame, storeDir: String,
                   dropId: String = "base",
                   modalities: Seq[String] = Modalities,
-                  winSamples: Int = 1 << 15): () => Unit = {
+                  winSamples: Int = 1 << 15, tilePx: Int = 64): () => Unit = {
     requireDropId(dropId)
     val staged = stagePartialsBuild(
-      hashesFor(media, modalities, winSamples)
+      hashesFor(media, modalities, winSamples, tilePx)
         .withColumn("drop_id", lit(dropId)),
       storeDir)
-    writeMarker(media.sparkSession, staged.stagingDir, modalities, winSamples)
+    writeMarker(media.sparkSession, staged.stagingDir, modalities,
+      winSamples, tilePx)
     staged.commit
   }
 
@@ -237,7 +278,7 @@ object HashStore extends graft.operators.DropLedger {
     */
   def appendStaged(media: DataFrame, storeDir: String, dropId: String,
                    modalities: Seq[String] = Modalities,
-                   winSamples: Int = 1 << 15): () => Unit = {
+                   winSamples: Int = 1 << 15, tilePx: Int = 64): () => Unit = {
     requireDropId(dropId)
     val s = media.sparkSession
     requireStore(s, storeDir)
@@ -248,11 +289,17 @@ object HashStore extends graft.operators.DropLedger {
           s"append winSamples=$winSamples contradicts the store's stamped " +
             s"win=$w — mixed window sizes would make retrieval silently " +
             "miss; hash this drop at the stamped size"))
+    if (modalities.contains(ImageRetrievalModality))
+      storedRecipe(s, storeDir).flatMap(_.tilePx).foreach(t =>
+        require(t == tilePx,
+          s"append tilePx=$tilePx contradicts the store's stamped " +
+            s"tile=$t — mixed tile sizes would make retrieval silently " +
+            "miss; hash this drop at the stamped size"))
     val staged = stagePartialsAppend(
-      newLegHashes(s, storeDir, hashesFor(media, modalities, winSamples))
+      newLegHashes(s, storeDir, hashesFor(media, modalities, winSamples, tilePx))
         .withColumn("drop_id", lit(dropId)),
       storeDir, dropId)
-    writeMarker(s, staged.stagingDir, modalities, winSamples)
+    writeMarker(s, staged.stagingDir, modalities, winSamples, tilePx)
     staged.commit
   }
 
@@ -271,8 +318,8 @@ object HashStore extends graft.operators.DropLedger {
 
   def append(media: DataFrame, storeDir: String, dropId: String,
              modalities: Seq[String] = Modalities,
-             winSamples: Int = 1 << 15): Unit =
-    appendStaged(media, storeDir, dropId, modalities, winSamples)()
+             winSamples: Int = 1 << 15, tilePx: Int = 64): Unit =
+    appendStaged(media, storeDir, dropId, modalities, winSamples, tilePx)()
 
   /** Explode (doc_id, modality, h) into 4 band rows keyed
     * (modality, band_idx, band_val) — the equi-join key; band width per
@@ -339,15 +386,18 @@ object HashStore extends graft.operators.DropLedger {
     val staged = stagePartialsAppend(
       newLegHashes(s, storeDir, dropHashes)
         .withColumn("drop_id", lit(dropId)), storeDir, dropId)
+    val recipe = storedRecipe(s, storeDir)
     writeMarker(s, staged.stagingDir, modalities,
-      storedRecipe(s, storeDir).flatMap(_.winSamples).getOrElse(1 << 15))
+      recipe.flatMap(_.winSamples).getOrElse(1 << 15),
+      recipe.flatMap(_.tilePx).getOrElse(64))
     (pairs, staged.commit)
   }
 
-  /** The drop-side hash pass for a serve: an audio_win request resolves
-    * its window size from the store's stamped recipe (and refuses a
-    * store without the leg) — a drop hashed at a different window than
-    * the history it probes would silently match nothing.
+  /** The drop-side hash pass for a serve: a retrieval-leg request
+    * (audio_win / image_tile) resolves its geometry from the store's
+    * stamped recipe (and refuses a store without the leg) — a drop
+    * hashed at a different window/tile than the history it probes
+    * would silently match nothing.
     */
   private def serveHashes(drop: DataFrame, storeDir: String,
                           modalities: Seq[String]): DataFrame = {
@@ -355,7 +405,11 @@ object HashStore extends graft.operators.DropLedger {
     val ws =
       if (modalities.contains(RetrievalModality)) resolveWin(s, storeDir, 0)
       else 1 << 15
-    hashesFor(drop, modalities, ws)
+    val tp =
+      if (modalities.contains(ImageRetrievalModality))
+        resolveTile(s, storeDir, 0)
+      else 64
+    hashesFor(drop, modalities, ws, tp)
   }
 
   /** Intra-drop re-encode pairs with NO store — the bootstrap drop can
@@ -365,11 +419,11 @@ object HashStore extends graft.operators.DropLedger {
     */
   def intraPairs(drop: DataFrame, maxHamming: Int = MaxGuaranteedHamming,
                  modalities: Seq[String] = Modalities,
-                 winSamples: Int = 1 << 15): DataFrame = {
+                 winSamples: Int = 1 << 15, tilePx: Int = 64): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= MaxGuaranteedHamming,
       s"4 bands guarantee detection only to hamming $MaxGuaranteedHamming")
     val dp = banded(graft.text.Dedup.materialize(
-      hashesFor(drop, modalities, winSamples)))
+      hashesFor(drop, modalities, winSamples, tilePx)))
     pairsFromBands(dp, dp, col("a.doc_id") < col("b.doc_id"), maxHamming)
   }
 
@@ -436,20 +490,30 @@ object HashStore extends graft.operators.DropLedger {
                     maxHamming: Int = MaxGuaranteedHamming,
                     minMatched: Int = 2,
                     winSamples: Int = 0): DataFrame = {
-    require(minMatched >= 1, s"minMatched must be >= 1, got $minMatched")
-    require(maxHamming >= 0 && maxHamming <= MaxGuaranteedHamming,
-      s"4 bands guarantee detection only to hamming $MaxGuaranteedHamming")
     implicit val s: SparkSession = probe.sparkSession
     requireStore(s, storeDir)
     val ws = resolveWin(s, storeDir, winSamples)
-    val probeFps = graft.text.Dedup.materialize(
+    retrieveByLeg(storeDir, RetrievalModality, maxHamming, minMatched,
       Binary.extractAudioSubFingerprints(probe, ws).toDF()
         .filter(col("is_audio"))
         .select(col("doc_id"), lit(RetrievalModality).as("modality"),
           col("win_idx"), col("subhash").as("h")))
-    val dp = banded(probeFps)
+  }
+
+  /** The shared retrieval core: the probe's sub-hash frame
+    * (doc_id, modality, win_idx, h) through the banded Hamming join
+    * against the stored leg, counting distinct matched probe
+    * windows/tiles per (probe, stored doc).
+    */
+  private def retrieveByLeg(storeDir: String, leg: String, maxHamming: Int,
+                            minMatched: Int, probeSubs: DataFrame): DataFrame = {
+    require(minMatched >= 1, s"minMatched must be >= 1, got $minMatched")
+    require(maxHamming >= 0 && maxHamming <= MaxGuaranteedHamming,
+      s"4 bands guarantee detection only to hamming $MaxGuaranteedHamming")
+    val s = probeSubs.sparkSession
+    val dp = banded(graft.text.Dedup.materialize(probeSubs))
     val sp = banded(load(s, storeDir)
-      .filter(col("modality") === RetrievalModality)
+      .filter(col("modality") === leg)
       .select(col("doc_id"), col("modality"), col("h")))
     dp.as("a").join(sp.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -459,6 +523,41 @@ object HashStore extends graft.operators.DropLedger {
       .groupBy(col("a.doc_id").as("probe_id"), col("b.doc_id").as("doc_id"))
       .agg(countDistinct(col("a.win_idx")).as("n_matched"))
       .filter(col("n_matched") >= minMatched)
+  }
+
+  /** Crop/shift-robust image retrieval: which stored images CONTAIN
+    * this probe crop? The image analog of [[retrieveClips]] (r16
+    * verdict #8): the probe's fixed-pixel tile dHashes
+    * ([[ImageRetrievalModality]] — [[Binary.extractImageTileHashes]])
+    * run through the same banded Hamming join, and n_matched counts
+    * distinct PROBE TILES (win_idx) that matched the stored image — a
+    * crop that is really a sub-rectangle scores once per aligned tile
+    * (a flat-color crop whose tiles hash identically keeps its full
+    * tile count), while a single-tile coincidence stays below
+    * `minMatched`. A crop at a tile-size multiple aligns exactly
+    * (Hamming 0 per tile); arbitrary crops degrade gracefully (the
+    * tiled-extractor overlap argument). Output:
+    * (probe_id, doc_id, n_matched).
+    *
+    * The tile size comes from the store's stamped recipe: a store
+    * without the image_tile leg, or a non-zero `tilePx` contradicting
+    * the stamp, is REFUSED — both would otherwise retrieve nothing,
+    * silently. Same 100 TB shape as the audio leg: probe-scale decode,
+    * one columnar scan of the stored tile rows, banded 4× — never a
+    * corpus re-decode, never all-pairs.
+    */
+  def retrieveCrops(probe: DataFrame, storeDir: String,
+                    maxHamming: Int = MaxGuaranteedHamming,
+                    minMatched: Int = 2,
+                    tilePx: Int = 0): DataFrame = {
+    implicit val s: SparkSession = probe.sparkSession
+    requireStore(s, storeDir)
+    val tp = resolveTile(s, storeDir, tilePx)
+    retrieveByLeg(storeDir, ImageRetrievalModality, maxHamming, minMatched,
+      Binary.extractImageTileHashes(probe, tp).toDF()
+        .filter(col("is_image"))
+        .select(col("doc_id"), lit(ImageRetrievalModality).as("modality"),
+          col("win_idx"), col("subhash").as("h")))
   }
 
   /** Flat rewrites (takedown / purge / compact) re-stamp the `_shape`
@@ -473,8 +572,10 @@ object HashStore extends graft.operators.DropLedger {
       if (!stagingHasData(s, stagingDir)) Seq.empty[String]
       else s.read.parquet(stagingDir).select(col("modality"))
         .distinct().collect().map(_.getString(0)).toSeq
-    val win = storedRecipe(s, storeDir).flatMap(_.winSamples)
-    writeMarker(s, stagingDir, mods, win.getOrElse(1 << 15))
+    val recipe = storedRecipe(s, storeDir)
+    writeMarker(s, stagingDir, mods,
+      recipe.flatMap(_.winSamples).getOrElse(1 << 15),
+      recipe.flatMap(_.tilePx).getOrElse(64))
   }
 
   /** Doc-keyed takedown: remove the given documents' hash rows — one

@@ -215,7 +215,7 @@ class CliSpec extends AnyFunSuite {
       s"the unrelated track must not pair: $boot")
     // the recipe is stamped: enrolled legs + the audio_win window size
     assert(HashStore.storedRecipe(spark, s"$dir/hs") ===
-      Some(HashStore.Recipe(Set("audio", "bytes", "audio_win"), Some(2048))))
+      Some(HashStore.Recipe(Set("audio", "bytes", "audio_win"), Some(2048), None)))
     // the probe: track 1 TRIMMED at two hops — whole-clip hashes miss it,
     // the retrieval leg finds both byte-identical enrolled copies; the
     // window size comes from the stamp (no --hash-win on the probe run)

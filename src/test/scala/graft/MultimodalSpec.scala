@@ -479,6 +479,66 @@ class MultimodalSpec extends AnyFunSuite {
         s"${flatGot.toSeq}")
   }
 
+  test("HashStore.retrieveCrops: a CROPPED image retrieves its source; the whole-image dHash misses") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.multimodal.HashStore
+    // deterministic position-keyed texture: cropping is a pure
+    // translation, so tiles at tile-size-aligned offsets are
+    // pixel-identical to the source's — while the whole image's 9×8
+    // downsample re-samples entirely different pixels
+    def textured(w: Int, h: Int, seed: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // seed multiplies into the coefficients (an additive seed only
+        // shifts every pixel by the same sub-bucket constant and the
+        // gradient hash barely moves)
+        val v = (((x * (2654435761L + seed * 101L) +
+          y * (40503L + seed * 7L)) >>> 7) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val orig = textured(256, 192, 1L)        // 4×3 = 12 tiles at 64 px
+    val other = textured(256, 192, 99L)      // unrelated texture
+    val dir = java.nio.file.Files.createTempDirectory("hs-crop").toString
+    HashStore.build(
+      Seq((1L, png(orig)), (3L, png(other))).toDF("doc_id", "payload"),
+      dir, modalities = Seq("image", "image_tile"), tilePx = 64)
+    assert(HashStore.storedRecipe(spark, dir) ===
+      Some(HashStore.Recipe(Set("image", "image_tile"), None, Some(64))))
+    // the probe: the source cropped one tile in from each edge —
+    // tile-aligned, so its 2×3 interior tiles are pixel-identical
+    val probe = Seq((100L, png(orig.getSubimage(64, 64, 192, 128))))
+      .toDF("doc_id", "payload")
+    assert(HashStore.pairsVsStoreReadOnly(probe, dir,
+        modalities = Seq("image")).count() === 0L,
+      "the whole-image hash must miss the crop (the documented dedup contract)")
+    val got = HashStore.retrieveCrops(probe, dir)
+      .select("probe_id", "doc_id", "n_matched")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((100L, 1L)),
+      s"exactly the source image, never the unrelated one: ${got.toSeq}")
+    assert(got.head._3 === 6L,
+      s"all six aligned interior tiles must match, got ${got.head._3}")
+    // an unrelated crop retrieves nothing
+    val miss = Seq((101L, png(other.getSubimage(64, 0, 128, 128))))
+      .toDF("doc_id", "payload")
+    assert(HashStore.retrieveCrops(miss, dir)
+      .filter(col("doc_id") === 1L).count() === 0L)
+    // stamped-geometry refusals: a contradicting tilePx, and a store
+    // without the leg
+    val e1 = intercept[IllegalArgumentException](
+      HashStore.retrieveCrops(probe, dir, tilePx = 32))
+    assert(e1.getMessage.contains("64") && e1.getMessage.contains("32"))
+    val plain = java.nio.file.Files.createTempDirectory("hs-crop-plain").toString
+    HashStore.build(Seq((1L, png(orig))).toDF("doc_id", "payload"),
+      plain, modalities = Seq("image"))
+    val e2 = intercept[IllegalArgumentException](
+      HashStore.retrieveCrops(probe, plain))
+    assert(e2.getMessage.contains("image_tile"))
+  }
+
   test("HashStore _shape recipe: stamped at build, loud on mismatch and missing leg") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import graft.multimodal.HashStore
@@ -492,7 +552,7 @@ class MultimodalSpec extends AnyFunSuite {
     val plain = java.nio.file.Files.createTempDirectory("hs-plain").toString
     HashStore.build(media, plain, modalities = Seq("bytes"))
     assert(HashStore.storedRecipe(spark, plain) ===
-      Some(HashStore.Recipe(Set("bytes"), None)))
+      Some(HashStore.Recipe(Set("bytes"), None, None)))
     val e1 = intercept[IllegalArgumentException](
       HashStore.retrieveClips(media, plain))
     assert(e1.getMessage.contains("audio_win") &&
@@ -511,7 +571,7 @@ class MultimodalSpec extends AnyFunSuite {
     HashStore.build(media, dir,
       modalities = Seq("bytes", "audio_win"), winSamples = 2048)
     assert(HashStore.storedRecipe(spark, dir) ===
-      Some(HashStore.Recipe(Set("bytes", "audio_win"), Some(2048))))
+      Some(HashStore.Recipe(Set("bytes", "audio_win"), Some(2048), None)))
     val e3 = intercept[IllegalArgumentException](
       HashStore.retrieveClips(media, dir, winSamples = 4096))
     assert(e3.getMessage.contains("2048") && e3.getMessage.contains("4096"))
@@ -550,7 +610,7 @@ class MultimodalSpec extends AnyFunSuite {
     HashStore.compact(spark, dir)
     assert(HashStore.drops(spark, dir) === Set("base", "reup", "img-leg"))
     assert(HashStore.storedRecipe(spark, dir) ===
-      Some(HashStore.Recipe(Set("bytes"), None)),
+      Some(HashStore.Recipe(Set("bytes"), None, None)),
       "the rewrite stamps what survived, not what was ever requested")
     // removeDrop frees the id (rows gone, sidecar rewritten)
     HashStore.removeDrop(spark, dir, "reup")
