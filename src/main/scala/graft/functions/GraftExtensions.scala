@@ -171,6 +171,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           eager = false)
         .queryExecution.logical
     }
+    tvf("graft_retrieve_clips") { args =>
+      require(args.size == 2,
+        "usage: graft_retrieve_clips(<probe table>, <store dir>) — which " +
+          "stored tracks CONTAIN the probe clips (trim/shift-robust)? " +
+          "(probe_id, doc_id, n_matched) via the hash store's audio_win " +
+          "leg; the probe table needs (doc_id, payload); window size " +
+          "comes from the store's stamped _shape recipe and a store " +
+          "without the leg is refused")
+      val t = strArg("graft_retrieve_clips", args.head, "probe table")
+      val storeDir = strArg("graft_retrieve_clips", args(1), "store dir")
+      graft.multimodal.HashStore.retrieveClips(
+          SparkSession.active.table(t), storeDir, eager = false)
+        .queryExecution.logical
+    }
+    tvf("graft_retrieve_crops") { args =>
+      require(args.size == 2,
+        "usage: graft_retrieve_crops(<probe table>, <store dir>) — which " +
+          "stored images CONTAIN the probe crops? (probe_id, doc_id, " +
+          "n_matched) via the hash store's image_tile leg; the probe " +
+          "table needs (doc_id, payload); tile size comes from the " +
+          "store's stamped _shape recipe and a store without the leg is " +
+          "refused")
+      val t = strArg("graft_retrieve_crops", args.head, "probe table")
+      val storeDir = strArg("graft_retrieve_crops", args(1), "store dir")
+      graft.multimodal.HashStore.retrieveCrops(
+          SparkSession.active.table(t), storeDir, eager = false)
+        .queryExecution.logical
+    }
     tvf("graft_containment_exact") { args =>
       require(args.size == 1, "usage: graft_containment_exact(<table name>)")
       val t = strArg("graft_containment_exact", args.head, "table name")

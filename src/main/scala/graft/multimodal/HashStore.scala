@@ -489,7 +489,8 @@ object HashStore extends graft.operators.DropLedger {
   def retrieveClips(probe: DataFrame, storeDir: String,
                     maxHamming: Int = MaxGuaranteedHamming,
                     minMatched: Int = 2,
-                    winSamples: Int = 0): DataFrame = {
+                    winSamples: Int = 0,
+                    eager: Boolean = true): DataFrame = {
     implicit val s: SparkSession = probe.sparkSession
     requireStore(s, storeDir)
     val ws = resolveWin(s, storeDir, winSamples)
@@ -497,21 +498,26 @@ object HashStore extends graft.operators.DropLedger {
       Binary.extractAudioSubFingerprints(probe, ws).toDF()
         .filter(col("is_audio"))
         .select(col("doc_id"), lit(RetrievalModality).as("modality"),
-          col("win_idx"), col("subhash").as("h")))
+          col("win_idx"), col("subhash").as("h")),
+      eager)
   }
 
   /** The shared retrieval core: the probe's sub-hash frame
     * (doc_id, modality, win_idx, h) through the banded Hamming join
     * against the stored leg, counting distinct matched probe
-    * windows/tiles per (probe, stored doc).
+    * windows/tiles per (probe, stored doc). `eager=false` is the TVF
+    * face (analysis must never run the probe's decode job).
     */
   private def retrieveByLeg(storeDir: String, leg: String, maxHamming: Int,
-                            minMatched: Int, probeSubs: DataFrame): DataFrame = {
+                            minMatched: Int, probeSubs: DataFrame,
+                            eager: Boolean = true): DataFrame = {
     require(minMatched >= 1, s"minMatched must be >= 1, got $minMatched")
     require(maxHamming >= 0 && maxHamming <= MaxGuaranteedHamming,
       s"4 bands guarantee detection only to hamming $MaxGuaranteedHamming")
     val s = probeSubs.sparkSession
-    val dp = banded(graft.text.Dedup.materialize(probeSubs))
+    val dp = banded(
+      if (eager) graft.text.Dedup.materialize(probeSubs)
+      else probeSubs.cache())
     val sp = banded(load(s, storeDir)
       .filter(col("modality") === leg)
       .select(col("doc_id"), col("modality"), col("h")))
@@ -549,7 +555,8 @@ object HashStore extends graft.operators.DropLedger {
   def retrieveCrops(probe: DataFrame, storeDir: String,
                     maxHamming: Int = MaxGuaranteedHamming,
                     minMatched: Int = 2,
-                    tilePx: Int = 0): DataFrame = {
+                    tilePx: Int = 0,
+                    eager: Boolean = true): DataFrame = {
     implicit val s: SparkSession = probe.sparkSession
     requireStore(s, storeDir)
     val tp = resolveTile(s, storeDir, tilePx)
@@ -557,7 +564,8 @@ object HashStore extends graft.operators.DropLedger {
       Binary.extractImageTileHashes(probe, tp).toDF()
         .filter(col("is_image"))
         .select(col("doc_id"), lit(ImageRetrievalModality).as("modality"),
-          col("win_idx"), col("subhash").as("h")))
+          col("win_idx"), col("subhash").as("h")),
+      eager)
   }
 
   /** Flat rewrites (takedown / purge / compact) re-stamp the `_shape`

@@ -644,6 +644,67 @@ class SqlSurfaceSpec extends AnyFunSuite {
       e.getMessage.contains("image,audio,bytes"))
   }
 
+  test("graft_retrieve_crops / graft_retrieve_clips: containment probes from SQL, stamped geometry") {
+    // image leg end-to-end (the crop question); the audio leg shares the
+    // same retrieveByLeg core and is exercised at the refusal level —
+    // MultimodalSpec owns the waveform-level retrieval semantics
+    val dir = java.nio.file.Files.createTempDirectory("sql-retrieve").toString
+    def textured(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (((x * (2654435761L + seed * 101L) +
+          y * (40503L + seed * 7L)) >>> 7) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    graft.multimodal.HashStore.build(
+      Seq((1L, textured(256, 192, 1L)), (3L, textured(256, 192, 99L)))
+        .toDF("doc_id", "payload"),
+      s"$dir/hs", modalities = Seq("image", "image_tile"), tilePx = 64)
+    // the probe: doc 1's texture re-rendered from global offset (64, 64)
+    // — pixel-identical to the tile-aligned crop
+    def cropped(w: Int, h: Int, ox: Int, oy: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((((x + ox) * (2654435761L + 101L) +
+          (y + oy) * (40503L + 7L)) >>> 7) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    Seq((100L, cropped(192, 128, 64, 64)))
+      .toDF("doc_id", "payload").createOrReplaceTempView("sql_crop_probe")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_retrieve_crops('sql_crop_probe', '$dir/hs')")
+    assert(viaSql.columns === Array("probe_id", "doc_id", "n_matched"))
+    assert(viaSql.as[(Long, Long, Long)].collect().toSet ===
+      Set((100L, 1L, 6L)),
+      "the tile-aligned crop retrieves exactly its source from SQL")
+    // analysis must never run the probe's decode job (eager = false)
+    spark.sql(
+      s"EXPLAIN SELECT * FROM graft_retrieve_crops('sql_crop_probe', '$dir/hs')")
+      .collect()
+    // the audio face refuses this store loudly — the leg isn't enrolled
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_retrieve_clips('sql_crop_probe', '$dir/hs')")
+    }
+    assert(e.getMessage.contains("audio_win"))
+    // usage strings state the contract loudly
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_retrieve_crops('x')").collect()
+    }
+    assert(e2.getMessage.contains("image_tile") &&
+      e2.getMessage.contains("stamped"))
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(
