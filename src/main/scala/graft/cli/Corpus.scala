@@ -139,6 +139,18 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        window size from the stamped
   *                                        recipe, loud refusal on a store
   *                                        without the leg
+  *     [--hash-bwin n]                    bytes_win window size in bytes at
+  *                                        enrollment (default 64); on
+  *                                        --retrieve-spans it must MATCH
+  *                                        the stamp (omit to read it)
+  *     [--retrieve-spans dir]             probe the hash store's bytes_win
+  *                                        leg: which stored payloads
+  *                                        CONTAIN this run's byte spans?
+  *                                        (probe_id, doc_id, n_matched)
+  *                                        rows to OUT/_retrieved_span;
+  *                                        read-only, the oracle-checkable
+  *                                        retrieval leg (q214) — same
+  *                                        refusal discipline
   *     [--dup-graph-stats col]            emit the per-`col` dup-graph triangle
   *                                        census (nodes/edges/triangles of the
   *                                        near-dup pair graph restricted to
@@ -455,8 +467,10 @@ object Corpus {
       hashModalities: Option[String] = None,
       hashWin: Int = 0,
       hashTile: Int = 0,
+      hashBwin: Int = 0,
       retrieveClips: Option[String] = None,
       retrieveCrops: Option[String] = None,
+      retrieveSpans: Option[String] = None,
       dupGraphBy: Option[String] = None, spanStats: Boolean = false,
       minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
       bpeMerges: Option[String] = None, bpeLearn: Option[Int] = None,
@@ -547,6 +561,9 @@ object Corpus {
       parse(rest, acc.copy(retrieveClips = Some(v)))
     case "--retrieve-crops" :: v :: rest =>
       parse(rest, acc.copy(retrieveCrops = Some(v)))
+    case "--hash-bwin" :: v :: rest   => parse(rest, acc.copy(hashBwin = v.toInt))
+    case "--retrieve-spans" :: v :: rest =>
+      parse(rest, acc.copy(retrieveSpans = Some(v)))
     case "--manifest" :: rest          => parse(rest, acc.copy(manifest = true))
     case "--novelty-store" :: v :: rest =>
       parse(rest, acc.copy(noveltyStore = Some(v)))
@@ -1653,6 +1670,7 @@ object Corpus {
         "[--profile-store dir] [--drop-id id] " +
         "[--dedup] [--dedup-store dir] [--fp-store dir] [--hash-store dir] " +
         "[--hash-modalities csv] [--hash-win n] [--hash-tile n] " +
+        "[--hash-bwin n] [--retrieve-spans dir] " +
         "[--retrieve-clips dir] [--retrieve-crops dir] " +
         "[--dup-graph-stats col] " +
         "[--span-stats] " +
@@ -1800,15 +1818,17 @@ object Corpus {
           .getOrElse(HashStore.Modalities)
         val win = if (a.hashWin > 0) a.hashWin else 1 << 15
         val tile = if (a.hashTile > 0) a.hashTile else 64
+        val bwin = if (a.hashBwin > 0) a.hashBwin else 64
         if (!HashStore.exists(spark, hd)) {
           // the bootstrap drop has no history but can carry re-encodes
           // of ITSELF (the FpStore epoch-0 argument): its intra-drop
           // banded pairs land in OUT/_hashpairs BEFORE the build
           // commits — store-mutation-commits-LAST, and a day-1 copy is
           // no longer silently lost
-          val commit = HashStore.buildStaged(media, hd, dropId, mods, win, tile)
+          val commit =
+            HashStore.buildStaged(media, hd, dropId, mods, win, tile, bwin)
           HashStore.intraPairs(media, modalities = mods, winSamples = win,
-              tilePx = tile)
+              tilePx = tile, winBytes = bwin)
             .write.mode("overwrite").parquet(s"${a.out}/_hashpairs")
           commit()
         } else if (!HashStore.drops(spark, hd).contains(dropId)) {
@@ -1844,6 +1864,20 @@ object Corpus {
         val media = r.train.select(col("doc_id"), col(pc).as("payload"))
         HashStore.retrieveCrops(media, hd, tilePx = a.hashTile)
           .write.mode("overwrite").parquet(s"${a.out}/_retrieved_img")
+      }
+      // _retrieved_span: the byte-universe analog — which stored
+      // payloads CONTAIN this run's byte spans? Same read-only probe
+      // discipline; window size from the stamped recipe (--hash-bwin
+      // must match if given). This is the oracle-checkable retrieval
+      // leg (q214) — no decode, pure byte windows.
+      a.retrieveSpans.foreach { hd =>
+        import graft.multimodal.HashStore
+        val pc = a.payloadCol.getOrElse(throw new IllegalArgumentException(
+          "--retrieve-spans needs --payload-col <binary column> — probe " +
+            "spans are hashed from the payload"))
+        val media = r.train.select(col("doc_id"), col(pc).as("payload"))
+        HashStore.retrieveSpans(media, hd, winBytes = a.hashBwin)
+          .write.mode("overwrite").parquet(s"${a.out}/_retrieved_span")
       }
       // Postings: the drop's inverted-index rows join the store under the
       // drop-id discipline — no read-only scoring artifact, because a

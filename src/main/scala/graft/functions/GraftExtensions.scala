@@ -199,6 +199,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(t), storeDir, eager = false)
         .queryExecution.logical
     }
+    tvf("graft_retrieve_spans") { args =>
+      require(args.size == 2,
+        "usage: graft_retrieve_spans(<probe table>, <store dir>) — which " +
+          "stored payloads CONTAIN the probe byte spans " +
+          "(trim/shift-robust)? (probe_id, doc_id, n_matched) via the " +
+          "hash store's bytes_win leg (the oracle-checkable retrieval " +
+          "leg, q214); the probe table needs (doc_id, payload); window " +
+          "size comes from the store's stamped _shape recipe and a " +
+          "store without the leg is refused")
+      val t = strArg("graft_retrieve_spans", args.head, "probe table")
+      val storeDir = strArg("graft_retrieve_spans", args(1), "store dir")
+      graft.multimodal.HashStore.retrieveSpans(
+          SparkSession.active.table(t), storeDir, eager = false)
+        .queryExecution.logical
+    }
     tvf("graft_containment_exact") { args =>
       require(args.size == 1, "usage: graft_containment_exact(<table name>)")
       val t = strArg("graft_containment_exact", args.head, "table name")

@@ -548,6 +548,53 @@ object Binary {
       .select(col("doc_id"),
         graft.functions.SimHashBits.of(col("hs"), 56).as("h"))
 
+  /** Windowed byte SUBFINGERPRINTS — the RETRIEVAL leg of the byte
+    * universe, and the ORACLE-CHECKABLE member of the retrieval family
+    * (audio_win / image_tile need a decode; this one is pure byte/hex
+    * arithmetic, so a SQL engine can replay it end to end): the payload
+    * is cut into FIXED-length windows of `winBytes` at hop = winBytes/2
+    * (50% overlap, the [[extractAudioSubFingerprints]] geometry), each
+    * window hashed with the [[byteSimHash]] recipe restricted to its own
+    * bytes — distinct k-grams voting once, 14-hex-md5 gram hashes,
+    * 56-bit SimHash. A span trimmed or shifted by a MULTIPLE of the hop
+    * aligns exactly with a run of the source's windows (identical
+    * bytes → Hamming 0); a sub-hop shift still shares half of every
+    * window and degrades gracefully. Payloads shorter than one window
+    * contribute no rows — a probe span must be at least one window long
+    * to be findable, the same contract as the audio leg.
+    *
+    * Fully declarative (no UDF, no mapPartitions): window extraction is
+    * posexplode over hex substrings, so the per-window gram work stays
+    * inside codegen and the plan is one projection chain over the scan.
+    * Output: (doc_id, win_idx, h).
+    */
+  def byteWindowHashes(media: DataFrame, winBytes: Int = 64,
+                       k: Int = 12): DataFrame = {
+    require(winBytes >= 2 * k && winBytes % 2 == 0,
+      s"a window must hold several $k-byte grams and halve evenly for " +
+        s"the 50% hop, got winBytes=$winBytes")
+    val hop = winBytes / 2
+    media
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.hex(col("payload")).as("hx"))
+      .filter(length(col("hx")) >= lit(2 * winBytes))
+      // window count = floor((len - W)/hop) + 1, computed in hex chars
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((length(col("hx")) - lit(2 * winBytes)) / lit(2.0 * hop))
+              .cast("int")),
+          i => col("hx").substr(i * lit(2 * hop) + lit(1),
+            lit(2 * winBytes)))).as(Seq("win_idx", "wx")))
+      .select(col("doc_id"), col("win_idx"),
+        byteShingles(col("wx"), k).as("sh"))
+      .select(col("doc_id"), col("win_idx"),
+        transform(col("sh"), g =>
+          conv(substring(md5(g), 1, 14), 16, 10).cast("long")).as("hs"))
+      .select(col("doc_id"), col("win_idx"),
+        graft.functions.SimHashBits.of(col("hs"), 56).as("h"))
+  }
+
   /** Near-duplicate PAYLOAD pairs — the LSH near-dup machinery on the
     * binary column itself: hex byte shingles → 16-hash MinHash → 4×4
     * LSH bands → bucket equi-join → exact byte-shingle Jaccard ≥ 0.7,

@@ -71,14 +71,26 @@ object HashStore extends graft.operators.DropLedger {
     */
   val ImageRetrievalModality: String = "image_tile"
 
+  /** The byte-universe RETRIEVAL leg (opt-in) — and the
+    * ORACLE-CHECKABLE member of the retrieval family: windowed byte
+    * subfingerprints ([[Binary.byteWindowHashes]], pure hex/md5
+    * arithmetic where audio_win/image_tile need a decode), served by
+    * [[retrieveSpans]] for "which stored payload CONTAINS this byte
+    * span?" — so the shared retrieval core ([[retrieveByLeg]]: stamp
+    * resolution, banded Hamming join, distinct-window counting) is
+    * hash-gated against a from-scratch SQL replay, not just spec-pinned.
+    */
+  val ByteRetrievalModality: String = "bytes_win"
+
   /** Band width per modality: 4 bands over the hash width, so Hamming
     * ≤ 3 implies ≥ 1 equal band. dHash/aHash are 64-bit (4×16); the
-    * byte simhash is 56 (4×14 — a 16-bit top band would have only 8
-    * live bits and degenerate into a hot key).
+    * byte simhashes (whole-doc and windowed) are 56 (4×14 — a 16-bit
+    * top band would have only 8 live bits and degenerate into a hot
+    * key).
     */
   private val BandBits =
     Map("image" -> 16, "audio" -> 16, "audio_win" -> 16,
-      "image_tile" -> 16, "bytes" -> 14)
+      "image_tile" -> 16, "bytes" -> 14, "bytes_win" -> 14)
 
   /** The store's self-describing recipe, read back from the `_shape`
     * markers (r16 "what's wrong #2" — the one family without the
@@ -92,20 +104,22 @@ object HashStore extends graft.operators.DropLedger {
     * geometry from this stamp and refuses a contradiction loudly.
     */
   final case class Recipe(modalities: Set[String], winSamples: Option[Int],
-                          tilePx: Option[Int])
+                          tilePx: Option[Int], winBytes: Option[Int])
 
   private val ShapeFile = "_shape"
 
   private def markerLine(modalities: Seq[String], winSamples: Int,
-                         tilePx: Int): String = {
+                         tilePx: Int, winBytes: Int): String = {
     val mods = modalities.distinct.sorted
     val win =
       if (mods.contains(RetrievalModality)) s" win=$winSamples" else ""
     val tile =
       if (mods.contains(ImageRetrievalModality)) s" tile=$tilePx" else ""
+    val bwin =
+      if (mods.contains(ByteRetrievalModality)) s" bwin=$winBytes" else ""
     // "-" = no legs (a takedown can empty the store; the marker must
     // still parse so the next append re-stamps cleanly)
-    s"v1 ${if (mods.isEmpty) "-" else mods.mkString(",")}$win$tile\n"
+    s"v1 ${if (mods.isEmpty) "-" else mods.mkString(",")}$win$tile$bwin\n"
   }
 
   /** Write a commit's `_shape` into its staging dir — it rides the same
@@ -114,11 +128,12 @@ object HashStore extends graft.operators.DropLedger {
     */
   private def writeMarker(s: SparkSession, dir: String,
                           modalities: Seq[String], winSamples: Int,
-                          tilePx: Int): Unit = {
+                          tilePx: Int, winBytes: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, ShapeFile)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(markerLine(modalities, winSamples, tilePx).getBytes("UTF-8"))
+    try out.write(
+      markerLine(modalities, winSamples, tilePx, winBytes).getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -146,13 +161,15 @@ object HashStore extends graft.operators.DropLedger {
           if (m == "-") Set.empty else m.split(",").toSet
         line.split(" ").toSeq match {
           case Seq("v1", mods, stamps @ _*)
-              if stamps.forall(t =>
-                t.startsWith("win=") || t.startsWith("tile=")) =>
+              if stamps.forall(t => t.startsWith("win=") ||
+                t.startsWith("tile=") || t.startsWith("bwin=")) =>
             (modsOf(mods),
               stamps.find(_.startsWith("win="))
                 .map(_.stripPrefix("win=").toInt),
               stamps.find(_.startsWith("tile="))
-                .map(_.stripPrefix("tile=").toInt))
+                .map(_.stripPrefix("tile=").toInt),
+              stamps.find(_.startsWith("bwin="))
+                .map(_.stripPrefix("bwin=").toInt))
           case _ => throw new IllegalStateException(
             s"unreadable $kind marker in $f: '$line'")
         }
@@ -165,7 +182,8 @@ object HashStore extends graft.operators.DropLedger {
       }
       Some(Recipe(parsed.flatMap(_._1).toSet,
         one("audio_win window", parsed.flatMap(_._2)),
-        one("image_tile size", parsed.flatMap(_._3))))
+        one("image_tile size", parsed.flatMap(_._3)),
+        one("bytes_win window", parsed.flatMap(_._4))))
     }
   }
 
@@ -206,6 +224,11 @@ object HashStore extends graft.operators.DropLedger {
     resolveStamp(s, storeDir, ImageRetrievalModality, "tilePx", explicit,
       _.tilePx)
 
+  private def resolveBwin(s: SparkSession, storeDir: String,
+                          explicit: Int): Int =
+    resolveStamp(s, storeDir, ByteRetrievalModality, "winBytes", explicit,
+      _.winBytes)
+
   /** Hamming ≤ 3 is the 4-band detection guarantee (pigeonhole). */
   val MaxGuaranteedHamming = 3
 
@@ -213,9 +236,11 @@ object HashStore extends graft.operators.DropLedger {
     * hash map-only pass every face routes through.
     */
   def hashesFor(media: DataFrame, modalities: Seq[String] = Modalities,
-                winSamples: Int = 1 << 15, tilePx: Int = 64): DataFrame = {
+                winSamples: Int = 1 << 15, tilePx: Int = 64,
+                winBytes: Int = 64): DataFrame = {
     implicit val s: SparkSession = media.sparkSession
-    val known = Modalities :+ RetrievalModality :+ ImageRetrievalModality
+    val known = Modalities :+ RetrievalModality :+ ImageRetrievalModality :+
+      ByteRetrievalModality
     val bad = modalities.filterNot(known.contains)
     require(bad.isEmpty && modalities.nonEmpty,
       s"unknown modalities ${bad.mkString(", ")} — pick from $known")
@@ -242,6 +267,8 @@ object HashStore extends graft.operators.DropLedger {
         .toDF().filter(col("is_image"))
         .select(col("doc_id"), lit("image_tile").as("modality"),
           col("subhash").as("h"))
+      case "bytes_win" => Binary.byteWindowHashes(media, winBytes)
+        .select(col("doc_id"), lit("bytes_win").as("modality"), col("h"))
     }
     legs.reduce(_.unionByName(_))
   }
@@ -249,20 +276,23 @@ object HashStore extends graft.operators.DropLedger {
   /** Bootstrap from the first drop (overwrites). */
   def build(media: DataFrame, storeDir: String, dropId: String = "base",
             modalities: Seq[String] = Modalities,
-            winSamples: Int = 1 << 15, tilePx: Int = 64): Unit =
-    buildStaged(media, storeDir, dropId, modalities, winSamples, tilePx)()
+            winSamples: Int = 1 << 15, tilePx: Int = 64,
+            winBytes: Int = 64): Unit =
+    buildStaged(media, storeDir, dropId, modalities, winSamples, tilePx,
+      winBytes)()
 
   def buildStaged(media: DataFrame, storeDir: String,
                   dropId: String = "base",
                   modalities: Seq[String] = Modalities,
-                  winSamples: Int = 1 << 15, tilePx: Int = 64): () => Unit = {
+                  winSamples: Int = 1 << 15, tilePx: Int = 64,
+                  winBytes: Int = 64): () => Unit = {
     requireDropId(dropId)
     val staged = stagePartialsBuild(
-      hashesFor(media, modalities, winSamples, tilePx)
+      hashesFor(media, modalities, winSamples, tilePx, winBytes)
         .withColumn("drop_id", lit(dropId)),
       storeDir)
     writeMarker(media.sparkSession, staged.stagingDir, modalities,
-      winSamples, tilePx)
+      winSamples, tilePx, winBytes)
     staged.commit
   }
 
@@ -278,7 +308,8 @@ object HashStore extends graft.operators.DropLedger {
     */
   def appendStaged(media: DataFrame, storeDir: String, dropId: String,
                    modalities: Seq[String] = Modalities,
-                   winSamples: Int = 1 << 15, tilePx: Int = 64): () => Unit = {
+                   winSamples: Int = 1 << 15, tilePx: Int = 64,
+                   winBytes: Int = 64): () => Unit = {
     requireDropId(dropId)
     val s = media.sparkSession
     requireStore(s, storeDir)
@@ -295,11 +326,18 @@ object HashStore extends graft.operators.DropLedger {
           s"append tilePx=$tilePx contradicts the store's stamped " +
             s"tile=$t — mixed tile sizes would make retrieval silently " +
             "miss; hash this drop at the stamped size"))
+    if (modalities.contains(ByteRetrievalModality))
+      storedRecipe(s, storeDir).flatMap(_.winBytes).foreach(b =>
+        require(b == winBytes,
+          s"append winBytes=$winBytes contradicts the store's stamped " +
+            s"bwin=$b — mixed window sizes would make retrieval silently " +
+            "miss; hash this drop at the stamped size"))
     val staged = stagePartialsAppend(
-      newLegHashes(s, storeDir, hashesFor(media, modalities, winSamples, tilePx))
+      newLegHashes(s, storeDir,
+        hashesFor(media, modalities, winSamples, tilePx, winBytes))
         .withColumn("drop_id", lit(dropId)),
       storeDir, dropId)
-    writeMarker(s, staged.stagingDir, modalities, winSamples, tilePx)
+    writeMarker(s, staged.stagingDir, modalities, winSamples, tilePx, winBytes)
     staged.commit
   }
 
@@ -318,8 +356,10 @@ object HashStore extends graft.operators.DropLedger {
 
   def append(media: DataFrame, storeDir: String, dropId: String,
              modalities: Seq[String] = Modalities,
-             winSamples: Int = 1 << 15, tilePx: Int = 64): Unit =
-    appendStaged(media, storeDir, dropId, modalities, winSamples, tilePx)()
+             winSamples: Int = 1 << 15, tilePx: Int = 64,
+             winBytes: Int = 64): Unit =
+    appendStaged(media, storeDir, dropId, modalities, winSamples, tilePx,
+      winBytes)()
 
   /** Explode (doc_id, modality, h) into 4 band rows keyed
     * (modality, band_idx, band_val) — the equi-join key; band width per
@@ -331,7 +371,7 @@ object HashStore extends graft.operators.DropLedger {
     .withColumn("band",
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band_idx"),
-          when(col("modality") === "bytes",
+          when(col("modality").isin("bytes", "bytes_win"),
             shiftright(col("h"), b * BandBits("bytes"))
               .bitwiseAND(lit((1L << BandBits("bytes")) - 1)))
             .otherwise(shiftright(col("h"), b * BandBits("image"))
@@ -389,7 +429,8 @@ object HashStore extends graft.operators.DropLedger {
     val recipe = storedRecipe(s, storeDir)
     writeMarker(s, staged.stagingDir, modalities,
       recipe.flatMap(_.winSamples).getOrElse(1 << 15),
-      recipe.flatMap(_.tilePx).getOrElse(64))
+      recipe.flatMap(_.tilePx).getOrElse(64),
+      recipe.flatMap(_.winBytes).getOrElse(64))
     (pairs, staged.commit)
   }
 
@@ -409,7 +450,11 @@ object HashStore extends graft.operators.DropLedger {
       if (modalities.contains(ImageRetrievalModality))
         resolveTile(s, storeDir, 0)
       else 64
-    hashesFor(drop, modalities, ws, tp)
+    val bw =
+      if (modalities.contains(ByteRetrievalModality))
+        resolveBwin(s, storeDir, 0)
+      else 64
+    hashesFor(drop, modalities, ws, tp, bw)
   }
 
   /** Intra-drop re-encode pairs with NO store — the bootstrap drop can
@@ -419,11 +464,12 @@ object HashStore extends graft.operators.DropLedger {
     */
   def intraPairs(drop: DataFrame, maxHamming: Int = MaxGuaranteedHamming,
                  modalities: Seq[String] = Modalities,
-                 winSamples: Int = 1 << 15, tilePx: Int = 64): DataFrame = {
+                 winSamples: Int = 1 << 15, tilePx: Int = 64,
+                 winBytes: Int = 64): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= MaxGuaranteedHamming,
       s"4 bands guarantee detection only to hamming $MaxGuaranteedHamming")
     val dp = banded(graft.text.Dedup.materialize(
-      hashesFor(drop, modalities, winSamples, tilePx)))
+      hashesFor(drop, modalities, winSamples, tilePx, winBytes)))
     pairsFromBands(dp, dp, col("a.doc_id") < col("b.doc_id"), maxHamming)
   }
 
@@ -568,6 +614,42 @@ object HashStore extends graft.operators.DropLedger {
       eager)
   }
 
+  /** Span-containment retrieval on the BYTE universe: which stored
+    * payloads CONTAIN this probe span? The oracle-checkable member of
+    * the retrieval family ([[retrieveClips]] / [[retrieveCrops]] need a
+    * decode; this leg — [[Binary.byteWindowHashes]] — is pure hex/md5
+    * arithmetic, so the q214/q215 gates replay the ENTIRE serve in SQL:
+    * windowing, per-window gram simhash, brute-force Hamming ≤ 3, and
+    * the distinct-probe-window count — independently proving the shared
+    * [[retrieveByLeg]] core's banded-join recall, not just replaying
+    * it). n_matched counts distinct PROBE WINDOWS (win_idx): a span
+    * whose windows hash identically (repeated byte runs) keeps its full
+    * window count instead of collapsing to 1 and dying on `minMatched`.
+    * A span trimmed at a hop multiple aligns exactly (Hamming 0 per
+    * window). Output: (probe_id, doc_id, n_matched).
+    *
+    * The window size comes from the store's stamped recipe: a store
+    * without the bytes_win leg, or a non-zero `winBytes` contradicting
+    * the stamp, is REFUSED — both would otherwise retrieve nothing,
+    * silently. 100 TB shape: probe-scale hashing, one columnar scan of
+    * the stored window rows (~2 rows per winBytes of payload at the 50%
+    * hop, 17 B/row), banded 4× — never all-pairs.
+    */
+  def retrieveSpans(probe: DataFrame, storeDir: String,
+                    maxHamming: Int = MaxGuaranteedHamming,
+                    minMatched: Int = 2,
+                    winBytes: Int = 0,
+                    eager: Boolean = true): DataFrame = {
+    val s = probe.sparkSession
+    requireStore(s, storeDir)
+    val bw = resolveBwin(s, storeDir, winBytes)
+    retrieveByLeg(storeDir, ByteRetrievalModality, maxHamming, minMatched,
+      Binary.byteWindowHashes(probe, bw)
+        .select(col("doc_id"), lit(ByteRetrievalModality).as("modality"),
+          col("win_idx"), col("h")),
+      eager)
+  }
+
   /** Flat rewrites (takedown / purge / compact) re-stamp the `_shape`
     * from the STAGED rows' surviving modality legs — a takedown that
     * removes the last audio_win row must stop claiming the leg, or
@@ -583,7 +665,8 @@ object HashStore extends graft.operators.DropLedger {
     val recipe = storedRecipe(s, storeDir)
     writeMarker(s, stagingDir, mods,
       recipe.flatMap(_.winSamples).getOrElse(1 << 15),
-      recipe.flatMap(_.tilePx).getOrElse(64))
+      recipe.flatMap(_.tilePx).getOrElse(64),
+      recipe.flatMap(_.winBytes).getOrElse(64))
   }
 
   /** Doc-keyed takedown: remove the given documents' hash rows — one

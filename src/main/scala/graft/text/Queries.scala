@@ -174,6 +174,30 @@ object Queries {
           Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)),
         hashPurgedStoreFixture(s, dir), modalities = Seq("bytes"))),
 
+    // Span-containment RETRIEVAL (the "which stored payload contains
+    // this probe?" question the whole-doc hashes deliberately don't
+    // answer) on the oracle-checkable bytes_win leg: probes are stored
+    // docs trimmed by exactly one hop (32 bytes), so their windows
+    // re-align with the source's (Hamming 0) and n_matched counts the
+    // aligned distinct probe windows. The oracle replays the ENTIRE
+    // serve from scratch — hex windowing, per-window distinct-gram
+    // 56-bit simhash, BRUTE-FORCE Hamming ≤ 3, the distinct-win_idx
+    // count and the minMatched floor — so the gate independently proves
+    // the shared retrieveByLeg core (banded join + window counting)
+    // that the decode-dependent audio_win/image_tile legs run through.
+    "q214_span_retrieve" -> ((s, dir) =>
+      graft.multimodal.HashStore.retrieveSpans(
+        spanProbes(Tables(s, dir).documents),
+        bwinStoreFixture(s, dir))),
+
+    // q214's probes against the PURGED span store: retrieval rows whose
+    // stored side was taken down must vanish (a trimmed probe of a
+    // removed doc stops finding its source), doc-keyed delete-and-done.
+    "q215_span_takedown" -> ((s, dir) =>
+      graft.multimodal.HashStore.retrieveSpans(
+        spanProbes(Tables(s, dir).documents),
+        bwinPurgedStoreFixture(s, dir))),
+
     // q206's serve against the PURGED store (q141 on the bytes
     // universe): payload near-dups that existed only via a taken-down
     // source's doc must no longer drop the new doc, and the takedown
@@ -2540,6 +2564,70 @@ object Queries {
       storeDir
     })
 
+  /** q214/q215's probe spans: every %3≠0, %7=1 doc's payload trimmed by
+    * exactly one hop (32 bytes) under a shifted probe id — window k of
+    * the probe is byte-identical to window k+1 of its source, so a
+    * correct retrieval finds the source at Hamming 0 per window.
+    */
+  private def spanProbes(documents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.multimodal.Binary.withPayload(
+        documents.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1))
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("payload").substr(lit(33), length(col("payload"))).as("payload"))
+
+  /** q214's perceptual-hash store: the bytes_win RETRIEVAL leg
+    * ([[graft.multimodal.Binary.byteWindowHashes]], 64-byte windows at
+    * the 50% hop) over the %3≠0 history — the oracle-checkable member
+    * of the retrieval family, so the shared retrieveByLeg core gates
+    * against a from-scratch SQL replay.
+    */
+  private[graft] def bwinStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#bwin"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-bwinstore").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      graft.multimodal.HashStore.build(
+        graft.multimodal.Binary.withPayload(
+          Tables(s, dir).documents.filter(col("doc_id") % 3 =!= 0)),
+        storeDir, modalities = Seq("bytes_win"), winBytes = 64)
+      storeDir
+    })
+
+  /** q215's store: [[bwinStoreFixture]]'s history with the takedown
+    * sources' window rows removed post-build (doc-keyed
+    * delete-and-done) — a probe span whose source was taken down must
+    * stop retrieving it.
+    */
+  private[graft] def bwinPurgedStoreFixture(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent((System.identityHashCode(s), dir + "#bwin-td"), { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-bwinstore-td").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(storeDir)
+        if (F.exists(p))
+          F.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(q => F.deleteIfExists(q))
+      }))
+      val d = Tables(s, dir).documents
+      graft.multimodal.HashStore.build(
+        graft.multimodal.Binary.withPayload(d.filter(col("doc_id") % 3 =!= 0)),
+        storeDir, modalities = Seq("bytes_win"), winBytes = 64)
+      graft.multimodal.HashStore.removeDocs(s, storeDir,
+        d.filter(col("source").isin(TakedownSources: _*))
+          .select(col("doc_id")))
+      storeDir
+    })
+
   /** q211's store: [[fpStoreFixture]]'s history with the takedown
     * sources' fingerprints removed post-build — delete-and-done (rows
     * are doc-keyed), marker carried through the rewrite.
@@ -2931,6 +3019,46 @@ object Queries {
        |  FROM dp a JOIN dp b
        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 3)
        |SELECT * FROM xp UNION ALL SELECT * FROM ip""".stripMargin
+
+  /** The span-retrieval oracle (q214/q215): replays the WHOLE bytes_win
+    * serve from scratch — 64-byte hex windows at the 32-byte hop
+    * (mirroring Binary.byteWindowHashes), per-window DISTINCT byte
+    * 12-grams, 14-hex-md5 gram hashes, 56-bit simhash per window, then
+    * retrieval by BRUTE-FORCE Hamming ≤ 3 over probe×history windows,
+    * counting distinct matched probe win_idx with the minMatched ≥ 2
+    * floor — so the gate also proves the banded join's pigeonhole
+    * recall AND the distinct-window counting, not just replays them.
+    * Probes: %3≠0, %7=1 docs trimmed one hop (substr(hx, 65)) under
+    * probe_id = doc_id + 1000000.
+    */
+  private def spanRetrieveOracle(histExtra: String): String = {
+    def winSims(src: String, id: String): String =
+      s"""${src}w0 AS (SELECT $id, hx,
+         |    unnest(range(0, (len(hx) - 128)//64 + 1)) AS wi
+         |  FROM $src WHERE len(hx) >= 128),
+         |${src}w AS (SELECT $id, CAST(wi AS INT) AS win_idx,
+         |    substr(hx, CAST(wi AS BIGINT)*64 + 1, 128) AS wx FROM ${src}w0),
+         |${src}g AS (SELECT $id, win_idx, list_distinct(list_transform(
+         |    range(1, len(wx)//2 - 11 + 1),
+         |    i -> substr(wx, (i-1)*2+1, 24))) AS gs FROM ${src}w),
+         |${src}t AS (SELECT $id, win_idx, list_transform(gs,
+         |    s -> ('0x'||substr(md5(s),1,14))::BIGINT) AS hs FROM ${src}g),
+         |${src}sim AS (SELECT $id, win_idx,
+         |  CAST(${simhashSql(56)} AS BIGINT) AS h FROM ${src}t)""".stripMargin
+    s"""WITH bx AS (SELECT doc_id, source, hex(encode(text)) AS hx
+       |  FROM documents WHERE doc_id % 3 != 0),
+       |hh AS (SELECT doc_id, hx FROM bx WHERE 1=1 $histExtra),
+       |${winSims("hh", "doc_id")},
+       |pp AS (SELECT doc_id + 1000000 AS probe_id, substr(hx, 65) AS hx
+       |  FROM bx WHERE doc_id % 7 = 1),
+       |${winSims("pp", "probe_id")},
+       |m AS (SELECT p.probe_id, s.doc_id, p.win_idx
+       |  FROM ppsim p JOIN hhsim s
+       |  ON p.probe_id != s.doc_id AND bit_count(xor(p.h, s.h)) <= 3)
+       |SELECT probe_id, doc_id,
+       |  CAST(count(DISTINCT win_idx) AS BIGINT) AS n_matched
+       |FROM m GROUP BY 1, 2 HAVING count(DISTINCT win_idx) >= 2""".stripMargin
+  }
 
   /** SimHash as a DuckDB expression over a word-hash list column `hs`,
     * one majority-vote CASE term per output bit (mirrors
@@ -4031,6 +4159,9 @@ object Queries {
       s"AND d.source NOT IN (${TakedownSources.map("'" + _ + "'").mkString(",")})"),
     "q212_hash_store" -> hashStoreOracle(""),
     "q213_hash_takedown" -> hashStoreOracle(
+      s"AND source NOT IN (${TakedownSources.map("'" + _ + "'").mkString(",")})"),
+    "q214_span_retrieve" -> spanRetrieveOracle(""),
+    "q215_span_takedown" -> spanRetrieveOracle(
       s"AND source NOT IN (${TakedownSources.map("'" + _ + "'").mkString(",")})"),
     "q149_source_triage" ->
       s"""WITH $pairsCtes,

@@ -215,7 +215,7 @@ class CliSpec extends AnyFunSuite {
       s"the unrelated track must not pair: $boot")
     // the recipe is stamped: enrolled legs + the audio_win window size
     assert(HashStore.storedRecipe(spark, s"$dir/hs") ===
-      Some(HashStore.Recipe(Set("audio", "bytes", "audio_win"), Some(2048), None)))
+      Some(HashStore.Recipe(Set("audio", "bytes", "audio_win"), Some(2048), None, None)))
     // the probe: track 1 TRIMMED at two hops — whole-clip hashes miss it,
     // the retrieval leg finds both byte-identical enrolled copies; the
     // window size comes from the stamp (no --hash-win on the probe run)
@@ -237,6 +237,47 @@ class CliSpec extends AnyFunSuite {
         "--retrieve-clips", s"$dir/hs", "--payload-col", "payload",
         "--hash-win", "4096")))
     assert(e.getMessage.contains("2048"), s"got: ${e.getMessage}")
+  }
+
+  test("Corpus CLI: --hash-bwin enrolls the bytes_win leg; --retrieve-spans probes by the stamp") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.multimodal.HashStore
+    def bytesOf(seed: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * seed + 11) % 251).toByte)
+    val target = bytesOf(2654435761L, 400)
+    val dir = Files.createTempDirectory("corpus-spans")
+    Seq(
+      (1L, "doc one " + (1 to 20).map(i => s"a$i").mkString(" "), target),
+      (3L, "doc three " + (1 to 20).map(i => s"c$i").mkString(" "),
+        bytesOf(40503L, 400)))
+      .toDF("doc_id", "text", "payload").write.parquet(s"$dir/day1")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/day1", "-O", s"$dir/out1",
+      "--hash-store", s"$dir/hs", "--payload-col", "payload",
+      "--hash-modalities", "bytes_win", "--hash-bwin", "64"))
+    // the recipe stamps the byte-window size next to the enrolled leg
+    assert(HashStore.storedRecipe(spark, s"$dir/hs") ===
+      Some(HashStore.Recipe(Set("bytes_win"), None, None, Some(64))))
+    // the probe: doc 1's payload trimmed by one hop (32 bytes) — the
+    // window size comes from the stamp (no --hash-bwin on the probe run)
+    Seq((100L, "probe span " + (1 to 20).map(i => s"p$i").mkString(" "),
+        target.drop(32)))
+      .toDF("doc_id", "text", "payload").write.parquet(s"$dir/spans")
+    graft.cli.Corpus.run(spark, Array(
+      "-I", s"$dir/spans", "-O", s"$dir/outp",
+      "--retrieve-spans", s"$dir/hs", "--payload-col", "payload"))
+    val got = spark.read.parquet(s"$dir/outp/_retrieved_span")
+      .select("probe_id", "doc_id", "n_matched")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((100L, 1L, 10L)),
+      s"the trimmed span retrieves exactly its source payload: $got")
+    // a contradicting --hash-bwin on the probe run refuses loudly
+    val e = intercept[IllegalArgumentException](graft.cli.Corpus.run(spark,
+      Array("-I", s"$dir/spans", "-O", s"$dir/outp2",
+        "--retrieve-spans", s"$dir/hs", "--payload-col", "payload",
+        "--hash-bwin", "128")))
+    assert(e.getMessage.contains("64"), s"got: ${e.getMessage}")
   }
 
   test("Corpus CLI: --fp-stream drains drops as epochs; a restart skips the enrolled ones") {

@@ -506,7 +506,7 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((1L, png(orig)), (3L, png(other))).toDF("doc_id", "payload"),
       dir, modalities = Seq("image", "image_tile"), tilePx = 64)
     assert(HashStore.storedRecipe(spark, dir) ===
-      Some(HashStore.Recipe(Set("image", "image_tile"), None, Some(64))))
+      Some(HashStore.Recipe(Set("image", "image_tile"), None, Some(64), None)))
     // the probe: the source cropped one tile in from each edge —
     // tile-aligned, so its 2×3 interior tiles are pixel-identical
     val probe = Seq((100L, png(orig.getSubimage(64, 64, 192, 128))))
@@ -539,6 +539,77 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("image_tile"))
   }
 
+  test("HashStore.retrieveSpans: a hop-trimmed byte span retrieves its source; recipe is loud") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.multimodal.HashStore
+    // deterministic byte streams: two unrelated pseudo-random families
+    def bytesOf(seed: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * seed + 11) % 251).toByte)
+    val target = bytesOf(2654435761L, 400)
+    val other = bytesOf(40503L, 400)
+    // byteWindowHashes geometry: 64-byte windows at the 32-byte hop —
+    // floor((400-64)/32)+1 = 11 windows; a 32-byte trim re-aligns
+    // window k of the span with window k+1 of the source, byte-identical
+    val wh = graft.multimodal.Binary
+      .byteWindowHashes(Seq((1L, target)).toDF("doc_id", "payload"), 64)
+      .select("win_idx", "h").as[(Int, Long)].collect().toMap
+    assert(wh.size === 11, s"window count, got ${wh.size}")
+    val th = graft.multimodal.Binary
+      .byteWindowHashes(Seq((1L, target.drop(32))).toDF("doc_id", "payload"), 64)
+      .select("win_idx", "h").as[(Int, Long)].collect().toMap
+    assert(th.size === 10)
+    assert((0 until 10).forall(k => th(k) === wh(k + 1)),
+      "trimmed window k must hash identically to source window k+1")
+    // payloads shorter than one window contribute no rows (the probe
+    // must be at least one window long to be findable)
+    assert(graft.multimodal.Binary.byteWindowHashes(
+      Seq((9L, bytesOf(7L, 63))).toDF("doc_id", "payload"), 64).count() === 0L)
+    val dir = java.nio.file.Files.createTempDirectory("hs-bwin").toString
+    HashStore.build(Seq((1L, target), (3L, other)).toDF("doc_id", "payload"),
+      dir, modalities = Seq("bytes_win"), winBytes = 64)
+    assert(HashStore.storedRecipe(spark, dir) ===
+      Some(HashStore.Recipe(Set("bytes_win"), None, None, Some(64))))
+    // the trimmed span retrieves exactly its source, all 10 aligned
+    // windows at Hamming 0 — never the unrelated payload
+    val probe = Seq((100L, target.drop(32))).toDF("doc_id", "payload")
+    val got = HashStore.retrieveSpans(probe, dir)
+      .select("probe_id", "doc_id", "n_matched")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((100L, 1L)),
+      s"exactly the containing payload: ${got.toSeq}")
+    assert(got.head._3 === 10L, s"all aligned windows, got ${got.head._3}")
+    // an unrelated span retrieves nothing
+    val miss = Seq((101L, bytesOf(97L, 300))).toDF("doc_id", "payload")
+    assert(HashStore.retrieveSpans(miss, dir).count() === 0L)
+    // a span of REPEATED bytes hashes every window identically and must
+    // keep its full window count (n_matched counts distinct probe
+    // win_idx, not distinct hash pairs)
+    HashStore.append(Seq((7L, Array.fill(256)(42.toByte)))
+        .toDF("doc_id", "payload"),
+      dir, "flat", modalities = Seq("bytes_win"), winBytes = 64)
+    val flatGot = HashStore.retrieveSpans(
+        Seq((102L, Array.fill(128)(42.toByte))).toDF("doc_id", "payload"), dir)
+      .filter(col("doc_id") === 7L).select("n_matched").as[Long].collect()
+    assert(flatGot.length === 1 && flatGot.head === 3L,
+      s"identically-hashing windows keep the count: ${flatGot.toSeq}")
+    // refusal discipline (the _shape stamp): a contradicting explicit
+    // winBytes refuses, an append at a different size refuses BEFORE
+    // staging, and a store without the leg refuses naming what IS there
+    val e1 = intercept[IllegalArgumentException](
+      HashStore.retrieveSpans(probe, dir, winBytes = 128))
+    assert(e1.getMessage.contains("64") && e1.getMessage.contains("128"))
+    val e2 = intercept[IllegalArgumentException](
+      HashStore.appendStaged(Seq((8L, other)).toDF("doc_id", "payload"),
+        dir, "day2", Seq("bytes_win"), winBytes = 128))
+    assert(e2.getMessage.contains("bwin=64"))
+    val plain = java.nio.file.Files.createTempDirectory("hs-bwin-plain").toString
+    HashStore.build(Seq((1L, target)).toDF("doc_id", "payload"), plain,
+      modalities = Seq("bytes"))
+    val e3 = intercept[IllegalArgumentException](
+      HashStore.retrieveSpans(probe, plain))
+    assert(e3.getMessage.contains("bytes_win") && e3.getMessage.contains("bytes"))
+  }
+
   test("HashStore _shape recipe: stamped at build, loud on mismatch and missing leg") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import graft.multimodal.HashStore
@@ -552,7 +623,7 @@ class MultimodalSpec extends AnyFunSuite {
     val plain = java.nio.file.Files.createTempDirectory("hs-plain").toString
     HashStore.build(media, plain, modalities = Seq("bytes"))
     assert(HashStore.storedRecipe(spark, plain) ===
-      Some(HashStore.Recipe(Set("bytes"), None, None)))
+      Some(HashStore.Recipe(Set("bytes"), None, None, None)))
     val e1 = intercept[IllegalArgumentException](
       HashStore.retrieveClips(media, plain))
     assert(e1.getMessage.contains("audio_win") &&
@@ -571,7 +642,7 @@ class MultimodalSpec extends AnyFunSuite {
     HashStore.build(media, dir,
       modalities = Seq("bytes", "audio_win"), winSamples = 2048)
     assert(HashStore.storedRecipe(spark, dir) ===
-      Some(HashStore.Recipe(Set("bytes", "audio_win"), Some(2048), None)))
+      Some(HashStore.Recipe(Set("bytes", "audio_win"), Some(2048), None, None)))
     val e3 = intercept[IllegalArgumentException](
       HashStore.retrieveClips(media, dir, winSamples = 4096))
     assert(e3.getMessage.contains("2048") && e3.getMessage.contains("4096"))
@@ -610,7 +681,7 @@ class MultimodalSpec extends AnyFunSuite {
     HashStore.compact(spark, dir)
     assert(HashStore.drops(spark, dir) === Set("base", "reup", "img-leg"))
     assert(HashStore.storedRecipe(spark, dir) ===
-      Some(HashStore.Recipe(Set("bytes"), None, None)),
+      Some(HashStore.Recipe(Set("bytes"), None, None, None)),
       "the rewrite stamps what survived, not what was ever requested")
     // removeDrop frees the id (rows gone, sidecar rewritten)
     HashStore.removeDrop(spark, dir, "reup")

@@ -664,6 +664,20 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("q214 span retrieval: one store scan, banded equi-join, no nested loop") {
+    // the retrieval serve's 100 TB contract: the stored window table
+    // feeds EXACTLY one columnar scan (never a re-hash of history), and
+    // the probe×history match is the 4-band equi-join — a Hamming
+    // predicate alone would be a nested-loop cross product
+    val f = formatted("q214_span_retrieve")
+    val storeScans = "graft-bwinstore[0-9]+".r.findAllIn(f).toSet.size
+    assert(storeScans === 1,
+      s"the stored window table must feed exactly one scan, got $storeScans")
+    assert(!f.contains("CartesianProduct") &&
+      !f.contains("BroadcastNestedLoop"),
+      "the banded join must stay an equi-join")
+  }
+
   test("q210 fp-store serve: history scanned ONCE, rare set from the persisted counters") {
     // r15 computed the stop-fingerprint df guard by unionByName(stored,
     // drop).groupBy(fp) — a full scan + hash-aggregate of the

@@ -705,6 +705,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
       e2.getMessage.contains("stamped"))
   }
 
+  test("graft_retrieve_spans: the byte-universe containment probe from SQL") {
+    // the oracle-checkable retrieval leg (q214): a hop-trimmed byte
+    // span finds its source through the stamped bytes_win geometry
+    val dir = java.nio.file.Files.createTempDirectory("sql-ret-span").toString
+    def bytesOf(seed: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * seed + 11) % 251).toByte)
+    val target = bytesOf(2654435761L, 400)
+    graft.multimodal.HashStore.build(
+      Seq((1L, target), (3L, bytesOf(40503L, 400))).toDF("doc_id", "payload"),
+      s"$dir/hs", modalities = Seq("bytes_win"), winBytes = 64)
+    Seq((100L, target.drop(32)))
+      .toDF("doc_id", "payload").createOrReplaceTempView("sql_span_probe")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_retrieve_spans('sql_span_probe', '$dir/hs')")
+    assert(viaSql.columns === Array("probe_id", "doc_id", "n_matched"))
+    assert(viaSql.as[(Long, Long, Long)].collect().toSet ===
+      Set((100L, 1L, 10L)),
+      "the hop-trimmed span retrieves exactly its source from SQL")
+    // a store without the leg refuses loudly, naming what IS enrolled
+    graft.multimodal.HashStore.build(
+      Seq((1L, target)).toDF("doc_id", "payload"),
+      s"$dir/plain", modalities = Seq("bytes"))
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_retrieve_spans('sql_span_probe', '$dir/plain')")
+    }
+    assert(e.getMessage.contains("bytes_win"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_retrieve_spans('x')").collect()
+    }
+    assert(e2.getMessage.contains("bytes_win") &&
+      e2.getMessage.contains("stamped"))
+  }
+
   test("graft_manifest fingerprints from SQL, identical to the Column API") {
     docsView
     val viaSql = spark.sql(
