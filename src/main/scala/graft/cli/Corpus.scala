@@ -365,6 +365,19 @@ import graft.text.{Dedup, Store, TextOps}
   *                                        skipped, its pairs are already
   *                                        on disk. --payload-col switches
   *                                        the gram universe to bytes
+  *     [--hash-stream ckptDir]            the media re-encode detector as
+  *                                        the same cron-able drain on the
+  *                                        perceptual-hash ledger: each
+  *                                        new file's pairs vs the
+  *                                        --hash-store history land in
+  *                                        OUT/_hashpairs/epoch-NNNNNN
+  *                                        before its hashes enroll
+  *                                        (bootstrap epoch: intra-batch
+  *                                        pairs, then the store builds
+  *                                        and stamps the recipe; later
+  *                                        epochs hash at the STAMP) —
+  *                                        needs --payload-col; a
+  *                                        crash-replayed epoch is skipped
   *     [--scrub-spans]                    REWRITE text: delete every
   *                                        repeated-k-gram occurrence outside
   *                                        its keeper doc (q125); with an
@@ -514,6 +527,7 @@ object Corpus {
       curationSpine: Boolean = false,
       spineStream: Option[String] = None,
       fpStream: Option[String] = None,
+      hashStream: Option[String] = None,
       spineIngest: Boolean = false)
 
   private def parseMixture(v: String): Map[String, Int] =
@@ -629,6 +643,8 @@ object Corpus {
       parse(rest, acc.copy(spineStream = Some(v)))
     case "--fp-stream" :: v :: rest =>
       parse(rest, acc.copy(fpStream = Some(v)))
+    case "--hash-stream" :: v :: rest =>
+      parse(rest, acc.copy(hashStream = Some(v)))
     case "--span-remove-drop" :: v :: rest =>
       parse(rest, acc.copy(spanRemoveDrop = Some(v)))
     case "--cluster-store" :: v :: rest =>
@@ -1234,6 +1250,41 @@ object Corpus {
         s"pairs under ${a.out}/_fppairs, store $fd, checkpoint $ckpt")
       return
     }
+    // the media re-encode detector's cron-able drain
+    // (HashStore.pairsStream): same epoch discipline as --fp-stream on
+    // the perceptual-hash ledger — pairs to OUT/_hashpairs/epoch-NNNNNN
+    // BEFORE the epoch's hashes enroll; the bootstrap epoch's
+    // --hash-win/--hash-tile/--hash-bwin define the _shape stamp and
+    // every later epoch hashes at the stamped geometry.
+    a.hashStream.foreach { ckpt =>
+      import graft.multimodal.HashStore
+      require(a.input.nonEmpty && a.out.nonEmpty,
+        "--hash-stream needs -I <drops dir> and -O <out dir>")
+      val hd = a.hashStore.getOrElse(throw new IllegalArgumentException(
+        "--hash-stream needs --hash-store <dir> — the stream serves and " +
+          "appends that ledger"))
+      val pc = a.payloadCol.getOrElse(throw new IllegalArgumentException(
+        "--hash-stream needs --payload-col <binary column> — perceptual " +
+          "hashes are computed from the payload"))
+      val mods = a.hashModalities
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(HashStore.Modalities)
+      val win = if (a.hashWin > 0) a.hashWin else 1 << 15
+      val tile = if (a.hashTile > 0) a.hashTile else 64
+      val bwin = if (a.hashBwin > 0) a.hashBwin else 64
+      val schema = spark.read.parquet(a.input).schema
+      val q = HashStore.pairsStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(a.input)
+          .select(col("doc_id"), col(pc).as("payload")),
+        hd, s"${a.out}/_hashpairs", ckpt, mods,
+        winSamples = win, tilePx = tile, winBytes = bwin,
+        availableNow = true)
+      q.awaitTermination()
+      println(s"hash-stream: drained available drops from ${a.input}; " +
+        s"pairs under ${a.out}/_hashpairs, store $hd, checkpoint $ckpt")
+      return
+    }
     if (a.curationSpine) {
       require(a.input.nonEmpty && a.out.nonEmpty,
         "--curation-spine needs -I <documents parquet> and -O <out dir>")
@@ -1689,6 +1740,7 @@ object Corpus {
         "[--freq-store dir] [--freq-width n|auto[:target]] [--freq-raw drop=rawDir] " +
         "[--sample-store dir] [--sample-raw drop=rawDir] [--sample-by-lang] " +
         "[--curation-spine] [--spine-ingest] [--spine-stream ckpt] " +
+        "[--fp-stream ckpt] [--hash-stream ckpt] " +
         "[--takedown-ids p] [--lm-remove-drop id] [--profile-remove-drop id] " +
         "[--novelty-remove-drop id]")
     val r = pipelineFull(spark, a)

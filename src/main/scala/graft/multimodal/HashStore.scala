@@ -490,6 +490,58 @@ object HashStore extends graft.operators.DropLedger {
     minePairs(s, storeDir, dropHashes, maxHamming)
   }
 
+  /** The media re-encode detector as a STRUCTURED-STREAMING loop — the
+    * [[graft.text.FpStore.pairsStream]] shape on the perceptual-hash
+    * ledger: each epoch of `dropStream` (a streaming DataFrame of
+    * (doc_id, payload) rows) serves its re-encode pairs against the
+    * store, writes them to `outDir/<dropId>/`, and only then commits
+    * its hash rows (store-mutation-commits-LAST — a crash before the
+    * commit leaves the store untouched and the rewritten pairs converge
+    * on replay; a crash after it leaves the `drop-<id>` commit, and the
+    * replayed epoch is skipped, its pairs already on disk). The
+    * bootstrap epoch writes its INTRA-batch pairs (the first batch can
+    * carry re-encodes of itself — the FpStore epoch-0 argument) before
+    * its build commits, and its `winSamples`/`tilePx`/`winBytes` define
+    * the `_shape` stamp; every LATER epoch hashes at the STAMPED
+    * geometry ([[serveHashes]] inside [[pairsVsStoreStaged]]), so a
+    * drain restarted with different arguments cannot silently fork the
+    * recipe mid-ledger. `availableNow` = the cron-able drain.
+    */
+  def pairsStream(dropStream: DataFrame, storeDir: String, outDir: String,
+                  checkpoint: String,
+                  modalities: Seq[String] = Modalities,
+                  maxHamming: Int = MaxGuaranteedHamming,
+                  winSamples: Int = 1 << 15, tilePx: Int = 64,
+                  winBytes: Int = 64,
+                  availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = dropStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val s = batch.sparkSession
+        val dropId = f"epoch-$epoch%06d"
+        if (batch.isEmpty) ()
+        else if (!exists(s, storeDir)) {
+          val commit = buildStaged(batch, storeDir, dropId, modalities,
+            winSamples, tilePx, winBytes)
+          intraPairs(batch, maxHamming, modalities, winSamples, tilePx,
+              winBytes)
+            .write.mode("overwrite").parquet(s"$outDir/$dropId")
+          commit()
+        } else if (drops(s, storeDir).contains(dropId)) {
+          () // crash-replay of a committed epoch: pairs already on disk
+        } else {
+          val (pairs, commit) = pairsVsStoreStaged(batch, storeDir, dropId,
+            maxHamming, modalities)
+          pairs.write.mode("overwrite").parquet(s"$outDir/$dropId")
+          commit()
+        }
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
   /** drop×history (doc_a = drop doc) ∪ intra-drop (doc_a < doc_b): the
     * drop's 4-band rows join the stored table's — history is ONE
     * columnar scan of 17 B/row hashes, never a re-decode. Drop ids are

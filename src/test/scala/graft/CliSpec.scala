@@ -280,6 +280,56 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("64"), s"got: ${e.getMessage}")
   }
 
+  test("Corpus CLI: --hash-stream drains media drops as epochs on the hash ledger") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.multimodal.HashStore
+    def bytesOf(seed: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * seed + 11) % 251).toByte)
+    val target = bytesOf(2654435761L, 300)
+    val dir = Files.createTempDirectory("corpus-hashstream")
+    val inDir = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def addDrop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val scratch = s"$dir/stage-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+    def drain(): Unit = graft.cli.Corpus.run(spark, Array(
+      "-I", inDir, "-O", s"$dir/out", "--payload-col", "payload",
+      "--hash-modalities", "bytes",
+      "--hash-store", s"$dir/hs", "--hash-stream", s"$dir/ckpt"))
+
+    // epoch 0 bootstraps the store AND carries a copy of itself
+    addDrop("day1", Seq((1L, "d1", target), (2L, "d2", target),
+      (3L, "d3", bytesOf(40503L, 300))).toDF("doc_id", "text", "payload"))
+    drain()
+    assert(spark.read.parquet(s"$dir/out/_hashpairs/epoch-000000")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L)), "bootstrap intra-batch copy")
+    assert(HashStore.drops(spark, s"$dir/hs") === Set("epoch-000000"))
+    assert(HashStore.storedRecipe(spark, s"$dir/hs") ===
+      Some(HashStore.Recipe(Set("bytes"), None, None, None)))
+
+    // day 2 lands later; a fresh cron invocation picks up ONLY it
+    addDrop("day2", Seq((11L, "d11", target),
+      (12L, "d12", bytesOf(97L, 300))).toDF("doc_id", "text", "payload"))
+    drain()
+    assert(spark.read.parquet(s"$dir/out/_hashpairs/epoch-000001")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet ===
+      Set((11L, 1L), (11L, 2L)), "drop doc first vs both carriers")
+    val rows = HashStore.load(spark, s"$dir/hs").count()
+
+    // a third drain with nothing new: no epochs, no store growth
+    drain()
+    assert(HashStore.load(spark, s"$dir/hs").count() === rows)
+    assert(HashStore.drops(spark, s"$dir/hs") ===
+      Set("epoch-000000", "epoch-000001"))
+  }
+
   test("Corpus CLI: --fp-stream drains drops as epochs; a restart skips the enrolled ones") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

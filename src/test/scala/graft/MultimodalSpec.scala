@@ -256,6 +256,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already ingested"))
   }
 
+  test("HashStore.pairsStream: epoch serve + enroll, exactly-once across a crash replay") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.multimodal.HashStore
+    import org.apache.spark.sql.DataFrame
+    def bytesOf(seed: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * seed + 11) % 251).toByte)
+    val target = bytesOf(2654435761L, 300)
+    val root = java.nio.file.Files.createTempDirectory("hashstream")
+    val inDir = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def addDrop(name: String, df: DataFrame): Unit = {
+      val scratch = s"$root/stage-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+    def start() = HashStore.pairsStream(
+      spark.readStream.schema("doc_id LONG, payload BINARY")
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      s"$root/hs", s"$root/out", s"$root/ckpt", modalities = Seq("bytes"))
+    // epoch 0 bootstraps the store AND carries a byte-identical copy of
+    // itself (docs 1/2) — the intra-batch pair must not be lost
+    addDrop("day1", Seq((1L, target), (2L, target),
+        (3L, bytesOf(40503L, 300))).toDF("doc_id", "payload"))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // epoch 1: a fresh copy pairs against BOTH enrolled carriers
+      addDrop("day2", Seq((11L, target), (12L, bytesOf(97L, 300)))
+        .toDF("doc_id", "payload"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(s"$root/out/epoch-000000")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L)), "bootstrap intra-batch copy, ordered doc_a < doc_b")
+    assert(spark.read.parquet(s"$root/out/epoch-000001")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet ===
+      Set((11L, 1L), (11L, 2L)), "drop doc first vs both carriers")
+    assert(HashStore.drops(spark, s"$root/hs") ===
+      Set("epoch-000000", "epoch-000001"))
+    // the bootstrap epoch stamped the recipe (later epochs hash at it)
+    assert(HashStore.storedRecipe(spark, s"$root/hs") ===
+      Some(HashStore.Recipe(Set("bytes"), None, None, None)))
+    val rowsAfter = HashStore.load(spark, s"$root/hs").count()
+    // crash replay: drop the last checkpoint commit so the restarted
+    // query re-runs epoch 1 — the drop-id guard must skip it
+    val commits = new java.io.File(s"$root/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete(), "crash simulation: drop the last commit")
+    new java.io.File(
+      s"$root/ckpt/commits/.${commits.last.getName}.crc").delete()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(HashStore.load(spark, s"$root/hs").count() === rowsAfter,
+      "a replayed epoch must not re-append hash rows")
+    assert(HashStore.drops(spark, s"$root/hs") ===
+      Set("epoch-000000", "epoch-000001"))
+  }
+
   test("nearDupPayloadPairs: container-level byte dups pair, recompression-style rewrites don't") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     // TRUE binary payloads (not UTF-8 text — the oracle query q204 covers
