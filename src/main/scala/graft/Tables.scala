@@ -85,6 +85,20 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let the planner pick SHUFFLED HASH over sort-merge when its size
+      // conditions hold (optimization guide §3.1/§9): both sides still
+      // shuffle, but the probe side skips a full sort — measured r17
+      // (tools.TriBench, min-of-3, one JVM): q103 9.16→5.57 s,
+      // q114 5.05→4.36 s, q108 5.48→5.18 s; suite-wide delta in
+      // OPTIMIZATION_r17.md. Scale-safe: the planner only builds a hash
+      // map when the build side estimates under autoBroadcastJoinThreshold
+      // × shuffle partitions, AQE's skew-join splitting applies to SHJ
+      // too, and the runtime rewrite below is additionally capped at
+      // 128 MB of build-side bytes per post-shuffle partition — caps, not
+      // core-count-derived constants, so cluster submits inherit them.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "134217728")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // InferFiltersFromGenerate copies a Generate's input expression

@@ -225,7 +225,8 @@ object Queries {
     // regardless of hub skew — the dup-graph density diagnostic.
     "q103_triangles" -> ((s, dir) =>
       Graph.triangleStats(Graph.coOccurrenceEdges(
-        Tables(s, dir).lineitem, "l_orderkey", "l_partkey"))),
+        Tables(s, dir).lineitem, "l_orderkey", "l_partkey"),
+        edgesDistinct = true)),
 
     // DOULION-sampled triangle estimate — q103's monitoring-path variant
     // (the q83→q115 precedent): md5-deterministic edge sampling at
@@ -235,7 +236,8 @@ object Queries {
     // spec-gated in GraphSpec.
     "q131_triangles_approx" -> ((s, dir) =>
       Graph.triangleStatsSampled(Graph.coOccurrenceEdges(
-        Tables(s, dir).lineitem, "l_orderkey", "l_partkey"), keepDenom = 4)),
+        Tables(s, dir).lineitem, "l_orderkey", "l_partkey"), keepDenom = 4,
+        edgesDistinct = true)),
 
     // Fixed-iteration integer PageRank (ppm longs, floor-div contributions)
     // over the same co-occurrence graph: one equi join + partial/final agg

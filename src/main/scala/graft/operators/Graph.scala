@@ -50,8 +50,14 @@ object Graph {
     * at 100 TB. Counted once per triangle: the orientation is acyclic, so
     * each triangle has exactly one node with two out-edges.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
-    val e = materialize(edges.select(col("u"), col("v")).distinct())
+  def triangleStats(edges: DataFrame, edgesDistinct: Boolean = false): DataFrame = {
+    // edgesDistinct: callers whose edge list is distinct BY CONSTRUCTION
+    // ([[coOccurrenceEdges]] ends .distinct()) skip a full re-distinct —
+    // an eager shuffle + hash agg over the whole edge list that the
+    // default pays before anything else runs (guide §2.4: a distinct on
+    // data that is already unique is a removable exchange).
+    val base = edges.select(col("u"), col("v"))
+    val e = materialize(if (edgesDistinct) base else base.distinct())
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
     // orient by (degree, id): src = smaller endpoint under that order
@@ -65,7 +71,12 @@ object Graph {
         col("v")).otherwise(col("u")).as("dst"),
       when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
         col("dv")).otherwise(col("du")).as("dd")))
-    // ordered out-neighbor pairs ((dd, dst) lexicographic), closed on (v, w)
+    // ordered out-neighbor pairs ((dd, dst) lexicographic), closed on (v, w).
+    // NOT pre-aggregated to (endpoint-pair, multiplicity) before the
+    // closure: measured at sf0.1 the wedge set has only ~20% duplicate
+    // endpoint pairs (41.1M wedges / 32.7M distinct), so a pre-shuffle
+    // groupBy pays a full extra hash-agg pipeline over the wedge volume
+    // to save a fifth of the exchange — 6.3 s → 13.7 s when tried (r17).
     val wedges = ori.as("e1").join(ori.as("e2"),
       col("e1.src") === col("e2.src") &&
         (col("e1.dd") < col("e2.dd") ||
@@ -109,14 +120,18 @@ object Graph {
     * keepDenom = 1 degenerates to the exact census (spec-gated identity).
     */
   def triangleStatsSampled(edges: DataFrame, keepDenom: Int,
-                           seed: String = "tri"): DataFrame = {
+                           seed: String = "tri",
+                           edgesDistinct: Boolean = false): DataFrame = {
     require(keepDenom >= 1, s"keepDenom must be >= 1, got $keepDenom")
-    val e = materialize(edges.select(col("u"), col("v")).distinct())
+    val base = edges.select(col("u"), col("v"))
+    val e = materialize(if (edgesDistinct) base else base.distinct())
     val sampled = e.filter(
       Sampling.hashBucket(concat_ws(":", col("u"), col("v")), keepDenom, seed)
         < lit(1))
     val scale = keepDenom.toLong * keepDenom * keepDenom
-    triangleStats(sampled)
+    // the sample is a filter of the just-materialized distinct edge list,
+    // so the inner census must not re-distinct (or re-shuffle) it
+    triangleStats(sampled, edgesDistinct = true)
       .select(col("n_edges").as("n_edges_sampled"),
         col("n_triangles").as("tri_sampled"))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
