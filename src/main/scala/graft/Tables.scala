@@ -84,16 +84,33 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // MEASURED REJECTION (r18): a session-wide 64 KB
+      // adaptive.coalescePartitions.minPartitionSize floor (to spread
+      // compute-dense small-byte stages — q108's exact-verify join runs
+      // as ONE 3.4 s task under the 1 MB default, tools.Attr) was tried
+      // and REVERTED: it un-coalesces every metadata-scale stage too,
+      // and the many-stage spine family pays ~30 extra tasks per stage
+      // across ~70 stages — q186 5.45 -> 9.14 s, q189 5.42 -> 8.03 s
+      // (QBench min-of-3). CPU-dense operators get explicit per-operator
+      // parallelism at the spot where bytes misprice compute instead.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Let the planner pick SHUFFLED HASH over sort-merge when its size
       // conditions hold (optimization guide §3.1/§9): both sides still
       // shuffle, but the probe side skips a full sort — measured r17
       // (tools.TriBench, min-of-3, one JVM): q103 9.16→5.57 s,
-      // q114 5.05→4.36 s, q108 5.48→5.18 s; suite-wide delta in
-      // OPTIMIZATION_r17.md. Scale-safe: the planner only builds a hash
-      // map when the build side estimates under autoBroadcastJoinThreshold
-      // × shuffle partitions, AQE's skew-join splitting applies to SHJ
-      // too, and the runtime rewrite below is additionally capped at
+      // q108 5.48→5.18 s. (The r17 TriBench q114 5.05→4.36 reading did
+      // NOT reproduce in the driver bench — 3.9→4.0, flat: q114's plan
+      // is broadcast-join-heavy, so this flag was never going to move
+      // it; its real fix landed in r18, see containmentJoinExact.)
+      // Suite-wide delta in OPTIMIZATION_r17.md. Scale caveat (ADVICE
+      // r17): the caps below bound the AQE REWRITE path only —
+      // statically-planned SHJ still trusts plan-stat ESTIMATES
+      // (autoBroadcastJoinThreshold × shuffle partitions), which can be
+      // badly wrong after complex operators, and an SHJ build side
+      // cannot spill the way sort-merge does. Cluster submits with
+      // untrusted inputs should validate build-side stats or keep
+      // preferSortMergeJoin=true (README). The AQE skew-join splitting
+      // applies to SHJ too, and the runtime rewrite below is capped at
       // 128 MB of build-side bytes per post-shuffle partition — caps, not
       // core-count-derived constants, so cluster submits inherit them.
       .config("spark.sql.join.preferSortMergeJoin", "false")

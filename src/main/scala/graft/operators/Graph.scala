@@ -20,21 +20,43 @@ object Graph {
   /** Distinct undirected co-occurrence edges (u < v) between items sharing a
     * container (parts co-ordered in an order, tokens co-occurring in a doc).
     *
-    * Scale shape: the self-join is EQUI on the container key, so each
-    * container's pairs are generated locally after one shuffle; output per
-    * container is C(k,2) for k items — quadratic in CONTAINER size, not
-    * corpus size. Callers cap pathological containers upstream (a 10k-item
-    * container means 50M pairs; `TopKPerKey` is the standard cap), exactly
-    * like the band-bucket caps in the LSH paths.
+    * Scale shape (r18, guide §2.4 — one exchange removed): each
+    * container's distinct items are gathered by ONE groupBy shuffle and
+    * its C(k,2) pairs are generated map-side from the sorted item array
+    * (posexplode anchor u × explode of the array's tail — the pair
+    * stream is emitted row-at-a-time, never materialized whole, so
+    * per-row memory is one container's item array). The r17 shape — an
+    * equi self-join on the container key — shuffled the SAME item
+    * stream twice (both join sides) and built a per-key join hash on
+    * top; measured at sf0.1 the groupBy form wins on every consumer
+    * (q103/q104/q105/q131). Output volume is unchanged: quadratic in
+    * CONTAINER size, not corpus size — callers cap pathological
+    * containers upstream (a 10k-item container means 50M pairs;
+    * `TopKPerKey` is the standard cap), exactly like the band-bucket
+    * caps in the LSH paths.
+    *
+    * Equivalence with the self-join form (GraphSpec pins it): rows with
+    * a NULL container produce no pairs (a null key never equi-joins);
+    * duplicate (container, item) rows collapse (collect_set, matching
+    * the trailing distinct); pairs are u < v under Spark's ordering —
+    * the same `<` the join predicate used.
+    *
+    * CONTRACT (ADVICE r17): the output is DISTINCT — this method must
+    * keep its trailing `.distinct()` (or an equivalent guarantee),
+    * because [[triangleStats]]/[[triangleStatsSampled]] call sites pass
+    * `edgesDistinct = true` and would silently double-count triangles
+    * over a multiset edge list.
     */
   def coOccurrenceEdges(df: DataFrame, containerCol: String,
-                        itemCol: String): DataFrame = {
-    val side = df.select(col(containerCol).as("__c"), col(itemCol).as("__i"))
-    side.as("a").join(side.as("b"),
-        col("a.__c") === col("b.__c") && col("a.__i") < col("b.__i"))
-      .select(col("a.__i").as("u"), col("b.__i").as("v"))
+                        itemCol: String): DataFrame =
+    df.filter(col(containerCol).isNotNull)
+      .select(col(containerCol).as("__c"), col(itemCol).as("__i"))
+      .groupBy(col("__c")).agg(sort_array(collect_set(col("__i"))).as("__is"))
+      .select(col("__is"), posexplode(col("__is")))
+      .select(col("col").as("u"),
+        explode(slice(col("__is"), col("pos") + lit(2),
+          size(col("__is")) - col("pos") - lit(1))).as("v"))
       .distinct()
-  }
 
   /** Exact triangle count via DEGREE-ORIENTED wedge closure, plus node and
     * edge counts — one summary row (n_nodes, n_edges, n_triangles).
@@ -77,11 +99,24 @@ object Graph {
     // endpoint pairs (41.1M wedges / 32.7M distinct), so a pre-shuffle
     // groupBy pays a full extra hash-agg pipeline over the wedge volume
     // to save a fifth of the exchange — 6.3 s → 13.7 s when tried (r17).
-    val wedges = ori.as("e1").join(ori.as("e2"),
+    // SHUFFLE_HASH hints on the closure joins (r18): the groupBy-form
+    // edge list above carries an aggregate-sized ESTIMATE, small enough
+    // at bench SFs that the planner broadcast the whole oriented edge
+    // list into both closure joins — and the probe side then ran with
+    // the checkpoint's byte-coalesced partition count (the O(m^1.5)
+    // wedge volume on 3 tasks). The hint pins the strategy the r17
+    // round already measured as the winner for exactly these joins
+    // (engine-wide SHJ conf, q103 9.5 -> 5.1 s), independent of what
+    // the estimate does at any SF; in-JVM A/B (tools.AbBench,
+    // interleaved legs): hinted 4.11 s vs un-hinted 8.22 s at sf0.1.
+    // Explicit repartitions of the two checkpoints were ALSO tried and
+    // rejected (6.15 s hint-less; redundant once the joins shuffle).
+    val oriB = ori.hint("shuffle_hash")
+    val wedges = ori.as("e1").join(oriB.as("e2"),
       col("e1.src") === col("e2.src") &&
         (col("e1.dd") < col("e2.dd") ||
           (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
-    val tri = wedges.join(ori.as("e3"),
+    val tri = wedges.join(oriB.as("e3"),
         col("e1.dst") === col("e3.src") && col("e2.dst") === col("e3.dst"))
       .agg(count(lit(1)).as("n_triangles"))
     val counts = deg.agg(count(lit(1)).as("n_nodes"))
@@ -284,10 +319,22 @@ object Graph {
 
   def pageRankInt(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // The edge list is hash-partitioned by the JOIN key (src) ONCE,
+    // before the materialize (r18, guide §2.4/§3.3 — VERDICT r17 #6):
+    // localCheckpoint preserves the physical partitioning in the
+    // LogicalRDD, so every iteration's sym ⋈ contrib equi join reuses it
+    // and the loop's only per-iteration exchange is the groupBy(dst)
+    // message pass — the r17 plan re-exchanged the whole edge list every
+    // iteration. Explicit partition count (defaultParallelism, not a
+    // constant) keeps AQE from coalescing the checkpointed layout down
+    // to a handful of partitions at bench scale. In-JVM A/B
+    // (tools.AbBench, interleaved legs, sf0.1): 4.08 -> 3.59 s.
+    val n = edges.sparkSession.sparkContext.defaultParallelism
     val sym = materialize(
       edges.select(col("u"), col("v")).distinct()
         .select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(edges.select(col("v").as("src"), col("u").as("dst"))))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(n, col("src")))
     val deg = materialize(sym.groupBy(col("src")).agg(count(lit(1)).as("d")))
     var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to iters) {

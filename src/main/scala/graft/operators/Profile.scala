@@ -14,13 +14,23 @@ object Profile {
     * n_distinct, min_s, max_s), min/max cast to string so the output
     * schema is uniform across column types.
     *
-    * ONE scan: every metric is computed in a single aggregation and the
-    * wide 1-row result is unpivoted with `stack` — versus the naive
-    * per-column UNION of full scans (the shape of the DuckDB oracle).
-    * The exact distinct counts plan as one Expand (rows × columns) over
-    * the scan; for monitoring at extreme widths, swap countDistinct for
-    * approx_count_distinct — kept exact here because the driver gate
-    * hash-compares.
+    * Two physical shapes, same answer (RelationalSpec gates both):
+    *
+    *  - MELT (types whose string rendering is injective — integrals,
+    *    strings, dates, booleans): counts/min/max in one plain
+    *    hash-aggregable pass, and the exact distincts from a melted
+    *    (column, value-as-string) stream deduped by hash aggregation.
+    *    This replaces the multi-countDistinct plan — one Expand (rows ×
+    *    columns) followed by SORT aggregates over every profiled column
+    *    as sort key — which ran as a single 3.1 s task at sf0.1 (r18
+    *    tools.Attr; the sort dominates and the widened rows defeat
+    *    partial aggregation). The melt's per-partition hash dedup ships
+    *    only distinct (column, value) pairs into one exchange: no sort
+    *    anywhere, partial aggregation intact (guide §2.3 "aggregate
+    *    before you shuffle").
+    *  - EXPAND (everything else — doubles/timestamps, where -0.0/NaN
+    *    normalization makes string-distinct ≠ value-distinct): the
+    *    original single-scan multi-countDistinct aggregation.
     *
     * Columns must be plain identifiers (no dots/backticks) — they are
     * spliced into a `stack` SQL expression.
@@ -29,6 +39,50 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
       s"profile column names must be plain identifiers, got: ${cols.mkString(", ")}")
+    import org.apache.spark.sql.types._
+    val meltSafe = df.select(cols.map(col): _*).schema.fields.forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           StringType | DateType | BooleanType => true
+      case _ => false
+    })
+    if (meltSafe) tableMelt(df, cols) else tableExpand(df, cols)
+  }
+
+  /** [[table]]'s melt shape: distinct counts via an injective cast to
+    * string, so two hash aggregations replace the Expand + sort-agg
+    * chain. Exactness: for integral/string/date/boolean columns the cast
+    * is injective and total, so |distinct casts| = |distinct values|.
+    */
+  private def tableMelt(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"__c$i"),
+        min(col(c)).cast("string").as(s"__mn$i"),
+        max(col(c)).cast("string").as(s"__mx$i"))
+    }
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    val meltArgs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    val dcounts = df
+      .select(expr(s"stack(${cols.size}, $meltArgs) AS (__col, __v)"))
+      .filter(col("__v").isNotNull)
+      .distinct()
+      .groupBy(col("__col")).agg(count(lit(1)).as("__d"))
+    val dAggs = cols.zipWithIndex.map { case (c, i) =>
+      max(when(col("__col") === c, col("__d"))).as(s"__d$i")
+    }
+    val dRow = dcounts.agg(dAggs.head, dAggs.tail: _*)
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', __n, __n - __c$i, coalesce(__d$i, CAST(0 AS BIGINT)), __mn$i, __mx$i"
+    }.mkString(", ")
+    base.crossJoin(dRow)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_s, max_s)"))
+  }
+
+  /** [[table]]'s original single-scan shape: multi-countDistinct (one
+    * Expand over the scan) — kept for column types whose string
+    * rendering is not injective.
+    */
+  private def tableExpand(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(count(col(c)).as(s"__c$i"), countDistinct(col(c)).as(s"__d$i"),
         min(col(c)).cast("string").as(s"__mn$i"),

@@ -87,17 +87,31 @@ object Curation {
     // stage 2 — q26's survivorship: a doc is dropped iff it has a
     // verified near-dup partner with a smaller id (banded LSH + exact
     // Jaccard >= 0.7; eager=false keeps the prep cache lazy so the
-    // spine stays one unexecuted plan until its first action)
-    val losers = Dedup.nearDupPairs(gated, eager = false)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // spine stays one unexecuted plan until its first action).
+    // The loser ID SET is materialized (r18; 8 B/doc — the same
+    // doc-count-scale concession as the keep list one stage up, and the
+    // discipline spineFunnel already ran): `deduped` is expanded TWICE
+    // downstream (decontaminate's shingled probe side and its anti-join
+    // base), and without the cut each expansion re-ran the whole banded
+    // candidate join + exact verify — the spine's second-heaviest stage,
+    // twice. eager=false (the TVF face) demotes it to a lazy cache.
+    // In-JVM A/B vs the r17 fully-lazy shape (tools.AbBench, interleaved
+    // legs, sf0.1): materialized 5.82 s vs lazy 7.46 s for q186.
+    val mat: DataFrame => DataFrame =
+      if (eager) Dedup.materialize else (df => df.cache())
+    val losers = mat(Dedup.nearDupPairs(gated, eager = false)
+      .select(col("doc_b").as("doc_id")).distinct())
     val deduped = barrier(gated.join(losers, Seq("doc_id"), "left_anti"))
 
     // stage 3 — q133: drop every doc sharing a 3-gram with the benchmark
     val clean = barrier(Dedup.decontaminate(deduped, bench)).cache()
 
     // stage 4 — q175: DSIR importance scoring of the survivors against
-    // the trusted target profile, deterministic top-k by (score, id)
-    val picked = barrier(Dsir.selectTopK(Dsir.score(target, clean), k))
+    // the trusted target profile, deterministic top-k by (score, id).
+    // Materialized (r18): k rows, but the frame is broadcast twice by
+    // packAndLabel (id filter + score join) and each broadcast would
+    // otherwise re-run the whole scoring subtree.
+    val picked = mat(barrier(Dsir.selectTopK(Dsir.score(target, clean), k)))
     SpineFrames(gated, deduped, clean, picked)
   }
 
@@ -187,6 +201,14 @@ object Curation {
                            dedupedIds: DataFrame, cleanIds: DataFrame,
                            picked: DataFrame, clean: DataFrame): DataFrame = {
     val stages = Seq("corpus", "gated", "deduped", "clean", "selected")
+    // MEASURED REJECTION (r18): replacing this four-left-join label
+    // chain with unionAll(4 id sets) + groupBy(doc_id).count + ONE left
+    // join — valid because the sets are nested subsets, so membership
+    // count = furthest stage — was tried and reverted: the id frames are
+    // small enough that the planner runs these joins as broadcast
+    // map-joins in a single corpus-side stage, while the union form
+    // forces a real groupBy exchange plus a shuffled corpus join
+    // (q205 5.17 -> 6.50 s, q190 4.93 -> 5.44 s, QBench min-of-3).
     val labeled = corpus
       .select(col("doc_id"),
         size(TextOps.words(col("text"))).cast("long").as("__tok"))
@@ -355,6 +377,12 @@ object Curation {
     * selection, labeled with its provenance (lang, score, layout).
     */
   private def packAndLabel(clean: DataFrame, picked: DataFrame): DataFrame = {
+    // MEASURED REJECTION (r18): pre-filtering `clean` to the picked ids
+    // with a broadcast semi join BEFORE tokenizing (so only k docs pay
+    // words()) was tried and reverted — in-JVM A/B (tools.AbBench,
+    // interleaved legs): q205 5.49 -> 6.35 s, q190 5.71 -> 6.16 s,
+    // q186 4.70 -> 4.90 s. At bench SFs the corpus-side tokenize is
+    // cheaper than the extra broadcast-build plumbing per expansion.
     val withTok = clean.select(col("doc_id"), col("lang"),
       size(TextOps.words(col("text"))).as("n_tokens"))
     val packed = graft.operators.Packing.greedyPack(
@@ -407,8 +435,14 @@ object Curation {
     val deduped = Store.dedupNewDropVsCorpusReadOnly(gated, dedupStore,
       eager = eager)
     val clean = Dedup.decontaminate(deduped, bench).cache()
-    val picked = Dsir.selectTopK(
-      DsirStore.scoreVsDrop(target, clean, dsirStore, eager = false), k)
+    // picked materialized (r18, k rows): packAndLabel broadcasts it
+    // twice (the pack-input id filter + the score join) and each
+    // broadcast build would otherwise re-run the whole store-served
+    // scoring subtree
+    val mat: DataFrame => DataFrame =
+      if (eager) Dedup.materialize else (df => df.cache())
+    val picked = mat(Dsir.selectTopK(
+      DsirStore.scoreVsDrop(target, clean, dsirStore, eager = false), k))
     packAndLabel(clean, picked)
   }
 
@@ -444,8 +478,10 @@ object Curation {
     val (deduped, commitSig) =
       Store.dedupNewDropVsCorpusStaged(gated, dedupStore)
     val clean = Dedup.decontaminate(deduped, bench).cache()
-    val picked = Dsir.selectTopK(
-      DsirStore.scoreVsDrop(target, clean, dsirStore, eager = false), k)
+    // materialized for the same reason as incrementalSpineSelection's
+    // picked: two broadcast builds downstream
+    val picked = Dedup.materialize(Dsir.selectTopK(
+      DsirStore.scoreVsDrop(target, clean, dsirStore, eager = false), k))
     val commitDsir = DsirStore.appendStaged(clean, dsirStore, dropId)
     // DSIR ledger commits FIRST: the --spine-ingest replay guard checks
     // DsirStore enrollment, so committing the GUARDED store before the

@@ -269,8 +269,13 @@ object Dedup {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
     val sh = toks.select(col("doc_id"), col("ts"))
+    // doc_b repartition: pins the exact-verify join's width (r18 — AQE's
+    // bytes-based coalescing serialized the array_intersect stage; the
+    // explicit count replaces the join's own exchange, see the q108 note)
     cand
       .join(sh.toDF("doc_a", "ta"), "doc_a")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_b"))
       .join(sh.toDF("doc_b", "tb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ta"), col("tb"))).as("inter_size"),

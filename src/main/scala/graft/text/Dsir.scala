@@ -145,6 +145,29 @@ object Dsir {
         expr("((coalesce(tgt, 0) + 1) * 1000000) div (coalesce(raw, 0) + 1)")
           .as("r_ppm"))
 
+  /** [[ratios]] as union + ONE hash aggregation — identical output when
+    * both profiles are unique on f (each side contributes at most one
+    * row per f, so sum(tgt)/sum(raw) reproduce the full-outer join's
+    * coalesced columns exactly). The BATCH path ([[score]]) uses this
+    * shape: both of its profiles are fresh aggregates in the same plan
+    * and the union form drops the FullOuter SortMergeJoin's two sort
+    * exchanges — in-JVM A/B (tools.AbBench): q186 5.90 -> 5.08 s. The
+    * STORE serve ([[DsirStore.scoreVsDrop]]) keeps the join form: its
+    * raw profile is already a union+groupBy over the persisted
+    * counters, and stacking a second union+groupBy on top measured
+    * FLAT-to-worse there (q189 6.06 -> 6.16, q205 6.42 -> 6.74).
+    */
+  private[text] def ratiosUnion(targetProfile: DataFrame,
+                                rawProfile: DataFrame): DataFrame =
+    targetProfile.select(col("f"), col("cnt").as("tgt"), lit(0L).as("raw"))
+      .unionAll(rawProfile.select(col("f"), lit(0L).as("tgt"),
+        col("cnt").as("raw")))
+      .groupBy(col("f"))
+      .agg(sum(col("tgt")).as("tgt"), sum(col("raw")).as("raw"))
+      .select(col("f"),
+        expr("((coalesce(tgt, 0) + 1) * 1000000) div (coalesce(raw, 0) + 1)")
+          .as("r_ppm"))
+
   /** Score documents against a ratio table: (doc_id, n_feats, score_ppm)
     * where score_ppm is the mean occurrence ratio,
     * (Σ r_ppm) div n_feats. One broadcast left-join (unseen bucket →
@@ -184,9 +207,10 @@ object Dsir {
   def score(target: DataFrame, raw: DataFrame, idCol: String = "doc_id",
             textCol: String = "text",
             buckets: Int = DefaultBuckets): DataFrame =
-    scoreAgainst(raw,
-      ratios(profile(target, textCol, buckets), profile(raw, textCol, buckets)),
-      idCol, textCol, buckets)
+    scoreFeatures(explodedFeatures(raw, idCol, textCol, buckets),
+      ratiosUnion(profile(target, textCol, buckets),
+        profile(raw, textCol, buckets)),
+      idCol)
 
   /** Deterministic selection: global top-k by (score_ppm DESC, doc_id
     * ASC) — the reproducible stand-in for the paper's Gumbel sampling.

@@ -93,9 +93,15 @@ object Queries {
     // marker-driven prep, the stored-side reuse and the verify land on
     // the brute-force dup set.
     "q206_binary_store" -> ((s, dir) => {
+      // repartition before the payload signing (r18): the sf-scale
+      // parquet scan is one split, and the byte-shingle prep is the
+      // serve's dominant map cost — the same parallelism the winnow
+      // siblings (q208/q209) already request. Results are per-doc;
+      // layout-independent.
       val d = Tables(s, dir).documents
       Store.dedupNewDropVsCorpusReadOnly(
-          graft.multimodal.Binary.withPayload(d.filter(col("doc_id") % 3 === 0)),
+          graft.multimodal.Binary.withPayload(d.filter(col("doc_id") % 3 === 0)
+            .repartition(s.sparkContext.defaultParallelism)),
           binaryStoreFixture(s, dir), textCol = "payload")
         .select(col("doc_id"), col("source"))
     }),
@@ -133,9 +139,12 @@ object Queries {
     // marker-driven prep and the union-side guard all land on the
     // from-scratch answer.
     "q210_fp_store" -> ((s, dir) =>
+      // repartition: parallelize the drop's fingerprint map (r18 — see
+      // the q206 note; tools.Attr measured the signing as ONE 1.9 s task)
       FpStore.pairsVsStoreReadOnly(
         graft.multimodal.Binary.withPayload(
-          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)),
+          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+            .repartition(s.sparkContext.defaultParallelism)),
         fpStoreFixture(s, dir), contentCol = "payload")),
 
     // q210's serve against the PURGED fingerprint store: pairs that
@@ -146,7 +155,8 @@ object Queries {
     "q211_fp_takedown" -> ((s, dir) =>
       FpStore.pairsVsStoreReadOnly(
         graft.multimodal.Binary.withPayload(
-          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)),
+          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+            .repartition(s.sparkContext.defaultParallelism)),
         fpPurgedStoreFixture(s, dir), contentCol = "payload")),
 
     // The perceptual-hash STORE's serve (closing r15's "what's missing
@@ -161,7 +171,8 @@ object Queries {
     "q212_hash_store" -> ((s, dir) =>
       graft.multimodal.HashStore.pairsVsStoreReadOnly(
         graft.multimodal.Binary.withPayload(
-          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)),
+          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+            .repartition(s.sparkContext.defaultParallelism)),
         hashStoreFixture(s, dir), modalities = Seq("bytes"))),
 
     // q212's serve against the PURGED hash store: pairs that existed
@@ -171,7 +182,8 @@ object Queries {
     "q213_hash_takedown" -> ((s, dir) =>
       graft.multimodal.HashStore.pairsVsStoreReadOnly(
         graft.multimodal.Binary.withPayload(
-          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)),
+          Tables(s, dir).documents.filter(col("doc_id") % 3 === 0)
+            .repartition(s.sparkContext.defaultParallelism)),
         hashPurgedStoreFixture(s, dir), modalities = Seq("bytes"))),
 
     // Span-containment RETRIEVAL (the "which stored payload contains
@@ -206,7 +218,8 @@ object Queries {
     "q207_binary_takedown" -> ((s, dir) => {
       val d = Tables(s, dir).documents
       Store.dedupNewDropVsCorpusReadOnly(
-          graft.multimodal.Binary.withPayload(d.filter(col("doc_id") % 3 === 0)),
+          graft.multimodal.Binary.withPayload(d.filter(col("doc_id") % 3 === 0)
+            .repartition(s.sparkContext.defaultParallelism)),
           binaryPurgedStoreFixture(s, dir), textCol = "payload")
         .select(col("doc_id"), col("source"))
     }),
@@ -448,14 +461,18 @@ object Queries {
         .withColumn("sz", size(col("ts"))))
       val dfc = toks.select(explode(col("ts")).as("t"))
         .groupBy("t").agg(count(lit(1)).as("df"))
-      val pref = toks.select(col("doc_id"), col("sz"), explode(col("ts")).as("t"))
+      // materialized (r18): pref feeds BOTH sides of the candidate self
+      // join — without the cut the explode+df-join+collect_list prefix
+      // pipeline ran twice (Catalyst does not share common subtrees)
+      val pref = Dedup.materialize(
+        toks.select(col("doc_id"), col("sz"), explode(col("ts")).as("t"))
         .join(dfc, "t")
         .groupBy(col("doc_id"), col("sz"))
         .agg(array_sort(collect_list(struct(col("df"), col("t")))).as("ord"))
         .select(col("doc_id"), col("sz"),
           explode(expr(
             "slice(ord, 1, CAST(sz - ((7*sz+9) div 10) + 1 AS INT))")).as("p"))
-        .select(col("doc_id"), col("sz"), col("p.t").as("t"))
+        .select(col("doc_id"), col("sz"), col("p.t").as("t")))
       val cand = pref.as("a").join(pref.as("b"),
           col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
             col("a.sz") * 10 >= col("b.sz") * 7 &&
@@ -463,8 +480,15 @@ object Queries {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       val sh = toks.select(col("doc_id"), col("ts"))
+      // the doc_b repartition pins the verify join's partition count
+      // (r18, tools.Attr: AQE's bytes-based coalescing ran the whole
+      // array_intersect verify as ONE 3.4 s task — shingle arrays carry
+      // far more CPU per byte than the 1 MB target assumes). Explicit
+      // count = the join's own exchange is replaced, not added; nothing
+      // extra is shuffled, the stage just stays wide.
       cand
         .join(sh.toDF("doc_a", "ta"), "doc_a")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_b"))
         .join(sh.toDF("doc_b", "tb"), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           size(array_intersect(col("ta"), col("tb"))).as("inter_size"),

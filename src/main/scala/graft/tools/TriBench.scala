@@ -13,6 +13,11 @@ import graft.{Sessions, SparkEntry}
 object TriBench {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // warm-up SF derived from the data root (ADVICE r17): a host whose
+    // data lives elsewhere warms from the sibling sf0.001, not a
+    // hardcoded /root/testdata path
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      java.nio.file.Paths.get(dir).resolveSibling("sf0.001").toString)
     val names = if (args.nonEmpty) args.toSeq else Seq("q103_triangles")
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
@@ -39,7 +44,7 @@ object TriBench {
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "134217728"))
     for ((tag, cs) <- confs) {
       cs.foreach { case (k, v) => spark.conf.set(k, v) }
-      names.foreach(run(_, "/root/testdata/sf0.001")) // warm-up per conf
+      names.foreach(run(_, warmDir)) // warm-up per conf
       names.foreach { n =>
         val ts = (1 to 3).map(_ => run(n, dir))
         println(f"[tri] $tag $n: min ${ts.min}%.2f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")

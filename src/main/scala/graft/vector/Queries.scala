@@ -313,8 +313,17 @@ object Queries {
     // 4·dot² ≥ na·nb rule (q121/q128's oracle replays it). Headroom: for
     // scale-1e4 unit vectors dot ≤ ~1e8, so 100·dot² ≤ 1e18 < Long.Max.
     val tSq = tauTenths.toLong * tauTenths
+    // Explicit-width repartition on the join key (r18): the per-cell
+    // pair join's shuffle bytes are small but every output row pays an
+    // exact-integer dot product — AQE's bytes-based coalescing narrowed
+    // the verify stage (the q108 disease; q128's 8→32 core scaling read
+    // 0.70 in the r17 driver block). The repartition REPLACES the
+    // join's own exchange on that side, nothing extra is shuffled.
+    // In-JVM A/B (tools.AbBench): q128 1.92 -> 1.32 s, q121 1.42 -> 1.37.
+    val rankedW = ranked.repartition(
+      s.sparkContext.defaultParallelism, col("cid"))
     val drops = withSim(
-      ranked.as("a").join(ranked.as("b"),
+      rankedW.as("a").join(rankedW.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id")))
       .filter(col("dot_q") > 0 &&
         lit(100L) * col("dot_q") * col("dot_q") >= lit(tSq) * col("na") * col("nb"))

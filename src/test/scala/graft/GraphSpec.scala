@@ -26,6 +26,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("coOccurrenceEdges: r18 groupBy form ≡ the equi self-join it replaced") {
+    // the r18 rewrite (one groupBy shuffle + map-side pair generation)
+    // must match the old self-join ROW FOR ROW, including its null-key
+    // semantics (a null container never equi-joins → contributes no
+    // pairs) and duplicate-row collapse
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 200).map(i =>
+      (if (i % 17 == 0) null else java.lang.Long.valueOf(i % 11), i % 23L)) :+
+      ((null, 99L)) :+ ((java.lang.Long.valueOf(3L), 5L)) // dup row
+    val df = rows.toDF("c", "item")
+    val got = Graph.coOccurrenceEdges(df, "c", "item")
+      .as[(Long, Long)].collect().toSet
+    // reference: the pre-r18 self-join form, inlined
+    val side = df.select(col("c").as("__c"), col("item").as("__i"))
+    val want = side.as("a").join(side.as("b"),
+        col("a.__c") === col("b.__c") && col("a.__i") < col("b.__i"))
+      .select(col("a.__i").as("u"), col("b.__i").as("v"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.forall { case (u, v) => u < v })
+  }
+
   test("triangleStats: K4 plus a disconnected edge = 4 triangles, counted once each") {
     val e = edges(
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4

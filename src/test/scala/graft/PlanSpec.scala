@@ -194,10 +194,16 @@ class PlanSpec extends AnyFunSuite {
       "df-count branch + keep branch: two corpus scans, no third for reassembly")
   }
 
-  test("q83 profile is ONE scan: single aggregation + stack, not per-column unions") {
+  test("q83 profile is TWO hash-agg passes: no Expand, no sort-agg, no per-column unions") {
+    // r18 melt shape: counts/min-max in one scan, exact distincts from a
+    // melted (column, value) stream in a second — replacing the single
+    // scan whose Expand(rows × columns) + sort-aggregate chain ran as
+    // one serial task (OPTIMIZATION_r18.md #1)
     val p = planOf("q83_profile")
-    assert("Scan parquet".r.findAllIn(p).size == 1,
-      "all per-column stats must come from a single pass over the table")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      "base stats pass + melted distinct pass — never per-column scans")
+    assert(!p.contains("Expand"),
+      "the melt replaces the multi-countDistinct Expand")
     assert(!p.contains("Union"), "no per-column UNION of scans")
   }
 
@@ -412,12 +418,14 @@ class PlanSpec extends AnyFunSuite {
       "the corpus must never shuffle for the probe")
   }
 
-  test("q115 approx profile has NO Expand (the exact profile's dominant cost)") {
+  test("q115 approx profile has NO Expand; exact melt profile avoids it too") {
     assert(!planOf("q115_profile_approx").contains("Expand"),
       "sketch aggregates must plan as a plain partial/final agg")
-    // contrast: the hash-gated exact profile pays the Expand by design
-    assert(planOf("q83_profile").contains("Expand"),
-      "q83's exact distincts should still plan the Expand this variant avoids")
+    // r18: the exact profile's melt shape dropped its Expand as well —
+    // only the non-injective-type fallback (Profile.tableExpand) still
+    // plans one, and no declared query uses it
+    assert(!planOf("q83_profile").contains("Expand"),
+      "q83's melt shape must not reintroduce the Expand")
   }
 
   test("q116 BPE apportionment windows only the per-source frame") {
